@@ -1,0 +1,139 @@
+package graft.cli
+
+import graft.operators.Concat
+import graft.sinks.Sink
+import graft.sources.{CsvSource, Discovery}
+import org.apache.spark.sql.SparkSession
+
+/** Thin CLI over the library, mirroring the reference's flag surface
+  * (`/root/reference/src/cli.rs:11-150`) and entry-point behavior
+  * (`main.rs:62-83`): `--plan` prints inputs + the Catalyst plan and exits;
+  * `--dry-run` builds and validates the full plan but skips the write.
+  */
+object Maw {
+
+  final case class Args(
+      inputs: Vector[String] = Vector.empty,
+      output: String = "output", // default path, pipeline.rs:50
+      outFormat: Option[String] = None,
+      columns: Option[Seq[String]] = None,
+      exclude: Seq[String] = Nil,
+      renames: Map[String, String] = Map.empty,
+      stringifyConflicts: Boolean = false,
+      noHeaders: Boolean = false,
+      delimiter: String = ",",
+      quote: String = "\"",
+      encoding: String = "UTF-8",
+      naValues: Seq[String] = Seq("NA", "null", "\\N"),
+      inferRows: Int = 1000,
+      compression: String = "zstd",
+      naOut: String = "",
+      rollByBytes: Option[Long] = None,
+      rollByRows: Option[Long] = None,
+      plan: Boolean = false,
+      dryRun: Boolean = false,
+      streaming: Boolean = false,
+      checkpoint: Option[String] = None,
+      concurrency: Int = 4,
+      verbose: Int = 0,
+      quiet: Boolean = false)
+
+  def parse(argv: Seq[String]): Args = {
+    @annotation.tailrec
+    def go(rest: List[String], a: Args): Args = rest match {
+      case Nil => a
+      case "-o" :: v :: t                  => go(t, a.copy(output = v))
+      case "--out-format" :: v :: t        => go(t, a.copy(outFormat = Some(v)))
+      case "--columns" :: v :: t           => go(t, a.copy(columns = Some(v.split(',').toSeq)))
+      case "--exclude" :: v :: t           => go(t, a.copy(exclude = a.exclude ++ v.split(',')))
+      case "--rename" :: v :: t =>
+        val Array(from, to) = v.split("=", 2)
+        go(t, a.copy(renames = a.renames + (from -> to)))
+      case "--stringify-conflicts" :: t    => go(t, a.copy(stringifyConflicts = true))
+      case "--no-headers" :: t             => go(t, a.copy(noHeaders = true))
+      case "--delimiter" :: v :: t         => go(t, a.copy(delimiter = v))
+      case "--quote" :: v :: t             => go(t, a.copy(quote = v))
+      case "--encoding" :: v :: t          => go(t, a.copy(encoding = v))
+      case "--na" :: v :: t                => go(t, a.copy(naOut = v))
+      case "--na-values" :: v :: t         => go(t, a.copy(naValues = v.split(',').toSeq))
+      case "--infer-rows" :: v :: t        => go(t, a.copy(inferRows = v.toInt))
+      case "--compression" :: v :: t       => go(t, a.copy(compression = v))
+      case "--roll-by-bytes" :: v :: t     => go(t, a.copy(rollByBytes = Some(v.toLong)))
+      case "--roll-by-rows" :: v :: t      => go(t, a.copy(rollByRows = Some(v.toLong)))
+      case "--plan" :: t                   => go(t, a.copy(plan = true))
+      case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
+      case "--stream" :: t                 => go(t, a.copy(streaming = true))
+      case "--state" :: v :: t             => go(t, a.copy(checkpoint = Some(v)))
+      case "--resume" :: t                 => go(t, a.copy(streaming = true))
+      case "--concurrency" :: v :: t       => go(t, a.copy(concurrency = v.toInt))
+      case "-v" :: t                       => go(t, a.copy(verbose = a.verbose + 1))
+      case "-q" :: t                       => go(t, a.copy(quiet = true))
+      case ("--help" | "-h") :: _          => println(usage); sys.exit(0)
+      case ("--version" | "-V") :: _       => println("graft 0.1.0"); sys.exit(0)
+      case flag :: _ if flag.startsWith("--") =>
+        throw new IllegalArgumentException(s"unknown flag $flag")
+      case in :: t                         => go(t, a.copy(inputs = a.inputs :+ in))
+    }
+    go(argv.toList, Args())
+  }
+
+  val usage: String =
+    """graft <inputs...> -o out.{csv,parquet} [options]
+      |Streaming concatenation + format conversion of CSV/Parquet, on Spark.
+      |  --plan --dry-run --columns a,b --exclude c --rename old=new
+      |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
+      |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd
+      |  --roll-by-rows N --roll-by-bytes N --stream --state DIR --resume""".stripMargin
+
+  def toConfig(a: Args): Concat.Config = Concat.Config(
+    inputs = a.inputs,
+    csv = CsvSource.CsvOptions(a.delimiter, a.quote, !a.noHeaders, a.encoding, a.naValues, a.inferRows),
+    stringifyConflicts = a.stringifyConflicts,
+    renames = a.renames,
+    include = a.columns,
+    exclude = a.exclude)
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv.toIndexedSeq)
+    if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
+    if (a.plan) {
+      // plan mode prints BEFORE building the pipeline (main.rs:65-71)
+      println(s"Would process ${a.inputs.size} input(s):")
+      a.inputs.foreach(i => println(s"  $i"))
+      return
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${a.concurrency}]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(if (a.quiet) "ERROR" else if (a.verbose > 0) "INFO" else "WARN")
+    try {
+      if (a.dryRun) {
+        val (files, df) = Concat.plan(spark, toConfig(a))
+        if (!a.quiet) {
+          println(s"Dry run: ${files.size} file(s), unified schema ${df.schema.simpleString}")
+          df.explain(true)
+        }
+        return // before writing (main.rs:73-76)
+      }
+      val fmt = Discovery.outputFormat(a.output, a.outFormat)
+      if (a.streaming) {
+        graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt,
+          a.checkpoint.getOrElse(a.output + ".checkpoint"))
+      } else {
+        val df = Concat.run(spark, toConfig(a))
+        Sink.write(df, Sink.Config(a.output, fmt, a.compression, a.naOut, a.delimiter,
+          a.rollByRows, a.rollByBytes))
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(1) // main.rs:55-58
+    }
+    spark.stop()
+  }
+}

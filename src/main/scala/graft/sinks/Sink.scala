@@ -1,0 +1,92 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import scala.jdk.CollectionConverters._
+
+/** Output side of the reference pipeline.
+  *
+  *   - CSV sink: header once, `--na` string for nulls (default empty,
+  *     writer_csv.rs:33), delimiter/quote (`/root/reference/src/writer_csv.rs:38-126`)
+  *   - Parquet sink: compression none/snappy/gzip/zstd (cli.rs:79-86),
+  *     128MB row groups, stats on (`writer_parquet.rs:33-57` — the reference's
+  *     data write is a stub `:77-96`; ours is real)
+  *   - Rolling output `--roll-by-rows` (cli.rs:70-77, unimplemented there) via
+  *     `maxRecordsPerFile`; `--roll-by-bytes` approximated from sampled row size
+  *   - Single-file output contract (`-o out.csv` = one file): `coalesce(1)` +
+  *     part-file promotion. NOTE: single-file output is inherently a 1-task
+  *     bottleneck; at cluster scale prefer `singleFile=false` (directory out).
+  */
+object Sink {
+
+  final case class Config(
+      path: String,
+      format: graft.sources.Discovery.Format,
+      compression: String = "zstd", // none|snappy|gzip|zstd (cli.rs:79-86)
+      naString: String = "",        // writer_csv.rs:33
+      delimiter: String = ",",
+      rollByRows: Option[Long] = None,
+      rollByBytes: Option[Long] = None,
+      singleFile: Boolean = true)
+
+  def write(df: DataFrame, cfg: Config): Unit = {
+    val rolled = cfg.rollByBytes match {
+      case Some(bytes) =>
+        // approximate bytes->rows from a small sample of rendered row width
+        val sample = df.limit(1000).collect()
+        val avg = if (sample.isEmpty) 100.0
+          else sample.map(_.mkString(",").length + 1).sum.toDouble / sample.length
+        df.writeConfRows(math.max(1L, (bytes / math.max(avg, 1.0)).toLong))
+      case None => cfg.rollByRows.map(df.writeConfRows).getOrElse(df.write)
+    }
+    val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty)
+      df.coalesce(1).write else rolled
+    val tmpDir = cfg.path + ".spark-out"
+    cfg.format match {
+      case graft.sources.Discovery.Csv =>
+        out.mode("overwrite")
+          .option("header", "true")
+          .option("delimiter", cfg.delimiter)
+          .option("nullValue", cfg.naString)
+          .option("emptyValue", "")
+          .csv(tmpDir)
+      case graft.sources.Discovery.Parquet =>
+        out.mode("overwrite")
+          .option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
+          .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
+          .parquet(tmpDir)
+    }
+    promote(tmpDir, cfg)
+  }
+
+  private implicit class RollOps(df: DataFrame) {
+    def writeConfRows(rows: Long) = df.write.option("maxRecordsPerFile", rows.toString)
+  }
+
+  /** Move part files out of the Spark output directory to honor the
+    * reference's file-path contract: one file at `path`, or rolled parts
+    * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).
+    */
+  private def promote(tmpDir: String, cfg: Config): Unit = {
+    val ext = cfg.format match {
+      case graft.sources.Discovery.Csv     => ".csv"
+      case graft.sources.Discovery.Parquet => ".parquet"
+    }
+    val dir = Paths.get(tmpDir)
+    val parts = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .toList.sortBy(_.getFileName.toString)
+    val target = Paths.get(cfg.path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    if (parts.size == 1 && cfg.singleFile) {
+      Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val base = cfg.path.stripSuffix(ext)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.move(p, Paths.get(f"$base%s-$i%04d$ext%s"), StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // clean the spark dir (_SUCCESS, crc files)
+    Files.walk(dir).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV reading with the reference's option surface
+  * (`/root/reference/src/csv_in.rs:23-43`, `cli.rs:33-68`):
+  *
+  *   - delimiter / quote
+  *   - headers on/off; when off, synthetic names `col_1..col_N` (csv_in.rs:73-78)
+  *   - encoding utf8 / latin1 (csv_in.rs:80-84)
+  *   - NA value LIST -> null (defaults `NA,null,\N`, cli.rs:41-43) — Spark takes
+  *     ONE `nullValue`, so the list is normalized post-read with `when(isin)`
+  *   - BOM stripping (csv_in.rs:158-162) — Spark's UnivocityParser handles BOM
+  *   - type inference from a bounded sample (`--infer-rows`, default 1000,
+  *     cli.rs:66-68). The reference's shipped reader re-infers per 64k batch
+  *     (csv_in.rs:95-113) — a type-drift bug; per SURVEY §7 we infer ONCE up
+  *     front with precedence i64 -> f64 -> bool -> string (csv_in.rs:171-232).
+  */
+object CsvSource {
+
+  final case class CsvOptions(
+      delimiter: String = ",",
+      quote: String = "\"",
+      headers: Boolean = true,
+      encoding: String = "UTF-8",
+      naValues: Seq[String] = Seq("NA", "null", "\\N"),
+      inferRows: Int = 1000,
+      inferTypes: Boolean = true)
+
+  def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    val base = spark.read
+      .option("header", opts.headers.toString)
+      .option("delimiter", opts.delimiter)
+      .option("quote", opts.quote)
+      .option("encoding", opts.encoding)
+      // all values as string first; we control inference precedence ourselves
+      .csv(path)
+
+    val named =
+      if (opts.headers) base
+      else base.toDF(base.columns.indices.map(i => s"col_${i + 1}"): _*) // csv_in.rs:73-78
+
+    // NA list -> null, applied to every (still-string) column (csv_in.rs:129-131)
+    val naCleared = named.select(named.columns.map { c =>
+      when(col(c).isin(opts.naValues: _*), lit(null)).otherwise(col(c)).as(c)
+    }.toIndexedSeq: _*)
+
+    if (!opts.inferTypes) naCleared
+    else {
+      val inferred = inferTypes(naCleared, opts.inferRows)
+      naCleared.select(naCleared.columns.map { c =>
+        col(c).try_cast(inferred(c)).as(c)
+      }.toIndexedSeq: _*)
+    }
+  }
+
+  /** Sample-based per-column inference with the reference's exact precedence
+    * (csv_in.rs:171-232): try i64, then f64, then bool; any non-parsing value
+    * makes the column a string (csv_in.rs:201); floats dominate ints
+    * (csv_in.rs:207-213). Runs on a bounded `limit(inferRows)` sample — one
+    * small job, independent of total input size, so it holds at 100 TB.
+    */
+  def inferTypes(stringDf: DataFrame, inferRows: Int): Map[String, DataType] = {
+    val cols = stringDf.columns
+    if (cols.isEmpty) return Map.empty
+    val sample = stringDf.limit(inferRows)
+    // One aggregate pass over the sample: for each column count values that
+    // fail each parse. try_cast yields null on parse failure (ANSI-safe).
+    val aggs = cols.flatMap { c =>
+      val v = col(c)
+      val present = v.isNotNull
+      Seq(
+        sum(when(present && v.try_cast(LongType).isNull, 1).otherwise(0)).as(s"${c}__badLong"),
+        sum(when(present && v.try_cast(DoubleType).isNull, 1).otherwise(0)).as(s"${c}__badDouble"),
+        // reference bool = literal "true"/"false" only (csv_in.rs:192-197)
+        sum(when(present && !v.isin("true", "false"), 1).otherwise(0)).as(s"${c}__badBool"),
+        sum(when(present, 1).otherwise(0)).as(s"${c}__n"))
+    }
+    val row = sample.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val badLong = Option(row.get(i * 4)).fold(0L)(_.asInstanceOf[Long])
+      val badDouble = Option(row.get(i * 4 + 1)).fold(0L)(_.asInstanceOf[Long])
+      val badBool = Option(row.get(i * 4 + 2)).fold(0L)(_.asInstanceOf[Long])
+      val n = Option(row.get(i * 4 + 3)).fold(0L)(_.asInstanceOf[Long])
+      val t: DataType =
+        if (n == 0L) StringType // all null: keep string (NullType widened away later)
+        else if (badLong == 0L) LongType
+        else if (badDouble == 0L) DoubleType
+        else if (badBool == 0L) BooleanType
+        else StringType
+      c -> t
+    }.toMap
+  }
+}

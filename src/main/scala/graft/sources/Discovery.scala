@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Input discovery: literal files, recursive directory walk, glob patterns,
+  * `-` = stdin (spooled to a temp file — Spark has no stdin source).
+  *
+  * Mirrors `/root/reference/src/discover.rs:46-159`: dedup + lexicographic
+  * sort for a deterministic processing order (discover.rs:88-90), format by
+  * extension (discover.rs:20-28), unknown extensions skipped.
+  */
+object Discovery {
+
+  sealed trait Format
+  case object Csv extends Format
+  case object Parquet extends Format
+
+  final case class InputFile(path: String, format: Format, sizeBytes: Long)
+
+  /** Extension-based format detection (discover.rs:20-28). */
+  def detectFormat(path: String): Option[Format] = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv") || lower.endsWith(".tsv")) Some(Csv)
+    else if (lower.endsWith(".parquet")) Some(Parquet)
+    else None
+  }
+
+  /** Output format: explicit flag > output extension > CSV default
+    * (pipeline.rs:64-74).
+    */
+  def outputFormat(outPath: String, flag: Option[String]): Format =
+    flag.map(_.toLowerCase) match {
+      case Some("parquet")         => Parquet
+      case Some("csv")             => Csv
+      case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
+      case None                    => detectFormat(outPath).getOrElse(Csv)
+    }
+
+  private def isGlob(s: String): Boolean = s.exists("*?[{".contains(_))
+
+  def discover(inputs: Seq[String]): Seq[InputFile] = {
+    val found = inputs.flatMap {
+      case "-"                  => spoolStdin().toSeq
+      case g if isGlob(g)       => expandGlob(g)
+      case p =>
+        val path = Paths.get(p)
+        if (Files.isDirectory(path)) walkDir(path)
+        else if (Files.isRegularFile(path)) classify(path).toSeq
+        else throw new IllegalArgumentException(s"input not found: $p")
+    }
+    // dedup + lexicographic sort => deterministic union order (discover.rs:88-90)
+    found.groupBy(_.path).map(_._2.head).toSeq.sortBy(_.path)
+  }
+
+  private def classify(p: Path): Option[InputFile] =
+    detectFormat(p.toString).map(f => InputFile(p.toString, f, Files.size(p)))
+
+  private def walkDir(dir: Path): Seq[InputFile] = {
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala.filter(Files.isRegularFile(_)).flatMap(classify).toList
+    finally stream.close()
+  }
+
+  private def expandGlob(pattern: String): Seq[InputFile] = {
+    val p = Paths.get(pattern)
+    val parent = {
+      // deepest non-glob prefix directory
+      var base = p.getParent
+      while (base != null && isGlob(base.toString)) base = base.getParent
+      if (base == null) Paths.get(".") else base
+    }
+    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$pattern")
+    if (!Files.isDirectory(parent)) return Nil
+    val stream = Files.walk(parent)
+    try stream.iterator().asScala
+      .filter(f => Files.isRegularFile(f) && matcher.matches(f))
+      .flatMap(classify).toList
+    finally stream.close()
+  }
+
+  /** `-` input: spool stdin to a temp file (discover.rs:53-60 reads stdin
+    * directly; Spark needs a file). Assumed CSV, as in the reference.
+    */
+  private def spoolStdin(): Option[InputFile] = {
+    val tmp = Files.createTempFile("graft-stdin-", ".csv")
+    Files.copy(System.in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toFile.deleteOnExit()
+    classify(tmp)
+  }
+}

@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.Concat
+import graft.schema.SchemaUnifier
+import graft.sinks.Sink
+import graft.sources.{CsvSource, Discovery}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end mirrors of the reference's integration tests
+  * (`/root/reference/tests/integration.rs`, `tests/e2e_csv.rs`) plus the
+  * widen-conflict fixture from FIXTURES.md.
+  */
+class ConcatSpec extends SparkSpec {
+
+  test("concat2: two CSVs -> one CSV, header once, exact 5 lines (integration.rs:7-40)") {
+    val d = tmpDir("concat2")
+    writeFile(d, "file1.csv", "a,b,c\n1,2,3\n4,5,6\n")
+    writeFile(d, "file2.csv", "a,b,c\n7,8,9\n10,11,12\n")
+    val out = d.resolve("out.csv").toString
+    val df = Concat.run(spark, Concat.Config(Seq(
+      d.resolve("file1.csv").toString, d.resolve("file2.csv").toString)))
+    Sink.write(df, Sink.Config(out, Discovery.Csv))
+    val lines = Files.readAllLines(Paths.get(out)).asScala.toList
+    assert(lines.length == 5) // header + 4 rows (integration.rs:34)
+    assert(lines.head == "a,b,c")
+    assert(lines.toSet == Set("a,b,c", "1,2,3", "4,5,6", "7,8,9", "10,11,12"))
+  }
+
+  test("recursive directory discovery (integration.rs:43-71)") {
+    val d = tmpDir("subdir")
+    writeFile(d, "subdir/file1.csv", "x,y\n1,2\n")
+    writeFile(d, "subdir/file2.csv", "x,y\n3,4\n")
+    val df = Concat.run(spark, Concat.Config(Seq(d.toString)))
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("x", "y"))
+  }
+
+  test("glob discovery") {
+    val d = tmpDir("glob")
+    writeFile(d, "a1.csv", "k\n1\n")
+    writeFile(d, "a2.csv", "k\n2\n")
+    writeFile(d, "skip.txt", "not data")
+    val files = Discovery.discover(Seq(d.toString + "/a*.csv"))
+    assert(files.map(f => Paths.get(f.path).getFileName.toString) == Seq("a1.csv", "a2.csv"))
+  }
+
+  test("discovery is deduped + lexicographically sorted (discover.rs:88-90)") {
+    val d = tmpDir("dedup")
+    val f1 = writeFile(d, "b.csv", "k\n1\n")
+    val f2 = writeFile(d, "a.csv", "k\n2\n")
+    val files = Discovery.discover(Seq(f1, f2, f1))
+    assert(files.map(_.path) == Seq(f2, f1).sorted)
+    assert(files.size == 2)
+  }
+
+  test("noheader: synthetic col_N names (csv_in.rs:73-78)") {
+    val d = tmpDir("nohead")
+    val f = writeFile(d, "x.csv", "1,2,3\n4,5,6\n")
+    val df = CsvSource.read(spark, f, CsvSource.CsvOptions(headers = false))
+    assert(df.columns.toSeq == Seq("col_1", "col_2", "col_3"))
+    assert(df.count() == 2)
+  }
+
+  test("NA value list -> null (cli.rs:41-43)") {
+    val d = tmpDir("na")
+    val f = writeFile(d, "x.csv", "a,b\nNA,1\nnull,2\n\\N,3\nok,4\n")
+    val df = CsvSource.read(spark, f)
+    assert(df.filter(df("a").isNull).count() == 3)
+    assert(df.filter(df("a") === "ok").count() == 1)
+  }
+
+  test("inference precedence i64 -> f64 -> bool -> string (csv_in.rs:171-232)") {
+    val d = tmpDir("infer")
+    val f = writeFile(d, "x.csv",
+      "i,f,b,s,mixed\n1,1.5,true,abc,1\n2,2.5,false,def,x\n")
+    val df = CsvSource.read(spark, f)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("i") == LongType)
+    assert(types("f") == DoubleType)
+    assert(types("b") == BooleanType)
+    assert(types("s") == StringType)
+    assert(types("mixed") == StringType) // one non-parse -> string (csv_in.rs:201)
+  }
+
+  test("floats dominate ints in inference (csv_in.rs:207-213)") {
+    val d = tmpDir("fdom")
+    val f = writeFile(d, "x.csv", "v\n1\n2.5\n")
+    val df = CsvSource.read(spark, f)
+    assert(df.schema.fields.head.dataType == DoubleType)
+  }
+
+  test("widen-conflict fixture: a:int+a:double, null injection, alphabetical order") {
+    val d = tmpDir("widen")
+    val f1 = writeFile(d, "f1.csv", "a,b\n1,x\n2,y\n")
+    val f2 = writeFile(d, "f2.csv", "a,c\n1.5,10\n2.5,20\n")
+    val df = Concat.run(spark, Concat.Config(Seq(f1, f2)))
+    assert(df.columns.toSeq == Seq("a", "b", "c")) // alphabetical (schema.rs:101-102)
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("a") == DoubleType) // I64 + F64 -> F64
+    assert(types("b") == StringType)
+    assert(types("c") == LongType)
+    assert(df.schema.fields.forall(_.nullable)) // schema.rs:107
+    assert(df.count() == 4)
+    assert(df.filter(df("b").isNull).count() == 2) // null-injected for f2 rows
+  }
+
+  test("conflict without stringify errors; with stringify coerces (schema.rs:184-191)") {
+    val d = tmpDir("conflict")
+    val f1 = writeFile(d, "f1.csv", "a\n1\n")
+    val f2 = writeFile(d, "f2.csv", "a\nxyz\n")
+    intercept[graft.schema.TypeWidening.WidenError] {
+      Concat.run(spark, Concat.Config(Seq(f1, f2)))
+    }
+    val df = Concat.run(spark, Concat.Config(Seq(f1, f2), stringifyConflicts = true))
+    assert(df.schema.fields.head.dataType == StringType)
+    assert(df.collect().map(_.getString(0)).toSet == Set("1", "xyz"))
+  }
+
+  test("rename + include + exclude (cli.rs:46-56)") {
+    val d = tmpDir("proj")
+    val f = writeFile(d, "f.csv", "a,b,c\n1,2,3\n")
+    val df = Concat.run(spark, Concat.Config(Seq(f),
+      renames = Map("a" -> "zz"), include = Some(Seq("zz", "b"))))
+    assert(df.columns.toSeq == Seq("b", "zz")) // alphabetical
+    val df2 = Concat.run(spark, Concat.Config(Seq(f), exclude = Seq("b")))
+    assert(df2.columns.toSeq == Seq("a", "c"))
+  }
+
+  test("CSV -> Parquet roundtrip with zstd (writer_parquet.rs:33-57)") {
+    val d = tmpDir("roundtrip")
+    val f = writeFile(d, "f.csv", "id,name,value\n1,Alice,100\n2,Bob,200\n")
+    val out = d.resolve("out.parquet").toString
+    val df = Concat.run(spark, Concat.Config(Seq(f)))
+    Sink.write(df, Sink.Config(out, Discovery.Parquet, compression = "zstd"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.columns.toSeq == Seq("id", "name", "value"))
+    assert(back.schema("id").dataType == LongType)
+  }
+
+  test("rolling output by rows (cli.rs:70-77 intent)") {
+    val d = tmpDir("roll")
+    val f = writeFile(d, "f.csv", "k\n" + (1 to 10).map(_.toString).mkString("\n") + "\n")
+    val out = d.resolve("out.csv").toString
+    val df = Concat.run(spark, Concat.Config(Seq(f))).repartition(1)
+    Sink.write(df, Sink.Config(out, Discovery.Csv, rollByRows = Some(4)))
+    val parts = Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("out-")).toList.sorted
+    assert(parts.size >= 3) // 10 rows / 4 per file
+  }
+
+  test("parquet-only concat of testdata tables") {
+    val df = Concat.run(spark, Concat.Config(Seq(
+      "/root/testdata/sf0.001/region.parquet", "/root/testdata/sf0.001/nation.parquet")))
+    assert(df.columns.toSeq == df.columns.sorted.toSeq)
+    assert(df.count() == 30)
+  }
+}
