@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` higher-order
+  * functions — fully codegen'd, no UDFs, no driver-side work — so each scales
+  * as a narrow per-row map over arbitrarily many executors. ANSI-safe: hash
+  * mixing uses xor/shift/or only (no overflowing multiplies).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and each
+    * remaining non-space symbol count as one token (a cheap proxy for a
+    * byte-pair-encoded length, useful for token-budget accounting).
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(filter(split(c, "((?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9]))"), t => length(trim(t)) > lit(0)))
+
+  /** Characters that are ASCII punctuation, as a ratio of all characters. */
+  def punctRatio(c: Column): Column = {
+    val punct = length(c) - length(regexp_replace(c, "[\\p{Punct}]", ""))
+    when(length(c) === 0, lit(0.0)).otherwise(punct.cast("double") / length(c))
+  }
+
+  private val EnglishStopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "this",
+    "for", "on", "with", "as", "are", "was", "be", "at", "by", "not", "but")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => lower(t).isin(EnglishStopwords: _*))).cast("double") / size(toks))
+
+  def meanWordLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Composite quality score in [0,1]: rewards mid-length documents with a
+    * healthy stopword ratio and word lengths, penalizes punctuation soup.
+    * Heuristic in the C4/Gopher-rules tradition (length + symbol ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lengthScore = least(n / lit(50.0), lit(1.0)) // saturate at 50 tokens
+    val wordLenOk = {
+      val m = meanWordLen(toks)
+      when(m >= 3 && m <= 10, 1.0).when(m > 0, 0.5).otherwise(0.0)
+    }
+    val punctOk = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopOk = least(stopwordRatio(toks) * lit(5.0), lit(1.0))
+    round((lengthScore * 0.3 + wordLenOk * 0.3 + punctOk * 0.2 + stopOk * 0.2), 4)
+  }
+
+  private val StopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "que"))
+
+  /** N-gram/stopword language-ID heuristic: CJK codepoint ratio decides zh;
+    * otherwise the language whose stopword list hits the most tokens wins;
+    * tie/none -> "und" (undetermined). Pure column expressions — no UDF.
+    */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val total = greatest(length(text), lit(1))
+    val toks = tokens(lower(text))
+    val scored = StopwordsByLang.map { case (lang, sw) =>
+      (lang, size(filter(toks, t => t.isin(sw: _*))))
+    }
+    val best = scored.tail.foldLeft[(Column, Column)]((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(cjk.cast("double") / total > 0.05, "zh")
+      .when(best._2 > 0, best._1)
+      .otherwise("und")
+  }
+
+  /** Content fingerprint: 64-bit xxhash of whitespace-normalized text.
+    * O(len) per row, codegen'd; the constant-seed Spark `xxhash64`.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /** Word-level rolling (polynomial-ish, xor/rotate) hash — order-sensitive,
+    * unlike [[fingerprint]]'s flat hash; ANSI-safe (no multiply overflow).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
+
+  /** Word n-gram shingles as strings, e.g. n=3: ["a b c", "b c d", ...].
+    * Documents shorter than n yield a single whole-text shingle.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** 64-bit hashes of the distinct shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(shingles(text, n)), s => xxhash64(s))
+
+  /** MinHash signature of length k over word-n-gram shingles: position i is
+    * min over shingles of xxhash64(shingle, i) — k independent hash families
+    * via the extra hashed column. Entirely codegen'd (k*|shingles| hashes).
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column = {
+    val sh = array_distinct(shingles(text, n))
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+  }
+
+  /** 64-bit SimHash over tokens: per-bit vote sum of each token hash's bits,
+    * sign -> bit. ANSI-safe bit assembly via shift/or.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

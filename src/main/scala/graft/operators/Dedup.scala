@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines.
+  *
+  * Every near-dup variant follows the same scale-safe shape:
+  *
+  *   signature (narrow map) -> candidate buckets (one shuffle on bucket key)
+  *   -> within-bucket pairs (bucket-local join) -> exact/approx verify
+  *
+  * No full cross joins anywhere; skewed buckets are capped so one hot bucket
+  * can never quadratically blow up a task at 100 TB (`maxBucketSize`).
+  */
+object Dedup {
+
+  /** Exact dedup, deterministic survivor: the minimum id per key group.
+    * One hash-shuffle on the key; partial aggregation is map-side.
+    */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+
+  /** Candidate pairs (idA < idB) whose MinHash signatures collide in at
+    * least one of `bands` bands, with the estimated Jaccard from the full
+    * signature attached. Classic shingle->minhash->band->bucket-join LSH
+    * (Broder 1997 / MMDS ch.3).
+    */
+  def minhashPairs(
+      docs: DataFrame,          // (id, text)
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(
+      col(idCol).as("id"),
+      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    // band hash: hash the contiguous signature slice for each band
+    val banded = sig.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
+          v => v.cast("string"))), b))))
+      .withColumnRenamed("col", "bucket")
+      .withColumnRenamed("pos", "band")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), v => v))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .groupBy("idA", "idB").agg(max("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, banded into `bands` chunks —
+    * any Hamming-distance<=k pair (k < bands) shares at least one exact
+    * chunk (pigeonhole), so bucket-join on chunks finds all candidates;
+    * then verify true Hamming distance.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sig = docs.select(col(idCol).as("id"), TF.simhash64(col(textCol)).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * width).bitwiseAND(mask))))
+      .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
+    val capped = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
+    val a = capped.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
+    val b = capped.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), TF.hamming64(col("sigA"), col("sigB")).as("hamming"))
+      .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs. Candidates come
+    * from minhash position collisions (cheap); the verify step recomputes
+    * TRUE Jaccard from the shingle-hash sets — no estimation error.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val base = docs.select(
+      col(idCol).as("id"),
+      TF.shingleHashes(col(textCol), shingleN).as("sh"),
+      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    val banded = base.select(col("id"), col("sh"), posexplode(col("sig")))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sh").as("shA"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sh").as("shB"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+      .groupBy("idA", "idB").agg(max("jaccard").as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-dup pairs: sign-LSH bucket join + exact cosine verify. */
+  def embeddingPairs(
+      emb: DataFrame,           // (id, vector)
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      numPlanes: Int = 12,
+      dim: Int = 64,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val planes = VF.hyperplanes(numPlanes, dim)
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VF.lshBucket(col(vecCol), planes).as("bucket"))
+    val capped = capBuckets(bucketed, Seq("bucket"), maxBucketSize)
+    val a = capped.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
+    val b = capped.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
+    a.join(b, Seq("bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .groupBy("idA", "idB").agg(max("cosine").as("cosine"))
+  }
+
+  /** Given near-dup pairs (idA < idB), keep-first survivors: drop every id
+    * that appears as the LARGER member of any pair. Single-pass
+    * approximation of connected components (exact for clusters whose
+    * members all pair with the minimum — the common near-dup case).
+    */
+  def survivors(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = pairs.select(col("idB").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Cap pathological buckets: drop groups larger than `maxBucketSize`
+    * (a bucket that large means a degenerate signature — e.g. empty text —
+    * and contributes O(size^2) pairs of near-zero value). Keeps the
+    * candidate-pair stage bounded under skew at scale.
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bucket_n", count(lit(1)).over(w))
+      .where(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+  }
+}

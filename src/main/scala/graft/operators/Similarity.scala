@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k of a SMALL broadcast query set
+  *     against the full corpus — baseline + ground truth. One narrow pass
+  *     over the corpus (broadcast nested-loop join), no corpus shuffle, so
+  *     it scales to any corpus size as long as the query set stays small.
+  *   - [[lshTopK]]: sign-LSH bucketed ANN with multi-probe via several
+  *     independent hash tables — candidates only from matching buckets,
+  *     turning all-pairs search into a bucket-local join (the scale path
+  *     when the query set is large, e.g. corpus-vs-corpus).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excluding itself). */
+  def bruteForceTopK(
+      corpus: DataFrame,       // (id, vec)
+      queries: DataFrame,      // (id, vec) — must be small (broadcast)
+      idCol: String,
+      vecCol: String,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(q) // broadcast nested loop: corpus streams, queries broadcast
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VF.cosine(col("qv"), col("cv")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** ANN via `tables` independent sign-LSH hash tables: a pair is a
+    * candidate if it collides in ANY table. Exact cosine on candidates,
+    * then top-k. Recall grows with tables; cost stays bucket-local.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      numPlanes: Int = 8,
+      tables: Int = 4,
+      dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
+      val withBuckets = (0 until tables).foldLeft(
+        df.select(col(idCol).as(id), col(vecCol).as(v))) { (d, t) =>
+        d.withColumn(s"b$t", VF.lshBucket(col(v), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
+      }
+      withBuckets.select(col(id), col(v),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("table"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+        .select(col(id), col(v), col("tb.table"), col("tb.bucket"))
+    }
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val q = bucketed(queries, "query_id", "qv")
+    val scored = c.join(q, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("cv")).as("cosine"))
+      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine")) // dedup multi-table hits
+    topKPerQuery(scored, k)
+  }
+
+  /** Deterministic top-k: ties broken by neighbor id. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.schema.SchemaUnifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Queries exercising the reference's own operator surface (SURVEY §2.1):
+  * union/concat (U1), schema unification + widening (O9/T2), projection
+  * include/exclude (O6), rename (O7), alphabetical reorder (O8), casts (T3),
+  * null injection (T4), NA normalization (O3).
+  */
+object ParityQueries {
+
+  private def ordersStringified(df: DataFrame): DataFrame =
+    df.select(
+      col("o_custkey"), fmtTs(col("o_orderdate")).as("o_orderdate"), col("o_orderkey"),
+      col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // U1: UNION ALL concat of two sources through the unifier
+    "p01_concat_union_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      ordered(ordersStringified(SchemaUnifier.concat(Seq(o, o))))
+    }),
+    // O7+O9: rename-driven unification of customer+supplier into one table
+    "p02_schema_unify_parties" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val merged = SchemaUnifier.concat(Seq(c, sup), renames = Map(
+        "c_custkey" -> "party_id", "s_suppkey" -> "party_id",
+        "c_name" -> "name", "s_name" -> "name",
+        "c_nationkey" -> "nationkey", "s_nationkey" -> "nationkey",
+        "c_acctbal" -> "acctbal", "s_acctbal" -> "acctbal"))
+      ordered(merged)
+    }),
+    // O6 include
+    "p03_project_include" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))),
+    // O6 exclude
+    "p04_project_exclude" -> ((s, dir) =>
+      ordered(t(s, dir, "part").drop("p_name", "p_type"))),
+    // O7 rename
+    "p05_rename" -> ((s, dir) =>
+      ordered(t(s, dir, "region").withColumnRenamed("r_name", "region_name"))),
+    // O8 alphabetical reorder
+    "p06_reorder_alpha" -> ((s, dir) => {
+      val o = ordersStringified(t(s, dir, "orders"))
+      ordered(o.select(o.columns.sorted.map(col).toIndexedSeq: _*))
+    }),
+    // T2/T3: lattice-driven widening casts (I32->I64, I32->F64)
+    "p07_cast_widen" -> ((s, dir) =>
+      ordered(t(s, dir, "nation").select(
+        col("n_nationkey").cast(LongType).as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast(DoubleType).as("n_regionkey")))),
+    // T4: null injection for columns missing in one source
+    "p08_null_injection" -> ((s, dir) => {
+      val merged = SchemaUnifier.concat(Seq(t(s, dir, "region"), t(s, dir, "nation")))
+      ordered(merged)
+    }),
+    // O3: NA-value list -> null normalization
+    "p09_na_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      ordered(d.select(col("doc_id"),
+        when(col("source").isin("NA", "null", "\\N"), lit(null))
+          .otherwise(col("source")).as("source")))
+    }),
+    // set-distinct union (extension beyond U1's bag concat)
+    "p10_distinct_union" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
+      val r = t(s, dir, "region").select(col("r_regionkey").as("k"))
+      ordered(n.union(r).distinct())
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "p01_concat_union_all" ->
+      s"""SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderkey,
+         |o_orderpriority, o_orderstatus, o_totalprice
+         |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
+    "p02_schema_unify_parties" ->
+      s"""SELECT * FROM (
+         |SELECT c_acctbal AS acctbal, c_mktsegment, c_name AS name, c_nationkey AS nationkey, c_custkey AS party_id FROM customer
+         |UNION ALL
+         |SELECT s_acctbal, CAST(NULL AS VARCHAR), s_name, s_nationkey, s_suppkey FROM supplier)
+         |${orderSql("acctbal", "c_mktsegment", "name", "nationkey", "party_id")}""".stripMargin,
+    "p03_project_include" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         |${orderSql("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")}""".stripMargin,
+    "p04_project_exclude" ->
+      s"""SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+         |${orderSql("p_partkey", "p_brand", "p_size", "p_retailprice")}""".stripMargin,
+    "p05_rename" ->
+      s"SELECT r_regionkey, r_name AS region_name FROM region ${orderSql("r_regionkey", "region_name")}",
+    "p06_reorder_alpha" ->
+      s"""SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderkey,
+         |o_orderpriority, o_orderstatus, o_totalprice FROM orders
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
+    "p07_cast_widen" ->
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) AS n_regionkey
+         |FROM nation ${orderSql("n_nationkey", "n_name", "n_regionkey")}""".stripMargin,
+    "p08_null_injection" ->
+      s"""SELECT * FROM (
+         |SELECT CAST(NULL AS VARCHAR) AS n_name, CAST(NULL AS INTEGER) AS n_nationkey, CAST(NULL AS INTEGER) AS n_regionkey, r_name, r_regionkey FROM region
+         |UNION ALL
+         |SELECT n_name, n_nationkey, n_regionkey, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER) FROM nation)
+         |${orderSql("n_name", "n_nationkey", "n_regionkey", "r_name", "r_regionkey")}""".stripMargin,
+    "p09_na_normalize" ->
+      s"""SELECT doc_id, CASE WHEN source IN ('NA','null','\\N') THEN NULL ELSE source END AS source
+         |FROM documents ${orderSql("doc_id", "source")}""".stripMargin,
+    "p10_distinct_union" ->
+      s"""SELECT * FROM (SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey FROM region)
+         |${orderSql("k")}""".stripMargin)
+}

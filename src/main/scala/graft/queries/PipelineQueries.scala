@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** LLM-training-data pipeline operators (BASELINE.json "north_star"): text
+  * analysis, dedup family (exact / fingerprint / MinHash / SimHash / n-gram
+  * Jaccard / embedding), similarity search (brute-force + LSH ANN),
+  * multimodal columns, streaming. SQL-expressible ones carry DuckDB oracles;
+  * signature-based ones are deterministic but engine-specific (xxhash64), so
+  * they get the driver's rows-only check.
+  */
+object PipelineQueries {
+
+  /** documents + a mutated near-duplicate of each (first token dropped,
+    * id offset by 1e6) — plants verifiable near-dups for the dedup family.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val mutated = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionByName(mutated)
+  }
+
+  /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
+  private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val mutated = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    e.unionByName(mutated)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text analysis ----
+    "t01_text_stats" -> ((s, dir) =>
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TF.tokenCount(col("text")).as("n_tokens")))),
+    "t02_text_quality" -> ((s, dir) => // heuristic scores: rows-only
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.langId(col("text")).as("lang_guess"),
+        TF.bpeTokenCount(col("text")).as("bpe_tokens")))),
+    "t03_fingerprint_md5" -> ((s, dir) =>
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"), md5(col("text").cast(BinaryType)).as("fp")))),
+    "t04_token_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+    "t05_lang_distribution" -> ((s, dir) =>
+      ordered(t(s, dir, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars")))),
+    // ---- dedup family ----
+    "d01_dedup_exact" -> ((s, dir) => {
+      val doubled = t(s, dir, "documents").select("doc_id", "text")
+        .unionByName(t(s, dir, "documents").select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      ordered(Dedup.exact(doubled, Seq("text"), "doc_id").select("doc_id"))
+    }),
+    "d02_dedup_fingerprint" -> ((s, dir) =>
+      ordered(t(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies")))),
+    "d03_minhash_pairs" -> ((s, dir) => // xxhash64 signatures: rows-only
+      ordered(Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5))),
+    "d04_simhash_pairs" -> ((s, dir) =>
+      ordered(Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        maxHamming = 8, bands = 4))),
+    "d05_ngram_jaccard_pairs" -> ((s, dir) =>
+      ordered(Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard")))),
+    "d06_embed_near_dup" -> ((s, dir) =>
+      ordered(Dedup.embeddingPairs(embWithNearDups(s, dir), "vec_id", "embedding",
+        minCosine = 0.999, numPlanes = 10, dim = 64)
+        .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine")))),
+    "d07_dedup_survivors" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      ordered(Dedup.survivors(docs, "doc_id", pairs).select("doc_id"))
+    }),
+    // ---- similarity search ----
+    "s01_knn_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    "s02_knn_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, numPlanes = 6, tables = 4, dim = 64)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // ---- multimodal ----
+    "m01_media_meta" -> ((s, dir) =>
+      ordered(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("media_id"), col("meta.mime").as("mime"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"),
+          length(col("payload")).as("n_bytes")))),
+    "m02_media_features" -> ((s, dir) => // decode stub: rows-only
+      ordered(Multimodal.extractFeatures(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 6).as("f0")))),
+    "m03_frame_sample" -> ((s, dir) =>
+      ordered(Multimodal.sampleFrames(
+        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"), n = 4)
+        .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes")))),
+    // ---- structured streaming (memory sink, drained synchronously) ----
+    "st01_streaming_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // file-source wants a directory; select the one file via glob filter
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val agg = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      val sinkName = s"st01_sink_${math.abs(dir.hashCode)}"
+      val q = agg.writeStream.outputMode("complete").format("memory").queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens
+         |FROM documents ${orderSql("doc_id", "n_chars", "n_tokens")}""".stripMargin,
+    "t03_fingerprint_md5" ->
+      s"SELECT doc_id, md5(text) AS fp FROM documents ${orderSql("doc_id", "fp")}",
+    "t04_token_freq" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+         |SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+         |FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "t05_lang_distribution" ->
+      s"""SELECT lang, COUNT(*) AS n, ${dsumSql("n_chars")} AS total_chars
+         |FROM documents GROUP BY lang ${orderSql("lang")}""".stripMargin,
+    "d01_dedup_exact" ->
+      s"""SELECT min(doc_id) AS doc_id FROM (
+         |SELECT doc_id, text FROM documents
+         |UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         |GROUP BY text ${orderSql("doc_id")}""".stripMargin,
+    "d02_dedup_fingerprint" ->
+      s"""SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY md5(text) ${orderSql("fp", "doc_id")}""".stripMargin,
+    "m01_media_meta" ->
+      s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
+         |CAST(length(text) % 1920 AS INTEGER) AS width,
+         |CAST(length(text) % 1080 AS INTEGER) AS height,
+         |CAST(length(text) AS BIGINT) AS duration_ms,
+         |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+         |FROM documents ${orderSql("media_id")}""".stripMargin,
+    "st01_streaming_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+         |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin)
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the driver-checked query surface.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *   - every query is fully ordered over its output columns, NULLS FIRST on
+  *     both engines;
+  *   - double aggregations go through exact DECIMAL(30,8) accumulation and
+  *     are cast back to double at the end, so the result is independent of
+  *     partitioning / addition order on either engine;
+  *   - timestamps are emitted as formatted strings (engine-neutral; avoids
+  *     tz-awareness mismatches between Spark parquet and DuckDB).
+  */
+object Q {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet timestamp[ns], which Spark reads only as a long
+    * (nanosAsLong); convert to a microsecond timestamp like DuckDB's
+    * CAST(ts AS TIMESTAMP) truncation.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val e = t(s, dir, "events")
+    e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact-accumulation sum of a double expression: order-independent. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  /** Exact average via dsum/count (decimal division rounding differs across
+    * engines; double division does not).
+    */
+  def davg(c: Column): Column =
+    sum(c.cast(DecimalType(30, 8))).cast("double") / count(lit(1))
+
+  /** Timestamp -> engine-neutral string. */
+  def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Total order over all output columns, nulls first (DuckDB needs the
+    * explicit NULLS FIRST; Spark's asc defaults to nulls-first).
+    */
+  def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+
+  /** `ORDER BY <all cols> NULLS FIRST` suffix for DuckDB oracle SQL. */
+  def orderSql(cols: String*): String =
+    "ORDER BY " + cols.map(c => s"$c NULLS FIRST").mkString(", ")
+
+  /** DuckDB-side mirror of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  def davgSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)"
+}

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Q._
+
+/** Relational core (SURVEY §2.2 extension): filter, joins (broadcast /
+  * shuffle / semi / anti), aggregation (hash, distinct, rollup, cube),
+  * window functions, sort/limit, set ops, event-time windowing, JSON
+  * extraction. All hash-checked against DuckDB.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: partial-agg-friendly hash aggregate
+    "q01_pricing_summary" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      ordered(l
+        .filter(col("l_shipdate").cast(DateType) <= lit(java.sql.Date.valueOf("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")))
+    }),
+    // predicate + projection pushdown to the parquet scan
+    "q02_filter_pushdown" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 &&
+          col("l_shipdate").cast(DateType) >= lit(java.sql.Date.valueOf("1997-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))),
+    // broadcast hash join: small dim broadcast, no shuffle of the fact side
+    "q03_join_broadcast_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      ordered(o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue")))
+    }),
+    // multi-join star query (region x nation x customer x orders x lineitem)
+    "q04_multi_join_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      ordered(l
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines")))
+    }),
+    // left-semi join (EXISTS)
+    "q05_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"))
+    }),
+    // left-anti join (NOT EXISTS)
+    "q06_anti_join" -> ((s, dir) => {
+      val p = t(s, dir, "part"); val l = t(s, dir, "lineitem")
+      ordered(p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name"))
+    }),
+    // ranking window: top-3 orders per customer
+    "q07_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ordered(t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn"))
+    }),
+    // analytic window: running per-customer total (exact decimal accumulation)
+    "q08_window_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered(t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w).cast("double").as("running_total")))
+    }),
+    // global top-k (sort + limit)
+    "q09_topk_orders" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice"))),
+    // rollup grouping sets
+    "q10_rollup" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total")))),
+    // cube grouping sets
+    "q11_cube" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n")))),
+    // distinct aggregation
+    "q12_count_distinct" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"), count(lit(1)).as("n_orders")))),
+    // set ops
+    "q13_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      ordered(c.intersect(sup))
+    }),
+    "q14_except" -> ((s, dir) => {
+      val n = t(s, dir, "nation").select(col("n_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      ordered(n.except(sup))
+    }),
+    // event-time tumbling window aggregation (batch form)
+    "q15_events_hourly" -> ((s, dir) =>
+      ordered(events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")))),
+    // JSON property extraction + aggregation
+    "q16_json_extract" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      ordered(t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))) }),
+    // approximate distinct (HLL) — rows-only check (approx is engine-specific)
+    "q17_approx_distinct" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |${dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+         |${davgSql("l_quantity")} AS avg_qty,
+         |${davgSql("l_extendedprice")} AS avg_price,
+         |${davgSql("l_discount")} AS avg_disc,
+         |COUNT(*) AS count_order
+         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |${orderSql("l_returnflag", "l_linestatus")}""".stripMargin,
+    "q02_filter_pushdown" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         |WHERE l_quantity > 45 AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+         |${orderSql("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")}""".stripMargin,
+    "q03_join_broadcast_agg" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ${orderSql("c_mktsegment")}""".stripMargin,
+    "q04_multi_join_revenue" ->
+      s"""SELECT r_name, n_name, ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ${orderSql("r_name", "n_name")}""".stripMargin,
+    "q05_semi_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |${orderSql("c_custkey", "c_name")}""".stripMargin,
+    "q06_anti_join" ->
+      s"""SELECT p_partkey, p_name FROM part
+         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         |${orderSql("p_partkey", "p_name")}""".stripMargin,
+    "q07_window_topk" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         |SELECT o_custkey, o_orderkey, o_totalprice,
+         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |FROM orders) WHERE rn <= 3
+         |${orderSql("o_custkey", "o_orderkey", "o_totalprice", "rn")}""".stripMargin,
+    "q08_window_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         |FROM orders ${orderSql("o_custkey", "o_orderkey", "running_total")}""".stripMargin,
+    "q09_topk_orders" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q10_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "q11_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |${orderSql("l_returnflag", "l_linestatus", "n")}""".stripMargin,
+    "q12_count_distinct" ->
+      s"""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+         |FROM orders GROUP BY o_orderstatus ${orderSql("o_orderstatus")}""".stripMargin,
+    "q13_intersect" ->
+      s"""SELECT * FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+         |${orderSql("k")}""".stripMargin,
+    "q14_except" ->
+      s"""SELECT * FROM (SELECT n_nationkey AS k FROM nation EXCEPT SELECT s_nationkey FROM supplier)
+         |${orderSql("k")}""".stripMargin,
+    "q15_events_hourly" ->
+      s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
+         |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
+         |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin,
+    "q16_json_extract" ->
+      s"""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+         |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin)
+}

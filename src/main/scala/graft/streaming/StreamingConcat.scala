@@ -34,17 +34,24 @@ object StreamingConcat {
     val unified = SchemaUnifier.unify(
       batchDfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
     val streams = files.zip(batchDfs).map { case (f, batch) =>
+      // the file stream source monitors a DIRECTORY; point it at the parent
+      // with a glob filter for this one file (new files matching the glob
+      // would be picked up too — exactly the resumable-ingest semantics)
+      val file = new java.io.File(f.path)
+      val base = Option(file.getParent).getOrElse(".")
       val src = f.format match {
-        case Parquet => spark.readStream.schema(batch.schema).parquet(f.path)
+        case Parquet => spark.readStream.schema(batch.schema)
+          .option("pathGlobFilter", file.getName).parquet(base)
         case Csv =>
           val raw = spark.readStream
             .schema(batch.schema)
+            .option("pathGlobFilter", file.getName)
             .option("header", cfg.csv.headers.toString)
             .option("delimiter", cfg.csv.delimiter)
             .option("quote", cfg.csv.quote)
             .option("encoding", cfg.csv.encoding)
             .option("mode", "PERMISSIVE") // parse failure -> null (coercion.rs:117-154)
-            .csv(f.path)
+            .csv(base)
           // NA list -> null on string columns (numeric NA already nulled by parse)
           raw.select(raw.schema.fields.map { fld =>
             if (fld.dataType == StringType)
