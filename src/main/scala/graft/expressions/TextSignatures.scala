@@ -1,0 +1,153 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop signature expressions for the dedup family.
+  *
+  * The same signatures are expressible with `transform`/`aggregate`
+  * higher-order functions, but HOFs are CodegenFallback and evaluate their
+  * lambda per element with boxing — a 64-hash MinHash over ~500 shingles/doc
+  * costs ~32M interpreted evaluations per 1000 docs (measured ~25s). These
+  * expressions do the same math in one JVM loop per row (~100x faster) and
+  * keep the operator usable at 100 TB. Deterministic: pure functions of the
+  * input string (fixed seeds), identical on every executor/run.
+  */
+object Hash64 {
+  /** splitmix64 finalizer — strong, cheap 64-bit mixing (public domain). */
+  @inline def mix(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of a byte range: FNV-1a style polynomial + splitmix. */
+  def bytes(b: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ (b(i) & 0xffL)) * 0x100000001B3L; i += 1 }
+    mix(h)
+  }
+
+  /** Whitespace-token hashes of a UTF8 string (matches the semantics of
+    * `split(trim(text), "\\s+")`: empty tokens dropped).
+    */
+  def tokenHashes(s: UTF8String): Array[Long] = {
+    val b = s.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    var start = -1
+    while (i <= b.length) {
+      val ws = i == b.length || b(i) == ' ' || b(i) == '\t' || b(i) == '\n' ||
+        b(i) == '\r' || b(i) == '\f' || b(i) == 0x0b
+      if (ws) {
+        if (start >= 0) { out += bytes(b, start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Order-sensitive hashes of the n-gram shingles over token hashes;
+    * shorter-than-n docs produce one whole-doc shingle. Deduplicated.
+    */
+  def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
+    val toks = tokenHashes(s)
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (toks.length < n) {
+      var c = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < toks.length) { c = mix(c ^ toks(j)); j += 1 }
+      set.add(c)
+    } else {
+      var i = 0
+      while (i + n <= toks.length) {
+        var c = 0x9E3779B97F4A7C15L
+        var j = i
+        while (j < i + n) { c = mix(c ^ toks(j)); j += 1 }
+        set.add(c)
+        i += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+}
+
+/** array<long>: deduplicated 64-bit hashes of word n-gram shingles. */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(Hash64.shingleHashes(input.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** array<long> length k: MinHash signature over word n-gram shingles.
+  * Family i re-mixes each shingle hash with seed_i; position i is the min.
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => Hash64.mix(0x5851F42D4C957F2DL * (i + 1)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sh = Hash64.shingleHashes(input.asInstanceOf[UTF8String], n)
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = seeds(i)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = Hash64.mix(sh(j) ^ seed)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** long: 64-bit SimHash over distinct whitespace tokens (per-bit votes of
+  * each token hash, sign -> bit).
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val toks = Hash64.tokenHashes(input.asInstanceOf[UTF8String])
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = toks(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+  override def prettyName: String = "simhash64"
+}

@@ -1,6 +1,8 @@
 package graft.functions
 
+import graft.expressions.{MinHashSig, ShingleHashes, SimHash}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines.
@@ -24,7 +26,7 @@ object TextFunctions {
     * byte-pair-encoded length, useful for token-budget accounting).
     */
   def bpeTokenCount(c: Column): Column =
-    size(filter(split(c, "((?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9]))"), t => length(trim(t)) > lit(0)))
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
   /** Characters that are ASCII punctuation, as a ratio of all characters. */
   def punctRatio(c: Column): Column = {
@@ -49,8 +51,13 @@ object TextFunctions {
     * healthy stopword ratio and word lengths, penalizes punctuation soup.
     * Heuristic in the C4/Gopher-rules tradition (length + symbol ratios).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
+
+  /** [[qualityScore]] with the token array precomputed (materialize it once
+    * per row when combining several token-based metrics — the tokenizer is
+    * the expensive part).
+    */
+  def qualityScoreFromTokens(text: Column, toks: Column): Column = {
     val n = size(toks).cast("double")
     val lengthScore = least(n / lit(50.0), lit(1.0)) // saturate at 50 tokens
     val wordLenOk = {
@@ -72,10 +79,12 @@ object TextFunctions {
     * otherwise the language whose stopword list hits the most tokens wins;
     * tie/none -> "und" (undetermined). Pure column expressions — no UDF.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(lower(text)))
+
+  def langIdFromTokens(text: Column, lowerToks: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
     val total = greatest(length(text), lit(1))
-    val toks = tokens(lower(text))
+    val toks = lowerToks
     val scored = StopwordsByLang.map { case (lang, sw) =>
       (lang, size(filter(toks, t => t.isin(sw: _*))))
     }
@@ -111,39 +120,23 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** 64-bit hashes of the distinct shingles. */
+  /** 64-bit hashes of the distinct shingles (tight-loop custom expression —
+    * see [[graft.expressions.ShingleHashes]] for why not HOFs).
+    */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(array_distinct(shingles(text, n)), s => xxhash64(s))
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
 
-  /** MinHash signature of length k over word-n-gram shingles: position i is
-    * min over shingles of xxhash64(shingle, i) — k independent hash families
-    * via the extra hashed column. Entirely codegen'd (k*|shingles| hashes).
+  /** MinHash signature of length k over word-n-gram shingles
+    * ([[graft.expressions.MinHashSig]]).
     */
-  def minhashSignature(text: Column, n: Int, k: Int): Column = {
-    val sh = array_distinct(shingles(text, n))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
-  }
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(text), n, k))
 
-  /** 64-bit SimHash over tokens: per-bit vote sum of each token hash's bits,
-    * sign -> bit. ANSI-safe bit assembly via shift/or.
+  /** 64-bit SimHash over distinct tokens: per-bit vote of each token hash,
+    * sign -> bit ([[graft.expressions.SimHash]]).
     */
-  def simhash64(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(b))
-  }
+  def simhash64(text: Column): Column =
+    ExpressionUtils.column(SimHash(ExpressionUtils.expression(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -31,15 +31,21 @@ object Concat {
       case Parquet => spark.read.parquet(f.path)
     }
 
-  /** Discover + build the unified concat plan. Lazy — nothing executes. */
+  /** Discover + build the unified concat plan. The per-file planning work
+    * (CSV header read + bounded inference sample = 1-2 small Spark jobs per
+    * file) runs CONCURRENTLY across files — with many inputs the planning
+    * wall-time stays ~one file's latency instead of N× (the reference gets
+    * the same effect from its per-file reader threads, pipeline.rs:102-154).
+    * The returned plan itself is lazy — nothing big executes here.
+    */
   def plan(spark: SparkSession, cfg: Config): (Seq[InputFile], DataFrame) = {
     val files = Discovery.discover(cfg.inputs)
     require(files.nonEmpty, s"no inputs found in ${cfg.inputs.mkString(", ")}")
-    // Group contiguous same-format runs? Not needed: same-format files with
-    // identical schemas could share one multi-path scan, but per-file reads
-    // keep per-file schema alignment exact; Spark still schedules all file
-    // splits in parallel within the union.
-    val dfs = files.map(readOne(spark, _, cfg.csv))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dfs = Await.result(
+      Future.sequence(files.map(f => Future(readOne(spark, f, cfg.csv)))), Duration.Inf)
     val unified = SchemaUnifier.unify(
       dfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
     val out = dfs.map(SchemaUnifier.align(_, unified)).reduce(_ unionByName _)

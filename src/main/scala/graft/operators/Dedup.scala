@@ -42,23 +42,27 @@ object Dedup {
     val sig = docs.select(
       col(idCol).as("id"),
       TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-    // band hash: hash the contiguous signature slice for each band
-    val banded = sig.select(
-      col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * rows + lit(1), lit(rows)),
-          v => v.cast("string"))), b))))
+    // Band hash: one flat variadic xxhash64 over the band's signature slice,
+    // UNROLLED in Scala (literal getItem indices) rather than a nested
+    // higher-order transform — HOFs are CodegenFallback and a lambda that
+    // slices an attribute array per band turned out pathologically slow
+    // (~3ms/row); the unrolled form stays inside whole-stage codegen.
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(((0 until rows).map(r => col("sig").getItem(b * rows + r)) :+ lit(b)): _*)
+    }
+    // Slim banding: only (id, band, bucket) goes through the bucket shuffle
+    // and self-join — the 512B signature payload would otherwise be shuffled
+    // bands× times. Payloads are re-attached per UNIQUE candidate pair.
+    val banded = sig.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "bucket")
       .withColumnRenamed("pos", "band")
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sig").as("sigA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sig").as("sigB"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("idA") < col("idB"))
+    val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
+    val nEqual = (0 until numHashes)
+      .map(i => when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0))
+      .reduce(_ + _) // unrolled equal-position count (codegen-friendly)
+    attach(candidates, sig, "sig")
       .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y), v => v))
-          .cast("double") / numHashes).as("est_jaccard"))
-      .groupBy("idA", "idB").agg(max("est_jaccard").as("est_jaccard"))
+        (nEqual.cast("double") / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
   }
 
@@ -77,9 +81,9 @@ object Dedup {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = docs.select(col(idCol).as("id"), TF.simhash64(col(textCol)).as("sig"))
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * width).bitwiseAND(mask))))
+    val chunkKeys = (0 until bands).map(b => // unrolled: stays in codegen
+      shiftright(col("sig"), b * width).bitwiseAND(mask))
+    val banded = sig.select(col("id"), col("sig"), posexplode(array(chunkKeys: _*)))
       .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
     val capped = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
     val a = capped.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
@@ -107,17 +111,17 @@ object Dedup {
       col(idCol).as("id"),
       TF.shingleHashes(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-    val banded = base.select(col("id"), col("sh"), posexplode(col("sig")))
+    // r=2 banding (pairs of signature positions) keeps candidate false
+    // positives ~J^2 per band instead of ~J — far fewer exact-verify pairs
+    val bandKeys = (0 until numHashes / 2).map(b =>
+      xxhash64(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1), lit(b)))
+    val banded = base.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
-    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("idA"), col("sh").as("shA"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("idB"), col("sh").as("shB"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("idA") < col("idB"))
+    val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
+    attach(candidates, base.select(col("id"), col("sh")), "sh")
       .select(col("idA"), col("idB"),
         (size(array_intersect(col("shA"), col("shB"))).cast("double") /
           size(array_union(col("shA"), col("shB")))).as("jaccard"))
-      .groupBy("idA", "idB").agg(max("jaccard").as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -131,16 +135,14 @@ object Dedup {
       dim: Int = 64,
       maxBucketSize: Int = 2000): DataFrame = {
     val planes = VF.hyperplanes(numPlanes, dim)
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VF.lshBucket(col(vecCol), planes).as("bucket"))
-    val capped = capBuckets(bucketed, Seq("bucket"), maxBucketSize)
-    val a = capped.select(col("bucket"), col("id").as("idA"), col("v").as("vA"))
-    val b = capped.select(col("bucket"), col("id").as("idB"), col("v").as("vB"))
-    a.join(b, Seq("bucket"))
-      .where(col("idA") < col("idB"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bucketed = base.select(col("id"),
+      VF.lshBucket(col("v"), planes).as("bucket"))
+    val candidates = pairCandidates(bucketed.withColumn("band", lit(0)),
+      Seq("band", "bucket"), maxBucketSize)
+    attach(candidates, base, "v")
       .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .groupBy("idA", "idB").agg(max("cosine").as("cosine"))
   }
 
   /** Given near-dup pairs (idA < idB), keep-first survivors: drop every id
@@ -164,4 +166,25 @@ object Dedup {
       .where(col("__bucket_n") <= maxBucketSize)
       .drop("__bucket_n")
   }
+
+  /** Distinct candidate pairs (idA < idB) from slim (id, keys...) bucket
+    * rows: cap skewed buckets, self-join within bucket, dedupe pairs.
+    * Shuffles only ids+keys — payloads rejoin later via [[attach]].
+    */
+  private def pairCandidates(banded: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val capped = capBuckets(banded, keys, maxBucketSize)
+    val a = capped.toDF(capped.columns.map(c => if (c == "id") "idA" else c).toIndexedSeq: _*)
+    val b = capped.toDF(capped.columns.map(c => if (c == "id") "idB" else c).toIndexedSeq: _*)
+    a.join(b, keys)
+      .where(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+  }
+
+  /** Re-attach a payload column to both sides of a candidate-pair table:
+    * pairs (idA,idB) x payload(id, col) -> (idA, idB, colA, colB).
+    */
+  private def attach(pairs: DataFrame, payload: DataFrame, c: String): DataFrame =
+    pairs
+      .join(payload.select(col("id").as("idA"), col(c).as(s"${c}A")), Seq("idA"))
+      .join(payload.select(col("id").as("idB"), col(c).as(s"${c}B")), Seq("idB"))
 }

@@ -42,11 +42,13 @@ object PipelineQueries {
         length(col("text")).as("n_chars"),
         TF.tokenCount(col("text")).as("n_tokens")))),
     "t02_text_quality" -> ((s, dir) => // heuristic scores: rows-only
-      ordered(t(s, dir, "documents").select(
-        col("doc_id"),
-        TF.qualityScore(col("text")).as("quality"),
-        TF.langId(col("text")).as("lang_guess"),
-        TF.bpeTokenCount(col("text")).as("bpe_tokens")))),
+      ordered(t(s, dir, "documents")
+        .withColumn("toks", TF.tokens(col("text"))) // tokenize once, reuse
+        .select(
+          col("doc_id"),
+          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
+          TF.langIdFromTokens(col("text"), transform(col("toks"), lower _)).as("lang_guess"),
+          TF.bpeTokenCount(col("text")).as("bpe_tokens")))),
     "t03_fingerprint_md5" -> ((s, dir) =>
       ordered(t(s, dir, "documents").select(
         col("doc_id"), md5(col("text").cast(BinaryType)).as("fp")))),
@@ -74,7 +76,7 @@ object PipelineQueries {
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5))),
     "d04_simhash_pairs" -> ((s, dir) =>
       ordered(Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        maxHamming = 8, bands = 4))),
+        maxHamming = 2, bands = 4))),
     "d05_ngram_jaccard_pairs" -> ((s, dir) =>
       ordered(Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5)

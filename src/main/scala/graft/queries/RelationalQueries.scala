@@ -86,7 +86,7 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ordered(t(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w).cast("double").as("running_total")))
+          sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w).cast("double").as("running_total")))
     }),
     // global top-k (sort + limit)
     "q09_topk_orders" -> ((s, dir) =>
@@ -186,7 +186,7 @@ object RelationalQueries {
          |${orderSql("o_custkey", "o_orderkey", "o_totalprice", "rn")}""".stripMargin,
     "q08_window_running_sum" ->
       s"""SELECT o_custkey, o_orderkey,
-         |CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          |FROM orders ${orderSql("o_custkey", "o_orderkey", "running_total")}""".stripMargin,
     "q09_topk_orders" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -29,7 +29,14 @@ object Sink {
       rollByBytes: Option[Long] = None,
       singleFile: Boolean = true)
 
-  def write(df: DataFrame, cfg: Config): Unit = {
+  def write(df0: DataFrame, cfg: Config): Unit = {
+    // NullType columns (all-null sources) aren't writable in CSV/Parquet;
+    // they materialize as string-typed all-null columns
+    val df = df0.select(df0.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.NullType)
+        org.apache.spark.sql.functions.lit(null).cast("string").as(f.name)
+      else org.apache.spark.sql.functions.col(f.name)
+    }.toIndexedSeq: _*)
     val rolled = cfg.rollByBytes match {
       case Some(bytes) =>
         // approximate bytes->rows from a small sample of rendered row width

@@ -30,29 +30,46 @@ object CsvSource {
       inferTypes: Boolean = true)
 
   def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
-    val base = spark.read
+    def reader = spark.read
       .option("header", opts.headers.toString)
       .option("delimiter", opts.delimiter)
       .option("quote", opts.quote)
       .option("encoding", opts.encoding)
-      // all values as string first; we control inference precedence ourselves
-      .csv(path)
 
-    val named =
-      if (opts.headers) base
-      else base.toDF(base.columns.indices.map(i => s"col_${i + 1}"): _*) // csv_in.rs:73-78
+    // pass 1 (cheap, bounded): raw strings over the inference sample only
+    val raw = reader.csv(path)
+    val names =
+      if (opts.headers) raw.columns.toSeq
+      else raw.columns.indices.map(i => s"col_${i + 1}") // csv_in.rs:73-78
+    val named = if (opts.headers) raw else raw.toDF(names: _*)
 
-    // NA list -> null, applied to every (still-string) column (csv_in.rs:129-131)
-    val naCleared = named.select(named.columns.map { c =>
-      when(col(c).isin(opts.naValues: _*), lit(null)).otherwise(col(c)).as(c)
+    val naClear: DataFrame => DataFrame = df => df.select(df.schema.fields.map { f =>
+      // NA list -> null (csv_in.rs:129-131); non-string cols already nulled by parse
+      if (f.dataType == StringType)
+        when(col(f.name).isin(opts.naValues: _*), lit(null)).otherwise(col(f.name)).as(f.name)
+      else col(f.name)
     }.toIndexedSeq: _*)
 
-    if (!opts.inferTypes) naCleared
+    if (!opts.inferTypes) naClear(named)
     else {
-      val inferred = inferTypes(naCleared, opts.inferRows)
-      naCleared.select(naCleared.columns.map { c =>
-        col(c).try_cast(inferred(c)).as(c)
+      val inferred = inferTypes(naClear(named), opts.inferRows)
+      // pass 2 (full scan): re-read with the inferred schema so the CSV
+      // parser produces typed columns natively (vectorized, single pass —
+      // no parse-to-string-then-cast double work); PERMISSIVE => parse
+      // failure -> null, same as the reference's `.parse().ok()`.
+      // NullType isn't a valid parser type: read those as string, then
+      // project them to true null columns below.
+      val schema = StructType(names.map(n => StructField(n,
+        if (inferred(n) == NullType) StringType else inferred(n), nullable = true)))
+      val typed = reader
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("nullValue", opts.naValues.headOption.getOrElse(""))
+        .csv(path)
+      val withNulls = typed.select(names.map { n =>
+        if (inferred(n) == NullType) lit(null).as(n) else col(n)
       }.toIndexedSeq: _*)
+      naClear(withNulls)
     }
   }
 
@@ -85,7 +102,9 @@ object CsvSource {
       val badBool = Option(row.get(i * 4 + 2)).fold(0L)(_.asInstanceOf[Long])
       val n = Option(row.get(i * 4 + 3)).fold(0L)(_.asInstanceOf[Long])
       val t: DataType =
-        if (n == 0L) StringType // all null: keep string (NullType widened away later)
+        // all-null (e.g. a header-only part file, or an all-NA column):
+        // transient NullType, widened away by the lattice (schema.rs:137-142)
+        if (n == 0L) NullType
         else if (badLong == 0L) LongType
         else if (badDouble == 0L) DoubleType
         else if (badBool == 0L) BooleanType

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge. In Spark 4 the public `Column` is
+  * backed by a ColumnNode and the converters live in `private[sql]`
+  * `org.apache.spark.sql.classic.ExpressionUtils`; this shim (in the sql
+  * namespace, the usual pattern for Spark extension libraries) re-exports
+  * just the two conversions the graft custom expressions need.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -151,6 +151,17 @@ class ConcatSpec extends SparkSpec {
     assert(parts.size >= 3) // 10 rows / 4 per file
   }
 
+  test("header-only part file: all-null columns widen away (NullType transient)") {
+    val d = tmpDir("emptypart")
+    writeFile(d, "p0.csv", "a,b\n") // header only — like an empty Spark output partition
+    writeFile(d, "p1.csv", "a,b\n1,2.5\n4,5.5\n")
+    val df = Concat.run(spark, Concat.Config(Seq(d.toString)))
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("a") == LongType)
+    assert(types("b") == DoubleType)
+    assert(df.count() == 2)
+  }
+
   test("parquet-only concat of testdata tables") {
     val df = Concat.run(spark, Concat.Config(Seq(
       "/root/testdata/sf0.001/region.parquet", "/root/testdata/sf0.001/nation.parquet")))
