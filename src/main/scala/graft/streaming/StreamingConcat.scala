@@ -22,36 +22,53 @@ import org.apache.spark.sql.types._
   */
 object StreamingConcat {
 
-  /** Build a streaming DataFrame per input, aligned and unioned like the
-    * batch path. Schema is fixed up-front from a batch pass over the data
+  /** Build ONE streaming source per INPUT ARGUMENT (directory / glob /
+    * file), aligned and unioned like the batch path.
+    *
+    * Why per-argument and not per-discovered-file: Spark checkpoints pin the
+    * NUMBER of sources in a query — per-file sources would break resume the
+    * moment a new file appears. A directory/glob source keeps the source
+    * count stable while its file index picks up late-arriving files, which
+    * is exactly the reference ledger's intent (state.rs:89-102).
+    *
+    * The per-source schema is fixed up-front from a batch pass over the data
     * present at start (streams require a declared schema; inference happens
-    * once, matching `--infer-rows` intent).
+    * once, matching `--infer-rows` intent, cli.rs:66-68).
     */
   def planStream(spark: SparkSession, cfg: Concat.Config): DataFrame = {
-    val files = Discovery.discover(cfg.inputs)
-    require(files.nonEmpty, "no inputs")
-    val batchDfs = files.map(Concat.readOne(spark, _, cfg.csv))
+    val perInput = cfg.inputs.map { input =>
+      val files = Discovery.discover(Seq(input))
+      require(files.nonEmpty, s"no inputs found in $input")
+      val formats = files.map(_.format).distinct
+      require(formats.size == 1,
+        s"streaming input $input mixes formats $formats; pass separate inputs per format")
+      // batch pass over the files present now: per-file schemas, unified
+      val batchSchema = SchemaUnifier.unify(
+        files.map(f => Concat.readOne(spark, f, cfg.csv).schema), cfg.stringifyConflicts)
+      (input, formats.head, batchSchema.schema)
+    }
     val unified = SchemaUnifier.unify(
-      batchDfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
-    val streams = files.zip(batchDfs).map { case (f, batch) =>
-      // the file stream source monitors a DIRECTORY; point it at the parent
-      // with a glob filter for this one file (new files matching the glob
-      // would be picked up too — exactly the resumable-ingest semantics)
-      val file = new java.io.File(f.path)
-      val base = Option(file.getParent).getOrElse(".")
-      val src = f.format match {
-        case Parquet => spark.readStream.schema(batch.schema)
-          .option("pathGlobFilter", file.getName).parquet(base)
+      perInput.map(_._3), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
+    val streams = perInput.map { case (input, format, schema) =>
+      val f = new java.io.File(input)
+      // dirs and globs stream natively; a literal file streams via its
+      // parent dir + a glob filter on the file name
+      val (path, globFilter) =
+        if (f.isFile) (Option(f.getParent).getOrElse("."), Some(f.getName))
+        else (input, None)
+      val src = format match {
+        case Parquet =>
+          val r = spark.readStream.schema(schema)
+          globFilter.fold(r)(g => r.option("pathGlobFilter", g)).parquet(path)
         case Csv =>
-          val raw = spark.readStream
-            .schema(batch.schema)
-            .option("pathGlobFilter", file.getName)
+          val r0 = spark.readStream
+            .schema(schema)
             .option("header", cfg.csv.headers.toString)
             .option("delimiter", cfg.csv.delimiter)
             .option("quote", cfg.csv.quote)
             .option("encoding", cfg.csv.encoding)
             .option("mode", "PERMISSIVE") // parse failure -> null (coercion.rs:117-154)
-            .csv(base)
+          val raw = globFilter.fold(r0)(g => r0.option("pathGlobFilter", g)).csv(path)
           // NA list -> null on string columns (numeric NA already nulled by parse)
           raw.select(raw.schema.fields.map { fld =>
             if (fld.dataType == StringType)

@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(n: Int) = (1L to n).map { i =>
+    (i, (0 until 80).map(j => s"w${(i * 37 + j * 13) % 500}_$j").mkString(" "))
+  }
+
+  test("exact dedup keeps min id per key") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "text")
+    val got = Dedup.exact(df, Seq("text"), "id").orderBy("id")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("minhash pairs find planted near-dups, not unrelated docs") {
+    val docs = mkDocs(50)
+    val mutated = docs.take(10).map { case (i, t) =>
+      (i + 1000L, t.split(" ").drop(2).mkString(" "))
+    }
+    val df = (docs ++ mutated).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", shingleN = 3, numHashes = 64,
+      bands = 16, minJaccard = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 10L).foreach(i => assert(found.contains((i, i + 1000L)), s"missing pair $i"))
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    assert(found.size <= 15, s"too many false positives: ${found.size}")
+  }
+
+  test("survivors drops the larger member of each pair") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val pairs = Seq((1L, 3L, 0.9)).toDF("idA", "idB", "est_jaccard")
+    val kept = Dedup.survivors(docs, "id", pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("bucket cap drops degenerate buckets") {
+    // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
+    val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", shingleN = 3, numHashes = 16,
+      bands = 4, minJaccard = 0.9, maxBucketSize = 20)
+    assert(pairs.count() == 0)
+  }
+
+  test("embedding pairs via sign-LSH find perturbed clones") {
+    val vecs = (1L to 30L).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 7.0 + j).toFloat)
+      (i, v)
+    }
+    val clones = vecs.take(5).map { case (i, v) => (i + 100L, v.map(x => x * 1.001f)) }
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding", minCosine = 0.999,
+      numPlanes = 8, dim = 16).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i => assert(found.contains((i, i + 100L)), s"missing clone pair $i"))
+  }
+
+  test("brute-force top-k matches manual cosine ranking") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0f, 1f, 0f)),
+      (4L, Seq(0.8f, 0.2f, 0f)), (5L, Seq(0f, 0f, 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.where($"vec_id" === 1), "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((2L, 1), (4L, 2))) // by cosine to (1,0,0)
+  }
+
+  test("LSH top-k returns a subset of true candidates with exact cosines") {
+    val vecs = (1L to 100L).map { i =>
+      (i, (0 until 16).map(j => math.cos(i * 3.1 + j * 1.7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" <= 3)
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(df, q, "vec_id", "embedding", k = 5,
+      numPlanes = 4, tables = 6, dim = 16).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit carries the exact cosine (spot check against brute map)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9))
+    }
+  }
+
+  test("cosine/dot/norm math") {
+    val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
+    val r = df.select(
+      VF.dot($"a", $"b").as("d"), VF.norm($"a").as("n"),
+      VF.cosine($"a", $"b").as("c"), VF.l2Distance($"a", $"b").as("l2")).head()
+    assert(math.abs(r.getDouble(0) - 18.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9)
+  }
+}

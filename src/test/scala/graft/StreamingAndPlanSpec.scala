@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Concat, Multimodal}
+import graft.sources.{CsvSource, Discovery}
+import graft.streaming.StreamingConcat
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+class StreamingAndPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming concat: processes available files, checkpoint makes reruns exactly-once") {
+    val d = tmpDir("stream")
+    writeFile(d, "in/a.csv", "k,v\n1,x\n2,y\n")
+    writeFile(d, "in/b.csv", "k,v\n3,z\n")
+    val out = d.resolve("out").toString
+    val ckpt = d.resolve("ckpt").toString
+    val cfg = Concat.Config(Seq(d.resolve("in/a.csv").toString, d.resolve("in/b.csv").toString))
+    StreamingConcat.run(spark, cfg, out, Discovery.Parquet, ckpt)
+    val first = spark.read.parquet(out)
+    assert(first.count() == 3)
+    assert(first.columns.sorted.toSeq == Seq("k", "v"))
+    // rerun with the same checkpoint: nothing new -> no duplicates (the
+    // reference's resumable-state intent, state.rs:89-93)
+    StreamingConcat.run(spark, cfg, out, Discovery.Parquet, ckpt)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("streaming concat picks up files that arrive between runs (dir input)") {
+    val d = tmpDir("stream2")
+    writeFile(d, "in/a.csv", "k\n1\n")
+    val out = d.resolve("out").toString
+    val ckpt = d.resolve("ckpt").toString
+    // a DIRECTORY input = one stable streaming source; late files join it
+    val cfg = Concat.Config(Seq(d.resolve("in").toString))
+    StreamingConcat.run(spark, cfg, out, Discovery.Parquet, ckpt)
+    assert(spark.read.parquet(out).count() == 1)
+    writeFile(d, "in/a2.csv", "k\n2\n") // arrives later; same dir
+    StreamingConcat.run(spark, cfg, out, Discovery.Parquet, ckpt)
+    assert(spark.read.parquet(out).count() == 2) // only the new file processed
+  }
+
+  test("multimodal: schema, deterministic stub features, frame sampling") {
+    val docs = Seq((1L, "hello multimodal world"), (2L, "bytes")).toDF("doc_id", "text")
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.length == 2)
+    assert(feats(0).getSeq[Double](1).length == 8)
+    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats.map(_.getSeq[Double](1).toList).toList ==
+      again.map(_.getSeq[Double](1).toList).toList) // deterministic stub
+    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(frames.count() == 8)
+    assert(frames.columns.contains("frame_idx"))
+  }
+
+  // ---- plan-shape assertions: the things that matter at 100 TB ----
+
+  private def explainString(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("plan: filter and projection are pushed to the parquet scan (q02)") {
+    val plan = explainString(
+      SparkEntry.queries("q02_filter_pushdown")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      s"no pushed filter in:\n$plan")
+    // projection pruning: the scan must not read all 11 lineitem columns
+    assert(!plan.contains("l_returnflag") || !plan.contains("l_comment"))
+  }
+
+  test("plan: small dimension is broadcast (q03)") {
+    val plan = explainString(
+      SparkEntry.queries("q03_join_broadcast_agg")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("plan: concat pipeline is shuffle-free (narrow, scales linearly)") {
+    val d = tmpDir("planshuffle")
+    val f1 = writeFile(d, "a.csv", "a,b\n1,2\n")
+    val f2 = writeFile(d, "b.csv", "a,c\n3,4\n")
+    val df = Concat.run(spark, Concat.Config(Seq(f1, f2)))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"), s"concat plan shuffles:\n$physical")
+  }
+
+  test("plan: semi/anti joins stay joins (no cartesian)") {
+    for (q <- Seq("q05_semi_join", "q06_anti_join")) {
+      val plan = explainString(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
+      assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("t").select(c.as("r")).head().getAs[T]("r")
+
+  test("tokenCount: whitespace, empty-safe") {
+    assert(one[Int](TF.tokenCount($"t"), "a b  c\t d") == 4)
+    assert(one[Int](TF.tokenCount($"t"), "   ") == 0)
+    assert(one[Int](TF.tokenCount($"t"), "") == 0)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, symbols") {
+    assert(one[Int](TF.bpeTokenCount($"t"), "hello world42!") == 4) // hello, world, 42, !
+    assert(one[Int](TF.bpeTokenCount($"t"), "") == 0)
+  }
+
+  test("quality score in [0,1]; longer clean text scores higher than junk") {
+    val clean = ("the quick brown fox jumps over the lazy dog and then " * 5).trim
+    val junk = "!!! ??? ### $$$ %%%"
+    val qClean = one[Double](TF.qualityScore($"t"), clean)
+    val qJunk = one[Double](TF.qualityScore($"t"), junk)
+    assert(qClean > qJunk)
+    assert(qClean >= 0 && qClean <= 1 && qJunk >= 0 && qJunk <= 1)
+  }
+
+  test("langId: stopword + CJK heuristics") {
+    assert(one[String](TF.langId($"t"), "the cat is on the mat and it is warm") == "en")
+    assert(one[String](TF.langId($"t"), "el perro y la casa de un amigo en la calle") == "es")
+    assert(one[String](TF.langId($"t"), "der Hund und die Katze ist von den Leuten") == "de")
+    assert(one[String](TF.langId($"t"), "你好世界这是中文文本") == "zh")
+    assert(one[String](TF.langId($"t"), "zzz qqq xxx") == "und")
+  }
+
+  test("fingerprint: whitespace-normalization invariant, content-sensitive") {
+    val a = one[Long](TF.fingerprint($"t"), "a b c")
+    val b = one[Long](TF.fingerprint($"t"), "a   b\t c")
+    val c = one[Long](TF.fingerprint($"t"), "a b d")
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("minhash signature: deterministic, near-dups agree on most positions") {
+    val base = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val near = (2 to 100).map(i => s"tok$i").mkString(" ") // drop first token
+    val far = (1 to 100).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("id", "t")
+      .select($"id", TF.minhashSignature($"t", 3, 64).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L)) // identical text -> identical signature
+    val agreeNear = sigs(1L).zip(sigs(3L)).count { case (x, y) => x == y }
+    val agreeFar = sigs(1L).zip(sigs(4L)).count { case (x, y) => x == y }
+    assert(agreeNear > 48, s"near-dup agreement $agreeNear/64") // J ~ 0.97
+    assert(agreeFar < 8, s"far agreement $agreeFar/64")
+  }
+
+  test("simhash: small hamming for near-dup, large for unrelated") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val near = (3 to 200).map(i => s"tok$i").mkString(" ")
+    val far = (1 to 200).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "t")
+      .select($"id", TF.simhash64($"t").as("s"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) <= 6, s"near hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) >= 15, s"far hamming ${ham(m(1L), m(3L))}")
+  }
+
+  test("shingleHashes: count and distinctness") {
+    val n = one[Seq[Long]](TF.shingleHashes($"t", 3), "a b c d e").length
+    assert(n == 3) // abc bcd cde
+    val short = one[Seq[Long]](TF.shingleHashes($"t", 3), "a b").length
+    assert(short == 1) // whole-doc shingle
+  }
+}
