@@ -32,9 +32,13 @@ object Maw {
       rollByRows: Option[Long] = None,
       plan: Boolean = false,
       dryRun: Boolean = false,
+      verify: Boolean = false,
       streaming: Boolean = false,
       checkpoint: Option[String] = None,
       concurrency: Int = 4,
+      writerBufferMb: Int = 64,   // cli.rs:93-95
+      memBudgetMb: Int = 1024,    // cli.rs:97-99
+      jsonLogs: Boolean = false,  // cli.rs:131-149
       verbose: Int = 0,
       quiet: Boolean = false)
 
@@ -62,10 +66,14 @@ object Maw {
       case "--roll-by-rows" :: v :: t      => go(t, a.copy(rollByRows = Some(v.toLong)))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
+      case "--verify" :: t                 => go(t, a.copy(verify = true))
       case "--stream" :: t                 => go(t, a.copy(streaming = true))
       case "--state" :: v :: t             => go(t, a.copy(checkpoint = Some(v)))
       case "--resume" :: t                 => go(t, a.copy(streaming = true))
       case "--concurrency" :: v :: t       => go(t, a.copy(concurrency = v.toInt))
+      case "--writer-buffer" :: v :: t     => go(t, a.copy(writerBufferMb = v.toInt))
+      case "--mem-budget" :: v :: t        => go(t, a.copy(memBudgetMb = v.toInt))
+      case "--json-logs" :: t              => go(t, a.copy(jsonLogs = true))
       case "-v" :: t                       => go(t, a.copy(verbose = a.verbose + 1))
       case "-q" :: t                       => go(t, a.copy(quiet = true))
       case ("--help" | "-h") :: _          => println(usage); sys.exit(0)
@@ -107,9 +115,15 @@ object Maw {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // P1 knobs (cli.rs:88-99): the mem budget bounds per-task input splits
+      // (the closest cluster-meaningful analog of maw's streaming budget)
+      .config("spark.sql.files.maxPartitionBytes",
+        (a.writerBufferMb.toLong * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (a.quiet) "ERROR" else if (a.verbose > 0) "INFO" else "WARN")
+    if (a.jsonLogs && !a.quiet)
+      println(s"""{"event":"start","inputs":${a.inputs.size},"output":"${a.output}"}""")
     try {
       if (a.dryRun) {
         val (files, df) = Concat.plan(spark, toConfig(a))
@@ -127,7 +141,17 @@ object Maw {
         val df = Concat.run(spark, toConfig(a))
         Sink.write(df, Sink.Config(a.output, fmt, a.compression, a.naOut, a.delimiter,
           a.rollByRows, a.rollByBytes))
+        if (a.verify) {
+          // S2 integrity verify (cli.rs:118-120, unimplemented there): the
+          // written output must re-read to the same row count as the plan
+          val expected = Concat.run(spark, toConfig(a)).count()
+          val actual = graft.sinks.Sink.readBack(spark, a.output, fmt).count()
+          if (expected != actual)
+            throw new IllegalStateException(s"verify failed: wrote $actual rows, expected $expected")
+          if (!a.quiet) println(s"verify ok: $actual rows")
+        }
       }
+      if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":"${a.output}"}""")
     } catch {
       case e: Exception =>
         System.err.println(s"error: ${e.getMessage}")

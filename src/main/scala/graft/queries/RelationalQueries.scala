@@ -138,7 +138,22 @@ object RelationalQueries {
     "q17_approx_distinct" -> ((s, dir) =>
       ordered(t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))),
+    // typed Dataset API: case-class rows + groupByKey/mapGroups
+    "q18_typed_mapgroups" -> ((s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice").as[OrderSlim]
+      val stats = ds.groupByKey(_.o_custkey).mapGroups { (k, it) =>
+        var n = 0L
+        var mx = Double.MinValue
+        it.foreach { o => n += 1; if (o.o_totalprice > mx) mx = o.o_totalprice }
+        (k, n, mx)
+      }.toDF("o_custkey", "n_orders", "max_price")
+      ordered(stats)
+    }))
+
+  final case class OrderSlim(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -214,5 +229,8 @@ object RelationalQueries {
          |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin,
     "q16_json_extract" ->
       s"""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
-         |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin)
+         |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin,
+    "q18_typed_mapgroups" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+         |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin)
 }

@@ -70,6 +70,33 @@ object Sink {
     def writeConfRows(rows: Long) = df.write.option("maxRecordsPerFile", rows.toString)
   }
 
+  /** Re-read what [[write]] produced (single file or rolled `-NNNN` parts)
+    * — used by the CLI's `--verify` integrity check (S2).
+    */
+  def readBack(spark: org.apache.spark.sql.SparkSession, path: String,
+      fmt: graft.sources.Discovery.Format): DataFrame = {
+    val f = new java.io.File(path)
+    val ext = fmt match {
+      case graft.sources.Discovery.Csv     => ".csv"
+      case graft.sources.Discovery.Parquet => ".parquet"
+    }
+    val paths: Seq[String] =
+      if (f.exists) Seq(path)
+      else {
+        val baseName = new java.io.File(path.stripSuffix(ext)).getName
+        val parent = Option(f.getParentFile).getOrElse(new java.io.File("."))
+        Option(parent.listFiles).getOrElse(Array.empty)
+          .filter(p => p.getName.startsWith(baseName + "-") && p.getName.endsWith(ext))
+          .map(_.getPath).toSeq.sorted
+      }
+    require(paths.nonEmpty, s"no output found at $path")
+    fmt match {
+      case graft.sources.Discovery.Csv =>
+        spark.read.option("header", "true").csv(paths: _*)
+      case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Move part files out of the Spark output directory to honor the
     * reference's file-path contract: one file at `path`, or rolled parts
     * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).

@@ -1,0 +1,83 @@
+package graft
+
+import graft.cli.Maw
+import graft.sources.{CsvSource, Discovery}
+import graft.operators.Concat
+import graft.sinks.Sink
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class MawCliSpec extends SparkSpec {
+
+  test("flag parsing mirrors cli.rs surface") {
+    val a = Maw.parse(Seq(
+      "in1.csv", "in2.parquet", "-o", "out.parquet", "--out-format", "parquet",
+      "--columns", "a,b", "--exclude", "c", "--rename", "x=y",
+      "--stringify-conflicts", "--no-headers", "--delimiter", ";", "--quote", "'",
+      "--encoding", "ISO-8859-1", "--na-values", "NA,n/a", "--na", "\\N",
+      "--infer-rows", "500", "--compression", "gzip", "--roll-by-rows", "1000",
+      "--roll-by-bytes", "1048576", "--verify", "--stream", "--state", "/tmp/ck",
+      "--concurrency", "8", "--writer-buffer", "32", "--mem-budget", "512",
+      "--json-logs", "-v", "-v", "-q"))
+    assert(a.inputs == Vector("in1.csv", "in2.parquet"))
+    assert(a.output == "out.parquet" && a.outFormat.contains("parquet"))
+    assert(a.columns.contains(Seq("a", "b")) && a.exclude == Seq("c"))
+    assert(a.renames == Map("x" -> "y"))
+    assert(a.stringifyConflicts && a.noHeaders && a.verify && a.streaming)
+    assert(a.delimiter == ";" && a.quote == "'" && a.encoding == "ISO-8859-1")
+    assert(a.naValues == Seq("NA", "n/a") && a.naOut == "\\N")
+    assert(a.inferRows == 500 && a.compression == "gzip")
+    assert(a.rollByRows.contains(1000L) && a.rollByBytes.contains(1048576L))
+    assert(a.checkpoint.contains("/tmp/ck") && a.concurrency == 8)
+    assert(a.writerBufferMb == 32 && a.memBudgetMb == 512)
+    assert(a.jsonLogs && a.verbose == 2 && a.quiet)
+  }
+
+  test("output format resolution: flag > extension > csv default (pipeline.rs:64-74)") {
+    assert(Discovery.outputFormat("x.csv", Some("parquet")) == Discovery.Parquet)
+    assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)
+    assert(Discovery.outputFormat("x.unknown", None) == Discovery.Csv)
+    intercept[IllegalArgumentException](Discovery.outputFormat("x", Some("orc")))
+  }
+
+  test("latin1 encoding + BOM stripping (csv_in.rs:80-84,158-162)") {
+    val d = tmpDir("enc")
+    // latin1: 'café' with 0xE9
+    val latin1 = d.resolve("latin1.csv")
+    Files.write(latin1, "name,v\ncafé,1\n".getBytes(StandardCharsets.ISO_8859_1))
+    val df = CsvSource.read(spark, latin1.toString,
+      CsvSource.CsvOptions(encoding = "ISO-8859-1"))
+    assert(df.collect().head.getString(0) == "café")
+    // UTF-8 BOM: header must not keep the BOM bytes
+    val bom = d.resolve("bom.csv")
+    Files.write(bom, Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "a,b\n1,2\n".getBytes(StandardCharsets.UTF_8))
+    val df2 = CsvSource.read(spark, bom.toString)
+    assert(df2.columns.toSeq == Seq("a", "b"), s"BOM leaked into ${df2.columns.head}")
+  }
+
+  test("roll-by-bytes produces multiple bounded parts (cli.rs:70-77)") {
+    val d = tmpDir("rollbytes")
+    val content = "k,v\n" + (1 to 2000).map(i => s"$i,value_$i").mkString("\n") + "\n"
+    val f = writeFile(d, "in.csv", content)
+    val out = d.resolve("out.csv").toString
+    val df = Concat.run(spark, Concat.Config(Seq(f))).repartition(1)
+    Sink.write(df, Sink.Config(out, Discovery.Csv, rollByBytes = Some(8 * 1024)))
+    val parts = Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("out-") && n.endsWith(".csv")).toList
+    assert(parts.size >= 2, s"expected multiple parts, got $parts")
+  }
+
+  test("verify readBack: single file and rolled parts") {
+    val d = tmpDir("readback")
+    val f = writeFile(d, "in.csv", "k\n" + (1 to 50).map(_.toString).mkString("\n") + "\n")
+    val df = Concat.run(spark, Concat.Config(Seq(f)))
+    val single = d.resolve("single.csv").toString
+    Sink.write(df, Sink.Config(single, Discovery.Csv))
+    assert(Sink.readBack(spark, single, Discovery.Csv).count() == 50)
+    val rolled = d.resolve("rolled.csv").toString
+    Sink.write(df.repartition(1), Sink.Config(rolled, Discovery.Csv, rollByRows = Some(20)))
+    assert(Sink.readBack(spark, rolled, Discovery.Csv).count() == 50)
+  }
+}

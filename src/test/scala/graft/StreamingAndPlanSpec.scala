@@ -56,6 +56,51 @@ class StreamingAndPlanSpec extends SparkSpec {
     assert(frames.columns.contains("frame_idx"))
   }
 
+  test("stateful streaming: mapGroupsWithState keeps running per-key counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    val counts = ms.toDS().groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Int)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (k, n)
+      }
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_counts").start()
+    try {
+      ms.addData(("a", 1), ("a", 2), ("b", 1))
+      q.processAllAvailable()
+      ms.addData(("a", 3))
+      q.processAllAvailable()
+      val last = spark.table("state_counts").groupBy("_1").agg(max("_2").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last == Map("a" -> 3L, "b" -> 1L)) // state carried across batches
+    } finally q.stop()
+  }
+
+  test("streaming with watermark + event-time window aggregates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = ms.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      ms.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(7), "a", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.map(_.getAs[Long]("n")).sum == 3)
+      assert(rows.length == 2) // two 5-minute windows
+    } finally q.stop()
+  }
+
   // ---- plan-shape assertions: the things that matter at 100 TB ----
 
   private def explainString(df: org.apache.spark.sql.DataFrame): String = {
