@@ -27,16 +27,27 @@ object Sink {
       delimiter: String = ",",
       rollByRows: Option[Long] = None,
       rollByBytes: Option[Long] = None,
-      singleFile: Boolean = true)
+      singleFile: Boolean = true,
+      /** The reference's single-writer contract preserves row order
+        * (README.md:77). When order is NOT required (rolled/directory
+        * output), setting this false repartitions up to the session's
+        * parallelism so narrow single-partition inputs still write with
+        * every core.
+        */
+      preserveOrder: Boolean = true)
 
   def write(df0: DataFrame, cfg: Config): Unit = {
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
-    val df = df0.select(df0.schema.fields.map { f =>
+    val df1 = df0.select(df0.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.NullType)
         org.apache.spark.sql.functions.lit(null).cast("string").as(f.name)
       else org.apache.spark.sql.functions.col(f.name)
     }.toIndexedSeq: _*)
+    val df = if (cfg.preserveOrder || cfg.singleFile) df1 else {
+      val target = df1.sparkSession.sparkContext.defaultParallelism
+      if (df1.rdd.getNumPartitions < target) df1.repartition(target) else df1
+    }
     val rolled = cfg.rollByBytes match {
       case Some(bytes) =>
         // approximate bytes->rows from a small sample of rendered row width

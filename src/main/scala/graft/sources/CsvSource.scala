@@ -20,6 +20,9 @@ import org.apache.spark.sql.types._
   */
 object CsvSource {
 
+  private val LongRe = "[+-]?\\d{1,19}".r
+  private val DoubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
   final case class CsvOptions(
       delimiter: String = ",",
       quote: String = "\"",
@@ -36,13 +39,6 @@ object CsvSource {
       .option("quote", opts.quote)
       .option("encoding", opts.encoding)
 
-    // pass 1 (cheap, bounded): raw strings over the inference sample only
-    val raw = reader.csv(path)
-    val names =
-      if (opts.headers) raw.columns.toSeq
-      else raw.columns.indices.map(i => s"col_${i + 1}") // csv_in.rs:73-78
-    val named = if (opts.headers) raw else raw.toDF(names: _*)
-
     val naClear: DataFrame => DataFrame = df => df.select(df.schema.fields.map { f =>
       // NA list -> null (csv_in.rs:129-131); non-string cols already nulled by parse
       if (f.dataType == StringType)
@@ -50,66 +46,104 @@ object CsvSource {
       else col(f.name)
     }.toIndexedSeq: _*)
 
-    if (!opts.inferTypes) naClear(named)
-    else {
-      val inferred = inferTypes(naClear(named), opts.inferRows)
-      // pass 2 (full scan): re-read with the inferred schema so the CSV
-      // parser produces typed columns natively (vectorized, single pass —
-      // no parse-to-string-then-cast double work); PERMISSIVE => parse
-      // failure -> null, same as the reference's `.parse().ok()`.
+    if (!opts.inferTypes) {
+      val raw = reader.csv(path)
+      val named = if (opts.headers) raw
+        else raw.toDF(raw.columns.indices.map(i => s"col_${i + 1}"): _*)
+      naClear(named)
+    } else {
+      // Planning runs ZERO Spark jobs: the bounded `--infer-rows` sample is
+      // read driver-side straight off the (Hadoop) filesystem — with many
+      // input files this is the difference between O(files) job round-trips
+      // and none. The full scan then happens ONCE, with the inferred schema,
+      // so the CSV parser produces typed columns natively; PERMISSIVE =>
+      // parse failure -> null, same as the reference's `.parse().ok()`.
+      val (names, inferred) = sampleAndInfer(spark, path, opts)
       // NullType isn't a valid parser type: read those as string, then
       // project them to true null columns below.
       val schema = StructType(names.map(n => StructField(n,
         if (inferred(n) == NullType) StringType else inferred(n), nullable = true)))
       val typed = reader
         .schema(schema)
+        .option("header", opts.headers.toString)
         .option("mode", "PERMISSIVE")
         .option("nullValue", opts.naValues.headOption.getOrElse(""))
         .csv(path)
-      val withNulls = typed.select(names.map { n =>
+      val renamed = if (opts.headers) typed else typed.toDF(names: _*)
+      val withNulls = renamed.select(names.map { n =>
         if (inferred(n) == NullType) lit(null).as(n) else col(n)
       }.toIndexedSeq: _*)
       naClear(withNulls)
     }
   }
 
-  /** Sample-based per-column inference with the reference's exact precedence
-    * (csv_in.rs:171-232): try i64, then f64, then bool; any non-parsing value
-    * makes the column a string (csv_in.rs:201); floats dominate ints
-    * (csv_in.rs:207-213). Runs on a bounded `limit(inferRows)` sample — one
-    * small job, independent of total input size, so it holds at 100 TB.
+  /** Driver-side bounded sample: open the file via the Hadoop FS API (works
+    * for local/HDFS/S3 alike), parse up to `inferRows` records with
+    * univocity (Spark's own CSV parser), and run the reference's inference
+    * precedence over the sampled values. No Spark jobs.
     */
-  def inferTypes(stringDf: DataFrame, inferRows: Int): Map[String, DataType] = {
-    val cols = stringDf.columns
-    if (cols.isEmpty) return Map.empty
-    val sample = stringDf.limit(inferRows)
-    // One aggregate pass over the sample: for each column count values that
-    // fail each parse. try_cast yields null on parse failure (ANSI-safe).
-    val aggs = cols.flatMap { c =>
-      val v = col(c)
-      val present = v.isNotNull
-      Seq(
-        sum(when(present && v.try_cast(LongType).isNull, 1).otherwise(0)).as(s"${c}__badLong"),
-        sum(when(present && v.try_cast(DoubleType).isNull, 1).otherwise(0)).as(s"${c}__badDouble"),
-        // reference bool = literal "true"/"false" only (csv_in.rs:192-197)
-        sum(when(present && !v.isin("true", "false"), 1).otherwise(0)).as(s"${c}__badBool"),
-        sum(when(present, 1).otherwise(0)).as(s"${c}__n"))
+  def sampleAndInfer(spark: SparkSession, path: String,
+      opts: CsvOptions): (Seq[String], Map[String, DataType]) = {
+    import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).map(_.getPath)
+          .filter(p => Discovery.detectFormat(p.getName).contains(Discovery.Csv))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no csv files under $path"))
+      else hPath
+    val settings = new CsvParserSettings
+    settings.getFormat.setDelimiter(opts.delimiter.charAt(0))
+    settings.getFormat.setQuote(opts.quote.charAt(0))
+    settings.setMaxCharsPerColumn(1 << 20)
+    settings.setHeaderExtractionEnabled(false)
+    val parser = new CsvParser(settings)
+    val in = fs.open(file)
+    val rows = try {
+      val rdr = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, opts.encoding))
+      parser.beginParsing(rdr)
+      val limit = opts.inferRows + (if (opts.headers) 1 else 0)
+      Iterator.continually(parser.parseNext()).takeWhile(_ != null)
+        .take(limit).toVector
+    } finally {
+      parser.stopParsing()
+      in.close()
     }
-    val row = sample.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    cols.zipWithIndex.map { case (c, i) =>
-      val badLong = Option(row.get(i * 4)).fold(0L)(_.asInstanceOf[Long])
-      val badDouble = Option(row.get(i * 4 + 1)).fold(0L)(_.asInstanceOf[Long])
-      val badBool = Option(row.get(i * 4 + 2)).fold(0L)(_.asInstanceOf[Long])
-      val n = Option(row.get(i * 4 + 3)).fold(0L)(_.asInstanceOf[Long])
+    if (rows.isEmpty)
+      return (Seq.empty, Map.empty)
+    // BOM strip on the very first cell (csv_in.rs:158-162)
+    val cleaned = {
+      val h = rows.head.toVector
+      val h0 = if (h.nonEmpty && h(0) != null && h(0).startsWith("﻿"))
+        h.updated(0, h(0).stripPrefix("﻿")) else h
+      h0.map(_.asInstanceOf[String]) +: rows.tail.map(_.toVector.map(_.asInstanceOf[String]))
+    }
+    val width = cleaned.map(_.length).max
+    val names: Seq[String] =
+      if (opts.headers) cleaned.head.padTo(width, null).map(Option(_).getOrElse(""))
+      else (1 to width).map(i => s"col_$i") // csv_in.rs:73-78
+    val data = if (opts.headers) cleaned.tail else cleaned
+    val types = (0 until width).map { i =>
+      val values = data.iterator
+        .map(r => if (i < r.length) r(i) else null)
+        .map(v => if (v == null || opts.naValues.contains(v)) null else v)
+        .filter(_ != null).toVector
+      // reference precedence: i64 -> f64 -> bool -> string (csv_in.rs:171-232);
+      // strict numeric shapes (Rust-parse-like; Java parseDouble would also
+      // admit "1d"/"NaN" which the Spark CSV parser later rejects)
       val t: DataType =
-        // all-null (e.g. a header-only part file, or an all-NA column):
-        // transient NullType, widened away by the lattice (schema.rs:137-142)
-        if (n == 0L) NullType
-        else if (badLong == 0L) LongType
-        else if (badDouble == 0L) DoubleType
-        else if (badBool == 0L) BooleanType
+        if (values.isEmpty) NullType
+        else if (values.forall(v => LongRe.matches(v) &&
+          scala.util.Try(v.toLong).isSuccess)) LongType
+        else if (values.forall(v => DoubleRe.matches(v))) DoubleType
+        else if (values.forall(v => v == "true" || v == "false")) BooleanType
         else StringType
-      c -> t
+      names(i) -> t
     }.toMap
+    (names, types)
   }
+
 }
