@@ -1,0 +1,94 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text statistics for quality scoring / language ID.
+  *
+  * The same metrics as the HOF formulation (tokenize + N filter/aggregate
+  * lambdas = N interpreted passes per row) in a single character walk:
+  * token count, total token length, ASCII-punctuation count, CJK codepoint
+  * count, per-language stopword hits, BPE-ish subword count, char count.
+  */
+object TextStats {
+  val EnStop: Set[String] = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
+    "it", "that", "this", "for", "on", "with", "as", "are", "was", "be", "at", "by",
+    "not", "but")
+  /** Narrower list used for language ID votes (mirrors TextFunctions.StopwordsByLang). */
+  val EnLang: Set[String] = Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with")
+  val EsStop: Set[String] = Set("el", "la", "de", "que", "y", "en", "un", "los", "del", "por")
+  val DeStop: Set[String] = Set("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu")
+  val FrStop: Set[String] = Set("le", "la", "les", "de", "et", "un", "une", "des", "est", "que")
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("token_len_sum", LongType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("cjk", IntegerType, nullable = false),
+    StructField("bpe", IntegerType, nullable = false),
+    StructField("stop_en", IntegerType, nullable = false),
+    StructField("lang_en", IntegerType, nullable = false),
+    StructField("stop_es", IntegerType, nullable = false),
+    StructField("stop_de", IntegerType, nullable = false),
+    StructField("stop_fr", IntegerType, nullable = false)))
+
+  def compute(text: String): InternalRow = {
+    var nTokens = 0
+    var tokenLenSum = 0L
+    var punct = 0
+    var cjk = 0
+    var bpe = 0
+    var stopEn = 0; var langEn = 0; var stopEs = 0; var stopDe = 0; var stopFr = 0
+    val sb = new java.lang.StringBuilder(16)
+    var inLetters = false; var inDigits = false
+    var i = 0
+    val n = text.length
+    var nChars = 0
+    def endToken(): Unit = if (sb.length > 0) {
+      nTokens += 1
+      tokenLenSum += sb.length
+      val w = sb.toString.toLowerCase
+      if (EnStop.contains(w)) stopEn += 1
+      if (EnLang.contains(w)) langEn += 1
+      if (EsStop.contains(w)) stopEs += 1
+      if (DeStop.contains(w)) stopDe += 1
+      if (FrStop.contains(w)) stopFr += 1
+      sb.setLength(0)
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      nChars += 1
+      val isWs = Character.isWhitespace(c)
+      if (isWs) { endToken(); inLetters = false; inDigits = false }
+      else {
+        sb.append(c)
+        val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        val isDigit = c >= '0' && c <= '9'
+        // BPE-ish: a letter run, a digit run, or a lone symbol each count once
+        if (isLetter) { if (!inLetters) bpe += 1; inLetters = true; inDigits = false }
+        else if (isDigit) { if (!inDigits) bpe += 1; inDigits = true; inLetters = false }
+        else { bpe += 1; inLetters = false; inDigits = false }
+        if (c >= '!' && c <= '~' && !isLetter && !isDigit) punct += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      }
+      i += 1
+    }
+    endToken()
+    new GenericInternalRow(Array[Any](nChars, nTokens, tokenLenSum, punct, cjk, bpe,
+      stopEn, langEn, stopEs, stopDe, stopFr))
+  }
+}
+
+case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = TextStats.schema
+  override def nullSafeEval(input: Any): Any =
+    TextStats.compute(input.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
+  override def prettyName: String = "text_stats"
+}

@@ -43,12 +43,12 @@ object PipelineQueries {
         TF.tokenCount(col("text")).as("n_tokens")))),
     "t02_text_quality" -> ((s, dir) => // heuristic scores: rows-only
       ordered(t(s, dir, "documents")
-        .withColumn("toks", TF.tokens(col("text"))) // tokenize once, reuse
+        .withColumn("stats", TF.textStats(col("text"))) // ONE text walk per row
         .select(
           col("doc_id"),
-          TF.qualityScoreFromTokens(col("text"), col("toks")).as("quality"),
-          TF.langIdFromTokens(col("text"), transform(col("toks"), lower _)).as("lang_guess"),
-          TF.bpeTokenCount(col("text")).as("bpe_tokens")))),
+          TF.qualityScoreFromStats(col("stats")).as("quality"),
+          TF.langIdFromStats(col("stats")).as("lang_guess"),
+          col("stats.bpe").as("bpe_tokens")))),
     "t03_fingerprint_md5" -> ((s, dir) =>
       ordered(t(s, dir, "documents").select(
         col("doc_id"), md5(col("text").cast(BinaryType)).as("fp")))),

@@ -71,6 +71,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(ham(m(1L), m(3L)) >= 15, s"far hamming ${ham(m(1L), m(3L))}")
   }
 
+  test("textStats struct agrees with the HOF formulations on real documents") {
+    val docs = sf("documents").limit(100)
+      .withColumn("stats", TF.textStats($"text"))
+      .withColumn("toks", TF.tokens($"text"))
+    val diffs = docs.select(
+      ($"stats.n_tokens" === size($"toks")).as("tok_ok"),
+      (TF.qualityScoreFromStats($"stats") === TF.qualityScoreFromTokens($"text", $"toks")).as("q_ok"),
+      (TF.langIdFromStats($"stats") === TF.langIdFromTokens($"text", transform($"toks", lower _))).as("l_ok"),
+      ($"stats.bpe" === TF.bpeTokenCount($"text")).as("bpe_ok"))
+      .collect()
+    assert(diffs.forall(r => r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3)))
+  }
+
   test("shingleHashes: count and distinctness") {
     val n = one[Seq[Long]](TF.shingleHashes($"t", 3), "a b c d e").length
     assert(n == 3) // abc bcd cde
