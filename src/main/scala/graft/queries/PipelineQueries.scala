@@ -94,7 +94,10 @@ object PipelineQueries {
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      // cosine itself is float-precision-fragile across engines; the
+      // oracle-checked surface is the exact neighbor ranking
       Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     "s02_knn_lsh" -> ((s, dir) => {
@@ -166,6 +169,13 @@ object PipelineQueries {
          |CAST(length(text) AS BIGINT) AS duration_ms,
          |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
          |FROM documents ${orderSql("media_id")}""".stripMargin,
+    "s01_knn_brute" ->
+      s"""SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
+         |FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "st01_streaming_hourly" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
