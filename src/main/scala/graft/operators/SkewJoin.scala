@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-key (skew) handling for shuffles.
+  *
+  * AQE's skew-join split handles sort-merge joins at runtime; these helpers
+  * cover the cases it can't: broadcast-ineligible dimension joins with a few
+  * pathological keys, and skewed aggregations. Salting is deterministic
+  * (hash-derived, no randomness) so plans stay replayable.
+  */
+object SkewJoin {
+
+  /** Inner equi-join where `fact` is massively skewed on `key`: the fact
+    * side gets a deterministic salt in [0, salts), the (small-ish) `dim`
+    * side is replicated once per salt, and the join key becomes
+    * (key, salt) — a hot key now spreads over `salts` reducers instead of
+    * melting one.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim, saltedFact(key) === saltedDim(key) &&
+        saltedFact("__salt") === saltedDim("__salt"))
+      .drop(saltedDim(key)).drop(saltedFact("__salt")).drop(saltedDim("__salt"))
+  }
+
+  /** Two-phase aggregation for a skewed group-by: partial-aggregate on
+    * (key, salt) — spreading a hot key across reducers — then finish on key.
+    * Works for any algebraic aggregate expressed as (partial, merge) pairs;
+    * the common sum/count/min/max come prebuilt via [[skewedSum]] etc.
+    */
+  def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
+      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    salted.groupBy(col(key), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(key))
+      .agg(merge.head, merge.tail: _*)
+  }
+
+  /** Skew-safe sum+count per key (the building block for mean as well). */
+  def skewedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int = 16): DataFrame =
+    twoPhaseAgg(df, key, salts,
+      partial = Seq(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt")),
+      merge = Seq(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count")))
+}

@@ -88,6 +88,31 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join on skewed data") {
+    import graft.operators.SkewJoin
+    // 10k facts, 90% on one hot key
+    val fact = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 7 else 1L, i.toLong))
+      .toDF("k", "v")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (3L, "three"),
+      (4L, "four"), (5L, "five"), (6L, "six")).toDF("k", "name")
+    val plain = fact.join(dim, "k").groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("two-phase skewed aggregation equals direct aggregation") {
+    import graft.operators.SkewJoin
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) "rare" else "hot", i.toLong)).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum"), count(lit(1)).as("count"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val skewed = SkewJoin.skewedSumCount(df, "k", "v", salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(skewed == direct)
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(
