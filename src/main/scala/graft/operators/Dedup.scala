@@ -39,9 +39,14 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // One exchange on id above the signature computation: all four consumers
+    // (band explode a/b, payload attach a/b) then hang off the SAME shuffle,
+    // so ReusedExchange computes the signatures exactly once instead of 4x
+    // (and the attach joins are already co-partitioned on id).
     val sig = docs.select(
       col(idCol).as("id"),
       TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .repartition(col("id"))
     // Band hash: one flat variadic xxhash64 over the band's signature slice,
     // UNROLLED in Scala (literal getItem indices) rather than a nested
     // higher-order transform — HOFs are CodegenFallback and a lambda that
@@ -111,6 +116,7 @@ object Dedup {
       col(idCol).as("id"),
       TF.shingleHashes(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .repartition(col("id")) // single shared exchange (see minhashPairs)
     // r=2 banding (pairs of signature positions) keeps candidate false
     // positives ~J^2 per band instead of ~J — far fewer exact-verify pairs
     val bandKeys = (0 until numHashes / 2).map(b =>
@@ -136,6 +142,7 @@ object Dedup {
       maxBucketSize: Int = 2000): DataFrame = {
     val planes = VF.hyperplanes(numPlanes, dim)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("id")) // single shared exchange (see minhashPairs)
     val bucketed = base.select(col("id"),
       VF.lshBucket(col("v"), planes).as("bucket"))
     val candidates = pairCandidates(bucketed.withColumn("band", lit(0)),
