@@ -7,13 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's whole dataflow as ONE lazy Catalyst plan:
   *
-  *   discover -> (per file) scan -> unify schema -> align/cast -> UNION ALL
+  *   discover -> scan -> unify schema -> align/cast -> UNION ALL
   *
   * (`/root/reference/src/pipeline.rs:31-100`). The reference hand-builds a
   * reader-thread/channel/writer-thread graph (pipeline.rs:83,102-193); on
   * Spark that collapses into a single narrow plan — file-parallelism becomes
   * partition-parallelism, back-pressure becomes task scheduling, and the plan
   * stays SHUFFLE-FREE, so it scales linearly across executors at 100 TB.
+  *
+  * Scale shape: per-file schemas are resolved concurrently (CSV inference is
+  * a bounded driver-side sample — zero Spark jobs), then files with the SAME
+  * resolved schema share one multi-path scan. 10k schema-identical parts
+  * become ONE scan node, not 10k union branches — plan size and driver
+  * memory stay O(distinct schemas), not O(files).
   */
 object Concat {
 
@@ -31,12 +37,16 @@ object Concat {
       case Parquet => spark.read.parquet(f.path)
     }
 
-  /** Discover + build the unified concat plan. The per-file planning work
-    * (CSV header read + bounded inference sample = 1-2 small Spark jobs per
-    * file) runs CONCURRENTLY across files — with many inputs the planning
-    * wall-time stays ~one file's latency instead of N× (the reference gets
-    * the same effect from its per-file reader threads, pipeline.rs:102-154).
-    * The returned plan itself is lazy — nothing big executes here.
+  /** One multi-path scan for a group of same-schema files. */
+  private def readGroup(spark: SparkSession, format: Format, paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType, csv: CsvSource.CsvOptions): DataFrame =
+    format match {
+      case Csv     => CsvSource.readPaths(spark, paths, csv, Some(schema))
+      case Parquet => spark.read.parquet(paths: _*)
+    }
+
+  /** Discover + build the unified concat plan. Lazy — nothing big executes
+    * here; CSV inference samples run concurrently on the driver.
     */
   def plan(spark: SparkSession, cfg: Config): (Seq[InputFile], DataFrame) = {
     val files = Discovery.discover(cfg.inputs)
@@ -44,8 +54,30 @@ object Concat {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dfs = Await.result(
-      Future.sequence(files.map(f => Future(readOne(spark, f, cfg.csv)))), Duration.Inf)
+    // resolve each file's schema concurrently (driver-side sample for CSV,
+    // footer metadata for parquet)
+    val resolved: Seq[(InputFile, org.apache.spark.sql.types.StructType)] =
+      Await.result(Future.sequence(files.map { f =>
+        Future(f -> (f.format match {
+          case Csv     => CsvSource.resolveSchema(spark, f.path, cfg.csv)
+          case Parquet => spark.read.parquet(f.path).schema
+        }))
+      }), Duration.Inf)
+    // group contiguous-in-sort-order files by (format, schema): each group
+    // is one scan; discovery order is preserved across groups
+    val groups = resolved
+      .map { case (f, s) => (f, s) }
+      .foldLeft(Vector.empty[(Format, org.apache.spark.sql.types.StructType, Vector[String])]) {
+        case (acc, (f, s)) =>
+          acc.lastOption match {
+            case Some((fmt, schema, paths)) if fmt == f.format && schema == s =>
+              acc.init :+ ((fmt, schema, paths :+ f.path))
+            case _ => acc :+ ((f.format, s, Vector(f.path)))
+          }
+      }
+    val dfs = groups.map { case (fmt, schema, paths) =>
+      readGroup(spark, fmt, paths, schema, cfg.csv)
+    }
     val unified = SchemaUnifier.unify(
       dfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
     val out = dfs.map(SchemaUnifier.align(_, unified)).reduce(_ unionByName _)

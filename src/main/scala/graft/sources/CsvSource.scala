@@ -32,49 +32,57 @@ object CsvSource {
       inferRows: Int = 1000,
       inferTypes: Boolean = true)
 
-  def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
-    def reader = spark.read
+  def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
+    readPaths(spark, Seq(path), opts, Some(resolveSchema(spark, path, opts)))
+
+  /** Resolved per-file schema. Planning runs ZERO Spark jobs: the bounded
+    * `--infer-rows` sample is read driver-side straight off the (Hadoop)
+    * filesystem — with many input files this is the difference between
+    * O(files) job round-trips and none. All-null columns carry transient
+    * NullType (widened away by the lattice).
+    */
+  def resolveSchema(spark: SparkSession, path: String, opts: CsvOptions): StructType =
+    if (!opts.inferTypes) {
+      val (names, _) = sampleAndInfer(spark, path, opts)
+      StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    } else {
+      val (names, inferred) = sampleAndInfer(spark, path, opts)
+      StructType(names.map(n => StructField(n, inferred(n), nullable = true)))
+    }
+
+  /** Typed scan of one-or-many same-schema CSV files in ONE reader (one scan
+    * node regardless of file count). The full scan happens once, with the
+    * resolved schema, so the CSV parser produces typed columns natively;
+    * PERMISSIVE => parse failure -> null, same as the reference's
+    * `.parse().ok()`.
+    */
+  def readPaths(spark: SparkSession, paths: Seq[String], opts: CsvOptions,
+      resolvedSchema: Option[StructType] = None): DataFrame = {
+    val schema = resolvedSchema.getOrElse(resolveSchema(spark, paths.head, opts))
+    val names = schema.fieldNames.toSeq
+    // NullType isn't a valid parser type: read those as string, project to
+    // true null columns below
+    val parserSchema = StructType(schema.fields.map(f =>
+      f.copy(dataType = if (f.dataType == NullType) StringType else f.dataType,
+        nullable = true)))
+    val typed = spark.read
+      .schema(parserSchema)
       .option("header", opts.headers.toString)
       .option("delimiter", opts.delimiter)
       .option("quote", opts.quote)
       .option("encoding", opts.encoding)
-
-    val naClear: DataFrame => DataFrame = df => df.select(df.schema.fields.map { f =>
-      // NA list -> null (csv_in.rs:129-131); non-string cols already nulled by parse
+      .option("mode", "PERMISSIVE")
+      .option("nullValue", opts.naValues.headOption.getOrElse(""))
+      .csv(paths: _*)
+    val withNulls = typed.select(names.map { n =>
+      if (schema(n).dataType == NullType) lit(null).as(n) else col(n)
+    }.toIndexedSeq: _*)
+    // NA list -> null (csv_in.rs:129-131); non-string cols already nulled by parse
+    withNulls.select(withNulls.schema.fields.map { f =>
       if (f.dataType == StringType)
         when(col(f.name).isin(opts.naValues: _*), lit(null)).otherwise(col(f.name)).as(f.name)
       else col(f.name)
     }.toIndexedSeq: _*)
-
-    if (!opts.inferTypes) {
-      val raw = reader.csv(path)
-      val named = if (opts.headers) raw
-        else raw.toDF(raw.columns.indices.map(i => s"col_${i + 1}"): _*)
-      naClear(named)
-    } else {
-      // Planning runs ZERO Spark jobs: the bounded `--infer-rows` sample is
-      // read driver-side straight off the (Hadoop) filesystem — with many
-      // input files this is the difference between O(files) job round-trips
-      // and none. The full scan then happens ONCE, with the inferred schema,
-      // so the CSV parser produces typed columns natively; PERMISSIVE =>
-      // parse failure -> null, same as the reference's `.parse().ok()`.
-      val (names, inferred) = sampleAndInfer(spark, path, opts)
-      // NullType isn't a valid parser type: read those as string, then
-      // project them to true null columns below.
-      val schema = StructType(names.map(n => StructField(n,
-        if (inferred(n) == NullType) StringType else inferred(n), nullable = true)))
-      val typed = reader
-        .schema(schema)
-        .option("header", opts.headers.toString)
-        .option("mode", "PERMISSIVE")
-        .option("nullValue", opts.naValues.headOption.getOrElse(""))
-        .csv(path)
-      val renamed = if (opts.headers) typed else typed.toDF(names: _*)
-      val withNulls = renamed.select(names.map { n =>
-        if (inferred(n) == NullType) lit(null).as(n) else col(n)
-      }.toIndexedSeq: _*)
-      naClear(withNulls)
-    }
   }
 
   /** Driver-side bounded sample: open the file via the Hadoop FS API (works

@@ -162,6 +162,30 @@ class ConcatSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("many same-schema files collapse into one scan node") {
+    val d = tmpDir("manyfiles")
+    (1 to 100).foreach(i => writeFile(d, f"part$i%03d.csv", s"a,b\n$i,x$i\n"))
+    val t0 = System.nanoTime()
+    val df = Concat.run(spark, Concat.Config(Seq(d.toString)))
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(df.count() == 100)
+    val scans = "Scan csv".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"expected 1 consolidated scan, got $scans")
+    assert(planSec < 30, f"planning 100 files took $planSec%.1f s")
+  }
+
+  test("mixed-schema files group separately but still unify") {
+    val d = tmpDir("mixedgroups")
+    writeFile(d, "a1.csv", "a,b\n1,x\n")
+    writeFile(d, "a2.csv", "a,b\n2,y\n")
+    writeFile(d, "z1.csv", "a,c\n3.5,10\n")
+    val df = Concat.run(spark, Concat.Config(Seq(d.toString)))
+    assert(df.columns.toSeq == Seq("a", "b", "c"))
+    assert(df.count() == 3)
+    val scans = "Scan csv".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans == 2, s"expected 2 scans (one per schema group), got $scans")
+  }
+
   test("parquet-only concat of testdata tables") {
     val df = Concat.run(spark, Concat.Config(Seq(
       "/root/testdata/sf0.001/region.parquet", "/root/testdata/sf0.001/nation.parquet")))
