@@ -139,6 +139,29 @@ object RelationalQueries {
       ordered(t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))),
+    // sliding event-time windows (1h window, 30m slide -> 2 windows/event)
+    "q19_sliding_window" -> ((s, dir) =>
+      ordered(events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(fmtTs(col("window.start")).as("window_start"), col("event_type"),
+          col("n"), col("total_value")))),
+    // session windows (30-minute inactivity gap) per user — rows-only
+    // (session merge semantics aren't reasonably SQL-expressible)
+    "q20_session_window" -> ((s, dir) =>
+      ordered(events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), fmtTs(col("session_window.start")).as("session_start"),
+          col("n_events")))),
+    // SQL surface: GROUPING SETS via spark.sql
+    "q21_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      ordered(s.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
+    }),
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
@@ -232,5 +255,17 @@ object RelationalQueries {
          |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin,
     "q18_typed_mapgroups" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
-         |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin)
+         |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin,
+    // sliding window = union of the two 30m-aligned tumbling assignments
+    "q19_sliding_window" ->
+      s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+         |COUNT(*) AS n, ${dsumSql("value")} AS total_value FROM (
+         |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000) AS ws, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000 - 1800000000) AS ws, event_type, value FROM events
+         |) GROUP BY 1, 2 ${orderSql("window_start", "event_type", "n")}""".stripMargin,
+    "q21_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin)
 }

@@ -113,6 +113,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skewed == direct)
   }
 
+  test("typed TopK aggregator matches the window-based top-k") {
+    import graft.functions.TopKAggregator
+    import org.apache.spark.sql.functions.udaf
+    val vecs = (1L to 100L).map { i =>
+      (i, (0 until 16).map(j => math.cos(i * 3.1 + j * 1.7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" <= 3)
+    val viaWindow = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // same scoring, aggregated with the bounded-buffer typed Aggregator
+    val topk = udaf(new TopKAggregator(5))
+    val scored = df.crossJoin(broadcast(q.select($"vec_id".as("query_id"), $"embedding".as("qv"))))
+      .where($"query_id" =!= $"vec_id")
+      .select($"query_id",
+        struct(graft.functions.VectorFunctions.cosine($"qv", $"embedding").as("_1"),
+          $"vec_id".as("_2")).as("sv"))
+    val viaAgg = scored.groupBy("query_id")
+      .agg(topk($"sv._1", $"sv._2").as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", ($"pos" + 1).as("rank"), $"col._2".as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaWindow)
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(
