@@ -101,6 +101,39 @@ class StreamingAndPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("north star: watermarked windowed agg -> parquet sink, append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val d = tmpDir("northstar")
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = ms.toDF().toDF("ts", "k", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window($"ts", "5 minutes"), $"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .select($"window.start".as("window_start"), $"k", $"n", $"total")
+    val q = agg.writeStream.outputMode("append")
+      .format("parquet")
+      .option("checkpointLocation", d.resolve("ckpt").toString)
+      .start(d.resolve("out").toString)
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      ms.addData((ts(10, 1), "a", 1.0), (ts(10, 2), "a", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first window so it finalizes
+      ms.addData((ts(11, 0), "a", 4.0))
+      q.processAllAvailable()
+      ms.addData((ts(12, 0), "a", 8.0)) // finalize the 11:00 window too
+      q.processAllAvailable()
+      val out = spark.read.parquet(d.resolve("out").toString)
+      val rows = out.collect().map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+      // append mode emitted ONLY the watermark-finalized windows
+      assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 3.0)), s"got $rows")
+      assert(rows.exists(_._1.startsWith("2024-01-01 11:00")), s"got $rows")
+      assert(!rows.exists(_._1.startsWith("2024-01-01 12:00")), "unfinalized window leaked")
+    } finally q.stop()
+  }
+
   // ---- plan-shape assertions: the things that matter at 100 TB ----
 
   private def explainString(df: org.apache.spark.sql.DataFrame): String = {
