@@ -106,6 +106,14 @@ object PipelineQueries {
         k = 5, numPlanes = 6, tables = 4, dim = 64)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    "s03_knn_ivf" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+      IvfIndex.topK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+        model, k = 5, nprobe = 3)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // ---- multimodal ----
     "m01_media_meta" -> ((s, dir) =>
       ordered(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")

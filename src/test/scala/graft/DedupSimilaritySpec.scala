@@ -113,6 +113,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(skewed == direct)
   }
 
+  test("IVF index: deterministic training, cell-local search with decent recall") {
+    import graft.operators.IvfIndex
+    val vecs = (1L to 200L).map { i =>
+      (i, (0 until 16).map(j => math.cos(i * 3.1 + j * 1.7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" <= 5)
+    val m1 = IvfIndex.train(df, "vec_id", "embedding", k = 8)
+    val m2 = IvfIndex.train(df, "vec_id", "embedding", k = 8)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq) // deterministic
+    val ivf = IvfIndex.topK(df, q, "vec_id", "embedding", m1, k = 5, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, f"IVF recall@5 too low: $recall%.2f")
+    assert(ivf.nonEmpty && ivf.forall { case (qid, _) => qid <= 5 })
+  }
+
   test("typed TopK aggregator matches the window-based top-k") {
     import graft.functions.TopKAggregator
     import org.apache.spark.sql.functions.udaf
