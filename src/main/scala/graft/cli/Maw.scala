@@ -54,6 +54,10 @@ object Maw {
         val Array(from, to) = v.split("=", 2)
         go(t, a.copy(renames = a.renames + (from -> to)))
       case "--stringify-conflicts" :: t    => go(t, a.copy(stringifyConflicts = true))
+      // --reorder (cli.rs:58-60): alphabetical order is always applied by
+      // unification (schema.rs:101-102), matching the reference's actual
+      // from_schemas behavior; the flag is accepted for CLI compatibility
+      case "--reorder" :: t                => go(t, a)
       case "--no-headers" :: t             => go(t, a.copy(noHeaders = true))
       case "--delimiter" :: v :: t         => go(t, a.copy(delimiter = v))
       case "--quote" :: v :: t             => go(t, a.copy(quote = v))
