@@ -162,6 +162,33 @@ object RelationalQueries {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
     }),
+    // exact percentiles (linear interpolation — identical in both engines)
+    "q22_percentiles" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"),
+          expr("percentile(o_totalprice, 0.99)").as("p99")))),
+    // scalar string function breadth
+    "q23_string_funcs" -> ((s, dir) =>
+      ordered(t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked")))),
+    // scalar date/time function breadth (avoiding dow-convention mismatches)
+    "q24_date_funcs" -> ((s, dir) =>
+      ordered(t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd").as("due")))),
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
@@ -267,5 +294,25 @@ object RelationalQueries {
     "q21_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-         |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin)
+         |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "q22_percentiles" ->
+      s"""SELECT o_orderstatus,
+         |quantile_cont(o_totalprice, 0.5) AS p50,
+         |quantile_cont(o_totalprice, 0.9) AS p90,
+         |quantile_cont(o_totalprice, 0.99) AS p99
+         |FROM orders GROUP BY o_orderstatus ${orderSql("o_orderstatus")}""".stripMargin,
+    "q23_string_funcs" ->
+      s"""SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
+         |substring(c_mktsegment, 1, 3) AS seg3,
+         |concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+         |lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+         |regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+         |FROM customer ${orderSql("c_custkey")}""".stripMargin,
+    "q24_date_funcs" ->
+      s"""SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y,
+         |CAST(month(o_orderdate) AS INTEGER) AS m,
+         |CAST(day(o_orderdate) AS INTEGER) AS d,
+         |CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         |strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due
+         |FROM orders ${orderSql("o_orderkey")}""".stripMargin)
 }
