@@ -129,6 +129,32 @@ object PipelineQueries {
       ordered(Multimodal.sampleFrames(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"), n = 4)
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes")))),
+    // stateful streaming: running per-user counts via mapGroupsWithState;
+    // the FINAL state per user must equal the batch GROUP BY — checked
+    // against the DuckDB oracle
+    "st02_stateful_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val counts = stream.select(col("user_id").as[Long])
+        .groupByKey(identity)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[Long], state: GroupState[Long]) =>
+            val n = state.getOption.getOrElse(0L) + it.size
+            state.update(n)
+            (user, n)
+        }.toDF("user_id", "n_events")
+      val sinkName = s"st02_sink_${math.abs(dir.hashCode)}"
+      val q = counts.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      // update-mode emits one row per state change; the final state per user
+      // is the max running count
+      ordered(s.table(sinkName).groupBy("user_id").agg(max("n_events").as("n_events")))
+    }),
     // ---- structured streaming (memory sink, drained synchronously) ----
     "st01_streaming_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -184,6 +210,9 @@ object PipelineQueries {
          |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
          |FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "st02_stateful_counts" ->
+      s"""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+         |${orderSql("user_id", "n_events")}""".stripMargin,
     "st01_streaming_hourly" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
