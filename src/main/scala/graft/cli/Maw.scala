@@ -143,8 +143,13 @@ object Maw {
           a.checkpoint.getOrElse(a.output + ".checkpoint"))
       } else {
         val df = Concat.run(spark, toConfig(a))
-        Sink.write(df, Sink.Config(a.output, fmt, a.compression, a.naOut, a.delimiter,
-          a.rollByRows, a.rollByBytes))
+        val metrics = Sink.write(df, Sink.Config(a.output, fmt, a.compression, a.naOut,
+          a.delimiter, a.rollByRows, a.rollByBytes))
+        if (!a.quiet) {
+          val rows = metrics.getOrElse("rows_written", "?")
+          if (a.jsonLogs) println(s"""{"event":"progress","rows_written":$rows}""")
+          else println(s"wrote $rows rows -> ${a.output}")
+        }
         if (a.verify) {
           // S2 integrity verify (cli.rs:118-120, unimplemented there): the
           // written output must re-read to the same row count as the plan

@@ -36,7 +36,20 @@ object Sink {
         */
       preserveOrder: Boolean = true)
 
-  def write(df0: DataFrame, cfg: Config): Unit = {
+  /** Write and report metrics (rows written) — the batch-mode analog of the
+    * reference's progress tracker totals (progress.rs:6-197), collected via
+    * `Dataset.observe` so it costs one counter per task, no extra pass.
+    */
+  def write(df0: DataFrame, cfg: Config): Map[String, Any] = {
+    val obs = new org.apache.spark.sql.Observation()
+    writeInternal(
+      df0.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows_written")),
+      cfg)
+    org.apache.spark.sql.graftbridge.ColumnBridge.observed(obs)
+  }
+
+  private def writeInternal(df0: DataFrame, cfg: Config): Unit = {
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
     val df1 = df0.select(df0.schema.fields.map { f =>

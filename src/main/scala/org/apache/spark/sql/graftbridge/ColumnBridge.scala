@@ -13,4 +13,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `Observation.getOrEmpty` is `private[sql]`; non-blocking metric fetch. */
+  def observed(o: org.apache.spark.sql.Observation): Map[String, Any] = o.getOrEmpty
 }

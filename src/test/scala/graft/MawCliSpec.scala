@@ -69,6 +69,26 @@ class MawCliSpec extends SparkSpec {
     assert(parts.size >= 2, s"expected multiple parts, got $parts")
   }
 
+  test("stdin input ('-') spools to a temp csv (discover.rs:53-60)") {
+    val orig = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream("a,b\n1,2\n3,4\n".getBytes))
+      val files = Discovery.discover(Seq("-"))
+      assert(files.size == 1 && files.head.format == Discovery.Csv)
+      val df = CsvSource.read(spark, files.head.path)
+      assert(df.count() == 2)
+      assert(df.columns.toSeq == Seq("a", "b"))
+    } finally System.setIn(orig)
+  }
+
+  test("Sink.write reports rows_written via observe") {
+    val d = tmpDir("obs")
+    val f = writeFile(d, "in.csv", "k\n1\n2\n3\n")
+    val df = Concat.run(spark, Concat.Config(Seq(f)))
+    val metrics = Sink.write(df, Sink.Config(d.resolve("o.csv").toString, Discovery.Csv))
+    assert(metrics("rows_written") == 3L)
+  }
+
   test("verify readBack: single file and rolled parts") {
     val d = tmpDir("readback")
     val f = writeFile(d, "in.csv", "k\n" + (1 to 50).map(_.toString).mkString("\n") + "\n")
