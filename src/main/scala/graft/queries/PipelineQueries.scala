@@ -91,6 +91,18 @@ object PipelineQueries {
         shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
       ordered(Dedup.survivors(docs, "doc_id", pairs).select("doc_id"))
     }),
+    "d08_curation_pipeline" -> ((s, dir) => {
+      // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
+      // deterministic min-id survivor) -> per-doc text accounting
+      val filtered = t(s, dir, "documents")
+        .where(col("n_chars").between(100, 3000))
+      val survivors = filtered
+        .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      ordered(filtered.join(survivors, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).as("n_tokens")))
+    }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -196,6 +208,14 @@ object PipelineQueries {
     "d02_dedup_fingerprint" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY md5(text) ${orderSql("fp", "doc_id")}""".stripMargin,
+    "d08_curation_pipeline" ->
+      s"""SELECT d.doc_id AS doc_id, d.lang,
+         |len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> length(x) > 0)) AS n_tokens
+         |FROM documents d
+         |JOIN (SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM documents
+         |      WHERE n_chars BETWEEN 100 AND 3000 GROUP BY md5(text)) k
+         |ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id NULLS FIRST, d.lang NULLS FIRST, n_tokens NULLS FIRST""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,
