@@ -65,6 +65,12 @@ object Bench {
       "csv_to_csv" -> csvBytes / 1e6 / csvCsvSec,
       "csv_to_parquet" -> csvBytes / 1e6 / csvParquetSec,
       "parquet_to_parquet" -> parquetBytes / 1e6 / pqPqSec)
+    // MB/s on small compressed parquet under-sells the engine; report rows/s too
+    val liRows = li.count()
+    val rowsPerSec = Map(
+      "csv_to_csv" -> liRows / csvCsvSec,
+      "csv_to_parquet" -> liRows / csvParquetSec,
+      "parquet_to_parquet" -> liRows / pqPqSec)
 
     // best of 2: first run pays one-off codegen compilation and is exposed
     // to GC/machine noise in a long-lived JVM; min-of-2 reports steady state
@@ -79,8 +85,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
+    val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_runs","queries":$qs,"throughput_mbps":$th,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_runs","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}""")
     spark.stop()
   }
 

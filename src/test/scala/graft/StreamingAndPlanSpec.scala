@@ -166,6 +166,25 @@ class StreamingAndPlanSpec extends SparkSpec {
     assert(!physical.contains("Exchange"), s"concat plan shuffles:\n$physical")
   }
 
+  test("plan: bucketed tables join with zero exchange (co-located join)") {
+    import graft.operators.Bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val o = sf("orders", "/root/testdata/sf0.001")
+      val l = sf("lineitem", "/root/testdata/sf0.001")
+      Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 4)
+      Bucketing.writeBucketed(l.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 4)
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "k")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange"), s"bucketed join still shuffles:\n$physical")
+      assert(joined.count() == 6000) // every lineitem matches its order
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("plan: semi/anti joins stay joins (no cartesian)") {
     for (q <- Seq("q05_semi_join", "q06_anti_join")) {
       val plan = explainString(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
