@@ -162,6 +162,17 @@ object RelationalQueries {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
     }),
+    // analytic window breadth: lag/lead/ntile/percent_rank in one pass
+    "q25_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ordered(t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr")))
+    }),
     // exact percentiles (linear interpolation — identical in both engines)
     "q22_percentiles" -> ((s, dir) =>
       ordered(t(s, dir, "orders")
@@ -295,6 +306,15 @@ object RelationalQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "q25_window_analytics" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |lag(o_orderkey, 1) OVER w AS prev_order,
+         |lead(o_orderkey, 1) OVER w AS next_order,
+         |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         |round(percent_rank() OVER w, 6) AS pr
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |${orderSql("o_custkey", "o_orderkey", "prev_order", "next_order", "quartile", "pr")}""".stripMargin,
     "q22_percentiles" ->
       s"""SELECT o_orderstatus,
          |quantile_cont(o_totalprice, 0.5) AS p50,
