@@ -139,6 +139,9 @@ object Maw {
       }
       val fmt = Discovery.outputFormat(a.output, a.outFormat)
       if (a.streaming) {
+        // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch
+        if (a.verbose > 0 && !a.quiet)
+          spark.streams.addListener(new graft.streaming.StreamingConcat.ProgressListener())
         graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt,
           a.checkpoint.getOrElse(a.output + ".checkpoint"))
       } else {
