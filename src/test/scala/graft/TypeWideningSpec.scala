@@ -55,6 +55,12 @@ class TypeWideningSpec extends AnyFunSuite {
     assert(w(TimestampNTZType, DateType) == Right(TimestampNTZType))
   }
 
+  test("mixed timestamp flavors widen to ntz (naive-ms policy, schema.rs:54)") {
+    assert(w(TimestampType, TimestampNTZType) == Right(TimestampNTZType))
+    assert(w(TimestampNTZType, TimestampType) == Right(TimestampNTZType))
+    assert(w(DateType, TimestampType) == Right(TimestampType))
+  }
+
   test("conflicts: stringify flag coerces, else hard error (schema.rs:184-191)") {
     assert(w(IntegerType, StringType, s = true) == Right(StringType))
     assert(w(StringType, DateType, s = true) == Right(StringType))
