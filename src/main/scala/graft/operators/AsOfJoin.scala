@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, attach the single right row
+  * with the greatest right timestamp <= the left timestamp, per key.
+  *
+  * Built by composing built-ins (preference (a) over a custom SparkPlan):
+  * tag + union both sides, then one window pass per key ordered by
+  * (ts, tag) carrying the last-seen right payload forward
+  * (`last(..., ignoreNulls)` over unbounded-preceding). Cost = ONE
+  * shuffle+sort on (key, ts) — the same physical work a dedicated
+  * sort-merge as-of operator would do, but it inherits AQE, codegen, and
+  * spill handling for free. Right rows sort before left rows at equal
+  * timestamps, so ties are inclusive (<=), matching ASOF JOIN semantics.
+  */
+object AsOfJoin {
+
+  /** @param left     probe side; keeps all its rows
+    * @param right    reference side; its `payloadCols` are attached
+    * @param keyCols  equality keys present in both
+    * @param leftTs / rightTs  event-time columns
+    * @return left rows + payload columns (null when no right row precedes)
+    */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val carryLeft = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTs)
+    // 0 = right (sorts first at equal ts => inclusive match), 1 = left
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")) ++
+        carryLeft.map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
+        payloadCols.map(c => lit(null).as(s"__p_$c")) ++
+        carryLeft.map(col): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = taggedRight.unionByName(taggedLeft)
+      .select((keyCols.map(col) :+ col("__ts") :+ col("__tag")) ++
+        carryLeft.map(col) ++
+        payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+    carried.where(col("__tag") === 1)
+      .drop("__tag")
+      .withColumnRenamed("__ts", leftTs)
+  }
+}

@@ -162,6 +162,20 @@ object RelationalQueries {
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin))
     }),
+    // as-of (backward) join: each error event matched to the same user's
+    // latest purchase at-or-before it — checked against DuckDB's native
+    // ASOF JOIN
+    "q26_asof_join" -> ((s, dir) => {
+      import graft.operators.AsOfJoin
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error").select("user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      ordered(AsOfJoin.asofBackward(errors, purchases, Seq("user_id"), "ts", "p_ts",
+          Seq("p_ts", "p_value"))
+        .select(col("user_id"), fmtTs(col("ts")).as("error_ts"),
+          fmtTs(col("p_ts")).as("purchase_ts"), col("p_value")))
+    }),
     // analytic window breadth: lag/lead/ntile/percent_rank in one pass
     "q25_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -306,6 +320,15 @@ object RelationalQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "q26_asof_join" ->
+      s"""SELECT e.user_id AS user_id,
+         |strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS error_ts,
+         |strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |p.value AS p_value
+         |FROM (SELECT * FROM events WHERE event_type = 'error') e
+         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         |ON e.user_id = p.user_id AND e.ts >= p.ts
+         |ORDER BY user_id NULLS FIRST, error_ts NULLS FIRST, purchase_ts NULLS FIRST, p_value NULLS FIRST""".stripMargin,
     "q25_window_analytics" ->
       s"""SELECT o_custkey, o_orderkey,
          |lag(o_orderkey, 1) OVER w AS prev_order,

@@ -88,6 +88,24 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("as-of backward join: latest right row at-or-before, nulls when none") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (1L, 20L, "tie"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 8L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0), (3L, 1L, 999.0))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .collect().map { r =>
+        r.getAs[String]("tag") -> ((
+          Option(r.getAs[java.lang.Long]("rt")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)))
+      }.toMap
+    assert(out("a") == ((Some(8L), Some(100.0))))   // 8 <= 10 < 20
+    assert(out("b") == ((Some(20L), Some(200.0))))  // 20 <= 25 < 30
+    assert(out("tie") == ((Some(20L), Some(200.0)))) // inclusive at equal ts
+    assert(out("c") == ((None, None)))              // key 2 has no right rows
+  }
+
   test("salted join equals plain join on skewed data") {
     import graft.operators.SkewJoin
     // 10k facts, 90% on one hot key
