@@ -176,6 +176,20 @@ object RelationalQueries {
         .select(col("user_id"), fmtTs(col("ts")).as("error_ts"),
           fmtTs(col("p_ts")).as("purchase_ts"), col("p_value")))
     }),
+    // range/interval join via the granule-bucketed equi formulation:
+    // errors landing within 1 hour after a purchase by the same user
+    "q27_range_join" -> ((s, dir) => {
+      import graft.operators.RangeJoin
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error").select("user_id", "ts")
+      val windows = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      ordered(RangeJoin.bucketed(errors, windows, Seq("user_id"),
+          "ts", "w_start", "w_end",
+          c => (unix_micros(c) / lit(1800000000L)).cast(LongType))
+        .groupBy("user_id").agg(count(lit(1)).as("n_errors_after_purchase")))
+    }),
     // analytic window breadth: lag/lead/ntile/percent_rank in one pass
     "q25_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -320,6 +334,14 @@ object RelationalQueries {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
          |${orderSql("o_orderstatus", "o_orderpriority", "n")}""".stripMargin,
+    "q27_range_join" ->
+      s"""SELECT e.user_id AS user_id, COUNT(*) AS n_errors_after_purchase
+         |FROM (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+         |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+         |ON e.user_id = p.user_id
+         |AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+         |AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+         |GROUP BY e.user_id ${orderSql("user_id", "n_errors_after_purchase")}""".stripMargin,
     "q26_asof_join" ->
       s"""SELECT e.user_id AS user_id,
          |strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS error_ts,

@@ -88,6 +88,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("range join: bucketed equi formulation equals the naive non-equi join") {
+    import graft.operators.RangeJoin
+    val events = (1 to 500).map(i => (i % 5L, i.toLong * 7 % 1000, s"e$i")).toDF("k", "t", "ev")
+    val intervals = (1 to 60).map { i =>
+      val s = i.toLong * 16 % 900
+      (i % 5L, s, s + (i % 50), s"iv$i")
+    }.toDF("k", "s", "e", "iv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("ev", "iv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val naive = canon(RangeJoin.naive(events, intervals, Seq("k"), "t", "s", "e"))
+    val bucketed = canon(RangeJoin.bucketed(events, intervals, Seq("k"), "t", "s", "e",
+      c => (c / 32).cast("long")))
+    assert(naive == bucketed)
+    assert(naive.nonEmpty)
+    // and the bucketed plan must be a hash/merge EQUI join, not nested-loop
+    val plan = RangeJoin.bucketed(events, intervals, Seq("k"), "t", "s", "e",
+      c => (c / 32).cast("long")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("as-of backward join: latest right row at-or-before, nulls when none") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (1L, 20L, "tie"))
