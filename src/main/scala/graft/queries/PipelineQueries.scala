@@ -58,6 +58,12 @@ object PipelineQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
+    "t06_top_bigrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TF.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(30)),
     "t05_lang_distribution" -> ((s, dir) =>
       ordered(t(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars")))),
@@ -197,6 +203,15 @@ object PipelineQueries {
       s"""SELECT token, COUNT(*) AS n FROM (
          |SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
          |FROM documents) GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "t06_top_bigrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS tok,
+         |    generate_subscripts(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0), 1) AS ord
+         |  FROM documents)
+         |SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS n
+         |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+         |GROUP BY 1 ORDER BY n DESC, bigram ASC LIMIT 30""".stripMargin,
     "t05_lang_distribution" ->
       s"""SELECT lang, COUNT(*) AS n, ${dsumSql("n_chars")} AS total_chars
          |FROM documents GROUP BY lang ${orderSql("lang")}""".stripMargin,
