@@ -81,6 +81,36 @@ object Hash64 {
   }
 }
 
+/** array<string>: word n-gram shingles as strings (NOT deduplicated —
+  * callers counting frequencies need the multiset). Same tight-loop
+  * tokenizer as the hash-based signatures.
+  */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    var start = -1
+    while (i <= s.length) {
+      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      if (ws) {
+        if (start >= 0) { toks += s.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    val out =
+      if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      else Array.tabulate(toks.length - n + 1) { j =>
+        UTF8String.fromString(toks.slice(j, j + n).mkString(" "))
+      }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleStrings = copy(child = c)
+  override def prettyName: String = "shingle_strings"
+}
+
 /** array<long>: deduplicated 64-bit hashes of word n-gram shingles. */
 case class ShingleHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {

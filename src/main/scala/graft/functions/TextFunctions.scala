@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.expressions.{MinHashSig, ShingleHashes, SimHash, TextStatsExpr}
+import graft.expressions.{MinHashSig, ShingleHashes, ShingleStrings, SimHash, TextStatsExpr}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
@@ -112,13 +112,10 @@ object TextFunctions {
 
   /** Word n-gram shingles as strings, e.g. n=3: ["a b c", "b c d", ...].
     * Documents shorter than n yield a single whole-text shingle.
+    * Tight-loop expression ([[graft.expressions.ShingleStrings]]).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleStrings(ExpressionUtils.expression(text), n))
 
   /** 64-bit hashes of the distinct shingles (tight-loop custom expression —
     * see [[graft.expressions.ShingleHashes]] for why not HOFs).
