@@ -228,6 +228,18 @@ object RelationalQueries {
         dayofmonth(col("o_orderdate")).as("d"),
         quarter(col("o_orderdate")).as("q"),
         date_format(date_add(col("o_orderdate").cast(DateType), 30), "yyyy-MM-dd").as("due")))),
+    // correlated scalar subquery (TPC-H Q17 flavor): small-quantity orders
+    // revenue, threshold = per-part average (exact decimal accumulation so
+    // the correlated threshold is engine-independent)
+    "q28_correlated_subquery" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q28")
+      ordered(s.sql(
+        """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+          |FROM lineitem_q28 l1
+          |WHERE l_quantity < 0.2 * (
+          |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          |  FROM lineitem_q28 l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
+    }),
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
@@ -319,6 +331,12 @@ object RelationalQueries {
     "q16_json_extract" ->
       s"""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin,
+    "q28_correlated_subquery" ->
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+         |FROM lineitem l1
+         |WHERE l_quantity < 0.2 * (
+         |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q18_typed_mapgroups" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
          |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin,
