@@ -186,6 +186,24 @@ class ConcatSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans (one per schema group), got $scans")
   }
 
+  test("nonexistent input fails with a clear error (tests/basic.rs:21-30)") {
+    intercept[IllegalArgumentException] {
+      Discovery.discover(Seq("/nonexistent/path.csv"))
+    }
+    intercept[IllegalArgumentException] {
+      Concat.run(spark, Concat.Config(Seq())) // no inputs at all
+    }
+  }
+
+  test("custom delimiter and quote (csv_in.rs:23-43)") {
+    val d = tmpDir("delim")
+    val f = writeFile(d, "x.csv", "a;b\n'x;y';2\n'plain';3\n")
+    val df = CsvSource.read(spark, f,
+      CsvSource.CsvOptions(delimiter = ";", quote = "'"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("x;y", 2L), ("plain", 3L))) // quoted delimiter preserved
+  }
+
   test("parquet-only concat of testdata tables") {
     val df = Concat.run(spark, Concat.Config(Seq(
       "/root/testdata/sf0.001/region.parquet", "/root/testdata/sf0.001/nation.parquet")))
