@@ -186,6 +186,18 @@ class ConcatSpec extends SparkSpec {
     assert(scans == 2, s"expected 2 scans (one per schema group), got $scans")
   }
 
+  test("mixed CSV + Parquet inputs unify into one plan") {
+    val d = tmpDir("mixedfmt")
+    val csv = writeFile(d, "extra.csv", "r_regionkey,r_comment\n99,from-csv\n")
+    val df = Concat.run(spark, Concat.Config(Seq(
+      "/root/testdata/sf0.001/region.parquet", csv)))
+    assert(df.columns.toSeq == Seq("r_comment", "r_name", "r_regionkey")) // alphabetical union
+    assert(df.count() == 6) // 5 parquet regions + 1 csv row
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("r_regionkey") == LongType) // parquet int32 + csv long -> long
+    assert(df.where(df("r_comment") === "from-csv").count() == 1)
+  }
+
   test("nonexistent input fails with a clear error (tests/basic.rs:21-30)") {
     intercept[IllegalArgumentException] {
       Discovery.discover(Seq("/nonexistent/path.csv"))
