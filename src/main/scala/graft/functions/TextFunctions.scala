@@ -97,6 +97,13 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Count of tokens in the given stopword list (case-insensitive). A high
+    * stopword ratio is a standard natural-language-ness signal for corpus
+    * quality filtering.
+    */
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(c), t => lower(t).isin(stopwords: _*)))
+
   /** Content fingerprint: 64-bit xxhash of whitespace-normalized text.
     * O(len) per row, codegen'd; the constant-seed Spark `xxhash64`.
     */

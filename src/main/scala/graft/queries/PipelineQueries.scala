@@ -16,6 +16,11 @@ import Q._
   */
 object PipelineQueries {
 
+  /** Minimal English stopword list used by the quality queries (kept tiny and
+    * explicit so the DuckDB oracle can mirror it verbatim).
+    */
+  private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
   /** documents + a mutated near-duplicate of each (first token dropped,
     * id offset by 1e6) — plants verifiable near-dups for the dedup family.
     */
@@ -67,6 +72,16 @@ object PipelineQueries {
     "t05_lang_distribution" -> ((s, dir) =>
       ordered(t(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars")))),
+    // stopword + repetition accounting (exact integer counts, oracled):
+    // the natural-language-ness and dedup-pressure signals of a quality filter
+    "t07_stopword_repetition" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.stopwordCount(col("text"), StopWords).as("n_stopwords"),
+        (TF.tokenCount(col("text")) - size(array_distinct(toks))).as("n_repeated")))
+    }),
     // ---- dedup family ----
     "d01_dedup_exact" -> ((s, dir) => {
       val doubled = t(s, dir, "documents").select("doc_id", "text")
@@ -215,6 +230,14 @@ object PipelineQueries {
     "t05_lang_distribution" ->
       s"""SELECT lang, COUNT(*) AS n, ${dsumSql("n_chars")} AS total_chars
          |FROM documents GROUP BY lang ${orderSql("lang")}""".stripMargin,
+    "t07_stopword_repetition" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it'))) AS INTEGER) AS n_stopwords,
+         |CAST(len(toks) - len(list_distinct(toks)) AS INTEGER) AS n_repeated
+         |FROM d ${orderSql("doc_id")}""".stripMargin,
     "d01_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id FROM (
          |SELECT doc_id, text FROM documents

@@ -240,6 +240,51 @@ object RelationalQueries {
           |  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
           |  FROM lineitem_q28 l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin))
     }),
+    // pivot (wide conditional aggregation): order value by priority x status
+    "q29_pivot" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice"))))),
+    // unpivot / melt: wide metric columns -> long (metric, value) rows.
+    // Narrow per-row op — no shuffle; scales linearly.
+    "q30_unpivot" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value"))),
+    // theta (non-equi) join: broadcast nested loop over a small dim —
+    // the only join shape where BNLJ is the right plan
+    "q31_theta_join" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("a"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("b"))
+      ordered(n1.join(broadcast(n2), col("a") < col("b")))
+    }),
+    // uncorrelated scalar subquery: orders above 1.5x the global average
+    // (exact decimal accumulation makes the threshold engine-independent)
+    "q32_uncorrelated_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q32")
+      ordered(s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_q32
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+          |  FROM orders_q32)""".stripMargin))
+    }),
+    // array higher-order functions (transform/aggregate/filter over token
+    // arrays) — integer arithmetic, so results are exact on both engines
+    "q33_array_hof" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val toks = TF.tokens(col("text"))
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        aggregate(transform(toks, x => length(x)), lit(0), (a, b) => a + b).as("sum_token_len"),
+        array_max(transform(toks, x => length(x))).as("max_token_len"),
+        size(array_distinct(toks)).as("n_distinct_tokens")))
+    }),
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
@@ -340,6 +385,37 @@ object RelationalQueries {
     "q18_typed_mapgroups" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
          |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin,
+    "q29_pivot" ->
+      s"""SELECT o_orderpriority,
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O",
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P"
+         |FROM orders GROUP BY o_orderpriority ${orderSql("o_orderpriority")}""".stripMargin,
+    "q30_unpivot" ->
+      s"""SELECT l_orderkey, l_linenumber, metric, value FROM (
+         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+         |${orderSql("l_orderkey", "l_linenumber", "metric", "value")}""".stripMargin,
+    "q31_theta_join" ->
+      s"""SELECT n1.n_nationkey AS a, n2.n_nationkey AS b
+         |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+         |${orderSql("a", "b")}""".stripMargin,
+    "q32_uncorrelated_subquery" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice > 1.5 * (
+         |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) FROM orders)
+         |${orderSql("o_orderkey", "o_totalprice")}""".stripMargin,
+    "q33_array_hof" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+         |COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER), 0) AS sum_token_len,
+         |CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_token_len,
+         |CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
+         |FROM d ${orderSql("doc_id")}""".stripMargin,
     // sliding window = union of the two 30m-aligned tumbling assignments
     "q19_sliding_window" ->
       s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
