@@ -1,0 +1,125 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Tight-loop vector math over `array<float>` / `array<double>` embedding
+  * columns, replacing the `aggregate(zip_with(...))` higher-order-function
+  * formulations: HOFs are CodegenFallback and evaluate their lambdas per
+  * element with boxing, which makes a 64-dim dot product ~100x slower than
+  * one JVM loop per row (same trap as the text-signature expressions —
+  * see [[TextSignatures]]).
+  *
+  * Numeric contract: accumulation is double, strictly left-to-right — the
+  * exact fold order of the HOF versions — so switching implementations
+  * changes NOTHING in query results (the similarity queries' oracle hashes
+  * stay identical).
+  */
+object VectorOps {
+
+  /** Element accessor that works for both float and double arrays. */
+  @inline def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** sum_i a(i)*b(i), double accumulation, left-to-right. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = VectorOps.isFloatArray(left.dataType)
+  private lazy val rf = VectorOps.isFloatArray(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += VectorOps.get(a, lf, i) * VectorOps.get(b, rf, i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))); 0.0 when either norm is 0
+  * — one pass over both arrays, formula identical to the HOF version.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = VectorOps.isFloatArray(left.dataType)
+  private lazy val rf = VectorOps.isFloatArray(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = VectorOps.get(a, lf, i); val y = VectorOps.get(b, rf, i)
+      dab += x * y; daa += x * x; dbb += y * y
+      i += 1
+    }
+    val d = math.sqrt(daa) * math.sqrt(dbb)
+    if (d == 0.0) 0.0 else dab / d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
+}
+
+/** sqrt(sum_i (a(i)-b(i))^2), double accumulation, left-to-right. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private lazy val lf = VectorOps.isFloatArray(left.dataType)
+  private lazy val rf = VectorOps.isFloatArray(right.dataType)
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = VectorOps.get(a, lf, i) - VectorOps.get(b, rf, i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Distance =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_l2"
+}
+
+/** Sign-LSH bucket id over literal hyperplanes: bit i = (v . plane_i) > 0,
+  * packed into a long. ALL planes in one pass over the vector — the HOF
+  * version evaluated numPlanes separate array folds per row.
+  */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  private lazy val cf = VectorOps.isFloatArray(child.dataType)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += VectorOps.get(v, cf, i) * plane(i); i += 1 }
+      if (acc > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}

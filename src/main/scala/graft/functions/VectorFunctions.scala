@@ -1,33 +1,30 @@
 package graft.functions
 
+import graft.expressions.{CosineSim, DotProduct, L2Distance, LshBucket}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 
-/** Dense-vector math over `ArrayType(FloatType)` embedding columns, built
-  * from `zip_with`/`aggregate` higher-order functions (codegen'd, no UDF).
-  * Accumulation is in double for numeric stability and engine-independent
-  * determinism (left-to-right fold over the array = fixed order).
+/** Dense-vector math over `ArrayType(FloatType)` embedding columns, as
+  * tight-loop Catalyst expressions ([[graft.expressions.VectorOps]]) — the
+  * `zip_with`/`aggregate` HOF formulations are CodegenFallback with
+  * per-element boxing, ~100x slower on 64-dim vectors. Accumulation is
+  * double, strictly left-to-right (the HOF fold order), so results are
+  * deterministic and engine-comparison-stable.
   */
 object VectorFunctions {
 
+  private def expr(c: Column) = ExpressionUtils.expression(c)
+
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    ExpressionUtils.column(DotProduct(expr(a), expr(b)))
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
-  }
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(expr(a), expr(b)))
 
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val diff = x.cast("double") - y.cast("double")
-        diff * diff
-      }),
-      lit(0.0), (acc, v) => acc + v))
+    ExpressionUtils.column(L2Distance(expr(a), expr(b)))
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH (SimHash for
     * vectors, Charikar 2002): component j of plane i comes from a seeded
@@ -48,12 +45,8 @@ object VectorFunctions {
     * Vectors close in cosine land in the same bucket with high probability;
     * used to make near-dup search / ANN a bucket-local problem instead of a
     * full cross join — the difference between O(n^2) and O(n) at 100 TB.
+    * One pass over the vector computes all plane dots.
     */
-  def lshBucket(v: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = typedlit(p.toSeq)
-      when(dot(v, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    ExpressionUtils.column(LshBucket(expr(v), planes))
 }

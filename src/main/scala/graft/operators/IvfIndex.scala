@@ -38,32 +38,48 @@ object IvfIndex {
 
   /** Train a coarse quantizer on a deterministic sample with `iters` Lloyd
     * steps. Empty cells keep their previous centroid.
+    *
+    * ONE Spark job: the bounded sample (first `sampleSize` ids — seedless,
+    * replayable) is collected and Lloyd runs on the driver. K-means over a
+    * few thousand vectors is driver-trivial; the previous formulation spent
+    * `iters` rounds of explode/shuffle/collect on kilobytes of data, paying
+    * whole-job latency per round. At 100 TB the sample stays the same size —
+    * training cost is independent of corpus size by construction.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       sampleSize: Int = 2048, iters: Int = 2): Model = {
     val sample = emb.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol).cast("array<double>").as("v"))
-    val seed = sample.limit(k).collect().map(_.getSeq[Double](0).toArray)
-    require(seed.nonEmpty, "empty training set")
-    var model = Model(seed)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training set")
+    var centroids = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {
-      val assigned = sample.withColumn("cell", nearestCell(col("v"), model))
-      // element-wise mean per cell: explode dims, aggregate, rebuild
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(avg("col").as("m"))
-        .collect()
-      val byCell = means.groupBy(_.getInt(0))
-      val next = model.centroids.zipWithIndex.map { case (old, cell) =>
-        byCell.get(cell).fold(old) { rows =>
-          val c = old.clone()
-          rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
-          c
+      val dim = sample.head.length
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        // argmin over squared L2; ties keep the lowest cell id (the same
+        // order least(struct(dist, id)) imposes in [[nearestCell]])
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val cen = centroids(c)
+          var d = 0.0; var i = 0
+          val n = math.min(v.length, cen.length)
+          while (i < n) { val t = v(i) - cen(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
         }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < math.min(v.length, dim)) { s(i) += v(i); i += 1 }
       }
-      model = Model(next)
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
     }
-    model
+    Model(centroids)
   }
 
   /** Assign every vector its IVF cell (narrow, no shuffle). */
