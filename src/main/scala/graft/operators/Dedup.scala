@@ -96,8 +96,12 @@ object Dedup {
     a.join(b, Seq("band", "chunk"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), TF.hamming64(col("sigA"), col("sigB")).as("hamming"))
-      .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
+      // hamming is a function of (sigA, sigB) alone — the same for every
+      // band a pair collides in — so verify BEFORE the pair-dedup shuffle:
+      // random chunk collisions (hamming >> k) die map-side instead of
+      // being exchanged just to be discarded after the groupBy
       .where(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs. Candidates come
