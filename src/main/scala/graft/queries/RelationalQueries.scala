@@ -285,6 +285,17 @@ object RelationalQueries {
         array_max(transform(toks, x => length(x))).as("max_token_len"),
         size(array_distinct(toks)).as("n_distinct_tokens")))
     }),
+    // map functions: JSON -> map<string,long>, explode to (key, value) rows,
+    // aggregate per key (map_keys/map_values/element_at family)
+    "q34_map_funcs" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val m = from_json(col("props"), MapType(StringType, LongType))
+      ordered(t(s, dir, "events")
+        .select(col("event_type"), explode(m))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+          min("value").as("min_v"), max("value").as("max_v")))
+    }),
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
@@ -416,6 +427,14 @@ object RelationalQueries {
          |CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_token_len,
          |CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
          |FROM d ${orderSql("doc_id")}""".stripMargin,
+    "q34_map_funcs" ->
+      s"""WITH kv AS (
+         |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events)
+         |SELECT event_type, key, COUNT(*) AS n,
+         |CAST(SUM(CAST(json_extract_string(props, '$$.' || key) AS BIGINT)) AS BIGINT) AS sum_v,
+         |CAST(MIN(CAST(json_extract_string(props, '$$.' || key) AS BIGINT)) AS BIGINT) AS min_v,
+         |CAST(MAX(CAST(json_extract_string(props, '$$.' || key) AS BIGINT)) AS BIGINT) AS max_v
+         |FROM kv GROUP BY event_type, key ${orderSql("event_type", "key")}""".stripMargin,
     // sliding window = union of the two 30m-aligned tumbling assignments
     "q19_sliding_window" ->
       s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

@@ -81,6 +81,36 @@ class StreamingAndPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming: flatMapGroupsWithState emits 0..n rows per key per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    // emit one row per NEW distinct value seen for the key (dedup-with-state:
+    // the streaming form of incremental exact dedup); state = seen set
+    val firstSeen = ms.toDS().groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[(String, Int)], state: GroupState[Set[Int]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Int])
+          val fresh = it.map(_._2).toSeq.distinct.filterNot(seen)
+          state.update(seen ++ fresh)
+          fresh.iterator.map(v => (k, v))
+      }
+    val q = firstSeen.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("first_seen").start()
+    try {
+      ms.addData(("a", 1), ("a", 1), ("b", 7))
+      q.processAllAvailable()
+      ms.addData(("a", 1), ("a", 2), ("b", 7))
+      q.processAllAvailable()
+      val rows = spark.table("first_seen").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      // duplicates within AND across batches suppressed by state
+      assert(rows == Set(("a", 1), ("a", 2), ("b", 7)))
+      assert(spark.table("first_seen").count() == 3)
+    } finally q.stop()
+  }
+
   test("streaming with watermark + event-time window aggregates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val ctx = spark.sqlContext
