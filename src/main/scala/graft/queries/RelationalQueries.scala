@@ -285,6 +285,30 @@ object RelationalQueries {
         array_max(transform(toks, x => length(x))).as("max_token_len"),
         size(array_distinct(toks)).as("n_distinct_tokens")))
     }),
+    // ranking-function breadth: rank / dense_rank / cume_dist (row_number,
+    // lag/lead/ntile/percent_rank are covered by q07/q25)
+    "q35_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc)
+      ordered(t(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(cume_dist().over(w), 6).as("cd")))
+    }),
+    // scalar math-function breadth (transcendentals rounded: libm vs DuckDB
+    // may differ in the last ulp)
+    "q36_math_funcs" -> ((s, dir) =>
+      ordered(t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - lit(0.05)).as("abs_d"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          round(sqrt(col("l_quantity")), 6).as("sq"),
+          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          pmod(col("l_orderkey"), lit(7)).as("m7"),
+          signum(col("l_discount") - lit(0.05)).as("sgn")))),
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
@@ -427,6 +451,24 @@ object RelationalQueries {
          |CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_token_len,
          |CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
          |FROM d ${orderSql("doc_id")}""".stripMargin,
+    "q35_rank_funcs" ->
+      s"""SELECT o_orderstatus, o_orderkey,
+         |CAST(rank() OVER w AS INTEGER) AS rnk,
+         |CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         |round(cume_dist() OVER w, 6) AS cd
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+         |${orderSql("o_orderstatus", "o_orderkey", "rnk", "drnk", "cd")}""".stripMargin,
+    "q36_math_funcs" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |abs(l_discount - 0.05) AS abs_d,
+         |CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         |CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         |round(sqrt(l_quantity), 6) AS sq,
+         |round(ln(l_extendedprice), 6) AS ln_p,
+         |CAST(l_orderkey % 7 AS BIGINT) AS m7,
+         |CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+         |FROM lineitem ${orderSql("l_orderkey", "l_linenumber", "abs_d")}""".stripMargin,
     "q34_map_funcs" ->
       s"""WITH kv AS (
          |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events)
