@@ -83,7 +83,11 @@ object Hash64 {
 
 /** array<string>: word n-gram shingles as strings (NOT deduplicated —
   * callers counting frequencies need the multiset). Same tight-loop
-  * tokenizer as the hash-based signatures.
+  * tokenizer as the hash-based signatures. Documents with fewer than n
+  * tokens yield an EMPTY array (matching the ordinality-self-join
+  * formulation of n-grams, which emits nothing for short docs) — unlike
+  * [[Hash64.shingleHashes]], which keeps a whole-doc fallback shingle so
+  * MinHash signatures never degenerate to empty.
   */
 case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -101,7 +105,7 @@ case class ShingleStrings(child: Expression, n: Int)
       i += 1
     }
     val out =
-      if (toks.length < n) Array(UTF8String.fromString(toks.mkString(" ")))
+      if (toks.length < n) Array.empty[UTF8String]
       else Array.tabulate(toks.length - n + 1) { j =>
         UTF8String.fromString(toks.slice(j, j + n).mkString(" "))
       }

@@ -14,9 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, empty-safe. */
+  /** Whitespace tokens, empty-safe. HOF formulation — kept for the
+    * array-HOF showcase query; hot paths should prefer [[tokensFast]].
+    */
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Whitespace tokens via the tight-loop shingle expression (n=1 word
+    * shingles ARE the tokens). The `filter(split(...))` HOF chain is
+    * CodegenFallback with per-element lambda boxing — the measured ~100x
+    * trap — while this is one JVM loop per row.
+    */
+  def tokensFast(c: Column): Column = shingles(c, 1)
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
@@ -118,7 +127,7 @@ object TextFunctions {
       (acc, t) => shiftleft(acc, 5).bitwiseXOR(shiftright(acc, 59)).bitwiseXOR(xxhash64(t)))
 
   /** Word n-gram shingles as strings, e.g. n=3: ["a b c", "b c d", ...].
-    * Documents shorter than n yield a single whole-text shingle.
+    * Documents shorter than n tokens yield an empty array.
     * Tight-loop expression ([[graft.expressions.ShingleStrings]]).
     */
   def shingles(text: Column, n: Int): Column =

@@ -32,22 +32,28 @@ object AsOfJoin {
       rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
     val carryLeft = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTs)
+    // All payload columns travel as ONE struct so `last(ignoreNulls)` picks
+    // the whole matched right row atomically — per-column windows would
+    // stitch fields from DIFFERENT right rows whenever a payload value is
+    // null, violating single-row-match ASOF semantics.
+    val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
     // 0 = right (sorts first at equal ts => inclusive match), 1 = left
     val taggedRight = right.select(
-      (keyCols.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")) ++
+      (keyCols.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag") :+
+        struct(payloadCols.map(col): _*).as("__p")) ++
         carryLeft.map(c => lit(null).as(c)): _*)
     val taggedLeft = left.select(
-      (keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag")) ++
-        payloadCols.map(c => lit(null).as(s"__p_$c")) ++
+      (keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag") :+
+        lit(null).cast(payloadType).as("__p")) ++
         carryLeft.map(col): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .select((keyCols.map(col) :+ col("__ts") :+ col("__tag")) ++
         carryLeft.map(col) ++
-        payloadCols.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c)): _*)
+        payloadCols.map(c => col("__m").getField(c).as(c)): _*)
     carried.where(col("__tag") === 1)
       .drop("__tag")
       .withColumnRenamed("__ts", leftTs)

@@ -83,6 +83,12 @@ object Dedup {
       maxHamming: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 1000): DataFrame = {
+    // the pigeonhole guarantee (any pair within maxHamming shares >=1 exact
+    // chunk) needs even chunks covering all 64 bits and more chunks than
+    // allowed differing bits
+    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    require(maxHamming < bands,
+      s"maxHamming ($maxHamming) must be < bands ($bands) for the pigeonhole guarantee")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = docs.select(col(idCol).as("id"), TF.simhash64(col(textCol)).as("sig"))
@@ -107,6 +113,15 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for candidate pairs. Candidates come
     * from minhash position collisions (cheap); the verify step recomputes
     * TRUE Jaccard from the shingle-hash sets — no estimation error.
+    *
+    * `bandRows` trades candidate recall against candidate volume: a pair
+    * with true Jaccard J collides in one band with probability J^bandRows,
+    * so missing all `numHashes/bandRows` bands has probability
+    * (1 - J^bandRows)^(numHashes/bandRows). The default r=2 keeps false
+    * positives ~J^2 per band (few exact verifies) — right at corpus scale;
+    * r=1 with numHashes>=16 makes recall at J>=0.5 effectively 1
+    * (miss < 2e-5), which is how the driver's DuckDB brute-force oracle can
+    * hash-match this operator end-to-end.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -115,16 +130,16 @@ object Dedup {
       shingleN: Int = 3,
       minJaccard: Double = 0.5,
       numHashes: Int = 16,
+      bandRows: Int = 2,
       maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bandRows == 0, "bandRows must divide numHashes")
     val base = docs.select(
       col(idCol).as("id"),
       TF.shingleHashes(col(textCol), shingleN).as("sh"),
       TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
       .repartition(col("id")) // single shared exchange (see minhashPairs)
-    // r=2 banding (pairs of signature positions) keeps candidate false
-    // positives ~J^2 per band instead of ~J — far fewer exact-verify pairs
-    val bandKeys = (0 until numHashes / 2).map(b =>
-      xxhash64(col("sig").getItem(2 * b), col("sig").getItem(2 * b + 1), lit(b)))
+    val bandKeys = (0 until numHashes / bandRows).map(b =>
+      xxhash64(((0 until bandRows).map(r => col("sig").getItem(bandRows * b + r)) :+ lit(b)): _*))
     val banded = base.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
     val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
@@ -135,22 +150,35 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Embedding near-dup pairs: sign-LSH bucket join + exact cosine verify. */
+  /** Embedding near-dup pairs: sign-LSH bucket join + exact cosine verify.
+    *
+    * Multi-table LSH: a pair is a candidate if its `numPlanes`-bit sign
+    * bucket matches in ANY of `tables` independently-seeded tables. A pair
+    * at cosine c collides per table with p = (1 - acos(c)/pi)^numPlanes, so
+    * recall = 1 - (1-p)^tables; the 8x8 default gives ~99% recall at
+    * c=0.95 (vs ~28% for the previous single 12-plane table) and ~1-2e-8
+    * miss at c=0.999, while keeping candidates bucket-local. Fewer planes =
+    * bigger buckets (more exact verifies); more tables = proportionally more
+    * slim (id, band, bucket) shuffle rows — both linear, never quadratic.
+    */
   def embeddingPairs(
       emb: DataFrame,           // (id, vector)
       idCol: String,
       vecCol: String,
       minCosine: Double = 0.95,
-      numPlanes: Int = 12,
+      numPlanes: Int = 8,
       dim: Int = 64,
+      tables: Int = 8,
       maxBucketSize: Int = 2000): DataFrame = {
-    val planes = VF.hyperplanes(numPlanes, dim)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id")) // single shared exchange (see minhashPairs)
-    val bucketed = base.select(col("id"),
-      VF.lshBucket(col("v"), planes).as("bucket"))
-    val candidates = pairCandidates(bucketed.withColumn("band", lit(0)),
-      Seq("band", "bucket"), maxBucketSize)
+    // one lshBucket expression per table (each a single pass over the
+    // vector); posexplode to slim (id, band=table, bucket) rows
+    val bucketKeys = (0 until tables).map(t =>
+      VF.lshBucket(col("v"), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
+    val banded = base.select(col("id"), posexplode(array(bucketKeys: _*)))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
     attach(candidates, base, "v")
       .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= minCosine)

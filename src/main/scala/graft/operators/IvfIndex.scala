@@ -39,18 +39,27 @@ object IvfIndex {
   /** Train a coarse quantizer on a deterministic sample with `iters` Lloyd
     * steps. Empty cells keep their previous centroid.
     *
-    * ONE Spark job: the bounded sample (first `sampleSize` ids — seedless,
-    * replayable) is collected and Lloyd runs on the driver. K-means over a
-    * few thousand vectors is driver-trivial; the previous formulation spent
-    * `iters` rounds of explode/shuffle/collect on kilobytes of data, paying
-    * whole-job latency per round. At 100 TB the sample stays the same size —
-    * training cost is independent of corpus size by construction.
+    * ONE Spark job, O(sampleSize) read: a plain `limit` (no sort) plans as
+    * CollectLimit, which scans input splits in listing order and STOPS once
+    * `sampleSize` rows are collected — only the first split(s) are ever
+    * read, so sampling cost is independent of corpus size. (The previous
+    * `orderBy(id).limit()` formulation planned as TakeOrderedAndProject: a
+    * full-corpus scan+compare just to pick 2k training rows — a 100-TB read
+    * at scale.) File listing order is deterministic, so the sample is
+    * replayable; rows are additionally sorted by id driver-side so centroid
+    * initialization doesn't depend on within-split delivery order. Lloyd
+    * runs on the driver: k-means over a few thousand vectors is
+    * driver-trivial, and distributed iterations would pay whole-job latency
+    * per round for kilobytes of data.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       sampleSize: Int = 2048, iters: Int = 2): Model = {
-    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .limit(sampleSize)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training set")
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {

@@ -42,10 +42,12 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "t01_text_stats" -> ((s, dir) =>
+      // token count via the one-pass TextStatsExpr walk, not the
+      // CodegenFallback filter(split(...)) HOF chain (~100x per-row cost)
       ordered(t(s, dir, "documents").select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
-        TF.tokenCount(col("text")).as("n_tokens")))),
+        TF.textStats(col("text")).getField("n_tokens").as("n_tokens")))),
     "t02_text_quality" -> ((s, dir) => // heuristic scores: rows-only
       ordered(t(s, dir, "documents")
         .withColumn("stats", TF.textStats(col("text"))) // ONE text walk per row
@@ -59,7 +61,7 @@ object PipelineQueries {
         col("doc_id"), md5(col("text").cast(BinaryType)).as("fp")))),
     "t04_token_freq" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(explode(TF.tokens(col("text"))).as("token"))
+        .select(explode(TF.tokensFast(col("text"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(50)),
@@ -98,18 +100,24 @@ object PipelineQueries {
     "d04_simhash_pairs" -> ((s, dir) =>
       ordered(Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
         maxHamming = 2, bands = 4))),
+    // r=1 banding with 16 hashes -> candidate recall at J>=0.5 is ~1
+    // (miss < 2e-5), so the DuckDB brute-force exact-Jaccard oracle is a
+    // true end-to-end check INCLUDING the LSH candidate stage's recall
     "d05_ngram_jaccard_pairs" -> ((s, dir) =>
       ordered(Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        shingleN = 3, minJaccard = 0.5)
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard")))),
     "d06_embed_near_dup" -> ((s, dir) =>
       ordered(Dedup.embeddingPairs(embWithNearDups(s, dir), "vec_id", "embedding",
-        minCosine = 0.999, numPlanes = 10, dim = 64)
+        minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8)
         .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine")))),
+    // survivors over EXACT-verified jaccard pairs (same recall-1 candidate
+    // params as d05), so keep-first selection is DuckDB-oracle-checkable
+    // end-to-end; minhash estimated pairs stay covered by d03
     "d07_dedup_survivors" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
-      val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
       ordered(Dedup.survivors(docs, "doc_id", pairs).select("doc_id"))
     }),
     "d08_curation_pipeline" -> ((s, dir) => {
@@ -122,7 +130,7 @@ object PipelineQueries {
         .agg(min(col("doc_id")).as("doc_id"))
       ordered(filtered.join(survivors, "doc_id")
         .select(col("doc_id"), col("lang"),
-          TF.tokenCount(col("text")).as("n_tokens")))
+          TF.textStats(col("text")).getField("n_tokens").as("n_tokens")))
     }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
@@ -246,6 +254,56 @@ object PipelineQueries {
     "d02_dedup_fingerprint" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY md5(text) ${orderSql("fp", "doc_id")}""".stripMargin,
+    // brute-force exact word-3-gram Jaccard: shingle-explode + equi-join on
+    // the shingle gives every pair with intersection>0 (superset of J>=0.5),
+    // |A u B| = |A| + |B| - |A n B|. Mirrors ShingleHashes semantics: distinct
+    // shingles, whole-doc fallback shingle for docs shorter than n tokens.
+    "d05_ngram_jaccard_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |         COUNT(*) AS inter, any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT idA, idB,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+         |${orderSql("idA", "idB", "jaccard")}""".stripMargin,
+    // keep-first survivors of the exact-Jaccard near-dup pairs: every id
+    // that is the LARGER member of any J>=0.5 pair is dropped
+    "d07_dedup_survivors" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5)
+         |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |${orderSql("doc_id")}""".stripMargin,
     "d08_curation_pipeline" ->
       s"""SELECT d.doc_id AS doc_id, d.lang,
          |len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> length(x) > 0)) AS n_tokens

@@ -146,8 +146,9 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .select(fmtTs(col("window.start")).as("window_start"), col("event_type"),
           col("n"), col("total_value")))),
-    // session windows (30-minute inactivity gap) per user — rows-only
-    // (session merge semantics aren't reasonably SQL-expressible)
+    // session windows (30-minute inactivity gap) per user — oracled via
+    // the DuckDB gaps-and-islands formulation (lag -> new-session flag ->
+    // cumulative sum), which reproduces session-merge semantics exactly
     "q20_session_window" -> ((s, dir) =>
       ordered(events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -309,6 +310,25 @@ object RelationalQueries {
           round(log(col("l_extendedprice")), 6).as("ln_p"),
           pmod(col("l_orderkey"), lit(7)).as("m7"),
           signum(col("l_discount") - lit(0.05)).as("sgn")))),
+    // left outer join: enrichment shape every real pipeline uses — customers
+    // keep their row (null order columns) when no order matches
+    "q37_left_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+    }),
+    // full outer join: per-status order counts per customer, customers
+    // appearing on either side survive with nulls on the missing side
+    "q38_full_outer_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val f = ord.where(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("k_f")).agg(count(lit(1)).as("n_f"))
+      val o = ord.where(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("k_o")).agg(count(lit(1)).as("n_o"))
+      ordered(f.join(o, col("k_f") === col("k_o"), "full")
+        .select(coalesce(col("k_f"), col("k_o")).as("o_custkey"), col("n_f"), col("n_o")))
+    }),
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
@@ -469,6 +489,17 @@ object RelationalQueries {
          |CAST(l_orderkey % 7 AS BIGINT) AS m7,
          |CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
          |FROM lineitem ${orderSql("l_orderkey", "l_linenumber", "abs_d")}""".stripMargin,
+    "q37_left_outer_join" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |${orderSql("c_custkey", "c_name", "o_orderkey", "o_totalprice")}""".stripMargin,
+    "q38_full_outer_join" ->
+      s"""SELECT COALESCE(f.k, o.k) AS o_custkey, f.n_f AS n_f, o.n_o AS n_o FROM
+         |(SELECT o_custkey AS k, COUNT(*) AS n_f FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f
+         |FULL OUTER JOIN
+         |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
+         |ON f.k = o.k
+         |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
     "q34_map_funcs" ->
       s"""WITH kv AS (
          |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events)
@@ -485,6 +516,23 @@ object RelationalQueries {
          |  UNION ALL
          |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000) * 1800000000 - 1800000000) AS ws, event_type, value FROM events
          |) GROUP BY 1, 2 ${orderSql("window_start", "event_type", "n")}""".stripMargin,
+    // gaps-and-islands: a session starts where the gap since the previous
+    // event (same user) is >= 30 min; cumulative sum of start flags = session
+    // id; then min(ts)/count per session — exactly session_window's merge rule
+    // (an event extends the session while ts < previous end = prev_ts + gap)
+    "q20_session_window" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |f AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS ns FROM e),
+         |g AS (SELECT user_id, ts,
+         |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f)
+         |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |COUNT(*) AS n_events
+         |FROM g GROUP BY user_id, sid
+         |${orderSql("user_id", "session_start", "n_events")}""".stripMargin,
     "q21_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

@@ -14,6 +14,10 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** `Observation.getOrEmpty` is `private[sql]`; non-blocking metric fetch. */
-  def observed(o: org.apache.spark.sql.Observation): Map[String, Any] = o.getOrEmpty
+  /** Blocking metric fetch: the listener bus delivers Observation metrics
+    * asynchronously, so a non-blocking read right after the write races and
+    * can come back empty. The write has already finished when this is
+    * called, so `get` resolves promptly.
+    */
+  def observed(o: org.apache.spark.sql.Observation): Map[String, Any] = o.get
 }
