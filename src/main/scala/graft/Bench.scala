@@ -47,14 +47,20 @@ object Bench {
     val tmp = Files.createTempDirectory("graft-bench")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val csvIn = tmp.resolve("lineitem_csv").toString
-    li.write.option("header", "true").csv(csvIn)
+    // columns in unified (sorted) order — the shape of any maw-written CSV,
+    // so the CSV->CSV leg measures the chained-concat fast path
+    li.select(li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.option("header", "true").csv(csvIn)
     val csvBytes = fileBytes(csvIn)
     val parquetBytes = fileBytes(s"$sfDir/lineitem.parquet")
     def conv(in: String, out: String, fmt: Discovery.Format): Double = {
       def once(): Double = time {
-        val df = Concat.run(spark, Concat.Config(Seq(in)))
-        Sink.write(df, Sink.Config(tmp.resolve(out).toString, fmt,
-          compression = "zstd", singleFile = false))
+        // the exact CLI batch pipeline (Maw.main): CSV->CSV takes the
+        // validated byte-level fast path, anything typed takes plan+write
+        Concat.convert(spark, Concat.Config(Seq(in),
+          rawPassThrough = fmt == Discovery.Csv),
+          Sink.Config(tmp.resolve(out).toString, fmt,
+            compression = "zstd", singleFile = false))
       }
       // best of 3: conversions run early in JVM life, so run 1 pays codegen
       // + parser JIT; three repeats reach the steady state the queries get

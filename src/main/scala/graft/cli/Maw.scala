@@ -12,6 +12,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Maw {
 
+  /** Scheduler-bus byte totals for the batch path — the cluster-honest
+    * source of throughput numbers (per-task input/output metrics, summed).
+    */
+  final class BytesListener extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val written = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskMetrics != null) {
+        read.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        written.addAndGet(t.taskMetrics.outputMetrics.bytesWritten)
+      }
+  }
+
   final case class Args(
       inputs: Vector[String] = Vector.empty,
       output: String = "output", // default path, pipeline.rs:50
@@ -105,6 +118,35 @@ object Maw {
     include = a.columns,
     exclude = a.exclude)
 
+  /** S2 integrity verify (cli.rs:118-120, crc64 intent in Cargo.toml:60;
+    * unimplemented in the reference): row count AND an order-insensitive row
+    * checksum, so count-preserving corruption is caught too. Returns
+    * (rows, checksum); throws IllegalStateException on any mismatch.
+    */
+  def verifyOutput(spark: SparkSession, cfg: Concat.Config, output: String,
+      fmt: Discovery.Format, naOut: String): (Long, java.math.BigDecimal) = {
+    val planned = Concat.run(spark, cfg)
+    val written = Sink.readBack(spark, output, fmt)
+    val expected = planned.count()
+    val actual = written.count()
+    if (expected != actual)
+      throw new IllegalStateException(s"verify failed: wrote $actual rows, expected $expected")
+    // CSV can't represent a timestamp's value apart from its rendering;
+    // exclude ts columns there (still checksummed through parquet)
+    val skip = if (fmt == Discovery.Csv)
+      planned.schema.fields.filter(f =>
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType).map(_.name).toSeq
+    else Seq.empty[String]
+    val nullRep = if (fmt == Discovery.Csv) Some(naOut) else None
+    val cs1 = Sink.rowChecksum(planned.drop(skip: _*), nullRep)
+    val cs2 = Sink.rowChecksum(written.drop(skip: _*), nullRep)
+    if (cs1 != cs2)
+      throw new IllegalStateException(
+        s"verify failed: row checksum mismatch (plan $cs1, written $cs2)")
+    (actual, cs2)
+  }
+
   def main(argv: Array[String]): Unit = {
     val a = parse(argv.toIndexedSeq)
     if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
@@ -129,15 +171,18 @@ object Maw {
     if (a.jsonLogs && !a.quiet)
       println(s"""{"event":"start","inputs":${a.inputs.size},"output":"${a.output}"}""")
     try {
+      val fmt = Discovery.outputFormat(a.output, a.outFormat)
+      // CSV in -> CSV out skips typed parse + re-render per cell (pure
+      // streaming concatenation); any parquet involvement keeps real types
+      val cfg = toConfig(a).copy(rawPassThrough = fmt == Discovery.Csv)
       if (a.dryRun) {
-        val (files, df) = Concat.plan(spark, toConfig(a))
+        val (files, df) = Concat.plan(spark, cfg)
         if (!a.quiet) {
           println(s"Dry run: ${files.size} file(s), unified schema ${df.schema.simpleString}")
           df.explain(true)
         }
         return // before writing (main.rs:73-76)
       }
-      val fmt = Discovery.outputFormat(a.output, a.outFormat)
       if (a.streaming) {
         // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch
         if (a.verbose > 0 && !a.quiet)
@@ -145,22 +190,25 @@ object Maw {
         graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt,
           a.checkpoint.getOrElse(a.output + ".checkpoint"))
       } else {
-        val df = Concat.run(spark, toConfig(a))
-        val metrics = Sink.write(df, Sink.Config(a.output, fmt, a.compression, a.naOut,
-          a.delimiter, a.rollByRows, a.rollByBytes))
+        // M1 batch progress (progress.rs:6-197 intent): task-level
+        // bytes-read/written from the scheduler bus -> MB/s over the run
+        val bytes = new BytesListener
+        spark.sparkContext.addSparkListener(bytes)
+        val t0 = System.nanoTime()
+        val metrics = Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
+          a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
+        val sec = (System.nanoTime() - t0) / 1e9
         if (!a.quiet) {
           val rows = metrics.getOrElse("rows_written", "?")
-          if (a.jsonLogs) println(s"""{"event":"progress","rows_written":$rows}""")
-          else println(s"wrote $rows rows -> ${a.output}")
+          val mbRead = bytes.read.get() / 1e6
+          val mbps = if (sec > 0) mbRead / sec else 0.0
+          if (a.jsonLogs)
+            println(f"""{"event":"progress","rows_written":$rows%s,"mb_read":$mbRead%.1f,"mb_written":${bytes.written.get() / 1e6}%.1f,"elapsed_sec":$sec%.2f,"mb_per_sec":$mbps%.1f}""")
+          else println(f"wrote $rows%s rows -> ${a.output}%s (${mbps}%.1f MB/s)")
         }
         if (a.verify) {
-          // S2 integrity verify (cli.rs:118-120, unimplemented there): the
-          // written output must re-read to the same row count as the plan
-          val expected = Concat.run(spark, toConfig(a)).count()
-          val actual = graft.sinks.Sink.readBack(spark, a.output, fmt).count()
-          if (expected != actual)
-            throw new IllegalStateException(s"verify failed: wrote $actual rows, expected $expected")
-          if (!a.quiet) println(s"verify ok: $actual rows")
+          val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut)
+          if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }
       if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":"${a.output}"}""")

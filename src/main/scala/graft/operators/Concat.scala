@@ -29,7 +29,16 @@ object Concat {
       stringifyConflicts: Boolean = false,
       renames: Map[String, String] = Map.empty,
       include: Option[Seq[String]] = None,
-      exclude: Seq[String] = Nil)
+      exclude: Seq[String] = Nil,
+      /** CSV->CSV fast path: when every input is CSV (and this is set), read
+        * all columns as strings — values pass straight from parser to writer
+        * with no typed parse + re-render per cell (the measured bottleneck of
+        * the conversion path). Faithful to pure streaming concatenation:
+        * unification degenerates to name alignment (nothing to widen), NA
+        * normalization still applies. Only the CSV sink should set this —
+        * a parquet sink wants real types.
+        */
+      rawPassThrough: Boolean = false)
 
   def readOne(spark: SparkSession, f: InputFile, csv: CsvSource.CsvOptions): DataFrame =
     f.format match {
@@ -48,9 +57,31 @@ object Concat {
   /** Discover + build the unified concat plan. Lazy — nothing big executes
     * here; CSV inference samples run concurrently on the driver.
     */
-  def plan(spark: SparkSession, cfg: Config): (Seq[InputFile], DataFrame) = {
+  def plan(spark: SparkSession, cfg0: Config): (Seq[InputFile], DataFrame) = {
+    val files = Discovery.discover(cfg0.inputs)
+    require(files.nonEmpty, s"no inputs found in ${cfg0.inputs.mkString(", ")}")
+    (files, planFor(spark, cfg0, files))
+  }
+
+  /** Full conversion pipeline (what the CLI's batch mode runs): the
+    * byte-level CSV->CSV fast path when eligible ([[CsvByteConcat]]), else
+    * the declarative plan + [[graft.sinks.Sink.write]]. Returns write
+    * metrics either way.
+    */
+  def convert(spark: SparkSession, cfg: Config,
+      sink: graft.sinks.Sink.Config): Map[String, Any] = {
     val files = Discovery.discover(cfg.inputs)
     require(files.nonEmpty, s"no inputs found in ${cfg.inputs.mkString(", ")}")
+    CsvByteConcat.tryRun(spark, files, cfg, sink).getOrElse(
+      graft.sinks.Sink.write(planFor(spark, cfg, files), sink))
+  }
+
+  /** Build the unified concat plan over already-discovered files. */
+  def planFor(spark: SparkSession, cfg0: Config, files: Seq[InputFile]): DataFrame = {
+    val cfg =
+      if (cfg0.rawPassThrough && files.forall(_.format == Csv))
+        cfg0.copy(csv = cfg0.csv.copy(inferTypes = false))
+      else cfg0
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -80,8 +111,7 @@ object Concat {
     }
     val unified = SchemaUnifier.unify(
       dfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
-    val out = dfs.map(SchemaUnifier.align(_, unified)).reduce(_ unionByName _)
-    (files, out)
+    dfs.map(SchemaUnifier.align(_, unified)).reduce(_ unionByName _)
   }
 
   def run(spark: SparkSession, cfg: Config): DataFrame = plan(spark, cfg)._2

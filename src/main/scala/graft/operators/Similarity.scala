@@ -38,6 +38,14 @@ object Similarity {
   /** ANN via `tables` independent sign-LSH hash tables: a pair is a
     * candidate if it collides in ANY table. Exact cosine on candidates,
     * then top-k. Recall grows with tables; cost stays bucket-local.
+    *
+    * `probes` > 0 enables query-side multi-probe: each query ALSO looks in
+    * the buckets at Hamming distance 1 from its own (the first `probes` bit
+    * flips). For moderate-similarity neighbors (per-plane agreement p ~0.6,
+    * typical when true neighbors are cosine 0.3-0.4), a near-miss by one bit
+    * is the dominant failure mode, so probing multiplies per-table recall
+    * ~3-4x at the cost of `probes` extra bucket lookups per query — only the
+    * small query side fans out; the corpus keeps one bucket per table.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -47,19 +55,23 @@ object Similarity {
       k: Int = 10,
       numPlanes: Int = 8,
       tables: Int = 4,
-      dim: Int = 64): DataFrame = {
-    def bucketed(df: DataFrame, id: String, v: String): DataFrame = {
-      val withBuckets = (0 until tables).foldLeft(
+      dim: Int = 64,
+      probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes, s"probes must be in [0, $numPlanes]")
+    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
+      (0 until tables).foldLeft(
         df.select(col(idCol).as(id), col(vecCol).as(v))) { (d, t) =>
         d.withColumn(s"b$t", VF.lshBucket(col(v), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
       }
-      withBuckets.select(col(id), col(v),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("table"), col(s"b$t").as("bucket"))): _*)).as("tb"))
+    def expanded(df: DataFrame, id: String, v: String, masks: Seq[Long]): DataFrame =
+      withBuckets(df, id, v).select(col(id), col(v),
+        explode(array((for { t <- 0 until tables; m <- masks } yield
+          struct(lit(t).as("table"),
+            col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)).as("tb"))
         .select(col(id), col(v), col("tb.table"), col("tb.bucket"))
-    }
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val q = bucketed(queries, "query_id", "qv")
+    val c = expanded(corpus, "neighbor_id", "cv", Seq(0L))
+    val q = expanded(queries, "query_id", "qv",
+      0L +: (0 until probes).map(1L << _))
     val scored = c.join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("cv")).as("cosine"))

@@ -121,6 +121,38 @@ object Sink {
     }
   }
 
+  /** Order-insensitive row checksum for `--verify` (S2): sum over rows of
+    * xxhash64 of the row's canonical string rendering, accumulated as
+    * DECIMAL(38,0) (ANSI mode would throw on a bigint SUM overflow; decimal
+    * can't overflow at any realistic row count). Catches count-preserving
+    * corruption that the row-count compare alone can't.
+    *
+    * `csvNullRep`: CSV output can't distinguish null from the NA string (or
+    * from "" when naString is empty), so for CSV both fold to the NA string
+    * on BOTH sides before hashing — plan-side nulls render the way the
+    * writer renders them, read-back empty cells parse back the way the
+    * reader parses them, and the two representations agree. (The caller
+    * drops timestamp columns for CSV — their text format is a writer
+    * option, not a value property.) Parquet round-trips types exactly, so
+    * `None` hashes the plain string cast.
+    */
+  def rowChecksum(df: DataFrame, csvNullRep: Option[String]): java.math.BigDecimal = {
+    import org.apache.spark.sql.functions._
+    val cols = df.schema.fields.map { f =>
+      val base = col(f.name).cast("string")
+      csvNullRep match {
+        case Some(rep) => coalesce(nullif(base, lit("")), lit(if (rep.isEmpty) "\u0000" else rep))
+        case None      => coalesce(base, lit("\u0000"))
+      }
+    }
+    val agg = df
+      .select(xxhash64(struct(cols.toIndexedSeq: _*))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .agg(sum(col("h")).as("checksum"))
+      .collect().head
+    if (agg.isNullAt(0)) java.math.BigDecimal.ZERO else agg.getDecimal(0)
+  }
+
   /** Move part files out of the Spark output directory to honor the
     * reference's file-path contract: one file at `path`, or rolled parts
     * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).

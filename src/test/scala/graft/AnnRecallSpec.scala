@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.{IvfIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Recall of the approximate ANN paths (s02 LSH, s03 IVF) against the exact
+  * brute-force ranking (s01) on the real embeddings fixture, with the SAME
+  * parameters the driver queries use. The driver's correctness gate can only
+  * check s02/s03 rows-count (approximate results are engine-specific), so
+  * this is the guard against silent recall regressions from parameter drift.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val emb = sf("embeddings").select("vec_id", "embedding")
+  private lazy val queries = emb.where(col("vec_id") < 10)
+  private lazy val exact =
+    pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+
+  test("LSH top-k (s02 parameters) recall@5 >= 0.9 vs exact ranking") {
+    val lsh = pairs(Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4))
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"LSH recall@5 = $recall%.3f (${(lsh & exact).size}/${exact.size})")
+    assert(recall >= 0.9, f"LSH recall@5 regressed: $recall%.3f < 0.9")
+  }
+
+  test("IVF top-k (s03 parameters) recall@5 >= 0.9 vs exact ranking") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val ivf = pairs(IvfIndex.topK(emb, queries, "vec_id", "embedding",
+      model, k = 5, nprobe = 4))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f (${(ivf & exact).size}/${exact.size})")
+    assert(recall >= 0.9, f"IVF recall@5 regressed: $recall%.3f < 0.9")
+  }
+}

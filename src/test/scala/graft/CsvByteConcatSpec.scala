@@ -1,0 +1,164 @@
+package graft
+
+import graft.operators.{Concat, CsvByteConcat}
+import graft.sinks.Sink
+import graft.sources.Discovery
+import java.nio.file.Files
+
+/** The byte-level CSV->CSV fast path must be value-identical to the
+  * all-string Concat+Sink pipeline: clean files copy through, dirty files
+  * (NA fields / ragged rows / odd quoting) are normalized record-by-record.
+  */
+class CsvByteConcatSpec extends SparkSpec {
+
+  private def sinkCfg(path: String) =
+    Sink.Config(path, Discovery.Csv, singleFile = true)
+
+  private def convert(inputs: Seq[String], out: String,
+      naOut: String = ""): Map[String, Any] =
+    Concat.convert(spark, Concat.Config(inputs, rawPassThrough = true),
+      Sink.Config(out, Discovery.Csv, naString = naOut))
+
+  private def readValues(path: String): Seq[Seq[String]] =
+    spark.read.option("header", "true").csv(path)
+      .collect().toSeq.map(r => (0 until r.length).map(i =>
+        Option(r.getString(i)).getOrElse("<null>")))
+
+  test("clean files: byte copy, exact bytes preserved, rows counted") {
+    val d = tmpDir("bcc1")
+    val f1 = writeFile(d, "a.csv", "k,v\n1,x\n2,y\n")
+    val f2 = writeFile(d, "b.csv", "k,v\n3,z\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f1, f2), out)
+    assert(m("rows_written") == 3L)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,x\n2,y\n3,z\n")
+  }
+
+  test("quoted fields with embedded delimiters pass through untouched") {
+    val d = tmpDir("bcc2")
+    val f = writeFile(d, "a.csv", "k,v\n1,\"x,with,commas\"\n2,\"he said \"\"hi\"\"\"\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f), out)
+    assert(m("rows_written") == 2L)
+    assert(Files.readString(d.resolve("out.csv")) ==
+      "k,v\n1,\"x,with,commas\"\n2,\"he said \"\"hi\"\"\"\n")
+  }
+
+  test("NA fields trigger record fallback and are normalized like the typed path") {
+    val d = tmpDir("bcc3")
+    val f = writeFile(d, "a.csv", "k,v\n1,NA\n2,ok\nnull,3\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f), out)
+    assert(m("rows_written") == 3L)
+    // NA/null cells -> empty (naOut default ""), others untouched
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,\n2,ok\n,3\n")
+    // and with a visible NA string
+    val out2 = d.resolve("out2.csv").toString
+    convert(Seq(f), out2, naOut = "\\N")
+    assert(Files.readString(d.resolve("out2.csv")) == "k,v\n1,\\N\n2,ok\n\\N,3\n")
+  }
+
+  test("quoted NA is normalized too (parser unquotes before the NA compare)") {
+    val d = tmpDir("bcc4")
+    val f = writeFile(d, "a.csv", "k,v\n1,\"NA\"\n2,ok\n")
+    val out = d.resolve("out.csv").toString
+    convert(Seq(f), out)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,\n2,ok\n")
+  }
+
+  test("substring NA (NATION) does NOT trigger normalization") {
+    val d = tmpDir("bcc5")
+    val f = writeFile(d, "a.csv", "k,v\n1,NATION\n2,nullify\n")
+    val out = d.resolve("out.csv").toString
+    convert(Seq(f), out)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,NATION\n2,nullify\n")
+  }
+
+  test("ragged rows fall back and are padded/truncated to header width") {
+    val d = tmpDir("bcc6")
+    val f = writeFile(d, "a.csv", "k,v\n1\n2,x,extra\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f), out)
+    assert(m("rows_written") == 2L)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,\n2,x\n")
+  }
+
+  test("mixed clean + dirty files: each file independently fast or fallback") {
+    val d = tmpDir("bcc7")
+    val clean = writeFile(d, "a.csv", "k,v\n1,x\n")
+    val dirty = writeFile(d, "b.csv", "k,v\nNA,y\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(clean, dirty), out)
+    assert(m("rows_written") == 2L)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,x\n,y\n")
+  }
+
+  test("different headers: byte path declines, typed pipeline handles it") {
+    val d = tmpDir("bcc8")
+    val f1 = writeFile(d, "a.csv", "a,b\n1,x\n")
+    val f2 = writeFile(d, "b.csv", "a,c\n2,y\n")
+    assert(CsvByteConcat.tryRun(spark,
+      Discovery.discover(Seq(f1, f2)),
+      Concat.Config(Seq(f1, f2), rawPassThrough = true),
+      sinkCfg(d.resolve("never.csv").toString)).isEmpty)
+    // convert() still produces the unified result via the normal path
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f1, f2), out)
+    assert(m("rows_written") == 2L)
+    val vals = readValues(out)
+    assert(vals.toSet == Set(Seq("1", "x", "<null>"), Seq("2", "<null>", "y")))
+  }
+
+  test("missing trailing newline: parts still concatenate row-safe") {
+    val d = tmpDir("bcc9")
+    val f1 = writeFile(d, "a.csv", "k,v\n1,x") // no trailing \n
+    val f2 = writeFile(d, "b.csv", "k,v\n2,y\n")
+    val out = d.resolve("out.csv").toString
+    val m = convert(Seq(f1, f2), out)
+    assert(m("rows_written") == 2L)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,x\n2,y\n")
+  }
+
+  test("multi-file (singleFile=false) output: header per part, direct final names") {
+    val d = tmpDir("bcc10")
+    val f1 = writeFile(d, "a.csv", "k,v\n1,x\n")
+    val f2 = writeFile(d, "b.csv", "k,v\n2,y\n")
+    val out = d.resolve("out.csv").toString
+    val m = Concat.convert(spark, Concat.Config(Seq(f1, f2), rawPassThrough = true),
+      Sink.Config(out, Discovery.Csv, singleFile = false))
+    assert(m("rows_written") == 2L)
+    assert(Files.readString(d.resolve("out-0000.csv")) == "k,v\n1,x\n")
+    assert(Files.readString(d.resolve("out-0001.csv")) == "k,v\n2,y\n")
+  }
+
+  test("unsorted header declines (unification reorders alphabetically)") {
+    val d = tmpDir("bcc12")
+    val f = writeFile(d, "a.csv", "z,a\n1,2\n")
+    assert(CsvByteConcat.tryRun(spark, Discovery.discover(Seq(f)),
+      Concat.Config(Seq(f), rawPassThrough = true),
+      sinkCfg(d.resolve("never.csv").toString)).isEmpty)
+    // the fallback output has the reordered columns
+    val out = d.resolve("out.csv").toString
+    convert(Seq(f), out)
+    assert(Files.readString(d.resolve("out.csv")) == "a,z\n2,1\n")
+  }
+
+  test("byte path and all-string pipeline agree value-for-value on testdata CSV") {
+    val d = tmpDir("bcc11")
+    // render a real table to CSV in unified column order (as maw writes it)
+    val src0 = sf("customer", "/root/testdata/sf0.001")
+    val src = src0.select(src0.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val in = d.resolve("cust_csv").toString
+    src.write.option("header", "true").csv(in)
+    val fast = d.resolve("fast.csv").toString
+    val m = convert(Seq(in), fast)
+    val slow = d.resolve("slow.csv").toString
+    Sink.write(
+      Concat.planFor(spark, Concat.Config(Seq(in), rawPassThrough = true),
+        Discovery.discover(Seq(in))),
+      Sink.Config(slow, Discovery.Csv))
+    assert(m("rows_written") == src.count())
+    assert(readValues(fast).sortBy(_.mkString("|")) ==
+      readValues(slow).sortBy(_.mkString("|")))
+  }
+}

@@ -89,6 +89,34 @@ class MawCliSpec extends SparkSpec {
     assert(metrics("rows_written") == 3L)
   }
 
+  test("verify checksum catches count-preserving corruption (S2, crc64 intent)") {
+    val d = tmpDir("vcheck")
+    val f = writeFile(d, "in.csv", "k,v\n1,alpha\n2,beta\n3,gamma\n")
+    val cfg = Concat.Config(Seq(f), rawPassThrough = true)
+    val out = d.resolve("out.csv").toString
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Csv))
+    // pristine output verifies clean
+    val (rows, cs) = Maw.verifyOutput(spark, cfg, out, Discovery.Csv, naOut = "")
+    assert(rows == 3L && cs != java.math.BigDecimal.ZERO)
+    // corrupt one value WITHOUT changing the row count: count-compare alone
+    // would pass, the row checksum must not. (Drop Hadoop's local-FS .crc
+    // sidecar so OUR verify does the detecting, not ChecksumFileSystem —
+    // on HDFS/S3 there is no sidecar and rowChecksum is the only guard.)
+    val corrupted = Files.readString(d.resolve("out.csv")).replace("beta", "BETA")
+    Files.writeString(d.resolve("out.csv"), corrupted)
+    Files.deleteIfExists(d.resolve(".out.csv.crc"))
+    val e = intercept[IllegalStateException](
+      Maw.verifyOutput(spark, cfg, out, Discovery.Csv, naOut = ""))
+    assert(e.getMessage.contains("checksum"))
+    // dropped row is caught by the count stage
+    val truncated = "k,v\n1,alpha\n2,beta\n"
+    Files.writeString(d.resolve("out.csv"), truncated)
+    Files.deleteIfExists(d.resolve(".out.csv.crc"))
+    val e2 = intercept[IllegalStateException](
+      Maw.verifyOutput(spark, cfg, out, Discovery.Csv, naOut = ""))
+    assert(e2.getMessage.contains("rows"))
+  }
+
   test("verify readBack: single file and rolled parts") {
     val d = tmpDir("readback")
     val f = writeFile(d, "in.csv", "k\n" + (1 to 50).map(_.toString).mkString("\n") + "\n")
