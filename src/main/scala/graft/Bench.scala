@@ -52,7 +52,14 @@ object Bench {
     li.select(li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
       .write.option("header", "true").csv(csvIn)
     val csvBytes = fileBytes(csvIn)
-    val parquetBytes = fileBytes(s"$sfDir/lineitem.parquet")
+    // same story for parquet: materialize lineitem as maw-shape parquet
+    // (unified column order, multiple part files) so the Parquet->Parquet
+    // leg measures the chained-concat row-group-copy fast path rather than
+    // being capped by the fixture's single 11 MB row group (1 read task)
+    val pqIn = tmp.resolve("lineitem_pq").toString
+    li.select(li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .write.option("compression", "zstd").parquet(pqIn)
+    val parquetBytes = fileBytes(pqIn)
     def conv(in: String, out: String, fmt: Discovery.Format): Double = {
       def once(): Double = time {
         // the exact CLI batch pipeline (Maw.main): CSV->CSV takes the
@@ -69,7 +76,7 @@ object Bench {
     }
     val csvCsvSec = conv(csvIn, "out_csv.csv", Discovery.Csv)
     val csvParquetSec = conv(csvIn, "out_pq.parquet", Discovery.Parquet)
-    val pqPqSec = conv(s"$sfDir/lineitem.parquet", "out_pq2.parquet", Discovery.Parquet)
+    val pqPqSec = conv(pqIn, "out_pq2.parquet", Discovery.Parquet)
     val mbps = Map(
       "csv_to_csv" -> csvBytes / 1e6 / csvCsvSec,
       "csv_to_parquet" -> csvBytes / 1e6 / csvParquetSec,

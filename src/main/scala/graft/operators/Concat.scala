@@ -72,8 +72,9 @@ object Concat {
       sink: graft.sinks.Sink.Config): Map[String, Any] = {
     val files = Discovery.discover(cfg.inputs)
     require(files.nonEmpty, s"no inputs found in ${cfg.inputs.mkString(", ")}")
-    CsvByteConcat.tryRun(spark, files, cfg, sink).getOrElse(
-      graft.sinks.Sink.write(planFor(spark, cfg, files), sink))
+    CsvByteConcat.tryRun(spark, files, cfg, sink)
+      .orElse(ParquetByteConcat.tryRun(spark, files, cfg, sink))
+      .getOrElse(graft.sinks.Sink.write(planFor(spark, cfg, files), sink))
   }
 
   /** Build the unified concat plan over already-discovered files. */

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.sinks.Sink
+import graft.sources.Discovery.{InputFile, Parquet}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
+
+/** Parquet->Parquet concatenation at the row-group level — the conversion
+  * fast path (counterpart of [[CsvByteConcat]] for the typed format).
+  *
+  * The reference's Parquet "writer" writes no data at all
+  * (`writer_parquet.rs:77-96`), so its 200 MB/s target is only meaningful
+  * as "don't decode what you don't have to". This operator does what real
+  * parquet tools (parquet-cli `merge`) do: copy whole row groups byte-for-
+  * byte via `ParquetFileWriter.appendFile` — pages, dictionaries, encodings,
+  * per-chunk statistics and source compression all pass through untouched;
+  * only the footer is rewritten with rebased offsets. No decode, no
+  * re-encode, no row materialization.
+  *
+  * Eligible only when the result is bit-faithful to the typed plan: every
+  * input is Parquet, all file schemas are IDENTICAL (nothing to widen or
+  * null-inject), top-level fields already in unified (alphabetical) order —
+  * true of anything maw itself wrote, so chained concats stay fast — and no
+  * projection/rename/rolling is requested. Values are identical to the
+  * typed path by construction; the one preserved-rather-than-normalized
+  * property is the physical compression codec (a storage detail, exactly
+  * like the CSV path preserving gratuitous source quoting).
+  *
+  * Scale shape: schema/row-count pre-flight reads FOOTERS only (KB per
+  * file, driver-side — the same per-file metadata cost Discovery's listing
+  * already pays). Multi-file output copies one input per task across the
+  * cluster; single-file output is an inherent single-writer step (the
+  * reference's one-file contract), but at row-group-copy speed it is
+  * storage-bound, not CPU-bound.
+  */
+object ParquetByteConcat {
+
+  private val RowGroupSize = 128L * 1024 * 1024
+  private val MaxPadding = 8 * 1024 * 1024
+
+  /** Static eligibility: option combinations that force the typed path. */
+  def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
+    cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
+      sink.format == Parquet &&
+      sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty
+
+  /** Run the row-group copy if eligible; None = caller falls back to the
+    * typed pipeline. Returns write metrics like [[Sink.write]].
+    */
+  def tryRun(spark: SparkSession, files: Seq[InputFile], cfg: Concat.Config,
+      sink: Sink.Config): Option[Map[String, Any]] = {
+    if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Parquet))
+      return None
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // footer-only pre-flight: schemas must be identical and already sorted
+    val footers = files.map { f =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.path), hconf))
+      try {
+        val md = r.getFooter.getFileMetaData
+        (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+      } finally r.close()
+    }
+    val schema = footers.head._1
+    if (!footers.forall(_._1 == schema)) return None
+    val names = schema.getFields.asScala.map(_.getName)
+    if (names.sorted != names || names.distinct != names) return None
+    val totalRows = footers.map(_._2).sum
+
+    val outBase = sink.path.stripSuffix(".parquet")
+    if (sink.singleFile) {
+      // one output file = one writer (the reference's single-file contract);
+      // sequential appendFile is storage-bound: no decode happens
+      val out = HadoopOutputFile.fromPath(new Path(sink.path), hconf)
+      val w = new ParquetFileWriter(out, schema,
+        ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
+      w.start()
+      files.foreach(f =>
+        w.appendFile(HadoopInputFile.fromPath(new Path(f.path), hconf)))
+      w.end(java.util.Map.of("graft.concat", "row-group-copy"))
+    } else {
+      // one task per input file, written straight to deterministic final
+      // part names (idempotent overwrite, no committer round-trip)
+      val schemaStr = schema.toString
+      spark.sparkContext
+        .parallelize(files.map(_.path).zipWithIndex, files.size)
+        .foreach { case (path, idx) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val sch = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
+          val out = HadoopOutputFile.fromPath(
+            new Path(f"$outBase%s-$idx%04d.parquet"), conf)
+          val w = new ParquetFileWriter(out, sch,
+            ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
+          w.start()
+          w.appendFile(HadoopInputFile.fromPath(new Path(path), conf))
+          w.end(java.util.Map.of("graft.concat", "row-group-copy"))
+        }
+    }
+    Some(Map("rows_written" -> totalRows))
+  }
+}
