@@ -194,6 +194,53 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** EXACT connected-component clustering of near-dup pairs: every doc
+    * labeled with the minimum id reachable through the pair graph (the
+    * cluster representative). This is the full transitive closure that
+    * [[survivors]] approximates — A~B, B~C puts A,B,C in one cluster even
+    * when A,C never paired directly.
+    *
+    * Shape: iterative min-label propagation (what GraphX's
+    * `connectedComponents` does under the hood, here in pure DataFrame
+    * ops): each round every node takes the min of its own label and its
+    * neighbors' labels — one shuffle per round, converging in O(component
+    * diameter) rounds. Near-dup graphs have tiny diameters (clusters are
+    * quasi-cliques), so 3-4 rounds at any scale. `localCheckpoint`
+    * truncates lineage each round so the plan doesn't grow with the
+    * iteration count; edges are checkpointed once and reused. The
+    * convergence probe reuses the same checkpointed round output
+    * (no recompute), and costs one light job per round — acceptable
+    * because rounds are few and each probe short-circuits on first diff.
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("idA").cast("long").as("src"), col("idB").cast("long").as("dst"))
+      .unionByName(pairs.select(col("idB").cast("long").as("src"), col("idA").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = docs
+      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("cluster")), "src")
+        .groupBy(col("dst").as("id")).agg(min("cluster").as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .where(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("cluster"))
+  }
+
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`
     * (a bucket that large means a degenerate signature — e.g. empty text —
     * and contributes O(size^2) pairs of near-zero value). Keeps the

@@ -48,7 +48,10 @@ object PipelineQueries {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         TF.textStats(col("text")).getField("n_tokens").as("n_tokens")))),
-    "t02_text_quality" -> ((s, dir) => // heuristic scores: rows-only
+    // quality/langid/BPE heuristics: every stat is replicated in the DuckDB
+    // oracle (same token split, same ASCII-run BPE regex semantics, same
+    // stopword votes + tie-break), so the whole heuristic stack hash-checks
+    "t02_text_quality" -> ((s, dir) =>
       ordered(t(s, dir, "documents")
         .withColumn("stats", TF.textStats(col("text"))) // ONE text walk per row
         .select(
@@ -107,6 +110,11 @@ object PipelineQueries {
       ordered(Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
         .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard")))),
+    // sign-LSH recall is exactly 1 for the planted pairs (a positively
+    // scaled copy keeps every hyperplane sign), and no organic 64-dim pair
+    // comes near cosine 0.999 — so the DuckDB brute-force-cosine oracle
+    // hash-checks the LSH candidate stage end-to-end, like d05 does for
+    // minhash banding
     "d06_embed_near_dup" -> ((s, dir) =>
       ordered(Dedup.embeddingPairs(embWithNearDups(s, dir), "vec_id", "embedding",
         minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8)
@@ -120,6 +128,17 @@ object PipelineQueries {
         shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
       ordered(Dedup.survivors(docs, "doc_id", pairs).select("doc_id"))
     }),
+    // exact transitive-closure clusters over the recall-1 exact-Jaccard
+    // pairs: the chain doc -> first-token-dropped mutation merges via the
+    // shared pair, and any indirect A~B~C chain collapses to one cluster —
+    // checked against a DuckDB recursive-CTE reachability oracle
+    "d09_dedup_clusters" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      ordered(Dedup.clusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster")))
+    }),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -132,6 +151,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           TF.textStats(col("text")).getField("n_tokens").as("n_tokens")))
     }),
+    // ---- training-set mechanics ----
+    // deterministic train/val/test split: bucket by the first md5 byte of a
+    // salted id rendering — stable across runs, engines, partitionings, and
+    // data growth (a doc's split never changes when the corpus grows), the
+    // property random() splits can't give a reproducible pipeline
+    "t08_deterministic_split" -> ((s, dir) => {
+      val fp = md5(concat(lit("split:"), col("doc_id").cast("string")))
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        when(substring(fp, 1, 2) < "cc", "train")
+          .when(substring(fp, 1, 2) < "e6", "val")
+          .otherwise("test").as("split")))
+    }),
+    // sequential packing into ~4000-char bins per language shard: pack_id =
+    // floor(running-prefix-chars / budget) over (lang, doc_id) order. The
+    // window partitions by lang, so packing parallelizes across shards at
+    // scale instead of serializing through one global sort
+    "t09_sequence_packing" -> ((s, dir) =>
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        expr("coalesce(sum(n_chars) over (partition by lang order by doc_id " +
+          "rows between unbounded preceding and 1 preceding), 0) div 4000").as("pack_id")))),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -224,6 +265,64 @@ object PipelineQueries {
       s"""SELECT doc_id, length(text) AS n_chars,
          |len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS n_tokens
          |FROM documents ${orderSql("doc_id", "n_chars", "n_tokens")}""".stripMargin,
+    // full replication of the TextStatsExpr walk: whitespace tokens,
+    // ASCII-run BPE segmentation ([A-Za-z]+ | [0-9]+ | one symbol), ASCII
+    // punctuation (!..~ minus alnum), CJK codepoints, per-language stopword
+    // votes with earliest-wins tie-break — same double arithmetic order as
+    // qualityScoreFromStats so the rounded score is bit-identical
+    "t02_text_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+         |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, bpe, punct, cjk,
+         |    len(toks) AS n_tokens,
+         |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS token_len_sum,
+         |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
+         |    len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','it','for','with'))) AS lang_en,
+         |    len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','en','un','los','del','por'))) AS stop_es,
+         |    len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist','von','mit','den','ein','zu'))) AS stop_de,
+         |    len(list_filter(toks, x -> lower(x) IN ('le','la','les','de','et','un','une','des','est','que'))) AS stop_fr
+         |  FROM d),
+         |q AS (
+         |  SELECT doc_id, bpe,
+         |    least(n_tokens / 50.0, 1.0) * 0.3
+         |    + (CASE WHEN n_tokens = 0 THEN 0.0
+         |            WHEN CAST(token_len_sum AS DOUBLE) / n_tokens BETWEEN 3 AND 10 THEN 1.0
+         |            WHEN CAST(token_len_sum AS DOUBLE) / n_tokens > 0 THEN 0.5
+         |            ELSE 0.0 END) * 0.3
+         |    + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END) * 5.0, 1.0)) * 0.2
+         |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_en / CAST(n_tokens AS DOUBLE) END) * 5.0, 1.0) * 0.2 AS raw,
+         |  CASE WHEN cjk / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.05 THEN 'zh'
+         |       WHEN greatest(lang_en, stop_es, stop_de, stop_fr) = 0 THEN 'und'
+         |       WHEN lang_en >= stop_es AND lang_en >= stop_de AND lang_en >= stop_fr THEN 'en'
+         |       WHEN stop_es >= stop_de AND stop_es >= stop_fr THEN 'es'
+         |       WHEN stop_de >= stop_fr THEN 'de'
+         |       ELSE 'fr' END AS lang_guess
+         |  FROM m)
+         |SELECT doc_id,
+         |  -- Spark round(double, 4) is BigDecimal.valueOf(d) = HALF_UP on the
+         |  -- SHORTEST DECIMAL RENDERING; VARCHAR->DECIMAL(38,20) replicates
+         |  -- that exactly (binary-value rounding differs at repr boundaries)
+         |  CAST(round(CAST(CAST(raw AS VARCHAR) AS DECIMAL(38,20)), 4) AS DOUBLE) AS quality,
+         |  lang_guess,
+         |  CAST(bpe AS INTEGER) AS bpe_tokens
+         |FROM q ${orderSql("doc_id", "quality", "lang_guess", "bpe_tokens")}""".stripMargin,
+    "t08_deterministic_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+         |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ${orderSql("doc_id", "split")}""".stripMargin,
+    "t09_sequence_packing" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 4000 AS pack_id
+         |FROM documents ${orderSql("doc_id", "lang", "n_chars", "pack_id")}""".stripMargin,
     "t03_fingerprint_md5" ->
       s"SELECT doc_id, md5(text) AS fp FROM documents ${orderSql("doc_id", "fp")}",
     "t04_token_freq" ->
@@ -285,6 +384,55 @@ object PipelineQueries {
          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |${orderSql("idA", "idB", "jaccard")}""".stripMargin,
+    // brute-force exact cosine over the planted-near-dup corpus: the LSH
+    // path must find exactly the pairs the all-pairs scan finds (recall-1
+    // regime — see the d06 query comment). Cosine computed in double over
+    // float inputs on both engines; the planted pairs sit at ~1.0, far from
+    // the 0.999 threshold, so float-ulp differences in the mutation can't
+    // flip membership or the 4-dp rounding.
+    "d06_embed_near_dup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |         CAST(list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS DOUBLE[])
+         |  FROM embeddings)
+         |SELECT a.vec_id AS idA, b.vec_id AS idB,
+         |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+         |${orderSql("idA", "idB", "cosine")}""".stripMargin,
+    // exact reachability clusters: recursive CTE floods every component and
+    // labels each member with the minimum reachable id — the ground truth
+    // the iterative min-label propagation must converge to
+    "d09_dedup_clusters" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM pairs
+         |  UNION ALL SELECT idB, idA FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+         |${orderSql("doc_id", "cluster")}""".stripMargin,
     // keep-first survivors of the exact-Jaccard near-dup pairs: every id
     // that is the LARGER member of any J>=0.5 pair is dropped
     "d07_dedup_survivors" ->

@@ -39,6 +39,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("clusters: transitive chains collapse to the min id, singletons keep their own") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("id", "text")
+    // chain 1-2-3-4 (no direct 1~4 pair) + pair 6-7; 5 and 8 are singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("idA", "idB")
+    val got = Dedup.clusters(docs, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+    // the cluster representatives coincide with keep-first survivors here
+    val survivorIds = Dedup.survivors(docs, "id",
+      pairs.withColumn("j", lit(1.0))).collect().map(_.getLong(0)).toSet
+    assert(got.values.toSet == survivorIds)
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
