@@ -43,16 +43,23 @@ object Multimodal {
     * A real implementation decodes the payload (image pixels / audio PCM)
     * here; everything around it (batching, schema, null handling) is the
     * production shape.
+    *
+    * The fake accumulates INTEGER byte sums per lane and divides once at the
+    * end: exact and order-independent, so the result is reproducible by any
+    * engine (the driver's DuckDB oracle recomputes it from hex-decoded
+    * bytes) — a float-per-byte accumulation would make the value depend on
+    * addition order. Rounding is floor(x+0.5) for the same reason (math.rint
+    * half-to-even has no portable SQL equivalent).
     */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
-    val feats = new Array[Double](8)
+    val sums = new Array[Long](8)
     var i = 0
     while (i < payload.length) {
-      feats(i % 8) += (payload(i) & 0xff).toDouble / 255.0
+      sums(i % 8) += (payload(i) & 0xff).toLong
       i += 1
     }
-    feats.map(f => math.rint(f / payload.length * 1e6) / 1e6)
+    sums.map(s => math.floor(s.toDouble / 255.0 / payload.length * 1e6 + 0.5) / 1e6)
   }
 
   private val featureSchema = StructType(Seq(

@@ -206,7 +206,10 @@ object PipelineQueries {
         .select(col("media_id"), col("meta.mime").as("mime"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"),
           length(col("payload")).as("n_bytes")))),
-    "m02_media_features" -> ((s, dir) => // decode stub: rows-only
+    // the decode stub's integer-sum feature is engine-reproducible, so the
+    // mapPartitions batch path (schema, null handling, per-partition
+    // iteration) hash-checks against a DuckDB hex-decode oracle
+    "m02_media_features" -> ((s, dir) =>
       ordered(Multimodal.extractFeatures(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
         .select(col("media_id"), col("n_bytes"),
@@ -464,6 +467,38 @@ object PipelineQueries {
          |      WHERE n_chars BETWEEN 100 AND 3000 GROUP BY md5(text)) k
          |ON d.doc_id = k.doc_id
          |ORDER BY d.doc_id NULLS FIRST, d.lang NULLS FIRST, n_tokens NULLS FIRST""".stripMargin,
+    // recompute the decode stub's lane-0 feature from hex-decoded utf-8
+    // bytes: integer byte-sum of every 8th byte, one double division at the
+    // end — exact on both engines regardless of row or addition order
+    "m02_media_features" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+         |  FROM documents),
+         |e AS (SELECT doc_id, len, hx, unnest(range(0, len)) AS i FROM h),
+         |v AS (
+         |  SELECT doc_id,
+         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16 +
+         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS byte
+         |  FROM e WHERE i % 8 = 0),
+         |s AS (SELECT doc_id, SUM(byte) AS s0 FROM v GROUP BY doc_id)
+         |SELECT h.doc_id AS media_id, CAST(h.len AS BIGINT) AS n_bytes,
+         |  CASE WHEN s.s0 IS NULL OR h.len = 0 THEN 0.0
+         |       ELSE floor(CAST(s.s0 AS DOUBLE) / 255.0 / h.len * 1e6 + 0.5) / 1e6 END AS f0
+         |FROM h LEFT JOIN s ON h.doc_id = s.doc_id
+         |${orderSql("media_id", "n_bytes", "f0")}""".stripMargin,
+    // frame windowing arithmetic (stride, tail clamping) replicated exactly;
+    // the frame bytes themselves are substrings of the payload, covered by
+    // n_bytes + m01's payload-length check
+    "m03_frame_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents),
+         |f AS (
+         |  SELECT media_id, len, greatest(CAST(len // 4 AS INTEGER), 1) AS stride,
+         |         unnest(range(0, 4)) AS frame_idx
+         |  FROM b)
+         |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+         |  CAST(least(16, greatest(len - frame_idx * stride, 0)) AS INTEGER) AS frame_bytes
+         |FROM f ${orderSql("media_id", "frame_idx", "frame_bytes")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,
