@@ -52,8 +52,11 @@ object Hash64 {
     out.toArray
   }
 
-  /** Order-sensitive hashes of the n-gram shingles over token hashes;
-    * shorter-than-n docs produce one whole-doc shingle. Deduplicated.
+  /** Hashes of the n-gram shingles over token hashes; shorter-than-n docs
+    * produce one whole-doc shingle. Deduplicated and SORTED ascending —
+    * the set is order-free semantically, and sorting once per document
+    * lets pairwise set operations ([[JaccardSorted]]) run as linear merges
+    * instead of per-pair hash-set builds.
     */
   def shingleHashes(s: UTF8String, n: Int): Array[Long] = {
     val toks = tokenHashes(s)
@@ -77,6 +80,7 @@ object Hash64 {
     val it = set.iterator()
     var i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(out)
     out
   }
 }
@@ -153,6 +157,36 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
   }
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** double: exact Jaccard similarity |A∩B| / |A∪B| of two SORTED distinct
+  * long arrays (the [[ShingleHashes]] contract) via a single linear merge —
+  * no per-pair hash sets, no materialized intersection/union arrays. The
+  * `array_intersect`/`array_union` formulation builds two scratch sets and
+  * an output array per candidate pair; this is the same math at merge-join
+  * cost, which matters because the verify stage runs once per candidate
+  * pair (quadratic-ish volume), not once per document.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
 }
 
 /** long: 64-bit SimHash over distinct whitespace tokens (per-bit votes of

@@ -133,11 +133,19 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleStrings(ExpressionUtils.expression(text), n))
 
-  /** 64-bit hashes of the distinct shingles (tight-loop custom expression —
-    * see [[graft.expressions.ShingleHashes]] for why not HOFs).
+  /** 64-bit hashes of the distinct shingles, sorted ascending (tight-loop
+    * custom expression — see [[graft.expressions.ShingleHashes]] for why
+    * not HOFs).
     */
   def shingleHashes(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n))
+
+  /** Exact Jaccard of two sorted distinct long arrays (the [[shingleHashes]]
+    * output contract) — one linear merge per pair.
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.expressions.JaccardSorted(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** MinHash signature of length k over word-n-gram shingles
     * ([[graft.expressions.MinHashSig]]).

@@ -143,10 +143,13 @@ object Dedup {
     val banded = base.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
     val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
+    // exact verify per candidate pair: one linear merge over the sorted
+    // shingle sets (JaccardSorted) — the array_intersect/array_union
+    // formulation builds two hash sets + a union array per PAIR, the hot
+    // multiplier of this operator
     attach(candidates, base.select(col("id"), col("sh")), "sh")
       .select(col("idA"), col("idB"),
-        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB")))).as("jaccard"))
+        TF.jaccardSorted(col("shA"), col("shB")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -227,15 +230,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nmin"))
+      // carry the previous label through the round so the convergence probe
+      // is a filter over the already-checkpointed result, not another join
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          col("cluster").as("prev"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .where(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.where(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     labels.select(col("id"), col("cluster"))
