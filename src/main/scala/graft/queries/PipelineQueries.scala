@@ -244,6 +244,28 @@ object PipelineQueries {
       // is the max running count
       ordered(s.table(sinkName).groupBy("user_id").agg(max("n_events").as("n_events")))
     }),
+    // watermark + append-mode semantics: only FINALIZED windows (window.end
+    // <= watermark = max event time - 30 min) are emitted; the trailing
+    // windows stay open and never reach the sink. The no-data micro-batch
+    // after the last file flushes the closed state, which is what makes the
+    // output deterministic and equal to the batch-computable oracle.
+    "st03_watermark_append" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+      val sinkName = s"st03_sink_${math.abs(dir.hashCode)}"
+      val q = agg.writeStream.outputMode("append").format("memory").queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }),
     // ---- structured streaming (memory sink, drained synchronously) ----
     "st01_streaming_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -519,5 +541,16 @@ object PipelineQueries {
     "st01_streaming_hourly" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
-         |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin)
+         |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin,
+    // append-mode watermark replay: a window is emitted iff it was closed by
+    // the final watermark (max event time - 30 min)
+    "st03_watermark_append" ->
+      s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, COUNT(*) AS n
+         |FROM ev, wm
+         |GROUP BY date_trunc('hour', ts), event_type, wm.w
+         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+         |${orderSql("win_start", "event_type", "n")}""".stripMargin)
 }

@@ -329,6 +329,21 @@ object RelationalQueries {
       ordered(f.join(o, col("k_f") === col("k_o"), "full")
         .select(coalesce(col("k_f"), col("k_o")).as("o_custkey"), col("n_f"), col("n_o")))
     }),
+    // LATERAL correlated table subquery: per-customer top-2 orders by price.
+    // Catalyst decorrelates the LATERAL limit into a ranked window under the
+    // hood; the SQL surface is the point (DuckDB runs the same text)
+    "q39_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q39")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q39")
+      ordered(s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer_q39 c,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_q39
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+          |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
+    }),
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
@@ -500,6 +515,15 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q39_lateral_topn" ->
+      s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         |FROM customer c,
+         |LATERAL (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_custkey = c.c_custkey
+         |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |${orderSql("c_custkey", "o_orderkey", "o_totalprice")}""".stripMargin,
     "q34_map_funcs" ->
       s"""WITH kv AS (
          |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events)
