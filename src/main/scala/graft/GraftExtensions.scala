@@ -1,6 +1,7 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleHashes, SimHash}
+import graft.expressions.{CosineSim, DotProduct, JaccardSorted, L2Distance,
+  MinHashSig, ShingleHashes, ShingleStrings, SimHash, TextStatsExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -37,7 +38,25 @@ object GraftExtensions {
         MinHashSig(args.head, intArg(args(1), "n"), intArg(args(2), "k"))),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash(args.head)))
+      (args: Seq[Expression]) => SimHash(args.head)),
+    ("shingle_strings",
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      (args: Seq[Expression]) => ShingleStrings(args.head, intArg(args(1), "n"))),
+    ("jaccard_sorted",
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (args: Seq[Expression]) => JaccardSorted(args.head, args(1))),
+    ("text_stats",
+      new ExpressionInfo(classOf[TextStatsExpr].getName, "text_stats"),
+      (args: Seq[Expression]) => TextStatsExpr(args.head)),
+    ("vec_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))),
+    ("vec_cosine",
+      new ExpressionInfo(classOf[CosineSim].getName, "vec_cosine"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))),
+    ("vec_l2",
+      new ExpressionInfo(classOf[L2Distance].getName, "vec_l2"),
+      (args: Seq[Expression]) => L2Distance(args.head, args(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

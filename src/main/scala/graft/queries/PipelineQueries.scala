@@ -173,6 +173,35 @@ object PipelineQueries {
         col("doc_id"), col("lang"), col("n_chars"),
         expr("coalesce(sum(n_chars) over (partition by lang order by doc_id " +
           "rows between unbounded preceding and 1 preceding), 0) div 4000").as("pack_id")))),
+    // deterministic stratified sampling: rank by a salted hash within each
+    // stratum (uniform pseudorandom order) and keep the first N — the
+    // reproducible version of sampleBy(), and a partitioned window, so each
+    // stratum samples in parallel at scale
+    "t10_stratified_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val rnd = md5(concat(lit("samp:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("lang")).orderBy(rnd.asc, col("doc_id").asc)
+      ordered(t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk")))
+    }),
+    // PII scrubbing: email/phone redaction ahead of training. Patterns use
+    // explicit ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree;
+    // a synthetic address+number is appended per doc so the redaction is
+    // exercised on every row, and the md5 of the redacted text is compared
+    "t11_pii_redact" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact-"), col("doc_id").cast("string"),
+        lit("@example.com ph 555-123-4567"))
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val redacted = regexp_replace(regexp_replace(aug, emailPat, "[EMAIL]"),
+        phonePat, "[PHONE]")
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(emailPat), lit(0))).as("n_emails"),
+        md5(redacted.cast(BinaryType)).as("redacted_fp")))
+    }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -350,6 +379,23 @@ object PipelineQueries {
          |FROM documents ${orderSql("doc_id", "lang", "n_chars", "pack_id")}""".stripMargin,
     "t03_fingerprint_md5" ->
       s"SELECT doc_id, md5(text) AS fp FROM documents ${orderSql("doc_id", "fp")}",
+    "t10_stratified_sample" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER) AS rk
+         |  FROM documents)
+         |WHERE rk <= 50 ${orderSql("doc_id", "lang", "rk")}""".stripMargin,
+    "t11_pii_redact" ->
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    text || ' contact-' || CAST(doc_id AS VARCHAR) || '@example.com ph 555-123-4567' AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+         |  md5(regexp_replace(regexp_replace(aug,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_fp
+         |FROM a ${orderSql("doc_id", "n_emails", "redacted_fp")}""".stripMargin,
     "t04_token_freq" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token

@@ -19,6 +19,24 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows(0).getInt(3) == 5) // 7 tokens -> 5 trigram shingles
   }
 
+  test("SQL functions: text_stats / jaccard_sorted / vec_* usable from spark.sql") {
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox", Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("id", "text", "va", "vb").createOrReplaceTempView("docs_ext2")
+    val r = spark.sql(
+      """SELECT text_stats(text).n_tokens AS nt,
+        |jaccard_sorted(shingle_hashes(text, 2), shingle_hashes(text, 2)) AS j,
+        |vec_dot(va, vb) AS d, vec_cosine(va, va) AS c, vec_l2(va, vb) AS l,
+        |size(shingle_strings(text, 2)) AS ns
+        |FROM docs_ext2""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 4)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(4) - math.sqrt(2.0)) < 1e-12)
+    assert(r.getInt(5) == 3)
+  }
+
   test("extensions class injects without error (for spark.sql.extensions wiring)") {
     // a shared test session already exists, so we can't observe a fresh
     // session build here; assert the injection path itself is sound
