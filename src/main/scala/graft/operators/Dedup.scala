@@ -244,6 +244,50 @@ object Dedup {
     labels.select(col("id"), col("cluster"))
   }
 
+  /** Exact-substring contamination signal (the "deduplicating training data"
+    * window-hash technique): hash fixed-size character windows of every
+    * document on a stride grid; a window whose hash occurs in MORE THAN ONE
+    * document marks repeated long-form content (boilerplate, licenses,
+    * copied passages) that n-gram Jaccard's whole-document view dilutes.
+    *
+    * Returns (id, n_windows, n_shared) — per-doc window count and how many
+    * of its windows also appear elsewhere.
+    *
+    * Scale shape: explode to slim (id, window-hash) rows — all codegen'd
+    * (sequence/substring/md5), no HOF lambdas — then ONE shuffle keyed on
+    * the hash. Shared-window detection is `min(id) != max(id)` per hash
+    * group (map-side partial agg), never a pair join, so a window shared by
+    * 100k docs costs O(100k) rows, not O(100k^2) pairs.
+    */
+  def substringContamination(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowChars: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val n = length(col(textCol))
+    // window starts 0, stride, 2*stride... while a full window fits; short
+    // docs get one (truncated) window so every doc is represented
+    val nWindows = greatest(
+      (floor((n - windowChars).cast("double") / stride) + 1).cast("int"), lit(1))
+    val windows = docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
+      .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
+      .select(col("id"),
+        md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary")).as("wh"))
+    val shared = windows
+      .groupBy("wh")
+      .agg(min("id").as("mn"), max("id").as("mx"))
+      .where(col("mn") =!= col("mx"))
+      .select(col("wh"))
+    windows
+      .join(shared, Seq("wh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_w"))
+      .join(windows.groupBy("id").agg(count(lit(1)).as("n_windows")), Seq("id"), "right")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_shared_w"), lit(0L)).as("n_shared"))
+  }
+
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`
     * (a bucket that large means a degenerate signature — e.g. empty text —
     * and contributes O(size^2) pairs of near-zero value). Keeps the

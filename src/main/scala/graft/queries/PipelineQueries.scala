@@ -139,6 +139,18 @@ object PipelineQueries {
       ordered(Dedup.clusters(docs, "doc_id", pairs)
         .select(col("id").as("doc_id"), col("cluster")))
     }),
+    // exact-substring contamination: plant an aligned near-copy of every doc
+    // (one in-place char substitution at position 200 — the stride grid
+    // stays aligned, which is the regime window-hashing detects) and report
+    // per-doc shared-window counts
+    "d10_substring_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 199), lit("X"),
+          expr("substring(text, 201)")).as("text"))
+      ordered(Dedup.substringContamination(d.unionByName(edited), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_shared")))
+    }),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -527,6 +539,26 @@ object PipelineQueries {
          |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5)
          |SELECT doc_id FROM docs WHERE doc_id NOT IN (SELECT doc_id FROM losers)
          |${orderSql("doc_id")}""".stripMargin,
+    // same window grid (64 chars, stride 32), shared = hash seen in more
+    // than one doc (min<>max id per hash group)
+    "d10_substring_contamination" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    substr(text, 1, 199) || 'X' || substr(text, 201) FROM documents),
+         |d AS (SELECT doc_id, text, length(text) AS n FROM docs),
+         |w AS (
+         |  SELECT doc_id, md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(CAST(floor((n - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM d)),
+         |shared AS (SELECT wh FROM w GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
+         |sh AS (SELECT w.doc_id, COUNT(*) AS n_shared FROM w JOIN shared USING (wh) GROUP BY w.doc_id)
+         |SELECT c.doc_id AS doc_id, c.n_windows, COALESCE(s.n_shared, 0) AS n_shared
+         |FROM cnt c LEFT JOIN sh s ON c.doc_id = s.doc_id
+         |ORDER BY c.doc_id NULLS FIRST, n_windows NULLS FIRST, n_shared NULLS FIRST""".stripMargin,
     "d08_curation_pipeline" ->
       s"""SELECT d.doc_id AS doc_id, d.lang,
          |len(list_filter(regexp_split_to_array(trim(d.text), '\\s+'), x -> length(x) > 0)) AS n_tokens

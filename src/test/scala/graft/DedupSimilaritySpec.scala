@@ -53,6 +53,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.values.toSet == survivorIds)
   }
 
+  test("substring contamination: aligned copies share windows, distinct docs share none") {
+    val base = (0 until 8).map(i => s"chunk$i-" + "x" * 24).mkString // 248 chars
+    val other = (0 until 8).map(i => s"other$i-" + "y" * 24).mkString
+    // doc 2 = doc 1 with one char changed at pos 100 (grid stays aligned)
+    val edited = base.substring(0, 99) + "Z" + base.substring(100)
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("id", "text")
+    val got = Dedup.substringContamination(df, "id", "text", windowChars = 64, stride = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 248 chars -> 6 windows (starts 0,32,...,160); the pos-99 edit touches
+    // the windows starting at 64 and 96 -> 4 of 6 shared for docs 1 and 2
+    assert(got(1L) == ((6L, 4L)))
+    assert(got(2L) == ((6L, 4L)))
+    assert(got(3L) == ((6L, 0L)))
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
