@@ -307,6 +307,22 @@ object PipelineQueries {
       try { q.processAllAvailable() } finally { q.stop() }
       ordered(s.table(sinkName))
     }),
+    // streaming exact dedup: unbounded dropDuplicates state — every distinct
+    // (user_id, event_type) survives exactly once across micro-batches,
+    // equal to the batch DISTINCT the oracle computes
+    "st04_streaming_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val deduped = stream.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val sinkName = s"st04_sink_${math.abs(dir.hashCode)}"
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }),
     // ---- structured streaming (memory sink, drained synchronously) ----
     "st01_streaming_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -620,6 +636,9 @@ object PipelineQueries {
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin,
+    "st04_streaming_dedup" ->
+      s"""SELECT DISTINCT user_id, event_type FROM events
+         |${orderSql("user_id", "event_type")}""".stripMargin,
     // append-mode watermark replay: a window is emitted iff it was closed by
     // the final watermark (max event time - 30 min)
     "st03_watermark_append" ->

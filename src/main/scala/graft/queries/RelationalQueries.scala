@@ -344,6 +344,17 @@ object RelationalQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
     }),
+    // the skew machinery made driver-visible: deterministic salted join
+    // (fact salt in [0,8), dim replicated per salt) must produce exactly
+    // the plain-join aggregate the oracle computes
+    "q40_salted_join_agg" -> ((s, dir) => {
+      import graft.operators.SkewJoin
+      val fact = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_extendedprice"))
+      val dim = t(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      ordered(SkewJoin.saltedJoin(fact, dim, "l_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")))
+    }),
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
@@ -515,6 +526,11 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q40_salted_join_agg" ->
+      s"""SELECT s.s_nationkey AS s_nationkey, COUNT(*) AS n,
+         |${dsumSql("l.l_extendedprice")} AS revenue
+         |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |GROUP BY 1 ${orderSql("s_nationkey", "n", "revenue")}""".stripMargin,
     "q39_lateral_topn" ->
       s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          |FROM customer c,

@@ -187,6 +187,25 @@ class StreamingAndPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
   }
 
+  test("plan: lateral top-n decorrelates to a window-group-limit, not a nested loop") {
+    val plan = explainString(
+      SparkEntry.queries("q39_lateral_topn")(spark, "/root/testdata/sf0.001"))
+    assert(plan.contains("WindowGroupLimit"), s"lateral not decorrelated to top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"lateral fell back to a nested loop:\n$plan")
+  }
+
+  test("plan: sequence packing and stratified sampling use ONE partitioned-window exchange") {
+    for (q <- Seq("t09_sequence_packing", "t10_stratified_sample")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val physical = df.queryExecution.executedPlan.toString
+      // one hash exchange for the per-lang window; the only other exchange is
+      // the final deterministic-output range sort
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(physical).size
+      assert(hashExchanges == 1, s"$q: expected 1 hash exchange, plan:\n$physical")
+    }
+  }
+
   test("plan: concat pipeline is shuffle-free (narrow, scales linearly)") {
     val d = tmpDir("planshuffle")
     val f1 = writeFile(d, "a.csv", "a,b\n1,2\n")
