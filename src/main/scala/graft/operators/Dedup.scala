@@ -254,10 +254,11 @@ object Dedup {
     * of its windows also appear elsewhere.
     *
     * Scale shape: explode to slim (id, window-hash) rows — all codegen'd
-    * (sequence/substring/md5), no HOF lambdas — then ONE shuffle keyed on
-    * the hash. Shared-window detection is `min(id) != max(id)` per hash
-    * group (map-side partial agg), never a pair join, so a window shared by
-    * 100k docs costs O(100k) rows, not O(100k^2) pairs.
+    * (sequence/substring/md5), no HOF lambdas — read ONCE, then exactly two
+    * shuffles: a window partitioned on the hash marks each row shared when
+    * `min(id) != max(id)` over its hash group (never a pair join, so a
+    * window shared by 100k docs costs O(100k) rows, not O(100k^2) pairs),
+    * and a groupBy(id) folds the flags into per-doc counts.
     */
   def substringContamination(
       docs: DataFrame,
@@ -275,17 +276,13 @@ object Dedup {
       .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
       .select(col("id"),
         md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary")).as("wh"))
-    val shared = windows
-      .groupBy("wh")
-      .agg(min("id").as("mn"), max("id").as("mx"))
-      .where(col("mn") =!= col("mx"))
-      .select(col("wh"))
+    val byHash = Window.partitionBy(col("wh"))
     windows
-      .join(shared, Seq("wh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_shared_w"))
-      .join(windows.groupBy("id").agg(count(lit(1)).as("n_windows")), Seq("id"), "right")
-      .select(col("id"), col("n_windows"),
-        coalesce(col("n_shared_w"), lit(0L)).as("n_shared"))
+      .withColumn("__shared", min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__shared"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("id"), col("n_windows"), col("n_shared"))
   }
 
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`

@@ -344,6 +344,23 @@ object RelationalQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
     }),
+    // recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine from
+    // min to max order date, LEFT JOIN per-month order counts — empty months
+    // surface as 0, which only a generated spine can do
+    "q41_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_q41")
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+      ordered(s.sql(
+        """WITH RECURSIVE months(m) AS (
+          |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders_q41))
+          |  UNION ALL
+          |  SELECT m + INTERVAL 1 MONTH FROM months
+          |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders_q41)))
+          |SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n
+          |FROM months LEFT JOIN orders_q41
+          |  ON date_trunc('MONTH', o_orderdate) = m
+          |GROUP BY m""".stripMargin))
+    }),
     // the skew machinery made driver-visible: deterministic salted join
     // (fact salt in [0,8), dim replicated per salt) must produce exactly
     // the plain-join aggregate the oracle computes
@@ -526,6 +543,15 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q41_recursive_cte" ->
+      s"""WITH RECURSIVE months(m) AS (
+         |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+         |  UNION ALL
+         |  SELECT m + INTERVAL 1 MONTH FROM months
+         |  WHERE m < date_trunc('month', (SELECT max(o_orderdate) FROM orders)))
+         |SELECT strftime(m, '%Y-%m') AS month, count(o_orderkey) AS n
+         |FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+         |GROUP BY m ${orderSql("month", "n")}""".stripMargin,
     "q40_salted_join_agg" ->
       s"""SELECT s.s_nationkey AS s_nationkey, COUNT(*) AS n,
          |${dsumSql("l.l_extendedprice")} AS revenue
