@@ -120,6 +120,32 @@ object RelationalQueries {
       val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
       ordered(n.except(sup))
     }),
+    // multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // multiplicities, unlike the set-based q13/q14
+    "q42_set_ops_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").as("k"))
+      ordered(c.intersectAll(sup).groupBy("k").agg(count(lit(1)).as("n_inter"))
+        .join(c.exceptAll(sup).groupBy("k").agg(count(lit(1)).as("n_except")),
+          Seq("k"), "full")
+        .select(col("k"), col("n_inter"), col("n_except")))
+    }),
+    // RANGE frame: per-customer totals over orders within +/-30 DAYS of each
+    // order date — a value-based frame a ROWS frame can't express. The order
+    // key is an epoch-DAY integer (timezone-free on both engines); the sum
+    // accumulates in decimal inside the frame for order-independence
+    "q43_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("od"), col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"))
+        .rangeBetween(-30, 30)
+      ordered(o.select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_near"),
+        sum(col("o_totalprice").cast(DecimalType(18, 6))).over(w)
+          .cast("double").as("near_total")))
+    }),
     // event-time tumbling window aggregation (batch form)
     "q15_events_hourly" -> ((s, dir) =>
       ordered(events(s, dir)
@@ -543,6 +569,25 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q42_set_ops_all" ->
+      s"""SELECT k, n_inter, n_except FROM
+         |(SELECT k, COUNT(*) AS n_inter FROM
+         |  (SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+         | GROUP BY k) a
+         |FULL JOIN
+         |(SELECT k, COUNT(*) AS n_except FROM
+         |  (SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+         | GROUP BY k) b USING (k)
+         |${orderSql("k", "n_inter", "n_except")}""".stripMargin,
+    "q43_range_frame" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  COUNT(*) OVER w AS n_near,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS near_total
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey
+         |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |  RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+         |${orderSql("o_custkey", "o_orderkey", "n_near", "near_total")}""".stripMargin,
     "q41_recursive_cte" ->
       s"""WITH RECURSIVE months(m) AS (
          |  SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
