@@ -22,6 +22,28 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
+  /** Persist the trained quantizer as a (cell, centroid) parquet table —
+    * at corpus scale the index is trained ONCE and reused across every
+    * query session; centroids are KBs regardless of corpus size.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[save]]; cell ids restore ordering. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .sortBy(_.getInt(0))
+    Model(rows.map(_.getSeq[Double](1).toArray))
+  }
+
   /** Nearest-centroid id via lexicographic `least(struct(dist, id))`. */
   private def nearestCell(v: Column, m: Model): Column =
     least(m.centroids.zipWithIndex.map { case (c, i) =>

@@ -197,6 +197,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall >= 0.4, f"IVF recall@5 too low: $recall%.2f")
     assert(ivf.nonEmpty && ivf.forall { case (qid, _) => qid <= 5 })
+    // save/load roundtrip: the reloaded quantizer IS the trained one
+    val idxPath = java.nio.file.Files.createTempDirectory("ivf").resolve("idx").toString
+    IvfIndex.save(spark, m1, idxPath)
+    val m3 = IvfIndex.load(spark, idxPath)
+    assert(m3.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
   }
 
   test("typed TopK aggregator matches the window-based top-k") {
