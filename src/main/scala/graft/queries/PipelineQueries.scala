@@ -214,6 +214,25 @@ object PipelineQueries {
         size(regexp_extract_all(aug, lit(emailPat), lit(0))).as("n_emails"),
         md5(redacted.cast(BinaryType)).as("redacted_fp")))
     }),
+    // context-window chunking: split long documents into 1000-char chunks
+    // with 100-char overlap (stride 900), stable (doc_id, chunk_idx) keys —
+    // the explode-side counterpart of t09's packing. Narrow (no shuffle
+    // until the output sort); chunk count derives from length so the last
+    // partial chunk is kept iff it has content beyond the previous stride
+    "t12_doc_chunking" -> ((s, dir) => {
+      val chunk = 1000
+      val stride = 900
+      val n = length(col("text"))
+      // chunks start at 0, stride, 2*stride...; count = ceil(max(len-chunk,0)/stride)+1
+      val nChunks =
+        ceil(greatest(n - chunk, lit(0)).cast("double") / stride).cast("int") + 1
+      ordered(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), nChunks.as("__nc"))
+        .select(col("doc_id"), col("text"), posexplode(sequence(lit(0), col("__nc") - 1)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          length(expr(s"substring(text, pos * $stride + 1, $chunk)")).as("chunk_chars"),
+          md5(expr(s"substring(text, pos * $stride + 1, $chunk)").cast(BinaryType)).as("chunk_fp")))
+    }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -407,6 +426,16 @@ object PipelineQueries {
          |FROM documents ${orderSql("doc_id", "lang", "n_chars", "pack_id")}""".stripMargin,
     "t03_fingerprint_md5" ->
       s"SELECT doc_id, md5(text) AS fp FROM documents ${orderSql("doc_id", "fp")}",
+    "t12_doc_chunking" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, CAST(ceil(greatest(n - 1000, 0) / 900.0) AS INTEGER) + 1)) AS chunk_idx
+         |  FROM d)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  CAST(length(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS INTEGER) AS chunk_chars,
+         |  md5(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS chunk_fp
+         |FROM c ${orderSql("doc_id", "chunk_idx", "chunk_chars", "chunk_fp")}""".stripMargin,
     "t10_stratified_sample" ->
       s"""SELECT doc_id, lang, rk FROM (
          |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
