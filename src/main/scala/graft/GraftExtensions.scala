@@ -56,7 +56,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSim(args.head, args(1))),
     ("vec_l2",
       new ExpressionInfo(classOf[L2Distance].getName, "vec_l2"),
-      (args: Seq[Expression]) => L2Distance(args.head, args(1))))
+      (args: Seq[Expression]) => L2Distance(args.head, args(1))),
+    ("quantize_i8",
+      new ExpressionInfo(classOf[graft.expressions.QuantizeI8].getName, "quantize_i8"),
+      (args: Seq[Expression]) => graft.expressions.QuantizeI8(args.head)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

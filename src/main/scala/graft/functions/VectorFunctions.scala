@@ -26,6 +26,12 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     ExpressionUtils.column(L2Distance(expr(a), expr(b)))
 
+  /** Symmetric int8 scalar quantization (4x embedding storage reduction);
+    * [[graft.expressions.QuantizeI8]].
+    */
+  def quantizeI8(v: Column): Column =
+    ExpressionUtils.column(graft.expressions.QuantizeI8(expr(v)))
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH (SimHash for
     * vectors, Charikar 2002): component j of plane i comes from a seeded
     * xorshift generator, so every run (and every executor) agrees.

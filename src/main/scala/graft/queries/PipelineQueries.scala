@@ -252,6 +252,15 @@ object PipelineQueries {
         k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // int8 scalar quantization of the embedding corpus: per-vector integer
+    // stats hash-check the exact quantized values against the same formula
+    // in DuckDB (floor(x*127/max|x| + 0.5) — engine-portable rounding)
+    "s04_quantize_i8" -> ((s, dir) =>
+      ordered(t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(VF.quantizeI8(col("embedding"))))
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("dim"), sum(col("col")).as("qsum"),
+          min(col("col")).as("qmin"), max(col("col")).as("qmax")))),
     "s03_knn_ivf" -> ((s, dir) => {
       import graft.operators.IvfIndex
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -658,6 +667,20 @@ object PipelineQueries {
          |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
          |FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s04_quantize_i8" ->
+      s"""WITH m AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT vec_id,
+         |    unnest(list_transform(embedding,
+         |      x -> CASE WHEN ma > 0 THEN CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER)
+         |                ELSE 0 END)) AS qi
+         |  FROM m)
+         |SELECT vec_id, COUNT(*) AS dim, CAST(SUM(qi) AS BIGINT) AS qsum,
+         |  min(qi) AS qmin, max(qi) AS qmax
+         |FROM q GROUP BY vec_id ${orderSql("vec_id", "dim", "qsum", "qmin", "qmax")}""".stripMargin,
     "st02_stateful_counts" ->
       s"""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
          |${orderSql("user_id", "n_events")}""".stripMargin,

@@ -204,6 +204,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m3.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
   }
 
+  test("int8 quantization: bounded error, sign-preserving, zero vector safe") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, -1.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id", VF.quantizeI8($"v").as("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // max|x|=1.0 -> scale 127: 0.5->64 (floor(63.5+0.5)), -0.25->-31
+    // (floor(-31.75+0.5)=-32? floor(-31.25)= -32... compute: -0.25*127=-31.75;
+    // +0.5 => -31.25; floor => -32), 0.125->16, -1.0->-127
+    assert(got(1L) == Seq(64, -32, 16, -127))
+    assert(got(2L) == Seq(0, 0, 0, 0))
+    // dequantization error bound: |x - q*ma/127| <= 0.5*ma/127
+    got(1L).zip(vecs.head._2).foreach { case (q, x) =>
+      assert(math.abs(x - q / 127.0) <= 0.5 / 127.0 + 1e-9)
+    }
+  }
+
   test("typed TopK aggregator matches the window-based top-k") {
     import graft.functions.TopKAggregator
     import org.apache.spark.sql.functions.udaf
