@@ -372,20 +372,29 @@ object RelationalQueries {
     }),
     // recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine from
     // min to max order date, LEFT JOIN per-month order counts — empty months
-    // surface as 0, which only a generated spine can do
+    // surface as 0, which only a generated spine can do. The date bounds are
+    // resolved ONCE up front and injected as literals: a subquery in the
+    // recursive step is re-planned per iteration (measured: ~80 extra scans
+    // of orders, 14s at sf0.1), and a literal-bounded spine is also the only
+    // formulation that scales — the recursion itself then touches no data
     "q41_recursive_cte" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_q41")
       s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
+      val b = s.sql(
+        """SELECT date_format(min(o_orderdate), 'yyyy-MM-01') AS mn,
+          |       date_format(max(o_orderdate), 'yyyy-MM-01') AS mx
+          |FROM orders_q41""".stripMargin).collect()(0)
+      val (mn, mx) = (b.getString(0), b.getString(1))
       ordered(s.sql(
-        """WITH RECURSIVE months(m) AS (
-          |  SELECT date_trunc('MONTH', (SELECT min(o_orderdate) FROM orders_q41))
-          |  UNION ALL
-          |  SELECT m + INTERVAL 1 MONTH FROM months
-          |  WHERE m < date_trunc('MONTH', (SELECT max(o_orderdate) FROM orders_q41)))
-          |SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n
-          |FROM months LEFT JOIN orders_q41
-          |  ON date_trunc('MONTH', o_orderdate) = m
-          |GROUP BY m""".stripMargin))
+        s"""WITH RECURSIVE months(m) AS (
+           |  SELECT CAST('$mn' AS TIMESTAMP)
+           |  UNION ALL
+           |  SELECT m + INTERVAL 1 MONTH FROM months
+           |  WHERE m < CAST('$mx' AS TIMESTAMP))
+           |SELECT date_format(m, 'yyyy-MM') AS month, count(o_orderkey) AS n
+           |FROM months LEFT JOIN orders_q41
+           |  ON date_trunc('MONTH', o_orderdate) = m
+           |GROUP BY m""".stripMargin))
     }),
     // the skew machinery made driver-visible: deterministic salted join
     // (fact salt in [0,8), dim replicated per salt) must produce exactly
