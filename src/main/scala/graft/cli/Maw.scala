@@ -126,7 +126,7 @@ object Maw {
   def verifyOutput(spark: SparkSession, cfg: Concat.Config, output: String,
       fmt: Discovery.Format, naOut: String): (Long, java.math.BigDecimal) = {
     val planned = Concat.run(spark, cfg)
-    val written = Sink.readBack(spark, output, fmt)
+    val written = Sink.readBack(spark, output, fmt, cfg.csv.delimiter)
     val expected = planned.count()
     val actual = written.count()
     if (expected != actual)
@@ -200,7 +200,11 @@ object Maw {
         val sec = (System.nanoTime() - t0) / 1e9
         if (!a.quiet) {
           val rows = metrics.getOrElse("rows_written", "?")
-          val mbRead = bytes.read.get() / 1e6
+          // byte fast paths stream outside Spark's task metrics, so they
+          // report their own bytes; the listener covers the typed path
+          val mbRead = metrics.get("bytes_read")
+            .map(_.toString.toDouble / 1e6)
+            .getOrElse(bytes.read.get() / 1e6)
           val mbps = if (sec > 0) mbRead / sec else 0.0
           if (a.jsonLogs)
             println(f"""{"event":"progress","rows_written":$rows%s,"mb_read":$mbRead%.1f,"mb_written":${bytes.written.get() / 1e6}%.1f,"elapsed_sec":$sec%.2f,"mb_per_sec":$mbps%.1f}""")

@@ -47,8 +47,12 @@ object CsvByteConcat {
       cfg.csv.quote == "\"" &&
       cfg.csv.encoding.equalsIgnoreCase("UTF-8") &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
-      // the scanner compares raw field bytes; NA values containing CSV
-      // metacharacters would need escape-aware matching
+      // a non-empty output NA string means EMPTY source fields must be
+      // re-rendered (null -> naString) — not a pass-through; and the scanner
+      // needs at least one NA value (maxNa sizing) without CSV
+      // metacharacters (escape-aware matching would be required)
+      sink.naString.isEmpty &&
+      cfg.csv.naValues.nonEmpty &&
       cfg.csv.naValues.forall(v =>
         v.nonEmpty && v.length <= 32 &&
           !v.exists(c => c == '"' || c == '\n' || c == '\r') &&
@@ -110,6 +114,7 @@ object CsvByteConcat {
         val conf = new org.apache.hadoop.conf.Configuration()
         val inPath = new Path(path)
         val ifs = inPath.getFileSystem(conf)
+        val inBytes = ifs.getFileStatus(inPath).getLen
         val outPath =
           if (singleFile) new Path(tmpDir, f"part-$idx%05d")
           else new Path(f"$outBase%s-$idx%04d.csv")
@@ -136,11 +141,12 @@ object CsvByteConcat {
             finally in.close()
           }
         }
-        (idx, n)
+        (idx, n, inBytes)
       }
       .collect()
 
     val total = results.map(_._2).sum
+    val bytesRead = results.map(_._3).sum
     if (singleFile) {
       // inherent single-writer step (same contract as coalesce(1)): stream
       // header + part bodies into the one target file, in input order
@@ -150,7 +156,7 @@ object CsvByteConcat {
       val out = new BufferedOutputStream(tfs.create(target, true), 1 << 20)
       try {
         out.write(header); out.write(Lf.toInt)
-        results.sortBy(_._1).foreach { case (idx, _) =>
+        results.sortBy(_._1).foreach { case (idx, _, _) =>
           val p = new Path(tmpDir, f"part-$idx%05d")
           val in = new BufferedInputStream(tfs.open(p), 1 << 20)
           try copyAll(in, out) finally in.close()
@@ -158,7 +164,7 @@ object CsvByteConcat {
       } finally out.close()
     }
     fs0.delete(new Path(tmpDir), true)
-    Some(Map("rows_written" -> total))
+    Some(Map("rows_written" -> total, "bytes_read" -> bytesRead))
   }
 
   /** Read one line's bytes (without LF / trailing CR); null on empty EOF. */
@@ -310,6 +316,12 @@ object CsvByteConcat {
     ps.getFormat.setQuote(opts.quote.charAt(0))
     ps.setMaxCharsPerColumn(1 << 20)
     ps.setHeaderExtractionEnabled(true)
+    // match Spark's univocity read settings: whitespace is DATA, and a
+    // quoted "" is the empty string, not null (univocity's defaults trim
+    // and null-ify, which would diverge from the typed path)
+    ps.setIgnoreLeadingWhitespaces(false)
+    ps.setIgnoreTrailingWhitespaces(false)
+    ps.setEmptyValue("")
     val parser = new CsvParser(ps)
     val ws = new CsvWriterSettings
     ws.getFormat.setDelimiter(opts.delimiter.charAt(0))
@@ -317,6 +329,8 @@ object CsvByteConcat {
     ws.setNullValue(naOut)
     ws.setEmptyValue("")
     ws.setQuoteAllFields(false)
+    ws.setIgnoreLeadingWhitespaces(false)
+    ws.setIgnoreTrailingWhitespaces(false)
     val writer = new CsvWriter(new java.io.OutputStreamWriter(out, "UTF-8"), ws)
     parser.beginParsing(new java.io.InputStreamReader(in, "UTF-8"))
     var rows = 0L

@@ -217,12 +217,15 @@ object Dedup {
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
+    // ids keep their native type: min/least give the same keep-lowest
+    // semantics for any orderable id, and ANSI mode would throw on a
+    // numeric cast of string ids
     val edges = pairs
-      .select(col("idA").cast("long").as("src"), col("idB").cast("long").as("dst"))
-      .unionByName(pairs.select(col("idB").cast("long").as("src"), col("idA").cast("long").as("dst")))
+      .select(col("idA").as("src"), col("idB").as("dst"))
+      .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .localCheckpoint()
     var labels = docs
-      .select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("cluster"))
+      .select(col(idCol).as("id"), col(idCol).as("cluster"))
       .localCheckpoint()
     var converged = false
     var iter = 0

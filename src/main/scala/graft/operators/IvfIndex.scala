@@ -76,12 +76,19 @@ object IvfIndex {
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
       sampleSize: Int = 2048, iters: Int = 2): Model = {
-    val sample = emb
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+    // sort key: numeric ids sort numerically (unchanged results); any other
+    // id type sorts by its string rendering — a long cast under ANSI mode
+    // would THROW for string ids instead of ordering them
+    val idIsNumeric = emb.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val collected = emb
+      .select(
+        (if (idIsNumeric) col(idCol).cast("long") else col(idCol).cast("string")).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
       .limit(sampleSize)
       .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
+    val sample = (if (idIsNumeric) collected.sortBy(_.getLong(0))
+      else collected.sortBy(_.getString(0))).map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training set")
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 1 to iters) {

@@ -57,10 +57,13 @@ object ParquetByteConcat {
     val hconf = spark.sparkContext.hadoopConfiguration
     // footer-only pre-flight: schemas must be identical and already sorted
     val footers = files.map { f =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(f.path), hconf))
+      val p = new Path(f.path)
+      val inFile = HadoopInputFile.fromPath(p, hconf)
+      val r = ParquetFileReader.open(inFile)
       try {
         val md = r.getFooter.getFileMetaData
-        (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
+          inFile.getLength)
       } finally r.close()
     }
     val schema = footers.head._1
@@ -68,6 +71,7 @@ object ParquetByteConcat {
     val names = schema.getFields.asScala.map(_.getName)
     if (names.sorted != names || names.distinct != names) return None
     val totalRows = footers.map(_._2).sum
+    val totalBytes = footers.map(_._3).sum
 
     val outBase = sink.path.stripSuffix(".parquet")
     if (sink.singleFile) {
@@ -98,6 +102,6 @@ object ParquetByteConcat {
           w.end(java.util.Map.of("graft.concat", "row-group-copy"))
         }
     }
-    Some(Map("rows_written" -> totalRows))
+    Some(Map("rows_written" -> totalRows, "bytes_read" -> totalBytes))
   }
 }

@@ -42,14 +42,12 @@ object Sink {
     */
   def write(df0: DataFrame, cfg: Config): Map[String, Any] = {
     val obs = new org.apache.spark.sql.Observation()
-    writeInternal(
-      df0.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows_written")),
-      cfg)
+    writeInternal(df0, cfg, Some(obs))
     org.apache.spark.sql.graftbridge.ColumnBridge.observed(obs)
   }
 
-  private def writeInternal(df0: DataFrame, cfg: Config): Unit = {
+  private def writeInternal(df0: DataFrame, cfg: Config,
+      obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
     val df1 = df0.select(df0.schema.fields.map { f =>
@@ -57,19 +55,27 @@ object Sink {
         org.apache.spark.sql.functions.lit(null).cast("string").as(f.name)
       else org.apache.spark.sql.functions.col(f.name)
     }.toIndexedSeq: _*)
-    val df = if (cfg.preserveOrder || cfg.singleFile) df1 else {
-      val target = df1.sparkSession.sparkContext.defaultParallelism
-      if (df1.rdd.getNumPartitions < target) df1.repartition(target) else df1
-    }
-    val rolled = cfg.rollByBytes match {
+    // multi-file output trades input order for write parallelism: an AQE
+    // REBALANCE (the pre-write hint) right-sizes partitions at runtime —
+    // splits too-big, merges too-small — without the .rdd partition peek
+    // that would force physical planning just to decide
+    val df2 = if (cfg.preserveOrder || cfg.singleFile) df1 else df1.hint("rebalance")
+    // bytes->rows estimate runs on the UN-observed plan: an action on the
+    // observed one would complete the Observation with the sample's partial
+    // count and the real write's metrics would be discarded
+    val maxRecords: Option[Long] = cfg.rollByBytes match {
       case Some(bytes) =>
-        // approximate bytes->rows from a small sample of rendered row width
-        val sample = df.limit(1000).collect()
+        val sample = df2.limit(1000).collect()
         val avg = if (sample.isEmpty) 100.0
           else sample.map(_.mkString(",").length + 1).sum.toDouble / sample.length
-        df.writeConfRows(math.max(1L, (bytes / math.max(avg, 1.0)).toLong))
-      case None => cfg.rollByRows.map(df.writeConfRows).getOrElse(df.write)
+        Some(math.max(1L, (bytes / math.max(avg, 1.0)).toLong))
+      case None => cfg.rollByRows
     }
+    // the row-count observation attaches directly under the write, AFTER any
+    // sampling action
+    val df = obs.map(o => df2.observe(o, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows_written"))).getOrElse(df2)
+    val rolled = maxRecords.map(df.writeConfRows).getOrElse(df.write)
     val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty)
       df.coalesce(1).write else rolled
     val tmpDir = cfg.path + ".spark-out"
@@ -98,7 +104,7 @@ object Sink {
     * — used by the CLI's `--verify` integrity check (S2).
     */
   def readBack(spark: org.apache.spark.sql.SparkSession, path: String,
-      fmt: graft.sources.Discovery.Format): DataFrame = {
+      fmt: graft.sources.Discovery.Format, delimiter: String = ","): DataFrame = {
     val f = new java.io.File(path)
     val ext = fmt match {
       case graft.sources.Discovery.Csv     => ".csv"
@@ -116,7 +122,7 @@ object Sink {
     require(paths.nonEmpty, s"no output found at $path")
     fmt match {
       case graft.sources.Discovery.Csv =>
-        spark.read.option("header", "true").csv(paths: _*)
+        spark.read.option("header", "true").option("sep", delimiter).csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
     }
   }
