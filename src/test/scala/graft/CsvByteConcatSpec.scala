@@ -93,6 +93,48 @@ class CsvByteConcatSpec extends SparkSpec {
     assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,x\n,y\n")
   }
 
+  test("non-empty output NA string: byte path declines, empty fields render as NA") {
+    val d = tmpDir("bccNa")
+    val f = writeFile(d, "a.csv", "k,v\n1,\n2,y\n")
+    val out = d.resolve("out.csv").toString
+    val cfg = Concat.Config(Seq(f), rawPassThrough = true)
+    val sink = Sink.Config(out, Discovery.Csv, naString = "NULL")
+    assert(!CsvByteConcat.eligible(cfg, sink)) // null -> "NULL" is a re-render
+    Concat.convert(spark, cfg, sink)
+    assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,NULL\n2,y\n")
+  }
+
+  test("record fallback preserves whitespace and quoted-empty fields (Spark CSV semantics)") {
+    val d = tmpDir("bccWs")
+    // the NA field makes the file dirty -> record path; ' x ' and "" must
+    // survive exactly as the typed path would emit them
+    val f = writeFile(d, "a.csv", "k,v,w\n1, x ,NA\n2,\"\",y\n")
+    val out = d.resolve("out.csv").toString
+    convert(Seq(f), out, naOut = "")
+    assert(Files.readString(d.resolve("out.csv")) == "k,v,w\n1, x ,\n2,,y\n")
+  }
+
+  test("verify passes with a custom delimiter (readBack honors the sink delimiter)") {
+    val d = tmpDir("bccDelim")
+    val f = writeFile(d, "a.csv", "a;b\n1;x\n2;y\n")
+    val out = d.resolve("out.csv").toString
+    val cfg = Concat.Config(Seq(f),
+      csv = graft.sources.CsvSource.CsvOptions(delimiter = ";"), rawPassThrough = true)
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Csv, delimiter = ";"))
+    val (rows, _) = graft.cli.Maw.verifyOutput(spark, cfg, out, Discovery.Csv, "")
+    assert(rows == 2L)
+  }
+
+  test("roll-by-bytes reports the REAL row count, not the sampling cap") {
+    val d = tmpDir("bccRoll")
+    val body = (1 to 3000).map(i => s"$i,v$i").mkString("\n")
+    val f = writeFile(d, "a.csv", "k,v\n" + body + "\n")
+    val out = d.resolve("out.csv").toString
+    val m = Concat.convert(spark, Concat.Config(Seq(f)),
+      Sink.Config(out, Discovery.Csv, rollByBytes = Some(5000)))
+    assert(m("rows_written") == 3000L, s"got ${m("rows_written")}")
+  }
+
   test("different headers: byte path declines, typed pipeline handles it") {
     val d = tmpDir("bcc8")
     val f1 = writeFile(d, "a.csv", "a,b\n1,x\n")

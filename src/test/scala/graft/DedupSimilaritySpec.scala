@@ -53,6 +53,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.values.toSet == survivorIds)
   }
 
+  test("clusters and IVF train accept STRING ids (no ANSI cast crash)") {
+    val docs = Seq(("a", "t"), ("b", "t"), ("c", "t"), ("z", "t")).toDF("id", "text")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("idA", "idB")
+    val got = Dedup.clusters(docs, "id", pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
+    val emb = (1 to 20).map(i => (f"v$i%02d", Array.fill(4)(i.toFloat)))
+      .toDF("id", "v")
+    val m = graft.operators.IvfIndex.train(emb, "id", "v", k = 2)
+    assert(m.centroids.nonEmpty)
+  }
+
   test("substring contamination: aligned copies share windows, distinct docs share none") {
     val base = (0 until 8).map(i => s"chunk$i-" + "x" * 24).mkString // 248 chars
     val other = (0 until 8).map(i => s"other$i-" + "y" * 24).mkString
