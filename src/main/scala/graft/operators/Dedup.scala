@@ -224,8 +224,13 @@ object Dedup {
       .select(col("idA").as("src"), col("idB").as("dst"))
       .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .localCheckpoint()
-    var labels = docs
-      .select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // iterate ONLY over nodes the pair graph touches — a singleton's label
+    // never changes, and at corpus scale near-dup members are a small
+    // fraction of all docs; untouched docs rejoin as their own cluster at
+    // the end (one broadcast-able join, no per-round cost)
+    var labels = edges
+      .select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -244,7 +249,9 @@ object Dedup {
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
-    labels.select(col("id"), col("cluster"))
+    docs.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
   /** Exact-substring contamination signal (the "deduplicating training data"
