@@ -86,6 +86,12 @@ object Sink {
           .option("delimiter", cfg.delimiter)
           .option("nullValue", cfg.naString)
           .option("emptyValue", "")
+          // RFC 4180 output: double embedded quotes (not backslash-escape)
+          // and keep field whitespace — Spark's write defaults TRIM unquoted
+          // whitespace, which would silently alter values on a pure concat
+          .option("escape", "\"")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
           .csv(tmpDir)
       case graft.sources.Discovery.Parquet =>
         out.mode("overwrite")
@@ -122,7 +128,8 @@ object Sink {
     require(paths.nonEmpty, s"no output found at $path")
     fmt match {
       case graft.sources.Discovery.Csv =>
-        spark.read.option("header", "true").option("sep", delimiter).csv(paths: _*)
+        spark.read.option("header", "true").option("sep", delimiter)
+          .option("escape", "\"").csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
     }
   }

@@ -70,6 +70,11 @@ object CsvSource {
       .option("header", opts.headers.toString)
       .option("delimiter", opts.delimiter)
       .option("quote", opts.quote)
+      // RFC 4180: a doubled quote inside a quoted field is a literal quote
+      // (escape char = quote char; Spark's default backslash escaping is
+      // not what CSV writers — including the reference's Rust csv crate —
+      // produce)
+      .option("escape", opts.quote)
       .option("encoding", opts.encoding)
       .option("mode", "PERMISSIVE")
       .option("nullValue", opts.naValues.headOption.getOrElse(""))

@@ -20,7 +20,7 @@ class CsvByteConcatSpec extends SparkSpec {
       Sink.Config(out, Discovery.Csv, naString = naOut))
 
   private def readValues(path: String): Seq[Seq[String]] =
-    spark.read.option("header", "true").csv(path)
+    spark.read.option("header", "true").option("escape", "\"").csv(path)
       .collect().toSeq.map(r => (0 until r.length).map(i =>
         Option(r.getString(i)).getOrElse("<null>")))
 
@@ -183,6 +183,36 @@ class CsvByteConcatSpec extends SparkSpec {
     val out = d.resolve("out.csv").toString
     convert(Seq(f), out)
     assert(Files.readString(d.resolve("out.csv")) == "a,z\n2,1\n")
+  }
+
+  test("property: byte path values == typed path values on randomized content") {
+    // seeded: deterministic across runs. Alphabet hits every scanner branch:
+    // clean, empty, NA (fallback trigger), embedded delimiter/quote (quoted
+    // pass-through), whitespace padding, ragged-looking numerics
+    val rnd = new scala.util.Random(20260812L)
+    val cells = Array(
+      "plain", "", "NA", "\"x,y\"", "\"he said \"\"hi\"\"\"", " padded ",
+      "42", "3.14", "x", "\"\"", "multi word value", "0")
+    for (round <- 1 to 15) {
+      val d = tmpDir(s"bccProp$round")
+      val files = (0 until 2).map { fi =>
+        val rows = (1 to 1 + rnd.nextInt(20)).map { _ =>
+          (0 until 3).map(_ => cells(rnd.nextInt(cells.length))).mkString(",")
+        }
+        writeFile(d, s"f$fi.csv", "a,b,c\n" + rows.mkString("\n") + "\n")
+      }
+      val fastOut = d.resolve("fast.csv").toString
+      val typedOut = d.resolve("typed.csv").toString
+      val m = convert(files, fastOut)
+      // typed reference: the all-string plan through the normal sink
+      val cfg = Concat.Config(files, rawPassThrough = true)
+      Sink.write(Concat.planFor(spark, cfg, graft.sources.Discovery.discover(files)),
+        sinkCfg(typedOut))
+      val got = readValues(fastOut).map(_.mkString("")).sorted
+      val want = readValues(typedOut).map(_.mkString("")).sorted
+      assert(got == want, s"round $round diverged:\ngot  $got\nwant $want")
+      assert(m("rows_written") == want.size.toLong)
+    }
   }
 
   test("byte path and all-string pipeline agree value-for-value on testdata CSV") {
