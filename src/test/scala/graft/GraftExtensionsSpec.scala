@@ -37,6 +37,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 3)
   }
 
+  test("jaccard_sorted edges: empty arrays, disjoint, identical") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array(), array()) AS e,
+        |jaccard_sorted(array(1L,2L), array(3L,4L)) AS disjoint,
+        |jaccard_sorted(array(1L,2L,3L), array(1L,2L,3L)) AS same,
+        |jaccard_sorted(array(1L,2L,3L,4L), array(3L,4L,5L,6L)) AS half
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 2.0 / 6.0)
+  }
+
   test("extensions class injects without error (for spark.sql.extensions wiring)") {
     // a shared test session already exists, so we can't observe a fresh
     // session build here; assert the injection path itself is sound

@@ -82,6 +82,43 @@ class ParquetByteConcatSpec extends SparkSpec {
     assert(m("rows_written") == 30L)
   }
 
+  test("property: randomized typed tables roundtrip the row-group copy value-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (round <- 1 to 5) {
+      val d = tmpDir(s"pbcProp$round")
+      // mixed types incl nulls, decimals-as-doubles, strings with quotes
+      val rows = (1 to 1 + rnd.nextInt(50)).map { i =>
+        (i.toLong,
+          if (rnd.nextBoolean()) Some(rnd.nextDouble() * 1000) else None,
+          if (rnd.nextInt(5) == 0) null
+          else s"""v${rnd.nextInt(100)} "q" ${"x" * rnd.nextInt(8)}""",
+          rnd.nextBoolean())
+      }
+      val df = rows.toDF("a_id", "b_val", "c_txt", "d_flag")
+      val parts = (0 until 2).map { p =>
+        val out = d.resolve(s"in$p.parquet").toString
+        df.where(pmod(col("a_id"), lit(2)) === p).coalesce(1).write.parquet(out)
+        out
+      }
+      val out = d.resolve("out.parquet").toString
+      val m = convert(parts, out)
+      // fast path must have engaged (footer marker), values exactly the union
+      val meta = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(out),
+          spark.sparkContext.hadoopConfiguration))
+      try assert(meta.getFooter.getFileMetaData.getKeyValueMetaData
+        .get("graft.concat") == "row-group-copy")
+      finally meta.close()
+      val got = spark.read.parquet(out).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+      val want = df.collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+      assert(got == want, s"round $round diverged")
+      assert(m("rows_written") == want.size.toLong)
+    }
+  }
+
   test("ns-timestamp parquet passes through bit-exact (no decode happens)") {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
