@@ -124,9 +124,10 @@ object Maw {
     * (rows, checksum); throws IllegalStateException on any mismatch.
     */
   def verifyOutput(spark: SparkSession, cfg: Concat.Config, output: String,
-      fmt: Discovery.Format, naOut: String): (Long, java.math.BigDecimal) = {
+      fmt: Discovery.Format, naOut: String,
+      outDelimiter: String = ","): (Long, java.math.BigDecimal) = {
     val planned = Concat.run(spark, cfg)
-    val written = Sink.readBack(spark, output, fmt, cfg.csv.delimiter)
+    val written = Sink.readBack(spark, output, fmt, outDelimiter)
     val expected = planned.count()
     val actual = written.count()
     if (expected != actual)
@@ -205,13 +206,16 @@ object Maw {
           val mbRead = metrics.get("bytes_read")
             .map(_.toString.toDouble / 1e6)
             .getOrElse(bytes.read.get() / 1e6)
+          val mbWritten = metrics.get("bytes_written")
+            .map(_.toString.toDouble / 1e6)
+            .getOrElse(bytes.written.get() / 1e6)
           val mbps = if (sec > 0) mbRead / sec else 0.0
           if (a.jsonLogs)
-            println(f"""{"event":"progress","rows_written":$rows%s,"mb_read":$mbRead%.1f,"mb_written":${bytes.written.get() / 1e6}%.1f,"elapsed_sec":$sec%.2f,"mb_per_sec":$mbps%.1f}""")
+            println(f"""{"event":"progress","rows_written":$rows%s,"mb_read":$mbRead%.1f,"mb_written":$mbWritten%.1f,"elapsed_sec":$sec%.2f,"mb_per_sec":$mbps%.1f}""")
           else println(f"wrote $rows%s rows -> ${a.output}%s (${mbps}%.1f MB/s)")
         }
         if (a.verify) {
-          val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut)
+          val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut, a.delimiter)
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }

@@ -147,7 +147,7 @@ object CsvByteConcat {
 
     val total = results.map(_._2).sum
     val bytesRead = results.map(_._3).sum
-    if (singleFile) {
+    val bytesWritten = if (singleFile) {
       // inherent single-writer step (same contract as coalesce(1)): stream
       // header + part bodies into the one target file, in input order
       val target = new Path(sink.path)
@@ -162,9 +162,16 @@ object CsvByteConcat {
           try copyAll(in, out) finally in.close()
         }
       } finally out.close()
+      tfs.getFileStatus(target).getLen
+    } else {
+      val tfs = new Path(sink.path).getFileSystem(hconf)
+      paths.map { case (_, idx) =>
+        tfs.getFileStatus(new Path(f"$outBase%s-$idx%04d.csv")).getLen
+      }.sum
     }
     fs0.delete(new Path(tmpDir), true)
-    Some(Map("rows_written" -> total, "bytes_read" -> bytesRead))
+    Some(Map("rows_written" -> total, "bytes_read" -> bytesRead,
+      "bytes_written" -> bytesWritten))
   }
 
   /** Read one line's bytes (without LF / trailing CR); null on empty EOF. */
@@ -331,6 +338,9 @@ object CsvByteConcat {
     ws.setQuoteAllFields(false)
     ws.setIgnoreLeadingWhitespaces(false)
     ws.setIgnoreTrailingWhitespaces(false)
+    // like Spark's writer: a value containing a quote gets quoted+doubled
+    // even without a delimiter/newline (RFC 4180 forbids bare quotes)
+    ws.setQuoteEscapingEnabled(true)
     val writer = new CsvWriter(new java.io.OutputStreamWriter(out, "UTF-8"), ws)
     parser.beginParsing(new java.io.InputStreamReader(in, "UTF-8"))
     var rows = 0L

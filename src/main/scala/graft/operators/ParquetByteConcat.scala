@@ -102,6 +102,12 @@ object ParquetByteConcat {
           w.end(java.util.Map.of("graft.concat", "row-group-copy"))
         }
     }
-    Some(Map("rows_written" -> totalRows, "bytes_read" -> totalBytes))
+    val outFs = new Path(sink.path).getFileSystem(hconf)
+    val bytesWritten =
+      if (sink.singleFile) outFs.getFileStatus(new Path(sink.path)).getLen
+      else files.indices
+        .map(i => outFs.getFileStatus(new Path(f"$outBase%s-$i%04d.parquet")).getLen).sum
+    Some(Map("rows_written" -> totalRows, "bytes_read" -> totalBytes,
+      "bytes_written" -> bytesWritten))
   }
 }

@@ -112,6 +112,10 @@ object CsvSource {
     settings.getFormat.setQuote(opts.quote.charAt(0))
     settings.setMaxCharsPerColumn(1 << 20)
     settings.setHeaderExtractionEnabled(false)
+    // sample EXACTLY what the reader will see: univocity's trimming defaults
+    // would infer Long from " 42 " that Spark's typed read then nulls
+    settings.setIgnoreLeadingWhitespaces(false)
+    settings.setIgnoreTrailingWhitespaces(false)
     val parser = new CsvParser(settings)
     val in = fs.open(file)
     val rows = try {

@@ -121,7 +121,8 @@ class CsvByteConcatSpec extends SparkSpec {
     val cfg = Concat.Config(Seq(f),
       csv = graft.sources.CsvSource.CsvOptions(delimiter = ";"), rawPassThrough = true)
     Concat.convert(spark, cfg, Sink.Config(out, Discovery.Csv, delimiter = ";"))
-    val (rows, _) = graft.cli.Maw.verifyOutput(spark, cfg, out, Discovery.Csv, "")
+    val (rows, _) = graft.cli.Maw.verifyOutput(spark, cfg, out, Discovery.Csv, "",
+      outDelimiter = ";")
     assert(rows == 2L)
   }
 
@@ -208,8 +209,8 @@ class CsvByteConcatSpec extends SparkSpec {
       val cfg = Concat.Config(files, rawPassThrough = true)
       Sink.write(Concat.planFor(spark, cfg, graft.sources.Discovery.discover(files)),
         sinkCfg(typedOut))
-      val got = readValues(fastOut).map(_.mkString("")).sorted
-      val want = readValues(typedOut).map(_.mkString("")).sorted
+      val got = readValues(fastOut).map(_.mkString("\u0001")).sorted
+      val want = readValues(typedOut).map(_.mkString("\u0001")).sorted
       assert(got == want, s"round $round diverged:\ngot  $got\nwant $want")
       assert(m("rows_written") == want.size.toLong)
     }
