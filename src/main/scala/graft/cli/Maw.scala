@@ -40,6 +40,7 @@ object Maw {
       naValues: Seq[String] = Seq("NA", "null", "\\N"),
       inferRows: Int = 1000,
       compression: String = "zstd",
+      zstdLevel: Int = 3,         // cli.rs:84-86 (1-19, default 3)
       naOut: String = "",
       rollByBytes: Option[Long] = None,
       rollByRows: Option[Long] = None,
@@ -79,6 +80,7 @@ object Maw {
       case "--na-values" :: v :: t         => go(t, a.copy(naValues = v.split(',').toSeq))
       case "--infer-rows" :: v :: t        => go(t, a.copy(inferRows = v.toInt))
       case "--compression" :: v :: t       => go(t, a.copy(compression = v))
+      case "--zstd-level" :: v :: t        => go(t, a.copy(zstdLevel = v.toInt))
       case "--roll-by-bytes" :: v :: t     => go(t, a.copy(rollByBytes = Some(v.toLong)))
       case "--roll-by-rows" :: v :: t      => go(t, a.copy(rollByRows = Some(v.toLong)))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
@@ -107,7 +109,7 @@ object Maw {
       |Streaming concatenation + format conversion of CSV/Parquet, on Spark.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
-      |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd
+      |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
       |  --roll-by-rows N --roll-by-bytes N --stream --state DIR --resume""".stripMargin
 
   def toConfig(a: Args): Concat.Config = Concat.Config(
@@ -197,7 +199,7 @@ object Maw {
         spark.sparkContext.addSparkListener(bytes)
         val t0 = System.nanoTime()
         val metrics = Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
-          a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
+          a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
         val sec = (System.nanoTime() - t0) / 1e9
         if (!a.quiet) {
           val rows = metrics.getOrElse("rows_written", "?")

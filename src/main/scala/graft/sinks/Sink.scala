@@ -23,6 +23,7 @@ object Sink {
       path: String,
       format: graft.sources.Discovery.Format,
       compression: String = "zstd", // none|snappy|gzip|zstd (cli.rs:79-86)
+      zstdLevel: Int = 3,           // cli.rs:84-86, writer_parquet.rs:53
       naString: String = "",        // writer_csv.rs:33
       delimiter: String = ",",
       rollByRows: Option[Long] = None,
@@ -96,6 +97,7 @@ object Sink {
       case graft.sources.Discovery.Parquet =>
         out.mode("overwrite")
           .option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
+          .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString) // writer_parquet.rs:53
           .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
           .parquet(tmpDir)
     }

@@ -89,6 +89,25 @@ class MawCliSpec extends SparkSpec {
     assert(metrics("rows_written") == 3L)
   }
 
+  test("zstd level reaches the parquet writer (higher level, same values, smaller-or-equal file)") {
+    val d = tmpDir("zstd")
+    val rows = (1 to 2000).map(i => s"$i,${"lorem ipsum dolor sit amet " * 3}$i").mkString("\n")
+    val in = writeFile(d, "a.csv", "k,v\n" + rows + "\n")
+    def conv(level: Int, name: String): Long = {
+      val out = d.resolve(name).toString
+      graft.operators.Concat.convert(spark, graft.operators.Concat.Config(Seq(in)),
+        graft.sinks.Sink.Config(out, Discovery.Parquet, compression = "zstd",
+          zstdLevel = level))
+      java.nio.file.Files.size(d.resolve(name))
+    }
+    val big = conv(1, "l1.parquet")
+    val small = conv(19, "l19.parquet")
+    assert(small <= big, s"level 19 ($small) should not exceed level 1 ($big)")
+    val a = spark.read.parquet(d.resolve("l1.parquet").toString).count()
+    val b = spark.read.parquet(d.resolve("l19.parquet").toString).count()
+    assert(a == 2000L && b == 2000L)
+  }
+
   test("verify checksum catches count-preserving corruption (S2, crc64 intent)") {
     val d = tmpDir("vcheck")
     val f = writeFile(d, "in.csv", "k,v\n1,alpha\n2,beta\n3,gamma\n")
