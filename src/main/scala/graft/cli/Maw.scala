@@ -53,6 +53,9 @@ object Maw {
       writerBufferMb: Int = 64,   // cli.rs:93-95
       memBudgetMb: Int = 1024,    // cli.rs:97-99
       jsonLogs: Boolean = false,  // cli.rs:131-149
+      noRecursive: Boolean = false,    // cli.rs:102-103
+      followSymlinks: Boolean = false, // cli.rs:106-107
+      progress: Boolean = true,        // cli.rs:124-128 (--progress default true)
       verbose: Int = 0,
       quiet: Boolean = false)
 
@@ -86,6 +89,10 @@ object Maw {
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--verify" :: t                 => go(t, a.copy(verify = true))
+      case "--no-recursive" :: t           => go(t, a.copy(noRecursive = true))
+      case "--follow-symlinks" :: t        => go(t, a.copy(followSymlinks = true))
+      case "--progress" :: t               => go(t, a.copy(progress = true))
+      case "--no-progress" :: t            => go(t, a.copy(progress = false))
       case "--stream" :: t                 => go(t, a.copy(streaming = true))
       case "--state" :: v :: t             => go(t, a.copy(checkpoint = Some(v)))
       case "--resume" :: t                 => go(t, a.copy(streaming = true))
@@ -110,7 +117,8 @@ object Maw {
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
-      |  --roll-by-rows N --roll-by-bytes N --stream --state DIR --resume""".stripMargin
+      |  --roll-by-rows N --roll-by-bytes N --stream --state DIR --resume
+      |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
   def toConfig(a: Args): Concat.Config = Concat.Config(
     inputs = a.inputs,
@@ -118,7 +126,9 @@ object Maw {
     stringifyConflicts = a.stringifyConflicts,
     renames = a.renames,
     include = a.columns,
-    exclude = a.exclude)
+    exclude = a.exclude,
+    discovery = Discovery.Options(
+      recursive = !a.noRecursive, followSymlinks = a.followSymlinks))
 
   /** S2 integrity verify (cli.rs:118-120, crc64 intent in Cargo.toml:60;
     * unimplemented in the reference): row count AND an order-insensitive row
@@ -201,7 +211,7 @@ object Maw {
         val metrics = Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
           a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
         val sec = (System.nanoTime() - t0) / 1e9
-        if (!a.quiet) {
+        if (!a.quiet && a.progress) {
           val rows = metrics.getOrElse("rows_written", "?")
           // byte fast paths stream outside Spark's task metrics, so they
           // report their own bytes; the listener covers the typed path

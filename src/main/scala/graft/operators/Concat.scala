@@ -38,7 +38,8 @@ object Concat {
         * normalization still applies. Only the CSV sink should set this —
         * a parquet sink wants real types.
         */
-      rawPassThrough: Boolean = false)
+      rawPassThrough: Boolean = false,
+      discovery: Discovery.Options = Discovery.Options())
 
   def readOne(spark: SparkSession, f: InputFile, csv: CsvSource.CsvOptions): DataFrame =
     f.format match {
@@ -58,7 +59,7 @@ object Concat {
     * here; CSV inference samples run concurrently on the driver.
     */
   def plan(spark: SparkSession, cfg0: Config): (Seq[InputFile], DataFrame) = {
-    val files = Discovery.discover(cfg0.inputs)
+    val files = Discovery.discover(cfg0.inputs, cfg0.discovery)
     require(files.nonEmpty, s"no inputs found in ${cfg0.inputs.mkString(", ")}")
     (files, planFor(spark, cfg0, files))
   }
@@ -70,7 +71,7 @@ object Concat {
     */
   def convert(spark: SparkSession, cfg: Config,
       sink: graft.sinks.Sink.Config): Map[String, Any] = {
-    val files = Discovery.discover(cfg.inputs)
+    val files = Discovery.discover(cfg.inputs, cfg.discovery)
     require(files.nonEmpty, s"no inputs found in ${cfg.inputs.mkString(", ")}")
     CsvByteConcat.tryRun(spark, files, cfg, sink)
       .orElse(ParquetByteConcat.tryRun(spark, files, cfg, sink))

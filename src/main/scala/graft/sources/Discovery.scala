@@ -39,13 +39,21 @@ object Discovery {
 
   private def isGlob(s: String): Boolean = s.exists("*?[{".contains(_))
 
-  def discover(inputs: Seq[String]): Seq[InputFile] = {
+  /** Directory-walk behavior (discover.rs:29-44 DiscoveryConfig):
+    * `recursive=false` limits the walk to a directory's direct children
+    * (`--no-recursive`, cli.rs:102-103); `followSymlinks` opts into
+    * traversing links (`--follow-symlinks`, cli.rs:106-107 — off by
+    * default, like the reference's WalkDir).
+    */
+  final case class Options(recursive: Boolean = true, followSymlinks: Boolean = false)
+
+  def discover(inputs: Seq[String], opts: Options = Options()): Seq[InputFile] = {
     val found = inputs.flatMap {
       case "-"                  => spoolStdin().toSeq
-      case g if isGlob(g)       => expandGlob(g)
+      case g if isGlob(g)       => expandGlob(g, opts)
       case p =>
         val path = Paths.get(p)
-        if (Files.isDirectory(path)) walkDir(path)
+        if (Files.isDirectory(path)) walkDir(path, opts)
         else if (Files.isRegularFile(path)) classify(path).toSeq
         else throw new IllegalArgumentException(s"input not found: $p")
     }
@@ -56,13 +64,20 @@ object Discovery {
   private def classify(p: Path): Option[InputFile] =
     detectFormat(p.toString).map(f => InputFile(p.toString, f, Files.size(p)))
 
-  private def walkDir(dir: Path): Seq[InputFile] = {
-    val stream = Files.walk(dir)
+  private def walk(root: Path, opts: Options): java.util.stream.Stream[Path] = {
+    val depth = if (opts.recursive) Int.MaxValue else 1
+    if (opts.followSymlinks)
+      Files.walk(root, depth, java.nio.file.FileVisitOption.FOLLOW_LINKS)
+    else Files.walk(root, depth)
+  }
+
+  private def walkDir(dir: Path, opts: Options): Seq[InputFile] = {
+    val stream = walk(dir, opts)
     try stream.iterator().asScala.filter(Files.isRegularFile(_)).flatMap(classify).toList
     finally stream.close()
   }
 
-  private def expandGlob(pattern: String): Seq[InputFile] = {
+  private def expandGlob(pattern: String, opts: Options): Seq[InputFile] = {
     val p = Paths.get(pattern)
     val parent = {
       // deepest non-glob prefix directory
@@ -72,7 +87,9 @@ object Discovery {
     }
     val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$pattern")
     if (!Files.isDirectory(parent)) return Nil
-    val stream = Files.walk(parent)
+    // globs always search the full subtree (the pattern itself bounds depth,
+    // discover.rs:132-139); only symlink behavior applies here
+    val stream = walk(parent, opts.copy(recursive = true))
     try stream.iterator().asScala
       .filter(f => Files.isRegularFile(f) && matcher.matches(f))
       .flatMap(classify).toList

@@ -89,6 +89,22 @@ class MawCliSpec extends SparkSpec {
     assert(metrics("rows_written") == 3L)
   }
 
+  test("--no-recursive limits directory discovery to direct children") {
+    val d = tmpDir("norec")
+    writeFile(d, "top.csv", "a\n1\n")
+    java.nio.file.Files.createDirectories(d.resolve("sub"))
+    writeFile(d.resolve("sub"), "nested.csv", "a\n2\n")
+    val all = Discovery.discover(Seq(d.toString))
+    val flat = Discovery.discover(Seq(d.toString),
+      Discovery.Options(recursive = false))
+    assert(all.map(f => new java.io.File(f.path).getName).toSet ==
+      Set("top.csv", "nested.csv"))
+    assert(flat.map(f => new java.io.File(f.path).getName).toSet == Set("top.csv"))
+    // CLI wiring: --no-recursive reaches Concat.Config
+    val a = graft.cli.Maw.parse(Seq(d.toString, "-o", "x.csv", "--no-recursive"))
+    assert(!graft.cli.Maw.toConfig(a).discovery.recursive)
+  }
+
   test("zstd level reaches the parquet writer (higher level, same values, smaller-or-equal file)") {
     val d = tmpDir("zstd")
     val rows = (1 to 2000).map(i => s"$i,${"lorem ipsum dolor sit amet " * 3}$i").mkString("\n")
