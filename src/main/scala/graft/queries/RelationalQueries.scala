@@ -370,6 +370,32 @@ object RelationalQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
     }),
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys MATCH
+    // each other, unlike plain = which drops them — the semantics dimension
+    // tables with absent codes need
+    "q44_null_safe_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(nullif(pmod(col("o_orderkey"), lit(7)), lit(3)).as("k"))
+      val sup = t(s, dir, "supplier")
+        .select(nullif(pmod(col("s_suppkey"), lit(7)), lit(3)).as("sk"))
+      ordered(o.join(sup, o("k") <=> sup("sk"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+    }),
+    // EXISTS / NOT EXISTS correlated subqueries in SQL text (the declarative
+    // form of semi/anti joins q05/q06)
+    "q45_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_q45")
+      t(s, dir, "orders").createOrReplaceTempView("orders_q45")
+      ordered(s.sql(
+        """SELECT
+          |  (SELECT COUNT(*) FROM customer_q45 c
+          |   WHERE EXISTS (SELECT 1 FROM orders_q45 o
+          |                 WHERE o.o_custkey = c.c_custkey
+          |                   AND o.o_totalprice > 100000)) AS with_big_order,
+          |  (SELECT COUNT(*) FROM customer_q45 c
+          |   WHERE NOT EXISTS (SELECT 1 FROM orders_q45 o
+          |                     WHERE o.o_custkey = c.c_custkey)) AS no_orders""".stripMargin))
+    }),
     // recursive CTE (Spark 4 WITH RECURSIVE): generate the month spine from
     // min to max order date, LEFT JOIN per-month order counts — empty months
     // surface as 0, which only a generated spine can do. The date bounds are
@@ -578,6 +604,21 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q44_null_safe_join" ->
+      s"""SELECT a.k, COUNT(*) AS n FROM
+         |(SELECT nullif(o_orderkey % 7, 3) AS k FROM orders) a
+         |JOIN (SELECT nullif(s_suppkey % 7, 3) AS sk FROM supplier) b
+         |ON a.k IS NOT DISTINCT FROM b.sk
+         |GROUP BY a.k ${orderSql("k", "n")}""".stripMargin,
+    "q45_exists_subquery" ->
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM customer c
+         |   WHERE EXISTS (SELECT 1 FROM orders o
+         |                 WHERE o.o_custkey = c.c_custkey
+         |                   AND o.o_totalprice > 100000)) AS with_big_order,
+         |  (SELECT COUNT(*) FROM customer c
+         |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+         |                     WHERE o.o_custkey = c.c_custkey)) AS no_orders""".stripMargin,
     "q42_set_ops_all" ->
       s"""SELECT k, n_inter, n_except FROM
          |(SELECT k, COUNT(*) AS n_inter FROM
