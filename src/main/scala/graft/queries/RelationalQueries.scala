@@ -370,6 +370,15 @@ object RelationalQueries {
           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
           |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin))
     }),
+    // array aggregation: collect_set is unordered by contract, so the
+    // deterministic (and oracle-able) form is sort_array(collect_set(..))
+    "q46_array_agg" -> ((s, dir) =>
+      ordered(t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_distinct"))
+        .select(col("o_orderstatus"),
+          concat_ws("|", col("priorities")).as("priorities"), col("n_distinct")))),
     // null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys MATCH
     // each other, unlike plain = which drops them — the semantics dimension
     // tables with absent codes need
@@ -604,6 +613,12 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    "q46_array_agg" ->
+      s"""SELECT o_orderstatus,
+         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+         |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
+         |FROM orders GROUP BY o_orderstatus
+         |${orderSql("o_orderstatus", "priorities", "n_distinct")}""".stripMargin,
     "q44_null_safe_join" ->
       s"""SELECT a.k, COUNT(*) AS n FROM
          |(SELECT nullif(o_orderkey % 7, 3) AS k FROM orders) a
