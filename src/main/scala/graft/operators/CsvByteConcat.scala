@@ -42,6 +42,10 @@ object CsvByteConcat {
   def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
     cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
       sink.format == Csv &&
+      // the byte path is value-identical to the ALL-STRING typed plan; with
+      // type inference on, the typed fallback re-renders values ("007"->7,
+      // "1e3"->1000.0), so only fire when the fallback would be all-string
+      (cfg.rawPassThrough || !cfg.csv.inferTypes) &&
       cfg.csv.headers &&
       cfg.csv.delimiter.length == 1 && sink.delimiter == cfg.csv.delimiter &&
       cfg.csv.quote == "\"" &&
@@ -101,17 +105,22 @@ object CsvByteConcat {
     val singleFile = sink.singleFile
     val outBase = sink.path.stripSuffix(".csv")
     val paths = files.map(_.path).zipWithIndex
+    // a previous run over MORE inputs leaves higher-numbered parts (or a
+    // stale single file) that --verify would glob back in — clear them
+    Sink.deleteStaleParts(hconf, sink.path, ".csv",
+      keepBelow = if (singleFile) 0 else paths.size)
     val headerBc = spark.sparkContext.broadcast(header)
+    val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
     val csvOpts = cfg.csv
 
     // one task per file: scan+copy (or record fallback) into its own part.
-    // Tasks rebuild a Hadoop Configuration from the classpath defaults
-    // (SerializableConfiguration is private[spark]); local/HDFS defaults
-    // resolve identically on executors.
+    // Tasks rebuild the DRIVER's Hadoop Configuration from a broadcast
+    // snapshot (SerializableConfiguration is private[spark]) so runtime
+    // spark.hadoop.* settings / object-store credentials survive.
     val results = spark.sparkContext
       .parallelize(paths, paths.size)
       .map { case (path, idx) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = HConf.restore(hconfBc.value)
         val inPath = new Path(path)
         val ifs = inPath.getFileSystem(conf)
         val inBytes = ifs.getFileStatus(inPath).getLen

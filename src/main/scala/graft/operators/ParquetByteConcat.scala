@@ -63,17 +63,27 @@ object ParquetByteConcat {
       try {
         val md = r.getFooter.getFileMetaData
         (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
-          inFile.getLength)
+          inFile.getLength, md.getKeyValueMetaData)
       } finally r.close()
     }
     val schema = footers.head._1
     if (!footers.forall(_._1 == schema)) return None
+    // carry the first input's footer key-value metadata (e.g. Spark's
+    // org.apache.spark.sql.parquet.row.metadata — the typed Sink path would
+    // write it too; schemas are verified identical, so the first file's
+    // entries describe every row group) plus the copy marker
+    val footerMeta: Map[String, String] =
+      footers.head._4.asScala.toMap + ("graft.concat" -> "row-group-copy")
     val names = schema.getFields.asScala.map(_.getName)
     if (names.sorted != names || names.distinct != names) return None
     val totalRows = footers.map(_._2).sum
     val totalBytes = footers.map(_._3).sum
 
     val outBase = sink.path.stripSuffix(".parquet")
+    // clear parts (or a stale single file) a previous run left behind —
+    // --verify's read-back would silently glob them in
+    Sink.deleteStaleParts(hconf, sink.path, ".parquet",
+      keepBelow = if (sink.singleFile) 0 else files.size)
     if (sink.singleFile) {
       // one output file = one writer (the reference's single-file contract);
       // sequential appendFile is storage-bound: no decode happens
@@ -83,15 +93,18 @@ object ParquetByteConcat {
       w.start()
       files.foreach(f =>
         w.appendFile(HadoopInputFile.fromPath(new Path(f.path), hconf)))
-      w.end(java.util.Map.of("graft.concat", "row-group-copy"))
+      w.end(footerMeta.asJava)
     } else {
       // one task per input file, written straight to deterministic final
-      // part names (idempotent overwrite, no committer round-trip)
+      // part names (idempotent overwrite, no committer round-trip); tasks
+      // rebuild the driver's Hadoop conf from a broadcast snapshot so
+      // runtime spark.hadoop.* settings / store credentials survive
       val schemaStr = schema.toString
+      val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
       spark.sparkContext
         .parallelize(files.map(_.path).zipWithIndex, files.size)
         .foreach { case (path, idx) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = HConf.restore(hconfBc.value)
           val sch = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
           val out = HadoopOutputFile.fromPath(
             new Path(f"$outBase%s-$idx%04d.parquet"), conf)
@@ -99,7 +112,7 @@ object ParquetByteConcat {
             ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
           w.start()
           w.appendFile(HadoopInputFile.fromPath(new Path(path), conf))
-          w.end(java.util.Map.of("graft.concat", "row-group-copy"))
+          w.end(footerMeta.asJava)
         }
     }
     val outFs = new Path(sink.path).getFileSystem(hconf)

@@ -12,6 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Fact-side salt in [0, salts): hash of the join key plus a narrow
+    * per-row disambiguator, so rows of the SAME hot key still spread over
+    * all salts. Hashing every fact column would work too, but costs CPU
+    * proportional to row width and couples the salt to payload values;
+    * `monotonically_increasing_id` is one long per row and stable for a
+    * fixed input layout. Salt placement never affects results — the join
+    * re-collapses (key, salt) groups — so plan replay stays deterministic.
+    */
+  private def saltCol(key: Column, salts: Int): Column =
+    pmod(xxhash64(key, monotonically_increasing_id()), lit(salts)).cast("int")
+
   /** Inner equi-join where `fact` is massively skewed on `key`: the fact
     * side gets a deterministic salt in [0, salts), the (small-ish) `dim`
     * side is replicated once per salt, and the join key becomes
@@ -20,8 +31,7 @@ object SkewJoin {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val saltedFact = fact.withColumn("__salt", saltCol(col(key), salts))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, saltedFact(key) === saltedDim(key) &&
@@ -36,8 +46,7 @@ object SkewJoin {
     */
   def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+    val salted = df.withColumn("__salt", saltCol(col(key), salts))
     salted.groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

@@ -58,6 +58,19 @@ object Q {
     if (sys.props.get("graft.bench.skipOrder").contains("1")) df
     else df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
 
+  /** Run `f` with a scoped session-conf value, restoring (or unsetting)
+    * the previous value after — queries share one SparkSession, so a bare
+    * `conf.set` would leak into every later query.
+    */
+  def withConf[A](s: SparkSession, key: String, value: String)(f: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** `ORDER BY <all cols> NULLS FIRST` suffix for DuckDB oracle SQL. */
   def orderSql(cols: String*): String =
     "ORDER BY " + cols.map(c => s"$c NULLS FIRST").mkString(", ")

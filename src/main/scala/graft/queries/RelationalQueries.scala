@@ -412,9 +412,12 @@ object RelationalQueries {
     // recursive step is re-planned per iteration (measured: ~80 extra scans
     // of orders, 14s at sf0.1), and a literal-bounded spine is also the only
     // formulation that scales — the recursion itself then touches no data
-    "q41_recursive_cte" -> ((s, dir) => {
+    // The recursion-limit raise is SCOPED (set/restore): queries share one
+    // session, and a bare set would leak into later queries. The limit is
+    // re-read at execution time, where it falls back to the 100 default —
+    // ample for the ~80-month TPC-H date spine this recursion generates.
+    "q41_recursive_cte" -> ((s, dir) => withConf(s, "spark.sql.cteRecursionLevelLimit", "500") {
       t(s, dir, "orders").createOrReplaceTempView("orders_q41")
-      s.conf.set("spark.sql.cteRecursionLevelLimit", "500")
       val b = s.sql(
         """SELECT date_format(min(o_orderdate), 'yyyy-MM-01') AS mn,
           |       date_format(max(o_orderdate), 'yyyy-MM-01') AS mx

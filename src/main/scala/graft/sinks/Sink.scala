@@ -168,6 +168,28 @@ object Sink {
     if (agg.isNullAt(0)) java.math.BigDecimal.ZERO else agg.getDecimal(0)
   }
 
+  /** Delete output files a PREVIOUS run left that this run didn't rewrite:
+    * rolled parts `base-NNNN.ext` with index >= `keepBelow`, and (when this
+    * run writes parts, keepBelow > 0) a stale single file at `path` itself.
+    * Without this, a re-run over fewer inputs leaves a mix of new and stale
+    * parts that [[readBack]] / `--verify` silently glob back in.
+    */
+  def deleteStaleParts(hconf: org.apache.hadoop.conf.Configuration,
+      path: String, ext: String, keepBelow: Int): Unit = {
+    val base = path.stripSuffix(ext)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val glob = new org.apache.hadoop.fs.Path(base + "-[0-9][0-9][0-9][0-9]" + ext)
+    Option(fs.globStatus(glob)).getOrElse(Array.empty).foreach { st =>
+      val name = st.getPath.getName
+      val idx = name.substring(name.length - ext.length - 4, name.length - ext.length)
+      if (idx.forall(_.isDigit) && idx.toInt >= keepBelow)
+        fs.delete(st.getPath, false)
+    }
+    if (keepBelow > 0 && fs.exists(p) && fs.getFileStatus(p).isFile)
+      fs.delete(p, false)
+  }
+
   /** Move part files out of the Spark output directory to honor the
     * reference's file-path contract: one file at `path`, or rolled parts
     * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).
@@ -183,13 +205,16 @@ object Sink {
       .toList.sortBy(_.getFileName.toString)
     val target = Paths.get(cfg.path)
     if (target.getParent != null) Files.createDirectories(target.getParent)
+    val hconf = new org.apache.hadoop.conf.Configuration()
     if (parts.size == 1 && cfg.singleFile) {
       Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
+      deleteStaleParts(hconf, cfg.path, ext, keepBelow = 0)
     } else {
       val base = cfg.path.stripSuffix(ext)
       parts.zipWithIndex.foreach { case (p, i) =>
         Files.move(p, Paths.get(f"$base%s-$i%04d$ext%s"), StandardCopyOption.REPLACE_EXISTING)
       }
+      deleteStaleParts(hconf, cfg.path, ext, keepBelow = parts.size)
     }
     // clean the spark dir (_SUCCESS, crc files)
     Files.walk(dir).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))

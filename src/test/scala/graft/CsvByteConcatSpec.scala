@@ -234,4 +234,38 @@ class CsvByteConcatSpec extends SparkSpec {
     assert(readValues(fast).sortBy(_.mkString("|")) ==
       readValues(slow).sortBy(_.mkString("|")))
   }
+
+  test("default Config (type inference on) declines the byte path") {
+    val d = tmpDir("bccInfer")
+    val f = writeFile(d, "a.csv", "k,v\n007,1e3\n")
+    // without rawPassThrough, the typed fallback would re-render values
+    // ("007"->7), so the byte path must not fire for the library API either
+    assert(CsvByteConcat.tryRun(spark, Discovery.discover(Seq(f)),
+      Concat.Config(Seq(f)), sinkCfg(d.resolve("o.csv").toString)).isEmpty)
+    // and inference explicitly off IS eligible even without rawPassThrough
+    assert(CsvByteConcat.tryRun(spark, Discovery.discover(Seq(f)),
+      Concat.Config(Seq(f), csv = graft.sources.CsvSource.CsvOptions(inferTypes = false)),
+      sinkCfg(d.resolve("o2.csv").toString)).nonEmpty)
+  }
+
+  test("re-run over fewer inputs clears stale higher-numbered parts") {
+    val d = tmpDir("bccStale")
+    val fs = (1 to 3).map(i => writeFile(d, s"f$i.csv", s"k,v\n$i,x$i\n"))
+    val out = d.resolve("out.csv").toString
+    def multi(inputs: Seq[String]) =
+      Concat.convert(spark, Concat.Config(inputs, rawPassThrough = true),
+        Sink.Config(out, Discovery.Csv, singleFile = false, preserveOrder = false))
+    multi(fs)
+    assert(Files.exists(d.resolve("out-0002.csv")))
+    multi(fs.take(2))
+    assert(!Files.exists(d.resolve("out-0002.csv")),
+      "stale part from the 3-input run must be removed")
+    assert(Sink.readBack(spark, out, Discovery.Csv).count() == 2)
+    // and a single-file re-run clears ALL parts
+    Concat.convert(spark, Concat.Config(fs.take(1), rawPassThrough = true),
+      Sink.Config(out, Discovery.Csv, singleFile = true))
+    assert(!Files.exists(d.resolve("out-0000.csv")) &&
+      !Files.exists(d.resolve("out-0001.csv")))
+    assert(Sink.readBack(spark, out, Discovery.Csv).count() == 1)
+  }
 }

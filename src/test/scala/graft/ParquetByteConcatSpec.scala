@@ -151,4 +151,33 @@ class ParquetByteConcatSpec extends SparkSpec {
     assert(got == (1 to 3).flatMap(i =>
       Seq.fill(2)((i.toLong, i * 1234567891011L))).sortBy(identity))
   }
+
+  test("footer carries the source key-value metadata plus the copy marker") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val d = tmpDir("pbc5")
+    val in1 = mawParquet(d, "a.parquet")
+    val out = d.resolve("out.parquet").toString
+    convert(Seq(in1), out)
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(out), spark.sparkContext.hadoopConfiguration))
+    val kv = try r.getFooter.getFileMetaData.getKeyValueMetaData finally r.close()
+    // Spark wrote the input, so its row metadata must survive the copy —
+    // downstream Spark readers then recover exact Catalyst types instead of
+    // falling back to parquet-schema inference
+    assert(kv.containsKey("org.apache.spark.sql.parquet.row.metadata"))
+    assert(kv.get("graft.concat") == "row-group-copy")
+  }
+
+  test("re-run over fewer inputs clears stale higher-numbered parts") {
+    val d = tmpDir("pbc6")
+    val ins = (1 to 3).map(i => mawParquet(d, s"f$i.parquet"))
+    val out = d.resolve("out.parquet").toString
+    convert(ins, out, single = false)
+    assert(java.nio.file.Files.exists(d.resolve("out-0002.parquet")))
+    convert(ins.take(2), out, single = false)
+    assert(!java.nio.file.Files.exists(d.resolve("out-0002.parquet")),
+      "stale part from the 3-input run must be removed")
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == sf("nation").count() * 2)
+  }
 }
