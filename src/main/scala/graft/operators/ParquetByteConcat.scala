@@ -68,12 +68,19 @@ object ParquetByteConcat {
     }
     val schema = footers.head._1
     if (!footers.forall(_._1 == schema)) return None
-    // carry the first input's footer key-value metadata (e.g. Spark's
-    // org.apache.spark.sql.parquet.row.metadata — the typed Sink path would
-    // write it too; schemas are verified identical, so the first file's
-    // entries describe every row group) plus the copy marker
-    val footerMeta: Map[String, String] =
-      footers.head._4.asScala.toMap + ("graft.concat" -> "row-group-copy")
+    // carry footer key-value metadata (e.g. Spark's
+    // org.apache.spark.sql.parquet.row.metadata) ONLY where every input
+    // agrees on it: parquet MessageType equality does not imply Catalyst
+    // metadata equality (varchar/char lengths, field metadata live only in
+    // the Spark schema JSON), so a first-file-wins copy could mislabel rows
+    // copied from later inputs. Disagreeing keys are dropped — a missing
+    // Spark schema entry just makes readers infer from the parquet schema,
+    // which is verified identical. The copy marker is always added.
+    val footerMeta: Map[String, String] = {
+      val maps = footers.map(_._4.asScala.toMap)
+      val shared = maps.head.filter { case (k, v) => maps.forall(_.get(k).contains(v)) }
+      shared + ("graft.concat" -> "row-group-copy")
+    }
     val names = schema.getFields.asScala.map(_.getName)
     if (names.sorted != names || names.distinct != names) return None
     val totalRows = footers.map(_._2).sum

@@ -12,16 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Fact-side salt in [0, salts): hash of the join key plus a narrow
-    * per-row disambiguator, so rows of the SAME hot key still spread over
-    * all salts. Hashing every fact column would work too, but costs CPU
-    * proportional to row width and couples the salt to payload values;
-    * `monotonically_increasing_id` is one long per row and stable for a
-    * fixed input layout. Salt placement never affects results — the join
-    * re-collapses (key, salt) groups — so plan replay stays deterministic.
+  /** Fact-side salt in [0, salts): hash of the join key plus per-row
+    * disambiguator columns, so rows of the SAME hot key still spread over
+    * all salts. The disambiguator MUST be derived from row values, never
+    * from partition layout (`monotonically_increasing_id`, `rand`,
+    * `spark_partition_id`): a task retry after a fetch failure recomputes
+    * its input, and a layout-derived salt can then route a row to a
+    * different (key, salt) reducer than the one that already consumed it —
+    * rows duplicated or lost (SPARK-23207-class hazard). Value-derived
+    * hashing is idempotent across recomputations by construction.
+    *
+    * `tiebreak` picks the disambiguator columns; empty means all columns
+    * (safe default — costs CPU proportional to row width, so callers with
+    * a natural unique-ish narrow column should pass it). Rows identical in
+    * every hashed column share a salt; that is inherent to value-derived
+    * salting and only matters if a hot key's rows are full duplicates.
     */
-  private def saltCol(key: Column, salts: Int): Column =
-    pmod(xxhash64(key, monotonically_increasing_id()), lit(salts)).cast("int")
+  private def saltCol(df: DataFrame, key: String, salts: Int,
+      tiebreak: Seq[String]): Column = {
+    val cols = if (tiebreak.nonEmpty) (key +: tiebreak).distinct else df.columns.toSeq
+    pmod(xxhash64(cols.map(col): _*), lit(salts)).cast("int")
+  }
 
   /** Inner equi-join where `fact` is massively skewed on `key`: the fact
     * side gets a deterministic salt in [0, salts), the (small-ish) `dim`
@@ -29,9 +40,10 @@ object SkewJoin {
     * (key, salt) — a hot key now spreads over `salts` reducers instead of
     * melting one.
     */
-  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
+      tiebreak: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
-    val saltedFact = fact.withColumn("__salt", saltCol(col(key), salts))
+    val saltedFact = fact.withColumn("__salt", saltCol(fact, key, salts, tiebreak))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, saltedFact(key) === saltedDim(key) &&
@@ -45,8 +57,9 @@ object SkewJoin {
     * the common sum/count/min/max come prebuilt via [[skewedSum]] etc.
     */
   def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
-      partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt", saltCol(col(key), salts))
+      partial: Seq[Column], merge: Seq[Column],
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(df, key, salts, tiebreak))
     salted.groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(key))

@@ -412,17 +412,28 @@ object RelationalQueries {
     // recursive step is re-planned per iteration (measured: ~80 extra scans
     // of orders, 14s at sf0.1), and a literal-bounded spine is also the only
     // formulation that scales — the recursion itself then touches no data
-    // The recursion-limit raise is SCOPED (set/restore): queries share one
-    // session, and a bare set would leak into later queries. The limit is
-    // re-read at execution time, where it falls back to the 100 default —
-    // ample for the ~80-month TPC-H date spine this recursion generates.
-    "q41_recursive_cte" -> ((s, dir) => withConf(s, "spark.sql.cteRecursionLevelLimit", "500") {
+    // The recursion runs under the default cteRecursionLevelLimit (100):
+    // the limit is re-read at EXECUTION time, so a scoped set/restore around
+    // this builder would be dead by the time the returned plan runs (and a
+    // bare set would leak into later queries sharing the session). Instead
+    // the spine length is checked eagerly against the limit — a >100-month
+    // spine fails here with a clear message instead of deep in execution.
+    "q41_recursive_cte" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_q41")
       val b = s.sql(
         """SELECT date_format(min(o_orderdate), 'yyyy-MM-01') AS mn,
           |       date_format(max(o_orderdate), 'yyyy-MM-01') AS mx
           |FROM orders_q41""".stripMargin).collect()(0)
       val (mn, mx) = (b.getString(0), b.getString(1))
+      val months = {
+        val Array(y0, m0, _) = mn.split("-").map(_.toInt)
+        val Array(y1, m1, _) = mx.split("-").map(_.toInt)
+        (y1 - y0) * 12 + (m1 - m0) + 1
+      }
+      val limit = s.conf.get("spark.sql.cteRecursionLevelLimit", "100").toInt
+      require(months <= limit,
+        s"q41 month spine needs $months iterations but cteRecursionLevelLimit=$limit; " +
+          "raise the conf session-wide before running")
       ordered(s.sql(
         s"""WITH RECURSIVE months(m) AS (
            |  SELECT CAST('$mn' AS TIMESTAMP)

@@ -176,15 +176,23 @@ object Sink {
     */
   def deleteStaleParts(hconf: org.apache.hadoop.conf.Configuration,
       path: String, ext: String, keepBelow: Int): Unit = {
-    val base = path.stripSuffix(ext)
+    // list-and-filter, never glob: glob metacharacters in the user's path
+    // ({}[]*?) would be interpreted as patterns and could match — and
+    // delete — unrelated files. Parts are `<base>-<idx><ext>` where idx is
+    // 4 digits from %04d but 5+ once the part count passes 10000.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val glob = new org.apache.hadoop.fs.Path(base + "-[0-9][0-9][0-9][0-9]" + ext)
-    Option(fs.globStatus(glob)).getOrElse(Array.empty).foreach { st =>
+    val parent = Option(p.getParent).getOrElse(new org.apache.hadoop.fs.Path("."))
+    val prefix = p.getName.stripSuffix(ext) + "-"
+    val listed =
+      if (fs.exists(parent)) fs.listStatus(parent) else Array.empty[org.apache.hadoop.fs.FileStatus]
+    listed.foreach { st =>
       val name = st.getPath.getName
-      val idx = name.substring(name.length - ext.length - 4, name.length - ext.length)
-      if (idx.forall(_.isDigit) && idx.toInt >= keepBelow)
-        fs.delete(st.getPath, false)
+      if (st.isFile && name.startsWith(prefix) && name.endsWith(ext)) {
+        val idx = name.substring(prefix.length, name.length - ext.length)
+        if (idx.length >= 4 && idx.forall(_.isDigit) && idx.toInt >= keepBelow)
+          fs.delete(st.getPath, false)
+      }
     }
     if (keepBelow > 0 && fs.exists(p) && fs.getFileStatus(p).isFile)
       fs.delete(p, false)
