@@ -128,6 +128,62 @@ case class QuantizeI8(child: Expression)
   override def prettyName: String = "quantize_i8"
 }
 
+/** The `nprobe` nearest IVF centroids of a vector, as an array of cell ids
+  * sorted by (L2 distance, cell id) ascending — ONE expression node holding
+  * the centroid matrix as a plain field (the [[LshBucket]] pattern). The
+  * k=8 original formulation built k `struct(l2, id)` literal branches under
+  * `least`/`array_sort`, which is a per-row k-wide expression tree: fine at
+  * k=8, but an IVF at corpus scale wants k ~ 10^4..10^5 cells, where that
+  * tree blows up analysis, codegen and plan size. Here the plan carries one
+  * node regardless of k; the matrix ships to executors inside the
+  * (torrent-broadcast) task binary, and each row pays one O(k*dim) JVM
+  * loop — the same arithmetic FAISS's IVF coarse quantizer does.
+  *
+  * Numeric contract: per-centroid distance is sqrt of a left-to-right
+  * double sum over min(|v|,|c|) elements — bit-identical to
+  * `L2Distance(v, typedlit(c))` — and ties keep the lowest cell id, the
+  * order `least(struct(d, id))`/`array_sort` imposed. Results are therefore
+  * unchanged vs the literal-tree formulation at any k.
+  */
+case class NearestCells(child: Expression, centroids: Array[Array[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nprobe > 0, "nprobe must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private lazy val cf = VectorOps.isFloatArray(child.dataType)
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = math.min(nprobe, centroids.length)
+    // top-m selection by insertion: centroids are visited in cell-id order,
+    // so a strict < keeps the lowest id on distance ties (incumbents at the
+    // same distance always have a lower id)
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestC = new Array[Int](m)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { val d = VectorOps.get(v, cf, i) - cen(i); acc += d * d; i += 1 }
+      val dist = math.sqrt(acc)
+      if (dist < bestD(m - 1)) {
+        var j = m - 1
+        while (j > 0 && dist < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = dist; bestC(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestC)
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCells = copy(child = c)
+  override def prettyName: String = "ivf_nearest_cells"
+  // never render the matrix into plan strings
+  override def toString: String =
+    s"ivf_nearest_cells($child, k=${centroids.length}, nprobe=$nprobe)"
+}
+
 /** Sign-LSH bucket id over literal hyperplanes: bit i = (v . plane_i) > 0,
   * packed into a long. ALL planes in one pass over the vector — the HOF
   * version evaluated numPlanes separate array folds per row.

@@ -55,4 +55,10 @@ object VectorFunctions {
     */
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     ExpressionUtils.column(LshBucket(expr(v), planes))
+
+  /** `nprobe` nearest IVF cells of `v` (sorted by distance, then cell id)
+    * as one plan node at any k; [[graft.expressions.NearestCells]].
+    */
+  def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(graft.expressions.NearestCells(expr(v), centroids, nprobe))
 }
