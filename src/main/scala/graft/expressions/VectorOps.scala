@@ -150,14 +150,24 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   require(nprobe > 0, "nprobe must be positive")
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   private lazy val cf = VectorOps.isFloatArray(child.dataType)
+  /** Spark's total order for doubles (the one array_sort/least use): NaN is
+    * greater than +Infinity and equal to itself. A plain `<` would make a
+    * NaN distance un-insertable AND un-displaceable, leaving default-0 cell
+    * ids in the result — this keeps NaN-distance centroids sorting last with
+    * their real ids, exactly as the array_sort formulation did.
+    */
+  @inline private def lt(a: Double, b: Double): Boolean =
+    java.lang.Double.compare(a, b) < 0
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val m = math.min(nprobe, centroids.length)
-    // top-m selection by insertion: centroids are visited in cell-id order,
-    // so a strict < keeps the lowest id on distance ties (incumbents at the
-    // same distance always have a lower id)
-    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    // top-m selection by insertion over the filled prefix: centroids are
+    // visited in cell-id order, so a strict compare keeps the lowest id on
+    // distance ties (incumbents at the same distance always have a lower id)
+    val bestD = new Array[Double](m)
     val bestC = new Array[Int](m)
+    var filled = 0
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
@@ -166,9 +176,16 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
       var i = 0
       while (i < n) { val d = VectorOps.get(v, cf, i) - cen(i); acc += d * d; i += 1 }
       val dist = math.sqrt(acc)
-      if (dist < bestD(m - 1)) {
+      if (filled < m) {
+        var j = filled
+        while (j > 0 && lt(dist, bestD(j - 1))) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = dist; bestC(j) = c
+        filled += 1
+      } else if (lt(dist, bestD(m - 1))) {
         var j = m - 1
-        while (j > 0 && dist < bestD(j - 1)) {
+        while (j > 0 && lt(dist, bestD(j - 1))) {
           bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
         }
         bestD(j) = dist; bestC(j) = c

@@ -44,19 +44,22 @@ object IvfIndex {
     Model(rows.map(_.getSeq[Double](1).toArray))
   }
 
-  /** Nearest-centroid id via lexicographic `least(struct(dist, id))`. */
+  /** Nearest-centroid id: [[graft.expressions.NearestCells]] with nprobe=1.
+    * ONE plan node at any k — the earlier `least(struct(l2, id))` literal
+    * tree built k expression branches per row, which blows up analysis,
+    * codegen and plan size at corpus-scale k (~10^4..10^5 cells). The
+    * expression's numeric contract (left-to-right double accumulation,
+    * lowest-id tie-break, NaN sorts last) is bit-identical to the literal
+    * formulation, so results are unchanged.
+    */
   private def nearestCell(v: Column, m: Model): Column =
-    least(m.centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.l2Distance(v, typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
-    }: _*).getField("cell")
+    element_at(VF.nearestCells(v, m.centroids, 1), 1)
 
-  /** `nprobe` nearest cells as an array (sorted by distance). */
-  private def nearestCells(v: Column, m: Model, nprobe: Int): Column = {
-    val ranked = array_sort(array(m.centroids.zipWithIndex.map { case (c, i) =>
-      struct(VF.l2Distance(v, typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
-    }: _*))
-    slice(transform(ranked, s => s.getField("cell")), 1, nprobe)
-  }
+  /** `nprobe` nearest cells as an array (sorted by distance, then cell id)
+    * — one [[graft.expressions.NearestCells]] node regardless of k.
+    */
+  private def nearestCells(v: Column, m: Model, nprobe: Int): Column =
+    VF.nearestCells(v, m.centroids, nprobe)
 
   /** Train a coarse quantizer on a deterministic sample with `iters` Lloyd
     * steps. Empty cells keep their previous centroid.
@@ -131,9 +134,46 @@ object IvfIndex {
       m: Model, k: Int = 10, nprobe: Int = 3): DataFrame = {
     val c = assign(corpus, idCol, vecCol, m)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("ivf_cell"))
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(nearestCells(col(vecCol), m, nprobe)).as("ivf_cell"))
+    cellJoinTopK(c, probedQueries(queries, idCol, vecCol, m, nprobe), k)
+  }
+
+  /** Persist the ASSIGNED corpus as a parquet table bucketed (and sorted)
+    * by `ivf_cell` — the 100-TB point of IVF: assignment is one narrow
+    * pass paid once at ingest, and every subsequent probe reads ONLY the
+    * buckets of its probed cells (bucket pruning at scan time) instead of
+    * rescanning the corpus.
+    */
+  def saveAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Model, table: String, buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(assign(corpus, idCol, vecCol, m), table,
+      "ivf_cell", buckets)
+
+  /** Top-k over a corpus previously saved by [[saveAssigned]]. The probe
+    * cells are resolved driver-side from the (small, broadcastable) query
+    * set — bounded by min(k, |queries| * nprobe) values — so the corpus
+    * scan carries a literal `ivf_cell IN (...)` predicate that prunes
+    * BUCKETS, not just row groups: the plan reads only the probed cells'
+    * files regardless of corpus size.
+    */
+  def topKAssigned(spark: org.apache.spark.sql.SparkSession, table: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      m: Model, k: Int = 10, nprobe: Int = 3): DataFrame = {
+    val q = probedQueries(queries, idCol, vecCol, m, nprobe)
+    val cells = q.select("ivf_cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.table(table)
+      .where(col("ivf_cell").isin(cells.map(Int.box).toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("ivf_cell"))
+    cellJoinTopK(c, q, k)
+  }
+
+  /** Query side exploded to one row per (query, probed cell). */
+  private def probedQueries(queries: DataFrame, idCol: String, vecCol: String,
+      m: Model, nprobe: Int): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(nearestCells(col(vecCol), m, nprobe)).as("ivf_cell"))
+
+  /** Cell-local join + exact cosine + deterministic top-k (ties by id). */
+  private def cellJoinTopK(c: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val scored = c.join(q, Seq("ivf_cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("cv")).as("cosine"))

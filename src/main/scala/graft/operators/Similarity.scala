@@ -79,6 +79,24 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Driver-visible recall gate for the approximate paths: recall@k of
+    * `approx` against the `exact` (query_id, neighbor_id) ranking, thrown
+    * on regression so a recall collapse surfaces as a hard `err` in the
+    * correctness gate instead of a silently-green rows-only row. Returns
+    * `approx` unchanged so it chains into the query result.
+    */
+  def requireRecall(approx: DataFrame, exact: DataFrame, minRecall: Double,
+      what: String): DataFrame = {
+    val truth = exact.select("query_id", "neighbor_id")
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = truth.count()
+    val recall = if (total == 0) 1.0 else hits.toDouble / total
+    require(recall >= minRecall,
+      f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
+    approx
+  }
+
   /** Deterministic top-k: ties broken by neighbor id. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))

@@ -43,6 +43,25 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Write `df` as ONE parquet file named `<stage>.parquet` inside `dir` —
+    * the unit of arrival for a file-source micro-batch; calling this between
+    * `processAllAvailable()` calls delivers data in a known batch order
+    * (no modification-time races).
+    */
+  private def addStreamFile(df: DataFrame, dir: java.nio.file.Path, stage: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val tmp = dir.resolve(stage + "_tmp")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.toList.head
+    java.nio.file.Files.move(part, dir.resolve(s"$stage.parquet"))
+    java.nio.file.Files.walk(tmp).iterator().asScala.toList.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -256,12 +275,17 @@ object PipelineQueries {
     }),
     "s02_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10)
       // parameters sized for the fixture's neighbor distances (true top-5
       // sit at cosine 0.26-0.39 -> per-plane agreement p~0.6): 4 planes x
-      // 6 tables with Hamming-1 multi-probe gives expected recall@5 ~0.97
-      // (AnnRecallSpec asserts >=0.9 against s01's exact ranking)
-      Similarity.lshTopK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      // 6 tables with Hamming-1 multi-probe gives expected recall@5 ~0.97.
+      // recall@5 vs the exact ranking is checked INLINE: the driver can
+      // only rows-check approximate results, so a recall collapse must
+      // surface as a hard err, not a silently-green row
+      val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+      Similarity.requireRecall(approx, exact, 0.9, "s02_knn_lsh")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // int8 scalar quantization of the embedding corpus: per-vector integer
@@ -276,9 +300,13 @@ object PipelineQueries {
     "s03_knn_ivf" -> ((s, dir) => {
       import graft.operators.IvfIndex
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10)
       val model = IvfIndex.train(e, "vec_id", "embedding", k = 8)
-      IvfIndex.topK(e, e.where(col("vec_id") < 10), "vec_id", "embedding",
+      // recall checked inline against the exact ranking — see s02
+      val approx = IvfIndex.topK(e, qs, "vec_id", "embedding",
         model, k = 5, nprobe = 4)
+      val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+      Similarity.requireRecall(approx, exact, 0.9, "s03_knn_ivf")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // ---- multimodal ----
@@ -361,6 +389,68 @@ object PipelineQueries {
       val q = deduped.writeStream.outputMode("append").format("memory")
         .queryName(sinkName).start()
       try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }),
+    // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    // keeps a key's state only until the watermark passes its event time +
+    // the dedup horizon — the scale-safe variant of st04's unbounded
+    // dropDuplicates (whose state grows with every distinct key forever).
+    // The 35-day horizon exceeds the fixture's 30-day span, so no state
+    // evicts mid-run and the result is exactly the batch DISTINCT the
+    // oracle computes; at production scale the horizon is the knob that
+    // bounds the state store. Events split by ts parity into two files, so
+    // the SAME user's duplicates cross the micro-batch boundary and must be
+    // caught by the state store, not intra-batch dedup.
+    "st05_streaming_dedup_watermark" -> ((s, dir) => withShufflePartitions(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("st05_src")
+      addStreamFile(ev.where(pmod(col("ts"), lit(2)) === 0), srcDir, "f1")
+      val stream = s.readStream.schema(ev.schema).parquet(srcDir.toString)
+      val deduped = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val sinkName = s"st05_sink_${math.abs(dir.hashCode)}"
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      try {
+        q.processAllAvailable() // batch 1; watermark = max(f1 ts) - 35d < min(ts)
+        addStreamFile(ev.where(pmod(col("ts"), lit(2)) === 1), srcDir, "f2")
+        q.processAllAvailable() // batch 2: cross-batch dups hit live state
+      } finally q.stop()
+      ordered(s.table(sinkName))
+    }),
+    // late-data DROP proof: after file1 establishes the watermark
+    // (max event time - 30 min), file2 replays a copy of EVERY event
+    // shifted 30 days into the past — all far below the watermark, so the
+    // stateful aggregation must exclude them. If late rows leaked in, their
+    // ancient one-hour windows (long since closed) would be emitted by the
+    // final flush and break the hash against the batch oracle, which only
+    // sees the original events.
+    "st06_late_data_drop" -> ((s, dir) => withShufflePartitions(s, 8) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("st06_src")
+      addStreamFile(ev, srcDir, "f1")
+      val stream = s.readStream.schema(ev.schema).parquet(srcDir.toString)
+      val agg = stream
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"))
+      val sinkName = s"st06_sink_${math.abs(dir.hashCode)}"
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      try {
+        q.processAllAvailable() // watermark = max(ts) - 30 min
+        // 30 days = 2_592_000_000_000_000 ns: every replay predates the watermark
+        addStreamFile(ev.withColumn("ts", col("ts") - lit(2592000000000000L)), srcDir, "f2")
+        q.processAllAvailable() // late rows dropped; no-data batch flushes
+      } finally q.stop()
       ordered(s.table(sinkName))
     }),
     // ---- structured streaming (memory sink, drained synchronously) ----
@@ -703,6 +793,24 @@ object PipelineQueries {
     "st04_streaming_dedup" ->
       s"""SELECT DISTINCT user_id, event_type FROM events
          |${orderSql("user_id", "event_type")}""".stripMargin,
+    // the 35-day dedup horizon covers the fixture's full 30-day span, so
+    // the watermarked dedup equals the plain DISTINCT (no state evicted,
+    // no late rows — see the query comment)
+    "st05_streaming_dedup_watermark" ->
+      s"""SELECT DISTINCT user_id, event_type FROM events
+         |${orderSql("user_id", "event_type")}""".stripMargin,
+    // batch replay of st06: the oracle sees ONLY the original events —
+    // the 30-day-early replays the streaming side receives must be dropped
+    // by the watermark for the hashes to agree
+    "st06_late_data_drop" ->
+      s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+         |  event_type, COUNT(*) AS n
+         |FROM ev, wm
+         |GROUP BY date_trunc('hour', ts), event_type, wm.w
+         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+         |${orderSql("win_start", "event_type", "n")}""".stripMargin,
     // append-mode watermark replay: a window is emitted iff it was closed by
     // the final watermark (max event time - 30 min)
     "st03_watermark_append" ->

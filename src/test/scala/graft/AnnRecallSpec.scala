@@ -29,6 +29,20 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"LSH recall@5 regressed: $recall%.3f < 0.9")
   }
 
+  test("requireRecall throws on a recall collapse (the driver-visible err path)") {
+    // 16 planes x 1 table, no multi-probe: per-bucket collision probability
+    // for a cosine-0.3 neighbor is ~0.6^16 ~ 3e-4 — recall collapses, and
+    // the inline gate s02/s03 run through must throw, turning a silent
+    // parameter regression into a hard correctness err
+    val broken = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 16, tables = 1, dim = 64, probes = 0)
+    val exactDf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.requireRecall(broken, exactDf, 0.9, "broken-params")
+    }
+    assert(e.getMessage.contains("recall"))
+  }
+
   test("IVF top-k (s03 parameters) recall@5 >= 0.9 vs exact ranking") {
     val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val ivf = pairs(IvfIndex.topK(emb, queries, "vec_id", "embedding",

@@ -216,6 +216,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m3.centroids.map(_.toSeq).toSeq == m1.centroids.map(_.toSeq).toSeq)
   }
 
+  test("NearestCells matches the k-wide literal least/array_sort formulation") {
+    import graft.operators.IvfIndex
+    val emb = sf("embeddings").select("vec_id", "embedding")
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    // the literal-tree formulation NearestCells replaced — rebuilt here as
+    // the reference semantics (lexicographic least / array_sort over
+    // struct(l2, id)); the expression must be bit-identical at any nprobe
+    def literalCells(v: org.apache.spark.sql.Column, nprobe: Int) = {
+      val ranked = array_sort(array(m.centroids.zipWithIndex.map { case (c, i) =>
+        struct(VF.l2Distance(v, typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+      }.toIndexedSeq: _*))
+      slice(transform(ranked, s => s.getField("cell")), 1, nprobe)
+    }
+    for (nprobe <- Seq(1, 4, 8)) {
+      val diff = emb.select(
+        VF.nearestCells($"embedding", m.centroids, nprobe).as("a"),
+        literalCells($"embedding", nprobe).as("b"))
+        .where(not($"a" <=> $"b")).count()
+      assert(diff == 0L, s"NearestCells diverges from literal tree at nprobe=$nprobe")
+    }
+  }
+
+  test("IVF assign at k=256 plans ONE ivf_nearest_cells node") {
+    import graft.operators.IvfIndex
+    val emb = sf("embeddings").select("vec_id", "embedding")
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 256)
+    assert(m.k == 256)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", m)
+    val plan = assigned.queryExecution.analyzed.toString
+    assert("ivf_nearest_cells".r.findAllIn(plan).length == 1,
+      s"expected exactly one ivf_nearest_cells node, plan:\n$plan")
+    assert(!plan.contains("least("), "literal least() centroid tree leaked back in")
+    // analysis + execution complete in bounded time at corpus-scale k
+    val cells = assigned.select("ivf_cell").distinct().count()
+    assert(cells > 1 && cells <= 256)
+  }
+
+  test("NearestCells: NaN distances keep real cell ids and sort last") {
+    // all-NaN distances (NaN element in the vector): ids 0..nprobe-1 in cell
+    // order — the array_sort contract (NaN > +Inf, ties by id) — NOT
+    // duplicate default-0 slots
+    val nan = Seq((1L, Array(Float.NaN, 1.0f))).toDF("id", "v")
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(2.0, 2.0))
+    val allNaN = nan.select(VF.nearestCells($"v", cents, 2).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(allNaN == Seq(0, 1), s"all-NaN distances must keep id order, got $allNaN")
+    // one NaN-distance centroid (NaN in the centroid): sorts after every
+    // finite distance but keeps its real id
+    val v = Seq((1L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val mixed = Array(Array(Double.NaN, 0.0), Array(1.0, 0.0), Array(2.0, 0.0))
+    val got = v.select(VF.nearestCells($"v", mixed, 3).as("c"))
+      .collect().head.getSeq[Int](0)
+    assert(got == Seq(1, 2, 0), s"NaN centroid must sort last with real id, got $got")
+  }
+
+  test("IVF bucketed assignment: probe prunes buckets, results equal topK") {
+    import graft.operators.IvfIndex
+    val emb = sf("embeddings").select("vec_id", "embedding")
+    val q = emb.where($"vec_id" < 5)
+    val m = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.saveAssigned(emb, "vec_id", "embedding", m, "ivf_assigned_test", buckets = 8)
+    try {
+      val fromTable = IvfIndex.topKAssigned(spark, "ivf_assigned_test", q,
+        "vec_id", "embedding", m, k = 5, nprobe = 2)
+      val direct = IvfIndex.topK(emb, q, "vec_id", "embedding", m, k = 5, nprobe = 2)
+      val a = fromTable.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      val b = direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(a == b, "bucketed-table probe must return exactly the direct topK result")
+      // the corpus scan must carry bucket pruning: only probed cells' buckets read
+      val plan = fromTable.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
+      assert(sel.get.group(1).toInt < 8, "probe read every bucket — pruning ineffective")
+    } finally spark.sql("DROP TABLE IF EXISTS ivf_assigned_test")
+  }
+
   test("int8 quantization: bounded error, sign-preserving, zero vector safe") {
     val vecs = Seq(
       (1L, Array(0.5f, -0.25f, 0.125f, -1.0f)),

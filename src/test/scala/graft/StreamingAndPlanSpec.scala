@@ -164,6 +164,40 @@ class StreamingAndPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st05: watermarked streaming dedup equals batch DISTINCT (bounded state)") {
+    val got = graft.queries.PipelineQueries
+      .queries("st05_streaming_dedup_watermark")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    val want = sf("events").select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    assert(got == want, s"watermarked dedup diverged: ${got.size} vs ${want.size} keys")
+  }
+
+  test("st06: events older than the watermark are dropped, closed windows match batch") {
+    val got = graft.queries.PipelineQueries
+      .queries("st06_late_data_drop")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("win_start"), r.getAs[String]("event_type"), r.getAs[Long]("n")))
+      .toSet
+    // the 30-day-early replays would land in Dec 2023 windows — already
+    // closed, so they'd be EMITTED if the watermark failed to drop them
+    assert(got.nonEmpty && got.forall(_._1.startsWith("2024-01")),
+      "late replayed rows leaked into the append output")
+    // batch expectation: hourly counts over the original events, windows
+    // whose end <= max(ts) - 30 min
+    val ev = sf("events")
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val wmMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 30 * 60 * 1000
+    val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("window.end") <= lit(new java.sql.Timestamp(wmMs)))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want, s"closed-window sets diverge: got ${got.size}, want ${want.size}")
+  }
+
   // ---- plan-shape assertions: the things that matter at 100 TB ----
 
   private def explainString(df: org.apache.spark.sql.DataFrame): String = {
