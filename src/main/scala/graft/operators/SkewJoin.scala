@@ -30,8 +30,30 @@ object SkewJoin {
     */
   private def saltCol(df: DataFrame, key: String, salts: Int,
       tiebreak: Seq[String]): Column = {
-    val cols = if (tiebreak.nonEmpty) (key +: tiebreak).distinct else df.columns.toSeq
+    val cols =
+      if (tiebreak.nonEmpty) (key +: tiebreak).distinct
+      else {
+        // default disambiguator = every HASHABLE column, deduped by name:
+        // xxhash64 rejects MapType outright, and referencing a duplicated
+        // name would be an ambiguous-attribute error — schemas the salt
+        // must tolerate, since any DataFrame can be salted. (Rows identical
+        // in all hashable columns share a salt — inherent to value-derived
+        // salting.)
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        df.schema.fields.foreach { f =>
+          if (hashable(f.dataType)) seen += f.name
+        }
+        if (seen.isEmpty) Seq(key) else seen.toSeq
+      }
     pmod(xxhash64(cols.map(col): _*), lit(salts)).cast("int")
+  }
+
+  /** Types xxhash64 accepts without legacy confs (no MapType anywhere). */
+  private def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+    case _ => true
   }
 
   /** Inner equi-join where `fact` is massively skewed on `key`: the fact

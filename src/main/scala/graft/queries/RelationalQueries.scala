@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -228,14 +228,35 @@ object RelationalQueries {
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 6).as("pr")))
     }),
-    // exact percentiles (linear interpolation — identical in both engines)
-    "q22_percentiles" -> ((s, dir) =>
-      ordered(t(s, dir, "orders")
-        .groupBy("o_orderstatus")
-        .agg(
-          expr("percentile(o_totalprice, 0.5)").as("p50"),
-          expr("percentile(o_totalprice, 0.9)").as("p90"),
-          expr("percentile(o_totalprice, 0.99)").as("p99")))),
+    // exact percentiles (linear interpolation — identical in both engines),
+    // as a two-pass distributed formulation: rank + group size via one
+    // partitioned window, then interpolate between the two bracketing ranks
+    // with conditional aggregation. The built-in percentile() is an
+    // ImperativeAggregate that buffers EVERY group value in its aggregation
+    // buffer — with 3 o_orderstatus groups one buffer holds ~half of all
+    // orders, an executor OOM at 100x scale; here rows stay distributed
+    // (the window sort spills) and the interpolation replicates
+    // percentile()'s exact arithmetic ((hi-pos)*vlo + (pos-lo)*vhi with
+    // pos = (n-1)*p), so results are bit-identical
+    "q22_percentiles" -> ((s, dir) => {
+      val v = col("o_totalprice")
+      val ranked = t(s, dir, "orders").select(col("o_orderstatus"), v)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus").orderBy(v.asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      def exactPct(p: Double): Column = {
+        val pos = (col("n") - 1).cast("double") * lit(p)
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        val vlo = max(when(col("rn") === lo + 1, v))
+        val vhi = max(when(col("rn") === hi + 1, v))
+        val posA = max(pos); val loA = max(lo); val hiA = max(hi)
+        when(hiA === loA, vlo)
+          .otherwise((hiA - posA) * vlo + (posA - loA) * vhi)
+      }
+      ordered(ranked.groupBy("o_orderstatus")
+        .agg(exactPct(0.5).as("p50"), exactPct(0.9).as("p90"), exactPct(0.99).as("p99")))
+    }),
     // scalar string function breadth
     "q23_string_funcs" -> ((s, dir) =>
       ordered(t(s, dir, "customer").select(
@@ -425,13 +446,18 @@ object RelationalQueries {
           |       date_format(max(o_orderdate), 'yyyy-MM-01') AS mx
           |FROM orders_q41""".stripMargin).collect()(0)
       val (mn, mx) = (b.getString(0), b.getString(1))
+      require(mn != null && mx != null,
+        "q41: orders table is empty — no month spine to generate")
       val months = {
         val Array(y0, m0, _) = mn.split("-").map(_.toInt)
         val Array(y1, m1, _) = mx.split("-").map(_.toInt)
         (y1 - y0) * 12 + (m1 - m0) + 1
       }
       val limit = s.conf.get("spark.sql.cteRecursionLevelLimit", "100").toInt
-      require(months <= limit,
+      // strict <: whether Spark counts the final empty recursion step as a
+      // level is version-dependent, so the exact-boundary spine is rejected
+      // eagerly too rather than risking a deep execution-time failure
+      require(months < limit,
         s"q41 month spine needs $months iterations but cteRecursionLevelLimit=$limit; " +
           "raise the conf session-wide before running")
       ordered(s.sql(

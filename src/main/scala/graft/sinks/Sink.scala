@@ -190,7 +190,13 @@ object Sink {
       val name = st.getPath.getName
       if (st.isFile && name.startsWith(prefix) && name.endsWith(ext)) {
         val idx = name.substring(prefix.length, name.length - ext.length)
-        if (idx.length >= 4 && idx.forall(_.isDigit) && idx.toInt >= keepBelow)
+        // valid part indexes are %04d-padded, widening only past 10k parts:
+        // accept widths 4..7 (10M parts — beyond the single-directory regime
+        // this sink targets). The cap keeps 8+-digit sibling files the user
+        // may have placed next to the output (date-suffixed `base-20260812`)
+        // out of the deletion scope, and makes toInt overflow impossible.
+        if (idx.length >= 4 && idx.length <= 7 && idx.forall(_.isDigit) &&
+            idx.toInt >= keepBelow)
           fs.delete(st.getPath, false)
       }
     }

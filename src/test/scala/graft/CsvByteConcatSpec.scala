@@ -268,4 +268,18 @@ class CsvByteConcatSpec extends SparkSpec {
       !Files.exists(d.resolve("out-0001.csv")))
     assert(Sink.readBack(spark, out, Discovery.Csv).count() == 1)
   }
+
+  test("stale-part cleanup never touches sibling files outside the index regime") {
+    val d = tmpDir("bccSibling")
+    // 8-digit (date-suffixed) and overflow-length digit runs are user files,
+    // not part indexes (the writer emits 4..7-digit indexes only)
+    val dated = writeFile(d, "out-20260812.csv", "k,v\nkeep,1\n")
+    val huge = writeFile(d, "out-99999999999.csv", "k,v\nkeep,2\n")
+    val f = writeFile(d, "f.csv", "k,v\n1,x\n")
+    val out = d.resolve("out.csv").toString
+    Concat.convert(spark, Concat.Config(Seq(f), rawPassThrough = true),
+      Sink.Config(out, Discovery.Csv, singleFile = false, preserveOrder = false))
+    assert(Files.exists(java.nio.file.Paths.get(dated)), "date-suffixed sibling deleted")
+    assert(Files.exists(java.nio.file.Paths.get(huge)), "overflow-length sibling deleted")
+  }
 }

@@ -182,6 +182,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join tolerates unhashable (map) columns in the default tiebreak") {
+    import graft.operators.SkewJoin
+    // a MapType column would make xxhash64-over-all-columns throw an
+    // AnalysisException; the default disambiguator must skip it
+    val fact = (1 to 100).map(i => (i.toLong % 3, i.toLong, Map("m" -> i)))
+      .toDF("k", "v", "props")
+    val dim = Seq((0L, "zero"), (1L, "one"), (2L, "two")).toDF("k", "name")
+    val plain = fact.join(dim, "k").groupBy("name").agg(sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 4)
+      .groupBy("name").agg(sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
   test("two-phase skewed aggregation equals direct aggregation") {
     import graft.operators.SkewJoin
     val df = (1 to 5000).map(i => (if (i % 100 == 0) "rare" else "hot", i.toLong)).toDF("k", "v")

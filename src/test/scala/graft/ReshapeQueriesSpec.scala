@@ -11,6 +11,23 @@ import org.apache.spark.sql.functions._
 class ReshapeQueriesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q22 two-pass exact percentiles are bit-identical to built-in percentile()") {
+    // the distributed window+interpolation formulation must reproduce the
+    // ImperativeAggregate's doubles EXACTLY (same (hi-pos)*vlo+(pos-lo)*vhi
+    // arithmetic), or the DuckDB quantile_cont oracle would drift
+    val got = graft.queries.RelationalQueries
+      .queries("q22_percentiles")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val want = sf("orders").groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == want, s"two-pass percentiles diverge:\n$got\nvs\n$want")
+  }
+
   test("pivot with explicit value list: absent combos are null, present are summed") {
     val df = Seq(("p1", "F", 10.0), ("p1", "F", 5.0), ("p1", "O", 1.0), ("p2", "O", 2.0))
       .toDF("prio", "status", "price")
