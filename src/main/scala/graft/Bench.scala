@@ -55,9 +55,16 @@ object Bench {
     // same story for parquet: materialize lineitem as maw-shape parquet
     // (unified column order, multiple part files) so the Parquet->Parquet
     // leg measures the chained-concat row-group-copy fast path rather than
-    // being capped by the fixture's single 11 MB row group (1 read task)
+    // being capped by the fixture's single 11 MB row group (1 read task).
+    // Replicated 10x: at sf0.1 the single-copy input is ~11 MB, where the
+    // ~0.15 s fixed job/footer overhead dominates and the measured MB/s
+    // oscillated round-to-round with zero code change (see BASELINE.md's
+    // floor note); 10x amortizes the fixed cost so the number reflects the
+    // storage-bound copy rate the path actually sustains
     val pqIn = tmp.resolve("lineitem_pq").toString
-    li.select(li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val liSorted = li.select(
+      li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    (1 to 10).map(_ => liSorted).reduce(_ unionByName _)
       .write.option("compression", "zstd").parquet(pqIn)
     val parquetBytes = fileBytes(pqIn)
     def conv(in: String, out: String, fmt: Discovery.Format): Double = {
@@ -86,7 +93,7 @@ object Bench {
     val rowsPerSec = Map(
       "csv_to_csv" -> liRows / csvCsvSec,
       "csv_to_parquet" -> liRows / csvParquetSec,
-      "parquet_to_parquet" -> liRows / pqPqSec)
+      "parquet_to_parquet" -> liRows * 10 / pqPqSec) // input is lineitem x10
 
     // best of 2: first run pays one-off codegen compilation and is exposed
     // to GC/machine noise in a long-lived JVM; min-of-2 reports steady state

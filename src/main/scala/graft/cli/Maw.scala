@@ -181,10 +181,23 @@ object Maw {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (a.quiet) "ERROR" else if (a.verbose > 0) "INFO" else "WARN")
+    try execute(spark, a)
+    catch {
+      case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}")
+        spark.stop()
+        sys.exit(1) // main.rs:55-58
+    }
+    spark.stop()
+  }
+
+  /** Everything after session construction — separable so tests can drive
+    * the full CLI behavior on a shared session (main owns stop/exit).
+    */
+  private[graft] def execute(spark: SparkSession, a: Args): Unit = {
     if (a.jsonLogs && !a.quiet)
       println(s"""{"event":"start","inputs":${a.inputs.size},"output":"${a.output}"}""")
-    try {
-      val fmt = Discovery.outputFormat(a.output, a.outFormat)
+    val fmt = Discovery.outputFormat(a.output, a.outFormat)
       // CSV in -> CSV out skips typed parse + re-render per cell (pure
       // streaming concatenation); any parquet involvement keeps real types
       val cfg = toConfig(a).copy(rawPassThrough = fmt == Discovery.Csv)
@@ -211,6 +224,20 @@ object Maw {
         val metrics = Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
           a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
         val sec = (System.nanoTime() - t0) / 1e9
+        // per-file completion events (progress.rs:6-197 renders live
+        // per-file bars; batch Spark reports each file's rows/bytes/elapsed
+        // post-hoc from the byte-path task results)
+        if (a.jsonLogs && !a.quiet && a.progress) metrics.get("files").foreach {
+          case fs: Seq[_] => fs.foreach {
+            case f: Map[_, _] =>
+              val m = f.asInstanceOf[Map[String, Any]]
+              def jstr(s: Any) = "\"" + s.toString
+                .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+              println(f"""{"event":"file","path":${jstr(m("path"))}%s,"rows":${m("rows")}%s,"bytes":${m("bytes")}%s,"elapsed_sec":${m("elapsed_sec").toString.toDouble}%.3f}""")
+            case _ =>
+          }
+          case _ =>
+        }
         if (!a.quiet && a.progress) {
           val rows = metrics.getOrElse("rows_written", "?")
           // byte fast paths stream outside Spark's task metrics, so they
@@ -231,13 +258,6 @@ object Maw {
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }
-      if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":"${a.output}"}""")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"error: ${e.getMessage}")
-        spark.stop()
-        sys.exit(1) // main.rs:55-58
-    }
-    spark.stop()
+    if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":"${a.output}"}""")
   }
 }

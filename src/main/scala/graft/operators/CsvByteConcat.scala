@@ -120,6 +120,7 @@ object CsvByteConcat {
     val results = spark.sparkContext
       .parallelize(paths, paths.size)
       .map { case (path, idx) =>
+        val t0 = System.nanoTime()
         val conf = HConf.restore(hconfBc.value)
         val inPath = new Path(path)
         val ifs = inPath.getFileSystem(conf)
@@ -150,7 +151,7 @@ object CsvByteConcat {
             finally in.close()
           }
         }
-        (idx, n, inBytes)
+        (idx, n, inBytes, (System.nanoTime() - t0) / 1e9)
       }
       .collect()
 
@@ -165,7 +166,7 @@ object CsvByteConcat {
       val out = new BufferedOutputStream(tfs.create(target, true), 1 << 20)
       try {
         out.write(header); out.write(Lf.toInt)
-        results.sortBy(_._1).foreach { case (idx, _, _) =>
+        results.sortBy(_._1).foreach { case (idx, _, _, _) =>
           val p = new Path(tmpDir, f"part-$idx%05d")
           val in = new BufferedInputStream(tfs.open(p), 1 << 20)
           try copyAll(in, out) finally in.close()
@@ -179,8 +180,14 @@ object CsvByteConcat {
       }.sum
     }
     fs0.delete(new Path(tmpDir), true)
+    // per-file completion records (the reference renders per-file progress
+    // bars, progress.rs:6-197; batch-mode Spark reports them post-hoc)
+    val perFile = results.sortBy(_._1).map { case (idx, rows, inBytes, sec) =>
+      Map[String, Any]("path" -> files(idx).path, "rows" -> rows,
+        "bytes" -> inBytes, "elapsed_sec" -> sec)
+    }.toSeq
     Some(Map("rows_written" -> total, "bytes_read" -> bytesRead,
-      "bytes_written" -> bytesWritten))
+      "bytes_written" -> bytesWritten, "files" -> perFile))
   }
 
   /** Read one line's bytes (without LF / trailing CR); null on empty EOF. */

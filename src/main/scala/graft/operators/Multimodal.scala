@@ -1,20 +1,29 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) column handling.
   *
-  * Media travels as an opaque `binary` payload plus a typed metadata struct
-  * — the Spark-side plumbing (schema, batch iteration, partitioning) is real
-  * and tested; the actual codec step is STUBBED with a deterministic fake
-  * because no image/audio libraries exist in this container. Swap
-  * [[decodeStub]] for a real decoder (e.g. JavaCV / TwelveMonkeys) without
-  * touching anything else.
+  * Media travels as an opaque `binary` payload plus a typed metadata struct.
+  * Images are REAL: [[fromTextPng]] renders a deterministic synthetic PNG
+  * per row (pixels derived from the text fixture) and [[extractFeatures]]
+  * decodes payloads with `javax.imageio` — an actual codec pass, zero extra
+  * dependencies. PNG is lossless, so the decoded raster is byte-exact and
+  * the pixel-lane features stay engine-reproducible (the driver's DuckDB
+  * oracle recomputes them from the text bytes the pixels were built from).
+  * Non-image payloads ([[fromText]]) keep the opaque-binary contract:
+  * metadata and frame windows, no decode.
   */
 object Multimodal {
+
+  val ImgW = 16
+  val ImgH = 16
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -25,9 +34,9 @@ object Multimodal {
       StructField("height", IntegerType, nullable = true),
       StructField("duration_ms", LongType, nullable = true))), nullable = true)))
 
-  /** Wrap any (id, string) table as a media table: payload = utf-8 bytes
-    * (deterministic fake media), meta derived from content. Lets the whole
-    * pipeline run end-to-end against the `documents` fixture.
+  /** Wrap any (id, string) table as an opaque media table: payload = utf-8
+    * bytes, meta derived from content. The binary-column plumbing for
+    * formats we have no codec for (audio/video).
     */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -39,50 +48,105 @@ object Multimodal {
         pmod(length(col(textCol)), lit(1080)).cast(IntegerType).as("height"),
         length(col(textCol)).cast(LongType).as("duration_ms")).as("meta"))
 
-  /** DECODE STUB — deterministic fake "decoded features" from raw bytes.
-    * A real implementation decodes the payload (image pixels / audio PCM)
-    * here; everything around it (batching, schema, null handling) is the
-    * production shape.
-    *
-    * The fake accumulates INTEGER byte sums per lane and divides once at the
-    * end: exact and order-independent, so the result is reproducible by any
-    * engine (the driver's DuckDB oracle recomputes it from hex-decoded
-    * bytes) — a float-per-byte accumulation would make the value depend on
-    * addition order. Rounding is floor(x+0.5) for the same reason (math.rint
-    * half-to-even has no portable SQL equivalent).
+  /** Deterministic synthetic PNG: [[ImgW]]x[[ImgH]] 8-bit grayscale where
+    * pixel i (row-major) is utf-8 byte `i mod len` of the text (0 for empty
+    * text). Lossless encoding, so a decoder recovers the exact gray levels
+    * — which is what lets an engine with no PNG codec (the oracle) verify
+    * the decode path from the source text alone.
     */
-  def decodeStub(payload: Array[Byte]): Array[Double] = {
-    if (payload == null || payload.isEmpty) return Array.fill(8)(0.0)
-    val sums = new Array[Long](8)
+  def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    val img = new BufferedImage(ImgW, ImgH, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
     var i = 0
-    while (i < payload.length) {
-      sums(i % 8) += (payload(i) & 0xff).toLong
+    while (i < ImgW * ImgH) {
+      val px = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      raster.setSample(i % ImgW, i / ImgW, 0, px)
       i += 1
     }
-    sums.map(s => math.floor(s.toDouble / 255.0 / payload.length * 1e6 + 0.5) / 1e6)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Wrap a (id, string) table as an IMAGE media table: payload is a real
+    * PNG rendered from the text. `mapPartitions`, not a per-row UDF: one
+    * encoder context per partition, rows streamed through it (the batched
+    * shape a real codec needs).
+    */
+  def fromTextPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    df.select(col(idCol).cast(LongType).as("media_id"),
+        encode(col(textCol), "utf-8").as("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          Row(r.getLong(0), encodePng(bytes),
+            Row("image/png", ImgW, ImgH, null))
+        }
+      }(enc)
+  }
+
+  /** Real image decode: `javax.imageio` parses the payload and returns
+    * (width, height, gray levels row-major), or null for undecodable bytes.
+    */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    if (payload == null || payload.isEmpty) return null
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = raster.getSample(i % w, i / w, 0)
+      i += 1
+    }
+    (w, h, px)
+  }
+
+  /** 8 pixel-lane features: lane j = integer sum of pixels at i % 8 == j,
+    * normalized once at the end — exact and order-independent, so any
+    * engine that can reproduce the pixels reproduces the features (float
+    * accumulation would depend on addition order; floor(x+0.5) because
+    * math.rint's half-to-even has no portable SQL equivalent).
+    */
+  def pixelLaneFeatures(px: Array[Int]): Array[Double] = {
+    if (px == null || px.isEmpty) return Array.fill(8)(0.0)
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < px.length) { sums(i % 8) += px(i); i += 1 }
+    sums.map(s => math.floor(s.toDouble / 255.0 / px.length * 1e6 + 0.5) / 1e6)
   }
 
   private val featureSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = true)))
 
   /** Feature extraction over media batches via `mapPartitions` — the Scala
     * analog of a batched pandas UDF: one decoder init per partition, rows
     * streamed through it. Narrow (no shuffle); scales with input splits.
+    * Image payloads get a REAL `javax.imageio` decode (features + decoded
+    * dimensions); undecodable/non-image payloads yield nulls.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(featureSchema)
-    media.select(col("media_id"), col("payload"))
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
       .mapPartitions { rows =>
-        // per-partition decoder init would go here (codec contexts are
-        // expensive; never per-row)
+        // decoder/codec contexts initialize here, once per partition —
+        // never per row
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getLong(0),
-            decodeStub(payload).toSeq,
-            if (payload == null) 0L else payload.length.toLong)
+          val isImage = Option(r.getAs[String]("mime")).exists(_.startsWith("image/"))
+          val decoded = if (isImage) decodeImage(payload) else null
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          decoded match {
+            case null => Row(r.getLong(0), null, null, null, nBytes)
+            case (w, h, px) =>
+              Row(r.getLong(0), pixelLaneFeatures(px).toSeq, w, h, nBytes)
+          }
         }
       }(enc)
   }

@@ -91,16 +91,20 @@ object ParquetByteConcat {
     // --verify's read-back would silently glob them in
     Sink.deleteStaleParts(hconf, sink.path, ".parquet",
       keepBelow = if (sink.singleFile) 0 else files.size)
-    if (sink.singleFile) {
+    val perFileSec: Seq[Double] = if (sink.singleFile) {
       // one output file = one writer (the reference's single-file contract);
       // sequential appendFile is storage-bound: no decode happens
       val out = HadoopOutputFile.fromPath(new Path(sink.path), hconf)
       val w = new ParquetFileWriter(out, schema,
         ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
       w.start()
-      files.foreach(f =>
-        w.appendFile(HadoopInputFile.fromPath(new Path(f.path), hconf)))
+      val secs = files.map { f =>
+        val t0 = System.nanoTime()
+        w.appendFile(HadoopInputFile.fromPath(new Path(f.path), hconf))
+        (System.nanoTime() - t0) / 1e9
+      }
       w.end(footerMeta.asJava)
+      secs
     } else {
       // one task per input file, written straight to deterministic final
       // part names (idempotent overwrite, no committer round-trip); tasks
@@ -110,7 +114,8 @@ object ParquetByteConcat {
       val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
       spark.sparkContext
         .parallelize(files.map(_.path).zipWithIndex, files.size)
-        .foreach { case (path, idx) =>
+        .map { case (path, idx) =>
+          val t0 = System.nanoTime()
           val conf = HConf.restore(hconfBc.value)
           val sch = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
           val out = HadoopOutputFile.fromPath(
@@ -120,14 +125,21 @@ object ParquetByteConcat {
           w.start()
           w.appendFile(HadoopInputFile.fromPath(new Path(path), conf))
           w.end(footerMeta.asJava)
+          (idx, (System.nanoTime() - t0) / 1e9)
         }
+        .collect().sortBy(_._1).map(_._2).toSeq
     }
     val outFs = new Path(sink.path).getFileSystem(hconf)
     val bytesWritten =
       if (sink.singleFile) outFs.getFileStatus(new Path(sink.path)).getLen
       else files.indices
         .map(i => outFs.getFileStatus(new Path(f"$outBase%s-$i%04d.parquet")).getLen).sum
+    // per-file completion records (rows/bytes from the footer pre-flight)
+    val perFile = files.zipWithIndex.map { case (f, i) =>
+      Map[String, Any]("path" -> f.path, "rows" -> footers(i)._2,
+        "bytes" -> footers(i)._3, "elapsed_sec" -> perFileSec(i))
+    }
     Some(Map("rows_written" -> totalRows, "bytes_read" -> totalBytes,
-      "bytes_written" -> bytesWritten))
+      "bytes_written" -> bytesWritten, "files" -> perFile))
   }
 }

@@ -315,13 +315,16 @@ object PipelineQueries {
         .select(col("media_id"), col("meta.mime").as("mime"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.duration_ms").as("duration_ms"),
           length(col("payload")).as("n_bytes")))),
-    // the decode stub's integer-sum feature is engine-reproducible, so the
-    // mapPartitions batch path (schema, null handling, per-partition
-    // iteration) hash-checks against a DuckDB hex-decode oracle
+    // REAL codec pass: payloads are genuine PNGs (rendered from the text)
+    // and extractFeatures decodes them with javax.imageio. PNG is lossless,
+    // so the decoded gray levels equal the text bytes the renderer sampled,
+    // and the DuckDB oracle — which has no PNG codec — recomputes the same
+    // pixel-lane feature from the hex-decoded text: a broken encode OR
+    // decode breaks the hash, as does a wrong decoded width/height.
     "m02_media_features" -> ((s, dir) =>
       ordered(Multimodal.extractFeatures(
-        Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
-        .select(col("media_id"), col("n_bytes"),
+        Multimodal.fromTextPng(t(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("features"), 1), 6).as("f0")))),
     "m03_frame_sample" -> ((s, dir) =>
       ordered(Multimodal.sampleFrames(
@@ -723,25 +726,29 @@ object PipelineQueries {
          |      WHERE n_chars BETWEEN 100 AND 3000 GROUP BY md5(text)) k
          |ON d.doc_id = k.doc_id
          |ORDER BY d.doc_id NULLS FIRST, d.lang NULLS FIRST, n_tokens NULLS FIRST""".stripMargin,
-    // recompute the decode stub's lane-0 feature from hex-decoded utf-8
-    // bytes: integer byte-sum of every 8th byte, one double division at the
-    // end — exact on both engines regardless of row or addition order
+    // recompute the decoded PNG's lane-0 pixel feature without a PNG codec:
+    // pixel i of the 16x16 grayscale image is utf-8 byte (i mod len) of the
+    // text, so lane 0 = integer sum of pixels at i % 8 == 0 over i in
+    // 0..255, one double division at the end — exact on both engines
+    // regardless of row or addition order
     "m02_media_features" ->
       s"""WITH h AS (
          |  SELECT doc_id, octet_length(encode(text)) AS len, hex(encode(text)) AS hx
          |  FROM documents),
-         |e AS (SELECT doc_id, len, hx, unnest(range(0, len)) AS i FROM h),
+         |e AS (SELECT doc_id, len, hx, unnest(range(0, 256)) AS i FROM h),
          |v AS (
          |  SELECT doc_id,
-         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INTEGER), 1)) - 1) * 16 +
-         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INTEGER), 1)) - 1) AS byte
+         |    CASE WHEN len = 0 THEN 0 ELSE
+         |      (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+1 AS INTEGER), 1)) - 1) * 16 +
+         |      (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+2 AS INTEGER), 1)) - 1)
+         |    END AS px
          |  FROM e WHERE i % 8 = 0),
-         |s AS (SELECT doc_id, SUM(byte) AS s0 FROM v GROUP BY doc_id)
-         |SELECT h.doc_id AS media_id, CAST(h.len AS BIGINT) AS n_bytes,
-         |  CASE WHEN s.s0 IS NULL OR h.len = 0 THEN 0.0
-         |       ELSE floor(CAST(s.s0 AS DOUBLE) / 255.0 / h.len * 1e6 + 0.5) / 1e6 END AS f0
-         |FROM h LEFT JOIN s ON h.doc_id = s.doc_id
-         |${orderSql("media_id", "n_bytes", "f0")}""".stripMargin,
+         |s AS (SELECT doc_id, SUM(px) AS s0 FROM v GROUP BY doc_id)
+         |SELECT h.doc_id AS media_id,
+         |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+         |  floor(CAST(s.s0 AS DOUBLE) / 255.0 / 256.0 * 1e6 + 0.5) / 1e6 AS f0
+         |FROM h JOIN s ON h.doc_id = s.doc_id
+         |${orderSql("media_id", "width", "height", "f0")}""".stripMargin,
     // frame windowing arithmetic (stride, tail clamping) replicated exactly;
     // the frame bytes themselves are substrings of the payload, covered by
     // n_bytes + m01's payload-length check

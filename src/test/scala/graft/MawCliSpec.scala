@@ -34,6 +34,26 @@ class MawCliSpec extends SparkSpec {
     assert(a.jsonLogs && a.verbose == 2 && a.quiet)
   }
 
+  test("--json-logs emits one per-file completion event per input (M1)") {
+    val d = tmpDir("jsonlogs")
+    val f1 = writeFile(d, "a.csv", "k,v\n1,x\n2,y\n")
+    val f2 = writeFile(d, "b.csv", "k,v\n3,z\n")
+    val out = d.resolve("out.csv").toString
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Maw.execute(spark, Maw.parse(Seq(f1, f2, "-o", out, "--json-logs")))
+    }
+    val lines = bos.toString.linesIterator.toList
+    val fileEvents = lines.filter(_.contains("\"event\":\"file\""))
+    assert(fileEvents.size == 2,
+      s"expected 2 per-file events, got:\n${lines.mkString("\n")}")
+    assert(fileEvents(0).contains("a.csv") && fileEvents(0).contains("\"rows\":2"))
+    assert(fileEvents(1).contains("b.csv") && fileEvents(1).contains("\"rows\":1"))
+    assert(fileEvents.forall(l => l.contains("\"bytes\":") && l.contains("\"elapsed_sec\":")))
+    assert(lines.exists(_.contains("\"event\":\"progress\"")) &&
+      lines.exists(_.contains("\"event\":\"done\"")))
+  }
+
   test("output format resolution: flag > extension > csv default (pipeline.rs:64-74)") {
     assert(Discovery.outputFormat("x.csv", Some("parquet")) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)

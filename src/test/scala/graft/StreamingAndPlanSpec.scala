@@ -41,17 +41,31 @@ class StreamingAndPlanSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 2) // only the new file processed
   }
 
-  test("multimodal: schema, deterministic stub features, frame sampling") {
+  test("multimodal: real PNG encode/decode roundtrip, features, frame sampling") {
     val docs = Seq((1L, "hello multimodal world"), (2L, "bytes")).toDF("doc_id", "text")
-    val media = Multimodal.fromText(docs, "doc_id", "text")
+    // PNG is lossless: javax.imageio must decode back the exact gray levels
+    // the encoder sampled from the text (cyclic utf-8 bytes)
+    val textBytes = "hello multimodal world".getBytes("UTF-8")
+    val png = Multimodal.encodePng(textBytes)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a), "payload is not a PNG")
+    val (w, h, px) = Multimodal.decodeImage(png)
+    assert((w, h) == (Multimodal.ImgW, Multimodal.ImgH))
+    val wantPx = (0 until w * h).map(i => textBytes(i % textBytes.length) & 0xff)
+    assert(px.toSeq == wantPx, "decoded raster diverges from the source bytes")
+    // distributed path: features from the DECODED pixels, deterministic
+    val media = Multimodal.fromTextPng(docs, "doc_id", "text")
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
     val feats = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     assert(feats.length == 2)
     assert(feats(0).getSeq[Double](1).length == 8)
-    val again = Multimodal.extractFeatures(media).orderBy("media_id").collect()
-    assert(feats.map(_.getSeq[Double](1).toList).toList ==
-      again.map(_.getSeq[Double](1).toList).toList) // deterministic stub
-    val frames = Multimodal.sampleFrames(media, n = 4)
+    assert(feats(0).getSeq[Double](1) == Multimodal.pixelLaneFeatures(px).toSeq)
+    assert(feats(0).getInt(2) == Multimodal.ImgW && feats(0).getInt(3) == Multimodal.ImgH)
+    // non-image payloads stay opaque: no decode, null features
+    val opaque = Multimodal.extractFeatures(
+      Multimodal.fromText(docs, "doc_id", "text")).orderBy("media_id").collect()
+    assert(opaque.forall(_.isNullAt(1)) && opaque.forall(!_.isNullAt(4)))
+    val frames = Multimodal.sampleFrames(Multimodal.fromText(docs, "doc_id", "text"), n = 4)
     assert(frames.count() == 8)
     assert(frames.columns.contains("frame_idx"))
   }
