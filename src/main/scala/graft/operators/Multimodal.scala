@@ -91,7 +91,13 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     if (payload == null || payload.isEmpty) return null
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    // ImageIO.read returns null only for UNRECOGNIZED formats; a recognized
+    // header with a corrupt body (truncated IDAT, bad CRC) throws IIOException
+    // instead — which must also map to null, not a deterministic task failure
+    // that aborts the whole job on one bad row
+    val img = try ImageIO.read(new ByteArrayInputStream(payload)) catch {
+      case scala.util.control.NonFatal(_) => null
+    }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster

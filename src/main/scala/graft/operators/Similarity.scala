@@ -87,14 +87,23 @@ object Similarity {
     */
   def requireRecall(approx: DataFrame, exact: DataFrame, minRecall: Double,
       what: String): DataFrame = {
-    val truth = exact.select("query_id", "neighbor_id")
-    val hits = approx.select("query_id", "neighbor_id")
-      .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
-    val total = truth.count()
-    val recall = if (total == 0) 1.0 else hits.toDouble / total
-    require(recall >= minRecall,
-      f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
-    approx
+    // Both inputs are full ANN/brute-force pipelines; without caching, the
+    // gate's two count actions plus the caller consuming the returned frame
+    // would recompute them three times over. Both top-k results are tiny
+    // (queries x k rows), so persist: `truth` for the gate's two actions,
+    // `a` across the gate AND the caller's consumption (left persisted on
+    // purpose — it IS the query result).
+    val a = approx.persist()
+    val truth = exact.select("query_id", "neighbor_id").persist()
+    try {
+      val hits = a.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = truth.count()
+      val recall = if (total == 0) 1.0 else hits.toDouble / total
+      require(recall >= minRecall,
+        f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
+    } finally truth.unpersist()
+    a
   }
 
   /** Deterministic top-k: ties broken by neighbor id. */

@@ -33,17 +33,19 @@ object SkewJoin {
     val cols =
       if (tiebreak.nonEmpty) (key +: tiebreak).distinct
       else {
-        // default disambiguator = every HASHABLE column, deduped by name:
-        // xxhash64 rejects MapType outright, and referencing a duplicated
-        // name would be an ambiguous-attribute error — schemas the salt
-        // must tolerate, since any DataFrame can be salted. (Rows identical
-        // in all hashable columns share a salt — inherent to value-derived
-        // salting.)
-        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        df.schema.fields.foreach { f =>
-          if (hashable(f.dataType)) seen += f.name
-        }
-        if (seen.isEmpty) Seq(key) else seen.toSeq
+        // default disambiguator = every UNIQUELY-NAMED hashable column:
+        // xxhash64 rejects MapType outright, and col() on a name that
+        // appears twice in the schema fails analysis with an
+        // ambiguous-attribute error no matter how the list is deduped — so
+        // duplicated names are EXCLUDED from the default set entirely
+        // (callers who need those values in the salt must rename or pass
+        // `tiebreak`). Rows identical in all selected columns share a salt —
+        // inherent to value-derived salting.
+        val occurrences = df.schema.fields.groupBy(_.name).view.mapValues(_.length)
+        val cols = df.schema.fields.collect {
+          case f if occurrences(f.name) == 1 && hashable(f.dataType) => f.name
+        }.toSeq
+        if (cols.isEmpty) Seq(key) else cols
       }
     pmod(xxhash64(cols.map(col): _*), lit(salts)).cast("int")
   }

@@ -240,7 +240,13 @@ object RelationalQueries {
     // pos = (n-1)*p), so results are bit-identical
     "q22_percentiles" -> ((s, dir) => {
       val v = col("o_totalprice")
+      // NULL values must not enter rank or n: the built-in percentile()
+      // (and DuckDB quantile_cont) skip NULL inputs, while row_number/count
+      // would rank them first and shift every percentile. (A group that is
+      // ALL NULLs drops out entirely — acceptable for a price column;
+      // percentile() would keep it with NULL outputs.)
       val ranked = t(s, dir, "orders").select(col("o_orderstatus"), v)
+        .where(v.isNotNull)
         .withColumn("rn", row_number().over(
           Window.partitionBy("o_orderstatus").orderBy(v.asc)))
         .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
