@@ -16,10 +16,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+    // Deterministic order, streaming (st*) queries FIRST: they are the
+    // slowest and flakiest, and a driver-side wall-clock cut near the tail
+    // of the run must land on cheap long-verified queries, not the newest
+    // streaming proof (round 5 lost st06's correctness row exactly this
+    // way — it iterated last in HashMap order).
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (if (name.startsWith("st")) 0 else 1, name) }
+    ordered.foreach { case (name, fn) =>
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        try attempt()
+        catch { case _: Throwable => attempt() } // one retry: transient stream/fs races
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -210,11 +210,18 @@ object Maw {
         return // before writing (main.rs:73-76)
       }
       if (a.streaming) {
-        // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch
-        if (a.verbose > 0 && !a.quiet)
-          spark.streams.addListener(new graft.streaming.StreamingConcat.ProgressListener())
-        graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt,
-          a.checkpoint.getOrElse(a.output + ".checkpoint"))
+        // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch,
+        // plus per-source-file events under --json-logs (file list read from
+        // the checkpoint's exactly-once source metadata log)
+        val cp = a.checkpoint.getOrElse(a.output + ".checkpoint")
+        val listener =
+          if ((a.verbose > 0 || a.jsonLogs) && !a.quiet)
+            Some(new graft.streaming.StreamingConcat.ProgressListener(
+              quiet = a.quiet, jsonLogs = a.jsonLogs, checkpoint = Some(cp)))
+          else None
+        listener.foreach(spark.streams.addListener)
+        try graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt, cp)
+        finally listener.foreach { l => l.awaitDrained(); spark.streams.removeListener(l) }
       } else {
         // M1 batch progress (progress.rs:6-197 intent): task-level
         // bytes-read/written from the scheduler bus -> MB/s over the run

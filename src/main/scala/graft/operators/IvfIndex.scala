@@ -150,7 +150,7 @@ object IvfIndex {
 
   /** Top-k over a corpus previously saved by [[saveAssigned]]. The probe
     * cells are resolved driver-side from the (small, broadcastable) query
-    * set — bounded by min(k, |queries| * nprobe) values — so the corpus
+    * set — bounded by min(model cell count, |queries| * nprobe) values — so the corpus
     * scan carries a literal `ivf_cell IN (...)` predicate that prunes
     * BUCKETS, not just row groups: the plan reads only the probed cells'
     * files regardless of corpus size.

@@ -69,9 +69,10 @@ object Multimodal {
   }
 
   /** Wrap a (id, string) table as an IMAGE media table: payload is a real
-    * PNG rendered from the text. `mapPartitions`, not a per-row UDF: one
-    * encoder context per partition, rows streamed through it (the batched
-    * shape a real codec needs).
+    * PNG rendered from the text. `mapPartitions`, not a per-row UDF, so a
+    * codec that needs per-partition setup can hoist it before `rows.map`;
+    * [[encodePng]] itself is allocation-per-row (ImageIO keeps no reusable
+    * encoder state worth hoisting), the batched shape is what matters.
     */
   def fromTextPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)

@@ -58,24 +58,34 @@ object Similarity {
       dim: Int = 64,
       probes: Int = 0): DataFrame = {
     require(probes >= 0 && probes <= numPlanes, s"probes must be in [0, $numPlanes]")
-    def withBuckets(df: DataFrame, id: String, v: String): DataFrame =
-      (0 until tables).foldLeft(
-        df.select(col(idCol).as(id), col(vecCol).as(v))) { (d, t) =>
-        d.withColumn(s"b$t", VF.lshBucket(col(v), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
-      }
-    def expanded(df: DataFrame, id: String, v: String, masks: Seq[Long]): DataFrame =
-      withBuckets(df, id, v).select(col(id), col(v),
+    // Candidate generation ships ONLY (id, table, bucket) — the vector stays
+    // out of the xtables fan-out and is re-joined by id for the exact-cosine
+    // verify, so the bucket-join shuffle carries slim fixed-width rows
+    // instead of `tables` copies of every corpus vector.
+    def expanded(df: DataFrame, id: String, masks: Seq[Long]): DataFrame =
+      (0 until tables).foldLeft(df.select(col(idCol).as(id), col(vecCol).as("__v"))) {
+        (d, t) => d.withColumn(s"b$t",
+          VF.lshBucket(col("__v"), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
+      }.select(col(id),
         explode(array((for { t <- 0 until tables; m <- masks } yield
           struct(lit(t).as("table"),
             col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))): _*)).as("tb"))
-        .select(col(id), col(v), col("tb.table"), col("tb.bucket"))
-    val c = expanded(corpus, "neighbor_id", "cv", Seq(0L))
-    val q = expanded(queries, "query_id", "qv",
-      0L +: (0 until probes).map(1L << _))
-    val scored = c.join(q, Seq("table", "bucket"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
+    val c = expanded(corpus, "neighbor_id", Seq(0L))
+    val q = expanded(queries, "query_id", 0L +: (0 until probes).map(1L << _))
+    // distinct collapses multi-table/multi-probe hits BEFORE vectors attach:
+    // each surviving pair computes cosine exactly once (same value the old
+    // per-collision max() produced — cosine doesn't vary by table)
+    val candidates = c.join(q, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    // vectors attach once per surviving pair; no hint — AQE broadcasts
+    // whichever side fits (the query set at s02 size, neither at
+    // corpus-vs-corpus scale where both sides shuffle slim single copies)
+    val scored = candidates
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id")
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id")
       .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("cv")).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(max("cosine").as("cosine")) // dedup multi-table hits
     topKPerQuery(scored, k)
   }
 
@@ -90,9 +100,10 @@ object Similarity {
     // Both inputs are full ANN/brute-force pipelines; without caching, the
     // gate's two count actions plus the caller consuming the returned frame
     // would recompute them three times over. Both top-k results are tiny
-    // (queries x k rows), so persist: `truth` for the gate's two actions,
-    // `a` across the gate AND the caller's consumption (left persisted on
-    // purpose — it IS the query result).
+    // (queries x k rows, bounded by construction), so: persist for the
+    // gate's actions, then materialize the approx rows driver-side as a
+    // local relation and unpersist BOTH — no cached frames outlive the call
+    // (each s02/s03 invocation used to strand one in long-lived sessions).
     val a = approx.persist()
     val truth = exact.select("query_id", "neighbor_id").persist()
     try {
@@ -102,8 +113,10 @@ object Similarity {
       val recall = if (total == 0) 1.0 else hits.toDouble / total
       require(recall >= minRecall,
         f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
-    } finally truth.unpersist()
-    a
+      val rows = a.collect() // queries x k rows — driver-trivial
+      a.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), a.schema)
+    } finally { truth.unpersist(); a.unpersist() }
   }
 
   /** Deterministic top-k: ties broken by neighbor id. */

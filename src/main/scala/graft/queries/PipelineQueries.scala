@@ -50,16 +50,28 @@ object PipelineQueries {
     */
   private def addStreamFile(df: DataFrame, dir: java.nio.file.Path, stage: String): Unit = {
     import scala.jdk.CollectionConverters._
+    import scala.util.Using
     val tmp = dir.resolve(stage + "_tmp")
     df.coalesce(1).write.parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp).iterator().asScala
-      .filter { p =>
+    val part = Using.resource(java.nio.file.Files.list(tmp)) { st =>
+      st.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
       }.toList.head
+    }
     java.nio.file.Files.move(part, dir.resolve(s"$stage.parquet"))
-    java.nio.file.Files.walk(tmp).iterator().asScala.toList.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    deleteRecursively(tmp)
+  }
+
+  /** Depth-first delete of a temp tree (streams closed, missing files ok). */
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    if (java.nio.file.Files.exists(root))
+      Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toList.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
   }
 
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
@@ -309,6 +321,41 @@ object PipelineQueries {
       Similarity.requireRecall(approx, exact, 0.9, "s03_knn_ivf")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // the PRODUCTION IVF path at 100 TB: corpus assigned once and persisted
+    // bucketed by ivf_cell (saveAssigned), probes read only the probed
+    // cells' buckets (topKAssigned). Three inline gates turn any regression
+    // into a hard driver err: (1) the corpus scan's SelectedBucketsCount
+    // must not exceed the number of distinct probed cells (bucket pruning
+    // reached the scan), (2) the bucketed result must equal the in-memory
+    // topK bit-for-bit (same cells, same ranking), (3) recall@5 >= 0.9 vs
+    // the exact brute-force ranking, as in s02/s03.
+    "s05_knn_ivf_bucketed" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10)
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+      val table = s"s05_ivf_assigned_${math.abs(dir.hashCode)}"
+      IvfIndex.saveAssigned(e, "vec_id", "embedding", model, table, buckets = 8)
+      try {
+        val approx = IvfIndex.topKAssigned(s, table, qs, "vec_id", "embedding",
+          model, k = 5, nprobe = 4)
+        val probedCells = qs
+          .select(explode(VF.nearestCells(col("embedding"), model.centroids, 4)).as("c"))
+          .distinct().count()
+        val plan = approx.queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+        require(sel.isDefined, "bucketed IVF probe lost bucket pruning at the scan")
+        require(sel.get.group(1).toLong <= probedCells,
+          s"probe read ${sel.get.group(1)} buckets for $probedCells probed cells")
+        val direct = IvfIndex.topK(e, qs, "vec_id", "embedding", model, k = 5, nprobe = 4)
+        val bucketRows = approx.collect().map(_.toSeq).toSet
+        require(bucketRows == direct.collect().map(_.toSeq).toSet,
+          "bucketed-table probe diverged from the in-memory IVF topK")
+        val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        Similarity.requireRecall(approx, exact, 0.9, "s05_knn_ivf_bucketed")
+          .orderBy(col("query_id").asc, col("rank").asc)
+      } finally s.sql(s"DROP TABLE IF EXISTS $table")
+    }),
     // ---- multimodal ----
     "m01_media_meta" -> ((s, dir) =>
       ordered(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -422,7 +469,7 @@ object PipelineQueries {
         q.processAllAvailable() // batch 1; watermark = max(f1 ts) - 35d < min(ts)
         addStreamFile(ev.where(pmod(col("ts"), lit(2)) === 1), srcDir, "f2")
         q.processAllAvailable() // batch 2: cross-batch dups hit live state
-      } finally q.stop()
+      } finally { q.stop(); deleteRecursively(srcDir) }
       ordered(s.table(sinkName))
     }),
     // late-data DROP proof: after file1 establishes the watermark
@@ -453,7 +500,7 @@ object PipelineQueries {
         // 30 days = 2_592_000_000_000_000 ns: every replay predates the watermark
         addStreamFile(ev.withColumn("ts", col("ts") - lit(2592000000000000L)), srcDir, "f2")
         q.processAllAvailable() // late rows dropped; no-data batch flushes
-      } finally q.stop()
+      } finally { q.stop(); deleteRecursively(srcDir) }
       ordered(s.table(sinkName))
     }),
     // ---- structured streaming (memory sink, drained synchronously) ----
@@ -733,7 +780,11 @@ object PipelineQueries {
     // regardless of row or addition order
     "m02_media_features" ->
       s"""WITH h AS (
-         |  SELECT doc_id, octet_length(encode(text)) AS len, hex(encode(text)) AS hx
+         |  -- COALESCE: a NULL text must behave like the Spark side's
+         |  -- encodePng(null) = all-zero pixels (len 0 -> px 0), not
+         |  -- propagate NULL through octet_length into SUM
+         |  SELECT doc_id, COALESCE(octet_length(encode(text)), 0) AS len,
+         |         COALESCE(hex(encode(text)), '') AS hx
          |  FROM documents),
          |e AS (SELECT doc_id, len, hx, unnest(range(0, 256)) AS i FROM h),
          |v AS (

@@ -102,18 +102,82 @@ object StreamingConcat {
 
   /** Progress listener — the Spark-native replacement for the reference's
     * progress bars / MB/s / ETA tracker (`progress.rs:6-197`).
+    *
+    * With `jsonLogs` + a `checkpoint` path it also emits one
+    * `{"event":"stream_file",...}` line per SOURCE FILE of each micro-batch
+    * (parity with the reference's per-file visibility): the file-stream
+    * source records every batch's discovered files in the checkpoint's
+    * source metadata log (`sources/<i>/<logOffset>`), which is the
+    * authoritative exactly-once file list — no extra plan nodes, no second
+    * scan. Best-effort: an unreadable/compacted log yields batch totals only.
     */
-  final class ProgressListener(quiet: Boolean = false) extends StreamingQueryListener {
+  class ProgressListener(quiet: Boolean = false, jsonLogs: Boolean = false,
+      checkpoint: Option[String] = None) extends StreamingQueryListener {
     @volatile var rowsProcessed: Long = 0L
+    @volatile var terminated: Boolean = false
+    /** Overridable sink for the emitted lines (listener-bus threads don't
+      * see Console.withOut, so tests capture here instead of stdout). */
+    protected def emit(line: String): Unit = println(line)
+    private def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
-      if (!quiet) println(s"[graft] stream started: ${e.id}")
+      if (!quiet && !jsonLogs) println(s"[graft] stream started: ${e.id}")
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       rowsProcessed += e.progress.numInputRows
-      if (!quiet)
-        println(f"[graft] batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+      if (quiet) return
+      if (jsonLogs) {
+        batchSourceFiles(e).foreach { p =>
+          emit(s"""{"event":"stream_file","batch":${e.progress.batchId},"path":${jstr(p)}}""")
+        }
+        emit(s"""{"event":"stream_batch","batch":${e.progress.batchId},""" +
+          s""""rows":${e.progress.numInputRows},"total_rows":$rowsProcessed}""")
+      } else
+        emit(f"[graft] batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
           f"total=$rowsProcessed ${e.progress.processedRowsPerSecond}%.0f rows/s")
     }
-    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
-      if (!quiet) println(s"[graft] stream terminated: ${e.id}")
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+      terminated = true
+      if (!quiet && !jsonLogs) println(s"[graft] stream terminated: ${e.id}")
+    }
+
+    /** Listener events are posted asynchronously; bounded wait for the
+      * terminated event so callers can remove the listener without dropping
+      * the final batch's per-file lines.
+      */
+    def awaitDrained(timeoutMs: Long = 5000): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!terminated && System.nanoTime() < deadline) Thread.sleep(20)
+    }
+
+    /** The micro-batch's source files, from each file source's metadata log
+      * entry for its end offset (`{"logOffset":N}` → `sources/<i>/N`, one
+      * JSON `FileEntry` per line after the version header). Falls back to
+      * the `.compact` rewrite (filtered to this batch) when log compaction
+      * has replaced the plain file; empty on any parse/read failure.
+      */
+    private def batchSourceFiles(e: StreamingQueryListener.QueryProgressEvent): Seq[String] =
+      checkpoint.toSeq.flatMap { cp =>
+        val offsetNum = "(\\d+)".r
+        val pathField = "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        e.progress.sources.toSeq.zipWithIndex.flatMap { case (src, i) =>
+          try {
+            val off = offsetNum.findAllIn(Option(src.endOffset).getOrElse("")).toSeq
+              .lastOption.map(_.toLong)
+            off.toSeq.flatMap { n =>
+              val dir = java.nio.file.Paths.get(cp, "sources", i.toString)
+              val plain = dir.resolve(n.toString)
+              val compact = dir.resolve(n.toString + ".compact")
+              val lines =
+                if (java.nio.file.Files.exists(plain))
+                  java.nio.file.Files.readAllLines(plain).toArray(Array.empty[String]).toSeq
+                else if (java.nio.file.Files.exists(compact))
+                  java.nio.file.Files.readAllLines(compact).toArray(Array.empty[String]).toSeq
+                    .filter(_.contains(s""""batchId":$n"""))
+                else Seq.empty
+              lines.flatMap(l => pathField.findFirstMatchIn(l).map(_.group(1)))
+            }
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        }
+      }
   }
 }

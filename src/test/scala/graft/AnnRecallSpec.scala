@@ -51,4 +51,26 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF recall@5 = $recall%.3f (${(ivf & exact).size}/${exact.size})")
     assert(recall >= 0.9, f"IVF recall@5 regressed: $recall%.3f < 0.9")
   }
+
+  test("requireRecall leaves no cached frames behind (unpersist hygiene)") {
+    spark.catalog.clearCache()
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
+    val exactDf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    val out = Similarity.requireRecall(approx, exactDf, 0.9, "hygiene-test")
+    // result is fully usable after the gate...
+    assert(out.count() > 0)
+    // ...and NOTHING stays persisted: each s02/s03/s05 invocation used to
+    // strand one cached frame per call in a long-lived session
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"stranded cached RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+  }
+
+  test("s05 bucketed-IVF driver query: green end-to-end with inline gates") {
+    val df = SparkEntry.queries("s05_knn_ivf_bucketed")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.length == 50, s"expected 10 queries x 5 neighbors, got ${rows.length}")
+    // table cleaned up after the query
+    assert(!spark.catalog.tableExists(s"s05_ivf_assigned_${math.abs("/root/testdata/sf0.001".hashCode)}"))
+  }
 }

@@ -54,6 +54,34 @@ class MawCliSpec extends SparkSpec {
       lines.exists(_.contains("\"event\":\"done\"")))
   }
 
+  test("--stream --json-logs emits per-source-file events from the checkpoint log (M1)") {
+    import graft.streaming.StreamingConcat
+    val d = tmpDir("streamevents")
+    val in = d.resolve("in")
+    Files.createDirectories(in)
+    writeFile(in, "a.csv", "k,v\n1,x\n2,y\n")
+    writeFile(in, "b.csv", "k,v\n3,z\n")
+    val out = d.resolve("out").toString
+    val cp = d.resolve("cp").toString
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // listener-bus threads don't see Console.withOut: capture via emit
+    val listener = new StreamingConcat.ProgressListener(
+        jsonLogs = true, checkpoint = Some(cp)) {
+      override protected def emit(line: String): Unit = lines.add(line)
+    }
+    spark.streams.addListener(listener)
+    try {
+      StreamingConcat.run(spark, Concat.Config(Seq(in.toString)), out, Discovery.Csv, cp)
+      listener.awaitDrained()
+    } finally spark.streams.removeListener(listener)
+    val evs = lines.asScala.toList
+    val fileEvents = evs.filter(_.contains("\"event\":\"stream_file\""))
+    assert(fileEvents.exists(_.contains("a.csv")) && fileEvents.exists(_.contains("b.csv")),
+      s"expected stream_file events for both inputs, got:\n${evs.mkString("\n")}")
+    assert(evs.exists(_.contains("\"event\":\"stream_batch\"")),
+      s"expected a stream_batch event, got:\n${evs.mkString("\n")}")
+  }
+
   test("output format resolution: flag > extension > csv default (pipeline.rs:64-74)") {
     assert(Discovery.outputFormat("x.csv", Some("parquet")) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)
