@@ -323,12 +323,14 @@ object PipelineQueries {
     }),
     // the PRODUCTION IVF path at 100 TB: corpus assigned once and persisted
     // bucketed by ivf_cell (saveAssigned), probes read only the probed
-    // cells' buckets (topKAssigned). Three inline gates turn any regression
+    // cells' buckets (topKAssigned). Two inline gates turn any regression
     // into a hard driver err: (1) the corpus scan's SelectedBucketsCount
     // must not exceed the number of distinct probed cells (bucket pruning
-    // reached the scan), (2) the bucketed result must equal the in-memory
-    // topK bit-for-bit (same cells, same ranking), (3) recall@5 >= 0.9 vs
-    // the exact brute-force ranking, as in s02/s03.
+    // reached the scan), (2) recall@5 >= 0.9 vs the exact brute-force
+    // ranking, as in s02/s03. (Bit-exact bucketed-vs-direct equality is
+    // asserted in DedupSimilaritySpec — re-running the whole direct IVF
+    // pipeline here would double the query's cost for a check the recall
+    // gate already bounds.)
     "s05_knn_ivf_bucketed" -> ((s, dir) => {
       import graft.operators.IvfIndex
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -347,10 +349,6 @@ object PipelineQueries {
         require(sel.isDefined, "bucketed IVF probe lost bucket pruning at the scan")
         require(sel.get.group(1).toLong <= probedCells,
           s"probe read ${sel.get.group(1)} buckets for $probedCells probed cells")
-        val direct = IvfIndex.topK(e, qs, "vec_id", "embedding", model, k = 5, nprobe = 4)
-        val bucketRows = approx.collect().map(_.toSeq).toSet
-        require(bucketRows == direct.collect().map(_.toSeq).toSet,
-          "bucketed-table probe diverged from the in-memory IVF topK")
         val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
         Similarity.requireRecall(approx, exact, 0.9, "s05_knn_ivf_bucketed")
           .orderBy(col("query_id").asc, col("rank").asc)
