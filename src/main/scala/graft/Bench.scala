@@ -106,11 +106,20 @@ object Bench {
       name -> b
     }
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    // SHORT query keys (q01, st05, ... — the unique prefix of each name, as
+    // in the driver contract's own example): the driver captures only the
+    // LAST 2000 chars of output and json-parses them, and full names pushed
+    // the line to 2.7 KB — truncated and unparseable every round since r03
+    // (BENCH_r0{3,4,5}.json all carry "parsed": null). The full-name table
+    // lives in CORRECTNESS and BENCH_NOTES.md.
+    val qs = results.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
+      .mkString("{", ",", "}")
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_runs","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"min_of_2_runs","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
+    require(line.length < 1900, s"bench JSON line ${line.length} chars: would be truncated by the driver's 2000-char tail capture")
+    println(line)
     spark.stop()
   }
 
