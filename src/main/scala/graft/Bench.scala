@@ -48,8 +48,14 @@ object Bench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val csvIn = tmp.resolve("lineitem_csv").toString
     // columns in unified (sorted) order — the shape of any maw-written CSV,
-    // so the CSV->CSV leg measures the chained-concat fast path
-    li.select(li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // so the CSV->CSV leg measures the chained-concat fast path.
+    // Replicated 4x for the same reason the parquet leg is 10x: at sf0.1 a
+    // single copy is ~0.4 s of work, where the ~0.15 s fixed job overhead
+    // is a third of the measurement; 4x (~250 MB) drops it under 10% so the
+    // number reflects the sustained parse/serialize rate
+    val liCsvShape = li.select(
+      li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    (1 to 4).map(_ => liCsvShape).reduce(_ unionByName _)
       .write.option("header", "true").csv(csvIn)
     val csvBytes = fileBytes(csvIn)
     // same story for parquet: materialize lineitem as maw-shape parquet
@@ -62,9 +68,7 @@ object Bench {
     // floor note); 10x amortizes the fixed cost so the number reflects the
     // storage-bound copy rate the path actually sustains
     val pqIn = tmp.resolve("lineitem_pq").toString
-    val liSorted = li.select(
-      li.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-    (1 to 10).map(_ => liSorted).reduce(_ unionByName _)
+    (1 to 10).map(_ => liCsvShape).reduce(_ unionByName _)
       .write.option("compression", "zstd").parquet(pqIn)
     val parquetBytes = fileBytes(pqIn)
     def conv(in: String, out: String, fmt: Discovery.Format): Double = {
@@ -91,8 +95,8 @@ object Bench {
     // MB/s on small compressed parquet under-sells the engine; report rows/s too
     val liRows = li.count()
     val rowsPerSec = Map(
-      "csv_to_csv" -> liRows / csvCsvSec,
-      "csv_to_parquet" -> liRows / csvParquetSec,
+      "csv_to_csv" -> liRows * 4 / csvCsvSec, // CSV input is lineitem x4
+      "csv_to_parquet" -> liRows * 4 / csvParquetSec,
       "parquet_to_parquet" -> liRows * 10 / pqPqSec) // input is lineitem x10
 
     // best of 2: first run pays one-off codegen compilation and is exposed
