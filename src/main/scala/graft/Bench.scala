@@ -116,6 +116,10 @@ object Bench {
     // the line to 2.7 KB — truncated and unparseable every round since r03
     // (BENCH_r0{3,4,5}.json all carry "parsed": null). The full-name table
     // lives in CORRECTNESS and BENCH_NOTES.md.
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.size == shortKeys.size,
+      "duplicate short bench keys (two query names share an id prefix): " +
+        shortKeys.diff(shortKeys.distinct).mkString(","))
     val qs = results.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
       .mkString("{", ",", "}")
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")

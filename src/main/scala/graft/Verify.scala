@@ -29,7 +29,10 @@ object Verify {
       val t0 = System.nanoTime()
       try {
         try attempt()
-        catch { case _: Throwable => attempt() } // one retry: transient stream/fs races
+        catch { case first: Throwable => // one retry: transient stream/fs races
+          System.err.println(s"[verify] $name attempt 1 failed (retrying): ${first.getMessage}")
+          attempt()
+        }
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

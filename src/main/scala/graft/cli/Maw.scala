@@ -214,8 +214,11 @@ object Maw {
         // plus per-source-file events under --json-logs (file list read from
         // the checkpoint's exactly-once source metadata log)
         val cp = a.checkpoint.getOrElse(a.output + ".checkpoint")
+        // gated on a.progress like the batch path's per-file events:
+        // --no-progress keeps start/done lines but drops the per-batch /
+        // per-file progress stream in both modes
         val listener =
-          if ((a.verbose > 0 || a.jsonLogs) && !a.quiet)
+          if ((a.verbose > 0 || a.jsonLogs) && !a.quiet && a.progress)
             Some(new graft.streaming.StreamingConcat.ProgressListener(
               quiet = a.quiet, jsonLogs = a.jsonLogs, checkpoint = Some(cp)))
           else None

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact top-k neighbors for each query vector (excluding itself). */
+  /** Exact top-k neighbors for each query vector (excluding itself).
+    * `idCol` must be a key: a duplicated corpus id yields one scored row per
+    * duplicate row (same contract as [[lshTopK]]).
+    */
   def bruteForceTopK(
       corpus: DataFrame,       // (id, vec)
       queries: DataFrame,      // (id, vec) — must be small (broadcast)
@@ -46,6 +49,11 @@ object Similarity {
     * is the dominant failure mode, so probing multiplies per-table recall
     * ~3-4x at the cost of `probes` extra bucket lookups per query — only the
     * small query side fans out; the corpus keeps one bucket per table.
+    *
+    * `idCol` must be a key on both sides: candidate pairs are deduplicated
+    * by (query_id, neighbor_id) before vectors re-attach, so a duplicated
+    * corpus id re-expands at the verify join into one scored row per
+    * duplicate row (same contract as [[bruteForceTopK]]).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -113,7 +121,12 @@ object Similarity {
       val recall = if (total == 0) 1.0 else hits.toDouble / total
       require(recall >= minRecall,
         f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
-      val rows = a.collect() // queries x k rows — driver-trivial
+      // collect through a fresh no-op projection, NOT a.collect(): a caller
+      // that already forced a.queryExecution (e.g. for a plan assert) pinned
+      // a physical plan WITHOUT the cache substitution, and collecting
+      // through it would recompute the whole ANN pipeline a second time; a
+      // new Dataset builds a new QueryExecution that reads the cache
+      val rows = a.select(a.columns.map(col).toIndexedSeq: _*).collect()
       a.sparkSession.createDataFrame(
         java.util.Arrays.asList(rows: _*), a.schema)
     } finally { truth.unpersist(); a.unpersist() }

@@ -51,8 +51,12 @@ object PipelineQueries {
   private def addStreamFile(df: DataFrame, dir: java.nio.file.Path, stage: String): Unit = {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    val tmp = dir.resolve(stage + "_tmp")
-    df.coalesce(1).write.parquet(tmp.toString)
+    // stage OUTSIDE the watched dir: a _tmp subdir inside it races the file
+    // source's recursive listing (it can list the dir, then hit
+    // FileNotFoundException when the staging tree is deleted mid-listing);
+    // only the final atomic move may touch the watched tree
+    val tmp = java.nio.file.Files.createTempDirectory(s"${dir.getFileName}_stage_$stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = Using.resource(java.nio.file.Files.list(tmp)) { st =>
       st.iterator().asScala.filter { p =>
         val n = p.getFileName.toString

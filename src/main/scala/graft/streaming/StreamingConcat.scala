@@ -114,14 +114,17 @@ object StreamingConcat {
   class ProgressListener(quiet: Boolean = false, jsonLogs: Boolean = false,
       checkpoint: Option[String] = None) extends StreamingQueryListener {
     @volatile var rowsProcessed: Long = 0L
+    @volatile var started: Boolean = false
     @volatile var terminated: Boolean = false
     /** Overridable sink for the emitted lines (listener-bus threads don't
       * see Console.withOut, so tests capture here instead of stdout). */
     protected def emit(line: String): Unit = println(line)
     private def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
+      started = true
       if (!quiet && !jsonLogs) println(s"[graft] stream started: ${e.id}")
+    }
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       rowsProcessed += e.progress.numInputRows
       if (quiet) return
@@ -145,6 +148,10 @@ object StreamingConcat {
       * the final batch's per-file lines.
       */
     def awaitDrained(timeoutMs: Long = 5000): Unit = {
+      // QueryStartedEvent is delivered synchronously during start(), so if
+      // no query ever started (plan failure before start()) there is nothing
+      // to drain — don't burn the full timeout delaying the error message
+      if (!started) return
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (!terminated && System.nanoTime() < deadline) Thread.sleep(20)
     }
@@ -174,10 +181,34 @@ object StreamingConcat {
                   java.nio.file.Files.readAllLines(compact).toArray(Array.empty[String]).toSeq
                     .filter(_.contains(s""""batchId":$n"""))
                 else Seq.empty
-              lines.flatMap(l => pathField.findFirstMatchIn(l).map(_.group(1)))
+              // the captured group is still JSON-escaped source text; decode
+              // it before emit (jstr re-escapes) or backslashes double up
+              lines.flatMap(l => pathField.findFirstMatchIn(l).map(m => unescapeJson(m.group(1))))
             }
           } catch { case scala.util.control.NonFatal(_) => Seq.empty }
         }
       }
+
+    /** Minimal JSON string unescape for the metadata-log path field. */
+    private def unescapeJson(s: String): String = {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' if i + 6 <= s.length =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case other => sb.append(other); i += 2 // covers \" \\ \/
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
   }
 }
