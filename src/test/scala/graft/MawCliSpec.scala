@@ -82,6 +82,16 @@ class MawCliSpec extends SparkSpec {
       s"expected a stream_batch event, got:\n${evs.mkString("\n")}")
   }
 
+  test("awaitDrained returns immediately when no query ever started") {
+    import graft.streaming.StreamingConcat
+    val listener = new StreamingConcat.ProgressListener(jsonLogs = true)
+    val t0 = System.nanoTime()
+    listener.awaitDrained(timeoutMs = 5000)
+    val ms = (System.nanoTime() - t0) / 1e6
+    // pre-start failures must not be delayed by the drain timeout
+    assert(ms < 500, f"awaitDrained burned $ms%.0f ms with no query started")
+  }
+
   test("output format resolution: flag > extension > csv default (pipeline.rs:64-74)") {
     assert(Discovery.outputFormat("x.csv", Some("parquet")) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)
