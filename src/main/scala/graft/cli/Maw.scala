@@ -230,9 +230,18 @@ object Maw {
         // bytes-read/written from the scheduler bus -> MB/s over the run
         val bytes = new BytesListener
         spark.sparkContext.addSparkListener(bytes)
+        // live per-task progress bar + ETA (progress.rs:6-197) on an
+        // interactive console only — never into redirected output or logs
+        val live = if (!a.quiet && a.progress && !a.jsonLogs && System.console() != null)
+          Some(new LiveProgress()) else None
+        live.foreach(spark.sparkContext.addSparkListener)
         val t0 = System.nanoTime()
-        val metrics = Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
-          a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
+        val metrics =
+          try Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
+            a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
+          finally live.foreach { l =>
+            l.finish(); spark.sparkContext.removeSparkListener(l)
+          }
         val sec = (System.nanoTime() - t0) / 1e9
         // per-file completion events (progress.rs:6-197 renders live
         // per-file bars; batch Spark reports each file's rows/bytes/elapsed

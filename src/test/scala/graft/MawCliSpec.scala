@@ -82,6 +82,27 @@ class MawCliSpec extends SparkSpec {
       s"expected a stream_batch event, got:\n${evs.mkString("\n")}")
   }
 
+  test("LiveProgress renders task-completion bars with ETA from the scheduler bus") {
+    import graft.cli.LiveProgress
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val live = new LiveProgress(emit = lines.add(_), throttleMs = 0)
+    spark.sparkContext.addSparkListener(live)
+    try {
+      spark.range(0, 1000, 1, numPartitions = 8).count()
+      // listener-bus delivery is async; poll until the task-end renders land
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!lines.asScala.exists(_.startsWith("\r[")) && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      live.finish()
+    } finally spark.sparkContext.removeSparkListener(live)
+    val rendered = lines.asScala.toList
+    val bars = rendered.filter(_.startsWith("\r["))
+    assert(bars.nonEmpty, s"expected bar renders, got: $rendered")
+    assert(bars.last.matches("""\r\[[#.]{20}\] \d+/\d+ tasks .*elapsed .*eta .*"""),
+      s"unexpected bar format: ${bars.last}")
+    assert(rendered.last == "\n") // finish() terminates the line
+  }
+
   test("awaitDrained returns immediately when no query ever started") {
     import graft.streaming.StreamingConcat
     val listener = new StreamingConcat.ProgressListener(jsonLogs = true)
