@@ -31,7 +31,13 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       payloadCols: Seq[String]): DataFrame = {
+    val reserved = Seq("__ts", "__tag", "__p", "__m")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"as-of join reserves column names ${reserved.mkString(", ")}")
     val carryLeft = left.columns.toSeq.filterNot(c => keyCols.contains(c) || c == leftTs)
+    require(carryLeft.intersect(payloadCols).isEmpty,
+      s"payload columns ${carryLeft.intersect(payloadCols).mkString(", ")} collide with " +
+        "left's carried columns — rename one side before joining")
     // All payload columns travel as ONE struct so `last(ignoreNulls)` picks
     // the whole matched right row atomically — per-column windows would
     // stitch fields from DIFFERENT right rows whenever a payload value is
@@ -46,8 +52,17 @@ object AsOfJoin {
       (keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__tag") :+
         lit(null).cast(payloadType).as("__p")) ++
         carryLeft.map(col): _*)
+    // deterministic among right rows tied on (key, ts): order by the payload
+    // struct as the final tiebreak, so which row `last` sees is a function of
+    // the DATA, not of partition/shuffle order (rows tied on ts, tag, AND the
+    // whole payload are interchangeable). Skipped for unorderable payload
+    // types (maps), which keep the engine-order behavior
+    val orderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(payloadType)
+    val ordering = Seq(col("__ts").asc, col("__tag").asc) ++
+      (if (orderable) Seq(col("__p").asc_nulls_first) else Nil)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__tag").asc)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

@@ -99,7 +99,6 @@ object Concat {
     // group contiguous-in-sort-order files by (format, schema): each group
     // is one scan; discovery order is preserved across groups
     val groups = resolved
-      .map { case (f, s) => (f, s) }
       .foldLeft(Vector.empty[(Format, org.apache.spark.sql.types.StructType, Vector[String])]) {
         case (acc, (f, s)) =>
           acc.lastOption match {

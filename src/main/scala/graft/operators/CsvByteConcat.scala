@@ -47,7 +47,12 @@ object CsvByteConcat {
       // "1e3"->1000.0), so only fire when the fallback would be all-string
       (cfg.rawPassThrough || !cfg.csv.inferTypes) &&
       cfg.csv.headers &&
-      cfg.csv.delimiter.length == 1 && sink.delimiter == cfg.csv.delimiter &&
+      // ASCII-only: the byte scanner compares single bytes, and a non-ASCII
+      // delimiter's UTF-8 continuation byte can collide with continuation
+      // bytes of DATA characters (e.g. '¦' 0xC2A6 vs 'Ц' 0xD0A6), falsely
+      // validating a wrong-arity row as clean
+      cfg.csv.delimiter.length == 1 && cfg.csv.delimiter.charAt(0) < 0x80 &&
+      sink.delimiter == cfg.csv.delimiter &&
       cfg.csv.quote == "\"" &&
       cfg.csv.encoding.equalsIgnoreCase("UTF-8") &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
@@ -72,12 +77,21 @@ object CsvByteConcat {
       return None
     val hconf = spark.sparkContext.hadoopConfiguration
     // driver pre-flight: first line of every file must be byte-identical
-    // (then no renaming/reordering/widening is possible) and BOM-free
-    val headers = files.map { f =>
-      val p = new Path(f.path)
-      val fs = p.getFileSystem(hconf)
-      val in = new BufferedInputStream(fs.open(p), 64 * 1024)
-      try readLine(in) finally in.close()
+    // (then no renaming/reordering/widening is possible) and BOM-free.
+    // Concurrent like Concat.planFor — serial open+read round trips would
+    // add O(files) x store-latency dead time before any task launches
+    val headers = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(files.map { f =>
+        Future {
+          val p = new Path(f.path)
+          val fs = p.getFileSystem(hconf)
+          val in = new BufferedInputStream(fs.open(p), 64 * 1024)
+          try readLine(in) finally in.close()
+        }
+      }), Duration.Inf)
     }
     val header = headers.head
     if (header == null || header.isEmpty) return None
@@ -337,7 +351,7 @@ object CsvByteConcat {
     val ps = new CsvParserSettings
     ps.getFormat.setDelimiter(opts.delimiter.charAt(0))
     ps.getFormat.setQuote(opts.quote.charAt(0))
-    ps.setMaxCharsPerColumn(1 << 20)
+    ps.setMaxCharsPerColumn(-1) // unlimited, like the typed path's Spark default
     ps.setHeaderExtractionEnabled(true)
     // match Spark's univocity read settings: whitespace is DATA, and a
     // quoted "" is the empty string, not null (univocity's defaults trim

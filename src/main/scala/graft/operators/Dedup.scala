@@ -285,10 +285,15 @@ object Dedup {
       .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
       .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
       .select(col("id"),
-        md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary")).as("wh"))
+        // empty/null window content hashes to NULL, never md5('') — two
+        // contentless docs share NOTHING, and without this every empty doc
+        // would mark every other empty doc as contaminated
+        when(length(expr(s"substring(__t, pos * $stride + 1, $windowChars)")) > 0,
+          md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary"))).as("wh"))
     val byHash = Window.partitionBy(col("wh"))
     windows
-      .withColumn("__shared", min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
+      .withColumn("__shared", col("wh").isNotNull &&
+        min(col("id")).over(byHash) =!= max(col("id")).over(byHash))
       .groupBy("id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__shared"), 1L).otherwise(0L)).as("n_shared"))

@@ -158,7 +158,10 @@ object IvfIndex {
   def topKAssigned(spark: org.apache.spark.sql.SparkSession, table: String,
       queries: DataFrame, idCol: String, vecCol: String,
       m: Model, k: Int = 10, nprobe: Int = 3): DataFrame = {
-    val q = probedQueries(queries, idCol, vecCol, m, nprobe)
+    // localCheckpoint: the probe side executes HERE for the driver-side cell
+    // list AND inside the returned join — without materializing, a query set
+    // derived from an expensive upstream pipeline would compute twice
+    val q = probedQueries(queries, idCol, vecCol, m, nprobe).localCheckpoint()
     val cells = q.select("ivf_cell").distinct().collect().map(_.getInt(0)).sorted
     val c = spark.table(table)
       .where(col("ivf_cell").isin(cells.map(Int.box).toSeq: _*))

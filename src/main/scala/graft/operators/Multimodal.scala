@@ -26,7 +26,9 @@ object Multimodal {
   val ImgH = 16
 
   val mediaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
+    // nullable: an id that is null (or fails the Long cast) flows through as
+    // a null id rather than NPE-ing the task on Row.getLong
+    StructField("media_id", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", StructType(Seq(
       StructField("mime", StringType, nullable = true),
@@ -81,7 +83,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          Row(r.getLong(0), encodePng(bytes),
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          Row(id, encodePng(bytes),
             Row("image/png", ImgW, ImgH, null))
         }
       }(enc)
@@ -126,7 +129,7 @@ object Multimodal {
   }
 
   private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
+    StructField("media_id", LongType, nullable = true),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -149,10 +152,11 @@ object Multimodal {
           val isImage = Option(r.getAs[String]("mime")).exists(_.startsWith("image/"))
           val decoded = if (isImage) decodeImage(payload) else null
           val nBytes = if (payload == null) 0L else payload.length.toLong
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
           decoded match {
-            case null => Row(r.getLong(0), null, null, null, nBytes)
+            case null => Row(id, null, null, null, nBytes)
             case (w, h, px) =>
-              Row(r.getLong(0), pixelLaneFeatures(px).toSeq, w, h, nBytes)
+              Row(id, pixelLaneFeatures(px).toSeq, w, h, nBytes)
           }
         }
       }(enc)

@@ -55,16 +55,25 @@ object ParquetByteConcat {
     if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Parquet))
       return None
     val hconf = spark.sparkContext.hadoopConfiguration
-    // footer-only pre-flight: schemas must be identical and already sorted
-    val footers = files.map { f =>
-      val p = new Path(f.path)
-      val inFile = HadoopInputFile.fromPath(p, hconf)
-      val r = ParquetFileReader.open(inFile)
-      try {
-        val md = r.getFooter.getFileMetaData
-        (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
-          inFile.getLength, md.getKeyValueMetaData)
-      } finally r.close()
+    // footer-only pre-flight: schemas must be identical and already sorted.
+    // Concurrent like Concat.planFor — serial footer reads would add
+    // O(files) x store-latency dead time before any task launches
+    val footers = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(files.map { f =>
+        Future {
+          val p = new Path(f.path)
+          val inFile = HadoopInputFile.fromPath(p, hconf)
+          val r = ParquetFileReader.open(inFile)
+          try {
+            val md = r.getFooter.getFileMetaData
+            (md.getSchema, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum,
+              inFile.getLength, md.getKeyValueMetaData)
+          } finally r.close()
+        }
+      }), Duration.Inf)
     }
     val schema = footers.head._1
     if (!footers.forall(_._1 == schema)) return None

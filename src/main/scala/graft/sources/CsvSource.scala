@@ -30,7 +30,14 @@ object CsvSource {
       encoding: String = "UTF-8",
       naValues: Seq[String] = Seq("NA", "null", "\\N"),
       inferRows: Int = 1000,
-      inferTypes: Boolean = true)
+      inferTypes: Boolean = true,
+      // RFC 4180 quoted newlines, like the reference's csv crate (and this
+      // repo's own univocity fallback + inference sample). True costs intra-
+      // FILE split parallelism (quoted newlines make byte offsets ambiguous,
+      // so Spark reads each file in one task — parallelism stays file-level,
+      // which both byte fast paths use anyway); flip off for huge single
+      // files known to be newline-free inside quotes
+      multiLine: Boolean = true)
 
   def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
     readPaths(spark, Seq(path), opts, Some(resolveSchema(spark, path, opts)))
@@ -76,6 +83,7 @@ object CsvSource {
       // produce)
       .option("escape", opts.quote)
       .option("encoding", opts.encoding)
+      .option("multiLine", opts.multiLine.toString)
       .option("mode", "PERMISSIVE")
       .option("nullValue", opts.naValues.headOption.getOrElse(""))
       .csv(paths: _*)

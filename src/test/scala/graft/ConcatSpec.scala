@@ -198,6 +198,18 @@ class ConcatSpec extends SparkSpec {
     assert(df.where(df("r_comment") === "from-csv").count() == 1)
   }
 
+  test("quoted newline inside a field parses as ONE record (RFC 4180, like the csv crate)") {
+    val d = tmpDir("qnl")
+    // field 'x\ny' spans a raw newline inside quotes; naive line splitting
+    // would produce two malformed records
+    writeFile(d, "q.csv", "a,b\n\"x\ny\",2\n3,4\n")
+    val df = Concat.run(spark, Concat.Config(Seq(d.resolve("q.csv").toString)))
+    val rows = df.orderBy("b").collect()
+    assert(rows.length == 2, s"expected 2 records, got ${rows.length}: ${rows.mkString(";")}")
+    assert(rows(0).getString(0) == "x\ny" && rows(0).getLong(1) == 2L)
+    assert(rows(1).getString(0) == "3" && rows(1).getLong(1) == 4L)
+  }
+
   test("nonexistent input fails with a clear error (tests/basic.rs:21-30)") {
     intercept[IllegalArgumentException] {
       Discovery.discover(Seq("/nonexistent/path.csv"))
