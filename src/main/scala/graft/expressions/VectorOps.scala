@@ -105,7 +105,10 @@ case class L2Distance(left: Expression, right: Expression)
   */
 case class QuantizeI8(child: Expression)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // array<tinyint>, not array<int>: int8 elements are the POINT — at corpus
+  // scale the 4x storage/shuffle reduction only exists if the stored type is
+  // actually one byte ([-127, 127] always fits)
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
   private lazy val cf = VectorOps.isFloatArray(child.dataType)
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -113,12 +116,12 @@ case class QuantizeI8(child: Expression)
     var ma = 0.0
     var i = 0
     while (i < n) { val a = math.abs(VectorOps.get(v, cf, i)); if (a > ma) ma = a; i += 1 }
-    val out = new Array[Int](n)
+    val out = new Array[Byte](n)
     if (ma > 0.0) {
       val scale = 127.0 / ma
       i = 0
       while (i < n) {
-        out(i) = math.floor(VectorOps.get(v, cf, i) * scale + 0.5).toInt
+        out(i) = math.floor(VectorOps.get(v, cf, i) * scale + 0.5).toByte
         i += 1
       }
     }
@@ -207,6 +210,9 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]], npro
   */
 case class LshBucket(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
+  require(planes.length <= 64,
+    s"LshBucket packs plane signs into one long; ${planes.length} planes > 64 " +
+      "would silently wrap (1L << 64 == 1L << 0) and collide unrelated buckets")
   override def dataType: DataType = LongType
   private lazy val cf = VectorOps.isFloatArray(child.dataType)
   override def nullSafeEval(input: Any): Any = {

@@ -15,8 +15,20 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // buffer invariant: sorted by (-score, id). The hot path is reduce() on
+  // millions of candidate rows per group: a full buffer rejects a
+  // non-qualifying row in O(1) (compare against the current minimum) and
+  // inserts a qualifying one in O(k), instead of re-sorting O(k log k) +
+  // reallocating per row.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
   private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
-    val merged = (buf :+ v).sortBy { case (score, id) => (-score, id) }
+    if (buf.length >= k && !beats(v, buf.last)) return buf
+    val at = buf.indexWhere(e => beats(v, e))
+    val merged =
+      if (at < 0) buf :+ v
+      else (buf.take(at) :+ v) ++ buf.drop(at)
     if (merged.length > k) merged.take(k) else merged
   }
 

@@ -37,7 +37,10 @@ object VectorFunctions {
     * xorshift generator, so every run (and every executor) agrees.
     */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    // xorshift's one fixed point is state 0 (every output would be -1.0 and
+    // all planes identical — LSH degenerates to a cross join); re-seed it
     var state = seed ^ 0x5DEECE66DL
+    if (state == 0L) state = 0x9E3779B97F4A7C15L
     def next(): Double = {
       // xorshift64*
       state ^= state >>> 12; state ^= state << 25; state ^= state >>> 27

@@ -311,8 +311,11 @@ object PipelineQueries {
       ordered(t(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(VF.quantizeI8(col("embedding"))))
         .groupBy("vec_id")
+        // elements are int8 (the storage contract); the check casts the
+        // min/max stats to int to line up with the oracle's INTEGER column
         .agg(count(lit(1)).as("dim"), sum(col("col")).as("qsum"),
-          min(col("col")).as("qmin"), max(col("col")).as("qmax")))),
+          min(col("col")).cast("int").as("qmin"),
+          max(col("col")).cast("int").as("qmax")))),
     "s03_knn_ivf" -> ((s, dir) => {
       import graft.operators.IvfIndex
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")

@@ -101,7 +101,7 @@ object Sink {
           .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
           .parquet(tmpDir)
     }
-    promote(tmpDir, cfg)
+    promote(tmpDir, cfg, df0.sparkSession.sparkContext.hadoopConfiguration)
   }
 
   private implicit class RollOps(df: DataFrame) {
@@ -208,29 +208,38 @@ object Sink {
     * reference's file-path contract: one file at `path`, or rolled parts
     * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).
     */
-  private def promote(tmpDir: String, cfg: Config): Unit = {
+  private def promote(tmpDir: String, cfg: Config,
+      hconf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
     val ext = cfg.format match {
       case graft.sources.Discovery.Csv     => ".csv"
       case graft.sources.Discovery.Parquet => ".parquet"
     }
-    val dir = Paths.get(tmpDir)
-    val parts = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .toList.sortBy(_.getFileName.toString)
-    val target = Paths.get(cfg.path)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    val hconf = new org.apache.hadoop.conf.Configuration()
+    // Hadoop FS API throughout (NOT java.nio): the write itself runs on any
+    // Hadoop filesystem, so the rename step must too — java.nio on an
+    // hdfs:///s3a:// output would fail AFTER a successful write, stranding
+    // the .spark-out dir with no output at the contract path
+    val dir = new HPath(tmpDir)
+    val fs = dir.getFileSystem(hconf)
+    val parts = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath).sortBy(_.getName).toList
+    val target = new HPath(cfg.path)
+    Option(target.getParent).foreach(fs.mkdirs)
+    def move(src: HPath, dst: HPath): Unit = {
+      if (fs.exists(dst)) fs.delete(dst, false) // rename does not replace on all FS
+      require(fs.rename(src, dst), s"failed to promote $src to $dst")
+    }
     if (parts.size == 1 && cfg.singleFile) {
-      Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
+      move(parts.head, target)
       deleteStaleParts(hconf, cfg.path, ext, keepBelow = 0)
     } else {
       val base = cfg.path.stripSuffix(ext)
       parts.zipWithIndex.foreach { case (p, i) =>
-        Files.move(p, Paths.get(f"$base%s-$i%04d$ext%s"), StandardCopyOption.REPLACE_EXISTING)
+        move(p, new HPath(f"$base%s-$i%04d$ext%s"))
       }
       deleteStaleParts(hconf, cfg.path, ext, keepBelow = parts.size)
     }
-    // clean the spark dir (_SUCCESS, crc files)
-    Files.walk(dir).iterator().asScala.toList.reverse.foreach(Files.deleteIfExists(_))
+    fs.delete(dir, true) // the spark dir (_SUCCESS, crc files)
   }
 }

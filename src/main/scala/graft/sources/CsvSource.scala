@@ -148,7 +148,13 @@ object CsvSource {
     }
     val width = cleaned.map(_.length).max
     val names: Seq[String] =
-      if (opts.headers) cleaned.head.padTo(width, null).map(Option(_).getOrElse(""))
+      if (opts.headers)
+        // a data row wider than the header gets synthetic col_N names for
+        // the extra positions — padding with "" would produce duplicate
+        // empty names and an unreadable schema
+        cleaned.head.padTo(width, null).zipWithIndex.map {
+          case (n, i) => Option(n).filter(_.nonEmpty).getOrElse(s"col_${i + 1}")
+        }
       else (1 to width).map(i => s"col_$i") // csv_in.rs:73-78
     val data = if (opts.headers) cleaned.tail else cleaned
     val types = (0 until width).map { i =>

@@ -90,8 +90,18 @@ object Discovery {
     // globs always search the full subtree (the pattern itself bounds depth,
     // discover.rs:132-139); only symlink behavior applies here
     val stream = walk(parent, opts.copy(recursive = true))
+    // match the raw path AND the parent-relative path: a bare-filename
+    // pattern like *.csv never matches the ./-prefixed paths Files.walk
+    // yields ('*' does not cross '/'), so "graft '*.csv'" would find nothing
+    def matches(f: java.nio.file.Path): Boolean =
+      matcher.matches(f) || {
+        val rel = try parent.relativize(f) catch {
+          case _: IllegalArgumentException => f
+        }
+        matcher.matches(rel)
+      }
     try stream.iterator().asScala
-      .filter(f => Files.isRegularFile(f) && matcher.matches(f))
+      .filter(f => Files.isRegularFile(f) && matches(f))
       .flatMap(classify).toList
     finally stream.close()
   }

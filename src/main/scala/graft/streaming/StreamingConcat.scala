@@ -43,9 +43,23 @@ object StreamingConcat {
       require(formats.size == 1,
         s"streaming input $input mixes formats $formats; pass separate inputs per format")
       // batch pass over the files present now: per-file schemas, unified
-      val batchSchema = SchemaUnifier.unify(
-        files.map(f => Concat.readOne(spark, f, cfg.csv).schema), cfg.stringifyConflicts)
-      (input, formats.head, batchSchema.schema)
+      val fileSchemas = files.map(f => Concat.readOne(spark, f, cfg.csv).schema)
+      val batchSchema = SchemaUnifier.unify(fileSchemas, cfg.stringifyConflicts)
+      // Spark CSV binds a user schema to files POSITIONALLY (header names are
+      // not consulted), so the one schema a CSV stream source declares must be
+      // in the files' own header order — the sorted unified schema would
+      // silently mis-bind any non-alphabetical header. All files under one
+      // streaming input must therefore share one column order (the batch path
+      // re-reads each file and has no such constraint); heterogeneous layouts
+      // go in as separate inputs.
+      val readSchema = if (formats.head == Csv) {
+        val headerOrder = fileSchemas.head.fieldNames.toSeq
+        require(fileSchemas.forall(_.fieldNames.toSeq == headerOrder),
+          s"streaming input $input: files disagree on column order/names " +
+            s"(CSV stream sources bind one schema positionally) — pass them as separate inputs")
+        StructType(headerOrder.map(n => batchSchema.schema(n)))
+      } else batchSchema.schema // parquet binds by name; order is free
+      (input, formats.head, readSchema)
     }
     val unified = SchemaUnifier.unify(
       perInput.map(_._3), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)
@@ -66,6 +80,10 @@ object StreamingConcat {
             .option("header", cfg.csv.headers.toString)
             .option("delimiter", cfg.csv.delimiter)
             .option("quote", cfg.csv.quote)
+            // same RFC 4180 semantics as the batch reader (CsvSource
+            // .readPaths): doubled quotes escape, quoted newlines one record
+            .option("escape", cfg.csv.quote)
+            .option("multiLine", cfg.csv.multiLine.toString)
             .option("encoding", cfg.csv.encoding)
             .option("mode", "PERMISSIVE") // parse failure -> null (coercion.rs:117-154)
           val raw = globFilter.fold(r0)(g => r0.option("pathGlobFilter", g)).csv(path)

@@ -313,7 +313,10 @@ class DedupSimilaritySpec extends SparkSpec {
       (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
     val df = vecs.toDF("id", "v")
     val got = df.select($"id", VF.quantizeI8($"v").as("q")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).map(_.toInt)).toMap
+    assert(df.select(VF.quantizeI8($"v")).schema.head.dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType,
+        containsNull = false)) // int8 elements ARE the storage contract
     // max|x|=1.0 -> scale 127: 0.5->64 (floor(63.5+0.5)), -0.25->-31
     // (floor(-31.75+0.5)=-32? floor(-31.25)= -32... compute: -0.25*127=-31.75;
     // +0.5 => -31.25; floor => -32), 0.125->16, -1.0->-127

@@ -82,6 +82,23 @@ class MawCliSpec extends SparkSpec {
       s"expected a stream_batch event, got:\n${evs.mkString("\n")}")
   }
 
+  test("streaming CSV binds columns by HEADER order, not alphabetically (v,k header)") {
+    import graft.streaming.StreamingConcat
+    val d = tmpDir("streamorder")
+    val in = d.resolve("in")
+    Files.createDirectories(in)
+    // header order v,k is NOT alphabetical: a positionally-bound sorted
+    // schema would feed 'x' into k and null out v
+    writeFile(in, "a.csv", "v,k\nx,1\ny,2\n")
+    val out = d.resolve("out").toString
+    StreamingConcat.run(spark, Concat.Config(Seq(in.toString)), out,
+      Discovery.Csv, d.resolve("cp").toString)
+    val rows = spark.read.option("header", "true").csv(out + "/*.csv")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("1", "x"), ("2", "y")), // unified order k,v
+      s"mis-bound streaming columns: ${rows.mkString(",")}")
+  }
+
   test("LiveProgress renders task-completion bars with ETA from the scheduler bus") {
     import graft.cli.LiveProgress
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
