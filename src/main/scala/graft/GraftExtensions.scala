@@ -61,10 +61,24 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.expressions.QuantizeI8].getName, "quantize_i8"),
       (args: Seq[Expression]) => graft.expressions.QuantizeI8(args.head)))
 
+  private val arity: Map[String, Int] = Map(
+    "shingle_hashes" -> 2, "minhash_sig" -> 3, "simhash64" -> 1,
+    "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
+    "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, info, builder) =>
+      // arity-checked: a wrong argument count gets an analysis-time error
+      // naming the function, not an IndexOutOfBoundsException (and extra
+      // arguments are rejected, not silently ignored)
+      val checked: Seq[Expression] => Expression = { args =>
+        val n = arity(name)
+        if (args.length != n) throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.length}")
+        builder(args)
+      }
       spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info, builder)
+        FunctionIdentifier(name), info, checked)
     }
 }

@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Thin CLI over the library, mirroring the reference's flag surface
   * (`/root/reference/src/cli.rs:11-150`) and entry-point behavior
-  * (`main.rs:62-83`): `--plan` prints inputs + the Catalyst plan and exits;
-  * `--dry-run` builds and validates the full plan but skips the write.
+  * (`main.rs:62-83`): `--plan` discovers and prints the file plan (no Spark
+  * session) and exits; `--dry-run` builds and validates the full Catalyst
+  * plan but skips the write.
   */
 object Maw {
 
@@ -68,8 +69,11 @@ object Maw {
       case "--columns" :: v :: t           => go(t, a.copy(columns = Some(v.split(',').toSeq)))
       case "--exclude" :: v :: t           => go(t, a.copy(exclude = a.exclude ++ v.split(',')))
       case "--rename" :: v :: t =>
-        val Array(from, to) = v.split("=", 2)
-        go(t, a.copy(renames = a.renames + (from -> to)))
+        v.split("=", 2) match {
+          case Array(from, to) => go(t, a.copy(renames = a.renames + (from -> to)))
+          case _ => throw new IllegalArgumentException(
+            s"--rename expects old=new, got '$v'")
+        }
       case "--stringify-conflicts" :: t    => go(t, a.copy(stringifyConflicts = true))
       // --reorder (cli.rs:58-60): alphabetical order is always applied by
       // unification (schema.rs:101-102), matching the reference's actual
@@ -105,11 +109,19 @@ object Maw {
       case ("--help" | "-h") :: _          => println(usage); sys.exit(0)
       case ("--version" | "-V") :: _       => println("graft 0.1.0"); sys.exit(0)
       case flag :: _ if flag.startsWith("--") =>
-        throw new IllegalArgumentException(s"unknown flag $flag")
+        throw new IllegalArgumentException(
+          if (valueFlags(flag)) s"flag $flag requires a value"
+          else s"unknown flag $flag")
       case in :: t                         => go(t, a.copy(inputs = a.inputs :+ in))
     }
     go(argv.toList, Args())
   }
+
+  private val valueFlags = Set("-o", "--out-format", "--columns", "--exclude",
+    "--rename", "--delimiter", "--quote", "--encoding", "--na", "--na-values",
+    "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
+    "--roll-by-rows", "--state", "--concurrency", "--writer-buffer",
+    "--mem-budget")
 
   val usage: String =
     """graft <inputs...> -o out.{csv,parquet} [options]
@@ -161,12 +173,22 @@ object Maw {
   }
 
   def main(argv: Array[String]): Unit = {
-    val a = parse(argv.toIndexedSeq)
+    // parse failures honor the same error contract as pipeline failures
+    // (main.rs:55-58): message + exit 1, never a raw stack trace
+    val a = try parse(argv.toIndexedSeq) catch {
+      case e: Exception =>
+        System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
+    }
     if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
     if (a.plan) {
-      // plan mode prints BEFORE building the pipeline (main.rs:65-71)
-      println(s"Would process ${a.inputs.size} input(s):")
-      a.inputs.foreach(i => println(s"  $i"))
+      // plan mode: discover (no Spark session needed) and print the file
+      // plan BEFORE building the pipeline (main.rs:65-71) — a bad input
+      // path fails here, not on the real run
+      val files = Discovery.discover(a.inputs,
+        Discovery.Options(recursive = !a.noRecursive, followSymlinks = a.followSymlinks))
+      if (files.isEmpty) { System.err.println("error: no inputs found"); sys.exit(1) }
+      println(s"Would process ${files.size} file(s) -> ${a.output}:")
+      files.foreach(f => println(s"  ${f.path} [${f.format}]"))
       return
     }
     val spark = SparkSession.builder()
@@ -174,10 +196,13 @@ object Maw {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // P1 knobs (cli.rs:88-99): the mem budget bounds per-task input splits
-      // (the closest cluster-meaningful analog of maw's streaming budget)
+      // P1 knobs (cli.rs:88-99): the mem budget, divided across concurrent
+      // tasks, bounds per-task input splits (the closest cluster-meaningful
+      // analog of maw's streaming budget); --writer-buffer sizes the byte
+      // paths' output buffers via Sink.Config below
       .config("spark.sql.files.maxPartitionBytes",
-        (a.writerBufferMb.toLong * 1024 * 1024).toString)
+        (math.max(16L, a.memBudgetMb.toLong / math.max(1, a.concurrency))
+          * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(if (a.quiet) "ERROR" else if (a.verbose > 0) "INFO" else "WARN")
@@ -194,9 +219,12 @@ object Maw {
   /** Everything after session construction — separable so tests can drive
     * the full CLI behavior on a shared session (main owns stop/exit).
     */
+  private def jstr(s: Any): String = "\"" + s.toString
+    .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   private[graft] def execute(spark: SparkSession, a: Args): Unit = {
     if (a.jsonLogs && !a.quiet)
-      println(s"""{"event":"start","inputs":${a.inputs.size},"output":"${a.output}"}""")
+      println(s"""{"event":"start","inputs":${a.inputs.size},"output":${jstr(a.output)}}""")
     val fmt = Discovery.outputFormat(a.output, a.outFormat)
       // CSV in -> CSV out skips typed parse + re-render per cell (pure
       // streaming concatenation); any parquet involvement keeps real types
@@ -238,9 +266,14 @@ object Maw {
         val t0 = System.nanoTime()
         val metrics =
           try Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
-            a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes))
-          finally live.foreach { l =>
-            l.finish(); spark.sparkContext.removeSparkListener(l)
+            a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes,
+            writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
+              (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt))
+          finally {
+            live.foreach { l => l.finish(); spark.sparkContext.removeSparkListener(l) }
+            // the byte totals are read below, after the run; on a shared
+            // session an unremoved listener would accumulate forever
+            spark.sparkContext.removeSparkListener(bytes)
           }
         val sec = (System.nanoTime() - t0) / 1e9
         // per-file completion events (progress.rs:6-197 renders live
@@ -250,8 +283,6 @@ object Maw {
           case fs: Seq[_] => fs.foreach {
             case f: Map[_, _] =>
               val m = f.asInstanceOf[Map[String, Any]]
-              def jstr(s: Any) = "\"" + s.toString
-                .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
               println(f"""{"event":"file","path":${jstr(m("path"))}%s,"rows":${m("rows")}%s,"bytes":${m("bytes")}%s,"elapsed_sec":${m("elapsed_sec").toString.toDouble}%.3f}""")
             case _ =>
           }
@@ -277,6 +308,6 @@ object Maw {
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }
-    if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":"${a.output}"}""")
+    if (a.jsonLogs && !a.quiet) println(s"""{"event":"done","output":${jstr(a.output)}}""")
   }
 }

@@ -117,6 +117,7 @@ object CsvByteConcat {
     val naBytes = cfg.csv.naValues.map(_.getBytes("UTF-8")).toArray
     val naOut = sink.naString
     val singleFile = sink.singleFile
+    val bufBytes = sink.writerBufferBytes
     val outBase = sink.path.stripSuffix(".csv")
     val paths = files.map(_.path).zipWithIndex
     // a previous run over MORE inputs leaves higher-numbered parts (or a
@@ -144,7 +145,7 @@ object CsvByteConcat {
           else new Path(f"$outBase%s-$idx%04d.csv")
         val ofs = outPath.getFileSystem(conf)
         def withOut[A](f: OutputStream => A): A = {
-          val o = new BufferedOutputStream(ofs.create(outPath, true), 1 << 20)
+          val o = new BufferedOutputStream(ofs.create(outPath, true), bufBytes)
           try {
             if (!singleFile) { o.write(headerBc.value); o.write(Lf.toInt) }
             f(o)
@@ -177,7 +178,7 @@ object CsvByteConcat {
       val target = new Path(sink.path)
       val tfs = target.getFileSystem(hconf)
       Option(target.getParent).foreach(tfs.mkdirs)
-      val out = new BufferedOutputStream(tfs.create(target, true), 1 << 20)
+      val out = new BufferedOutputStream(tfs.create(target, true), bufBytes)
       try {
         out.write(header); out.write(Lf.toInt)
         results.sortBy(_._1).foreach { case (idx, _, _, _) =>

@@ -433,7 +433,7 @@ object PipelineQueries {
     // streaming exact dedup: unbounded dropDuplicates state — every distinct
     // (user_id, event_type) survives exactly once across micro-batches,
     // equal to the batch DISTINCT the oracle computes
-    "st04_streaming_dedup" -> ((s, dir) => {
+    "st04_streaming_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
   * Determinism rules (the driver hash-compares against DuckDB):
   *   - every query is fully ordered over its output columns, NULLS FIRST on
   *     both engines;
-  *   - double aggregations go through exact DECIMAL(30,8) accumulation and
+  *   - double aggregations go through exact DECIMAL(18,6) accumulation
+  *     (long-backed fast path; see dsum) and
   *     are cast back to double at the end, so the result is independent of
   *     partitioning / addition order on either engine;
   *   - timestamps are emitted as formatted strings (engine-neutral; avoids

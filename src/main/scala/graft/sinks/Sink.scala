@@ -29,6 +29,8 @@ object Sink {
       rollByRows: Option[Long] = None,
       rollByBytes: Option[Long] = None,
       singleFile: Boolean = true,
+      /** Byte-path output buffer (P1 --writer-buffer, cli.rs:93-95). */
+      writerBufferBytes: Int = 1 << 20,
       /** The reference's single-writer contract preserves row order
         * (README.md:77). When order is NOT required (rolled/directory
         * output), setting this false repartitions up to the session's
