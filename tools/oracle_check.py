@@ -24,7 +24,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 col = col.dt.tz_localize(None)
             except TypeError:
                 col = col.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = col.dt.strftime("%Y-%m-%d %H:%M:%S")
+            # keep sub-second precision: truncating here would hide real
+            # divergences the driver's own compare could still catch
+            df[c] = col.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(col):
             df[c] = col.round(9)
         elif col.dtype == object:
@@ -45,11 +47,21 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
-    names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    dirs = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
+    # every declared query must have output: a query that threw before
+    # writing (no dir at all) must FAIL the gate, not silently vanish
+    declared = set()
+    qn = f"{out_dir}/query_names.json"
+    if os.path.exists(qn):
+        declared = set(json.load(open(qn)))
+    names = sorted(set(dirs) | set(oracle.keys()) | declared)
+    if not names:
+        print(f"no query outputs or oracle entries under {out_dir}")
+        return 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            results[name] = "NO-OUTPUT"
+            results[name] = "NO-OUTPUT (query wrote nothing — failed in Verify?)"
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
