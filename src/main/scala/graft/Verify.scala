@@ -16,6 +16,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle_sql.json FIRST — it depends on nothing from the query loop, and
+    // a driver wall-clock kill mid-loop must lose only the unfinished tail,
+    // not (via a missing/unparseable oracle file) the whole round
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${graft.util.Json.str(k)}: ${graft.util.Json.str(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the full declared query list, so a checker can flag a query that
+    // failed before writing ANY output (even rows-only ones with no oracle)
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(graft.util.Json.str)
+        .mkString("[", ",", "]"))
     // Deterministic order, streaming (st*) queries FIRST: they are the
     // slowest and flakiest, and a driver-side wall-clock cut near the tail
     // of the run must land on cheap long-verified queries, not the newest
@@ -38,21 +50,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }

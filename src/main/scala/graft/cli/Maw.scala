@@ -219,8 +219,7 @@ object Maw {
   /** Everything after session construction — separable so tests can drive
     * the full CLI behavior on a shared session (main owns stop/exit).
     */
-  private def jstr(s: Any): String = "\"" + s.toString
-    .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jstr(s: Any): String = graft.util.Json.str(s)
 
   private[graft] def execute(spark: SparkSession, a: Args): Unit = {
     if (a.jsonLogs && !a.quiet)

@@ -137,8 +137,7 @@ object StreamingConcat {
     /** Overridable sink for the emitted lines (listener-bus threads don't
       * see Console.withOut, so tests capture here instead of stdout). */
     protected def emit(line: String): Unit = println(line)
-    private def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    private def jstr(s: String): String = graft.util.Json.str(s)
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
       started = true
       if (!quiet && !jsonLogs) println(s"[graft] stream started: ${e.id}")
