@@ -134,8 +134,18 @@ object Bench {
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"queries_min_of_2_conversions_best_of_3","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
-    require(line.length < 1900, s"bench JSON line ${line.length} chars: would be truncated by the driver's 2000-char tail capture")
+    // persist the metrics as their own artifact FIRST: the driver's 2000-char
+    // tail capture is best-effort, and a file survives truncation, prefixing
+    // by the sbt logger, and the length-regression throw below
+    val artifact = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_PARSED.json"))
+    java.nio.file.Files.write(artifact,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+    // a length regression must not cost the round's numbers: the line is
+    // already printed AND on disk by the time this fires
+    require(line.length < 1900, s"bench JSON line ${line.length} chars (would be truncated " +
+      s"by the driver's 2000-char tail capture); full line saved to $artifact")
     deleteRecursively(tmp.toFile) // ~0.5-1 GB of replicated inputs per run
     spark.stop()
   }

@@ -66,6 +66,12 @@ object GraftExtensions {
     "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
     "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1)
 
+  // fail at class-load, not at first invocation: a function added to
+  // `functions` without an arity entry would otherwise surface as a bare
+  // NoSuchElementException the first time a query calls it
+  require(functions.forall { case (name, _, _) => arity.contains(name) },
+    s"missing arity entries for: ${functions.map(_._1).filterNot(arity.contains).mkString(", ")}")
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, info, builder) =>

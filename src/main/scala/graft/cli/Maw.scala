@@ -108,10 +108,13 @@ object Maw {
       case "-q" :: t                       => go(t, a.copy(quiet = true))
       case ("--help" | "-h") :: _          => println(usage); sys.exit(0)
       case ("--version" | "-V") :: _       => println("graft 0.1.0"); sys.exit(0)
+      // a value flag reaching here means its value case above failed to
+      // match, i.e. nothing follows it — covers single-dash flags like a
+      // trailing '-o', which would otherwise be consumed as an input file
+      case flag :: _ if valueFlags(flag) =>
+        throw new IllegalArgumentException(s"flag $flag requires a value")
       case flag :: _ if flag.startsWith("--") =>
-        throw new IllegalArgumentException(
-          if (valueFlags(flag)) s"flag $flag requires a value"
-          else s"unknown flag $flag")
+        throw new IllegalArgumentException(s"unknown flag $flag")
       case in :: t                         => go(t, a.copy(inputs = a.inputs :+ in))
     }
     go(argv.toList, Args())

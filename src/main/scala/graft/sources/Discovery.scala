@@ -86,6 +86,18 @@ object Discovery {
       if (base == null) Paths.get(".") else base
     }
     val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$pattern")
+    // Relative matching must use the pattern MINUS the non-glob parent prefix:
+    // matching the full pattern against a parent-relative path over-includes
+    // when a subdirectory repeats the base directory's name (pattern
+    // 'data/*.csv' + file 'data/data/x.csv' relativizes to 'data/x.csv',
+    // which the full pattern would wrongly match).
+    val relPattern = {
+      val parentStr = parent.toString
+      if (parentStr != "." && pattern.startsWith(parentStr + "/"))
+        pattern.substring(parentStr.length + 1)
+      else pattern
+    }
+    val relMatcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$relPattern")
     if (!Files.isDirectory(parent)) return Nil
     // globs always search the full subtree (the pattern itself bounds depth,
     // discover.rs:132-139); only symlink behavior applies here
@@ -98,7 +110,7 @@ object Discovery {
         val rel = try parent.relativize(f) catch {
           case _: IllegalArgumentException => f
         }
-        matcher.matches(rel)
+        relMatcher.matches(rel)
       }
     try stream.iterator().asScala
       .filter(f => Files.isRegularFile(f) && matches(f))

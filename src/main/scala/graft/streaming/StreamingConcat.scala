@@ -179,6 +179,15 @@ object StreamingConcat {
       * the `.compact` rewrite (filtered to this batch) when log compaction
       * has replaced the plain file; empty on any parse/read failure.
       */
+    /** Last logOffset whose file list was emitted, per source index: a
+      * micro-batch that does NOT advance a source's offset (e.g. a
+      * state-flush batch with no new files) repeats the previous endOffset,
+      * and re-reading the same log entry would duplicate its stream_file
+      * lines for --json-logs consumers.
+      */
+    private val lastEmittedOffset =
+      scala.collection.concurrent.TrieMap.empty[Int, Long]
+
     private def batchSourceFiles(e: StreamingQueryListener.QueryProgressEvent): Seq[String] =
       checkpoint.toSeq.flatMap { cp =>
         val offsetNum = "(\\d+)".r
@@ -187,6 +196,8 @@ object StreamingConcat {
           try {
             val off = offsetNum.findAllIn(Option(src.endOffset).getOrElse("")).toSeq
               .lastOption.map(_.toLong)
+              .filterNot(n => lastEmittedOffset.get(i).contains(n))
+            off.foreach(n => lastEmittedOffset.put(i, n))
             off.toSeq.flatMap { n =>
               val dir = java.nio.file.Paths.get(cp, "sources", i.toString)
               val plain = dir.resolve(n.toString)

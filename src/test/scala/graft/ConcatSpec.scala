@@ -46,6 +46,23 @@ class ConcatSpec extends SparkSpec {
     assert(files.map(f => Paths.get(f.path).getFileName.toString) == Seq("a1.csv", "a2.csv"))
   }
 
+  test("glob does not over-include nested files repeating the base dir path") {
+    // relative pattern 'base/*.csv' + file 'base/base/y.csv': the nested
+    // file's parent-relative form 'base/y.csv' used to match the
+    // full-pattern matcher and get silently concatenated
+    val base = java.nio.file.Files.createTempDirectory(
+      Paths.get("target").toAbsolutePath, "globrep")
+    base.toFile.deleteOnExit()
+    val rel = Paths.get("").toAbsolutePath.relativize(base).toString
+    writeFile(base, "x.csv", "k\n1\n")
+    writeFile(base, s"$rel/y.csv", "k\n2\n") // subtree repeating the parent prefix
+    val files = Discovery.discover(Seq(s"$rel/*.csv"))
+    assert(files.map(f => Paths.get(f.path).getFileName.toString) == Seq("x.csv"))
+    // the nested file IS reachable when the pattern asks for the subtree
+    val deep = Discovery.discover(Seq(s"$rel/**/*.csv"))
+    assert(deep.map(f => Paths.get(f.path).getFileName.toString) == Seq("y.csv"))
+  }
+
   test("discovery is deduped + lexicographically sorted (discover.rs:88-90)") {
     val d = tmpDir("dedup")
     val f1 = writeFile(d, "b.csv", "k\n1\n")

@@ -34,6 +34,15 @@ class MawCliSpec extends SparkSpec {
     assert(a.jsonLogs && a.verbose == 2 && a.quiet)
   }
 
+  test("trailing value flag errors instead of being consumed as an input") {
+    // '-o' is single-dash, so the '--'-only guard used to let it fall
+    // through to the input catch-all and output silently defaulted
+    val e = intercept[IllegalArgumentException](Maw.parse(Seq("in.csv", "-o")))
+    assert(e.getMessage.contains("-o") && e.getMessage.contains("requires a value"))
+    val e2 = intercept[IllegalArgumentException](Maw.parse(Seq("in.csv", "--columns")))
+    assert(e2.getMessage.contains("--columns") && e2.getMessage.contains("requires a value"))
+  }
+
   test("--json-logs emits one per-file completion event per input (M1)") {
     val d = tmpDir("jsonlogs")
     val f1 = writeFile(d, "a.csv", "k,v\n1,x\n2,y\n")
