@@ -189,6 +189,163 @@ case class JaccardSorted(left: Expression, right: Expression)
   override def prettyName: String = "jaccard_sorted"
 }
 
+/** Engine-portable md5-derived hashing: the one hash family BOTH Spark and
+  * DuckDB can compute bit-for-bit, which is what lets the minhash/simhash
+  * query surface carry a real DuckDB oracle instead of a rows-only check.
+  *
+  *   x(g)   = unsigned(first 8 md5 digest bytes, little-endian) mod P
+  *            (DuckDB: `md5_number_upper(g) % 2147483647`)
+  *   h_i(x) = (a_i * x + b_i) mod P        with P = 2^31 - 1 and
+  *   a_i    = 1 + (2654435761 * (i+1)) mod (P-1)
+  *   b_i    = (2246822519 * (i+1)) mod P
+  *
+  * Every product stays under 2^62, so the arithmetic is exact in 64-bit
+  * integers on both engines — no wrap-around semantics to disagree on.
+  * (xxhash64/splitmix64 are faster but DuckDB cannot evaluate them, and a
+  * 64-bit multiplicative mix would overflow DuckDB's checked BIGINT.)
+  */
+object PortableHash {
+  val P = 2147483647L // Mersenne prime 2^31 - 1
+
+  def a(i: Int): Long = 1L + ((2654435761L * (i + 1)) % (P - 1))
+  def b(i: Int): Long = (2246822519L * (i + 1)) % P
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 digest bytes, little-endian — the exact value of DuckDB's
+    * `md5_number_upper(s)` (as a signed Long carrying the unsigned bits).
+    */
+  def md5Upper(s: String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 7
+    while (i >= 0) { x = (x << 8) | (d(i) & 0xffL); i -= 1 }
+    x
+  }
+
+  /** Shingle/token base hash in [0, P). */
+  def baseHash(s: String): Long = java.lang.Long.remainderUnsigned(md5Upper(s), P)
+
+  /** Whitespace tokens of a string (empty tokens dropped) — the string-level
+    * twin of [[Hash64.tokenHashes]], matching `regexp_split_to_array(trim(t),
+    * '\\s+')` + length filter on the DuckDB side.
+    */
+  def tokenize(s: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    var start = -1
+    while (i <= s.length) {
+      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      if (ws) {
+        if (start >= 0) { out += s.substring(start, i); start = -1 }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Distinct word n-gram shingle strings; shorter-than-n docs produce the
+    * whole-doc join (possibly "" for an empty doc) — same contract as
+    * [[Hash64.shingleHashes]] and the d05 oracle's CASE.
+    */
+  def shingleStrings(s: String, n: Int): Array[String] = {
+    val toks = tokenize(s)
+    val set = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) set.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        set.add(sb.toString)
+        i += 1
+      }
+    }
+    set.toArray(new Array[String](set.size))
+  }
+}
+
+/** array<long> length k: MinHash signature over word n-gram shingles using
+  * the [[PortableHash]] md5 family — bit-identical to the DuckDB
+  * formulation, so queries built on it hash-match a DuckDB oracle.
+  * Same tight-loop shape as [[MinHashSig]] (md5 once per shingle, cheap
+  * modular permutations per family).
+  */
+case class MinHashSigMd5(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  import PortableHash.P
+  private lazy val as: Array[Long] = Array.tabulate(k)(PortableHash.a)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(PortableHash.b)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = PortableHash.shingleStrings(input.asInstanceOf[UTF8String].toString, n)
+    val xs = new Array[Long](shingles.length)
+    var j = 0
+    while (j < shingles.length) { xs(j) = PortableHash.baseHash(shingles(j)); j += 1 }
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = as(i); val b = bs(i)
+      var best = Long.MaxValue
+      var jj = 0
+      while (jj < xs.length) {
+        val h = (a * xs(jj) + b) % P
+        if (h < best) best = h
+        jj += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSigMd5 = copy(child = c)
+  override def prettyName: String = "minhash_sig_md5"
+}
+
+/** long: 60-bit SimHash over distinct whitespace tokens using the
+  * [[PortableHash]] md5 token hash — per-bit votes over bits 0..59 of
+  * `md5_number_upper(token)`, sign -> bit. 60 bits (not 64) keeps the
+  * signature positive in a signed BIGINT so Spark and DuckDB agree without
+  * unsigned-integer gymnastics; the pigeonhole banding math only needs
+  * bands | bits.
+  */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val toks = PortableHash.tokenize(input.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = PortableHash.md5Upper(toks(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+  override def prettyName: String = "simhash60_md5"
+}
+
 /** long: 64-bit SimHash over distinct whitespace tokens (per-bit votes of
   * each token hash, sign -> bit).
   */

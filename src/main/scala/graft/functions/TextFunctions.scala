@@ -159,6 +159,21 @@ object TextFunctions {
   def simhash64(text: Column): Column =
     ExpressionUtils.column(SimHash(ExpressionUtils.expression(text)))
 
+  /** Engine-portable MinHash signature (md5-derived permutations a DuckDB
+    * oracle can recompute bit-for-bit —
+    * [[graft.expressions.MinHashSigMd5]]). Slightly slower than
+    * [[minhashSignature]] (md5 vs splitmix64 per shingle); use it where
+    * cross-engine verifiability matters.
+    */
+  def minhashSignatureMd5(text: Column, n: Int, k: Int): Column =
+    ExpressionUtils.column(graft.expressions.MinHashSigMd5(
+      ExpressionUtils.expression(text), n, k))
+
+  /** Engine-portable 60-bit SimHash ([[graft.expressions.SimHashMd5]]). */
+  def simhash60(text: Column): Column =
+    ExpressionUtils.column(graft.expressions.SimHashMd5(
+      ExpressionUtils.expression(text)))
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -36,7 +36,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      // signature family: default xxhash64-based (fastest); pass
+      // TF.minhashSignatureMd5 for the engine-portable family a DuckDB
+      // oracle can recompute (d03's correctness gate)
+      sigFn: (org.apache.spark.sql.Column, Int, Int) => org.apache.spark.sql.Column =
+        TF.minhashSignature): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // One exchange on id above the signature computation: all four consumers
@@ -45,7 +50,7 @@ object Dedup {
     // (and the attach joins are already co-partitioned on id).
     val sig = docs.select(
       col(idCol).as("id"),
-      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      sigFn(col(textCol), shingleN, numHashes).as("sig"))
       .repartition(col("id"))
     // Band hash: one flat variadic xxhash64 over the band's signature slice,
     // UNROLLED in Scala (literal getItem indices) rather than a nested
@@ -82,16 +87,22 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      // signature width in bits + family: default 64-bit xxhash64-based;
+      // pass (60, TF.simhash60) for the engine-portable md5 family (d04's
+      // correctness gate)
+      bits: Int = 64,
+      sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TF.simhash64): DataFrame = {
     // the pigeonhole guarantee (any pair within maxHamming shares >=1 exact
-    // chunk) needs even chunks covering all 64 bits and more chunks than
-    // allowed differing bits
-    require(64 % bands == 0, s"bands must divide 64 (got $bands)")
+    // chunk) needs even chunks covering all signature bits and more chunks
+    // than allowed differing bits
+    require(bits % bands == 0, s"bands must divide $bits (got $bands)")
     require(maxHamming < bands,
       s"maxHamming ($maxHamming) must be < bands ($bands) for the pigeonhole guarantee")
-    val width = 64 / bands
+    val width = bits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = docs.select(col(idCol).as("id"), TF.simhash64(col(textCol)).as("sig"))
+    val sig = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
     val chunkKeys = (0 until bands).map(b => // unrolled: stays in codegen
       shiftright(col("sig"), b * width).bitwiseAND(mask))
     val banded = sig.select(col("id"), col("sig"), posexplode(array(chunkKeys: _*)))

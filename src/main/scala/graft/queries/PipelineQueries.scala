@@ -10,9 +10,10 @@ import Q._
 /** LLM-training-data pipeline operators (BASELINE.json "north_star"): text
   * analysis, dedup family (exact / fingerprint / MinHash / SimHash / n-gram
   * Jaccard / embedding), similarity search (brute-force + LSH ANN),
-  * multimodal columns, streaming. SQL-expressible ones carry DuckDB oracles;
-  * signature-based ones are deterministic but engine-specific (xxhash64), so
-  * they get the driver's rows-only check.
+  * multimodal columns, streaming. SQL-expressible ones carry DuckDB oracles
+  * (including the minhash/simhash pairs via the engine-portable md5
+  * signature family); only HLL (q17) and the recall-gated ANN paths
+  * (s02/s03/s05) take the driver's rows-only check.
   */
 object PipelineQueries {
 
@@ -144,12 +145,21 @@ object PipelineQueries {
       ordered(t(s, dir, "documents")
         .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies")))),
-    "d03_minhash_pairs" -> ((s, dir) => // xxhash64 signatures: rows-only
+    // portable md5-derived signature family (MinHashSigMd5), so the DuckDB
+    // oracle recomputes the identical signatures and checks BOTH the
+    // banding condition (some band's slice fully equal) and the estimate
+    // threshold — a full hash-match, not rows-only
+    "d03_minhash_pairs" -> ((s, dir) =>
       ordered(Dedup.minhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5))),
+        shingleN = 3, numHashes = 64, bands = 16, minJaccard = 0.5,
+        sigFn = TF.minhashSignatureMd5))),
+    // portable 60-bit md5 simhash; banding recall is exactly 1 by
+    // pigeonhole (maxHamming 2 < bands 4), so the brute-force all-pairs
+    // Hamming oracle reproduces the banded output exactly
     "d04_simhash_pairs" -> ((s, dir) =>
       ordered(Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        maxHamming = 2, bands = 4))),
+        maxHamming = 2, bands = 4, bits = 60, sigFn = TF.simhash60)
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))),
     // r=1 banding with 16 hashes -> candidate recall at J>=0.5 is ~1
     // (miss < 2e-5), so the DuckDB brute-force exact-Jaccard oracle is a
     // true end-to-end check INCLUDING the LSH candidate stage's recall
@@ -651,6 +661,73 @@ object PipelineQueries {
     "d02_dedup_fingerprint" ->
       s"""SELECT md5(text) AS fp, min(doc_id) AS doc_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY md5(text) ${orderSql("fp", "doc_id")}""".stripMargin,
+    // exact recomputation of the PORTABLE minhash signatures (same md5
+    // family as MinHashSigMd5 — see expressions/TextSignatures.scala), then
+    // brute-force all pairs: a pair is in the output iff some band's 4-slice
+    // is fully equal (the LSH candidate condition — band keys only hash the
+    // slice, so slice equality IS bucket collision) AND >=32 of 64 positions
+    // agree (est_jaccard >= 0.5). Checks signatures, banding, and the
+    // estimate end-to-end.
+    "d03_minhash_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |xs AS (SELECT doc_id,
+         |  list_transform(s, g -> CAST(md5_number_upper(g) % 2147483647 AS BIGINT)) AS x FROM sh),
+         |sig AS (SELECT doc_id,
+         |  list_transform(range(0, 64), i ->
+         |    list_min(list_transform(x, v ->
+         |      ((1 + ((2654435761 * (i + 1)) % 2147483646)) * v
+         |        + ((2246822519 * (i + 1)) % 2147483647)) % 2147483647))) AS sg
+         |  FROM xs),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |    len(list_filter(range(0, 64), i -> a.sg[i + 1] = b.sg[i + 1])) AS neq,
+         |    len(list_filter(range(0, 16), bb ->
+         |      a.sg[4*bb + 1] = b.sg[4*bb + 1] AND a.sg[4*bb + 2] = b.sg[4*bb + 2]
+         |      AND a.sg[4*bb + 3] = b.sg[4*bb + 3] AND a.sg[4*bb + 4] = b.sg[4*bb + 4])) AS nbands
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT idA, idB, neq / 64.0 AS est_jaccard
+         |FROM pairs WHERE nbands > 0 AND neq >= 32
+         |${orderSql("idA", "idB", "est_jaccard")}""".stripMargin,
+    // exact recomputation of the portable 60-bit md5 simhash (SimHashMd5),
+    // then brute-force all-pairs Hamming <= 2: banding recall is exactly 1
+    // by pigeonhole (2 differing bits cannot touch all 4 chunks), so the
+    // brute-force set equals the banded set
+    "d04_simhash_pairs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS t
+         |  FROM docs),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN CAST((md5_number_upper(tok) >> CAST(b AS INTEGER)) & 1 AS BIGINT) = 1
+         |        THEN 1 ELSE -1 END) AS v
+         |  FROM tok CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bits
+         |  GROUP BY doc_id, b),
+         |sig0 AS (SELECT doc_id,
+         |  SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS s
+         |  FROM votes GROUP BY doc_id),
+         |sig AS (SELECT d.doc_id, CAST(COALESCE(s, 0) AS BIGINT) AS s
+         |  FROM (SELECT doc_id FROM docs) d LEFT JOIN sig0 USING (doc_id))
+         |SELECT a.doc_id AS idA, b.doc_id AS idB,
+         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 2
+         |${orderSql("idA", "idB", "hamming")}""".stripMargin,
     // brute-force exact word-3-gram Jaccard: shingle-explode + equi-join on
     // the shingle gives every pair with intersection>0 (superset of J>=0.5),
     // |A u B| = |A| + |B| - |A n B|. Mirrors ShingleHashes semantics: distinct

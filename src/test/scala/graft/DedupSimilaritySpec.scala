@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,36 @@ class DedupSimilaritySpec extends SparkSpec {
     (1L to 10L).foreach(i => assert(found.contains((i, i + 1000L)), s"missing pair $i"))
     assert(pairs.forall(_.getDouble(2) >= 0.5))
     assert(found.size <= 15, s"too many false positives: ${found.size}")
+  }
+
+  test("portable md5 signature family: pinned values + planted near-dups") {
+    import graft.expressions.PortableHash
+    // pinned against python: int.from_bytes(md5(b'hello world').digest()[:8],
+    // 'little') % (2**31 - 1) — the exact value DuckDB computes as
+    // md5_number_upper('hello world') % 2147483647
+    assert(PortableHash.baseHash("hello world") == 1561850914L)
+    assert(PortableHash.baseHash("a b c") == 495244182L)
+    assert(PortableHash.baseHash("") == 1659903731L)
+    // a/b constants stay in-range and are never 0 (a=0 would collapse the
+    // permutation to a constant)
+    (0 until 64).foreach { i =>
+      assert(PortableHash.a(i) >= 1 && PortableHash.a(i) < PortableHash.P)
+      assert(PortableHash.b(i) >= 0 && PortableHash.b(i) < PortableHash.P)
+    }
+    // portable variants find the same planted near-dups as the xxhash family
+    val docs = mkDocs(50)
+    val mutated = docs.take(10).map { case (i, t) =>
+      (i + 1000L, t.split(" ").drop(2).mkString(" "))
+    }
+    val df = (docs ++ mutated).toDF("id", "text")
+    val mh = Dedup.minhashPairs(df, "id", "text", shingleN = 3, numHashes = 64,
+      bands = 16, minJaccard = 0.5, sigFn = TF.minhashSignatureMd5).collect()
+    val mhFound = mh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 10L).foreach(i => assert(mhFound.contains((i, i + 1000L)), s"minhash missing pair $i"))
+    val sh = Dedup.simhashPairs(df, "id", "text", maxHamming = 8,
+      bands = 12, bits = 60, sigFn = TF.simhash60).collect()
+    val shFound = sh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 10L).foreach(i => assert(shFound.contains((i, i + 1000L)), s"simhash missing pair $i"))
   }
 
   test("survivors drops the larger member of each pair") {
