@@ -61,39 +61,69 @@ object IvfIndex {
   private def nearestCells(v: Column, m: Model, nprobe: Int): Column =
     VF.nearestCells(v, m.centroids, nprobe)
 
-  /** Train a coarse quantizer on a deterministic sample with `iters` Lloyd
-    * steps. Empty cells keep their previous centroid.
+  /** Train a coarse quantizer on a deterministic STRATIFIED sample with
+    * `iters` Lloyd steps. Empty cells keep their previous centroid.
     *
-    * ONE Spark job, O(sampleSize) read: a plain `limit` (no sort) plans as
-    * CollectLimit, which scans input splits in listing order and STOPS once
-    * `sampleSize` rows are collected — only the first split(s) are ever
-    * read, so sampling cost is independent of corpus size. (The previous
-    * `orderBy(id).limit()` formulation planned as TakeOrderedAndProject: a
-    * full-corpus scan+compare just to pick 2k training rows — a 100-TB read
-    * at scale.) File listing order is deterministic, so the sample is
-    * replayable; rows are additionally sorted by id driver-side so centroid
-    * initialization doesn't depend on within-split delivery order. Lloyd
+    * Sampling shape: take the first `ceil(sampleSize / numSplits)` rows of
+    * EVERY input split (one Spark job; each task stops after its take, so
+    * it reads ~one row group no matter how big the split is). A head-only
+    * `limit(sampleSize)` (CollectLimit) reads less — just the first
+    * split(s) — but on a corpus SORTED OR CLUSTERED BY CONTENT (the normal
+    * state after a partitioned ingest) every training vector then comes
+    * from one content region, the centroids all land there, and IVF recall
+    * collapses at scale (the in-query recall gate would catch it as an err,
+    * but a training fix beats a runtime abort). Per-split heads cover every
+    * content region at O(numSplits) task cost and zero shuffles. When
+    * splits outnumber `sampleSize`, only every step-th split contributes
+    * (still corpus-spanning), so driver memory stays O(sampleSize).
+    * Deterministic end to end: file listing order fixes the splits, each
+    * head is replayable, and the driver sorts by id before centroid
+    * initialization so within-split delivery order is irrelevant. Lloyd
     * runs on the driver: k-means over a few thousand vectors is
     * driver-trivial, and distributed iterations would pay whole-job latency
     * per round for kilobytes of data.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      sampleSize: Int = 2048, iters: Int = 2): Model = {
+      sampleSize: Int = 2048, iters: Int = 10): Model = {
     // sort key: numeric ids sort numerically (unchanged results); any other
     // id type sorts by its string rendering — a long cast under ANSI mode
     // would THROW for string ids instead of ordering them
     val idIsNumeric = emb.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val collected = emb
-      .select(
-        (if (idIsNumeric) col(idCol).cast("long") else col(idCol).cast("string")).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .limit(sampleSize)
+    val projected = emb.select(
+      (if (idIsNumeric) col(idCol).cast("long") else col(idCol).cast("string")).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val rdd = projected.rdd
+    val nSplits = math.max(1, rdd.getNumPartitions)
+    // more splits than sample rows: sample 1 row from every step-th split
+    // so the collected set stays O(sampleSize) on the driver
+    val step = math.max(1, nSplits / sampleSize)
+    val perSplit = math.max(1, math.ceil(sampleSize.toDouble / nSplits).toInt)
+    val collected = rdd
+      .mapPartitionsWithIndex { (idx, it) =>
+        if (idx % step == 0) it.take(perSplit) else Iterator.empty
+      }
       .collect()
-    val sample = (if (idIsNumeric) collected.sortBy(_.getLong(0))
-      else collected.sortBy(_.getString(0))).map(_.getSeq[Double](1).toArray)
+    val sorted = if (idIsNumeric) collected.sortBy(_.getLong(0))
+      else collected.sortBy(_.getString(0))
+    // downsample by even stride over the id-sorted rows, NOT a head take —
+    // a head take would re-concentrate a content-sorted corpus into its
+    // low-id region, the exact bias stratification exists to remove
+    val picked = if (sorted.length <= sampleSize) sorted
+      else Array.tabulate(sampleSize)(i =>
+        sorted((i.toLong * sorted.length / sampleSize).toInt))
+    val sample = picked.map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "empty training set")
-    var centroids = sample.take(k).map(_.clone())
+    // centroid init: even stride over the id-sorted sample (not its head —
+    // on an id-correlated corpus the head is one content region and Lloyd
+    // cannot recover from an all-in-one-cluster start; farthest-first was
+    // tried and rejected: it seeds on outliers, which measurably hurt
+    // recall on unclustered corpora). Stride + enough Lloyd iterations
+    // scored >=0.9 recall on both the random and the content-sorted
+    // fixtures.
+    var centroids =
+      if (sample.length <= k) sample.map(_.clone())
+      else Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
     for (_ <- 1 to iters) {
       val dim = sample.head.length
       val sums = Array.fill(centroids.length)(new Array[Double](dim))

@@ -331,9 +331,14 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val qs = e.where(col("vec_id") < 10)
       val model = IvfIndex.train(e, "vec_id", "embedding", k = 8)
-      // recall checked inline against the exact ranking — see s02
+      // recall checked inline against the exact ranking — see s02.
+      // nprobe sized for the fixture: its vectors are UNCLUSTERED (random
+      // unit vectors — random-pair cosine ~0), so recall ≈ probed-mass
+      // fraction + locality lift, and 6/8 cells is what holds the 0.9 gate
+      // robustly (4/8 sat at ~0.72-0.92 depending on init luck). A real
+      // clustered corpus probes nprobe << k; the operator shape is the same.
       val approx = IvfIndex.topK(e, qs, "vec_id", "embedding",
-        model, k = 5, nprobe = 4)
+        model, k = 5, nprobe = 6)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
       Similarity.requireRecall(approx, exact, 0.9, "s03_knn_ivf")
         .orderBy(col("query_id").asc, col("rank").asc)
@@ -356,10 +361,11 @@ object PipelineQueries {
       val table = s"s05_ivf_assigned_${math.abs(dir.hashCode)}"
       IvfIndex.saveAssigned(e, "vec_id", "embedding", model, table, buckets = 8)
       try {
+        // nprobe=6: fixture-sized like s03 (unclustered vectors, see there)
         val approx = IvfIndex.topKAssigned(s, table, qs, "vec_id", "embedding",
-          model, k = 5, nprobe = 4)
+          model, k = 5, nprobe = 6)
         val probedCells = qs
-          .select(explode(VF.nearestCells(col("embedding"), model.centroids, 4)).as("c"))
+          .select(explode(VF.nearestCells(col("embedding"), model.centroids, 6)).as("c"))
           .distinct().count()
         val plan = approx.queryExecution.executedPlan.toString
         val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
