@@ -42,8 +42,12 @@ object StreamingConcat {
       val formats = files.map(_.format).distinct
       require(formats.size == 1,
         s"streaming input $input mixes formats $formats; pass separate inputs per format")
-      // batch pass over the files present now: per-file schemas, unified
-      val fileSchemas = files.map(f => Concat.readOne(spark, f, cfg.csv).schema)
+      // per-file schemas from concurrent bounded probes (CSV sample /
+      // parquet footer — Concat.fileSchemas), not one sequential reader
+      // setup per file: at 10^5 discovered files the old per-file
+      // readOne(...).schema loop was 10^5 sequential DataSource
+      // resolutions on the driver
+      val fileSchemas = Concat.fileSchemas(spark, files, cfg.csv)
       val batchSchema = SchemaUnifier.unify(fileSchemas, cfg.stringifyConflicts)
       // Spark CSV binds a user schema to files POSITIONALLY (header names are
       // not consulted), so the one schema a CSV stream source declares must be
