@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof soak for the dedup/ANN family: runs the banded/bucketed
+  * queries (d03 minhash, d05 jaccard, d06 embedding near-dup, d09 cluster
+  * closure, d10 contamination, s05 bucketed IVF) on 1x/4x/16x replicas of
+  * the base corpus and reports wall time, output rows, and d09's round
+  * count per scale. Near-linear time vs input for the banded paths is the
+  * empirical half of the 100 TB claims (the design half is the plan-shape
+  * audit in VERDICT/PLANS.md).
+  *
+  * Replication must NOT create cross-replica near-duplicates: identical
+  * copies would form 2R-member cliques whose pair output grows as R^2 —
+  * measuring quadratic OUTPUT, not operator scaling. So each replica is
+  * made self-similar only:
+  *   - documents: every token is salted with the replica id (`tok_rN`) —
+  *     replicas share zero shingles, so all minhash/jaccard/contamination
+  *     pairs stay within a replica;
+  *   - embeddings: each dimension is scaled by a replica-dependent factor
+  *     (1 + 0.2*sin(31r + i)) — a DIRECTION change (cosine vs the original
+  *     ~0.98-0.99, safely below the 0.999 near-dup threshold), unlike a
+  *     scalar multiple which would keep cosine at exactly 1.
+  * Ids are offset by replica * 10^7 (the in-query planted mutations use
+  * +10^6, so replica id ranges can never collide with mutation ids).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base sf dir> runMain graft.ScaleSoak
+  * Prints one line per (query, scale) plus a final summary table.
+  */
+object ScaleSoak {
+
+  private val SoakQueries =
+    Seq("d03_minhash_pairs", "d05_ngram_jaccard_pairs", "d06_embed_near_dup",
+      "d09_dedup_clusters", "d10_substring_contamination", "s05_knn_ivf_bucketed")
+
+  private def replicate(spark: SparkSession, base: String, scale: Int,
+      out: java.nio.file.Path): String = {
+    val dir = out.resolve(s"x$scale")
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val docParts = (0 until scale).map { r =>
+      val text =
+        if (r == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"_r$r"))), " ")
+      docs.select(
+        (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docParts.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val embParts = (0 until scale).map { r =>
+      val vec =
+        if (r == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, i) => (x * (lit(1.0) + lit(0.2) * sin(lit(31.0 * r) + i.cast("double"))))
+            .cast("float"))
+      emb.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    embParts.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    dir.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.get("SPARK_GRAFT_SOAK_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    val queryFilter = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    sys.props("graft.bench.skipOrder") = "1" // measure operators, not the oracle sort
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-soak")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Int)]
+    try {
+      for (scale <- scales) {
+        val dir = replicate(spark, base, scale, tmp)
+        for (q <- SoakQueries if queryFilter.forall(_.contains(q))) {
+          val fn = SparkEntry.queries(q)
+          // min of 2: the first run pays codegen for this (query, scale)
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val df = fn(spark, dir)
+            val rows = df.count() // count = full compute for these plans
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (t1, rows) = once()
+          val (t2, _) = once()
+          val sec = math.min(t1, t2)
+          val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1
+          results += ((q, scale, sec, rows, rounds))
+          println(f"$q%-28s x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            (if (rounds >= 0) s" rounds=$rounds" else ""))
+        }
+      }
+      // summary: time and row ratios vs the 1x run for each query
+      println("\nquery, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds")
+      val base1 = results.filter(_._2 == scales.head).map(r => r._1 -> (r._3, r._4)).toMap
+      results.foreach { case (q, s, sec, rows, rounds) =>
+        val (b, br) = base1(q)
+        println(f"$q,$s,$sec%.2f,${sec / b}%.2f,$rows,${rows.toDouble / br}%.2f," +
+          (if (rounds >= 0) rounds.toString else ""))
+      }
+    } finally {
+      deleteRecursively(tmp.toFile)
+      spark.stop()
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

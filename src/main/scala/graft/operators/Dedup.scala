@@ -183,19 +183,46 @@ object Dedup {
       numPlanes: Int = 8,
       dim: Int = 64,
       tables: Int = 8,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      // > 0 sizes the plane count from the CORPUS (one count() job):
+      // planes = max(numPlanes, ceil(log2(n / targetBucketSize))), capped
+      // at 24. With planes FIXED, bucket occupancy grows linearly with the
+      // corpus and candidate pairs grow QUADRATICALLY (the round-7 soak
+      // measured d06 at 491x time for 16x input); constant occupancy keeps
+      // candidates linear. Per-table collision probability at cosine c is
+      // (1 - acos(c)/pi)^planes, so more planes cost per-table recall —
+      // fine near c~1 (0.999-dups: miss < 1e-6 at planes=24, tables=8),
+      // but at lower thresholds raise `tables` along with the corpus.
+      targetBucketSize: Int = 0): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id")) // single shared exchange (see minhashPairs)
+    val planes =
+      if (targetBucketSize <= 0) numPlanes
+      else
+        // count on the raw input, not `base`: a simple parquet scan count
+        // collapses to metadata, skipping base's repartition exchange
+        autoPlanes(emb.count(), numPlanes, targetBucketSize)
     // one lshBucket expression per table (each a single pass over the
     // vector); posexplode to slim (id, band=table, bucket) rows
     val bucketKeys = (0 until tables).map(t =>
-      VF.lshBucket(col("v"), VF.hyperplanes(numPlanes, dim, seed = 42L + t)))
+      VF.lshBucket(col("v"), VF.hyperplanes(planes, dim, seed = 42L + t)))
     val banded = base.select(col("id"), posexplode(array(bucketKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
     val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
     attach(candidates, base, "v")
       .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= minCosine)
+  }
+
+  /** Plane count giving ~`targetBucketSize` expected rows per LSH bucket
+    * for an `n`-row corpus: max(floor, ceil(log2(n/target))), capped at 24
+    * (2^24 buckets/table; beyond that per-table recall decays with no
+    * occupancy win at any realistic corpus).
+    */
+  private[graft] def autoPlanes(n: Long, floor: Int, targetBucketSize: Int): Int = {
+    val m = math.max(1L, n)
+    val needed = math.ceil(math.log(m.toDouble / targetBucketSize) / math.log(2)).toInt
+    math.min(24, math.max(floor, needed))
   }
 
   /** Given near-dup pairs (idA < idB), keep-first survivors: drop every id
@@ -226,6 +253,12 @@ object Dedup {
     * (no recompute), and costs one light job per round — acceptable
     * because rounds are few and each probe short-circuits on first diff.
     */
+  /** Diagnostic only: label-propagation rounds used by the LAST
+    * [[clusters]] call that ran on this driver — soak evidence that round
+    * count stays O(component diameter) as the corpus scales (ScaleSoak).
+    */
+  @volatile var lastClusterRounds: Int = -1
+
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // ids keep their native type: min/least give the same keep-lowest
@@ -260,6 +293,7 @@ object Dedup {
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
+    lastClusterRounds = iter
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))

@@ -172,9 +172,14 @@ object PipelineQueries {
     // comes near cosine 0.999 — so the DuckDB brute-force-cosine oracle
     // hash-checks the LSH candidate stage end-to-end, like d05 does for
     // minhash banding
+    // targetBucketSize auto-sizes the plane count as the corpus grows
+    // (constant bucket occupancy -> linear candidates; the round-7 soak
+    // caught fixed-plane LSH going quadratic). At the driver's gate scale
+    // the floor of 8 planes binds, so the oracle regime is unchanged.
     "d06_embed_near_dup" -> ((s, dir) =>
       ordered(Dedup.embeddingPairs(embWithNearDups(s, dir), "vec_id", "embedding",
-        minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8)
+        minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8,
+        targetBucketSize = 32)
         .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine")))),
     // survivors over EXACT-verified jaccard pairs (same recall-1 candidate
     // params as d05), so keep-first selection is DuckDB-oracle-checkable

@@ -46,6 +46,20 @@ class ConcatSpec extends SparkSpec {
     assert(files.map(f => Paths.get(f.path).getFileName.toString) == Seq("a1.csv", "a2.csv"))
   }
 
+  test("fileSchema footer read matches spark.read for every fixture table") {
+    // includes events.parquet (timestamp[ns] -> nanosAsLong long) — the
+    // conf-sensitive case the converter must resolve like spark.read does
+    val dir = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")) {
+      val p = s"$dir/$t.parquet"
+      val viaRead = spark.read.parquet(p).schema
+      val viaFooter = Concat.fileSchema(spark,
+        Discovery.InputFile(p, Discovery.Parquet, 0L), CsvSource.CsvOptions())
+      assert(viaFooter == viaRead, s"schema mismatch for $t")
+    }
+  }
+
   test("glob does not over-include nested files repeating the base dir path") {
     // relative pattern 'base/*.csv' + file 'base/base/y.csv': the nested
     // file's parent-relative form 'base/y.csv' used to match the

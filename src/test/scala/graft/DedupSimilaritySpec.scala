@@ -131,6 +131,29 @@ class DedupSimilaritySpec extends SparkSpec {
     (1L to 5L).foreach(i => assert(found.contains((i, i + 100L)), s"missing clone pair $i"))
   }
 
+  test("autoPlanes keeps bucket occupancy constant as the corpus grows") {
+    // floor binds at gate scale (oracle regime unchanged)...
+    assert(Dedup.autoPlanes(1000L, 8, 32) == 8)
+    // ...then grows ~log2 with the corpus: 16x input -> +4 planes
+    assert(Dedup.autoPlanes(80000L, 8, 32) == 12)
+    assert(Dedup.autoPlanes(16L * 80000L, 8, 32) == 16)
+    // capped at 24 even for a trillion-row corpus; degenerate n safe
+    assert(Dedup.autoPlanes(1000000000000L, 8, 32) == 24)
+    assert(Dedup.autoPlanes(0L, 8, 32) == 8)
+  }
+
+  test("embedding pairs with targetBucketSize finds the same clone pairs") {
+    val vecs = (1L to 30L).map { i =>
+      (i, (0 until 16).map(j => math.sin(i * 7.0 + j).toFloat))
+    }
+    val clones = vecs.take(5).map { case (i, v) => (i + 100L, v.map(x => x * 1.001f)) }
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding", minCosine = 0.999,
+      numPlanes = 8, dim = 16, targetBucketSize = 32).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i => assert(found.contains((i, i + 100L)), s"missing clone pair $i"))
+  }
+
   test("brute-force top-k matches manual cosine ranking") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0f, 1f, 0f)),
