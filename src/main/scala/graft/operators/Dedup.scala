@@ -235,6 +235,12 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Diagnostic only: label-propagation rounds used by the LAST
+    * [[clusters]] call that ran on this driver — soak evidence that round
+    * count stays O(component diameter) as the corpus scales (ScaleSoak).
+    */
+  @volatile var lastClusterRounds: Int = -1
+
   /** EXACT connected-component clustering of near-dup pairs: every doc
     * labeled with the minimum id reachable through the pair graph (the
     * cluster representative). This is the full transitive closure that
@@ -253,12 +259,6 @@ object Dedup {
     * (no recompute), and costs one light job per round — acceptable
     * because rounds are few and each probe short-circuits on first diff.
     */
-  /** Diagnostic only: label-propagation rounds used by the LAST
-    * [[clusters]] call that ran on this driver — soak evidence that round
-    * count stays O(component diameter) as the corpus scales (ScaleSoak).
-    */
-  @volatile var lastClusterRounds: Int = -1
-
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // ids keep their native type: min/least give the same keep-lowest
