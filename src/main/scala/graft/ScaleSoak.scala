@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
 object ScaleSoak {
 
   private val SoakQueries =
-    Seq("d03_minhash_pairs", "d05_ngram_jaccard_pairs", "d06_embed_near_dup",
-      "d09_dedup_clusters", "d10_substring_contamination", "s05_knn_ivf_bucketed")
+    Seq("d03_minhash_pairs", "d04_simhash_pairs", "d05_ngram_jaccard_pairs",
+      "d06_embed_near_dup", "d09_dedup_clusters", "d10_substring_contamination",
+      "s05_knn_ivf_bucketed")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

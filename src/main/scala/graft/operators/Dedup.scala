@@ -80,6 +80,22 @@ object Dedup {
     * any Hamming-distance<=k pair (k < bands) shares at least one exact
     * chunk (pigeonhole), so bucket-join on chunks finds all candidates;
     * then verify true Hamming distance.
+    *
+    * Single-chunk banding keys on `bits/bands`-bit values — a FIXED bucket
+    * space (2^15 at 60/4), so occupancy grows linearly with the corpus and
+    * within-bucket candidates quadratically (the d06 failure mode; worse,
+    * `maxBucketSize` would eventually drop every bucket → silent recall
+    * collapse). `blocks > 0` switches to combination keys (Manku et al.,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 §3): split the
+    * signature into `blocks` even chunks and key on EVERY
+    * (blocks - maxHamming)-subset of them — <=maxHamming differing bits
+    * dirty <=maxHamming chunks, so some subset is entirely clean and the
+    * pair still collides (exact, like single-chunk banding). Keys are
+    * (blocks-maxHamming)x wider — 30 bits at blocks=6, d=3 — giving a 2^30
+    * bucket space: constant occupancy out to ~10^10 docs for the cost of
+    * C(blocks, blocks-maxHamming) (=20) banding rows per doc instead of 4.
+    * Both schemes return exactly the hamming<=maxHamming pairs, so the
+    * choice is invisible to output (and to the d04 oracle).
     */
   def simhashPairs(
       docs: DataFrame,
@@ -93,20 +109,39 @@ object Dedup {
       // correctness gate)
       bits: Int = 64,
       sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TF.simhash64): DataFrame = {
-    // the pigeonhole guarantee (any pair within maxHamming shares >=1 exact
-    // chunk) needs even chunks covering all signature bits and more chunks
-    // than allowed differing bits
-    require(bits % bands == 0, s"bands must divide $bits (got $bands)")
-    require(maxHamming < bands,
-      s"maxHamming ($maxHamming) must be < bands ($bands) for the pigeonhole guarantee")
-    val width = bits / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
+        TF.simhash64,
+      // > 0: combination-key banding over this many even chunks (scale
+      // path); 0: single-chunk banding over `bands` (small-corpus path)
+      blocks: Int = 0): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
-    val chunkKeys = (0 until bands).map(b => // unrolled: stays in codegen
-      shiftright(col("sig"), b * width).bitwiseAND(mask))
-    val banded = sig.select(col("id"), col("sig"), posexplode(array(chunkKeys: _*)))
-      .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
+    val banded = if (blocks > 0) {
+      require(bits % blocks == 0, s"blocks must divide $bits (got $blocks)")
+      require(maxHamming < blocks,
+        s"maxHamming ($maxHamming) must be < blocks ($blocks) for the pigeonhole guarantee")
+      val width = bits / blocks
+      val mask = (1L << width) - 1
+      val chunk = (b: Int) => shiftright(col("sig"), b * width).bitwiseAND(mask)
+      val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+      // key = hash of (combo id, the chosen chunks) — unrolled, in codegen
+      val comboKeys = combos.zipWithIndex.map { case (c, i) =>
+        xxhash64((lit(i) +: c.map(chunk)): _*)
+      }
+      sig.select(col("id"), col("sig"), posexplode(array(comboKeys: _*)))
+        .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
+    } else {
+      // the pigeonhole guarantee (any pair within maxHamming shares >=1
+      // exact chunk) needs even chunks covering all signature bits and more
+      // chunks than allowed differing bits
+      require(bits % bands == 0, s"bands must divide $bits (got $bands)")
+      require(maxHamming < bands,
+        s"maxHamming ($maxHamming) must be < bands ($bands) for the pigeonhole guarantee")
+      val width = bits / bands
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val chunkKeys = (0 until bands).map(b => // unrolled: stays in codegen
+        shiftright(col("sig"), b * width).bitwiseAND(mask))
+      sig.select(col("id"), col("sig"), posexplode(array(chunkKeys: _*)))
+        .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
+    }
     val capped = capBuckets(banded, Seq("band", "chunk"), maxBucketSize)
     val a = capped.select(col("band"), col("chunk"), col("id").as("idA"), col("sig").as("sigA"))
     val b = capped.select(col("band"), col("chunk"), col("id").as("idB"), col("sig").as("sigB"))

@@ -156,9 +156,12 @@ object PipelineQueries {
     // portable 60-bit md5 simhash; banding recall is exactly 1 by
     // pigeonhole (maxHamming 2 < bands 4), so the brute-force all-pairs
     // Hamming oracle reproduces the banded output exactly
+    // blocks=6 = combination-key banding (C(6,4)=15 keys of 40 bits): the
+    // 100 TB-safe bucket space. Pigeonhole-exact like single-chunk banding,
+    // so the output — and the DuckDB oracle match — is identical.
     "d04_simhash_pairs" -> ((s, dir) =>
       ordered(Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        maxHamming = 2, bands = 4, bits = 60, sigFn = TF.simhash60)
+        maxHamming = 2, bands = 4, bits = 60, sigFn = TF.simhash60, blocks = 6)
         .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))),
     // r=1 banding with 16 hashes -> candidate recall at J>=0.5 is ~1
     // (miss < 2e-5), so the DuckDB brute-force exact-Jaccard oracle is a

@@ -62,6 +62,25 @@ class DedupSimilaritySpec extends SparkSpec {
     (1L to 10L).foreach(i => assert(shFound.contains((i, i + 1000L)), s"simhash missing pair $i"))
   }
 
+  test("simhash combination-key banding returns exactly the single-chunk pairs") {
+    // both schemes are pigeonhole-exact for hamming <= maxHamming, so the
+    // full (idA, idB, hamming) result sets must be IDENTICAL — this is what
+    // lets d04 use the scale path without touching its oracle
+    val docs = mkDocs(60)
+    val mutated = docs.take(15).map { case (i, t) =>
+      (i + 1000L, t.split(" ").drop(1).mkString(" "))
+    }
+    val df = (docs ++ mutated).toDF("id", "text")
+    def run(blocks: Int) =
+      Dedup.simhashPairs(df, "id", "text", maxHamming = 8, bands = 12,
+        bits = 60, sigFn = TF.simhash60, blocks = blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    val single = run(0)
+    val combo = run(10) // 60 bits / 10 blocks; C(10,2)=45 keys of 12 bits
+    assert(single == combo, s"scheme mismatch: ${single.diff(combo)} vs ${combo.diff(single)}")
+    assert(single.nonEmpty)
+  }
+
   test("survivors drops the larger member of each pair") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val pairs = Seq((1L, 3L, 0.9)).toDF("idA", "idB", "est_jaccard")
