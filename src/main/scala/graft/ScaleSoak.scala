@@ -18,10 +18,17 @@ import org.apache.spark.sql.functions._
   *   - documents: every token is salted with the replica id (`tok_rN`) —
   *     replicas share zero shingles, so all minhash/jaccard/contamination
   *     pairs stay within a replica;
-  *   - embeddings: each dimension is scaled by a replica-dependent factor
-  *     (1 + 0.2*sin(31r + i)) — a DIRECTION change (cosine vs the original
-  *     ~0.98-0.99, safely below the 0.999 near-dup threshold), unlike a
-  *     scalar multiple which would keep cosine at exactly 1.
+  *   - embeddings: each dimension is scaled by a hash-driven factor
+  *     (1 + 0.4*(hash(vec_id, r, i)-derived uniform - 0.5)) — a DIRECTION
+  *     change (cosine vs the original ~0.987, and ~0.987 between any two
+  *     replicas of the same vector, safely below the 0.999 near-dup
+  *     threshold), unlike a scalar multiple which would keep cosine at
+  *     exactly 1. The factor must be hash-driven, not a per-replica
+  *     analytic function: the first soak used 1 + 0.2*sin(31r + i), and
+  *     31 mod 2pi = -0.416 means replicas 15 apart differ in phase by only
+  *     0.043 rad — near-identical perturbations, cosine > 0.999, and every
+  *     base vector paired across ~55 of the x64 replica pairs (1.1M bogus
+  *     rows, the 616x rows_ratio in the first x64 run).
   * Ids are offset by replica * 10^7 (the in-query planted mutations use
   * +10^6, so replica id ranges can never collide with mutation ids).
   *
@@ -55,7 +62,8 @@ object ScaleSoak {
       val vec =
         if (r == 0) col("embedding")
         else transform(col("embedding"),
-          (x, i) => (x * (lit(1.0) + lit(0.2) * sin(lit(31.0 * r) + i.cast("double"))))
+          (x, i) => (x * (lit(1.0) + lit(0.4) *
+            (pmod(hash(col("vec_id"), lit(r), i), lit(10000)).cast("double") / 10000.0 - 0.5)))
             .cast("float"))
       emb.select(
         (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
@@ -89,6 +97,13 @@ object ScaleSoak {
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Int)]
     try {
       for (scale <- scales) {
+        // shuffle partitions must scale with the data or large-scale sorts
+        // spill 32-wide into one disk (the x64 run measured exactly that:
+        // all executor threads I/O-bound in UnsafeExternalSorter.spill);
+        // AQE coalesces the excess at small scales, so over-provisioning is
+        // free. This mirrors production, where partitions track input size.
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(1024, cpus.toInt * scale))
         val dir = replicate(spark, base, scale, tmp)
         for (q <- SoakQueries if queryFilter.forall(_.contains(q))) {
           val fn = SparkEntry.queries(q)
@@ -108,14 +123,21 @@ object ScaleSoak {
             (if (rounds >= 0) s" rounds=$rounds" else ""))
         }
       }
-      // summary: time and row ratios vs the 1x run for each query
-      println("\nquery, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds")
+      // summary: time and row ratios vs the 1x run for each query; also
+      // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)
+      // so the numbers survive log truncation
+      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds"
+      println("\n" + header)
       val base1 = results.filter(_._2 == scales.head).map(r => r._1 -> (r._3, r._4)).toMap
-      results.foreach { case (q, s, sec, rows, rounds) =>
+      val lines = results.map { case (q, s, sec, rows, rounds) =>
         val (b, br) = base1(q)
-        println(f"$q,$s,$sec%.2f,${sec / b}%.2f,$rows,${rows.toDouble / br}%.2f," +
-          (if (rounds >= 0) rounds.toString else ""))
+        f"$q,$s,$sec%.2f,${sec / b}%.2f,$rows,${rows.toDouble / br}%.2f," +
+          (if (rounds >= 0) rounds.toString else "")
       }
+      lines.foreach(println)
+      val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_RESULTS.csv")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (header +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally {
       deleteRecursively(tmp.toFile)
       spark.stop()

@@ -153,6 +153,20 @@ object IvfIndex {
     Model(centroids)
   }
 
+  /** Cell count for an `n`-vector corpus: ~sqrt(n), clamped. With nlist
+    * FIXED, cell occupancy — and so the rows each probe scans — grows
+    * linearly with the corpus (the same degeneration the dedup family's
+    * auto-sized bucket spaces guard against); at nlist = sqrt(n), per-query
+    * probe cost is nprobe*sqrt(n) and stays there through corpus growth.
+    * The floor keeps tiny corpora meaningfully partitioned; the cap bounds
+    * the driver-side centroid table (2^17 cells x 64 dims x 8 B = 64 MB,
+    * still broadcast-able) — past it, raise nprobe instead. Re-train (and
+    * re-assign via [[saveAssigned]]) when the corpus outgrows the nlist it
+    * was bucketed with; training cost stays O(sampleSize) regardless.
+    */
+  def autoNlist(n: Long, min: Int = 16, max: Int = 1 << 17): Int =
+    math.min(max, math.max(min, math.round(math.sqrt(math.max(0L, n).toDouble)).toInt))
+
   /** Assign every vector its IVF cell (narrow, no shuffle). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, m: Model): DataFrame =
     emb.withColumn("ivf_cell", nearestCell(col(vecCol), m))

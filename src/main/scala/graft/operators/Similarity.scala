@@ -54,6 +54,15 @@ object Similarity {
     * by (query_id, neighbor_id) before vectors re-attach, so a duplicated
     * corpus id re-expands at the verify join into one scored row per
     * duplicate row (same contract as [[bruteForceTopK]]).
+    *
+    * Scale note: with `numPlanes` fixed, each query's candidate list grows
+    * linearly with the corpus (bucket occupancy ~ n/2^planes) — recall
+    * stays high but per-query verify cost is O(n). That is acceptable for
+    * batch corpus-vs-corpus passes; for a QUERY-SERVING shape at growing
+    * corpus size prefer the IVF path ([[graft.operators.IvfIndex]], whose
+    * `autoNlist` keeps probe cost at nprobe*sqrt(n)) — raising planes here
+    * instead would thin each table's recall for mid-similarity neighbors,
+    * which multi-probe only partly recovers.
     */
   def lshTopK(
       corpus: DataFrame,

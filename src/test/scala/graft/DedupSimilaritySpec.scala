@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, IvfIndex, Similarity}
 import org.apache.spark.sql.functions._
 
 class DedupSimilaritySpec extends SparkSpec {
@@ -377,6 +377,14 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(sel.isDefined, s"no bucket pruning in plan:\n$plan")
       assert(sel.get.group(1).toInt < 8, "probe read every bucket — pruning ineffective")
     } finally spark.sql("DROP TABLE IF EXISTS ivf_assigned_test")
+  }
+
+  test("autoNlist tracks sqrt(n) within clamps") {
+    assert(IvfIndex.autoNlist(0L) == 16)
+    assert(IvfIndex.autoNlist(10000L) == 100)
+    assert(IvfIndex.autoNlist(1000000L) == 1000)
+    // 10^12 vectors -> sqrt = 10^6, capped at 2^17
+    assert(IvfIndex.autoNlist(1000000000000L) == (1 << 17))
   }
 
   test("int8 quantization: bounded error, sign-preserving, zero vector safe") {
