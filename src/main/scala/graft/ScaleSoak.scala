@@ -30,7 +30,8 @@ import org.apache.spark.sql.functions._
   *     base vector paired across ~55 of the x64 replica pairs (1.1M bogus
   *     rows, the 616x rows_ratio in the first x64 run).
   * Ids are offset by replica * 10^7 (the in-query planted mutations use
-  * +10^6, so replica id ranges can never collide with mutation ids).
+  * +10^6, so replica id ranges cannot collide with mutation ids — enforced
+  * by a require on the base corpus's max id in [[replicate]]).
   *
   * Usage: SPARK_GRAFT_SF_DIR=<base sf dir> runMain graft.ScaleSoak
   * Prints one line per (query, scale) plus a final summary table.
@@ -47,6 +48,14 @@ object ScaleSoak {
     val dir = out.resolve(s"x$scale")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    // replica stride (10^7) must clear base ids + the in-query +10^6
+    // mutation offset, or replica r's mutated ids collide with replica
+    // r+1's base range and every pair query re-expands on duplicate ids
+    val maxId = math.max(
+      docs.agg(max("doc_id")).head.getLong(0),
+      emb.agg(max("vec_id")).head.getLong(0))
+    require(maxId + 1000000L < 10000000L,
+      s"base ids reach $maxId — raise the replica stride above 10^7")
     val docParts = (0 until scale).map { r =>
       val text =
         if (r == 0) col("text")

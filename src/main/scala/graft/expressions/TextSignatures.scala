@@ -343,7 +343,9 @@ case class SimHashMd5(child: Expression)
     java.lang.Long.valueOf(sig)
   }
   override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
-  override def prettyName: String = "simhash60_md5"
+  // must match the SQL registration name (GraftExtensions) so a name
+  // copied out of a plan or error message resolves when called back
+  override def prettyName: String = "simhash60"
 }
 
 /** long: 64-bit SimHash over distinct whitespace tokens (per-bit votes of

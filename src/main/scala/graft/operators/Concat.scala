@@ -47,6 +47,40 @@ object Concat {
       case Parquet => spark.read.parquet(f.path)
     }
 
+  /** `spark.read` reports every file-source column nullable RECURSIVELY
+    * (`DataType.asNullable` is private): nested struct fields, array
+    * elements (containsNull), and map values written as parquet `required`
+    * must still probe as nullable, or two files whose `spark.read` schemas
+    * are identical would unify as a spurious conflict.
+    */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(dataType = forceNullable(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = forceNullable(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = forceNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  /** Footer-only parquet schema: read the file footer and convert through
+    * Spark's own parquet->Catalyst converter. `conv`/`conf` are shared
+    * across a batch probe — both are read-only here and thread-safe.
+    */
+  private def parquetFooterSchema(path: String,
+      conv: org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.types.StructType = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    forceNullable(conv.convert(msg))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** Per-file schema WITHOUT a per-file DataFrameReader: CSV resolves via
     * the driver-side bounded sample (zero Spark jobs); parquet reads the
     * file FOOTER directly and converts through Spark's own
@@ -54,34 +88,40 @@ object Concat {
     * e.g. `nanosAsLong` behaves exactly like `spark.read`), skipping the
     * full DataSource resolution `spark.read.parquet(path).schema` pays per
     * call (~10-30 ms each — hours of sequential driver time at 10^5
-    * files). Fields are forced nullable, matching what `spark.read`
-    * reports for file sources.
+    * files). Fields are forced nullable (recursively), matching what
+    * `spark.read` reports for file sources.
     */
   def fileSchema(spark: SparkSession, f: InputFile,
       csv: CsvSource.CsvOptions): org.apache.spark.sql.types.StructType =
     f.format match {
       case Csv => CsvSource.resolveSchema(spark, f.path, csv)
       case Parquet =>
-        val conv = new org.apache.spark.sql.execution.datasources.parquet
-          .ParquetToSparkSchemaConverter(spark.sessionState.conf)
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.path), spark.sessionState.newHadoopConf())
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
-        org.apache.spark.sql.types.StructType(
-          conv.convert(msg).fields.map(_.copy(nullable = true)))
+        parquetFooterSchema(f.path,
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetToSparkSchemaConverter(spark.sessionState.conf),
+          spark.sessionState.newHadoopConf())
     }
 
   /** All files' schemas, probed concurrently on the driver pool — one
-    * bounded sample or footer read per file, never a reader setup.
+    * bounded sample or footer read per file, never a reader setup. The
+    * converter and Hadoop conf are built ONCE for the whole batch:
+    * `newHadoopConf()` copies the full session conf per call, a per-file
+    * constant cost that matters at the 10^5-file scale this path exists
+    * for.
     */
   def fileSchemas(spark: SparkSession, files: Seq[InputFile],
       csv: CsvSource.CsvOptions): Seq[org.apache.spark.sql.types.StructType] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf)
+    val conf = spark.sessionState.newHadoopConf()
     Await.result(
-      Future.sequence(files.map(f => Future(fileSchema(spark, f, csv)))),
+      Future.sequence(files.map(f => Future(f.format match {
+        case Csv     => CsvSource.resolveSchema(spark, f.path, csv)
+        case Parquet => parquetFooterSchema(f.path, conv, conf)
+      }))),
       Duration.Inf)
   }
 
@@ -122,15 +162,10 @@ object Concat {
       if (cfg0.rawPassThrough && files.forall(_.format == Csv))
         cfg0.copy(csv = cfg0.csv.copy(inferTypes = false))
       else cfg0
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     // resolve each file's schema concurrently (driver-side sample for CSV,
-    // direct footer read for parquet — see fileSchema)
+    // direct footer read for parquet — see fileSchemas)
     val resolved: Seq[(InputFile, org.apache.spark.sql.types.StructType)] =
-      Await.result(Future.sequence(files.map { f =>
-        Future(f -> fileSchema(spark, f, cfg.csv))
-      }), Duration.Inf)
+      files.zip(fileSchemas(spark, files, cfg.csv))
     // group contiguous-in-sort-order files by (format, schema): each group
     // is one scan; discovery order is preserved across groups
     val groups = resolved

@@ -119,7 +119,9 @@ object Dedup {
       require(maxHamming < blocks,
         s"maxHamming ($maxHamming) must be < blocks ($blocks) for the pigeonhole guarantee")
       val width = bits / blocks
-      val mask = (1L << width) - 1
+      // width == 64 (blocks = 1): Java's shift wraps, (1L << 64) - 1 == 0
+      // — every signature would collapse into one bucket
+      val mask = if (width == 64) -1L else (1L << width) - 1
       val chunk = (b: Int) => shiftright(col("sig"), b * width).bitwiseAND(mask)
       val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
       // key = hash of (combo id, the chosen chunks) — unrolled, in codegen
@@ -234,8 +236,11 @@ object Dedup {
     val planes =
       if (targetBucketSize <= 0) numPlanes
       else
-        // count on the raw input, not `base`: a simple parquet scan count
-        // collapses to metadata, skipping base's repartition exchange
+        // count on the raw input, not `base`, to skip base's repartition
+        // exchange. A plain parquet scan collapses to metadata; a derived
+        // input (d06 passes a union-with-mutations) pays a real count job
+        // — a corpus-size hint parameter would avoid it if that ever
+        // matters at ingest
         autoPlanes(emb.count(), numPlanes, targetBucketSize)
     // one lshBucket expression per table (each a single pass over the
     // vector); posexplode to slim (id, band=table, bucket) rows

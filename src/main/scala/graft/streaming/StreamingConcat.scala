@@ -177,21 +177,24 @@ object StreamingConcat {
       while (!terminated && System.nanoTime() < deadline) Thread.sleep(20)
     }
 
+    /** Last logOffset whose file list was emitted, per source index: a
+      * micro-batch that does NOT advance a source's offset (e.g. a
+      * state-flush batch with no new files) repeats the previous endOffset,
+      * and re-reading the same log entry would duplicate its stream_file
+      * lines for --json-logs consumers. Recorded only AFTER the log entry
+      * was successfully read: a transient read failure (or a not-yet-
+      * visible log file) must stay retryable on the next repeat, not be
+      * permanently suppressed.
+      */
+    private val lastEmittedOffset =
+      scala.collection.concurrent.TrieMap.empty[Int, Long]
+
     /** The micro-batch's source files, from each file source's metadata log
       * entry for its end offset (`{"logOffset":N}` → `sources/<i>/N`, one
       * JSON `FileEntry` per line after the version header). Falls back to
       * the `.compact` rewrite (filtered to this batch) when log compaction
       * has replaced the plain file; empty on any parse/read failure.
       */
-    /** Last logOffset whose file list was emitted, per source index: a
-      * micro-batch that does NOT advance a source's offset (e.g. a
-      * state-flush batch with no new files) repeats the previous endOffset,
-      * and re-reading the same log entry would duplicate its stream_file
-      * lines for --json-logs consumers.
-      */
-    private val lastEmittedOffset =
-      scala.collection.concurrent.TrieMap.empty[Int, Long]
-
     private def batchSourceFiles(e: StreamingQueryListener.QueryProgressEvent): Seq[String] =
       checkpoint.toSeq.flatMap { cp =>
         val offsetNum = "(\\d+)".r
@@ -201,18 +204,21 @@ object StreamingConcat {
             val off = offsetNum.findAllIn(Option(src.endOffset).getOrElse("")).toSeq
               .lastOption.map(_.toLong)
               .filterNot(n => lastEmittedOffset.get(i).contains(n))
-            off.foreach(n => lastEmittedOffset.put(i, n))
             off.toSeq.flatMap { n =>
               val dir = java.nio.file.Paths.get(cp, "sources", i.toString)
               val plain = dir.resolve(n.toString)
               val compact = dir.resolve(n.toString + ".compact")
               val lines =
-                if (java.nio.file.Files.exists(plain))
-                  java.nio.file.Files.readAllLines(plain).toArray(Array.empty[String]).toSeq
-                else if (java.nio.file.Files.exists(compact))
-                  java.nio.file.Files.readAllLines(compact).toArray(Array.empty[String]).toSeq
+                if (java.nio.file.Files.exists(plain)) {
+                  val l = java.nio.file.Files.readAllLines(plain).toArray(Array.empty[String]).toSeq
+                  lastEmittedOffset.put(i, n)
+                  l
+                } else if (java.nio.file.Files.exists(compact)) {
+                  val l = java.nio.file.Files.readAllLines(compact).toArray(Array.empty[String]).toSeq
                     .filter(_.contains(s""""batchId":$n"""))
-                else Seq.empty
+                  lastEmittedOffset.put(i, n)
+                  l
+                } else Seq.empty
               // the captured group is still JSON-escaped source text; decode
               // it before emit (jstr re-escapes) or backslashes double up
               lines.flatMap(l => pathField.findFirstMatchIn(l).map(m => unescapeJson(m.group(1))))

@@ -60,6 +60,22 @@ class ConcatSpec extends SparkSpec {
     }
   }
 
+  test("fileSchema forces nullability recursively (array elements written required)") {
+    // spark.read reports asNullable schemas for file sources — including
+    // array containsNull; a footer probe that only nulls top-level fields
+    // would make two identical-under-spark.read files unify as a conflict
+    val d = tmpDir("reqarray")
+    val p = d.resolve("req.parquet").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rows = Seq(org.apache.spark.sql.Row(1L, Seq(1.0f, 2.0f)))
+    spark.createDataFrame(rows.asJava, schema).write.parquet(p)
+    val f = Discovery.discover(Seq(p)).head
+    assert(Concat.fileSchema(spark, f, CsvSource.CsvOptions()) ==
+      spark.read.parquet(p).schema)
+  }
+
   test("glob does not over-include nested files repeating the base dir path") {
     // relative pattern 'base/*.csv' + file 'base/base/y.csv': the nested
     // file's parent-relative form 'base/y.csv' used to match the

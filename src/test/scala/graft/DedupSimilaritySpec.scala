@@ -81,6 +81,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(single.nonEmpty)
   }
 
+  test("simhash blocks=1 (width 64) does not collapse signatures into one bucket") {
+    // (1L << 64) wraps to 1 in Java, so a naive mask would be 0 and every
+    // doc would share bucket xxhash64(0, 0) — then capBuckets silently
+    // drops the single oversized bucket and exact duplicates are missed
+    val docs = mkDocs(30)
+    val dups = docs.take(5).map { case (i, t) => (i + 1000L, t) } // exact copies
+    val df = (docs ++ dups).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 0,
+      maxBucketSize = 10, bits = 64, blocks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1L to 5L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing dup pair $i"))
+  }
+
   test("survivors drops the larger member of each pair") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val pairs = Seq((1L, 3L, 0.9)).toDF("idA", "idB", "est_jaccard")
