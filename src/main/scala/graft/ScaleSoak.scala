@@ -41,7 +41,12 @@ object ScaleSoak {
   private val SoakQueries =
     Seq("d03_minhash_pairs", "d04_simhash_pairs", "d05_ngram_jaccard_pairs",
       "d06_embed_near_dup", "d09_dedup_clusters", "d10_substring_contamination",
-      "s05_knn_ivf_bucketed")
+      "s05_knn_ivf_bucketed",
+      // streaming legs: st01 exercises windowed aggregation over 64x the
+      // events (same hour windows -> output rows constant), st04 exercises
+      // unbounded dedup state at 64x the key cardinality (user ids are
+      // replica-offset, so distinct keys scale with the corpus)
+      "st01_streaming_hourly", "st04_streaming_dedup")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -80,6 +85,27 @@ object ScaleSoak {
     }
     embParts.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(dir.resolve("embeddings.parquet").toString)
+    // events: ids and users offset per replica (key cardinality scales),
+    // timestamps kept (same event-time windows at every scale). The st
+    // queries stream `$dir/events.parquet` as a FILE via pathGlobFilter,
+    // so the replica is coalesced to one part and moved to that name.
+    // (Read under nanosAsLong — set in main — so ts round-trips as long.)
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evParts = (0 until scale).map { r =>
+      ev.select((col("event_id") + lit(r * 10000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(r * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    val evTmp = dir.resolve("events_parts")
+    evParts.reduce(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(evTmp.toString)
+    val part = scala.util.Using.resource(java.nio.file.Files.list(evTmp)) { s =>
+      s.filter(p => p.getFileName.toString.startsWith("part-")
+        && p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    }
+    java.nio.file.Files.move(part, dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(evTmp.toFile)
     dir.toString
   }
 
@@ -94,6 +120,9 @@ object ScaleSoak {
     sys.props("graft.bench.skipOrder") = "1" // measure operators, not the oracle sort
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // events.ts is timestamp[ns]: read as long nanos, like Verify/Bench
+      // do (the st queries expect it — they convert via timestamp_micros)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
