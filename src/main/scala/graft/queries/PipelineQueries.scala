@@ -766,7 +766,12 @@ object PipelineQueries {
          |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT idA, idB,
-         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |  -- VARCHAR->DECIMAL like t02: jaccard is p/q with q often 2^k*5*m
+         |  -- (e.g. 1/640 = 0.0015625 — renders to 7 digits ending in 5 but
+         |  -- is NOT binary-exact), where DuckDB's binary round and Spark's
+         |  -- rendering-based HALF_UP can split
+         |  CAST(round(CAST(CAST(CAST(inter AS DOUBLE) / (na + nb - inter) AS VARCHAR)
+         |                  AS DECIMAL(38,20)), 6) AS DOUBLE) AS jaccard
          |FROM pairs WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
          |${orderSql("idA", "idB", "jaccard")}""".stripMargin,
     // brute-force exact cosine over the planted-near-dup corpus: the LSH
@@ -851,11 +856,18 @@ object PipelineQueries {
          |    substr(text, 1, 199) || 'X' || substr(text, 201) FROM documents),
          |d AS (SELECT doc_id, text, length(text) AS n FROM docs),
          |w AS (
-         |  SELECT doc_id, md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  -- empty/null window content -> NULL, never md5(''), mirroring
+         |  -- the Spark side exactly (two contentless docs share NOTHING);
+         |  -- COALESCE(n, 0) keeps a NULL-text doc at one window row
+         |  -- regardless of the engine's greatest(NULL, 1) convention
+         |  SELECT doc_id,
+         |    CASE WHEN length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0
+         |         THEN md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) END AS wh
          |  FROM (SELECT doc_id, text,
-         |          unnest(range(0, greatest(CAST(floor((n - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |          unnest(range(0, greatest(CAST(floor((COALESCE(n, 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
          |        FROM d)),
-         |shared AS (SELECT wh FROM w GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
+         |shared AS (SELECT wh FROM w WHERE wh IS NOT NULL
+         |           GROUP BY wh HAVING min(doc_id) <> max(doc_id)),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_windows FROM w GROUP BY doc_id),
          |sh AS (SELECT w.doc_id, COUNT(*) AS n_shared FROM w JOIN shared USING (wh) GROUP BY w.doc_id)
          |SELECT c.doc_id AS doc_id, c.n_windows, COALESCE(s.n_shared, 0) AS n_shared
@@ -916,12 +928,16 @@ object PipelineQueries {
          |CAST(length(text) AS BIGINT) AS duration_ms,
          |CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
          |FROM documents ${orderSql("media_id")}""".stripMargin,
+    // CAST to DOUBLE[] like d06: Spark's CosineSim widens each float to
+    // double before accumulating, so the oracle must too — float-precision
+    // accumulation can rank-swap near-tie neighbors as the corpus grows
     "s01_knn_brute" ->
-      s"""SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
          |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |  ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id ASC) AS rank
-         |FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+         |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "s04_quantize_i8" ->
       s"""WITH m AS (
@@ -958,7 +974,11 @@ object PipelineQueries {
     // by the watermark for the hashes to agree
     "st06_late_data_drop" ->
       s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev)
+         |-- Spark's event-time watermark truncates max event time to MILLIseconds
+         |-- before subtracting the delay; an untruncated max(ts) here could
+         |-- close an hour window Spark leaves open when max(ts) lands within
+         |-- 1 ms past a window-boundary + delay point
+         |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM ev)
          |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n
          |FROM ev, wm
@@ -969,7 +989,11 @@ object PipelineQueries {
     // the final watermark (max event time - 30 min)
     "st03_watermark_append" ->
       s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
-         |wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM ev)
+         |-- Spark's event-time watermark truncates max event time to MILLIseconds
+         |-- before subtracting the delay; an untruncated max(ts) here could
+         |-- close an hour window Spark leaves open when max(ts) lands within
+         |-- 1 ms past a window-boundary + delay point
+         |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM ev)
          |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
          |  event_type, COUNT(*) AS n
          |FROM ev, wm

@@ -24,6 +24,13 @@ object Q {
   /** events.ts is parquet timestamp[ns], which Spark reads only as a long
     * (nanosAsLong); convert to a microsecond timestamp like DuckDB's
     * CAST(ts AS TIMESTAMP) truncation.
+    *
+    * The conf.set is a DELIBERATE session-level set, not a withConf scope:
+    * the returned plan is lazy, and the parquet scan consults the conf
+    * again at action time — restoring it after the builder returns would
+    * make the later action throw on the ns-timestamp column. Entry points
+    * that mix this surface with other reads (Verify/Bench/ScaleSoak) set
+    * the conf globally up front for the same reason.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

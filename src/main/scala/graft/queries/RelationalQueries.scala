@@ -556,12 +556,12 @@ object RelationalQueries {
     "q07_window_topk" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
          |SELECT o_custkey, o_orderkey, o_totalprice,
-         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC NULLS FIRST) AS rn
          |FROM orders) WHERE rn <= 3
          |${orderSql("o_custkey", "o_orderkey", "o_totalprice", "rn")}""".stripMargin,
     "q08_window_running_sum" ->
       s"""SELECT o_custkey, o_orderkey,
-         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          |FROM orders ${orderSql("o_custkey", "o_orderkey", "running_total")}""".stripMargin,
     "q09_topk_orders" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -696,7 +696,7 @@ object RelationalQueries {
          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS near_total
          |FROM orders
          |WINDOW w AS (PARTITION BY o_custkey
-         |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |  ORDER BY datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) NULLS FIRST
          |  RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
          |${orderSql("o_custkey", "o_orderkey", "n_near", "near_total")}""".stripMargin,
     "q41_recursive_cte" ->
@@ -745,11 +745,11 @@ object RelationalQueries {
     "q20_session_window" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
          |f AS (SELECT user_id, ts,
-         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) >= INTERVAL 30 MINUTE
          |  THEN 1 ELSE 0 END AS ns FROM e),
          |g AS (SELECT user_id, ts,
-         |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST ROWS UNBOUNDED PRECEDING) AS sid
          |  FROM f)
          |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
          |COUNT(*) AS n_events
@@ -767,6 +767,11 @@ object RelationalQueries {
          |AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
          |AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
          |GROUP BY e.user_id ${orderSql("user_id", "n_errors_after_purchase")}""".stripMargin,
+    // tie contract: on right rows tied at (user_id, ts), Spark's AsOfJoin
+    // picks the max payload struct deterministically while DuckDB's ASOF
+    // keeps an arbitrary tied row — the compare is sound because purchase
+    // events are unique per (user_id, ns-timestamp) in the fixture (and in
+    // the soak's replicas, whose user ids are offset per replica)
     "q26_asof_join" ->
       s"""SELECT e.user_id AS user_id,
          |strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS error_ts,
@@ -783,7 +788,7 @@ object RelationalQueries {
          |CAST(ntile(4) OVER w AS INTEGER) AS quartile,
          |round(percent_rank() OVER w, 6) AS pr
          |FROM orders
-         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST)
          |${orderSql("o_custkey", "o_orderkey", "prev_order", "next_order", "quartile", "pr")}""".stripMargin,
     "q22_percentiles" ->
       s"""SELECT o_orderstatus,
