@@ -80,7 +80,9 @@ object Maw {
       // from_schemas behavior; the flag is accepted for CLI compatibility
       case "--reorder" :: t                => go(t, a)
       case "--no-headers" :: t             => go(t, a.copy(noHeaders = true))
-      case "--delimiter" :: v :: t         => go(t, a.copy(delimiter = v))
+      // accept the shell-literal "\t" spelling for a tab delimiter
+      case "--delimiter" :: v :: t         =>
+        go(t, a.copy(delimiter = if (v == "\\t") "\t" else v))
       case "--quote" :: v :: t             => go(t, a.copy(quote = v))
       case "--encoding" :: v :: t          => go(t, a.copy(encoding = v))
       case "--na" :: v :: t                => go(t, a.copy(naOut = v))

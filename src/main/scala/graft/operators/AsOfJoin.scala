@@ -43,8 +43,13 @@ object AsOfJoin {
     // stitch fields from DIFFERENT right rows whenever a payload value is
     // null, violating single-row-match ASOF semantics.
     val payloadType = right.select(struct(payloadCols.map(col): _*)).schema.head.dataType
-    // 0 = right (sorts first at equal ts => inclusive match), 1 = left
-    val taggedRight = right.select(
+    // 0 = right (sorts first at equal ts => inclusive match), 1 = left.
+    // NULL-ts right rows are dropped up front: `left_ts >= NULL` is never
+    // true under ASOF semantics, but asc-nulls-first ordering would sort
+    // them BEFORE every real row and make them the match for early left
+    // rows. (A NULL-ts left row then correctly gets a null payload — it
+    // sorts before all remaining right rows.)
+    val taggedRight = right.where(col(rightTs).isNotNull).select(
       (keyCols.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__tag") :+
         struct(payloadCols.map(col): _*).as("__p")) ++
         carryLeft.map(c => lit(null).as(c)): _*)

@@ -120,10 +120,6 @@ object CsvByteConcat {
     val bufBytes = sink.writerBufferBytes
     val outBase = sink.path.stripSuffix(".csv")
     val paths = files.map(_.path).zipWithIndex
-    // a previous run over MORE inputs leaves higher-numbered parts (or a
-    // stale single file) that --verify would glob back in — clear them
-    Sink.deleteStaleParts(hconf, sink.path, ".csv",
-      keepBelow = if (singleFile) 0 else paths.size)
     val headerBc = spark.sparkContext.broadcast(header)
     val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
     val csvOpts = cfg.csv
@@ -132,6 +128,14 @@ object CsvByteConcat {
     // Tasks rebuild the DRIVER's Hadoop Configuration from a broadcast
     // snapshot (SerializableConfiguration is private[spark]) so runtime
     // spark.hadoop.* settings / object-store credentials survive.
+    //
+    // COMMIT PROTOCOL: every task writes an ATTEMPT-UNIQUE file inside the
+    // temp dir and the driver promotes exactly the attempts it collected —
+    // never write a final path from a task. Writing final part names
+    // directly would (a) truncate an INPUT when output names overlap the
+    // inputs (chained concat of a previous run's rolled output is the
+    // advertised fast-path workflow), and (b) let a speculative/zombie
+    // duplicate attempt interleave bytes with the winner's stream.
     val results = spark.sparkContext
       .parallelize(paths, paths.size)
       .map { case (path, idx) =>
@@ -140,9 +144,9 @@ object CsvByteConcat {
         val inPath = new Path(path)
         val ifs = inPath.getFileSystem(conf)
         val inBytes = ifs.getFileStatus(inPath).getLen
-        val outPath =
-          if (singleFile) new Path(tmpDir, f"part-$idx%05d")
-          else new Path(f"$outBase%s-$idx%04d.csv")
+        val attemptName =
+          f"part-$idx%05d-a${org.apache.spark.TaskContext.get.taskAttemptId}%d"
+        val outPath = new Path(tmpDir, attemptName)
         val ofs = outPath.getFileSystem(conf)
         def withOut[A](f: OutputStream => A): A = {
           val o = new BufferedOutputStream(ofs.create(outPath, true), bufBytes)
@@ -166,30 +170,40 @@ object CsvByteConcat {
             finally in.close()
           }
         }
-        (idx, n, inBytes, (System.nanoTime() - t0) / 1e9)
+        (idx, attemptName, n, inBytes, (System.nanoTime() - t0) / 1e9)
       }
       .collect()
 
-    val total = results.map(_._2).sum
-    val bytesRead = results.map(_._3).sum
+    // PROMOTE: all new data is fully materialized in the temp dir before
+    // anything at the output paths is touched — the destructive window is
+    // the renames, not the whole copy. Stale-part cleanup runs AFTER, the
+    // same contract as Sink.promote.
+    val total = results.map(_._3).sum
+    val bytesRead = results.map(_._4).sum
+    val tfs = new Path(sink.path).getFileSystem(hconf)
+    Option(new Path(sink.path).getParent).foreach(tfs.mkdirs)
     val bytesWritten = if (singleFile) {
       // inherent single-writer step (same contract as coalesce(1)): stream
-      // header + part bodies into the one target file, in input order
-      val target = new Path(sink.path)
-      val tfs = target.getFileSystem(hconf)
-      Option(target.getParent).foreach(tfs.mkdirs)
-      val out = new BufferedOutputStream(tfs.create(target, true), bufBytes)
+      // header + part bodies into ONE merged temp file, in input order,
+      // then rename over the target
+      val merged = new Path(tmpDir, "merged")
+      val out = new BufferedOutputStream(tfs.create(merged, true), bufBytes)
       try {
         out.write(header); out.write(Lf.toInt)
-        results.sortBy(_._1).foreach { case (idx, _, _, _) =>
-          val p = new Path(tmpDir, f"part-$idx%05d")
-          val in = new BufferedInputStream(tfs.open(p), 1 << 20)
+        results.sortBy(_._1).foreach { case (_, name, _, _, _) =>
+          val in = new BufferedInputStream(tfs.open(new Path(tmpDir, name)), 1 << 20)
           try copyAll(in, out) finally in.close()
         }
       } finally out.close()
-      tfs.getFileStatus(target).getLen
+      Sink.replaceMove(tfs, merged, new Path(sink.path))
+      Sink.deleteStaleParts(hconf, sink.path, ".csv", keepBelow = 0)
+      tfs.getFileStatus(new Path(sink.path)).getLen
     } else {
-      val tfs = new Path(sink.path).getFileSystem(hconf)
+      results.foreach { case (idx, name, _, _, _) =>
+        Sink.replaceMove(tfs, new Path(tmpDir, name),
+          new Path(f"$outBase%s-$idx%04d.csv"))
+      }
+      Sink.deleteStaleParts(hconf, sink.path, ".csv", keepBelow = paths.size)
       paths.map { case (_, idx) =>
         tfs.getFileStatus(new Path(f"$outBase%s-$idx%04d.csv")).getLen
       }.sum
@@ -197,7 +211,7 @@ object CsvByteConcat {
     fs0.delete(new Path(tmpDir), true)
     // per-file completion records (the reference renders per-file progress
     // bars, progress.rs:6-197; batch-mode Spark reports them post-hoc)
-    val perFile = results.sortBy(_._1).map { case (idx, rows, inBytes, sec) =>
+    val perFile = results.sortBy(_._1).map { case (idx, _, rows, inBytes, sec) =>
       Map[String, Any]("path" -> files(idx).path, "rows" -> rows,
         "bytes" -> inBytes, "elapsed_sec" -> sec)
     }.toSeq

@@ -96,14 +96,22 @@ object ParquetByteConcat {
     val totalBytes = footers.map(_._3).sum
 
     val outBase = sink.path.stripSuffix(".parquet")
-    // clear parts (or a stale single file) a previous run left behind —
-    // --verify's read-back would silently glob them in
-    Sink.deleteStaleParts(hconf, sink.path, ".parquet",
-      keepBelow = if (sink.singleFile) 0 else files.size)
+    // COMMIT PROTOCOL (same as CsvByteConcat): write into a temp location
+    // first, promote by rename after everything is materialized, clean
+    // stale parts LAST. Writing the final paths directly would truncate a
+    // pre-existing output before the new one exists (single-file mode even
+    // truncated an INPUT when the output path was among the inputs), and
+    // rolled task writes would race speculative duplicate attempts.
+    val tmpDir = sink.path + ".bytes-out"
+    val outFs = new Path(sink.path).getFileSystem(hconf)
+    outFs.delete(new Path(tmpDir), true)
+    outFs.mkdirs(new Path(tmpDir))
+    Option(new Path(sink.path).getParent).foreach(outFs.mkdirs)
     val perFileSec: Seq[Double] = if (sink.singleFile) {
       // one output file = one writer (the reference's single-file contract);
       // sequential appendFile is storage-bound: no decode happens
-      val out = HadoopOutputFile.fromPath(new Path(sink.path), hconf)
+      val merged = new Path(tmpDir, "merged.parquet")
+      val out = HadoopOutputFile.fromPath(merged, hconf)
       val w = new ParquetFileWriter(out, schema,
         ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
       w.start()
@@ -113,32 +121,41 @@ object ParquetByteConcat {
         (System.nanoTime() - t0) / 1e9
       }
       w.end(footerMeta.asJava)
+      Sink.replaceMove(outFs, merged, new Path(sink.path))
+      Sink.deleteStaleParts(hconf, sink.path, ".parquet", keepBelow = 0)
       secs
     } else {
-      // one task per input file, written straight to deterministic final
-      // part names (idempotent overwrite, no committer round-trip); tasks
+      // one task per input file, written to an ATTEMPT-UNIQUE temp part
+      // (the driver promotes exactly the attempts it collected); tasks
       // rebuild the driver's Hadoop conf from a broadcast snapshot so
       // runtime spark.hadoop.* settings / store credentials survive
       val schemaStr = schema.toString
       val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
-      spark.sparkContext
+      val results = spark.sparkContext
         .parallelize(files.map(_.path).zipWithIndex, files.size)
         .map { case (path, idx) =>
           val t0 = System.nanoTime()
           val conf = HConf.restore(hconfBc.value)
           val sch = org.apache.parquet.schema.MessageTypeParser.parseMessageType(schemaStr)
-          val out = HadoopOutputFile.fromPath(
-            new Path(f"$outBase%s-$idx%04d.parquet"), conf)
+          val attemptName =
+            f"part-$idx%05d-a${org.apache.spark.TaskContext.get.taskAttemptId}%d.parquet"
+          val out = HadoopOutputFile.fromPath(new Path(tmpDir, attemptName), conf)
           val w = new ParquetFileWriter(out, sch,
             ParquetFileWriter.Mode.OVERWRITE, RowGroupSize, MaxPadding)
           w.start()
           w.appendFile(HadoopInputFile.fromPath(new Path(path), conf))
           w.end(footerMeta.asJava)
-          (idx, (System.nanoTime() - t0) / 1e9)
+          (idx, attemptName, (System.nanoTime() - t0) / 1e9)
         }
-        .collect().sortBy(_._1).map(_._2).toSeq
+        .collect()
+      results.foreach { case (idx, name, _) =>
+        Sink.replaceMove(outFs, new Path(tmpDir, name),
+          new Path(f"$outBase%s-$idx%04d.parquet"))
+      }
+      Sink.deleteStaleParts(hconf, sink.path, ".parquet", keepBelow = files.size)
+      results.sortBy(_._1).map(_._3).toSeq
     }
-    val outFs = new Path(sink.path).getFileSystem(hconf)
+    outFs.delete(new Path(tmpDir), true)
     val bytesWritten =
       if (sink.singleFile) outFs.getFileStatus(new Path(sink.path)).getLen
       else files.indices

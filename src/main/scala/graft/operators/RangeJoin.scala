@@ -33,6 +33,10 @@ object RangeJoin {
     */
   def bucketed(left: DataFrame, right: DataFrame, keyCols: Seq[String],
       t: String, start: String, end: String, granuleOf: Column => Column): DataFrame = {
+    // same contract as AsOfJoin's reserved names: a user column __g would
+    // be silently overwritten and then dropped from the output
+    require(!(left.columns ++ right.columns).contains("__g"),
+      "range join reserves column name __g")
     val l = left.withColumn("__g", granuleOf(col(t)))
     val r = right.withColumn("__g",
       explode(sequence(granuleOf(col(start)), granuleOf(col(end)))))

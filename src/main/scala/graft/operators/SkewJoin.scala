@@ -67,6 +67,10 @@ object SkewJoin {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int,
       tiebreak: Seq[String] = Nil): DataFrame = {
     require(salts > 0)
+    // same contract as AsOfJoin's reserved names: a user __salt column
+    // would be silently overwritten and dropped from the output
+    require(!(fact.columns ++ dim.columns).contains("__salt"),
+      "salted join reserves column name __salt")
     val saltedFact = fact.withColumn("__salt", saltCol(fact, key, salts, tiebreak))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
@@ -83,6 +87,8 @@ object SkewJoin {
   def twoPhaseAgg(df: DataFrame, key: String, salts: Int,
       partial: Seq[Column], merge: Seq[Column],
       tiebreak: Seq[String] = Nil): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "two-phase agg reserves column name __salt")
     val salted = df.withColumn("__salt", saltCol(df, key, salts, tiebreak))
     salted.groupBy(col(key), col("__salt"))
       .agg(partial.head, partial.tail: _*)

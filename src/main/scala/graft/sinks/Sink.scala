@@ -111,23 +111,37 @@ object Sink {
   }
 
   /** Re-read what [[write]] produced (single file or rolled `-NNNN` parts)
-    * — used by the CLI's `--verify` integrity check (S2).
+    * — used by the CLI's `--verify` integrity check (S2). Hadoop FS API,
+    * not java.io: the write supports any Hadoop filesystem, so verify must
+    * too. The rolled-part filter is the SAME 4-7-digit-index rule as
+    * [[deleteStaleParts]] — a looser glob would fold user sibling files
+    * (`out-backup.csv`, date-suffixed outputs) into the verification and
+    * fail a correct write.
     */
   def readBack(spark: org.apache.spark.sql.SparkSession, path: String,
       fmt: graft.sources.Discovery.Format, delimiter: String = ","): DataFrame = {
-    val f = new java.io.File(path)
+    import org.apache.hadoop.fs.{Path => HPath}
     val ext = fmt match {
       case graft.sources.Discovery.Csv     => ".csv"
       case graft.sources.Discovery.Parquet => ".parquet"
     }
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths: Seq[String] =
-      if (f.exists) Seq(path)
+      if (fs.exists(p) && fs.getFileStatus(p).isFile) Seq(path)
       else {
-        val baseName = new java.io.File(path.stripSuffix(ext)).getName
-        val parent = Option(f.getParentFile).getOrElse(new java.io.File("."))
-        Option(parent.listFiles).getOrElse(Array.empty)
-          .filter(p => p.getName.startsWith(baseName + "-") && p.getName.endsWith(ext))
-          .map(_.getPath).toSeq.sorted
+        val prefix = p.getName.stripSuffix(ext) + "-"
+        val parent = Option(p.getParent).getOrElse(new HPath("."))
+        val listed =
+          if (fs.exists(parent)) fs.listStatus(parent)
+          else Array.empty[org.apache.hadoop.fs.FileStatus]
+        listed.filter { st =>
+          val name = st.getPath.getName
+          st.isFile && name.startsWith(prefix) && name.endsWith(ext) && {
+            val idx = name.substring(prefix.length, name.length - ext.length)
+            idx.length >= 4 && idx.length <= 7 && idx.forall(_.isDigit)
+          }
+        }.map(_.getPath.toString).toSeq.sorted
       }
     require(paths.nonEmpty, s"no output found at $path")
     fmt match {
@@ -206,6 +220,15 @@ object Sink {
       fs.delete(p, false)
   }
 
+  /** Replace-on-rename move (rename does not replace on all filesystems).
+    * Shared by [[promote]] and the byte fast paths' promote steps.
+    */
+  private[graft] def replaceMove(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(src, dst), s"failed to promote $src to $dst")
+  }
+
   /** Move part files out of the Spark output directory to honor the
     * reference's file-path contract: one file at `path`, or rolled parts
     * `path-0000.ext`, `path-0001.ext`, ... (README.md:49-50).
@@ -228,17 +251,13 @@ object Sink {
       .map(_.getPath).sortBy(_.getName).toList
     val target = new HPath(cfg.path)
     Option(target.getParent).foreach(fs.mkdirs)
-    def move(src: HPath, dst: HPath): Unit = {
-      if (fs.exists(dst)) fs.delete(dst, false) // rename does not replace on all FS
-      require(fs.rename(src, dst), s"failed to promote $src to $dst")
-    }
     if (parts.size == 1 && cfg.singleFile) {
-      move(parts.head, target)
+      replaceMove(fs, parts.head, target)
       deleteStaleParts(hconf, cfg.path, ext, keepBelow = 0)
     } else {
       val base = cfg.path.stripSuffix(ext)
       parts.zipWithIndex.foreach { case (p, i) =>
-        move(p, new HPath(f"$base%s-$i%04d$ext%s"))
+        replaceMove(fs, p, new HPath(f"$base%s-$i%04d$ext%s"))
       }
       deleteStaleParts(hconf, cfg.path, ext, keepBelow = parts.size)
     }

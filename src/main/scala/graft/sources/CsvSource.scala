@@ -37,7 +37,16 @@ object CsvSource {
       // so Spark reads each file in one task — parallelism stays file-level,
       // which both byte fast paths use anyway); flip off for huge single
       // files known to be newline-free inside quotes
-      multiLine: Boolean = true)
+      multiLine: Boolean = true) {
+    // reference parity: delimiter and quote are single characters (the Rust
+    // csv crate takes a u8, csv_in.rs:23-43) — and the driver-side
+    // inference sampler parses with charAt(0), so a multi-char value would
+    // silently tokenize the sample differently from the Spark scan it
+    // resolves the schema for. Reject up front instead.
+    require(delimiter.length == 1,
+      s"delimiter must be a single character (got '$delimiter')")
+    require(quote.length == 1, s"quote must be a single character (got '$quote')")
+  }
 
   def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame =
     readPaths(spark, Seq(path), opts, Some(resolveSchema(spark, path, opts)))

@@ -64,17 +64,36 @@ object Discovery {
   private def classify(p: Path): Option[InputFile] =
     detectFormat(p.toString).map(f => InputFile(p.toString, f, Files.size(p)))
 
-  private def walk(root: Path, opts: Options): java.util.stream.Stream[Path] = {
-    val depth = if (opts.recursive) Int.MaxValue else 1
-    if (opts.followSymlinks)
-      Files.walk(root, depth, java.nio.file.FileVisitOption.FOLLOW_LINKS)
-    else Files.walk(root, depth)
+  /** Regular files under `root` (depth-bounded), in visit order.
+    * `walkFileTree` instead of `Files.walk`: a symlink cycle under
+    * FOLLOW_LINKS is SKIPPED via visitFileFailed where Files.walk's stream
+    * throws mid-iteration and aborts the whole discovery; and without
+    * followSymlinks, each file is classified by its own (link) attributes,
+    * so a file symlink is skipped exactly like the reference's WalkDir
+    * (walkdir without follow_links yields it as a symlink, not a file) —
+    * `Files.isRegularFile(p)` would follow it regardless of the flag.
+    */
+  private def regularFilesUnder(root: Path, opts: Options, depth: Int): Seq[Path] = {
+    import java.nio.file.{FileVisitOption, FileVisitResult, SimpleFileVisitor}
+    val out = scala.collection.mutable.ListBuffer.empty[Path]
+    val fvOpts =
+      if (opts.followSymlinks) java.util.EnumSet.of(FileVisitOption.FOLLOW_LINKS)
+      else java.util.EnumSet.noneOf(classOf[FileVisitOption])
+    Files.walkFileTree(root, fvOpts, depth, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes): FileVisitResult = {
+        if (attrs.isRegularFile) out += f
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE // unreadable entry or symlink loop: skip it
+    })
+    out.toList
   }
 
   private def walkDir(dir: Path, opts: Options): Seq[InputFile] = {
-    val stream = walk(dir, opts)
-    try stream.iterator().asScala.filter(Files.isRegularFile(_)).flatMap(classify).toList
-    finally stream.close()
+    val depth = if (opts.recursive) Int.MaxValue else 1
+    regularFilesUnder(dir, opts, depth).flatMap(classify)
   }
 
   private def expandGlob(pattern: String, opts: Options): Seq[InputFile] = {
@@ -101,9 +120,8 @@ object Discovery {
     if (!Files.isDirectory(parent)) return Nil
     // globs always search the full subtree (the pattern itself bounds depth,
     // discover.rs:132-139); only symlink behavior applies here
-    val stream = walk(parent, opts.copy(recursive = true))
     // match the raw path AND the parent-relative path: a bare-filename
-    // pattern like *.csv never matches the ./-prefixed paths Files.walk
+    // pattern like *.csv never matches the ./-prefixed paths the walk
     // yields ('*' does not cross '/'), so "graft '*.csv'" would find nothing
     def matches(f: java.nio.file.Path): Boolean =
       matcher.matches(f) || {
@@ -112,10 +130,8 @@ object Discovery {
         }
         relMatcher.matches(rel)
       }
-    try stream.iterator().asScala
-      .filter(f => Files.isRegularFile(f) && matches(f))
-      .flatMap(classify).toList
-    finally stream.close()
+    regularFilesUnder(parent, opts.copy(recursive = true), Int.MaxValue)
+      .filter(matches).flatMap(classify)
   }
 
   /** `-` input: spool stdin to a temp file (discover.rs:53-60 reads stdin

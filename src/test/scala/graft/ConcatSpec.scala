@@ -60,6 +60,29 @@ class ConcatSpec extends SparkSpec {
     }
   }
 
+  test("discovery: symlink loops are skipped, file symlinks honor --follow-symlinks") {
+    val d = tmpDir("symlinks")
+    writeFile(d, "real.csv", "k\n1\n")
+    writeFile(d, "elsewhere/target.csv", "k\n2\n")
+    Files.createSymbolicLink(d.resolve("link.csv"), d.resolve("elsewhere/target.csv"))
+    Files.createSymbolicLink(d.resolve("loop"), d) // cycle under FOLLOW_LINKS
+    def names(follow: Boolean) =
+      Discovery.discover(Seq(d.toString), Discovery.Options(followSymlinks = follow))
+        .map(f => Paths.get(f.path).getFileName.toString).toSet
+    // no-follow (default): the file symlink is a symlink, not a file —
+    // skipped like the reference's WalkDir without follow_links
+    assert(names(follow = false) == Set("real.csv", "target.csv"))
+    // follow: the symlinked file is ingested; the directory loop is skipped
+    // instead of aborting the walk with FileSystemLoopException
+    assert(names(follow = true).contains("link.csv"))
+  }
+
+  test("multi-char delimiter is rejected up front (inference samples with charAt(0))") {
+    intercept[IllegalArgumentException] { CsvSource.CsvOptions(delimiter = "||") }
+    // the CLI's literal backslash-t spelling maps to a real tab
+    assert(graft.cli.Maw.parse(Seq("in.csv", "--delimiter", "\\t")).delimiter == "\t")
+  }
+
   test("fileSchema forces nullability recursively (array elements written required)") {
     // spark.read reports asNullable schemas for file sources — including
     // array containsNull; a footer probe that only nulls top-level fields

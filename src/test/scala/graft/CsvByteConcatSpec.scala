@@ -269,6 +269,29 @@ class CsvByteConcatSpec extends SparkSpec {
     assert(Sink.readBack(spark, out, Discovery.Csv).count() == 1)
   }
 
+  test("chained concat of a previous run's rolled output preserves the inputs") {
+    // the output part names (out-0000.csv, ...) ARE the input names here:
+    // any write to a final path before the inputs are fully consumed would
+    // truncate the data being read (this held a real data-loss bug: stale-
+    // part cleanup ran before the read, deleting both inputs)
+    val d = tmpDir("bccChained")
+    val fs = (1 to 2).map(i => writeFile(d, s"src$i.csv", s"k,v\n$i,x$i\n"))
+    val rolled = d.resolve("out.csv").toString
+    Concat.convert(spark, Concat.Config(fs, rawPassThrough = true),
+      Sink.Config(rolled, Discovery.Csv, singleFile = false, preserveOrder = false))
+    val parts = Seq(d.resolve("out-0000.csv").toString, d.resolve("out-0001.csv").toString)
+    parts.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p))))
+    // chain 1: concat the rolled parts into a single file
+    val merged = d.resolve("merged.csv").toString
+    Concat.convert(spark, Concat.Config(parts, rawPassThrough = true),
+      Sink.Config(merged, Discovery.Csv, singleFile = true))
+    assert(Sink.readBack(spark, merged, Discovery.Csv).count() == 2)
+    // chain 2: re-roll ONTO the same part names (input == output paths)
+    Concat.convert(spark, Concat.Config(parts, rawPassThrough = true),
+      Sink.Config(rolled, Discovery.Csv, singleFile = false, preserveOrder = false))
+    assert(Sink.readBack(spark, rolled, Discovery.Csv).count() == 2)
+  }
+
   test("stale-part cleanup never touches sibling files outside the index regime") {
     val d = tmpDir("bccSibling")
     // 8-digit (date-suffixed) and overflow-length digit runs are user files,

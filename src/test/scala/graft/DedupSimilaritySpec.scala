@@ -252,6 +252,37 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out("c") == ((None, None)))              // key 2 has no right rows
   }
 
+  test("as-of join: NULL-timestamp right rows never match (ts >= NULL is never true)") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, java.lang.Long.valueOf(5L), "early"),
+      (1L, null.asInstanceOf[java.lang.Long], "nullts")).toDF("k", "t", "tag")
+    val right = Seq((1L, null.asInstanceOf[java.lang.Long], 111.0),
+      (1L, java.lang.Long.valueOf(10L), 222.0)).toDF("k", "rt", "v")
+    val out = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "rt", Seq("rt", "v"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("v")).map(_.toDouble)).toMap
+    // the NULL-rt row must not become the match for t=5 (no real row <= 5),
+    // and a NULL-t left row matches nothing
+    assert(out("early").isEmpty)
+    assert(out("nullts").isEmpty)
+  }
+
+  test("helpers reject user columns colliding with reserved names") {
+    import graft.operators.{RangeJoin, SkewJoin}
+    val withG = Seq((1L, 2L, 3L)).toDF("k", "t", "__g")
+    val plain = Seq((1L, 2L, 3L)).toDF("k", "s", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.bucketed(withG, plain, Seq("k"), "t", "s", "e", c => c)
+    }
+    val withSalt = Seq((1L, 2L)).toDF("k", "__salt")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(withSalt, plain, "k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.twoPhaseAgg(withSalt, "k", 4, Seq(count(lit(1)).as("c")), Seq(sum(col("c")).as("n")))
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import graft.operators.SkewJoin
     // 10k facts, 90% on one hot key
