@@ -134,14 +134,16 @@ object Bench {
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"queries_min_of_2_conversions_best_of_3","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
-    // persist the metrics as their own artifact FIRST: the driver's 2000-char
-    // tail capture is best-effort, and a file survives truncation, prefixing
-    // by the sbt logger, and the length-regression throw below
+    // two independent persistence channels: stdout (the driver's 2000-char
+    // tail capture) and a file artifact that survives truncation/prefixing
+    // by the sbt logger. Print FIRST and Try the write — an unwritable
+    // SPARK_GRAFT_BENCH_OUT must not cost the stdout line too.
+    println(line)
     val artifact = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_PARSED.json"))
-    java.nio.file.Files.write(artifact,
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(line)
+    scala.util.Try(java.nio.file.Files.write(artifact,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .failed.foreach(e => System.err.println(s"bench: artifact write to $artifact failed: $e"))
     // a length regression must not cost the round's numbers: the line is
     // already printed AND on disk by the time this fires
     require(line.length < 1900, s"bench JSON line ${line.length} chars (would be truncated " +
@@ -150,10 +152,8 @@ object Bench {
     spark.stop()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 
   private def fileBytes(path: String): Long = {
     val f = new java.io.File(path)

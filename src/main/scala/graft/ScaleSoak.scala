@@ -56,9 +56,14 @@ object ScaleSoak {
     // replica stride (10^7) must clear base ids + the in-query +10^6
     // mutation offset, or replica r's mutated ids collide with replica
     // r+1's base range and every pair query re-expands on duplicate ids
-    val maxId = math.max(
+    // the guard must cover EVERY id family the replicas offset — events'
+    // event_id/user_id stride by the same 10^7 below
+    val evIds = spark.read.parquet(s"$base/events.parquet")
+      .agg(max("event_id"), max("user_id")).head
+    val maxId = Seq(
       docs.agg(max("doc_id")).head.getLong(0),
-      emb.agg(max("vec_id")).head.getLong(0))
+      emb.agg(max("vec_id")).head.getLong(0),
+      evIds.getLong(0), evIds.getLong(1)).max
     require(maxId + 1000000L < 10000000L,
       s"base ids reach $maxId — raise the replica stride above 10^7")
     val docParts = (0 until scale).map { r =>
@@ -97,8 +102,11 @@ object ScaleSoak {
         col("event_type"), col("value"), col("props"))
     }
     val evTmp = dir.resolve("events_parts")
+    // repartition(1), NOT coalesce(1): coalesce folds the whole 64-replica
+    // read+projection into the single output task; the shuffle barrier
+    // keeps the upstream parallel and serializes only the final write
     evParts.reduce(_ unionByName _)
-      .coalesce(1).write.mode("overwrite").parquet(evTmp.toString)
+      .repartition(1).write.mode("overwrite").parquet(evTmp.toString)
     val part = scala.util.Using.resource(java.nio.file.Files.list(evTmp)) { s =>
       s.filter(p => p.getFileName.toString.startsWith("part-")
         && p.getFileName.toString.endsWith(".parquet")).findFirst.get
@@ -182,8 +190,6 @@ object ScaleSoak {
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.util.Fs.deleteRecursively(f)
 }

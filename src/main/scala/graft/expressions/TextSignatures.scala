@@ -33,8 +33,19 @@ object Hash64 {
     mix(h)
   }
 
+  /** THE whitespace contract for every oracle-checked tokenizer: exactly
+    * RE2's `\s` = `[\t\n\f\r ]`, because the DuckDB oracles split on
+    * `regexp_split_to_array(..., '\s+')`. Deliberately NOT
+    * `Character.isWhitespace` (adds `\x0B`, `\x1C`-`\x1F`, U+2028...) and
+    * NOT Java regex `\s` (adds `\x0B`) — either superset would tokenize a
+    * document containing those characters differently from the oracle and
+    * break the hash-match gate.
+    */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   /** Whitespace-token hashes of a UTF8 string (matches the semantics of
-    * `split(trim(text), "\\s+")`: empty tokens dropped).
+    * `regexp_split_to_array(trim(text), '\\s+')`: empty tokens dropped).
     */
   def tokenHashes(s: UTF8String): Array[Long] = {
     val b = s.getBytes
@@ -43,7 +54,7 @@ object Hash64 {
     var start = -1
     while (i <= b.length) {
       val ws = i == b.length || b(i) == ' ' || b(i) == '\t' || b(i) == '\n' ||
-        b(i) == '\r' || b(i) == '\f' || b(i) == 0x0b
+        b(i) == '\r' || b(i) == '\f'
       if (ws) {
         if (start >= 0) { out += bytes(b, start, i); start = -1 }
       } else if (start < 0) start = i
@@ -102,7 +113,7 @@ case class ShingleStrings(child: Expression, n: Int)
     var i = 0
     var start = -1
     while (i <= s.length) {
-      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      val ws = i == s.length || Hash64.isWs(s.charAt(i))
       if (ws) {
         if (start >= 0) { toks += s.substring(start, i); start = -1 }
       } else if (start < 0) start = i
@@ -240,7 +251,7 @@ object PortableHash {
     var i = 0
     var start = -1
     while (i <= s.length) {
-      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      val ws = i == s.length || Hash64.isWs(s.charAt(i))
       if (ws) {
         if (start >= 0) { out += s.substring(start, i); start = -1 }
       } else if (start < 0) start = i

@@ -63,7 +63,8 @@ object TextStats {
     while (i < n) {
       val c = text.charAt(i)
       nChars += 1
-      val isWs = Character.isWhitespace(c)
+      // RE2-\s contract shared with every oracle-checked tokenizer
+      val isWs = Hash64.isWs(c)
       if (isWs) { endToken(); inLetters = false; inDigits = false }
       else {
         sb.append(c)

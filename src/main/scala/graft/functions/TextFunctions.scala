@@ -16,9 +16,12 @@ object TextFunctions {
 
   /** Whitespace tokens, empty-safe. HOF formulation — kept for the
     * array-HOF showcase query; hot paths should prefer [[tokensFast]].
+    * The explicit class is RE2's `\s` ([[graft.expressions.Hash64.isWs]]):
+    * Java regex `\s` additionally matches `\x0B`, which would tokenize
+    * differently from the DuckDB `'\s+'` oracles.
     */
   def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+    filter(split(trim(c), "[ \\t\\n\\f\\r]+"), t => length(t) > lit(0))
 
   /** Whitespace tokens via the tight-loop shingle expression (n=1 word
     * shingles ARE the tokens). The `filter(split(...))` HOF chain is
@@ -35,7 +38,8 @@ object TextFunctions {
     * byte-pair-encoded length, useful for token-budget accounting).
     */
   def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
+    // explicit RE2-\s class, same contract as [[tokens]]
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("int")
 
   /** Characters that are ASCII punctuation, as a ratio of all characters. */
   def punctRatio(c: Column): Column = {

@@ -68,16 +68,8 @@ object PipelineQueries {
     deleteRecursively(tmp)
   }
 
-  /** Depth-first delete of a temp tree (streams closed, missing files ok). */
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    if (java.nio.file.Files.exists(root))
-      Using.resource(java.nio.file.Files.walk(root)) { st =>
-        st.iterator().asScala.toList.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-  }
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    graft.util.Fs.deleteRecursively(root)
 
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -735,8 +727,14 @@ object PipelineQueries {
          |sig0 AS (SELECT doc_id,
          |  SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE 0 END) AS s
          |  FROM votes GROUP BY doc_id),
-         |sig AS (SELECT d.doc_id, CAST(COALESCE(s, 0) AS BIGINT) AS s
-         |  FROM (SELECT doc_id FROM docs) d LEFT JOIN sig0 USING (doc_id))
+         |-- NULL text -> NULL sig, matching SimHashMd5's null propagation
+         |-- (a NULL-sig doc pairs with NOTHING — the hamming filter drops
+         |-- NULL); only an EMPTY-token doc coalesces to sig 0. COALESCE(s,0)
+         |-- for NULL text would instead alias NULL-text docs onto the
+         |-- empty-doc signature and emit pairs Spark never produces.
+         |sig AS (SELECT d.doc_id,
+         |  CASE WHEN d.text IS NOT NULL THEN CAST(COALESCE(s, 0) AS BIGINT) END AS s
+         |  FROM (SELECT doc_id, text FROM docs) d LEFT JOIN sig0 USING (doc_id))
          |SELECT a.doc_id AS idA, b.doc_id AS idB,
          |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

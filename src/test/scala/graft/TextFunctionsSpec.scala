@@ -90,4 +90,26 @@ class TextFunctionsSpec extends SparkSpec {
     val short = one[Seq[Long]](TF.shingleHashes($"t", 3), "a b").length
     assert(short == 1) // whole-doc shingle
   }
+
+  test("whitespace contract is exactly RE2 \\s across every tokenizer family") {
+    // DuckDB's regexp_split_to_array('\s+') splits ONLY on [\t\n\f\r ]
+    // (probed empirically): \x0B, \x1C-\x1F, U+2028, U+00A0 are TOKEN
+    // characters there. Java's Character.isWhitespace and Java-regex \s
+    // disagree on those — any tokenizer using them breaks oracle parity
+    // on such input. This doc splits into 3 tokens iff only the space and
+    // \t act as separators.
+    val text = "a\u000Bb\tc\u001Cd\u2028e f\u00A0g"
+    val expected = Seq("a\u000Bb", "c\u001Cd\u2028e", "f\u00A0g")
+    assert(one[scala.collection.Seq[String]](TF.tokens($"t"), text).toSeq == expected)
+    assert(graft.expressions.PortableHash.tokenize(text).toSeq == expected)
+    assert(graft.expressions.Hash64.tokenHashes(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)).length == 3)
+    assert(one[Int](TF.tokenCount($"t"), text) == 3)
+    val stats = Seq(text).toDF("t").select(TF.textStats($"t").as("s"))
+      .select($"s.n_tokens", $"s.bpe").head()
+    assert(stats.getInt(0) == 3)
+    // bpe: letter runs a,b,c,d,e,f,g (7) + symbols VT, FS, LS, NBSP (4)
+    assert(stats.getInt(1) == 11)
+    assert(one[Int](TF.bpeTokenCount($"t"), text) == 11)
+  }
 }
