@@ -49,25 +49,33 @@ object TextStats {
     var i = 0
     val n = text.length
     var nChars = 0
+    var tokCp = 0 // current token length in CODEPOINTS (see below)
     def endToken(): Unit = if (sb.length > 0) {
       nTokens += 1
-      tokenLenSum += sb.length
+      tokenLenSum += tokCp
       val w = sb.toString.toLowerCase
       if (EnStop.contains(w)) stopEn += 1
       if (EnLang.contains(w)) langEn += 1
       if (EsStop.contains(w)) stopEs += 1
       if (DeStop.contains(w)) stopDe += 1
       if (FrStop.contains(w)) stopFr += 1
-      sb.setLength(0)
+      sb.setLength(0); tokCp = 0
     }
+    // walk by CODEPOINT, not UTF-16 unit: DuckDB's length()/regex counts
+    // codepoints, so a per-unit walk counts every astral char (emoji,
+    // supplementary CJK) twice in n_chars/token_len_sum and counts its two
+    // surrogates as two bpe "symbols" — a confirmed oracle divergence on
+    // emoji-bearing documents
     while (i < n) {
-      val c = text.charAt(i)
+      val c = text.codePointAt(i)
       nChars += 1
-      // RE2-\s contract shared with every oracle-checked tokenizer
-      val isWs = Hash64.isWs(c)
+      // RE2-\s contract shared with every oracle-checked tokenizer (all
+      // RE2-\s chars are BMP, so the Char overload is safe here)
+      val isWs = c <= 0xFFFF && Hash64.isWs(c.toChar)
       if (isWs) { endToken(); inLetters = false; inDigits = false }
       else {
-        sb.append(c)
+        sb.appendCodePoint(c)
+        tokCp += 1
         val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
         val isDigit = c >= '0' && c <= '9'
         // BPE-ish: a letter run, a digit run, or a lone symbol each count once
@@ -77,7 +85,7 @@ object TextStats {
         if (c >= '!' && c <= '~' && !isLetter && !isDigit) punct += 1
         if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
       }
-      i += 1
+      i += Character.charCount(c)
     }
     endToken()
     new GenericInternalRow(Array[Any](nChars, nTokens, tokenLenSum, punct, cjk, bpe,

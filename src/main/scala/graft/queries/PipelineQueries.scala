@@ -580,7 +580,11 @@ object PipelineQueries {
          |            ELSE 0.0 END) * 0.3
          |    + (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END) * 5.0, 1.0)) * 0.2
          |    + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_en / CAST(n_tokens AS DOUBLE) END) * 5.0, 1.0) * 0.2 AS raw,
-         |  CASE WHEN cjk / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.05 THEN 'zh'
+         |  -- NULL text: every vote is NULL, so every WHEN would be falsy and
+         |  -- the CASE would fall through to the ELSE ('fr'); Spark's fold on
+         |  -- a NULL stats struct lands in the 'und' otherwise-branch instead
+         |  CASE WHEN n_chars IS NULL THEN 'und'
+         |       WHEN cjk / CAST(greatest(n_chars, 1) AS DOUBLE) > 0.05 THEN 'zh'
          |       WHEN greatest(lang_en, stop_es, stop_de, stop_fr) = 0 THEN 'und'
          |       WHEN lang_en >= stop_es AND lang_en >= stop_de AND lang_en >= stop_fr THEN 'en'
          |       WHEN stop_es >= stop_de AND stop_es >= stop_fr THEN 'es'
@@ -683,7 +687,11 @@ object PipelineQueries {
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
          |  FROM docs),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
+         |  -- Spark fallback shingle for a zero-token doc is '' — without it
+         |  -- every empty/whitespace-only doc loses its shingle and the
+         |  -- J=1 clique among such docs silently vanishes from the oracle
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
          |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          |  END AS s FROM tk),
@@ -753,7 +761,11 @@ object PipelineQueries {
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
          |  FROM docs),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
+         |  -- Spark fallback shingle for a zero-token doc is '' — without it
+         |  -- every empty/whitespace-only doc loses its shingle and the
+         |  -- J=1 clique among such docs silently vanishes from the oracle
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
          |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          |  END AS s FROM tk),
@@ -802,7 +814,11 @@ object PipelineQueries {
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
          |  FROM docs),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
+         |  -- Spark fallback shingle for a zero-token doc is '' — without it
+         |  -- every empty/whitespace-only doc loses its shingle and the
+         |  -- J=1 clique among such docs silently vanishes from the oracle
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
          |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          |  END AS s FROM tk),
@@ -832,7 +848,11 @@ object PipelineQueries {
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
          |  FROM docs),
          |sh AS (SELECT doc_id,
-         |  CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
+         |  -- Spark fallback shingle for a zero-token doc is '' — without it
+         |  -- every empty/whitespace-only doc loses its shingle and the
+         |  -- J=1 clique among such docs silently vanishes from the oracle
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
          |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
          |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
          |  END AS s FROM tk),
@@ -917,7 +937,12 @@ object PipelineQueries {
          |         unnest(range(0, 4)) AS frame_idx
          |  FROM b)
          |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-         |  CAST(least(16, greatest(len - frame_idx * stride, 0)) AS INTEGER) AS frame_bytes
+         |  -- NULL text -> NULL frames on the Spark side (substr of a NULL
+         |  -- payload); DuckDB's greatest/least SKIP nulls and would coerce
+         |  -- to 0, so the NULL must be preserved explicitly
+         |  CAST(CASE WHEN len IS NOT NULL
+         |    THEN least(16, greatest(len - frame_idx * stride, 0))
+         |  END AS INTEGER) AS frame_bytes
          |FROM f ${orderSql("media_id", "frame_idx", "frame_bytes")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,

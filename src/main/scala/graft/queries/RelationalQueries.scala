@@ -626,7 +626,12 @@ object RelationalQueries {
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
          |  FROM documents)
          |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
-         |COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER), 0) AS sum_token_len,
+         |-- empty list: list_sum([]) is NULL where Spark's aggregate seeds 0
+         |-- -> COALESCE; but NULL text must STAY NULL (Spark's aggregate
+         |-- over a NULL array is NULL), so the COALESCE is gated on toks
+         |CAST(CASE WHEN toks IS NOT NULL
+         |  THEN COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+         |END AS INTEGER) AS sum_token_len,
          |CAST(list_max(list_transform(toks, x -> length(x))) AS INTEGER) AS max_token_len,
          |CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct_tokens
          |FROM d ${orderSql("doc_id")}""".stripMargin,

@@ -1,0 +1,49 @@
+import pyarrow as pa, pyarrow.parquet as pq, os
+
+import sys
+src = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+dst = sys.argv[2] if len(sys.argv) > 2 else '/tmp/sfhostile'
+t = pq.read_table(os.path.join(src, 'documents.parquet'))
+base = t.to_pydict()
+maxid = max(base['doc_id'])
+hostile = [
+    # exotic whitespace that is NOT RE2 \s: VT, FS/GS/RS/US, LS, PS, NBSP, thin space
+    "alpha\u000Bbeta gamma\tdelta",
+    "one\u001Ctwo\u001Dthree\u001Efour\u001Ffive six",
+    "para\u2028break\u2029here\u00A0nbsp and\u2009thin space",
+    # pure RE2 whitespace mixes
+    "a\f\rb\n\nc  \t d",
+    # empty / whitespace-only / null
+    "", "   ", "\t\n\f\r ", None,
+    # unicode: CJK (no spaces), emoji, accents, RTL scripts
+    "你好世界这是一个测试文档没有空格",
+    "emoji \U0001F600 test \U0001F389 done",
+    "café résumé naïve",
+    "שלום hello مرحبا world",
+    # quotes/commas/newlines/backslashes
+    'he said "quote, with, commas"\nand a\\backslash',
+    # repeated tokens, single long token
+    "dup dup dup dup dup dup dup dup dup dup",
+    "x" * 300,
+    # exactly at d10 window boundaries (64-char window, 32 stride)
+    "y" * 64, "z" * 63, "w" * 96,
+    # planted near-dup pair among the new docs
+    "key agg row scan slow fast table value part hash join order window",
+    "agg row scan slow fast table value part hash join order window end",
+    # stopword-heavy and digit/symbol-heavy
+    "the a an and or of to in is it the a an and",
+    "123 456 789 !!! ### $$$ 0.5 -3 1e9",
+]
+langs = ['en', 'es', 'de', 'fr', 'zh']
+for i, txt in enumerate(hostile):
+    base['doc_id'].append(maxid + 1 + i)
+    base['text'].append(txt)
+    base['lang'].append(langs[i % 5])
+    base['source'].append('hostile')
+    base['n_chars'].append(len(txt) if txt is not None else None)
+
+schema = pa.schema([('doc_id', pa.int64()), ('text', pa.string()),
+                    ('lang', pa.string()), ('source', pa.string()),
+                    ('n_chars', pa.int64())])
+pq.write_table(pa.table(base, schema=schema), os.path.join(dst, 'documents.parquet'))
+print('wrote', len(base['doc_id']), 'docs')
