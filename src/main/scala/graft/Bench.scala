@@ -29,6 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.util.FixtureSchemas.banner(spark, sfDir, "bench")
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime()

@@ -94,7 +94,8 @@ object ScaleSoak {
     // timestamps kept (same event-time windows at every scale). The st
     // queries stream `$dir/events.parquet` as a FILE via pathGlobFilter,
     // so the replica is coalesced to one part and moved to that name.
-    // (Read under nanosAsLong — set in main — so ts round-trips as long.)
+    // (ts passes through untyped here; the st queries normalize it
+    // adaptively — Q.normalizeTs — whatever the fixture vintage wrote.)
     val ev = spark.read.parquet(s"$base/events.parquet")
     val evParts = (0 until scale).map { r =>
       ev.select((col("event_id") + lit(r * 10000000L)).as("event_id"), col("ts"),
@@ -128,8 +129,8 @@ object ScaleSoak {
     sys.props("graft.bench.skipOrder") = "1" // measure operators, not the oracle sort
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // events.ts is timestamp[ns]: read as long nanos, like Verify/Bench
-      // do (the st queries expect it — they convert via timestamp_micros)
+      // old fixtures wrote events.ts as timestamp[ns]; reading those needs
+      // nanosAsLong (no-op on the current timestamp[us] fixture)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

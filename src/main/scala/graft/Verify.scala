@@ -11,10 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.ts is timestamp[ns]
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // old ns-ts fixtures; no-op on us
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.FixtureSchemas.banner(spark, sfDir, "verify")
     new java.io.File(outDir).mkdirs()
     // oracle_sql.json FIRST — it depends on nothing from the query loop, and
     // a driver wall-clock kill mid-loop must lose only the unfinished tail,

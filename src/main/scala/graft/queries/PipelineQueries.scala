@@ -403,7 +403,6 @@ object PipelineQueries {
     // against the DuckDB oracle
     "st02_stateful_counts" -> ((s, dir) => withShufflePartitions(s, 8) {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -430,12 +429,10 @@ object PipelineQueries {
     // after the last file flushes the closed state, which is what makes the
     // output deterministic and equal to the batch-computable oracle.
     "st03_watermark_append" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val agg = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = normalizeTs(stream)
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -450,7 +447,6 @@ object PipelineQueries {
     // (user_id, event_type) survives exactly once across micro-batches,
     // equal to the batch DISTINCT the oracle computes
     "st04_streaming_dedup" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -473,13 +469,13 @@ object PipelineQueries {
     // the SAME user's duplicates cross the micro-batch boundary and must be
     // caught by the state store, not intra-batch dedup.
     "st05_streaming_dedup_watermark" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      // normalize BEFORE the split: the parity is on the microsecond value,
+      // which exists for every fixture vintage after normalizeTs
+      val ev = normalizeTs(s.read.parquet(s"$dir/events.parquet"))
       val srcDir = java.nio.file.Files.createTempDirectory("st05_src")
-      addStreamFile(ev.where(pmod(col("ts"), lit(2)) === 0), srcDir, "f1")
+      addStreamFile(ev.where(pmod(unix_micros(col("ts")), lit(2)) === 0), srcDir, "f1")
       val stream = s.readStream.schema(ev.schema).parquet(srcDir.toString)
       val deduped = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "35 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
@@ -488,7 +484,7 @@ object PipelineQueries {
         .queryName(sinkName).start()
       try {
         q.processAllAvailable() // batch 1; watermark = max(f1 ts) - 35d < min(ts)
-        addStreamFile(ev.where(pmod(col("ts"), lit(2)) === 1), srcDir, "f2")
+        addStreamFile(ev.where(pmod(unix_micros(col("ts")), lit(2)) === 1), srcDir, "f2")
         q.processAllAvailable() // batch 2: cross-batch dups hit live state
       } finally { q.stop(); deleteRecursively(srcDir) }
       ordered(s.table(sinkName))
@@ -501,13 +497,11 @@ object PipelineQueries {
     // final flush and break the hash against the batch oracle, which only
     // sees the original events.
     "st06_late_data_drop" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = s.read.parquet(s"$dir/events.parquet")
+      val ev = normalizeTs(s.read.parquet(s"$dir/events.parquet"))
       val srcDir = java.nio.file.Files.createTempDirectory("st06_src")
       addStreamFile(ev, srcDir, "f1")
       val stream = s.readStream.schema(ev.schema).parquet(srcDir.toString)
       val agg = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "30 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -518,22 +512,20 @@ object PipelineQueries {
         .queryName(sinkName).start()
       try {
         q.processAllAvailable() // watermark = max(ts) - 30 min
-        // 30 days = 2_592_000_000_000_000 ns: every replay predates the watermark
-        addStreamFile(ev.withColumn("ts", col("ts") - lit(2592000000000000L)), srcDir, "f2")
+        // every replay is 30 days early: far below the watermark
+        addStreamFile(ev.withColumn("ts", col("ts") - expr("INTERVAL 30 DAYS")), srcDir, "f2")
         q.processAllAvailable() // late rows dropped; no-data batch flushes
       } finally { q.stop(); deleteRecursively(srcDir) }
       ordered(s.table(sinkName))
     }),
     // ---- structured streaming (memory sink, drained synchronously) ----
     "st01_streaming_hourly" -> ((s, dir) => withShufflePartitions(s, 8) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // file-source wants a directory; select the one file via glob filter
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir)
-      val agg = stream
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = normalizeTs(stream)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))

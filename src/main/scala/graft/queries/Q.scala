@@ -21,21 +21,38 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet timestamp[ns], which Spark reads only as a long
-    * (nanosAsLong); convert to a microsecond timestamp like DuckDB's
-    * CAST(ts AS TIMESTAMP) truncation.
+  /** Normalize an events frame's `ts` column to TimestampType, ADAPTIVELY —
+    * the fixture's physical type has changed across driver regenerations
+    * (timestamp[ns] through round 6, timestamp[us] from round 7) and a
+    * hard-coded assumption cost nine queries once:
+    *   - LongType (a ns file read under `nanosAsLong`): truncate to micros,
+    *     exactly DuckDB's CAST(ts AS TIMESTAMP);
+    *   - TimestampNTZType (a us file, `isAdjustedToUTC=false`): reinterpret
+    *     in the session timezone — every entry point pins
+    *     `spark.sql.session.timeZone=UTC`, so the wall-clock value (and
+    *     therefore every window/format/oracle comparison) is unchanged;
+    *   - TimestampType: already there.
+    * Schema-driven, so it works on batch AND streaming frames.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+  }
+
+  /** The events table with `ts` normalized (see [[normalizeTs]]).
     *
     * The conf.set is a DELIBERATE session-level set, not a withConf scope:
     * the returned plan is lazy, and the parquet scan consults the conf
     * again at action time — restoring it after the builder returns would
-    * make the later action throw on the ns-timestamp column. Entry points
-    * that mix this surface with other reads (Verify/Bench/ScaleSoak) set
-    * the conf globally up front for the same reason.
+    * make a later action throw on an old ns-timestamp fixture. On a us
+    * fixture the conf is a no-op. Entry points that mix this surface with
+    * other reads (Verify/Bench/ScaleSoak) set it globally up front for the
+    * same reason.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = t(s, dir, "events")
-    e.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, dir, "events"))
   }
 
   /** Exact-accumulation sum of a double expression: order-independent.

@@ -155,7 +155,6 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")))),
     // JSON property extraction + aggregation
     "q16_json_extract" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       ordered(t(s, dir, "events")
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy("event_type")
@@ -491,7 +490,6 @@ object RelationalQueries {
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val m = from_json(col("props"), MapType(StringType, LongType))
       ordered(t(s, dir, "events")
         .select(col("event_type"), explode(m))

@@ -47,8 +47,9 @@ class ConcatSpec extends SparkSpec {
   }
 
   test("fileSchema footer read matches spark.read for every fixture table") {
-    // includes events.parquet (timestamp[ns] -> nanosAsLong long) — the
-    // conf-sensitive case the converter must resolve like spark.read does
+    // includes events.parquet — historically timestamp[ns], which under
+    // nanosAsLong resolves to long; currently timestamp[us] -> TIMESTAMP_NTZ.
+    // Either way the footer read must resolve it exactly like spark.read
     val dir = "/root/testdata/sf0.001"
     for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")) {

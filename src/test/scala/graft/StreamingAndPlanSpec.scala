@@ -199,8 +199,8 @@ class StreamingAndPlanSpec extends SparkSpec {
       "late replayed rows leaked into the append output")
     // batch expectation: hourly counts over the original events, windows
     // whose end <= max(ts) - 30 min
-    val ev = sf("events")
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val ev = graft.queries.Q.normalizeTs(sf("events"))
+      .select(col("ts"), col("event_type"))
     val wmMs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime - 30 * 60 * 1000
     val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
