@@ -110,34 +110,50 @@ object Similarity {
     * `approx` against the `exact` (query_id, neighbor_id) ranking, thrown
     * on regression so a recall collapse surfaces as a hard `err` in the
     * correctness gate instead of a silently-green rows-only row. Returns
-    * `approx` unchanged so it chains into the query result.
+    * `approx` with a per-query `recall` column appended — the MEASURED
+    * quality persists into the verify artifact, so the driver's rows-only
+    * record carries the number itself, not just "the 0.9 gate didn't throw".
     */
   def requireRecall(approx: DataFrame, exact: DataFrame, minRecall: Double,
       what: String): DataFrame = {
     // Both inputs are full ANN/brute-force pipelines; without caching, the
-    // gate's two count actions plus the caller consuming the returned frame
-    // would recompute them three times over. Both top-k results are tiny
+    // gate's actions plus the caller consuming the returned frame would
+    // recompute them several times over. Both top-k results are tiny
     // (queries x k rows, bounded by construction), so: persist for the
-    // gate's actions, then materialize the approx rows driver-side as a
+    // gate's actions, then materialize the annotated rows driver-side as a
     // local relation and unpersist BOTH — no cached frames outlive the call
     // (each s02/s03 invocation used to strand one in long-lived sessions).
     val a = approx.persist()
     val truth = exact.select("query_id", "neighbor_id").persist()
     try {
-      val hits = a.select("query_id", "neighbor_id")
-        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
-      val total = truth.count()
-      val recall = if (total == 0) 1.0 else hits.toDouble / total
-      require(recall >= minRecall,
-        f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
-      // collect through a fresh no-op projection, NOT a.collect(): a caller
-      // that already forced a.queryExecution (e.g. for a plan assert) pinned
-      // a physical plan WITHOUT the cache substitution, and collecting
-      // through it would recompute the whole ANN pipeline a second time; a
-      // new Dataset builds a new QueryExecution that reads the cache
-      val rows = a.select(a.columns.map(col).toIndexedSeq: _*).collect()
-      a.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), a.schema)
+      // per-query recall (queries-many rows): drives both the emitted
+      // column and, summed, the global gate
+      val hitsPerQ = a.select("query_id", "neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val recallDf = truth.groupBy("query_id").agg(count(lit(1)).as("total"))
+        .join(hitsPerQ, Seq("query_id"), "left")
+        .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"), col("total"),
+          round(coalesce(col("hits"), lit(0L)).cast("double") / col("total"), 6).as("recall"))
+        .persist()
+      try {
+        val agg = recallDf.agg(sum("hits"), sum("total")).head()
+        val (hits, total) = (agg.getLong(0), agg.getLong(1))
+        val recall = if (total == 0) 1.0 else hits.toDouble / total
+        require(recall >= minRecall,
+          f"$what recall@k regressed: $recall%.3f < $minRecall%.2f vs the exact ranking")
+        // collect through a fresh Dataset (the join), NOT a.collect(): a
+        // caller that already forced a.queryExecution (e.g. for a plan
+        // assert) pinned a physical plan WITHOUT the cache substitution,
+        // and collecting through it would recompute the whole ANN pipeline
+        // a second time; a new Dataset builds a new QueryExecution that
+        // reads the cache
+        val annotated = a.join(broadcast(recallDf.select("query_id", "recall")),
+          Seq("query_id"), "left")
+        val rows = annotated.collect()
+        a.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), annotated.schema)
+      } finally recallDf.unpersist()
     } finally { truth.unpersist(); a.unpersist() }
   }
 

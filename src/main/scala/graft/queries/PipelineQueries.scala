@@ -12,8 +12,9 @@ import Q._
   * Jaccard / embedding), similarity search (brute-force + LSH ANN),
   * multimodal columns, streaming. SQL-expressible ones carry DuckDB oracles
   * (including the minhash/simhash pairs via the engine-portable md5
-  * signature family); only HLL (q17) and the recall-gated ANN paths
-  * (s02/s03/s05) take the driver's rows-only check.
+  * signature family); only the recall-gated ANN paths (s02/s03/s05) take
+  * the driver's rows-only check, and those persist their measured per-query
+  * recall as an output column so the artifact pins the quality number.
   */
 object PipelineQueries {
 

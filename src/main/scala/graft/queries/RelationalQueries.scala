@@ -159,11 +159,22 @@ object RelationalQueries {
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast(LongType).as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))) }),
-    // approximate distinct (HLL) — rows-only check (approx is engine-specific)
+    // approximate distinct (HLL++): the raw estimate is engine-specific, so
+    // the oracle-checkable contract is (a) the EXACT distinct count — which
+    // DuckDB reproduces — and (b) an in-query assertion that the HLL
+    // estimate lands within its error envelope (default rsd 0.05; 3-sigma
+    // ~= 15%). approx_ok=false would hash-mismatch the oracle's literal
+    // TRUE, so the driver gate pins the estimate's quality, not its exact
+    // engine-specific value.
     "q17_approx_distinct" -> ((s, dir) =>
       ordered(t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts")))),
+        .agg(
+          count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.15)).as("approx_ok")))),
     // sliding event-time windows (1h window, 30m slide -> 2 windows/event)
     "q19_sliding_window" -> ((s, dir) =>
       ordered(events(s, dir)
@@ -588,6 +599,11 @@ object RelationalQueries {
     "q16_json_extract" ->
       s"""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin,
+    // the exact column is the cross-engine contract; approx_ok mirrors the
+    // in-query HLL error-envelope assert (Spark emits false -> hash breaks)
+    "q17_approx_distinct" ->
+      s"""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS approx_ok
+         |FROM lineitem GROUP BY l_returnflag ${orderSql("l_returnflag", "exact_parts", "approx_ok")}""".stripMargin,
     "q28_correlated_subquery" ->
       s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
          |FROM lineitem l1

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Recall of the approximate ANN paths (s02 LSH, s03 IVF) against the exact
   * brute-force ranking (s01) on the real embeddings fixture, with the SAME
   * parameters the driver queries use. The driver's correctness gate can only
-  * check s02/s03 rows-count (approximate results are engine-specific), so
+  * check s02/s03 rows-count (approximate results are engine-specific) plus
+  * the per-query `recall` column requireRecall appends to the artifact, so
   * this is the guard against silent recall regressions from parameter drift.
   */
 class AnnRecallSpec extends SparkSpec {
@@ -89,6 +90,11 @@ class AnnRecallSpec extends SparkSpec {
     val out = Similarity.requireRecall(approx, exactDf, 0.9, "hygiene-test")
     // result is fully usable after the gate...
     assert(out.count() > 0)
+    // ...carries the measured per-query recall (persisted into the verify
+    // artifact, so the driver's rows-only record pins the number itself)...
+    assert(out.columns.contains("recall"))
+    val recalls = out.select("recall").distinct().collect().map(_.getDouble(0))
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
     // ...and NOTHING stays persisted: each s02/s03/s05 invocation used to
     // strand one cached frame per call in a long-lived session
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
