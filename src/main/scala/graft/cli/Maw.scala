@@ -45,6 +45,7 @@ object Maw {
       naOut: String = "",
       rollByBytes: Option[Long] = None,
       rollByRows: Option[Long] = None,
+      partitionBy: Seq[String] = Nil,
       plan: Boolean = false,
       dryRun: Boolean = false,
       verify: Boolean = false,
@@ -92,6 +93,7 @@ object Maw {
       case "--zstd-level" :: v :: t        => go(t, a.copy(zstdLevel = v.toInt))
       case "--roll-by-bytes" :: v :: t     => go(t, a.copy(rollByBytes = Some(v.toLong)))
       case "--roll-by-rows" :: v :: t      => go(t, a.copy(rollByRows = Some(v.toLong)))
+      case "--partition-by" :: v :: t      => go(t, a.copy(partitionBy = v.split(',').toSeq))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--verify" :: t                 => go(t, a.copy(verify = true))
@@ -125,8 +127,8 @@ object Maw {
   private val valueFlags = Set("-o", "--out-format", "--columns", "--exclude",
     "--rename", "--delimiter", "--quote", "--encoding", "--na", "--na-values",
     "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
-    "--roll-by-rows", "--state", "--concurrency", "--writer-buffer",
-    "--mem-budget")
+    "--roll-by-rows", "--partition-by", "--state", "--concurrency",
+    "--writer-buffer", "--mem-budget")
 
   val usage: String =
     """graft <inputs...> -o out.{csv,parquet} [options]
@@ -134,7 +136,8 @@ object Maw {
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
-      |  --roll-by-rows N --roll-by-bytes N --stream --state DIR --resume
+      |  --roll-by-rows N --roll-by-bytes N --partition-by col1,col2
+      |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
   def toConfig(a: Args): Concat.Config = Concat.Config(
@@ -169,8 +172,14 @@ object Maw {
         f.dataType == org.apache.spark.sql.types.TimestampNTZType).map(_.name).toSeq
     else Seq.empty[String]
     val nullRep = if (fmt == Discovery.Csv) Some(naOut) else None
-    val cs1 = Sink.rowChecksum(planned.drop(skip: _*), nullRep)
-    val cs2 = Sink.rowChecksum(written.drop(skip: _*), nullRep)
+    // name-sorted projection on BOTH sides: the checksum hashes columns in
+    // schema order, and a partitioned read-back re-appends the partition
+    // columns at the end (concat output is already alphabetical, so this is
+    // a no-op for plain file output)
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.select(
+      df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    val cs1 = Sink.rowChecksum(sorted(planned.drop(skip: _*)), nullRep)
+    val cs2 = Sink.rowChecksum(sorted(written.drop(skip: _*)), nullRep)
     if (cs1 != cs2)
       throw new IllegalStateException(
         s"verify failed: row checksum mismatch (plan $cs1, written $cs2)")
@@ -272,7 +281,8 @@ object Maw {
           try Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
             a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes,
             writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
-              (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt))
+              (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt,
+            partitionBy = a.partitionBy))
           finally {
             live.foreach { l => l.finish(); spark.sparkContext.removeSparkListener(l) }
             // the byte totals are read below, after the run; on a shared

@@ -56,6 +56,8 @@ object CsvByteConcat {
       cfg.csv.quote == "\"" &&
       cfg.csv.encoding.equalsIgnoreCase("UTF-8") &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
+      // partitioned layout re-shapes rows into directories — typed path only
+      sink.partitionBy.isEmpty &&
       // a non-empty output NA string means EMPTY source fields must be
       // re-rendered (null -> naString) — not a pass-through; and the scanner
       // needs at least one NA value (maxNa sizing) without CSV

@@ -45,7 +45,9 @@ object ParquetByteConcat {
   def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
     cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
       sink.format == Parquet &&
-      sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty
+      sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
+      // partitioned layout re-shapes rows into directories — typed path only
+      sink.partitionBy.isEmpty
 
   /** Run the row-group copy if eligible; None = caller falls back to the
     * typed pipeline. Returns write metrics like [[Sink.write]].

@@ -37,7 +37,15 @@ object Sink {
         * parallelism so narrow single-partition inputs still write with
         * every core.
         */
-      preserveOrder: Boolean = true)
+      preserveOrder: Boolean = true,
+      /** Hive-style partitioned layout (`--partition-by lang,split`):
+        * `path/lang=en/part-*.parquet`. The 100-TB layout primitive — a
+        * downstream read filtering on a partition column prunes whole
+        * directories at planning time instead of scanning and discarding.
+        * Directory output by definition: overrides the single-file
+        * contract and part promotion.
+        */
+      partitionBy: Seq[String] = Nil)
 
   /** Write and report metrics (rows written) — the batch-mode analog of the
     * reference's progress tracker totals (progress.rs:6-197), collected via
@@ -78,6 +86,30 @@ object Sink {
     // sampling action
     val df = obs.map(o => df2.observe(o, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows_written"))).getOrElse(df2)
+    if (cfg.partitionBy.nonEmpty) {
+      // partitioned layout: a directory tree is the contract, so no
+      // single-file promotion and no rolled-part renaming. maxRecordsPerFile
+      // still bounds file sizes within each partition directory.
+      val missing = cfg.partitionBy.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"--partition-by columns not in data: ${missing.mkString(", ")}")
+      val w0 = maxRecords.map(df.writeConfRows).getOrElse(df.write)
+        .partitionBy(cfg.partitionBy: _*).mode("overwrite")
+      cfg.format match {
+        case graft.sources.Discovery.Csv =>
+          w0.option("header", "true").option("delimiter", cfg.delimiter)
+            .option("nullValue", cfg.naString).option("emptyValue", "")
+            .option("escape", "\"")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(cfg.path)
+        case graft.sources.Discovery.Parquet =>
+          w0.option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
+            .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString)
+            .option("parquet.block.size", (128L * 1024 * 1024).toString)
+            .parquet(cfg.path)
+      }
+      return
+    }
     val rolled = maxRecords.map(df.writeConfRows).getOrElse(df.write)
     val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty)
       df.coalesce(1).write else rolled
@@ -129,6 +161,10 @@ object Sink {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val paths: Seq[String] =
       if (fs.exists(p) && fs.getFileStatus(p).isFile) Seq(path)
+      // partitioned layout (`partitionBy` nonEmpty) writes a directory tree
+      // at the contract path; Spark's reader re-discovers the partition
+      // columns from the `col=value` directory names
+      else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) Seq(path)
       else {
         val prefix = p.getName.stripSuffix(ext) + "-"
         val parent = Option(p.getParent).getOrElse(new HPath("."))

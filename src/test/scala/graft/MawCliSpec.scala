@@ -268,4 +268,56 @@ class MawCliSpec extends SparkSpec {
     Sink.write(df.repartition(1), Sink.Config(rolled, Discovery.Csv, rollByRows = Some(20)))
     assert(Sink.readBack(spark, rolled, Discovery.Csv).count() == 50)
   }
+
+  test("--partition-by writes a hive layout and reads prune partitions") {
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("partby")
+    val out = d.resolve("docs_by_lang").toString
+    val docs = sf("documents").select("doc_id", "text", "lang")
+    Sink.write(docs, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, partitionBy = Seq("lang")))
+    // hive directory-per-value layout at the contract path
+    val dirs = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(dirs == langs.map(l => s"lang=$l"), s"got $dirs, want dirs for $langs")
+    // read-back: full count survives, partition column is re-discovered
+    val back = Sink.readBack(spark, out, Discovery.Parquet)
+    assert(back.count() == docs.count())
+    assert(back.columns.contains("lang"))
+    // THE point of the layout: a partition-column filter prunes whole
+    // directories at planning time — the scan's partition count must be
+    // the one selected lang, not all of them
+    val pruned = back.where(col("lang") === langs.head)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"no partition filter in scan:\n$scan")
+    assert(pruned.count() == docs.where(col("lang") === langs.head).count())
+    // the flag parses and reaches the sink config
+    val a = Maw.parse(Seq("in.parquet", "-o", "outdir", "--partition-by", "lang,source"))
+    assert(a.partitionBy == Seq("lang", "source"))
+    // missing column fails fast with a readable message
+    val e = intercept[IllegalArgumentException] {
+      Sink.write(docs, Sink.Config(d.resolve("bad").toString, Discovery.Parquet,
+        singleFile = false, partitionBy = Seq("nope")))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("partitioned output passes --verify (checksum is column-order-proof)") {
+    val d = tmpDir("partverify")
+    // parquet input -> partitioned parquet output, then the real S2 path
+    val src = d.resolve("in.parquet").toString
+    sf("documents").select("doc_id", "lang", "n_chars").coalesce(1)
+      .write.parquet(d.resolve("in_dir").toString)
+    val part = Files.list(d.resolve("in_dir")).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-")).get
+    Files.move(part, java.nio.file.Paths.get(src))
+    val out = d.resolve("out_by_lang").toString
+    val cfg = Concat.Config(Seq(src))
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, partitionBy = Seq("lang")))
+    val (rows, _) = Maw.verifyOutput(spark, cfg, out, Discovery.Parquet, naOut = "")
+    assert(rows == 500)
+  }
 }
