@@ -429,6 +429,44 @@ object PipelineQueries {
     // windows stay open and never reach the sink. The no-data micro-batch
     // after the last file flushes the closed state, which is what makes the
     // output deterministic and equal to the batch-computable oracle.
+    // arbitrary-state streaming via transformWithState (Spark 4's successor
+    // to mapGroupsWithState): typed ValueState + MapState on the RocksDB
+    // state store. Running per-user aggregates (count, exact micro-unit
+    // sum, distinct event types); the FINAL emission per user must equal
+    // the batch GROUP BY the oracle computes. Sums are pre-scaled to exact
+    // DECIMAL(18,6) micro longs in the plan, so state only ever adds longs.
+    "st07_transform_with_state" -> ((s, dir) => withShufflePartitions(s, 8) {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // transformWithState requires the RocksDB provider; scope it — the
+      // query starts AND drains inside this block, and other st queries in
+      // the same session keep the default HDFS-backed provider
+      withConf(s, "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val typed = stream.select(col("user_id"),
+            (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType).as("micros"),
+            col("event_type"))
+          .as[(Long, Long, String)]
+        val stats = typed.groupByKey(_._1)
+          .transformWithState(new graft.streaming.UserStatsProcessor(),
+            TimeMode.None(), OutputMode.Update(),
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
+          .toDF("user_id", "n_events", "total_micros", "n_types")
+        val sinkName = s"st07_sink_${math.abs(dir.hashCode)}"
+        val q = stats.writeStream.outputMode(OutputMode.Update())
+          .format("memory").queryName(sinkName).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        // update-mode emits one row per state change; n_events is strictly
+        // increasing per user, so the final state is the max-n row
+        ordered(s.table(sinkName).groupBy("user_id")
+          .agg(max("n_events").as("n_events"),
+            expr("max_by(total_micros, n_events)").as("total_micros"),
+            expr("max_by(n_types, n_events)").as("n_types")))
+      }
+    }),
     "st03_watermark_append" -> ((s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -972,6 +1010,14 @@ object PipelineQueries {
     "st02_stateful_counts" ->
       s"""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
          |${orderSql("user_id", "n_events")}""".stripMargin,
+    // micro-unit longs on both sides: SUM over exact DECIMAL(18,6) values
+    // scaled by 1e6 is an integer — no float addition order anywhere
+    "st07_transform_with_state" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_micros,
+         |COUNT(DISTINCT event_type) AS n_types
+         |FROM events GROUP BY user_id
+         |${orderSql("user_id", "n_events", "total_micros", "n_types")}""".stripMargin,
     "st01_streaming_hourly" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value

@@ -178,6 +178,24 @@ class StreamingAndPlanSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st07: transformWithState final state equals the batch GROUP BY (RocksDB store)") {
+    val got = graft.queries.PipelineQueries
+      .queries("st07_transform_with_state")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = sf("events")
+      .select(col("user_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+          .cast("long").as("micros"), col("event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("micros").as("m"),
+        countDistinct("event_type").as("t"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want, s"transformWithState state diverged from batch: got ${got.size} keys")
+    // the scoped RocksDB provider must not leak into the shared session
+    assert(!spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
+
   test("st05: watermarked streaming dedup equals batch DISTINCT (bounded state)") {
     val got = graft.queries.PipelineQueries
       .queries("st05_streaming_dedup_watermark")(spark, "/root/testdata/sf0.001")
