@@ -13,6 +13,38 @@ import Q._
   */
 object RelationalQueries {
 
+  /** Rank + group-size frame for the exact-percentile formulation (q22,
+    * q47): NULL values must not enter rank or n — the built-in
+    * `percentile()` (and DuckDB `quantile_cont`) skip NULL inputs, while
+    * row_number/count would rank them first and shift every percentile.
+    * (A group that is ALL NULLs drops out entirely — acceptable for a
+    * price column; `percentile()` would keep it with NULL outputs.)
+    */
+  private def rankedForPct(df: DataFrame, group: String, v: Column): DataFrame =
+    df.select(col(group), v)
+      .where(v.isNotNull)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(group).orderBy(v.asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(group)))
+
+  /** Exact interpolated percentile over a [[rankedForPct]] frame, as a
+    * conditional aggregation (no per-group value buffering): replicates
+    * `percentile()`'s arithmetic ((hi-pos)*vlo + (pos-lo)*vhi with
+    * pos = (n-1)*p) bit-identically while rows stay distributed (the
+    * window sort spills; the built-in is an ImperativeAggregate whose
+    * buffer holds EVERY group value — an executor OOM at 100x scale).
+    */
+  private def exactPct(v: Column, p: Double): Column = {
+    val pos = (col("n") - 1).cast("double") * lit(p)
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    val vlo = max(when(col("rn") === lo + 1, v))
+    val vhi = max(when(col("rn") === hi + 1, v))
+    val posA = max(pos); val loA = max(lo); val hiA = max(hi)
+    when(hiA === loA, vlo)
+      .otherwise((hiA - posA) * vlo + (posA - loA) * vhi)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: partial-agg-friendly hash aggregate
     "q01_pricing_summary" -> ((s, dir) => {
@@ -250,28 +282,30 @@ object RelationalQueries {
     // pos = (n-1)*p), so results are bit-identical
     "q22_percentiles" -> ((s, dir) => {
       val v = col("o_totalprice")
-      // NULL values must not enter rank or n: the built-in percentile()
-      // (and DuckDB quantile_cont) skip NULL inputs, while row_number/count
-      // would rank them first and shift every percentile. (A group that is
-      // ALL NULLs drops out entirely — acceptable for a price column;
-      // percentile() would keep it with NULL outputs.)
-      val ranked = t(s, dir, "orders").select(col("o_orderstatus"), v)
-        .where(v.isNotNull)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("o_orderstatus").orderBy(v.asc)))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
-      def exactPct(p: Double): Column = {
-        val pos = (col("n") - 1).cast("double") * lit(p)
-        val lo = floor(pos)
-        val hi = ceil(pos)
-        val vlo = max(when(col("rn") === lo + 1, v))
-        val vhi = max(when(col("rn") === hi + 1, v))
-        val posA = max(pos); val loA = max(lo); val hiA = max(hi)
-        when(hiA === loA, vlo)
-          .otherwise((hiA - posA) * vlo + (posA - loA) * vhi)
-      }
+      val ranked = rankedForPct(t(s, dir, "orders"), "o_orderstatus", v)
       ordered(ranked.groupBy("o_orderstatus")
-        .agg(exactPct(0.5).as("p50"), exactPct(0.9).as("p90"), exactPct(0.99).as("p99")))
+        .agg(exactPct(v, 0.5).as("p50"), exactPct(v, 0.9).as("p90"),
+          exactPct(v, 0.99).as("p99")))
+    }),
+    // approximate percentile (the T-Digest-style sketch family, like q17's
+    // HLL): the estimate is engine-specific, so the oracle contract is the
+    // EXACT interpolated median (DuckDB quantile_cont reproduces it) plus
+    // an in-query assertion that percentile_approx lands within 5% — a
+    // false would hash-mismatch the oracle's literal TRUE. At accuracy
+    // 10000 the rank error is <= n/10000 rows, far inside the envelope;
+    // unlike exact percentile() the sketch is a bounded-memory mergeable
+    // aggregate, the 100 TB path.
+    "q47_approx_percentile" -> ((s, dir) => {
+      val v = col("o_totalprice")
+      val exact = rankedForPct(t(s, dir, "orders"), "o_orderstatus", v)
+        .groupBy("o_orderstatus").agg(exactPct(v, 0.5).as("p50_exact"))
+      val approx = t(s, dir, "orders").where(v.isNotNull)
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(v, lit(0.5), lit(10000)).as("p50_approx"))
+      ordered(exact.join(approx, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * lit(0.05)).as("approx_ok")))
     }),
     // scalar string function breadth
     "q23_string_funcs" -> ((s, dir) =>
@@ -815,6 +849,11 @@ object RelationalQueries {
          |quantile_cont(o_totalprice, 0.9) AS p90,
          |quantile_cont(o_totalprice, 0.99) AS p99
          |FROM orders GROUP BY o_orderstatus ${orderSql("o_orderstatus")}""".stripMargin,
+    // the exact interpolated median is the cross-engine contract; approx_ok
+    // mirrors the in-query sketch error-envelope assert (q17 pattern)
+    "q47_approx_percentile" ->
+      s"""SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50_exact, TRUE AS approx_ok
+         |FROM orders GROUP BY o_orderstatus ${orderSql("o_orderstatus", "p50_exact", "approx_ok")}""".stripMargin,
     "q23_string_funcs" ->
       s"""SELECT c_custkey, upper(c_name) AS name_upper, length(c_name) AS name_len,
          |substring(c_mktsegment, 1, 3) AS seg3,
