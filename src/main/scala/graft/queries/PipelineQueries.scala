@@ -118,6 +118,18 @@ object PipelineQueries {
     "t05_lang_distribution" -> ((s, dir) =>
       ordered(t(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n"), dsum(col("n_chars")).as("total_chars")))),
+    // within-doc repetition (the Gopher-style duplicate-n-gram rule): the
+    // multiset of word 3-grams vs its distinct set, as exact integer counts
+    // (a duplicate fraction would divide doubles; the counts ARE the
+    // contract and the caller picks the threshold). Docs with < 3 tokens
+    // have zero 3-grams; NULL text stays NULL on both engines.
+    "t13_dup_ngrams" -> ((s, dir) => {
+      val g = TF.shingles(col("text"), 3)
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        size(g).as("n_grams3"),
+        (size(g) - size(array_distinct(g))).as("n_dup3")))
+    }),
     // stopword + repetition accounting (exact integer counts, oracled):
     // the natural-language-ness and dedup-pressure signals of a quality filter
     "t07_stopword_repetition" -> ((s, dir) => {
@@ -686,6 +698,21 @@ object PipelineQueries {
     "t05_lang_distribution" ->
       s"""SELECT lang, COUNT(*) AS n, ${dsumSql("n_chars")} AS total_chars
          |FROM documents GROUP BY lang ${orderSql("lang")}""".stripMargin,
+    // same RE2-\s token contract as t06/t07; 3-grams built positionally so
+    // the multiset (not the set) is counted. CASE guards NULL text
+    // explicitly — DuckDB's greatest() skips NULLs rather than propagating
+    "t13_dup_ngrams" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
+         |  text FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+         |            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
+         |  FROM d)
+         |SELECT doc_id, len(grams) AS n_grams3,
+         |  len(grams) - len(list_distinct(grams)) AS n_dup3
+         |FROM g ${orderSql("doc_id", "n_grams3", "n_dup3")}""".stripMargin,
     "t07_stopword_repetition" ->
       s"""WITH d AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
