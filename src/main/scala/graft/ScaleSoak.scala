@@ -45,8 +45,10 @@ object ScaleSoak {
       // streaming legs: st01 exercises windowed aggregation over 64x the
       // events (same hour windows -> output rows constant), st04 exercises
       // unbounded dedup state at 64x the key cardinality (user ids are
-      // replica-offset, so distinct keys scale with the corpus)
-      "st01_streaming_hourly", "st04_streaming_dedup")
+      // replica-offset, so distinct keys scale with the corpus), st07
+      // exercises transformWithState's RocksDB store at scaled key counts
+      "st01_streaming_hourly", "st04_streaming_dedup",
+      "st07_transform_with_state")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
