@@ -157,8 +157,22 @@ object Maw {
     */
   def verifyOutput(spark: SparkSession, cfg: Concat.Config, output: String,
       fmt: Discovery.Format, naOut: String,
-      outDelimiter: String = ","): (Long, java.math.BigDecimal) = {
-    val planned = Concat.run(spark, cfg)
+      outDelimiter: String = ",",
+      partitionCols: Seq[String] = Nil): (Long, java.math.BigDecimal) = {
+    val planned0 = Concat.run(spark, cfg)
+    // hive layout folds null AND "" partition values into the same
+    // __HIVE_DEFAULT_PARTITION__ directory, so the read-back yields null
+    // for both; fold the planned side identically (string partition cols
+    // only — numeric ones round-trip via their decimal rendering) so the
+    // checksum compares what the layout can actually represent
+    val planned = partitionCols.foldLeft(planned0) { (df, c) =>
+      if (df.columns.contains(c) &&
+          df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+        df.withColumn(c, org.apache.spark.sql.functions.nullif(
+          org.apache.spark.sql.functions.col(c),
+          org.apache.spark.sql.functions.lit("")))
+      else df
+    }
     val written = Sink.readBack(spark, output, fmt, outDelimiter)
     val expected = planned.count()
     val actual = written.count()
@@ -194,6 +208,13 @@ object Maw {
         System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
     }
     if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
+    // StreamingConcat has no partitioned-sink support yet: reject rather
+    // than silently writing an unpartitioned layout a downstream job
+    // expects to prune
+    if (a.streaming && a.partitionBy.nonEmpty) {
+      System.err.println("error: --partition-by is not supported with --stream")
+      sys.exit(1)
+    }
     if (a.plan) {
       // plan mode: discover (no Spark session needed) and print the file
       // plan BEFORE building the pipeline (main.rs:65-71) — a bad input
@@ -318,7 +339,8 @@ object Maw {
           else println(f"wrote $rows%s rows -> ${a.output}%s (${mbps}%.1f MB/s)")
         }
         if (a.verify) {
-          val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut, a.delimiter)
+          val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut, a.delimiter,
+            a.partitionBy)
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }

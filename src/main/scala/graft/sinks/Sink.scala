@@ -43,7 +43,11 @@ object Sink {
         * downstream read filtering on a partition column prunes whole
         * directories at planning time instead of scanning and discarding.
         * Directory output by definition: overrides the single-file
-        * contract and part promotion.
+        * contract and part promotion. Layout caveat (inherent to hive
+        * trees, not this sink): null and "" partition values both land in
+        * `col=__HIVE_DEFAULT_PARTITION__` and read back as null; partition
+        * values round-trip as the directory-name STRING rendering
+        * (readBack pins them to string — no re-inference).
         */
       partitionBy: Seq[String] = Nil)
 
@@ -59,6 +63,11 @@ object Sink {
 
   private def writeInternal(df0: DataFrame, cfg: Config,
       obs: Option[org.apache.spark.sql.Observation] = None): Unit = {
+    // before ANY plan building: the rebalance hint below references the
+    // partition columns, so a missing one must fail with a readable
+    // message, not an analyzer exception
+    val missing = cfg.partitionBy.filterNot(df0.columns.contains)
+    require(missing.isEmpty, s"--partition-by columns not in data: ${missing.mkString(", ")}")
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
     val df1 = df0.select(df0.schema.fields.map { f =>
@@ -69,8 +78,19 @@ object Sink {
     // multi-file output trades input order for write parallelism: an AQE
     // REBALANCE (the pre-write hint) right-sizes partitions at runtime —
     // splits too-big, merges too-small — without the .rdd partition peek
-    // that would force physical planning just to decide
-    val df2 = if (cfg.preserveOrder || cfg.singleFile) df1 else df1.hint("rebalance")
+    // that would force physical planning just to decide.
+    // Partitioned layout rebalances BY the partition columns regardless of
+    // preserveOrder (a hive tree has no row-order or single-file contract):
+    // clustering rows by value means each col=... directory gets a few
+    // right-sized files instead of one small file per (task x value) — the
+    // small-files problem IS the failure mode of partitioned writes at
+    // scale — while AQE still splits skewed values across tasks
+    val df2 =
+      if (cfg.partitionBy.nonEmpty)
+        df1.hint("rebalance",
+          cfg.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else if (cfg.preserveOrder || cfg.singleFile) df1
+      else df1.hint("rebalance")
     // bytes->rows estimate runs on the UN-observed plan: an action on the
     // observed one would complete the Observation with the sample's partial
     // count and the real write's metrics would be discarded
@@ -90,8 +110,6 @@ object Sink {
       // partitioned layout: a directory tree is the contract, so no
       // single-file promotion and no rolled-part renaming. maxRecordsPerFile
       // still bounds file sizes within each partition directory.
-      val missing = cfg.partitionBy.filterNot(df.columns.contains)
-      require(missing.isEmpty, s"--partition-by columns not in data: ${missing.mkString(", ")}")
       val w0 = maxRecords.map(df.writeConfRows).getOrElse(df.write)
         .partitionBy(cfg.partitionBy: _*).mode("overwrite")
       cfg.format match {
@@ -108,6 +126,15 @@ object Sink {
             .option("parquet.block.size", (128L * 1024 * 1024).toString)
             .parquet(cfg.path)
       }
+      // stale rolled parts from an earlier non-partitioned run at the same
+      // contract path would survive next to the new directory and confuse
+      // readBack/--verify; sweep them like the file paths sweep stale output
+      val ext = cfg.format match {
+        case graft.sources.Discovery.Csv     => ".csv"
+        case graft.sources.Discovery.Parquet => ".parquet"
+      }
+      deleteStaleParts(df0.sparkSession.sparkContext.hadoopConfiguration,
+        cfg.path, ext, keepBelow = 0)
       return
     }
     val rolled = maxRecords.map(df.writeConfRows).getOrElse(df.write)
@@ -159,12 +186,13 @@ object Sink {
     }
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
     val paths: Seq[String] =
       if (fs.exists(p) && fs.getFileStatus(p).isFile) Seq(path)
       // partitioned layout (`partitionBy` nonEmpty) writes a directory tree
       // at the contract path; Spark's reader re-discovers the partition
       // columns from the `col=value` directory names
-      else if (fs.exists(p) && fs.getFileStatus(p).isDirectory) Seq(path)
+      else if (isDir) Seq(path)
       else {
         val prefix = p.getName.stripSuffix(ext) + "-"
         val parent = Option(p.getParent).getOrElse(new HPath("."))
@@ -180,12 +208,25 @@ object Sink {
         }.map(_.getPath.toString).toSeq.sorted
       }
     require(paths.nonEmpty, s"no output found at $path")
-    fmt match {
+    def read(): DataFrame = fmt match {
       case graft.sources.Discovery.Csv =>
         spark.read.option("header", "true").option("sep", delimiter)
           .option("escape", "\"").csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
     }
+    if (isDir) {
+      // partition-column TYPE INFERENCE would re-type the directory names
+      // ("source=007" -> int 7), silently altering values the writer was
+      // given as strings; read partition values back verbatim. Schema
+      // resolution is eager at the read call, so restoring after is safe.
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try read() finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    } else read()
   }
 
   /** Order-insensitive row checksum for `--verify` (S2): sum over rows of
@@ -252,8 +293,12 @@ object Sink {
           fs.delete(st.getPath, false)
       }
     }
-    if (keepBelow > 0 && fs.exists(p) && fs.getFileStatus(p).isFile)
-      fs.delete(p, false)
+    if (keepBelow > 0 && fs.exists(p)) {
+      // stale single file — or a stale partitioned TREE, which would
+      // otherwise shadow the fresh rolled parts in readBack's directory
+      // branch — left by a previous run with different output options
+      fs.delete(p, fs.getFileStatus(p).isDirectory)
+    }
   }
 
   /** Replace-on-rename move (rename does not replace on all filesystems).
@@ -261,7 +306,11 @@ object Sink {
     */
   private[graft] def replaceMove(fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(dst)) fs.delete(dst, false)
+    // recursive when dst is a directory: a stale partitioned tree from an
+    // earlier --partition-by run at the same path must not kill (local FS:
+    // 'Directory is not empty') or absorb (FS-dependent rename-into-dir)
+    // this run's promotion
+    if (fs.exists(dst)) fs.delete(dst, fs.getFileStatus(dst).isDirectory)
     require(fs.rename(src, dst), s"failed to promote $src to $dst")
   }
 

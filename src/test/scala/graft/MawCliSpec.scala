@@ -317,7 +317,67 @@ class MawCliSpec extends SparkSpec {
     val cfg = Concat.Config(Seq(src))
     Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
       singleFile = false, partitionBy = Seq("lang")))
-    val (rows, _) = Maw.verifyOutput(spark, cfg, out, Discovery.Parquet, naOut = "")
+    val (rows, _) = Maw.verifyOutput(spark, cfg, out, Discovery.Parquet, naOut = "",
+      partitionCols = Seq("lang"))
     assert(rows == 500)
+  }
+
+  test("partition values round-trip verbatim: numeric-looking and empty strings") {
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val d = tmpDir("parthostile")
+    val src = d.resolve("in.parquet").toString
+    // source values the hive layout is hostile to: "007" (re-inference
+    // would type it int 7) and "" (folds into __HIVE_DEFAULT_PARTITION__)
+    Seq((1L, "007"), (2L, "007"), (3L, "live"), (4L, "")).toDF("id", "source")
+      .coalesce(1).write.parquet(d.resolve("in_dir").toString)
+    val part = Files.list(d.resolve("in_dir")).iterator().asScala
+      .find(p => p.getFileName.toString.startsWith("part-")).get
+    Files.move(part, java.nio.file.Paths.get(src))
+    val out = d.resolve("out_by_source").toString
+    val cfg = Concat.Config(Seq(src))
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, partitionBy = Seq("source")))
+    // readBack pins partition values to STRING — "007" must stay "007"
+    val back = Sink.readBack(spark, out, Discovery.Parquet)
+    assert(back.schema("source").dataType == org.apache.spark.sql.types.StringType)
+    assert(back.where(col("source") === "007").count() == 2)
+    // "" landed in the default partition and reads back null — the layout's
+    // documented folding; --verify folds the planned side identically
+    assert(back.where(col("source").isNull).count() == 1)
+    val (rows, _) = Maw.verifyOutput(spark, cfg, out, Discovery.Parquet, naOut = "",
+      partitionCols = Seq("source"))
+    assert(rows == 4)
+  }
+
+  test("stale partitioned tree at the contract path yields to later runs") {
+    import spark.implicits._
+    val d = tmpDir("staledir")
+    val src = d.resolve("in.csv").toString
+    Files.writeString(java.nio.file.Paths.get(src), "k,v\n1,a\n2,b\n3,a\n")
+    val out = d.resolve("out.parquet").toString
+    val cfg = Concat.Config(Seq(src))
+    // run 1: partitioned -> directory at the contract path
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, partitionBy = Seq("v")))
+    assert(Files.isDirectory(java.nio.file.Paths.get(out)))
+    // run 2: plain single-file -> the stale tree must be REPLACED, not
+    // fatal ('Directory is not empty') and not absorbed (rename-into-dir)
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet))
+    assert(Files.isRegularFile(java.nio.file.Paths.get(out)))
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == 3)
+    // run 3: partitioned again, then rolled parts — readBack must see the
+    // fresh parts, not a stale directory
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, partitionBy = Seq("v")))
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Parquet,
+      singleFile = false, rollByRows = Some(2)))
+    assert(!Files.isDirectory(java.nio.file.Paths.get(out)))
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == 3)
+  }
+
+  test("--stream rejects --partition-by (no streaming partitioned sink yet)") {
+    val a = Maw.parse(Seq("in.csv", "-o", "out.parquet", "--stream", "--partition-by", "lang"))
+    assert(a.streaming && a.partitionBy == Seq("lang")) // parses; main rejects
   }
 }
