@@ -259,6 +259,20 @@ object RelationalQueries {
           c => (unix_micros(c) / lit(1800000000L)).cast(LongType))
         .groupBy("user_id").agg(count(lit(1)).as("n_errors_after_purchase")))
     }),
+    // value-window breadth: first/last/nth over an explicit running frame.
+    // last_value over the DEFAULT frame (up to CURRENT ROW) and nth_value's
+    // null-until-nth behavior are the cross-engine traps this pins; the
+    // frame is made explicit so both engines compute the same thing
+    "q48_value_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered(t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(w).as("latest_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order")))
+    }),
     // analytic window breadth: lag/lead/ntile/percent_rank in one pass
     "q25_window_analytics" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -849,6 +863,15 @@ object RelationalQueries {
          |quantile_cont(o_totalprice, 0.9) AS p90,
          |quantile_cont(o_totalprice, 0.99) AS p99
          |FROM orders GROUP BY o_orderstatus ${orderSql("o_orderstatus")}""".stripMargin,
+    "q48_value_windows" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |first_value(o_orderkey) OVER w AS first_order,
+         |last_value(o_orderkey) OVER w AS latest_order,
+         |nth_value(o_orderkey, 2) OVER w AS second_order
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |${orderSql("o_custkey", "o_orderkey", "first_order", "latest_order", "second_order")}""".stripMargin,
     // the exact interpolated median is the cross-engine contract; approx_ok
     // mirrors the in-query sketch error-envelope assert (q17 pattern)
     "q47_approx_percentile" ->
