@@ -380,4 +380,27 @@ class MawCliSpec extends SparkSpec {
     val a = Maw.parse(Seq("in.csv", "-o", "out.parquet", "--stream", "--partition-by", "lang"))
     assert(a.streaming && a.partitionBy == Seq("lang")) // parses; main rejects
   }
+
+  test("CSV partitioned output: hive tree, values intact, --verify passes") {
+    import org.apache.spark.sql.functions.col
+    val d = tmpDir("partcsv")
+    val src = d.resolve("in.csv").toString
+    Files.writeString(java.nio.file.Paths.get(src),
+      "k,v,grp\n1,alpha,a\n2,beta,b\n3,gamma,a\n4,delta,b\n")
+    val out = d.resolve("out.csv").toString
+    val cfg = Concat.Config(Seq(src))
+    Concat.convert(spark, cfg, Sink.Config(out, Discovery.Csv,
+      singleFile = false, partitionBy = Seq("grp")))
+    val dirs = Files.list(java.nio.file.Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("grp=")).toSet
+    assert(dirs == Set("grp=a", "grp=b"))
+    // data files exclude the partition column; readBack re-attaches it
+    val back = Sink.readBack(spark, out, Discovery.Csv)
+    assert(back.columns.sorted.toSeq == Seq("grp", "k", "v"))
+    assert(back.where(col("grp") === "a").count() == 2)
+    assert(back.count() == 4)
+    val (rows, _) = Maw.verifyOutput(spark, cfg, out, Discovery.Csv, naOut = "",
+      partitionCols = Seq("grp"))
+    assert(rows == 4)
+  }
 }
