@@ -479,6 +479,54 @@ object PipelineQueries {
             expr("max_by(n_types, n_events)").as("n_types")))
       }
     }),
+    // stream-stream inner join with watermarks + a time-range condition —
+    // the join-state cleanup contract: each error matched to the same
+    // user's purchases at most 1 hour before it. Both sides carry
+    // watermarks and the range bound, so Spark can evict purchase state
+    // once the error-side watermark passes p_ts + 1h (bounded state at
+    // scale); with horizons covering the fixture span, the final appended
+    // set equals the batch range join the oracle computes.
+    "st08_stream_stream_join" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src() = normalizeTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val errors = src().where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+      val purchases = src().where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+        .withWatermark("p_ts", "2 hours")
+      val joined = errors.join(purchases,
+        expr("""user_id = p_user_id AND
+                ts >= p_ts AND ts <= p_ts + INTERVAL 1 HOUR"""))
+        .select(col("user_id"), fmtTs(col("ts")).as("error_ts"),
+          fmtTs(col("p_ts")).as("purchase_ts"), col("p_value"))
+      val sinkName = s"st08_sink_${math.abs(dir.hashCode)}"
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }),
+    // stream-static join: the enrichment pattern — a stream joined to a
+    // broadcastable static dimension (per-user event counts here), no
+    // streaming state at all (the static side is just re-read per batch)
+    "st09_stream_static_join" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val dim = t(s, dir, "events").groupBy(col("user_id").as("d_user_id"))
+        .agg(count(lit(1)).as("user_total"))
+      val enriched = stream.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+        .join(broadcast(dim), col("user_id") === col("d_user_id"))
+        .select(col("event_id"), col("user_id"), col("user_total"))
+      val sinkName = s"st09_sink_${math.abs(dir.hashCode)}"
+      val q = enriched.writeStream.outputMode("append").format("memory")
+        .queryName(sinkName).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      ordered(s.table(sinkName))
+    }),
     "st03_watermark_append" -> ((s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
@@ -1037,6 +1085,25 @@ object PipelineQueries {
     "st02_stateful_counts" ->
       s"""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
          |${orderSql("user_id", "n_events")}""".stripMargin,
+    // the full matched-pair set of the streaming range join; CAST(ts AS
+    // TIMESTAMP) mirrors Q.normalizeTs's truncation on old ns fixtures
+    "st08_stream_stream_join" ->
+      s"""SELECT e.user_id,
+         |strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS error_ts,
+         |strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         |p.value AS p_value
+         |FROM events e JOIN events p
+         |  ON e.user_id = p.user_id
+         | AND e.event_type = 'error' AND p.event_type = 'purchase'
+         | AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+         | AND CAST(e.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST, 4 NULLS FIRST""".stripMargin,
+    "st09_stream_static_join" ->
+      s"""WITH dim AS (SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id)
+         |SELECT e.event_id, e.user_id, dim.user_total
+         |FROM events e JOIN dim ON e.user_id = dim.user_id
+         |WHERE e.event_type = 'purchase'
+         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // micro-unit longs on both sides: SUM over exact DECIMAL(18,6) values
     // scaled by 1e6 is an integer — no float addition order anywhere
     "st07_transform_with_state" ->
