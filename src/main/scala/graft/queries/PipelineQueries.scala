@@ -45,6 +45,21 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Start `df` into a fresh memory sink, drain synchronously, and return
+    * the sink table. The shared tail of every single-shot st query (st05/
+    * st06 stay inline — they add source files between drains). The sink
+    * name hex-encodes dir.hashCode (no math.abs Int.MinValue edge) under a
+    * per-query prefix so concurrent sf dirs and queries never collide in
+    * the shared session's table catalog.
+    */
+  private def drainToMemory(s: SparkSession, df: DataFrame, prefix: String,
+      dir: String, mode: String): DataFrame = {
+    val sinkName = s"${prefix}_sink_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(sinkName).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(sinkName)
+  }
+
   /** Write `df` as ONE parquet file named `<stage>.parquet` inside `dir` —
     * the unit of arrival for a file-source micro-batch; calling this between
     * `processAllAvailable()` calls delivers data in a known batch order
@@ -428,13 +443,10 @@ object PipelineQueries {
             state.update(n)
             (user, n)
         }.toDF("user_id", "n_events")
-      val sinkName = s"st02_sink_${math.abs(dir.hashCode)}"
-      val q = counts.writeStream.outputMode(OutputMode.Update())
-        .format("memory").queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
       // update-mode emits one row per state change; the final state per user
       // is the max running count
-      ordered(s.table(sinkName).groupBy("user_id").agg(max("n_events").as("n_events")))
+      ordered(drainToMemory(s, counts, "st02", dir, "update")
+        .groupBy("user_id").agg(max("n_events").as("n_events")))
     }),
     // watermark + append-mode semantics: only FINALIZED windows (window.end
     // <= watermark = max event time - 30 min) are emitted; the trailing
@@ -467,46 +479,41 @@ object PipelineQueries {
             TimeMode.None(), OutputMode.Update(),
             org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)])
           .toDF("user_id", "n_events", "total_micros", "n_types")
-        val sinkName = s"st07_sink_${math.abs(dir.hashCode)}"
-        val q = stats.writeStream.outputMode(OutputMode.Update())
-          .format("memory").queryName(sinkName).start()
-        try { q.processAllAvailable() } finally { q.stop() }
         // update-mode emits one row per state change; n_events is strictly
         // increasing per user, so the final state is the max-n row
-        ordered(s.table(sinkName).groupBy("user_id")
+        ordered(drainToMemory(s, stats, "st07", dir, "update")
+          .groupBy("user_id")
           .agg(max("n_events").as("n_events"),
             expr("max_by(total_micros, n_events)").as("total_micros"),
             expr("max_by(n_types, n_events)").as("n_types")))
       }
     }),
     // stream-stream inner join with watermarks + a time-range condition —
-    // the join-state cleanup contract: each error matched to the same
-    // user's purchases at most 1 hour before it. Both sides carry
-    // watermarks and the range bound, so Spark can evict purchase state
-    // once the error-side watermark passes p_ts + 1h (bounded state at
-    // scale); with horizons covering the fixture span, the final appended
-    // set equals the batch range join the oracle computes.
+    // the bounded-join-state mechanics: the watermarks plus the range
+    // bound let Spark evict purchase state once the error-side watermark
+    // passes p_ts + 1h. The 35-day delay EXCEEDS the fixture's 30-day
+    // span (same contract as st05), so no state evicts before the last
+    // row arrives and the appended set provably equals the batch range
+    // join the oracle computes — even if the source were ever delivered
+    // across multiple micro-batches. At production scale the delay is the
+    // knob that bounds state; here it's sized for exactness.
     "st08_stream_stream_join" -> ((s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def src() = normalizeTs(s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
       val errors = src().where(col("event_type") === "error")
         .select(col("user_id"), col("ts"))
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", "35 days")
       val purchases = src().where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
           col("value").as("p_value"))
-        .withWatermark("p_ts", "2 hours")
+        .withWatermark("p_ts", "35 days")
       val joined = errors.join(purchases,
         expr("""user_id = p_user_id AND
                 ts >= p_ts AND ts <= p_ts + INTERVAL 1 HOUR"""))
         .select(col("user_id"), fmtTs(col("ts")).as("error_ts"),
           fmtTs(col("p_ts")).as("purchase_ts"), col("p_value"))
-      val sinkName = s"st08_sink_${math.abs(dir.hashCode)}"
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      ordered(s.table(sinkName))
+      ordered(drainToMemory(s, joined, "st08", dir, "append"))
     }),
     // stream-static join: the enrichment pattern — a stream joined to a
     // broadcastable static dimension (per-user event counts here), no
@@ -521,11 +528,7 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"))
         .join(broadcast(dim), col("user_id") === col("d_user_id"))
         .select(col("event_id"), col("user_id"), col("user_total"))
-      val sinkName = s"st09_sink_${math.abs(dir.hashCode)}"
-      val q = enriched.writeStream.outputMode("append").format("memory")
-        .queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      ordered(s.table(sinkName))
+      ordered(drainToMemory(s, enriched, "st09", dir, "append"))
     }),
     "st03_watermark_append" -> ((s, dir) => withShufflePartitions(s, 8) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
@@ -537,10 +540,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n"))
-      val sinkName = s"st03_sink_${math.abs(dir.hashCode)}"
-      val q = agg.writeStream.outputMode("append").format("memory").queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      ordered(s.table(sinkName))
+      ordered(drainToMemory(s, agg, "st03", dir, "append"))
     }),
     // streaming exact dedup: unbounded dropDuplicates state — every distinct
     // (user_id, event_type) survives exactly once across micro-batches,
@@ -551,11 +551,7 @@ object PipelineQueries {
         .option("pathGlobFilter", "events.parquet").parquet(dir)
       val deduped = stream.select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
-      val sinkName = s"st04_sink_${math.abs(dir.hashCode)}"
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      ordered(s.table(sinkName))
+      ordered(drainToMemory(s, deduped, "st04", dir, "append"))
     }),
     // streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
     // keeps a key's state only until the watermark passes its event time +
@@ -628,10 +624,7 @@ object PipelineQueries {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
-      val sinkName = s"st01_sink_${math.abs(dir.hashCode)}"
-      val q = agg.writeStream.outputMode("complete").format("memory").queryName(sinkName).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-      ordered(s.table(sinkName))
+      ordered(drainToMemory(s, agg, "st01", dir, "complete"))
     }))
 
   val oracleSql: Map[String, String] = Map(

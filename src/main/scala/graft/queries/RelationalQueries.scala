@@ -869,7 +869,8 @@ object RelationalQueries {
          |last_value(o_orderkey) OVER w AS latest_order,
          |nth_value(o_orderkey, 2) OVER w AS second_order
          |FROM orders
-         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         |WINDOW w AS (PARTITION BY o_custkey
+         |             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |${orderSql("o_custkey", "o_orderkey", "first_order", "latest_order", "second_order")}""".stripMargin,
     // the exact interpolated median is the cross-engine contract; approx_ok
