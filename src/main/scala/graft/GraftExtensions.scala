@@ -66,13 +66,16 @@ object GraftExtensions {
         graft.expressions.MinHashSigMd5(args.head, intArg(args(1), "n"), intArg(args(2), "k"))),
     ("simhash60",
       new ExpressionInfo(classOf[graft.expressions.SimHashMd5].getName, "simhash60"),
-      (args: Seq[Expression]) => graft.expressions.SimHashMd5(args.head)))
+      (args: Seq[Expression]) => graft.expressions.SimHashMd5(args.head)),
+    ("nfc_normalize",
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => graft.expressions.NfcNormalize(args.head)))
 
   private val arity: Map[String, Int] = Map(
     "shingle_hashes" -> 2, "minhash_sig" -> 3, "simhash64" -> 1,
     "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
     "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1,
-    "minhash_sig_md5" -> 3, "simhash60" -> 1)
+    "minhash_sig_md5" -> 3, "simhash60" -> 1, "nfc_normalize" -> 1)
 
   // fail at class-load, not at first invocation: a function added to
   // `functions` without an arity entry would otherwise surface as a bare

@@ -101,3 +101,24 @@ case class TextStatsExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
   override def prettyName: String = "text_stats"
 }
+
+/** Unicode NFC normalization (java.text.Normalizer) — the standard text
+  * canonicalization step before fingerprinting/dedup: decomposed accent
+  * sequences (e + U+0301) and precomposed forms (é) hash identically
+  * after it. Mirrors DuckDB's `nfc_normalize` (both implement Unicode
+  * Normalization Form C), which is what makes the t14 query oracle-able.
+  * Fast path: Normalizer.isNormalized is a cheap scan and most real text
+  * is already NFC — skip the allocation when it is.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
+}

@@ -33,6 +33,13 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Unicode NFC canonicalization (see [[graft.expressions.NfcNormalize]]):
+    * run before fingerprinting/dedup so decomposed and precomposed accent
+    * forms hash identically. Mirrors DuckDB's `nfc_normalize`.
+    */
+  def nfcNormalize(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.NfcNormalize(ExpressionUtils.expression(c)))
+
   /** BPE-ish subword count: runs of letters, runs of digits, and each
     * remaining non-space symbol count as one token (a cheap proxy for a
     * byte-pair-encoded length, useful for token-budget accounting).

@@ -118,6 +118,21 @@ object PipelineQueries {
     "t03_fingerprint_md5" -> ((s, dir) =>
       ordered(t(s, dir, "documents").select(
         col("doc_id"), md5(col("text").cast(BinaryType)).as("fp")))),
+    // Unicode NFC canonicalization before fingerprinting — the step that
+    // makes decomposed (e + U+0301) and precomposed (é) forms dedup
+    // identically. The planted row is DECOMPOSED in-query, so the oracle
+    // hash only matches if both engines' NFC implementations agree on the
+    // recomposition (java.text.Normalizer vs DuckDB utf8proc).
+    "t14_nfc_fingerprint" -> ((s, dir) => {
+      val planted = s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("cafe\u0301 re\u0301sume\u0301 nai\u0308ve").as("text")) // decomposed
+      val nfc = TF.nfcNormalize(col("text"))
+      ordered(t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          length(nfc).as("n_chars_nfc"),
+          md5(nfc.cast(BinaryType)).as("fp_nfc")))
+    }),
     "t04_token_freq" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(TF.tokensFast(col("text"))).as("token"))
@@ -696,6 +711,17 @@ object PipelineQueries {
          |FROM documents ${orderSql("doc_id", "lang", "n_chars", "pack_id")}""".stripMargin,
     "t03_fingerprint_md5" ->
       s"SELECT doc_id, md5(text) AS fp FROM documents ${orderSql("doc_id", "fp")}",
+    // chr(769)=U+0301 combining acute, chr(776)=U+0308 combining diaeresis:
+    // the planted row arrives decomposed and must recompose identically
+    "t14_nfc_fingerprint" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 9000001, 'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) ||
+         |                  ' nai' || chr(776) || 've')
+         |SELECT doc_id, length(nfc_normalize(text)) AS n_chars_nfc,
+         |md5(nfc_normalize(text)) AS fp_nfc
+         |FROM d ${orderSql("doc_id", "n_chars_nfc", "fp_nfc")}""".stripMargin,
     "t12_doc_chunking" ->
       s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
          |c AS (

@@ -83,7 +83,10 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("requireRecall leaves no cached frames behind (unpersist hygiene)") {
-    spark.catalog.clearCache()
+    // snapshot-delta, not global emptiness: suites run in PARALLEL in one
+    // JVM (sbt default), so another suite's transient persist may be live
+    // at any instant — only RDDs NEW since this call may be charged to it
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
     val exactDf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
@@ -96,9 +99,17 @@ class AnnRecallSpec extends SparkSpec {
     val recalls = out.select("recall").distinct().collect().map(_.getDouble(0))
     assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
     // ...and NOTHING stays persisted: each s02/s03/s05 invocation used to
-    // strand one cached frame per call in a long-lived session
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"stranded cached RDDs: ${spark.sparkContext.getPersistentRDDs.values.map(_.name)}")
+    // strand one cached frame per call in a long-lived session. A true
+    // leak never drains (nothing ever unpersists it), while a parallel
+    // suite's transient persist clears within its call — wait out the
+    // latter so only the former can fail the assert
+    def leakedNow() = spark.sparkContext.getPersistentRDDs.filterNot {
+      case (id, _) => before.contains(id)
+    }
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leakedNow().nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    val leaked = leakedNow()
+    assert(leaked.isEmpty, s"stranded cached RDDs: ${leaked.values.map(_.name)}")
   }
 
   test("s05 bucketed-IVF driver query: green end-to-end with inline gates") {
