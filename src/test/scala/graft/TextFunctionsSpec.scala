@@ -112,4 +112,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(stats.getInt(1) == 11)
     assert(one[Int](TF.bpeTokenCount($"t"), text) == 11)
   }
+
+  test("nfcNormalize: recomposes decomposed forms, identity on NFC and non-letters") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // e + combining acute, i + combining diaeresis
+    val composed = "caf\u00e9 na\u00efve"
+    assert(one[String](TF.nfcNormalize($"t"), decomposed) == composed)
+    // already-NFC input passes through unchanged (the fast path)
+    assert(one[String](TF.nfcNormalize($"t"), composed) == composed)
+    assert(one[String](TF.nfcNormalize($"t"), "plain ascii 123") == "plain ascii 123")
+    assert(one[String](TF.nfcNormalize($"t"), "") == "")
+    // NFC makes the two forms fingerprint identically — the dedup property
+    assert(one[String](md5(TF.nfcNormalize($"t").cast("binary")), decomposed) ==
+      one[String](md5(TF.nfcNormalize($"t").cast("binary")), composed))
+    // registered SQL surface
+    graft.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS r").head().getString(0) == "caf\u00e9")
+  }
 }
