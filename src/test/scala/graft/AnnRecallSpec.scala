@@ -83,9 +83,11 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("requireRecall leaves no cached frames behind (unpersist hygiene)") {
-    // snapshot-delta, not global emptiness: suites run in PARALLEL in one
-    // JVM (sbt default), so another suite's transient persist may be live
-    // at any instant — only RDDs NEW since this call may be charged to it
+    // snapshot-delta, not global emptiness: suites share one sequential
+    // forked JVM, and EARLIER suites legitimately leave localCheckpoint
+    // RDDs behind (Dedup.clusters, IvfIndex.topK) that catalog.clearCache
+    // does NOT remove (they are not CacheManager entries) — only RDDs NEW
+    // since this call may be charged to requireRecall
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
       k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
@@ -100,9 +102,10 @@ class AnnRecallSpec extends SparkSpec {
     assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
     // ...and NOTHING stays persisted: each s02/s03/s05 invocation used to
     // strand one cached frame per call in a long-lived session. A true
-    // leak never drains (nothing ever unpersists it), while a parallel
-    // suite's transient persist clears within its call — wait out the
-    // latter so only the former can fail the assert
+    // leak never drains (nothing ever unpersists it); the short drain
+    // wait is belt-and-suspenders against transient persists from any
+    // concurrently running code (harmless today with sequential suites,
+    // load-bearing if testForkedParallel is ever enabled)
     def leakedNow() = spark.sparkContext.getPersistentRDDs.filterNot {
       case (id, _) => before.contains(id)
     }
