@@ -33,6 +33,12 @@ hostile = [
     # stopword-heavy and digit/symbol-heavy
     "the a an and or of to in is it the a an and",
     "123 456 789 !!! ### $$$ 0.5 -3 1e9",
+    # Unicode normalization hostility (t14): DECOMPOSED forms (e+U+0301,
+    # i+U+0308) that NFC must recompose identically on both engines, a
+    # mixed composed/decomposed pair, and Hangul in decomposed jamo
+    "cafe\u0301 re\u0301sume\u0301 nai\u0308ve decomposed forms",
+    "caf\u00e9 cafe\u0301 mixed composed and decomposed in one doc",
+    "\u1112\u1161\u11ab\u1100\u1173\u11af jamo to syllables",
 ]
 langs = ['en', 'es', 'de', 'fr', 'zh']
 for i, txt in enumerate(hostile):
