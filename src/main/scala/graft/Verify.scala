@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — local iteration only
+    // (the driver always calls with 2 args and gets the full surface)
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').filter(_.nonEmpty).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,6 +39,7 @@ object Verify {
     // streaming proof (round 5 lost st06's correctness row exactly this
     // way — it iterated last in HashMap order).
     val ordered = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy { case (name, _) => (if (name.startsWith("st")) 0 else 1, name) }
     ordered.foreach { case (name, fn) =>
       def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -221,26 +221,33 @@ object Dedup {
       dim: Int = 64,
       tables: Int = 8,
       maxBucketSize: Int = 2000,
-      // > 0 sizes the plane count from the CORPUS (one count() job):
+      // > 0 sizes the plane count from the CORPUS:
       // planes = max(numPlanes, ceil(log2(n / targetBucketSize))), capped
       // at 24. With planes FIXED, bucket occupancy grows linearly with the
       // corpus and candidate pairs grow QUADRATICALLY (the round-7 soak
       // measured d06 at 491x time for 16x input); constant occupancy keeps
-      // candidates linear. Per-table collision probability at cosine c is
-      // (1 - acos(c)/pi)^planes, so more planes cost per-table recall —
-      // fine near c~1 (0.999-dups: miss < 1e-6 at planes=24, tables=8),
-      // but at lower thresholds raise `tables` along with the corpus.
-      targetBucketSize: Int = 0): DataFrame = {
+      // candidates linear, so auto-sizing is the DEFAULT — pass 0 only to
+      // pin an exact plane count (tests, parameter studies). Per-table
+      // collision probability at cosine c is (1 - acos(c)/pi)^planes, so
+      // more planes cost per-table recall — fine near c~1 (0.999-dups:
+      // miss < 1e-6 at planes=24, tables=8), but at lower thresholds raise
+      // `tables` along with the corpus.
+      targetBucketSize: Int = 32,
+      // corpus row count if the caller already knows it (>= 0): skips the
+      // sizing count() job — worth passing when `emb` is a derived plan
+      // (a union/filter chain) whose count is a real job, not a parquet
+      // metadata read. Ignored when targetBucketSize <= 0.
+      corpusSizeHint: Long = -1L): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .repartition(col("id")) // single shared exchange (see minhashPairs)
     val planes =
       if (targetBucketSize <= 0) numPlanes
+      else if (corpusSizeHint >= 0L) autoPlanes(corpusSizeHint, numPlanes, targetBucketSize)
       else
         // count on the raw input, not `base`, to skip base's repartition
         // exchange. A plain parquet scan collapses to metadata; a derived
         // input (d06 passes a union-with-mutations) pays a real count job
-        // — a corpus-size hint parameter would avoid it if that ever
-        // matters at ingest
+        // — pass corpusSizeHint to avoid it
         autoPlanes(emb.count(), numPlanes, targetBucketSize)
     // one lshBucket expression per table (each a single pass over the
     // vector); posexplode to slim (id, band=table, bucket) rows

@@ -87,6 +87,26 @@ object PipelineQueries {
   private def deleteRecursively(root: java.nio.file.Path): Unit =
     graft.util.Fs.deleteRecursively(root)
 
+  /** embeddings + 5 EXACT duplicates of each query vector (< 10), planted at
+    * ids 100000 + query*10 + j. The recall-1 trick d05/d06 use for the dedup
+    * LSH, applied to ANN: an identical vector hashes to the identical sign-LSH
+    * bucket in EVERY table and assigns to the query's own nearest IVF cell, so
+    * the approximate paths provably cannot miss the planted top-5 — which lets
+    * the DuckDB brute-force-cosine oracle hash-check the whole approximate
+    * pipeline INCLUDING its candidate stage (s06/s07). Ranking is
+    * engine-stable: each planted copy's cosine is computed from the same bits
+    * on both engines (all five tie exactly, broken by neighbor id) and sits
+    * ~0.6 above the fixture's natural max cosine.
+    */
+  private def embWithPlantedDups(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val qs = e.where(col("vec_id") < 10)
+    val planted = qs
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(4))).as("j"))
+      .select((lit(100000L) + col("vec_id") * 10 + col("j")).as("vec_id"), col("embedding"))
+    (e.unionByName(planted), qs)
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -420,6 +440,60 @@ object PipelineQueries {
           .orderBy(col("query_id").asc, col("rank").asc)
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
+    // the FULL-ORACLE ANN proofs: s02/s03/s05 run the approximate paths in a
+    // realistic regime where recall is gated (>= 0.9) but not 1, so the
+    // driver can only rows-check them. s06/s07 run the SAME operators over a
+    // corpus with planted exact-duplicate neighbors (embWithPlantedDups)
+    // where recall is provably 1 — so the DuckDB brute-force ranking oracle
+    // hash-checks the approximate pipeline end to end, candidate stage
+    // included: a broken bucket join / cell assignment surfaces as a hash
+    // mismatch, not a silently-green rows-only row.
+    "s06_knn_lsh_planted" -> ((s, dir) => {
+      val (corpus, qs) = embWithPlantedDups(s, dir)
+      // probes=0: the planted collisions are deterministic, so the proof
+      // covers the pure bucket-join path with no multi-probe widening
+      Similarity.lshTopK(corpus, qs, "vec_id", "embedding",
+          k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 0)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    "s07_knn_ivf_planted" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val (corpus, qs) = embWithPlantedDups(s, dir)
+      val model = IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
+      // nprobe=1 — maximal pruning: a planted duplicate's assigned cell IS
+      // the query's first probed cell (same bits through the same
+      // NearestCells expression), so even the single-cell probe provably
+      // finds all five
+      IvfIndex.topK(corpus, qs, "vec_id", "embedding", model, k = 5, nprobe = 1)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the UDAF surface, driver-checked: s01's ranking re-expressed through
+    // the typed TopKAggregator registered via functions.udaf — map-side
+    // partial top-k means the shuffle carries at most k pairs per group per
+    // partition instead of every scored candidate (the at-scale win over the
+    // window/row_number formulation). Oracled by the same brute-force
+    // ranking SQL as s01, so the aggregator's ordering contract (score desc,
+    // id asc) is hash-pinned cross-engine.
+    "s08_knn_topk_udaf" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(5))
+      s.udf.register("top_k_pairs", topk) // SQL-facing door, like GraftExtensions
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = broadcast(e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(q)
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), VF.cosine(col("qv"), col("cv")).as("score"),
+          col("neighbor_id").cast("long").as("id"))
+      scored.groupBy("query_id")
+        .agg(call_udf("top_k_pairs", col("score"), col("id")).as("topk"))
+        .select(col("query_id"), posexplode(col("topk")))
+        .select(col("query_id"), col("col._2").as("neighbor_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // ---- multimodal ----
     "m01_media_meta" -> ((s, dir) =>
       ordered(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -641,6 +715,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       ordered(drainToMemory(s, agg, "st01", dir, "complete"))
     }))
+
+  /** Brute-force cosine top-5 ranking over the raw embeddings — shared by
+    * s01 (window formulation) and s08 (UDAF formulation): both must
+    * reproduce this exact ranking, so one oracle text pins both.
+    */
+  private val knnRankingOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+       |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Brute-force ranking over embeddings + the planted exact duplicates
+    * (the SQL mirror of [[embWithPlantedDups]]) — the full-coverage oracle
+    * for the approximate ANN paths s06/s07.
+    */
+  private val plantedKnnOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 100000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
+       |  FROM (SELECT vec_id, v, unnest(range(0, 5)) AS j FROM q)),
+       |c AS (SELECT * FROM e UNION ALL SELECT * FROM planted)
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+       |FROM q JOIN c ON q.vec_id <> c.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -1079,14 +1184,15 @@ object PipelineQueries {
     // CAST to DOUBLE[] like d06: Spark's CosineSim widens each float to
     // double before accumulating, so the oracle must too — float-precision
     // accumulation can rank-swap near-tie neighbors as the corpus grows
-    "s01_knn_brute" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
-         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
-         |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "s01_knn_brute" -> knnRankingOracle,
+    // s08 is the UDAF formulation of the SAME ranking — one oracle pins both
+    "s08_knn_topk_udaf" -> knnRankingOracle,
+    // brute-force ranking over the PLANTED corpus (embWithPlantedDups
+    // mirrored in SQL): since the planted duplicates make approximate
+    // recall provably 1, this exact oracle hash-checks the LSH and IVF
+    // pipelines end to end
+    "s06_knn_lsh_planted" -> plantedKnnOracle,
+    "s07_knn_ivf_planted" -> plantedKnnOracle,
     "s04_quantize_i8" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,

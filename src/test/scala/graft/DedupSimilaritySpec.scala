@@ -186,6 +186,30 @@ class DedupSimilaritySpec extends SparkSpec {
     (1L to 5L).foreach(i => assert(found.contains((i, i + 100L)), s"missing clone pair $i"))
   }
 
+  test("embedding pairs auto-size by default; corpusSizeHint replaces the count") {
+    val vecs = (1L to 30L).map { i =>
+      (i, (0 until 16).map(j => math.sin(i * 7.0 + j).toFloat))
+    }
+    val clones = vecs.take(5).map { case (i, v) => (i + 100L, v.map(x => x * 1.001f)) }
+    val df = (vecs ++ clones).toDF("vec_id", "embedding")
+    def pairKeys(got: Array[org.apache.spark.sql.Row]) =
+      got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the default call (no targetBucketSize) runs in auto-sizing mode now;
+    // an exact-size hint must reproduce the counted result bit for bit
+    val byCount = pairKeys(Dedup.embeddingPairs(df, "vec_id", "embedding",
+      minCosine = 0.999, numPlanes = 8, dim = 16).collect())
+    val byHint = pairKeys(Dedup.embeddingPairs(df, "vec_id", "embedding",
+      minCosine = 0.999, numPlanes = 8, dim = 16, corpusSizeHint = 35L).collect())
+    assert(byCount == byHint)
+    // a million-row hint raises the plane count past the floor
+    // (autoPlanes -> 15) — occupancy control — while the 0.999-cosine
+    // clones still collide and pair
+    val byBigHint = pairKeys(Dedup.embeddingPairs(df, "vec_id", "embedding",
+      minCosine = 0.999, numPlanes = 8, dim = 16, corpusSizeHint = 1L << 20).collect())
+    (1L to 5L).foreach(i =>
+      assert(byBigHint.contains((i, i + 100L)), s"missing clone pair $i at 20 planes"))
+  }
+
   test("brute-force top-k matches manual cosine ranking") {
     val vecs = Seq(
       (1L, Seq(1f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0f, 1f, 0f)),
