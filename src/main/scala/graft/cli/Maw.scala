@@ -93,7 +93,16 @@ object Maw {
       case "--zstd-level" :: v :: t        => go(t, a.copy(zstdLevel = v.toInt))
       case "--roll-by-bytes" :: v :: t     => go(t, a.copy(rollByBytes = Some(v.toLong)))
       case "--roll-by-rows" :: v :: t      => go(t, a.copy(rollByRows = Some(v.toLong)))
-      case "--partition-by" :: v :: t      => go(t, a.copy(partitionBy = v.split(',').toSeq))
+      // split with limit -1 so trailing empty segments survive to be
+      // REJECTED: plain split(',') silently turns "," into an empty list
+      // (unpartitioned output) and "a,,b" into an empty column name that
+      // only surfaces later as a confusing 'columns not in data:' error
+      case "--partition-by" :: v :: t =>
+        val cols = v.split(",", -1).toSeq
+        if (cols.isEmpty || cols.exists(_.trim.isEmpty))
+          throw new IllegalArgumentException(
+            s"--partition-by expects a comma-separated list of column names, got '$v'")
+        go(t, a.copy(partitionBy = cols))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--verify" :: t                 => go(t, a.copy(verify = true))

@@ -110,6 +110,21 @@ object Sink {
       // partitioned layout: a directory tree is the contract, so no
       // single-file promotion and no rolled-part renaming. maxRecordsPerFile
       // still bounds file sizes within each partition directory.
+      // Staged like every other path (.spark-out, then rename into place):
+      // writing straight to cfg.path with overwrite would destroy the prior
+      // output at JOB START, so a crash mid-write leaves neither old nor new
+      // tree at the contract path.
+      val ptmp = cfg.path + ".spark-out"
+      val target = new org.apache.hadoop.fs.Path(cfg.path)
+      val fs = target.getFileSystem(df0.sparkSession.sparkContext.hadoopConfiguration)
+      // fail fast BEFORE the (possibly hours-long) write: if the contract
+      // path holds a directory that doesn't look like our output, the
+      // promote below would refuse anyway — surface that now
+      if (fs.exists(target) && fs.getFileStatus(target).isDirectory)
+        require(looksLikeSinkOutput(fs, target),
+          s"refusing to overwrite ${cfg.path}: the existing directory does not " +
+            "look like graft output (no _SUCCESS, part-* files, or col=value " +
+            "subdirectories) — move it aside or choose another -o path")
       val w0 = maxRecords.map(df.writeConfRows).getOrElse(df.write)
         .partitionBy(cfg.partitionBy: _*).mode("overwrite")
       cfg.format match {
@@ -119,13 +134,14 @@ object Sink {
             .option("escape", "\"")
             .option("ignoreLeadingWhiteSpace", "false")
             .option("ignoreTrailingWhiteSpace", "false")
-            .csv(cfg.path)
+            .csv(ptmp)
         case graft.sources.Discovery.Parquet =>
           w0.option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
             .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString)
             .option("parquet.block.size", (128L * 1024 * 1024).toString)
-            .parquet(cfg.path)
+            .parquet(ptmp)
       }
+      replaceMove(fs, new org.apache.hadoop.fs.Path(ptmp), target)
       // stale rolled parts from an earlier non-partitioned run at the same
       // contract path would survive next to the new directory and confuse
       // readBack/--verify; sweep them like the file paths sweep stale output
@@ -296,9 +312,42 @@ object Sink {
     if (keepBelow > 0 && fs.exists(p)) {
       // stale single file — or a stale partitioned TREE, which would
       // otherwise shadow the fresh rolled parts in readBack's directory
-      // branch — left by a previous run with different output options
-      fs.delete(p, fs.getFileStatus(p).isDirectory)
+      // branch — left by a previous run with different output options.
+      // The recursive case is gated: a pre-existing user directory at the
+      // contract path fails loudly instead of being wiped.
+      if (fs.getFileStatus(p).isDirectory) deleteOutputDir(fs, p)
+      else fs.delete(p, false)
     }
+  }
+
+  /** True iff `dir` is plausibly output THIS sink (or a Spark job) wrote:
+    * empty, or containing a _SUCCESS marker, part files, hidden bookkeeping
+    * (.crc, .spark-out leftovers), or hive `col=value` subdirectories.
+    * Recursive deletes consult this before touching an existing directory —
+    * a user directory that merely happens to sit at the `-o` path (photos/,
+    * a source tree) matches none of these and must survive the run.
+    */
+  private[graft] def looksLikeSinkOutput(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    val listed = fs.listStatus(dir)
+    listed.isEmpty || listed.exists { st =>
+      val n = st.getPath.getName
+      n == "_SUCCESS" || n.startsWith("part-") || n.startsWith("_") ||
+        n.startsWith(".") || (st.isDirectory && n.contains("="))
+    }
+  }
+
+  /** Recursive directory delete gated on [[looksLikeSinkOutput]]; refuses
+    * with a readable error otherwise instead of wiping a tree this sink
+    * never created.
+    */
+  private def deleteOutputDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    require(looksLikeSinkOutput(fs, dir),
+      s"refusing to overwrite $dir: the existing directory does not look like " +
+        "graft output (no _SUCCESS, part-* files, or col=value subdirectories) " +
+        "— move it aside or choose another -o path")
+    fs.delete(dir, true)
   }
 
   /** Replace-on-rename move (rename does not replace on all filesystems).
@@ -309,8 +358,12 @@ object Sink {
     // recursive when dst is a directory: a stale partitioned tree from an
     // earlier --partition-by run at the same path must not kill (local FS:
     // 'Directory is not empty') or absorb (FS-dependent rename-into-dir)
-    // this run's promotion
-    if (fs.exists(dst)) fs.delete(dst, fs.getFileStatus(dst).isDirectory)
+    // this run's promotion — but only a tree that LOOKS like our output
+    // may be recursively replaced
+    if (fs.exists(dst)) {
+      if (fs.getFileStatus(dst).isDirectory) deleteOutputDir(fs, dst)
+      else fs.delete(dst, false)
+    }
     require(fs.rename(src, dst), s"failed to promote $src to $dst")
   }
 

@@ -68,7 +68,10 @@ object FixtureSchemas {
           "a driver fixture regeneration likely changed the physical type; " +
           "check the adaptive readers (Q.normalizeTs) before trusting red queries")
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OOM/interrupt must propagate, not be downgraded
+        // to a one-line stderr note with the run continuing in a possibly
+        // corrupted state
+        case scala.util.control.NonFatal(e) =>
           System.err.println(s"[$tag][schema] $t: UNREADABLE (${e.getMessage})")
       }
     }

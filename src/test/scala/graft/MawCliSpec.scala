@@ -376,6 +376,62 @@ class MawCliSpec extends SparkSpec {
     assert(Sink.readBack(spark, out, Discovery.Parquet).count() == 3)
   }
 
+  test("recursive deletes refuse a pre-existing non-sink directory at -o") {
+    val d = tmpDir("delguard")
+    val src = d.resolve("in.csv").toString
+    Files.writeString(java.nio.file.Paths.get(src), "k,v\n1,a\n2,b\n")
+    // a user directory at the contract path: nothing inside looks like
+    // sink output (no _SUCCESS, part-*, col=value) — every recursive-delete
+    // path must refuse it and leave it intact
+    val precious = d.resolve("precious")
+    Files.createDirectories(precious.resolve("keep"))
+    Files.writeString(precious.resolve("keep").resolve("notes.txt"), "do not delete")
+    Files.writeString(precious.resolve("photo.jpg"), "bits")
+    val cfg = Concat.Config(Seq(src))
+    // partitioned write refuses BEFORE the write job starts
+    val e1 = intercept[IllegalArgumentException](Concat.convert(spark, cfg,
+      Sink.Config(precious.toString, Discovery.Parquet,
+        singleFile = false, partitionBy = Seq("v"))))
+    assert(e1.getMessage.contains("refusing"))
+    // single-file promotion refuses at the guarded dst delete
+    val e2 = intercept[IllegalArgumentException](Concat.convert(spark, cfg,
+      Sink.Config(precious.toString, Discovery.Parquet)))
+    assert(e2.getMessage.contains("refusing"))
+    // rolled output's stale-single-file sweep refuses too
+    val e3 = intercept[IllegalArgumentException](Concat.convert(spark, cfg,
+      Sink.Config(precious.toString, Discovery.Parquet,
+        singleFile = false, rollByRows = Some(1))))
+    assert(e3.getMessage.contains("refusing"))
+    assert(Files.exists(precious.resolve("keep").resolve("notes.txt")))
+    assert(Files.exists(precious.resolve("photo.jpg")))
+  }
+
+  test("partitioned write stages: a failing job leaves the previous tree intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit}
+    val d = tmpDir("partstage")
+    val out = d.resolve("t.parquet").toString
+    Sink.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      Sink.Config(out, Discovery.Parquet, singleFile = false, partitionBy = Seq("v")))
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == 2)
+    // a write that fails at TASK time (ANSI cast of a non-numeric string):
+    // before the staging fix, mode(overwrite) on the contract path had
+    // already destroyed the old tree by the time the task threw
+    val bad = Seq("1", "boom").toDF("s")
+      .select(expr("cast(s as int)").as("k"), lit("a").as("v"))
+    intercept[Exception](Sink.write(bad,
+      Sink.Config(out, Discovery.Parquet, singleFile = false, partitionBy = Seq("v"))))
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == 2,
+      "previous partitioned output must survive a failed overwrite")
+  }
+
+  test("--partition-by rejects empty column names at parse time") {
+    for (v <- Seq(",", "a,,b", "", " ,a"))
+      assert(intercept[IllegalArgumentException](
+        Maw.parse(Seq("in.csv", "-o", "o.parquet", "--partition-by", v)))
+        .getMessage.contains("--partition-by"), s"'$v' should be rejected")
+  }
+
   test("--stream rejects --partition-by (no streaming partitioned sink yet)") {
     val a = Maw.parse(Seq("in.csv", "-o", "out.parquet", "--stream", "--partition-by", "lang"))
     assert(a.streaming && a.partitionBy == Seq("lang")) // parses; main rejects
