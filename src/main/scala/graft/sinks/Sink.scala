@@ -360,11 +360,16 @@ object Sink {
     // 'Directory is not empty') or absorb (FS-dependent rename-into-dir)
     // this run's promotion — but only a tree that LOOKS like our output
     // may be recursively replaced
-    if (fs.exists(dst)) {
-      if (fs.getFileStatus(dst).isDirectory) deleteOutputDir(fs, dst)
-      else fs.delete(dst, false)
+    if (fs.exists(dst) && fs.getFileStatus(dst).isDirectory) deleteOutputDir(fs, dst)
+    // rename FIRST: POSIX-backed filesystems overwrite an existing dst file
+    // atomically, so a crash in the promote leaves either the old or the
+    // new file at dst — never neither (FaultInjectionSpec pins this)
+    if (!fs.rename(src, dst)) {
+      // filesystems where rename-onto-existing fails by contract (HDFS):
+      // delete-then-rename, accepting the narrow no-file window
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(src, dst), s"failed to promote $src to $dst")
     }
-    require(fs.rename(src, dst), s"failed to promote $src to $dst")
   }
 
   /** Move part files out of the Spark output directory to honor the
