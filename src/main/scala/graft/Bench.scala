@@ -25,6 +25,8 @@ object Bench {
       // split even a single medium CSV/parquet input across cores
       .config("spark.sql.files.maxPartitionBytes", (8L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // old ns-ts fixture compat only (no-op on us fixtures); the real ts
+      // handling is the adaptive Q.normalizeTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -53,6 +55,35 @@ object Bench {
     // three reference paths through Concat+Sink, best of 3 (single-file
     // contract off — measuring the engine, not the coalesce(1) bottleneck)
     val tmp = Files.createTempDirectory("graft-bench")
+
+    // RAW-I/O CANARY before anything Spark touches disk: 200 MB written
+    // (fsync'd) + read back through plain JVM streams. The box shows
+    // recurring degraded-I/O windows (30-40% uniform drops across all legs,
+    // rounds 5-8 — see BENCH_NOTES.md) that previously took manual re-runs
+    // to adjudicate; this number lets every BENCH_r*.json self-label its
+    // window quality: compare io_canary_mbps across rounds before reading
+    // anything into a leg regression.
+    val ioCanaryMbps: Double = {
+      val f = tmp.resolve("io_canary.bin").toFile
+      val buf = new Array[Byte](1 << 20)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 } // incompressible-ish, non-zero
+      val mb = 200
+      val t0 = System.nanoTime()
+      val fos = new java.io.FileOutputStream(f)
+      val out = new java.io.BufferedOutputStream(fos, 1 << 20)
+      try {
+        var j = 0
+        while (j < mb) { out.write(buf); j += 1 }
+        out.flush()
+        fos.getFD.sync() // page-cache-proof: the write must reach the device
+      } finally out.close()
+      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 20)
+      try { while (in.read(buf) > 0) () } finally in.close()
+      val sec = (System.nanoTime() - t0) / 1e9
+      f.delete()
+      2.0 * mb / sec // MB moved (write+read) per second
+    }
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val csvIn = tmp.resolve("lineitem_csv").toString
     // columns in unified (sorted) order — the shape of any maw-written CSV,
@@ -134,7 +165,7 @@ object Bench {
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"queries_min_of_2_conversions_best_of_3","queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"queries_min_of_2_conversions_best_of_3","io_canary_mbps":$ioCanaryMbps%.0f,"queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
     // two independent persistence channels: stdout (the driver's 2000-char
     // tail capture) and a file artifact that survives truncation/prefixing
     // by the sbt logger. Print FIRST and Try the write — an unwritable

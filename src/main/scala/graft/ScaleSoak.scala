@@ -131,8 +131,8 @@ object ScaleSoak {
     sys.props("graft.bench.skipOrder") = "1" // measure operators, not the oracle sort
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // old fixtures wrote events.ts as timestamp[ns]; reading those needs
-      // nanosAsLong (no-op on the current timestamp[us] fixture)
+      // old ns-ts fixture compat only (no-op on us fixtures); the real ts
+      // handling is the adaptive Q.normalizeTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

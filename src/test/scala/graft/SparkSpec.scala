@@ -12,6 +12,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // old ns-ts fixture compat only (no-op on us fixtures); the real ts
+      // handling is the adaptive Q.normalizeTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
