@@ -39,6 +39,21 @@ hostile = [
     "cafe\u0301 re\u0301sume\u0301 nai\u0308ve decomposed forms",
     "caf\u00e9 cafe\u0301 mixed composed and decomposed in one doc",
     "\u1112\u1161\u11ab\u1100\u1173\u11af jamo to syllables",
+    # Locale-dependent case folding (t* tokenizer/langid/lower() parity):
+    # Turkish dotted/dotless I \u2014 lower('I') is 'i' in the root locale both
+    # engines must use, never Turkish dotless '\u0131'; upper('i') likewise
+    "Istanbul I\u0131k \u0130stanbul TITLE title dotted and dotless",
+    # Greek final sigma: lower('\u03a3') is context-sensitive in full Unicode
+    # case mapping (\u03c2 word-final, \u03c3 elsewhere) \u2014 pins whichever rule the
+    # engines apply to agree
+    "\u03a3\u03af\u03c3\u03c5\u03c6\u03bf\u03c2 \u03a3\u0395\u03a1\u0399\u03a6 sigma \u03c3 \u03c2 endings",
+    # Full-width Latin + digits (U+FF21.., U+FF10..): not ASCII, so ASCII
+    # tokenizers/punct counters must treat them as non-ASCII symbols, and
+    # lower() maps them within the full-width block
+    "\uff28\uff25\uff2c\uff2c\uff2f \uff37\uff4f\uff52\uff4c\uff44 \uff11\uff12\uff13 fullwidth",
+    # German sharp s: upper('\u00df') expands to 'SS' under full case mapping \u2014
+    # a length-changing case op both engines must agree on
+    "stra\u00dfe STRASSE Ma\u00df MASS sharp s",
 ]
 langs = ['en', 'es', 'de', 'fr', 'zh']
 for i, txt in enumerate(hostile):
