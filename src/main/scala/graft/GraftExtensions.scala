@@ -69,13 +69,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.expressions.SimHashMd5(args.head)),
     ("nfc_normalize",
       new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => graft.expressions.NfcNormalize(args.head)))
+      (args: Seq[Expression]) => graft.expressions.NfcNormalize(args.head)),
+    // table-generating function (UDTF surface): select list / LATERAL VIEW
+    ("chunk_spans",
+      new ExpressionInfo(classOf[graft.expressions.ChunkSpans].getName, "chunk_spans"),
+      (args: Seq[Expression]) => graft.expressions.ChunkSpans(args.head,
+        intArg(args(1), "chunk"), intArg(args(2), "stride"))))
 
   private val arity: Map[String, Int] = Map(
     "shingle_hashes" -> 2, "minhash_sig" -> 3, "simhash64" -> 1,
     "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
     "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1,
-    "minhash_sig_md5" -> 3, "simhash60" -> 1, "nfc_normalize" -> 1)
+    "minhash_sig_md5" -> 3, "simhash60" -> 1, "nfc_normalize" -> 1,
+    "chunk_spans" -> 3)
 
   // fail at class-load, not at first invocation: a function added to
   // `functions` without an arity entry would otherwise surface as a bare

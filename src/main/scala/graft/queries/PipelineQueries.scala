@@ -353,6 +353,20 @@ object PipelineQueries {
           length(expr(s"substring(text, pos * $stride + 1, $chunk)")).as("chunk_chars"),
           md5(expr(s"substring(text, pos * $stride + 1, $chunk)").cast(BinaryType)).as("chunk_fp")))
     }),
+    // the UDTF surface end-to-end: chunk_spans — a custom Catalyst
+    // Generator registered through GraftExtensions, callable from SQL as a
+    // table function — replaces t12's posexplode+substring composition.
+    // Same windowing arithmetic (ChunkSpans documents the equivalence), so
+    // the two formulations share one oracle; a drift between the generator
+    // and the relational spelling surfaces as a hash mismatch.
+    "t15_chunk_udtf" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      ordered(t(s, dir, "documents")
+        .select(col("doc_id"), expr("chunk_spans(text, 1000, 900)"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk_text")).as("chunk_chars"),
+          md5(col("chunk_text").cast(BinaryType)).as("chunk_fp")))
+    }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -747,6 +761,21 @@ object PipelineQueries {
        |FROM q JOIN c ON q.vec_id <> c.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Overlapping-chunk explosion (chunk 1000, stride 900) — shared by t12
+    * (posexplode+substring) and t15 (the chunk_spans generator): the two
+    * formulations are defined to be row-for-row equal.
+    */
+  private val chunkingOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |c AS (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, CAST(ceil(greatest(n - 1000, 0) / 900.0) AS INTEGER) + 1)) AS chunk_idx
+       |  FROM d)
+       |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       |  CAST(length(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS INTEGER) AS chunk_chars,
+       |  md5(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS chunk_fp
+       |FROM c ${orderSql("doc_id", "chunk_idx", "chunk_chars", "chunk_fp")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t01_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
@@ -827,16 +856,10 @@ object PipelineQueries {
          |SELECT doc_id, length(nfc_normalize(text)) AS n_chars_nfc,
          |md5(nfc_normalize(text)) AS fp_nfc
          |FROM d ${orderSql("doc_id", "n_chars_nfc", "fp_nfc")}""".stripMargin,
-    "t12_doc_chunking" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |c AS (
-         |  SELECT doc_id, text,
-         |    unnest(range(0, CAST(ceil(greatest(n - 1000, 0) / 900.0) AS INTEGER) + 1)) AS chunk_idx
-         |  FROM d)
-         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
-         |  CAST(length(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS INTEGER) AS chunk_chars,
-         |  md5(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS chunk_fp
-         |FROM c ${orderSql("doc_id", "chunk_idx", "chunk_chars", "chunk_fp")}""".stripMargin,
+    "t12_doc_chunking" -> chunkingOracle,
+    // t15 is the UDTF (generator) formulation of the SAME chunking — one
+    // oracle pins both spellings
+    "t15_chunk_udtf" -> chunkingOracle,
     "t10_stratified_sample" ->
       s"""SELECT doc_id, lang, rk FROM (
          |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang

@@ -37,6 +37,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(5) == 3)
   }
 
+  test("chunk_spans generator: SQL table function equals the substring composition") {
+    GraftExtensions.register(spark)
+    // edge lengths around the (chunk=5, stride=3) windows, plus multi-byte
+    // chars (substring counts CODE POINTS), empty text, and NULL
+    Seq((1L, "abcdefghij"), (2L, "abcde"), (3L, "abcdef"), (4L, "ab"),
+      (5L, ""), (6L, null.asInstanceOf[String]), (7L, "héllo wörld €uro"))
+      .toDF("id", "text").createOrReplaceTempView("docs_chunk")
+    val gen = spark.sql(
+      """SELECT id, c.chunk_idx, c.chunk_text
+        |FROM docs_chunk LATERAL VIEW chunk_spans(text, 5, 3) c AS chunk_idx, chunk_text
+        |ORDER BY id, chunk_idx""".stripMargin).collect()
+    val ref = spark.sql(
+      """SELECT id, pos AS chunk_idx, substring(text, pos * 3 + 1, 5) AS chunk_text
+        |FROM (
+        |  SELECT id, text,
+        |    posexplode(sequence(0,
+        |      CAST(ceil(CAST(greatest(length(text) - 5, 0) AS DOUBLE) / 3) AS INT))) AS (pos, x)
+        |  FROM docs_chunk)
+        |ORDER BY id, chunk_idx""".stripMargin).collect()
+    assert(gen.length == ref.length, s"${gen.length} vs ${ref.length} rows")
+    gen.zip(ref).foreach { case (g, r) => assert(g == r, s"$g != $r") }
+    // NULL text yields one (0, NULL) row — matching greatest(NULL,0)=0 in
+    // the composition; empty text yields one empty chunk
+    assert(gen.filter(_.getLong(0) == 6L).map(r => (r.getInt(1), r.getString(2))).toSeq
+      == Seq((0, null)))
+    assert(gen.filter(_.getLong(0) == 5L).map(_.getString(2)).toSeq == Seq(""))
+  }
+
   test("jaccard_sorted edges: empty arrays, disjoint, identical") {
     GraftExtensions.register(spark)
     val r = spark.sql(
