@@ -234,10 +234,14 @@ object PipelineQueries {
     // (constant bucket occupancy -> linear candidates; the round-7 soak
     // caught fixed-plane LSH going quadratic). At the driver's gate scale
     // the floor of 8 planes binds, so the oracle regime is unchanged.
+    // corpusSizeHint: the input is a derived union (2x embeddings), whose
+    // count() would be a real Spark job — the hint derives the same number
+    // from the base table's parquet METADATA count (cheap) instead
     "d06_embed_near_dup" -> ((s, dir) =>
       ordered(Dedup.embeddingPairs(embWithNearDups(s, dir), "vec_id", "embedding",
         minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8,
-        targetBucketSize = 32)
+        targetBucketSize = 32,
+        corpusSizeHint = 2L * t(s, dir, "embeddings").count())
         .select(col("idA"), col("idB"), round(col("cosine"), 4).as("cosine")))),
     // survivors over EXACT-verified jaccard pairs (same recall-1 candidate
     // params as d05), so keep-first selection is DuckDB-oracle-checkable

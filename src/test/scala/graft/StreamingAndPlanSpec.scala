@@ -300,6 +300,21 @@ class StreamingAndPlanSpec extends SparkSpec {
     }
   }
 
+  test("plan: UDAF top-k aggregates map-side; query side broadcasts (s08)") {
+    val df = SparkEntry.queries("s08_knn_topk_udaf")(spark, "/root/testdata/sf0.001")
+    val physical = df.queryExecution.executedPlan.toString
+    // the scale shape s08 exists for: the typed aggregator runs as a
+    // PARTIAL ObjectHashAggregate before the group exchange (shuffle
+    // carries <=k pairs per group per partition) and a final merge after —
+    // not one post-shuffle aggregation of every scored candidate
+    assert("ObjectHashAggregate".r.findAllIn(physical).size >= 2,
+      s"UDAF lost two-phase aggregation:\n$physical")
+    assert(physical.contains("partial_"), s"no partial (map-side) agg mode:\n$physical")
+    // the scoring join streams the corpus against the broadcast query set
+    assert(physical.contains("BroadcastNestedLoopJoin"),
+      s"query set not broadcast for scoring:\n$physical")
+  }
+
   test("plan: semi/anti joins stay joins (no cartesian)") {
     for (q <- Seq("q05_semi_join", "q06_anti_join")) {
       val plan = explainString(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
