@@ -42,6 +42,11 @@ object ScaleSoak {
     Seq("d03_minhash_pairs", "d04_simhash_pairs", "d05_ngram_jaccard_pairs",
       "d06_embed_near_dup", "d09_dedup_clusters", "d10_substring_contamination",
       "s05_knn_ivf_bucketed",
+      // round-9 additions: the planted full-oracle ANN paths (candidate
+      // cost must grow linearly with the corpus while output stays 50
+      // rows) and the UDAF top-k (scoring rows grow linearly; the partial
+      // agg keeps the group shuffle at <=k pairs per group per partition)
+      "s06_knn_lsh_planted", "s07_knn_ivf_planted", "s08_knn_topk_udaf",
       // streaming legs: st01 exercises windowed aggregation over 64x the
       // events (same hour windows -> output rows constant), st04 exercises
       // unbounded dedup state at 64x the key cardinality (user ids are
