@@ -371,6 +371,31 @@ object PipelineQueries {
           length(col("chunk_text")).as("chunk_chars"),
           md5(col("chunk_text").cast(BinaryType)).as("chunk_fp")))
     }),
+    // TF-IDF weighting — the classic relevance/feature transform of a text
+    // pipeline. Shape at 100 TB: ONE tokenize+explode pass feeds the
+    // (doc, token) partial-agg shuffle, and document frequency attaches via
+    // a token-partitioned window over the already-unique (doc, token) rows
+    // — one more shuffle, NO self-join diamond (a tf⟕df join re-scans the
+    // corpus per branch: column pruning specializes each branch's partial
+    // aggregate, defeating ReuseExchange — measured, not guessed). The
+    // corpus size joins in as a broadcast 1-row aggregate from a second
+    // NARROW scan (text only, no explode; no driver collect). The idf log
+    // runs on both engines' libm; round(…,6) absorbs any last-ulp skew
+    // (no double is an exact 6-dp tie, so the rounding itself is portable).
+    "t16_tfidf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val tf = docs
+        .select(col("doc_id"), explode(TF.tokensFast(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      val nDocs = docs.where(size(TF.tokensFast(col("text"))) > 0)
+        .agg(count(lit(1)).as("n_docs"))
+      ordered(withDf.crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+            .as("tfidf")))
+    }),
     // ---- similarity search ----
     "s01_knn_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -512,6 +537,18 @@ object PipelineQueries {
           (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // per-label embedding centroids — the aggregation half of k-means /
+    // class-prototype computation over an embedding column. posexplode to
+    // slim (label, pos, v) triples, then ONE map-side-combinable shuffle on
+    // (label, pos): output cardinality is labels x dim regardless of corpus
+    // size, the scale-invariant shape. The mean goes through exact
+    // DECIMAL(18,6) accumulation (see Q.dsum) so it is independent of
+    // partitioning/addition order on either engine — float sums are not.
+    "s09_embed_centroids" -> ((s, dir) =>
+      ordered(t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), davg(col("v").cast("double")).as("centroid")))),
     // ---- multimodal ----
     "m01_media_meta" -> ((s, dir) =>
       ordered(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -920,6 +957,27 @@ object PipelineQueries {
          |CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it'))) AS INTEGER) AS n_stopwords,
          |CAST(len(toks) - len(list_distinct(toks)) AS INTEGER) AS n_repeated
          |FROM d ${orderSql("doc_id")}""".stripMargin,
+    // same RE2-\s token contract as t04/t07; n_docs is counted over tf so
+    // token-less documents drop out on both engines
+    "t16_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+         |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         |FROM tf JOIN df USING (token) CROSS JOIN n
+         |${orderSql("doc_id", "token")}""".stripMargin,
+    "s09_embed_centroids" ->
+      s"""WITH d AS (SELECT label,
+         |  CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+         |  CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings)
+         |SELECT label, pos, COUNT(*) AS n, ${davgSql("v")} AS centroid
+         |FROM d GROUP BY label, pos ${orderSql("label", "pos")}""".stripMargin,
     "d01_dedup_exact" ->
       s"""SELECT min(doc_id) AS doc_id FROM (
          |SELECT doc_id, text FROM documents

@@ -128,4 +128,40 @@ class TextFunctionsSpec extends SparkSpec {
     graft.GraftExtensions.register(spark)
     assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS r").head().getString(0) == "caf\u00e9")
   }
+
+  test("t16 tfidf: exact tf/df/n_docs on a hand-checked corpus; two-scan window plan") {
+    // 3 docs; "b" appears in all (idf ln(1)=0), "a" in two, "x" only in doc 3 (twice)
+    val dir = tmpDir("tfidf")
+    Seq((1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L), (3L, "x x b", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t16_tfidf")(spark, dir.toString)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    def w(tf: Long, df: Long) = math.round(tf * math.log(4.0 / (df + 1.0)) * 1e6) / 1e6
+    assert(rows == Set(
+      (1L, "a", 1L, 2L, w(1, 2)), (1L, "b", 1L, 3L, 0.0),
+      (2L, "a", 1L, 2L, w(1, 2)), (2L, "b", 1L, 3L, 0.0),
+      (3L, "b", 1L, 3L, 0.0), (3L, "x", 2L, 1L, w(2, 1))))
+    // the scale claim: df comes from a window, not a self-join diamond \u2014
+    // the corpus is scanned exactly TWICE (tf pass + narrow n_docs pass).
+    // Checked on the static plan (AQE respells stages).
+    val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.queries("t16_tfidf")(spark, dir.toString)
+        .queryExecution.executedPlan.toString
+    }
+    val scans = "Scan parquet".r.findAllIn(static).size
+    assert(scans == 2, s"t16 should scan the corpus exactly twice, saw $scans:\n$static")
+    assert(static.contains("Window"), "t16 lost the window-based df attachment")
+  }
+
+  test("s09 centroids: exact decimal-accumulated means, label x dim cardinality") {
+    val dir = tmpDir("centroids")
+    Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0), (3L, Array(10.0f, 20.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(dir.resolve("embeddings.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("s09_embed_centroids")(spark, dir.toString)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((0, 0, 2L, 2.0), (0, 1, 2L, 3.5), (1, 0, 1L, 10.0), (1, 1, 1L, 20.0)))
+  }
 }
