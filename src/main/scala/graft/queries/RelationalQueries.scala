@@ -546,6 +546,40 @@ object RelationalQueries {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")))
     }),
+    // runtime bloom-filter join — the 100 TB shuffle-join prefilter: the
+    // selectively-filtered dim side builds a bloom filter at runtime and the
+    // fact side drops non-matching rows BEFORE its shuffle, turning a
+    // full-fact exchange into a ~hit-rate-sized one. Spark's
+    // InjectRuntimeFilter only fires on shuffle joins past size thresholds
+    // meant for real clusters, so the fixture-scoped confs force the same
+    // plan here, and `might_contain` is asserted IN-QUERY — a silent loss of
+    // the filter is a hard err, not a quiet perf cliff. Results are exact
+    // regardless (the bloom is a prefilter; the hash join still verifies),
+    // so the plain-join DuckDB oracle hash-checks it.
+    "q49_bloom_filter_join" -> ((s, dir) => {
+      val df = withConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1") {
+        withConf(s, "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0") {
+          withConf(s, "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB") {
+            val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+              .select("o_orderkey", "o_orderdate")
+            val l = t(s, dir, "lineitem")
+              .select("l_orderkey", "l_extendedprice", "l_discount")
+            val q = ordered(l.join(o, l("l_orderkey") === o("o_orderkey"))
+              .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+              .agg(count(lit(1)).as("n_lines"),
+                dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")))
+            // force planning inside the conf scope (QueryExecution caches
+            // its phases, so the driver's later action reuses this plan)
+            q.queryExecution.executedPlan
+            q
+          }
+        }
+      }
+      val plan = df.queryExecution.optimizedPlan.toString
+      require(plan.contains("might_contain"),
+        "q49: runtime bloom filter was not injected into the fact scan")
+      df
+    }),
     // map functions: JSON -> map<string,long>, explode to (key, value) rows,
     // aggregate per key (map_keys/map_values/element_at family)
     "q34_map_funcs" -> ((s, dir) => {
@@ -780,6 +814,12 @@ object RelationalQueries {
          |${dsumSql("l.l_extendedprice")} AS revenue
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY 1 ${orderSql("s_nationkey", "n", "revenue")}""".stripMargin,
+    "q49_bloom_filter_join" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_lines,
+         |${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY 1 ${orderSql("month", "n_lines", "revenue")}""".stripMargin,
     "q39_lateral_topn" ->
       s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          |FROM customer c,

@@ -315,6 +315,24 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"query set not broadcast for scoring:\n$physical")
   }
 
+  test("plan: q49 injects a runtime bloom filter on the fact side; result equals plain join") {
+    val df = SparkEntry.queries("q49_bloom_filter_join")(spark, "/root/testdata/sf0.001")
+    // the in-query require already gates might_contain; pin the full shape
+    // here: a bloom_filter_agg subquery on the dim side feeds the fact scan
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg"), s"no bloom build side:\n$opt")
+    assert(opt.contains("might_contain"), s"no bloom probe on the fact side:\n$opt")
+    // exactness: the bloom is a prefilter, the hash join still verifies
+    val o = sf("orders").where(col("o_orderpriority") === "1-URGENT")
+    val l = sf("lineitem")
+    val plain = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == plain, "bloom-prefiltered join diverged from the plain join")
+  }
+
   test("plan: semi/anti joins stay joins (no cartesian)") {
     for (q <- Seq("q05_semi_join", "q06_anti_join")) {
       val plan = explainString(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001"))
