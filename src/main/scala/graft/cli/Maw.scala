@@ -140,8 +140,8 @@ object Maw {
     "--writer-buffer", "--mem-budget")
 
   val usage: String =
-    """graft <inputs...> -o out.{csv,parquet} [options]
-      |Streaming concatenation + format conversion of CSV/Parquet, on Spark.
+    """graft <inputs...> -o out.{csv,parquet,jsonl} [options]
+      |Streaming concatenation + format conversion of CSV/Parquet/JSONL, on Spark.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
@@ -187,9 +187,9 @@ object Maw {
     val actual = written.count()
     if (expected != actual)
       throw new IllegalStateException(s"verify failed: wrote $actual rows, expected $expected")
-    // CSV can't represent a timestamp's value apart from its rendering;
-    // exclude ts columns there (still checksummed through parquet)
-    val skip = if (fmt == Discovery.Csv)
+    // CSV/JSONL can't represent a timestamp's value apart from its
+    // rendering; exclude ts columns there (still checksummed through parquet)
+    val skip = if (fmt == Discovery.Csv || fmt == Discovery.Jsonl)
       planned.schema.fields.filter(f =>
         f.dataType == org.apache.spark.sql.types.TimestampType ||
         f.dataType == org.apache.spark.sql.types.TimestampNTZType).map(_.name).toSeq

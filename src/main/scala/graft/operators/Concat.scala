@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.schema.SchemaUnifier
-import graft.sources.{CsvSource, Discovery}
-import graft.sources.Discovery.{Csv, Format, InputFile, Parquet}
+import graft.sources.{CsvSource, Discovery, JsonSource}
+import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Parquet}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's whole dataflow as ONE lazy Catalyst plan:
@@ -45,6 +45,7 @@ object Concat {
     f.format match {
       case Csv     => CsvSource.read(spark, f.path, csv)
       case Parquet => spark.read.parquet(f.path)
+      case Jsonl   => JsonSource.read(spark, f.path)
     }
 
   /** `spark.read` reports every file-source column nullable RECURSIVELY
@@ -94,7 +95,8 @@ object Concat {
   def fileSchema(spark: SparkSession, f: InputFile,
       csv: CsvSource.CsvOptions): org.apache.spark.sql.types.StructType =
     f.format match {
-      case Csv => CsvSource.resolveSchema(spark, f.path, csv)
+      case Csv   => CsvSource.resolveSchema(spark, f.path, csv)
+      case Jsonl => JsonSource.resolveSchema(spark, f.path, JsonSource.JsonOptions())
       case Parquet =>
         parquetFooterSchema(f.path,
           new org.apache.spark.sql.execution.datasources.parquet
@@ -120,6 +122,7 @@ object Concat {
     Await.result(
       Future.sequence(files.map(f => Future(f.format match {
         case Csv     => CsvSource.resolveSchema(spark, f.path, csv)
+        case Jsonl   => JsonSource.resolveSchema(spark, f.path, JsonSource.JsonOptions())
         case Parquet => parquetFooterSchema(f.path, conv, conf)
       }))),
       Duration.Inf)
@@ -131,6 +134,7 @@ object Concat {
     format match {
       case Csv     => CsvSource.readPaths(spark, paths, csv, Some(schema))
       case Parquet => spark.read.parquet(paths: _*)
+      case Jsonl   => JsonSource.readPaths(spark, paths, JsonSource.JsonOptions(), Some(schema))
     }
 
   /** Discover + build the unified concat plan. Lazy — nothing big executes

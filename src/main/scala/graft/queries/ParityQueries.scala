@@ -67,6 +67,24 @@ object ParityQueries {
         when(col("source").isin("NA", "null", "\\N"), lit(null))
           .otherwise(col("source")).as("source")))
     }),
+    // JSONL sink + source round trip through the REAL write/read path
+    // (beyond-reference format: the LLM-corpus interchange format). The
+    // DuckDB oracle pins the round-tripped table against the parquet
+    // original, so a broken JSON escape, encode, promotion, or inference
+    // step breaks the hash — including on the hostile corpus's exotic
+    // whitespace/unicode/null rows.
+    "p11_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p11_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.jsonl").toString
+      graft.sinks.Sink.write(docs,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Jsonl))
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(out)))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -112,5 +130,9 @@ object ParityQueries {
          |FROM documents ${orderSql("doc_id", "source")}""".stripMargin,
     "p10_distinct_union" ->
       s"""SELECT * FROM (SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey FROM region)
-         |${orderSql("k")}""".stripMargin)
+         |${orderSql("k")}""".stripMargin,
+    // the round trip must reproduce the parquet original byte-for-byte
+    "p11_jsonl_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin)
 }

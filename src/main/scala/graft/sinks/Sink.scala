@@ -140,6 +140,8 @@ object Sink {
             .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString)
             .option("parquet.block.size", (128L * 1024 * 1024).toString)
             .parquet(ptmp)
+        case graft.sources.Discovery.Jsonl =>
+          jsonWriter(w0, cfg).json(ptmp)
       }
       replaceMove(fs, new org.apache.hadoop.fs.Path(ptmp), target)
       // stale rolled parts from an earlier non-partitioned run at the same
@@ -148,6 +150,7 @@ object Sink {
       val ext = cfg.format match {
         case graft.sources.Discovery.Csv     => ".csv"
         case graft.sources.Discovery.Parquet => ".parquet"
+        case graft.sources.Discovery.Jsonl   => ".jsonl"
       }
       deleteStaleParts(df0.sparkSession.sparkContext.hadoopConfiguration,
         cfg.path, ext, keepBelow = 0)
@@ -177,9 +180,22 @@ object Sink {
           .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString) // writer_parquet.rs:53
           .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
           .parquet(tmpDir)
+      case graft.sources.Discovery.Jsonl =>
+        jsonWriter(out.mode("overwrite"), cfg).json(tmpDir)
     }
     promote(tmpDir, cfg, df0.sparkSession.sparkContext.hadoopConfiguration)
   }
+
+  /** JSONL sink options. Uncompressed text like the CSV sink (the
+    * `--compression` knob is parquet's; compressed text parts would also
+    * break the `-o out.jsonl` promotion contract — a `.gz` payload behind a
+    * `.jsonl` name reads back as garbage). Nulls are written EXPLICITLY
+    * (`"k":null`): an all-null column must survive the round trip as a key,
+    * not silently vanish from the schema.
+    */
+  private def jsonWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.option("ignoreNullFields", "false")
 
   private implicit class RollOps(df: DataFrame) {
     def writeConfRows(rows: Long) = df.write.option("maxRecordsPerFile", rows.toString)
@@ -199,6 +215,7 @@ object Sink {
     val ext = fmt match {
       case graft.sources.Discovery.Csv     => ".csv"
       case graft.sources.Discovery.Parquet => ".parquet"
+      case graft.sources.Discovery.Jsonl   => ".jsonl"
     }
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -229,6 +246,9 @@ object Sink {
         spark.read.option("header", "true").option("sep", delimiter)
           .option("escape", "\"").csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
+      // full-pass native inference, not the bounded sample: verify wants
+      // every value's type evidence (JSON carries types, so nothing drifts)
+      case graft.sources.Discovery.Jsonl   => spark.read.json(paths: _*)
     }
     if (isDir) {
       // partition-column TYPE INFERENCE would re-type the directory names
@@ -382,6 +402,7 @@ object Sink {
     val ext = cfg.format match {
       case graft.sources.Discovery.Csv     => ".csv"
       case graft.sources.Discovery.Parquet => ".parquet"
+      case graft.sources.Discovery.Jsonl   => ".jsonl"
     }
     // Hadoop FS API throughout (NOT java.nio): the write itself runs on any
     // Hadoop filesystem, so the rename step must too — java.nio on an

@@ -15,6 +15,10 @@ object Discovery {
   sealed trait Format
   case object Csv extends Format
   case object Parquet extends Format
+  /** Newline-delimited JSON — beyond the reference (csv/parquet only), the
+    * de-facto LLM-corpus interchange format. See [[JsonSource]].
+    */
+  case object Jsonl extends Format
 
   final case class InputFile(path: String, format: Format, sizeBytes: Long)
 
@@ -23,6 +27,8 @@ object Discovery {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv") || lower.endsWith(".tsv")) Some(Csv)
     else if (lower.endsWith(".parquet")) Some(Parquet)
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson") ||
+      lower.endsWith(".json")) Some(Jsonl)
     else None
   }
 
@@ -31,8 +37,9 @@ object Discovery {
     */
   def outputFormat(outPath: String, flag: Option[String]): Format =
     flag.map(_.toLowerCase) match {
-      case Some("parquet")         => Parquet
-      case Some("csv")             => Csv
+      case Some("parquet")          => Parquet
+      case Some("csv")              => Csv
+      case Some("jsonl" | "json")   => Jsonl
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
       case None                    => detectFormat(outPath).getOrElse(Csv)
     }

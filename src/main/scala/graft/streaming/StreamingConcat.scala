@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Concat
 import graft.schema.SchemaUnifier
 import graft.sources.{CsvSource, Discovery}
-import graft.sources.Discovery.{Csv, Format, Parquet}
+import graft.sources.Discovery.{Csv, Format, Jsonl, Parquet}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
@@ -98,6 +98,9 @@ object StreamingConcat {
                 .otherwise(col(fld.name)).as(fld.name)
             else col(fld.name)
           }.toIndexedSeq: _*)
+        case Jsonl =>
+          val r = spark.readStream.schema(schema).option("mode", "PERMISSIVE")
+          globFilter.fold(r)(g => r.option("pathGlobFilter", g)).json(path)
       }
       SchemaUnifier.align(src, unified)
     }
@@ -118,6 +121,8 @@ object StreamingConcat {
     val q = fmt match {
       case Csv     => writer.format("csv").option("header", "true").start(outPath)
       case Parquet => writer.format("parquet").start(outPath)
+      case Jsonl   => writer.format("json")
+        .option("ignoreNullFields", "false").start(outPath)
     }
     q.awaitTermination()
   }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.Concat
+import graft.sinks.Sink
+import graft.sources.{Discovery, JsonSource}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSONL source/sink: driver-side sampled inference (same lattice as CSV),
+  * typed multi-path scan, nested-as-raw-text passthrough, concat unification
+  * with other formats, sink round trip, and the CLI drive.
+  */
+class JsonSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inference: scalar lattice, null-only keys, nested as raw JSON text") {
+    val dir = tmpDir("jsonl-infer")
+    val f = writeFile(dir, "a.jsonl",
+      """{"i": 1, "f": 1.5, "b": true, "s": "x", "n": null, "obj": {"k": [1, 2]}, "arr": [1, "two"]}
+        |{"i": 9223372036854775807, "f": 2, "b": false, "s": "y", "n": null}
+        |{"i": 3, "f": -0.25, "s": "z", "extra": "late key"}
+        |""".stripMargin)
+    val schema = JsonSource.resolveSchema(spark, f, JsonSource.JsonOptions())
+    // first-seen key order, i64/f64/bool/string lattice, null-only -> NullType
+    assert(schema.fieldNames.toSeq == Seq("i", "f", "b", "s", "n", "obj", "arr", "extra"))
+    assert(schema("i").dataType == LongType)
+    assert(schema("f").dataType == DoubleType) // 2 is integral but widened by 1.5
+    assert(schema("b").dataType == BooleanType)
+    assert(schema("s").dataType == StringType)
+    assert(schema("n").dataType == NullType)
+    assert(schema("obj").dataType == StringType)
+    assert(schema("arr").dataType == StringType)
+    val rows = JsonSource.read(spark, f).orderBy("i").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(1) == 1.5 && rows(0).getBoolean(2))
+    // nested values pass through as their raw JSON text — byte-faithful,
+    // original whitespace included (no re-serialization)
+    assert(rows(0).getString(5) == """{"k": [1, 2]}""")
+    assert(rows(0).getString(6) == """[1, "two"]""")
+    // absent keys -> null; null-only key is a true null column
+    // (sorted by i: row 1 is i=3 with the late key, row 2 is i64-max)
+    assert(rows(0).isNullAt(7) && rows(1).getString(7) == "late key")
+    assert(rows.forall(_.isNullAt(4)))
+    assert(rows(2).getLong(0) == Long.MaxValue)
+  }
+
+  test("inference: conflicting scalar types stringify; corrupt line nulls out") {
+    val dir = tmpDir("jsonl-conflict")
+    val f = writeFile(dir, "a.jsonl",
+      """{"v": 1}
+        |{"v": "one"}
+        |not json at all
+        |{"v": 2}
+        |""".stripMargin)
+    val schema = JsonSource.resolveSchema(spark, f, JsonSource.JsonOptions())
+    assert(schema("v").dataType == StringType)
+    val vs = JsonSource.read(spark, f).select("v").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0)).toSet
+    // numbers read into the stringified column as their literal text;
+    // the corrupt line becomes an all-null row (PERMISSIVE)
+    assert(vs == Set("1", "one", "2", null))
+  }
+
+  test("concat unifies jsonl + csv through the same widening lattice") {
+    val dir = tmpDir("jsonl-mixed")
+    val j = writeFile(dir, "a.jsonl", "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"b\": \"y\"}\n")
+    val c = writeFile(dir, "b.csv", "a,c\n1.5,10\n2.5,20\n")
+    val out = Concat.run(spark, Concat.Config(Seq(j, c)))
+    // a widens long+double -> double; b/c null-inject across sources
+    assert(out.schema("a").dataType == DoubleType)
+    assert(out.columns.sorted.toSeq == Seq("a", "b", "c"))
+    assert(out.count() == 4)
+    assert(out.where(col("b").isNull).count() == 2)
+    assert(out.where(col("c").isNull).count() == 2)
+  }
+
+  test("sink round trip: write jsonl (explicit nulls), read back, values intact") {
+    val dir = tmpDir("jsonl-roundtrip")
+    val out = dir.resolve("out.jsonl").toString
+    val df = Seq((1L, Some("x"), 1.5), (2L, None, -0.25), (3L, Some("émoji 😀"), 2.0))
+      .toDF("id", "s", "v")
+    Sink.write(df, Sink.Config(out, Discovery.Jsonl))
+    // single-file promotion honored the -o contract
+    assert(java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(out)))
+    val first = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out)).get(0)
+    assert(first.contains("\"s\":\"x\""))
+    val back = Sink.readBack(spark, out, Discovery.Jsonl)
+      .select("id", "s", "v").orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(1).isNullAt(1) && back(2).getString(1) == "émoji 😀")
+    assert(back.map(_.getDouble(2)).toSeq == Seq(1.5, -0.25, 2.0))
+    // explicit null kept the key in the written line for row 2
+    val line2 = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(out)).get(1)
+    assert(line2.contains("\"s\":null"))
+  }
+
+  test("CLI: csv -> jsonl and jsonl -> parquet conversions with --verify") {
+    val dir = tmpDir("jsonl-cli")
+    val csv = writeFile(dir, "in.csv", "a,b\n1,x\n2,y\n")
+    val outJ = dir.resolve("out.jsonl").toString
+    graft.cli.Maw.execute(spark, graft.cli.Maw.parse(Seq(csv, "-o", outJ, "--verify")))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(outJ))
+    assert(lines.size == 2 && lines.get(0) == """{"a":1,"b":"x"}""")
+    val outP = dir.resolve("out.parquet").toString
+    graft.cli.Maw.execute(spark, graft.cli.Maw.parse(Seq(outJ, "-o", outP, "--verify")))
+    val back = spark.read.parquet(outP).orderBy("a").collect()
+    assert(back.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+}
