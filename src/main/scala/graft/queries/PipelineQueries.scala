@@ -686,6 +686,24 @@ object PipelineQueries {
           col("event_type"), col("n"))
       ordered(drainToMemory(s, agg, "st03", dir, "append"))
     }),
+    // streaming SESSION windows: unlike fixed windows, session state merges
+    // adjacent windows as events arrive (gap-based), and append mode emits a
+    // session only once the watermark passes its end (last event + gap) —
+    // the sessionization a clickstream/usage pipeline runs continuously at
+    // scale. State is bounded by the watermark like any windowed agg.
+    "st10_streaming_session" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = normalizeTs(stream)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+      ordered(drainToMemory(s, agg, "st10", dir, "append"))
+    }),
     // streaming exact dedup: unbounded dropDuplicates state — every distinct
     // (user_id, event_type) survives exactly once across micro-batches,
     // equal to the batch DISTINCT the oracle computes
@@ -1353,6 +1371,25 @@ object PipelineQueries {
          |${orderSql("win_start", "event_type", "n")}""".stripMargin,
     // append-mode watermark replay: a window is emitted iff it was closed by
     // the final watermark (max event time - 30 min)
+    // q20's sessionization CTE + st03's watermark closure: only sessions
+    // whose end (last event + 30 min gap) the final watermark passed are
+    // emitted in append mode
+    "st10_streaming_session" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         |wm AS (SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 30 MINUTE AS w FROM e),
+         |f AS (SELECT user_id, ts,
+         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) IS NULL
+         |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST) >= INTERVAL 30 MINUTE
+         |  THEN 1 ELSE 0 END AS ns FROM e),
+         |g AS (SELECT user_id, ts,
+         |  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM f)
+         |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         |COUNT(*) AS n_events
+         |FROM g, wm
+         |GROUP BY user_id, sid, wm.w
+         |HAVING MAX(ts) + INTERVAL 30 MINUTE <= wm.w
+         |${orderSql("user_id", "session_start", "n_events")}""".stripMargin,
     "st03_watermark_append" ->
       s"""WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
          |-- Spark's event-time watermark truncates max event time to MILLIseconds

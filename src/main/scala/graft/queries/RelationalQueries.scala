@@ -546,6 +546,30 @@ object RelationalQueries {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue")))
     }),
+    // linear-regression / correlation aggregates from EXACT decimal moments.
+    // The built-ins (corr, regr_slope, covar_samp) accumulate doubles in
+    // partition order — not reproducible across engines or even across two
+    // runs with different partitioning. Summing the five moments through
+    // DECIMAL accumulation (one map-side-combinable pass, same shuffle as
+    // any groupBy) makes every derived statistic a pure IEEE expression on
+    // identical inputs: bit-stable at any scale, and the formulation DuckDB
+    // can mirror exactly.
+    "q50_regression_aggs" -> ((s, dir) => {
+      val m = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
+        dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vary = col("n") * col("syy") - col("sy") * col("sy")
+      ordered(m.select(col("l_returnflag"), col("n"),
+        round(cov / varx, 6).as("slope"),
+        round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
+        round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr")))
+    }),
     // runtime bloom-filter join — the 100 TB shuffle-join prefilter: the
     // selectively-filtered dim side builds a bloom filter at runtime and the
     // fact side drops non-matching rows BEFORE its shuffle, turning a
@@ -814,6 +838,20 @@ object RelationalQueries {
          |${dsumSql("l.l_extendedprice")} AS revenue
          |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |GROUP BY 1 ${orderSql("s_nationkey", "n", "revenue")}""".stripMargin,
+    // the same exact-moment formulation, so every derived double is the
+    // same IEEE expression over the same decimal-accumulated inputs
+    "q50_regression_aggs" ->
+      s"""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+         |  ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+         |  ${dsumSql("l_quantity * l_quantity")} AS sxx,
+         |  ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+         |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
+         |FROM m ${orderSql("l_returnflag")}""".stripMargin,
     "q49_bloom_filter_join" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_lines,
          |${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -28,6 +28,30 @@ class ReshapeQueriesSpec extends SparkSpec {
     assert(got == want, s"two-pass percentiles diverge:\n$got\nvs\n$want")
   }
 
+  test("q50 exact-moment regression agrees with the built-in corr/regr_slope") {
+    // the built-ins sum doubles in partition order (not engine-reproducible,
+    // which is why q50 doesn't use them); they ARE the semantic truth to
+    // within float noise, so pin the moment formulation against them
+    val got = graft.queries.RelationalQueries
+      .queries("q50_regression_aggs")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val want = sf("lineitem").groupBy("l_returnflag")
+      .agg(expr("regr_slope(l_extendedprice, l_quantity)").as("slope"),
+        expr("regr_intercept(l_extendedprice, l_quantity)").as("intercept"),
+        expr("corr(l_extendedprice, l_quantity)").as("corr"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (s1, i1, c1)) <- got; (s2, i2, c2) = want(k)) {
+      assert(math.abs(s1 - s2) < 1e-4, s"$k slope: $s1 vs builtin $s2")
+      assert(math.abs(i1 - i2) < 1e-2, s"$k intercept: $i1 vs builtin $i2")
+      // q50 rounds to 6 dp for the cross-engine hash; the builtin is full
+      // precision, so agreement is to the rounding granularity
+      assert(math.abs(c1 - c2) < 1e-6, s"$k corr: $c1 vs builtin $c2")
+    }
+  }
+
   test("pivot with explicit value list: absent combos are null, present are summed") {
     val df = Seq(("p1", "F", 10.0), ("p1", "F", 5.0), ("p1", "O", 1.0), ("p2", "O", 2.0))
       .toDF("prio", "status", "price")
