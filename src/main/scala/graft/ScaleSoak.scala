@@ -53,7 +53,12 @@ object ScaleSoak {
       // replica-offset, so distinct keys scale with the corpus), st07
       // exercises transformWithState's RocksDB store at scaled key counts
       "st01_streaming_hourly", "st04_streaming_dedup",
-      "st07_transform_with_state")
+      "st07_transform_with_state",
+      // round-9 second batch: t16's (doc,token) shuffle + token window must
+      // scale linearly (replica-suffixed tokens grow the vocab with the
+      // corpus); s09's output must stay labels x dim at any corpus size;
+      // st10's session-window state scales with replica-offset user ids
+      "t16_tfidf", "s09_embed_centroids", "st10_streaming_session")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

@@ -94,6 +94,35 @@ class JsonSourceSpec extends SparkSpec {
     assert(line2.contains("\"s\":null"))
   }
 
+  test("streaming concat reads jsonl sources and writes jsonl output, resumable") {
+    val d = tmpDir("jsonl-stream")
+    writeFile(d, "in/a.jsonl", "{\"k\": 1, \"v\": \"x\"}\n")
+    val out = d.resolve("out").toString
+    val ckpt = d.resolve("ckpt").toString
+    val cfg = Concat.Config(Seq(d.resolve("in").toString))
+    graft.streaming.StreamingConcat.run(spark, cfg, out, Discovery.Jsonl, ckpt)
+    assert(spark.read.json(out).count() == 1)
+    // a later file joins the same checkpointed stream; no reprocessing
+    writeFile(d, "in/b.jsonl", "{\"k\": 2, \"v\": null}\n")
+    graft.streaming.StreamingConcat.run(spark, cfg, out, Discovery.Jsonl, ckpt)
+    val rows = spark.read.json(out)
+    assert(rows.count() == 2)
+    assert(rows.where(col("v").isNull).count() == 1)
+  }
+
+  test("partitioned jsonl layout: col=value tree, partition-pruned read-back") {
+    val d = tmpDir("jsonl-part")
+    val out = d.resolve("tree").toString
+    val df = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c")).toDF("id", "lang", "s")
+    Sink.write(df, Sink.Config(out, Discovery.Jsonl, partitionBy = Seq("lang")))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(out, "lang=en")))
+    val back = Sink.readBack(spark, out, Discovery.Jsonl)
+    assert(back.count() == 3)
+    val pruned = back.where(col("lang") === "en")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() == 2)
+  }
+
   test("CLI: csv -> jsonl and jsonl -> parquet conversions with --verify") {
     val dir = tmpDir("jsonl-cli")
     val csv = writeFile(dir, "in.csv", "a,b\n1,x\n2,y\n")
