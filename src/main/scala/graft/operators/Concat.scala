@@ -157,6 +157,7 @@ object Concat {
     require(files.nonEmpty, s"no inputs found in ${cfg.inputs.mkString(", ")}")
     CsvByteConcat.tryRun(spark, files, cfg, sink)
       .orElse(ParquetByteConcat.tryRun(spark, files, cfg, sink))
+      .orElse(JsonByteConcat.tryRun(spark, files, cfg, sink))
       .getOrElse(graft.sinks.Sink.write(planFor(spark, cfg, files), sink))
   }
 
