@@ -75,7 +75,12 @@ object CsvByteConcat {
     */
   def tryRun(spark: SparkSession, files: Seq[InputFile], cfg: Concat.Config,
       sink: Sink.Config): Option[Map[String, Any]] = {
-    if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Csv))
+    // gz inputs carry compressed bytes — only the typed path (which lets
+    // the Spark scan decompress) is value-faithful. (A gz->gz byte concat
+    // WOULD be valid — concatenated gzip members are a legal stream — but
+    // compressed output is rejected at the CLI, so the case can't arise.)
+    if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Csv) ||
+        files.exists(f => graft.sources.Discovery.isGzip(f.path)))
       return None
     val hconf = spark.sparkContext.hadoopConfiguration
     // driver pre-flight: first line of every file must be byte-identical

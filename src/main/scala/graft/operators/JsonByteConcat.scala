@@ -47,7 +47,8 @@ object JsonByteConcat {
     */
   def tryRun(spark: SparkSession, files: Seq[InputFile], cfg: Concat.Config,
       sink: Sink.Config): Option[Map[String, Any]] = {
-    if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Jsonl))
+    if (!eligible(cfg, sink) || files.isEmpty || files.exists(_.format != Jsonl) ||
+        files.exists(f => graft.sources.Discovery.isGzip(f.path))) // see CsvByteConcat
       return None
     val hconf = spark.sparkContext.hadoopConfiguration
     val tmpDir = sink.path + ".bytes-out"

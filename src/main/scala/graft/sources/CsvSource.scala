@@ -134,7 +134,11 @@ object CsvSource {
     settings.setIgnoreLeadingWhitespaces(false)
     settings.setIgnoreTrailingWhitespaces(false)
     val parser = new CsvParser(settings)
-    val in = fs.open(file)
+    // .csv.gz inputs: the Spark scan decompresses by extension; the sample
+    // stream must match what the scan will see
+    val in: java.io.InputStream =
+      if (Discovery.isGzip(file.toString)) new java.util.zip.GZIPInputStream(fs.open(file))
+      else fs.open(file)
     val rows = try {
       val rdr = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, opts.encoding))

@@ -22,20 +22,33 @@ object Discovery {
 
   final case class InputFile(path: String, format: Format, sizeBytes: Long)
 
-  /** Extension-based format detection (discover.rs:20-28). */
+  /** Extension-based format detection (discover.rs:20-28). Gzip-compressed
+    * TEXT inputs (`.csv.gz`, `.jsonl.gz`, ...) detect as their inner format:
+    * Spark's text scans decompress by extension natively, and the
+    * driver-side inference samplers wrap a GZIPInputStream (see
+    * [[isGzip]]). Parquet is internally compressed — a `.parquet.gz` is not
+    * a thing this tool produces or reads.
+    */
   def detectFormat(path: String): Option[Format] = {
-    val lower = path.toLowerCase
+    val lower0 = path.toLowerCase
+    val lower = if (lower0.endsWith(".gz")) lower0.stripSuffix(".gz") else lower0
     if (lower.endsWith(".csv") || lower.endsWith(".tsv")) Some(Csv)
-    else if (lower.endsWith(".parquet")) Some(Parquet)
+    else if (lower.endsWith(".parquet") && lower == lower0) Some(Parquet)
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson") ||
       lower.endsWith(".json")) Some(Jsonl)
     else None
   }
 
+  /** Is this input gzip-compressed (by extension, same rule Spark uses)? */
+  def isGzip(path: String): Boolean = path.toLowerCase.endsWith(".gz")
+
   /** Output format: explicit flag > output extension > CSV default
     * (pipeline.rs:64-74).
     */
-  def outputFormat(outPath: String, flag: Option[String]): Format =
+  def outputFormat(outPath: String, flag: Option[String]): Format = {
+    require(!isGzip(outPath),
+      s"compressed output is not supported: $outPath — write plain .csv/.jsonl, " +
+        "or parquet with --compression")
     flag.map(_.toLowerCase) match {
       case Some("parquet")          => Parquet
       case Some("csv")              => Csv
@@ -43,6 +56,7 @@ object Discovery {
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
       case None                    => detectFormat(outPath).getOrElse(Csv)
     }
+  }
 
   private def isGlob(s: String): Boolean = s.exists("*?[{".contains(_))
 

@@ -44,7 +44,10 @@ object JsonSource {
           .sortBy(_.getName).headOption
           .getOrElse(throw new IllegalArgumentException(s"no jsonl files under $path"))
       else hPath
-    val in = fs.open(file)
+    // .jsonl.gz inputs: match the decompression the Spark scan applies
+    val in: java.io.InputStream =
+      if (Discovery.isGzip(file.toString)) new java.util.zip.GZIPInputStream(fs.open(file))
+      else fs.open(file)
     val lines = try {
       val rdr = new java.io.BufferedReader(
         new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))

@@ -155,6 +155,35 @@ class JsonSourceSpec extends SparkSpec {
     assert(JsonByteConcat.tryRun(spark, mixed, cfg, Sink.Config(out, Discovery.Jsonl)).isEmpty)
   }
 
+  test("gzip inputs: .csv.gz/.jsonl.gz detect as inner format, sample + scan agree") {
+    def gzWrite(p: java.nio.file.Path, content: String): String = {
+      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p.toString
+    }
+    assert(Discovery.detectFormat("x.csv.gz").contains(Discovery.Csv))
+    assert(Discovery.detectFormat("x.jsonl.gz").contains(Discovery.Jsonl))
+    assert(Discovery.detectFormat("x.parquet.gz").isEmpty) // parquet is internally compressed
+    intercept[IllegalArgumentException](Discovery.outputFormat("out.jsonl.gz", None))
+    val d = tmpDir("gz-inputs")
+    val jgz = gzWrite(d.resolve("a.jsonl.gz"), "{\"k\": 1, \"v\": \"x\"}\n{\"k\": 2, \"v\": null}\n")
+    val cgz = gzWrite(d.resolve("b.csv.gz"), "k,w\n3,1.5\n4,2.5\n")
+    // sampled inference reads through the same decompression the scan uses
+    val js = JsonSource.resolveSchema(spark, jgz, JsonSource.JsonOptions())
+    assert(js("k").dataType == LongType && js("v").dataType == StringType)
+    val rows = JsonSource.read(spark, jgz).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L) && rows(1).isNullAt(1))
+    // mixed gz csv + gz jsonl unify through the typed concat
+    val out = Concat.run(spark, Concat.Config(Seq(jgz, cgz)))
+    assert(out.count() == 4 && out.columns.sorted.toSeq == Seq("k", "v", "w"))
+    assert(out.schema("k").dataType == LongType)
+    // byte paths must decline compressed inputs (plain-out copy would be garbage)
+    import graft.sources.Discovery.InputFile
+    val files = Seq(InputFile(jgz, Discovery.Jsonl, java.nio.file.Files.size(d.resolve("a.jsonl.gz"))))
+    assert(graft.operators.JsonByteConcat.tryRun(spark, files,
+      Concat.Config(Seq(jgz)), Sink.Config(d.resolve("o.jsonl").toString, Discovery.Jsonl)).isEmpty)
+  }
+
   test("CLI: csv -> jsonl and jsonl -> parquet conversions with --verify") {
     val dir = tmpDir("jsonl-cli")
     val csv = writeFile(dir, "in.csv", "a,b\n1,x\n2,y\n")
