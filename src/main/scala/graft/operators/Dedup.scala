@@ -362,26 +362,33 @@ object Dedup {
     * window shared by 100k docs costs O(100k) rows, not O(100k^2) pairs),
     * and a groupBy(id) folds the flags into per-doc counts.
     */
+  /** Slim (id, wh) stride-grid window hashes — the shared primitive of
+    * [[substringContamination]] and [[crossContamination]]. Window starts
+    * 0, stride, 2*stride... while a full window fits; short docs get one
+    * (truncated) window so every doc is represented. Empty/null window
+    * content hashes to NULL, never md5('') — two contentless docs share
+    * NOTHING. All codegen'd (sequence/substring/md5), no HOF lambdas.
+    */
+  private[graft] def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      windowChars: Int, stride: Int): DataFrame = {
+    val n = length(col(textCol))
+    val nWindows = greatest(
+      (floor((n - windowChars).cast("double") / stride) + 1).cast("int"), lit(1))
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
+      .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
+      .select(col("id"),
+        when(length(expr(s"substring(__t, pos * $stride + 1, $windowChars)")) > 0,
+          md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary"))).as("wh"))
+  }
+
   def substringContamination(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       windowChars: Int = 64,
       stride: Int = 32): DataFrame = {
-    val n = length(col(textCol))
-    // window starts 0, stride, 2*stride... while a full window fits; short
-    // docs get one (truncated) window so every doc is represented
-    val nWindows = greatest(
-      (floor((n - windowChars).cast("double") / stride) + 1).cast("int"), lit(1))
-    val windows = docs
-      .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
-      .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
-      .select(col("id"),
-        // empty/null window content hashes to NULL, never md5('') — two
-        // contentless docs share NOTHING, and without this every empty doc
-        // would mark every other empty doc as contaminated
-        when(length(expr(s"substring(__t, pos * $stride + 1, $windowChars)")) > 0,
-          md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary"))).as("wh"))
+    val windows = windowHashes(docs, idCol, textCol, windowChars, stride)
     val byHash = Window.partitionBy(col("wh"))
     windows
       .withColumn("__shared", col("wh").isNotNull &&
@@ -390,6 +397,39 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__shared"), 1L).otherwise(0L)).as("n_shared"))
       .select(col("id"), col("n_windows"), col("n_shared"))
+  }
+
+  /** Cross-corpus decontamination — the train-vs-eval overlap check every
+    * benchmark-hygiene pipeline runs before training: flag each EVAL doc by
+    * how many of its stride-grid windows appear ANYWHERE in the train
+    * corpus (verbatim inclusion of eval passages in training data is the
+    * contamination that inflates benchmark scores).
+    *
+    * Returns (id, n_windows, n_contaminated) over the eval side.
+    *
+    * Scale shape: the train side reduces to a DISTINCT window-hash set
+    * (slim, one column — at 100 TB this is the big side but the join is a
+    * plain hash-partitioned equi-join on the hash, never a pair join), the
+    * eval windows left-join against it, and a groupBy(id) folds hit flags
+    * into per-doc counts. Window alignment caveat (inherent to stride
+    * grids, not this operator): a verbatim inclusion is only guaranteed to
+    * hit when it starts on the train grid; production decontamination picks
+    * stride <= windowChars/2 to bound the miss window.
+    */
+  def crossContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowChars: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val trainHashes = windowHashes(train, idCol, textCol, windowChars, stride)
+      .where(col("wh").isNotNull).select("wh").distinct()
+    windowHashes(eval, idCol, textCol, windowChars, stride)
+      .join(trainHashes.withColumn("__hit", lit(1L)), Seq("wh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
   }
 
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`

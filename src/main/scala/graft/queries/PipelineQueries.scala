@@ -275,6 +275,18 @@ object PipelineQueries {
       ordered(Dedup.substringContamination(d.unionByName(edited), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_windows"), col("n_shared")))
     }),
+    // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
+    // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
+    // its windows land exactly on the train grid — the planted
+    // contamination the operator must find; ids offset to a disjoint range
+    "d11_cross_contamination" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = train.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 65)").as("text"))
+      ordered(Dedup.crossContamination(train, eval, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated")))
+    }),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -1199,6 +1211,30 @@ object PipelineQueries {
          |${orderSql("doc_id")}""".stripMargin,
     // same window grid (64 chars, stride 32), shared = hash seen in more
     // than one doc (min<>max id per hash group)
+    // same window CTE family as d10, split into the train hash set and the
+    // eval window stream (semi-join instead of shared-hash window)
+    "d11_cross_contamination" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text
+         |       FROM documents WHERE doc_id % 7 = 0),
+         |tw AS (
+         |  SELECT DISTINCT md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  FROM (SELECT text, unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM train)
+         |  WHERE length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0),
+         |ew AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0
+         |         THEN md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) END AS wh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM ev)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_windows FROM ew GROUP BY doc_id),
+         |hit AS (SELECT ew.doc_id, COUNT(*) AS n_contaminated
+         |        FROM ew JOIN tw USING (wh) GROUP BY ew.doc_id)
+         |SELECT c.doc_id AS doc_id, c.n_windows, COALESCE(h.n_contaminated, 0) AS n_contaminated
+         |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
+         |${orderSql("doc_id", "n_windows", "n_contaminated")}""".stripMargin,
     "d10_substring_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents

@@ -142,6 +142,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(3L) == ((6L, 0L)))
   }
 
+  test("cross contamination: grid-aligned inclusion hits, clean/empty eval docs don't") {
+    val base = (0 until 8).map(i => s"chunk$i-" + "x" * 24).mkString // 248 chars
+    val other = (0 until 8).map(i => s"clean$i-" + "y" * 24).mkString
+    val train = Seq((1L, base), (2L, other.substring(0, 100))).toDF("id", "text")
+    val eval = Seq(
+      (10L, base),                 // verbatim train doc: every window hits
+      (11L, base.substring(64)),   // tail slice from a grid point (64 = 2*32)
+      (12L, other),                // shares no train window (train has only
+                                   // other[0:100] -> windows at 0,32 only)
+      (13L, ""), (14L, null.asInstanceOf[String])) // contentless: zero hits
+      .toDF("id", "text")
+    val got = Dedup.crossContamination(train, eval, "id", "text",
+      windowChars = 64, stride = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((6L, 6L)))         // 248 chars -> 6 windows, all in train
+    // 184 chars -> 4 windows at local 0,32,64,96 = train 64..127,96..159,
+    // 128..191,160..223 — all on train's grid
+    assert(got(11L) == ((4L, 4L)))
+    // clean doc: its windows at 0,32 ARE in-grid positions but train only
+    // hashed other[0:100]'s two windows 0..63, 32..95 — eval's full-length
+    // windows match those two, rest miss
+    assert(got(12L)._2 == 2L)
+    assert(got(13L) == ((1L, 0L)) && got(14L) == ((1L, 0L)))
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
