@@ -282,6 +282,30 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware survivor selection: keep the BEST-scoring doc of each
+    * exact near-dup cluster (ties broken by min id) instead of
+    * [[survivors]]' keep-first — what a curation pipeline actually wants
+    * when copies differ (keep the longest / highest-quality variant, drop
+    * the truncated mirror). Returns the winning docs' rows plus their
+    * `cluster` label.
+    *
+    * Shape: [[clusters]]' transitive closure (one shuffle per round,
+    * O(diameter) rounds) then a single cluster-partitioned row_number
+    * window — no pair joins, no per-cluster collect.
+    */
+  def bestSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = clusters(docs, idCol, pairs)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc_nulls_last, col("id").asc)
+    docs.withColumnRenamed(idCol, "id")
+      .join(labels, Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Diagnostic only: label-propagation rounds used by the LAST
     * [[clusters]] call that ran on this driver — soak evidence that round
     * count stays O(component diameter) as the corpus scales (ScaleSoak).

@@ -275,6 +275,18 @@ object PipelineQueries {
       ordered(Dedup.substringContamination(d.unionByName(edited), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_windows"), col("n_shared")))
     }),
+    // quality-aware survivors: the mutated near-dup (first token dropped)
+    // is STRICTLY SHORTER than its original, so keep-best-by-length must
+    // pick every original — and the cluster label + winning score are part
+    // of the oracled output, so a wrong closure or a wrong pick both break
+    // the hash
+    "d12_best_survivors" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir).withColumn("score", length(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      ordered(Dedup.bestSurvivors(docs, "doc_id", "score", pairs)
+        .select(col("doc_id"), col("cluster"), col("score")))
+    }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
@@ -1211,6 +1223,42 @@ object PipelineQueries {
          |${orderSql("doc_id")}""".stripMargin,
     // same window grid (64 chars, stride 32), shared = hash seen in more
     // than one doc (min<>max id per hash group)
+    // d09's reachability CTE + a per-cluster best pick (score DESC NULLS
+    // LAST, id ASC), mirroring bestSurvivors' window exactly
+    "d12_best_survivors" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM pairs
+         |  UNION ALL SELECT idB, idA FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |scored AS (SELECT d.doc_id, lab.cluster,
+         |    CAST(length(d.text) AS INTEGER) AS score,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY length(d.text) DESC NULLS LAST, d.doc_id ASC) AS rn
+         |  FROM docs d JOIN lab USING (doc_id))
+         |SELECT doc_id, cluster, score FROM scored WHERE rn = 1
+         |${orderSql("doc_id", "cluster", "score")}""".stripMargin,
     // same window CTE family as d10, split into the train hash set and the
     // eval window stream (semi-join instead of shared-hash window)
     "d11_cross_contamination" ->

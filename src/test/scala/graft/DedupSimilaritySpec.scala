@@ -167,6 +167,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(13L) == ((1L, 0L)) && got(14L) == ((1L, 0L)))
   }
 
+  test("best survivors: highest score wins per transitive cluster, ties by min id") {
+    val docs = Seq(
+      (1L, "a", 10), (2L, "b", 30), (3L, "c", 30), // one chain cluster 1~2, 2~3
+      (9L, "z", 5))                                // singleton survives itself
+      .toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val got = Dedup.bestSurvivors(docs, "id", "score", pairs)
+      .select("id", "cluster", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 2 and 3 tie at 30 -> min id 2 wins; transitive closure folds 1 in
+    assert(got == Set((2L, 1L, 30), (9L, 9L, 5)))
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
