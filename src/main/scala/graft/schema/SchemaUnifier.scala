@@ -58,6 +58,12 @@ object SchemaUnifier {
     Unified(StructType(fields), renames)
   }
 
+  /** Backtick-quote a column name for `col()`: a name containing a dot
+    * (legal in CSV headers and JSON keys) would otherwise parse as a
+    * nested-field path and fail resolution. Embedded backticks double.
+    */
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Align one source DataFrame to the unified schema: rename, project,
     * cast (parse-failure -> null via `try_cast`, matching `.parse().ok()` at
     * coercion.rs:117-154 even under Spark's default ANSI mode), and inject
@@ -68,7 +74,7 @@ object SchemaUnifier {
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
     val cols = unified.schema.fields.map { f =>
-      if (renamed.columns.contains(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
+      if (renamed.columns.contains(f.name)) col(quoted(f.name)).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     renamed.select(cols.toIndexedSeq: _*)

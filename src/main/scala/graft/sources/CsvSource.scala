@@ -97,13 +97,15 @@ object CsvSource {
       .option("nullValue", opts.naValues.headOption.getOrElse(""))
       .csv(paths: _*)
     val withNulls = typed.select(names.map { n =>
-      if (schema(n).dataType == NullType) lit(null).as(n) else col(n)
+      if (schema(n).dataType == NullType) lit(null).as(n)
+      else col(graft.schema.SchemaUnifier.quoted(n))
     }.toIndexedSeq: _*)
     // NA list -> null (csv_in.rs:129-131); non-string cols already nulled by parse
     withNulls.select(withNulls.schema.fields.map { f =>
       if (f.dataType == StringType)
-        when(col(f.name).isin(opts.naValues: _*), lit(null)).otherwise(col(f.name)).as(f.name)
-      else col(f.name)
+        when(col(graft.schema.SchemaUnifier.quoted(f.name)).isin(opts.naValues: _*), lit(null))
+          .otherwise(col(graft.schema.SchemaUnifier.quoted(f.name))).as(f.name)
+      else col(graft.schema.SchemaUnifier.quoted(f.name))
     }.toIndexedSeq: _*)
   }
 

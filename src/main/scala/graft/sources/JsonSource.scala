@@ -106,7 +106,8 @@ object JsonSource {
       .option("mode", "PERMISSIVE")
       .json(paths: _*)
     typed.select(schema.fields.map { f =>
-      if (f.dataType == NullType) lit(null).as(f.name) else col(f.name)
+      if (f.dataType == NullType) lit(null).as(f.name)
+      else col(graft.schema.SchemaUnifier.quoted(f.name))
     }.toIndexedSeq: _*)
   }
 }

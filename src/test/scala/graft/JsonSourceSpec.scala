@@ -184,6 +184,19 @@ class JsonSourceSpec extends SparkSpec {
       Concat.Config(Seq(jgz)), Sink.Config(d.resolve("o.jsonl").toString, Discovery.Jsonl)).isEmpty)
   }
 
+  test("dotted column names resolve as literal columns, not nested paths") {
+    val d = tmpDir("dotted")
+    val j = writeFile(d, "a.jsonl", "{\"user.name\": \"ann\", \"k\": 1}\n")
+    val jr = JsonSource.read(spark, j).collect()
+    assert(jr(0).getString(0) == "ann" && jr(0).getLong(1) == 1L)
+    val c = writeFile(d, "b.csv", "user.name,k\nbob,2\n")
+    val cr = graft.sources.CsvSource.read(spark, c).collect()
+    assert(cr(0).getString(0) == "bob" && cr(0).getLong(1) == 2L)
+    // and through the unifier (align's cast projection)
+    val both = Concat.run(spark, Concat.Config(Seq(j, c))).orderBy("k").collect()
+    assert(both.map(_.getAs[String]("user.name")).toSeq == Seq("ann", "bob"))
+  }
+
   test("CLI: csv -> jsonl and jsonl -> parquet conversions with --verify") {
     val dir = tmpDir("jsonl-cli")
     val csv = writeFile(dir, "in.csv", "a,b\n1,x\n2,y\n")
