@@ -58,7 +58,10 @@ object ScaleSoak {
       // scale linearly (replica-suffixed tokens grow the vocab with the
       // corpus); s09's output must stay labels x dim at any corpus size;
       // st10's session-window state scales with replica-offset user ids
-      "t16_tfidf", "s09_embed_centroids", "st10_streaming_session")
+      "t16_tfidf", "s09_embed_centroids", "st10_streaming_session",
+      // d11's train-hash-set join must stay a slim equi-join: output rows
+      // scale with the eval side, never quadratically
+      "d11_cross_contamination")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
