@@ -168,8 +168,25 @@ object Maw {
   def verifyOutput(spark: SparkSession, cfg: Concat.Config, output: String,
       fmt: Discovery.Format, naOut: String,
       outDelimiter: String = ",",
-      partitionCols: Seq[String] = Nil): (Long, java.math.BigDecimal) = {
-    val planned0 = Concat.run(spark, cfg)
+      partitionCols: Seq[String] = Nil,
+      sinkCfg: Option[Sink.Config] = None): (Long, java.math.BigDecimal) = {
+    // jsonl->jsonl rides the byte fast path, whose contract is fidelity to
+    // the SOURCE BYTES — stronger than the typed plan, which is bounded by
+    // the --infer-rows sample (a type drifting past the sample nulls in the
+    // typed plan but survives in the byte output). Verify against the same
+    // full-inference read the output gets, so a correct byte copy can't
+    // false-fail; every other route verifies against the typed plan. The
+    // REAL sink config decides (rolling flags etc. turn the byte path off).
+    val bytePathRun = fmt == Discovery.Jsonl && {
+      val files = Discovery.discover(cfg.inputs, cfg.discovery)
+      graft.operators.JsonByteConcat.eligible(cfg,
+        sinkCfg.getOrElse(Sink.Config(output, fmt))) && files.nonEmpty &&
+        files.forall(f => f.format == Discovery.Jsonl && !Discovery.isGzip(f.path))
+    }
+    val planned0 =
+      if (bytePathRun)
+        spark.read.json(Discovery.discover(cfg.inputs, cfg.discovery).map(_.path): _*)
+      else Concat.run(spark, cfg)
     // hive layout folds null AND "" partition values into the same
     // __HIVE_DEFAULT_PARTITION__ directory, so the read-back yields null
     // for both; fold the planned side identically (string partition cols
@@ -189,11 +206,18 @@ object Maw {
     if (expected != actual)
       throw new IllegalStateException(s"verify failed: wrote $actual rows, expected $expected")
     // CSV/JSONL can't represent a timestamp's value apart from its
-    // rendering; exclude ts columns there (still checksummed through parquet)
+    // rendering; exclude ts columns there (still checksummed through
+    // parquet). JSONL additionally re-types DECIMAL (written "1.50", read
+    // back as double 1.5) and BINARY (string-cast bytes vs base64) through
+    // the read-back's inference — exclude those too, or a correct write
+    // false-fails on the rendering difference.
+    import org.apache.spark.sql.types.{BinaryType, DecimalType, TimestampNTZType, TimestampType}
     val skip = if (fmt == Discovery.Csv || fmt == Discovery.Jsonl)
       planned.schema.fields.filter(f =>
-        f.dataType == org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType).map(_.name).toSeq
+        f.dataType == TimestampType || f.dataType == TimestampNTZType ||
+          (fmt == Discovery.Jsonl &&
+            (f.dataType.isInstanceOf[DecimalType] || f.dataType == BinaryType)))
+        .map(_.name).toSeq
     else Seq.empty[String]
     val nullRep = if (fmt == Discovery.Csv) Some(naOut) else None
     // name-sorted projection on BOTH sides: the checksum hashes columns in
@@ -201,7 +225,8 @@ object Maw {
     // columns at the end (concat output is already alphabetical, so this is
     // a no-op for plain file output)
     def sorted(df: org.apache.spark.sql.DataFrame) = df.select(
-      df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      df.columns.sorted.map(n => org.apache.spark.sql.functions.col(
+        graft.schema.SchemaUnifier.quoted(n))).toIndexedSeq: _*)
     val cs1 = Sink.rowChecksum(sorted(planned.drop(skip: _*)), nullRep)
     val cs2 = Sink.rowChecksum(sorted(written.drop(skip: _*)), nullRep)
     if (cs1 != cs2)
@@ -308,12 +333,13 @@ object Maw {
           Some(new LiveProgress()) else None
         live.foreach(spark.sparkContext.addSparkListener)
         val t0 = System.nanoTime()
+        val sinkCfg = Sink.Config(a.output, fmt, a.compression,
+          a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes,
+          writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
+            (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt,
+          partitionBy = a.partitionBy)
         val metrics =
-          try Concat.convert(spark, cfg, Sink.Config(a.output, fmt, a.compression,
-            a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes,
-            writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
-              (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt,
-            partitionBy = a.partitionBy))
+          try Concat.convert(spark, cfg, sinkCfg)
           finally {
             live.foreach { l => l.finish(); spark.sparkContext.removeSparkListener(l) }
             // the byte totals are read below, after the run; on a shared
@@ -350,7 +376,7 @@ object Maw {
         }
         if (a.verify) {
           val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut, a.delimiter,
-            a.partitionBy)
+            partitionCols = a.partitionBy, sinkCfg = Some(sinkCfg))
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }

@@ -45,7 +45,8 @@ object Concat {
     f.format match {
       case Csv     => CsvSource.read(spark, f.path, csv)
       case Parquet => spark.read.parquet(f.path)
-      case Jsonl   => JsonSource.read(spark, f.path)
+      case Jsonl   => JsonSource.read(spark, f.path,
+        JsonSource.JsonOptions(inferRows = csv.inferRows))
     }
 
   /** `spark.read` reports every file-source column nullable RECURSIVELY
@@ -96,7 +97,8 @@ object Concat {
       csv: CsvSource.CsvOptions): org.apache.spark.sql.types.StructType =
     f.format match {
       case Csv   => CsvSource.resolveSchema(spark, f.path, csv)
-      case Jsonl => JsonSource.resolveSchema(spark, f.path, JsonSource.JsonOptions())
+      case Jsonl => JsonSource.resolveSchema(spark, f.path,
+        JsonSource.JsonOptions(inferRows = csv.inferRows)) // --infer-rows is format-shared
       case Parquet =>
         parquetFooterSchema(f.path,
           new org.apache.spark.sql.execution.datasources.parquet
@@ -122,7 +124,8 @@ object Concat {
     Await.result(
       Future.sequence(files.map(f => Future(f.format match {
         case Csv     => CsvSource.resolveSchema(spark, f.path, csv)
-        case Jsonl   => JsonSource.resolveSchema(spark, f.path, JsonSource.JsonOptions())
+        case Jsonl   => JsonSource.resolveSchema(spark, f.path,
+          JsonSource.JsonOptions(inferRows = csv.inferRows))
         case Parquet => parquetFooterSchema(f.path, conv, conf)
       }))),
       Duration.Inf)
@@ -134,7 +137,8 @@ object Concat {
     format match {
       case Csv     => CsvSource.readPaths(spark, paths, csv, Some(schema))
       case Parquet => spark.read.parquet(paths: _*)
-      case Jsonl   => JsonSource.readPaths(spark, paths, JsonSource.JsonOptions(), Some(schema))
+      case Jsonl   => JsonSource.readPaths(spark, paths,
+        JsonSource.JsonOptions(inferRows = csv.inferRows), Some(schema))
     }
 
   /** Discover + build the unified concat plan. Lazy — nothing big executes
@@ -182,7 +186,18 @@ object Concat {
             case _ => acc :+ ((f.format, s, Vector(f.path)))
           }
       }
-    val dfs = groups.map { case (fmt, schema, paths) =>
+    // empty-schema groups (0-byte shards, all-corrupt jsonl) contribute
+    // ZERO ROWS instead of aborting the whole concat — sharded corpora
+    // routinely contain empty shards, and the byte fast paths already
+    // treat them as contributing nothing
+    val (emptyGroups, liveGroups) = groups.partition(_._2.isEmpty)
+    emptyGroups.foreach { case (fmt, _, paths) =>
+      System.err.println(
+        s"[concat] skipping ${paths.size} empty $fmt input(s): ${paths.mkString(", ")}")
+    }
+    require(liveGroups.nonEmpty,
+      s"every input is empty: ${files.map(_.path).mkString(", ")}")
+    val dfs = liveGroups.map { case (fmt, schema, paths) =>
       readGroup(spark, fmt, paths, schema, cfg.csv)
     }
     val unified = SchemaUnifier.unify(

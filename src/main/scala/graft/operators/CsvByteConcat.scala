@@ -187,41 +187,10 @@ object CsvByteConcat {
     // same contract as Sink.promote.
     val total = results.map(_._3).sum
     val bytesRead = results.map(_._4).sum
-    val tfs = new Path(sink.path).getFileSystem(hconf)
-    Option(new Path(sink.path).getParent).foreach(tfs.mkdirs)
-    val bytesWritten = if (singleFile) {
-      // inherent single-writer step (same contract as coalesce(1)): stream
-      // header + part bodies into ONE merged temp file, in input order,
-      // then rename over the target
-      val merged = new Path(tmpDir, "merged")
-      val out = new BufferedOutputStream(tfs.create(merged, true), bufBytes)
-      try {
-        out.write(header); out.write(Lf.toInt)
-        results.sortBy(_._1).foreach { case (_, name, _, _, _) =>
-          val in = new BufferedInputStream(tfs.open(new Path(tmpDir, name)), 1 << 20)
-          try copyAll(in, out) finally in.close()
-        }
-      } finally out.close()
-      Sink.replaceMove(tfs, merged, new Path(sink.path))
-      Sink.deleteStaleParts(hconf, sink.path, ".csv", keepBelow = 0)
-      tfs.getFileStatus(new Path(sink.path)).getLen
-    } else {
-      results.foreach { case (idx, name, _, _, _) =>
-        Sink.replaceMove(tfs, new Path(tmpDir, name),
-          new Path(f"$outBase%s-$idx%04d.csv"))
-      }
-      Sink.deleteStaleParts(hconf, sink.path, ".csv", keepBelow = paths.size)
-      paths.map { case (_, idx) =>
-        tfs.getFileStatus(new Path(f"$outBase%s-$idx%04d.csv")).getLen
-      }.sum
-    }
-    fs0.delete(new Path(tmpDir), true)
-    // per-file completion records (the reference renders per-file progress
-    // bars, progress.rs:6-197; batch-mode Spark reports them post-hoc)
-    val perFile = results.sortBy(_._1).map { case (idx, _, rows, inBytes, sec) =>
-      Map[String, Any]("path" -> files(idx).path, "rows" -> rows,
-        "bytes" -> inBytes, "elapsed_sec" -> sec)
-    }.toSeq
+    // single-file mode prepends the ONE header (parts are headerless there)
+    val bytesWritten = BytePromote.promote(hconf, sink.path, ".csv", tmpDir,
+      results.toIndexedSeq, singleFile, bufBytes, header = Some(header))
+    val perFile = BytePromote.perFileMetrics(results.toIndexedSeq, i => files(i).path)
     Some(Map("rows_written" -> total, "bytes_read" -> bytesRead,
       "bytes_written" -> bytesWritten, "files" -> perFile))
   }

@@ -295,6 +295,13 @@ object Dedup {
     */
   def bestSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame): DataFrame = {
+    // "id"/"cluster" are this API's output names (shared with [[clusters]]);
+    // a caller frame already carrying them (other than as idCol itself)
+    // would alias ambiguously in the join below — fail readably instead
+    for (reserved <- Seq("id", "cluster") if reserved != idCol)
+      require(!docs.columns.contains(reserved),
+        s"bestSurvivors: input already has a '$reserved' column — rename it " +
+          "(the operator outputs its own id/cluster columns)")
     val labels = clusters(docs, idCol, pairs)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col(scoreCol).desc_nulls_last, col("id").asc)

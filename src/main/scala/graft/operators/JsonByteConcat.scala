@@ -23,6 +23,15 @@ import org.apache.spark.sql.SparkSession
   * materialization; storage-bound and scales with file count across
   * executors.
   *
+  * Contract note: fidelity is to the SOURCE BYTES, which is STRONGER than
+  * the typed path — the typed plan is bounded by the `--infer-rows` sample
+  * (a type drifting past the sample nulls there but survives here), and a
+  * cross-file scalar conflict that the typed path would reject without
+  * `--stringify-conflicts` simply passes through (JSON needs no widening:
+  * readers bind per line). `--verify` for this route therefore compares
+  * against a full-inference read of the inputs, not the sampled typed plan
+  * (Maw.verifyOutput).
+  *
   * Commit protocol mirrors CsvByteConcat: every task writes an
   * ATTEMPT-UNIQUE file in the temp dir, the driver promotes exactly the
   * attempts it collected (never a final path from a task) — chained
@@ -57,7 +66,6 @@ object JsonByteConcat {
     fs0.mkdirs(new Path(tmpDir))
     val singleFile = sink.singleFile
     val bufBytes = sink.writerBufferBytes
-    val outBase = sink.path.stripSuffix(".jsonl")
     val paths = files.map(_.path).zipWithIndex
     val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
 
@@ -84,35 +92,11 @@ object JsonByteConcat {
 
     val total = results.map(_._3).sum
     val bytesRead = results.map(_._4).sum
-    val tfs = new Path(sink.path).getFileSystem(hconf)
-    Option(new Path(sink.path).getParent).foreach(tfs.mkdirs)
-    val bytesWritten = if (singleFile) {
-      val merged = new Path(tmpDir, "merged")
-      val out = new BufferedOutputStream(tfs.create(merged, true), bufBytes)
-      try results.sortBy(_._1).foreach { case (_, name, _, _, _) =>
-        val in = new BufferedInputStream(tfs.open(new Path(tmpDir, name)), 1 << 20)
-        try copyAll(in, out) finally in.close()
-      } finally out.close()
-      Sink.replaceMove(tfs, merged, new Path(sink.path))
-      Sink.deleteStaleParts(hconf, sink.path, ".jsonl", keepBelow = 0)
-      tfs.getFileStatus(new Path(sink.path)).getLen
-    } else {
-      results.foreach { case (idx, name, _, _, _) =>
-        Sink.replaceMove(tfs, new Path(tmpDir, name),
-          new Path(f"$outBase%s-$idx%04d.jsonl"))
-      }
-      Sink.deleteStaleParts(hconf, sink.path, ".jsonl", keepBelow = paths.size)
-      paths.map { case (_, idx) =>
-        tfs.getFileStatus(new Path(f"$outBase%s-$idx%04d.jsonl")).getLen
-      }.sum
-    }
-    fs0.delete(new Path(tmpDir), true)
-    val perFile = results.sortBy(_._1).map { case (idx, _, rows, inBytes, sec) =>
-      Map[String, Any]("path" -> files(idx).path, "rows" -> rows,
-        "bytes" -> inBytes, "elapsed_sec" -> sec)
-    }.toSeq
+    val bytesWritten = BytePromote.promote(hconf, sink.path, ".jsonl", tmpDir,
+      results.toIndexedSeq, singleFile, bufBytes, header = None)
     Some(Map("rows_written" -> total, "bytes_read" -> bytesRead,
-      "bytes_written" -> bytesWritten, "files" -> perFile))
+      "bytes_written" -> bytesWritten,
+      "files" -> BytePromote.perFileMetrics(results.toIndexedSeq, i => files(i).path)))
   }
 
   /** Stream `in` to `out`, counting non-empty lines, normalizing the file's
@@ -144,9 +128,4 @@ object JsonByteConcat {
     rows
   }
 
-  private def copyAll(in: InputStream, out: OutputStream): Unit = {
-    val buf = new Array[Byte](1 << 20)
-    var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-  }
 }

@@ -73,7 +73,7 @@ object Sink {
     val df1 = df0.select(df0.schema.fields.map { f =>
       if (f.dataType == org.apache.spark.sql.types.NullType)
         org.apache.spark.sql.functions.lit(null).cast("string").as(f.name)
-      else org.apache.spark.sql.functions.col(f.name)
+      else org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(f.name))
     }.toIndexedSeq: _*)
     // multi-file output trades input order for write parallelism: an AQE
     // REBALANCE (the pre-write hint) right-sizes partitions at runtime —
@@ -283,7 +283,7 @@ object Sink {
   def rowChecksum(df: DataFrame, csvNullRep: Option[String]): java.math.BigDecimal = {
     import org.apache.spark.sql.functions._
     val cols = df.schema.fields.map { f =>
-      val base = col(f.name).cast("string")
+      val base = col(graft.schema.SchemaUnifier.quoted(f.name)).cast("string")
       csvNullRep match {
         case Some(rep) => coalesce(nullif(base, lit("")), lit(if (rep.isEmpty) "\u0000" else rep))
         case None      => coalesce(base, lit("\u0000"))

@@ -34,8 +34,12 @@ object Discovery {
     val lower = if (lower0.endsWith(".gz")) lower0.stripSuffix(".gz") else lower0
     if (lower.endsWith(".csv") || lower.endsWith(".tsv")) Some(Csv)
     else if (lower.endsWith(".parquet") && lower == lower0) Some(Parquet)
-    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson") ||
-      lower.endsWith(".json")) Some(Jsonl)
+    // bare .json is deliberately NOT an input format: directory walks would
+    // otherwise ingest configs / pretty-printed arrays that are not
+    // line-delimited (they were skipped before JSONL existed, and must stay
+    // skipped). Line-delimited corpora use .jsonl/.ndjson; -o out.json is
+    // still honored by outputFormat below.
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson")) Some(Jsonl)
     else None
   }
 
@@ -54,7 +58,10 @@ object Discovery {
       case Some("csv")              => Csv
       case Some("jsonl" | "json")   => Jsonl
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
-      case None                    => detectFormat(outPath).getOrElse(Csv)
+      case None =>
+        detectFormat(outPath)
+          .orElse(if (outPath.toLowerCase.endsWith(".json")) Some(Jsonl) else None)
+          .getOrElse(Csv)
     }
   }
 

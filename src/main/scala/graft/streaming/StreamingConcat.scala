@@ -93,10 +93,10 @@ object StreamingConcat {
           val raw = globFilter.fold(r0)(g => r0.option("pathGlobFilter", g)).csv(path)
           // NA list -> null on string columns (numeric NA already nulled by parse)
           raw.select(raw.schema.fields.map { fld =>
+            val c = col(graft.schema.SchemaUnifier.quoted(fld.name))
             if (fld.dataType == StringType)
-              when(col(fld.name).isin(cfg.csv.naValues: _*), lit(null))
-                .otherwise(col(fld.name)).as(fld.name)
-            else col(fld.name)
+              when(c.isin(cfg.csv.naValues: _*), lit(null)).otherwise(c).as(fld.name)
+            else c
           }.toIndexedSeq: _*)
         case Jsonl =>
           val r = spark.readStream.schema(schema).option("mode", "PERMISSIVE")

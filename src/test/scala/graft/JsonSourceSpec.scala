@@ -197,6 +197,37 @@ class JsonSourceSpec extends SparkSpec {
     assert(both.map(_.getAs[String]("user.name")).toSeq == Seq("ann", "bob"))
   }
 
+  test("review fixes: dotted-name writes, empty shards, .json walk skip, infer-rows threading") {
+    val d = tmpDir("review-fixes")
+    // dotted names survive the WRITE path too (Sink.writeInternal projection)
+    val out = d.resolve("dotted.parquet").toString
+    Sink.write(Seq(("ann", 1L)).toDF("user.name", "k"), Sink.Config(out, Discovery.Parquet))
+    assert(spark.read.parquet(out).collect()(0).getString(0) == "ann")
+    // an empty shard contributes zero rows instead of aborting the concat
+    writeFile(d, "shards/s1.jsonl", "{\"k\": 1}\n")
+    writeFile(d, "shards/s2.jsonl", "")
+    val cat = Concat.run(spark, Concat.Config(Seq(d.resolve("shards").toString)))
+    assert(cat.count() == 1)
+    // bare .json files stay SKIPPED in directory walks (configs, pretty
+    // arrays), while -o out.json still means a jsonl sink
+    writeFile(d, "walk/a.jsonl", "{\"k\": 1}\n")
+    writeFile(d, "walk/config.json", "{\n  \"not\": \"line-delimited\"\n}\n")
+    val walked = Discovery.discover(Seq(d.resolve("walk").toString))
+    assert(walked.map(_.path).forall(_.endsWith("a.jsonl")))
+    assert(Discovery.outputFormat("out.json", None) == Discovery.Jsonl)
+    // --infer-rows reaches the jsonl sampler through Concat's call sites
+    val late = writeFile(d, "late.jsonl",
+      "{\"k\": 1}\n{\"k\": 2}\n{\"k\": 3, \"late\": \"seen\"}\n")
+    import graft.sources.Discovery.InputFile
+    val f = InputFile(late, Discovery.Jsonl, java.nio.file.Files.size(d.resolve("late.jsonl")))
+    val narrow = Concat.fileSchema(spark, f,
+      graft.sources.CsvSource.CsvOptions(inferRows = 2))
+    assert(!narrow.fieldNames.contains("late"))
+    val wide = Concat.fileSchema(spark, f,
+      graft.sources.CsvSource.CsvOptions(inferRows = 1000))
+    assert(wide.fieldNames.contains("late"))
+  }
+
   test("CLI: csv -> jsonl and jsonl -> parquet conversions with --verify") {
     val dir = tmpDir("jsonl-cli")
     val csv = writeFile(dir, "in.csv", "a,b\n1,x\n2,y\n")
