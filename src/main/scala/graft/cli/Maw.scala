@@ -140,8 +140,8 @@ object Maw {
     "--writer-buffer", "--mem-budget")
 
   val usage: String =
-    """graft <inputs...> -o out.{csv,parquet,jsonl} [options]
-      |Streaming concatenation + format conversion of CSV/Parquet/JSONL, on Spark.
+    """graft <inputs...> -o out.{csv,parquet,jsonl,orc} [options]
+      |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC, on Spark.
       |Gzip-compressed text inputs (.csv.gz/.jsonl.gz) are read transparently.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
@@ -243,13 +243,6 @@ object Maw {
         System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
     }
     if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
-    // StreamingConcat has no partitioned-sink support yet: reject rather
-    // than silently writing an unpartitioned layout a downstream job
-    // expects to prune
-    if (a.streaming && a.partitionBy.nonEmpty) {
-      System.err.println("error: --partition-by is not supported with --stream")
-      sys.exit(1)
-    }
     if (a.plan) {
       // plan mode: discover (no Spark session needed) and print the file
       // plan BEFORE building the pipeline (main.rs:65-71) — a bad input
@@ -320,7 +313,8 @@ object Maw {
               quiet = a.quiet, jsonLogs = a.jsonLogs, checkpoint = Some(cp)))
           else None
         listener.foreach(spark.streams.addListener)
-        try graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt, cp)
+        try graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt, cp,
+          partitionBy = a.partitionBy)
         finally listener.foreach { l => l.awaitDrained(); spark.streams.removeListener(l) }
       } else {
         // M1 batch progress (progress.rs:6-197 intent): task-level

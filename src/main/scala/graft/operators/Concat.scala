@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.schema.SchemaUnifier
 import graft.sources.{CsvSource, Discovery, JsonSource}
-import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Parquet}
+import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Orc, Parquet}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's whole dataflow as ONE lazy Catalyst plan:
@@ -45,6 +45,7 @@ object Concat {
     f.format match {
       case Csv     => CsvSource.read(spark, f.path, csv)
       case Parquet => spark.read.parquet(f.path)
+      case Orc     => spark.read.orc(f.path)
       case Jsonl   => JsonSource.read(spark, f.path,
         JsonSource.JsonOptions(inferRows = csv.inferRows))
     }
@@ -83,6 +84,17 @@ object Concat {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
 
+  /** Footer-only ORC schema, via Spark's own ORC reader + ORC->Catalyst
+    * converter (re-exported through [[org.apache.spark.sql.graftbridge.OrcBridge]]).
+    * Same nullability normalization as the parquet probe.
+    */
+  private def orcFooterSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.types.StructType =
+    forceNullable(org.apache.spark.sql.graftbridge.OrcBridge.footerSchema(
+      new org.apache.hadoop.fs.Path(path), conf))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Per-file schema WITHOUT a per-file DataFrameReader: CSV resolves via
     * the driver-side bounded sample (zero Spark jobs); parquet reads the
     * file FOOTER directly and converts through Spark's own
@@ -104,6 +116,7 @@ object Concat {
           new org.apache.spark.sql.execution.datasources.parquet
             .ParquetToSparkSchemaConverter(spark.sessionState.conf),
           spark.sessionState.newHadoopConf())
+      case Orc => orcFooterSchema(f.path, spark.sessionState.newHadoopConf())
     }
 
   /** All files' schemas, probed concurrently on the driver pool — one
@@ -127,6 +140,7 @@ object Concat {
         case Jsonl   => JsonSource.resolveSchema(spark, f.path,
           JsonSource.JsonOptions(inferRows = csv.inferRows))
         case Parquet => parquetFooterSchema(f.path, conv, conf)
+        case Orc     => orcFooterSchema(f.path, conf)
       }))),
       Duration.Inf)
   }
@@ -137,6 +151,7 @@ object Concat {
     format match {
       case Csv     => CsvSource.readPaths(spark, paths, csv, Some(schema))
       case Parquet => spark.read.parquet(paths: _*)
+      case Orc     => spark.read.orc(paths: _*)
       case Jsonl   => JsonSource.readPaths(spark, paths,
         JsonSource.JsonOptions(inferRows = csv.inferRows), Some(schema))
     }

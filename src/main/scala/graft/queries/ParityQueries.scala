@@ -85,6 +85,24 @@ object ParityQueries {
         graft.operators.Concat.Config(Seq(out)))
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // ORC sink + source round trip through the REAL write/read path
+    // (beyond-reference format: the other columnar warehouse format). Same
+    // oracle shape as p11: the DuckDB oracle pins the round-tripped table
+    // against the parquet original, so a broken ORC write, promotion, or
+    // footer-schema probe breaks the hash. ORC round-trips types exactly
+    // (unlike JSONL), so the full column set survives unprojected.
+    "p12_orc_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p12_orc_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.orc").toString
+      graft.sinks.Sink.write(docs,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Orc))
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(out)))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -133,6 +151,9 @@ object ParityQueries {
          |${orderSql("k")}""".stripMargin,
     // the round trip must reproduce the parquet original byte-for-byte
     "p11_jsonl_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    "p12_orc_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin)
 }

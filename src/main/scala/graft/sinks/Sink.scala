@@ -140,6 +140,8 @@ object Sink {
             .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString)
             .option("parquet.block.size", (128L * 1024 * 1024).toString)
             .parquet(ptmp)
+        case graft.sources.Discovery.Orc =>
+          orcWriter(w0, cfg).orc(ptmp)
         case graft.sources.Discovery.Jsonl =>
           jsonWriter(w0, cfg).json(ptmp)
       }
@@ -147,11 +149,7 @@ object Sink {
       // stale rolled parts from an earlier non-partitioned run at the same
       // contract path would survive next to the new directory and confuse
       // readBack/--verify; sweep them like the file paths sweep stale output
-      val ext = cfg.format match {
-        case graft.sources.Discovery.Csv     => ".csv"
-        case graft.sources.Discovery.Parquet => ".parquet"
-        case graft.sources.Discovery.Jsonl   => ".jsonl"
-      }
+      val ext = extFor(cfg.format)
       deleteStaleParts(df0.sparkSession.sparkContext.hadoopConfiguration,
         cfg.path, ext, keepBelow = 0)
       return
@@ -180,11 +178,37 @@ object Sink {
           .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString) // writer_parquet.rs:53
           .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
           .parquet(tmpDir)
+      case graft.sources.Discovery.Orc =>
+        orcWriter(out.mode("overwrite"), cfg).orc(tmpDir)
       case graft.sources.Discovery.Jsonl =>
         jsonWriter(out.mode("overwrite"), cfg).json(tmpDir)
     }
     promote(tmpDir, cfg, df0.sparkSession.sparkContext.hadoopConfiguration)
   }
+
+  /** Output-path extension per format — the promote/stale-sweep/readBack
+    * contract suffix.
+    */
+  private def extFor(fmt: graft.sources.Discovery.Format): String = fmt match {
+    case graft.sources.Discovery.Csv     => ".csv"
+    case graft.sources.Discovery.Parquet => ".parquet"
+    case graft.sources.Discovery.Orc     => ".orc"
+    case graft.sources.Discovery.Jsonl   => ".jsonl"
+  }
+
+  /** ORC sink options: the `--compression` knob maps onto ORC's codec set —
+    * ORC spells gzip's deflate "zlib", and the zstd level rides ORC's own
+    * conf key. Same 128 MB stripe target as the parquet sink's row groups.
+    */
+  private def orcWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.option("compression", cfg.compression match {
+        case "none" => "none"
+        case "gzip" => "zlib"
+        case other  => other // snappy | zstd | lz4 pass through
+      })
+      .option("orc.compression.zstd.level", cfg.zstdLevel.toString)
+      .option("orc.stripe.size", (128L * 1024 * 1024).toString)
 
   /** JSONL sink options. Uncompressed text like the CSV sink (the
     * `--compression` knob is parquet's; compressed text parts would also
@@ -212,11 +236,7 @@ object Sink {
   def readBack(spark: org.apache.spark.sql.SparkSession, path: String,
       fmt: graft.sources.Discovery.Format, delimiter: String = ","): DataFrame = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val ext = fmt match {
-      case graft.sources.Discovery.Csv     => ".csv"
-      case graft.sources.Discovery.Parquet => ".parquet"
-      case graft.sources.Discovery.Jsonl   => ".jsonl"
-    }
+    val ext = extFor(fmt)
     val p = new HPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val isDir = fs.exists(p) && fs.getFileStatus(p).isDirectory
@@ -246,6 +266,7 @@ object Sink {
         spark.read.option("header", "true").option("sep", delimiter)
           .option("escape", "\"").csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
+      case graft.sources.Discovery.Orc     => spark.read.orc(paths: _*)
       // full-pass native inference, not the bounded sample: verify wants
       // every value's type evidence (JSON carries types, so nothing drifts)
       case graft.sources.Discovery.Jsonl   => spark.read.json(paths: _*)
@@ -399,11 +420,7 @@ object Sink {
   private def promote(tmpDir: String, cfg: Config,
       hconf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
-    val ext = cfg.format match {
-      case graft.sources.Discovery.Csv     => ".csv"
-      case graft.sources.Discovery.Parquet => ".parquet"
-      case graft.sources.Discovery.Jsonl   => ".jsonl"
-    }
+    val ext = extFor(cfg.format)
     // Hadoop FS API throughout (NOT java.nio): the write itself runs on any
     // Hadoop filesystem, so the rename step must too — java.nio on an
     // hdfs:///s3a:// output would fail AFTER a successful write, stranding

@@ -19,6 +19,11 @@ object Discovery {
     * de-facto LLM-corpus interchange format. See [[JsonSource]].
     */
   case object Jsonl extends Format
+  /** ORC — beyond the reference, the other columnar warehouse format; Spark
+    * reads/writes it natively (same engine surface as parquet), so the cost
+    * of first-class support is plumbing, and warehouses routinely hold both.
+    */
+  case object Orc extends Format
 
   final case class InputFile(path: String, format: Format, sizeBytes: Long)
 
@@ -34,6 +39,8 @@ object Discovery {
     val lower = if (lower0.endsWith(".gz")) lower0.stripSuffix(".gz") else lower0
     if (lower.endsWith(".csv") || lower.endsWith(".tsv")) Some(Csv)
     else if (lower.endsWith(".parquet") && lower == lower0) Some(Parquet)
+    // ORC is internally compressed, like parquet: no .orc.gz variant
+    else if (lower.endsWith(".orc") && lower == lower0) Some(Orc)
     // bare .json is deliberately NOT an input format: directory walks would
     // otherwise ingest configs / pretty-printed arrays that are not
     // line-delimited (they were skipped before JSONL existed, and must stay
@@ -57,6 +64,7 @@ object Discovery {
       case Some("parquet")          => Parquet
       case Some("csv")              => Csv
       case Some("jsonl" | "json")   => Jsonl
+      case Some("orc")              => Orc
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
       case None =>
         detectFormat(outPath)

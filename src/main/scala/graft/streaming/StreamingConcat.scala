@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Concat
 import graft.schema.SchemaUnifier
 import graft.sources.{CsvSource, Discovery}
-import graft.sources.Discovery.{Csv, Format, Jsonl, Parquet}
+import graft.sources.Discovery.{Csv, Format, Jsonl, Orc, Parquet}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
@@ -101,6 +101,9 @@ object StreamingConcat {
         case Jsonl =>
           val r = spark.readStream.schema(schema).option("mode", "PERMISSIVE")
           globFilter.fold(r)(g => r.option("pathGlobFilter", g)).json(path)
+        case Orc =>
+          val r = spark.readStream.schema(schema)
+          globFilter.fold(r)(g => r.option("pathGlobFilter", g)).orc(path)
       }
       SchemaUnifier.align(src, unified)
     }
@@ -110,19 +113,31 @@ object StreamingConcat {
   /** Run to completion over currently-available input, writing rolled output
     * files + checkpoint; returns after the stream drains. Resumable across
     * invocations via the checkpoint.
+    *
+    * `partitionBy` writes a hive `col=value/` tree (same layout contract as
+    * the batch sink's K4): the file sink appends new part files under each
+    * value directory per micro-batch, so the layout stays consistent across
+    * resumed invocations — the streaming door to the 100 TB layout
+    * primitive.
     */
   def run(spark: SparkSession, cfg: Concat.Config, outPath: String, fmt: Format,
-      checkpoint: String): Unit = {
+      checkpoint: String, partitionBy: Seq[String] = Nil): Unit = {
     val df = planStream(spark, cfg)
-    val writer = df.writeStream
+    val missing = partitionBy.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"--partition-by columns not in data: ${missing.mkString(", ")}")
+    val writer0 = df.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
+    val writer =
+      if (partitionBy.nonEmpty) writer0.partitionBy(partitionBy: _*) else writer0
     val q = fmt match {
       case Csv     => writer.format("csv").option("header", "true").start(outPath)
       case Parquet => writer.format("parquet").start(outPath)
       case Jsonl   => writer.format("json")
         .option("ignoreNullFields", "false").start(outPath)
+      case Orc     => writer.format("orc").start(outPath)
     }
     q.awaitTermination()
   }

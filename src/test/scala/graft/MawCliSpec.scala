@@ -432,9 +432,28 @@ class MawCliSpec extends SparkSpec {
         .getMessage.contains("--partition-by"), s"'$v' should be rejected")
   }
 
-  test("--stream rejects --partition-by (no streaming partitioned sink yet)") {
-    val a = Maw.parse(Seq("in.csv", "-o", "out.parquet", "--stream", "--partition-by", "lang"))
-    assert(a.streaming && a.partitionBy == Seq("lang")) // parses; main rejects
+  test("--stream --partition-by writes a hive tree that stays consistent across resume") {
+    val d = tmpDir("partstream")
+    val in = d.resolve("in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("a.csv"), "k,grp\n1,a\n2,b\n")
+    val out = d.resolve("tree").toString
+    val cp = d.resolve("cp").toString
+    Maw.execute(spark, Maw.parse(Seq(in.toString, "-o", out,
+      "--out-format", "parquet", "--stream", "--state", cp,
+      "--partition-by", "grp", "-q")))
+    val dirs1 = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(_.contains("grp=")).sorted
+    assert(dirs1.map(_.split('/').last).toSeq == Seq("grp=a", "grp=b"))
+    // resume with a late file: new value directory appears, old ones append
+    Files.writeString(in.resolve("b.csv"), "k,grp\n3,c\n4,a\n")
+    Maw.execute(spark, Maw.parse(Seq(in.toString, "-o", out,
+      "--out-format", "parquet", "--stream", "--state", cp,
+      "--partition-by", "grp", "-q")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4)
+    assert(back.where(org.apache.spark.sql.functions.col("grp") === "a").count() == 2)
+    assert(back.select("grp").distinct().count() == 3)
   }
 
   test("CSV partitioned output: hive tree, values intact, --verify passes") {
