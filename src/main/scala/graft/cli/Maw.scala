@@ -48,6 +48,8 @@ object Maw {
       partitionBy: Seq[String] = Nil,
       plan: Boolean = false,
       dryRun: Boolean = false,
+      compact: Boolean = false,
+      targetFileBytes: Long = 128L * 1024 * 1024,
       verify: Boolean = false,
       streaming: Boolean = false,
       checkpoint: Option[String] = None,
@@ -105,6 +107,9 @@ object Maw {
         go(t, a.copy(partitionBy = cols))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
+      case "--compact" :: t                => go(t, a.copy(compact = true))
+      case "--target-file-size" :: v :: t  =>
+        go(t, a.copy(targetFileBytes = parseSize(v)))
       case "--verify" :: t                 => go(t, a.copy(verify = true))
       case "--no-recursive" :: t           => go(t, a.copy(noRecursive = true))
       case "--follow-symlinks" :: t        => go(t, a.copy(followSymlinks = true))
@@ -137,7 +142,21 @@ object Maw {
     "--rename", "--delimiter", "--quote", "--encoding", "--na", "--na-values",
     "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
     "--roll-by-rows", "--partition-by", "--state", "--concurrency",
-    "--writer-buffer", "--mem-budget")
+    "--writer-buffer", "--mem-budget", "--target-file-size")
+
+  /** Human-friendly size: plain bytes, or a k/m/g suffix (case-insensitive). */
+  private[graft] def parseSize(v: String): Long = {
+    val s = v.trim.toLowerCase
+    val (num, mult) =
+      if (s.endsWith("k")) (s.dropRight(1), 1L << 10)
+      else if (s.endsWith("m")) (s.dropRight(1), 1L << 20)
+      else if (s.endsWith("g")) (s.dropRight(1), 1L << 30)
+      else (s, 1L)
+    val n = try num.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"bad size '$v' (use bytes or 128m/1g)") }
+    require(n > 0, s"size must be positive: '$v'")
+    n * mult
+  }
 
   val usage: String =
     """graft <inputs...> -o out.{csv,parquet,jsonl,orc} [options]
@@ -147,6 +166,7 @@ object Maw {
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
       |  --roll-by-rows N --roll-by-bytes N --partition-by col1,col2
+      |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
       |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
@@ -285,6 +305,30 @@ object Maw {
   private def jstr(s: Any): String = graft.util.Json.str(s)
 
   private[graft] def execute(spark: SparkSession, a: Args): Unit = {
+    if (a.compact) {
+      // in-place maintenance verb: each INPUT is a directory tree rewritten
+      // into ~target-file-size files (hive partitioning preserved); -o is
+      // not consulted. Format comes from the tree itself unless forced.
+      require(a.inputs.nonEmpty, "no inputs")
+      a.inputs.foreach { dir =>
+        val fmt =
+          if (a.outFormat.isDefined) Discovery.outputFormat("_", a.outFormat)
+          else graft.operators.Compact.detectTreeFormat(spark, dir)
+        val st = graft.operators.Compact.run(spark, dir, fmt,
+          targetFileBytes = a.targetFileBytes, compression = a.compression)
+        if (!a.quiet) {
+          if (a.jsonLogs)
+            println(s"""{"event":"compact","dir":${jstr(dir)},"files_before":${st.filesBefore},""" +
+              s""""files_after":${st.filesAfter},"bytes_before":${st.bytesBefore},""" +
+              s""""bytes_after":${st.bytesAfter},"rows":${st.rows}}""")
+          else println(s"compacted $dir: ${st.filesBefore} -> ${st.filesAfter} files, " +
+            s"${st.bytesBefore} -> ${st.bytesAfter} bytes, ${st.rows} rows" +
+            (if (st.partitionColumns.nonEmpty)
+              s" (partitioned by ${st.partitionColumns.mkString(",")})" else ""))
+        }
+      }
+      return
+    }
     if (a.jsonLogs && !a.quiet)
       println(s"""{"event":"start","inputs":${a.inputs.size},"output":${jstr(a.output)}}""")
     val fmt = Discovery.outputFormat(a.output, a.outFormat)

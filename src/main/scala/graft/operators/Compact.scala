@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.sources.Discovery
+import org.apache.spark.sql.SparkSession
+
+/** In-place small-file compaction — the 100 TB table-maintenance primitive
+  * the sink's layout story needs: streaming/partitioned/rolled writes
+  * accumulate many small part files per directory (each micro-batch appends
+  * its own), and at warehouse scale the file-count itself becomes the
+  * bottleneck (NameNode/listing pressure, one scan task per tiny file).
+  *
+  * Beyond the reference (whose writer is single-file only). Design:
+  *
+  *   - Reads the directory tree through the normal scan (hive `col=value`
+  *     partition directories are re-discovered; partition-column TYPE
+  *     inference is disabled so values round-trip verbatim, same rule as
+  *     `Sink.readBack`).
+  *   - Right-sizes output files with an AQE rebalance: the advisory
+  *     partition size is set to `targetFileBytes` scaled by the measured
+  *     on-disk compression ratio... no — simpler and deterministic:
+  *     `maxRecordsPerFile` derived from the tree's own measured
+  *     bytes-per-row, which already reflects this data's encoding +
+  *     compression (no guessed ratios).
+  *   - Writes to a staging dir, then swaps: old tree moved aside, staging
+  *     renamed in, old tree deleted only after the swap succeeds — a crash
+  *     leaves either the old or the new tree at the path, never neither
+  *     (same promote discipline as the sink).
+  *   - Row-count is verified old-vs-new BEFORE the swap: an in-place
+  *     rewrite must never trade files for rows.
+  */
+object Compact {
+
+  final case class Stats(
+      filesBefore: Int, filesAfter: Int,
+      bytesBefore: Long, bytesAfter: Long,
+      rows: Long, partitionColumns: Seq[String])
+
+  /** Compact `dir` (a parquet/orc/jsonl/csv directory tree, flat or
+    * hive-partitioned) into ~`targetFileBytes` files, in place.
+    */
+  def run(spark: SparkSession, dir: String, fmt: Discovery.Format,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      compression: String = "zstd"): Stats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"compact expects a directory tree: $dir")
+
+    val (dataFiles, partCols) = scanTree(fs, root)
+    require(dataFiles.nonEmpty, s"no data files under $dir")
+    val bytesBefore = dataFiles.map(_.getLen).sum
+
+    // partition values must survive VERBATIM: a `source=007` directory must
+    // not come back as int 7 (Sink.readBack pins the same rule)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val df =
+      try fmt match {
+        case Discovery.Parquet => spark.read.parquet(dir)
+        case Discovery.Orc     => spark.read.orc(dir)
+        case Discovery.Jsonl   => spark.read.json(dir)
+        case Discovery.Csv     => spark.read.option("header", "true")
+          .option("escape", "\"").csv(dir)
+      } finally prevInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
+
+    // this tree's own bytes/row (already reflecting its encoding and
+    // compression) sizes the output files — one cheap count job, reused for
+    // the pre-swap row verification
+    val rows = df.count()
+    val maxRecords = math.max(1L, (targetFileBytes.toDouble /
+      math.max(1.0, bytesBefore.toDouble / math.max(1L, rows))).toLong)
+
+    val staging = dir + ".compact-tmp"
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    // cluster rows by partition value (each col=value dir gets a few
+    // right-sized files, the same small-files logic as Sink's partitioned
+    // branch); a flat tree just rebalances for parallel right-sized writes
+    val clustered =
+      if (partCols.nonEmpty)
+        df.hint("rebalance", partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.hint("rebalance")
+    val w0 = clustered.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords.toString)
+    val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0
+    fmt match {
+      case Discovery.Parquet =>
+        w.option("compression",
+          if (compression == "none") "uncompressed" else compression).parquet(staging)
+      case Discovery.Orc =>
+        w.option("compression",
+          compression match { case "none" => "none"; case "gzip" => "zlib"; case c => c })
+          .orc(staging)
+      case Discovery.Jsonl => w.option("ignoreNullFields", "false").json(staging)
+      case Discovery.Csv => w.option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(staging)
+    }
+
+    // verify BEFORE the swap: the destructive step only runs once the new
+    // tree provably holds every row
+    val newRows = (fmt match {
+      case Discovery.Parquet => spark.read.parquet(staging)
+      case Discovery.Orc     => spark.read.orc(staging)
+      case Discovery.Jsonl   => spark.read.json(staging)
+      case Discovery.Csv     => spark.read.option("header", "true")
+        .option("escape", "\"").csv(staging)
+    }).count()
+    if (newRows != rows) {
+      fs.delete(stagingPath, true)
+      throw new IllegalStateException(
+        s"compaction aborted: rewrote $newRows rows, expected $rows ($dir unchanged)")
+    }
+
+    // swap: old aside -> staging in -> old deleted. A crash between renames
+    // leaves the data at `.compact-old` or at the contract path — findable,
+    // never gone.
+    val old = new org.apache.hadoop.fs.Path(dir + ".compact-old")
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(root, old), s"compact: failed to move $root aside")
+    if (!fs.rename(stagingPath, root)) {
+      fs.rename(old, root) // restore; staging is still intact for diagnosis
+      throw new IllegalStateException(s"compact: failed to promote $staging to $root")
+    }
+    fs.delete(old, true)
+
+    val (after, _) = scanTree(fs, root)
+    Stats(dataFiles.size, after.size, bytesBefore, after.map(_.getLen).sum,
+      rows, partCols)
+  }
+
+  /** Format of an existing output tree, from its data files' extensions.
+    * Unlike input discovery (which deliberately skips bare `.json`), a tree
+    * being compacted is KNOWN to be sink output, where Spark's JSON sink
+    * names parts `part-*.json` — so `.json` counts as JSONL here.
+    */
+  def detectTreeFormat(spark: SparkSession, dir: String): Discovery.Format = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"compact expects a directory tree: $dir")
+    val (files, _) = scanTree(fs, root)
+    val fmts = files.map(_.getPath.getName.toLowerCase).flatMap { n =>
+      if (n.endsWith(".parquet")) Some(Discovery.Parquet)
+      else if (n.endsWith(".orc")) Some(Discovery.Orc)
+      else if (n.endsWith(".json") || n.endsWith(".jsonl")) Some(Discovery.Jsonl)
+      else if (n.endsWith(".csv")) Some(Discovery.Csv)
+      else None
+    }.distinct
+    require(fmts.size == 1,
+      s"cannot infer a single format for $dir (found ${fmts.mkString(", ")}); " +
+        "pass --out-format")
+    fmts.head
+  }
+
+  /** All data files under `root` (skipping `_SUCCESS`/hidden bookkeeping),
+    * plus hive partition columns discovered from `col=value` directory
+    * names in depth order.
+    */
+  private def scanTree(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : (Seq[org.apache.hadoop.fs.FileStatus], Seq[String]) = {
+    val files = scala.collection.mutable.ListBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val partCols = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) ()
+        else if (st.isDirectory) {
+          val eq = n.indexOf('=')
+          if (eq > 0) partCols += n.substring(0, eq)
+          walk(st.getPath)
+        } else files += st
+      }
+    walk(root)
+    (files.toList, partCols.toList)
+  }
+}

@@ -103,6 +103,24 @@ object ParityQueries {
         graft.operators.Concat.Config(Seq(out)))
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // In-place small-file compaction (the 100 TB maintenance primitive):
+    // litter a tree with 16 tiny parts, compact it, read it back. The
+    // file-count reduction is asserted INSIDE the query (driver-visible:
+    // a no-op compaction errs the run) and the DuckDB oracle pins that not
+    // one row or value changed across the destructive in-place swap.
+    "p13_compaction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p13_compact_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      val tree = base.resolve("docs-tree").toString
+      docs.repartition(16).write.parquet(tree)
+      val st = graft.operators.Compact.run(s, tree, graft.sources.Discovery.Parquet)
+      require(st.filesBefore == 16 && st.filesAfter < st.filesBefore,
+        s"compaction did not reduce files: ${st.filesBefore} -> ${st.filesAfter}")
+      ordered(s.read.parquet(tree)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -154,6 +172,9 @@ object ParityQueries {
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
     "p12_orc_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    "p13_compaction" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin)
 }
