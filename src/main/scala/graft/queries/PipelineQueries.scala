@@ -23,6 +23,10 @@ object PipelineQueries {
     */
   private val StopWords = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** Planted boilerplate lines for t17 (see the query's comment). */
+  private val BoilerFooter1 = "COPYRIGHT 2026 EXAMPLE CORP - ALL RIGHTS RESERVED"
+  private val BoilerFooter2 = "subscribe to our newsletter for updates"
+
   /** documents + a mutated near-duplicate of each (first token dropped,
     * id offset by 1e6) — plants verifiable near-dups for the dedup family.
     */
@@ -179,6 +183,38 @@ object PipelineQueries {
         col("doc_id"),
         size(g).as("n_grams3"),
         (size(g) - size(array_distinct(g))).as("n_dup3")))
+    }),
+    // Cross-document boilerplate detection (the CCNet/RefinedWeb curation
+    // step: lines repeated across many documents — footers, nav bars,
+    // cookie banners — are template noise, not content). A line is
+    // boilerplate when it appears in >= 3 DISTINCT docs. The fixture's
+    // docs are organic-boilerplate-free, so the query PLANTS footer lines
+    // on even doc_ids (the d11 pattern): the oracle then proves the
+    // detector finds exactly the planted lines and nothing else — and on
+    // the hostile corpus, that line split/trim/md5 agree cross-engine on
+    // adversarial text. Scale shape: one map-side-combinable shuffle to
+    // distinct (line-hash, doc) pairs, a slim window over the hash for the
+    // distinct-doc count (no self-join re-scan — t16's df trick), one
+    // final per-doc agg. Never a pair join; state is O(distinct lines).
+    "t17_boilerplate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // concat_ws skips NULLs on both engines: a NULL-text doc gains just
+      // the two footer lines
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat_ws("\n",
+          col("text"), lit(BoilerFooter1), lit(BoilerFooter2)))
+          .otherwise(col("text")).as("text"))
+      val lines = aug.select(col("doc_id"), explode(
+        filter(transform(split(col("text"), "\n"), x => trim(x)),
+          x => length(x) > 0)).as("line"))
+      val pairs = lines
+        .groupBy(md5(col("line").cast(BinaryType)).as("h"), col("doc_id"))
+        .agg(count(lit(1)).as("c"))
+      val flagged = pairs.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("h")))
+      ordered(flagged.groupBy("doc_id").agg(
+        sum(col("c")).as("n_lines"),
+        sum(when(col("nd") >= 3, col("c")).otherwise(0L)).as("n_boiler")))
     }),
     // stopword + repetition accounting (exact integer counts, oracled):
     // the natural-language-ness and dedup-pressure signals of a quality filter
@@ -991,6 +1027,23 @@ object PipelineQueries {
          |SELECT doc_id, len(grams) AS n_grams3,
          |  len(grams) - len(list_distinct(grams)) AS n_dup3
          |FROM g ${orderSql("doc_id", "n_grams3", "n_dup3")}""".stripMargin,
+    // planted footers on even doc_ids (concat_ws skips NULL text on both
+    // engines); boilerplate = a trimmed non-empty line present in >= 3
+    // distinct docs, counted per doc
+    "t17_boilerplate" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN concat_ws(chr(10), text,
+         |    'COPYRIGHT 2026 EXAMPLE CORP - ALL RIGHTS RESERVED',
+         |    'subscribe to our newsletter for updates')
+         |  ELSE text END AS text FROM documents),
+         |l AS (SELECT doc_id, trim(x) AS line
+         |  FROM aug, unnest(string_split(text, chr(10))) AS u(x)
+         |  WHERE length(trim(x)) > 0),
+         |p AS (SELECT doc_id, md5(line) AS h, COUNT(*) AS c FROM l GROUP BY 1, 2),
+         |w AS (SELECT doc_id, c, COUNT(*) OVER (PARTITION BY h) AS nd FROM p)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         |  CAST(SUM(CASE WHEN nd >= 3 THEN c ELSE 0 END) AS BIGINT) AS n_boiler
+         |FROM w GROUP BY doc_id ${orderSql("doc_id", "n_lines", "n_boiler")}""".stripMargin,
     "t07_stopword_repetition" ->
       s"""WITH d AS (SELECT doc_id,
          |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks

@@ -155,6 +155,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(static.contains("Window"), "t16 lost the window-based df attachment")
   }
 
+  test("t17 boilerplate: planted footers found exactly, organic lines untouched") {
+    val dir = tmpDir("boiler")
+    // doc 10/12 get the planted footers (even ids), 11/13 stay organic;
+    // 12 and 13 share identical organic text but only 2 docs carry it
+    // (< the 3-doc threshold), so it must NOT flag
+    Seq((10L, "unique line alpha", "en", "s", 17L),
+        (11L, "unique line beta", "en", "s", 16L),
+        (12L, "shared organic line", "en", "s", 19L),
+        (13L, "shared organic line", "en", "s", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t17_boilerplate")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // even docs: 1 organic + 2 footer lines, and the 2 footers (present in
+    // 2 even docs here, below threshold!)... with only 2 even docs the
+    // footers appear in 2 docs — under the >= 3 threshold, nothing flags
+    assert(out == Map(10L -> ((3L, 0L)), 11L -> ((1L, 0L)),
+      12L -> ((3L, 0L)), 13L -> ((1L, 0L))))
+  }
+
+  test("t17 boilerplate: threshold crossing at 3 distinct docs") {
+    val dir = tmpDir("boiler3")
+    // three even docs -> footers appear in 3 distinct docs -> flagged;
+    // each even doc counts exactly its 2 footer lines as boilerplate
+    Seq((2L, "aa", "en", "s", 2L), (4L, "bb", "en", "s", 2L),
+        (6L, "cc", "en", "s", 2L), (7L, "dd", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t17_boilerplate")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((2L, 3L, 2L), (4L, 3L, 2L), (6L, 3L, 2L), (7L, 1L, 0L)))
+  }
+
   test("s09 centroids: exact decimal-accumulated means, label x dim cardinality") {
     val dir = tmpDir("centroids")
     Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0), (3L, Array(10.0f, 20.0f), 1))
