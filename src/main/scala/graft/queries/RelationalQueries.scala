@@ -570,6 +570,34 @@ object RelationalQueries {
         round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
         round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr")))
     }),
+    // parquet aggregate pushdown — the 100 TB scan-elimination trick for
+    // table-stat queries: MIN/MAX/COUNT with no filter answer from row-group
+    // FOOTER STATISTICS alone, reading zero data pages (at 100 TB that is
+    // the difference between a metadata operation and a full-table scan).
+    // Needs the DSv2 parquet source + aggregatePushdown, both scoped;
+    // `PushedAggregation` is asserted IN-QUERY so a silent fallback to a
+    // full scan errs the run instead of quietly costing 5 orders of
+    // magnitude more I/O. The DuckDB oracle computes the same stats the
+    // slow way — footer stats must agree exactly with the data.
+    "q51_agg_pushdown" -> ((s, dir) => {
+      val df = withConf(s, "spark.sql.sources.useV1SourceList", "") {
+        withConf(s, "spark.sql.parquet.aggregatePushdown", "true") {
+          val q = t(s, dir, "lineitem").agg(
+            count(lit(1)).as("n"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          // force planning inside the conf scope (same trick as q49)
+          q.queryExecution.executedPlan
+          q
+        }
+      }
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"q51: aggregates were not pushed to the parquet footer scan:\n${plan.take(800)}")
+      df
+    }),
     // runtime bloom-filter join — the 100 TB shuffle-join prefilter: the
     // selectively-filtered dim side builds a bloom filter at runtime and the
     // fact side drops non-matching rows BEFORE its shuffle, turning a
@@ -852,6 +880,9 @@ object RelationalQueries {
          |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
          |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
          |FROM m ${orderSql("l_returnflag")}""".stripMargin,
+    "q51_agg_pushdown" ->
+      s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+         |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem""".stripMargin,
     "q49_bloom_filter_join" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_lines,
          |${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
