@@ -61,7 +61,13 @@ object ScaleSoak {
       "t16_tfidf", "s09_embed_centroids", "st10_streaming_session",
       // d11's train-hash-set join must stay a slim equi-join: output rows
       // scale with the eval side, never quadratically
-      "d11_cross_contamination")
+      "d11_cross_contamination",
+      // round-9 third batch: t17's line-hash window state is O(distinct
+      // lines) and its planted-footer doc count scales with the corpus
+      // (replica ids keep parity — the stride is even); p13 measures
+      // compaction throughput: 16 parts of an Nx tree rewritten in place,
+      // rows verified pre-swap at every scale
+      "t17_boilerplate", "p13_compaction")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

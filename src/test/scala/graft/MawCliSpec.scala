@@ -143,7 +143,8 @@ class MawCliSpec extends SparkSpec {
     assert(Discovery.outputFormat("x.csv", Some("parquet")) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.unknown", None) == Discovery.Csv)
-    intercept[IllegalArgumentException](Discovery.outputFormat("x", Some("orc")))
+    assert(Discovery.outputFormat("x", Some("orc")) == Discovery.Orc)
+    intercept[IllegalArgumentException](Discovery.outputFormat("x", Some("avro")))
   }
 
   test("latin1 encoding + BOM stripping (csv_in.rs:80-84,158-162)") {
