@@ -46,6 +46,8 @@ object Maw {
       rollByBytes: Option[Long] = None,
       rollByRows: Option[Long] = None,
       partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil,
+      bloomFilterCols: Seq[String] = Nil,
       plan: Boolean = false,
       dryRun: Boolean = false,
       compact: Boolean = false,
@@ -100,11 +102,11 @@ object Maw {
       // (unpartitioned output) and "a,,b" into an empty column name that
       // only surfaces later as a confusing 'columns not in data:' error
       case "--partition-by" :: v :: t =>
-        val cols = v.split(",", -1).toSeq
-        if (cols.isEmpty || cols.exists(_.trim.isEmpty))
-          throw new IllegalArgumentException(
-            s"--partition-by expects a comma-separated list of column names, got '$v'")
-        go(t, a.copy(partitionBy = cols))
+        go(t, a.copy(partitionBy = colList("--partition-by", v)))
+      case "--cluster-by" :: v :: t =>
+        go(t, a.copy(clusterBy = colList("--cluster-by", v)))
+      case "--bloom-filter" :: v :: t =>
+        go(t, a.copy(bloomFilterCols = colList("--bloom-filter", v)))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--compact" :: t                => go(t, a.copy(compact = true))
@@ -141,8 +143,21 @@ object Maw {
   private val valueFlags = Set("-o", "--out-format", "--columns", "--exclude",
     "--rename", "--delimiter", "--quote", "--encoding", "--na", "--na-values",
     "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
-    "--roll-by-rows", "--partition-by", "--state", "--concurrency",
+    "--roll-by-rows", "--partition-by", "--cluster-by", "--bloom-filter",
+    "--state", "--concurrency",
     "--writer-buffer", "--mem-budget", "--target-file-size")
+
+  /** Comma-separated column list; trailing empties survive `split` with
+    * limit -1 so "," or "a,,b" are REJECTED instead of silently parsing to
+    * an empty list / empty column name.
+    */
+  private def colList(flag: String, v: String): Seq[String] = {
+    val cols = v.split(",", -1).toSeq
+    if (cols.isEmpty || cols.exists(_.trim.isEmpty))
+      throw new IllegalArgumentException(
+        s"$flag expects a comma-separated list of column names, got '$v'")
+    cols
+  }
 
   /** Human-friendly size: plain bytes, or a k/m/g suffix (case-insensitive). */
   private[graft] def parseSize(v: String): Long = {
@@ -166,6 +181,7 @@ object Maw {
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
       |  --roll-by-rows N --roll-by-bytes N --partition-by col1,col2
+      |  --cluster-by col1,col2 --bloom-filter col1,col2   (data-skipping layout)
       |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
       |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
@@ -375,7 +391,8 @@ object Maw {
           a.zstdLevel, a.naOut, a.delimiter, a.rollByRows, a.rollByBytes,
           writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
             (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt,
-          partitionBy = a.partitionBy)
+          partitionBy = a.partitionBy,
+          clusterBy = a.clusterBy, bloomFilterCols = a.bloomFilterCols)
         val metrics =
           try Concat.convert(spark, cfg, sinkCfg)
           finally {

@@ -49,7 +49,26 @@ object Sink {
         * values round-trip as the directory-name STRING rendering
         * (readBack pins them to string — no re-inference).
         */
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      /** Range-clustered layout (`--cluster-by l_orderkey[,col2]`): rows are
+        * range-repartitioned AND sorted within partitions on these columns
+        * before the write, so every output file (and row group) covers a
+        * NARROW slice of the clustering key's domain. Downstream reads
+        * filtering on the key then prune whole files/row groups from their
+        * min/max footer stats — the single-dimension data-skipping layout
+        * primitive (pair with `bloomFilterCols` for point lookups, and see
+        * the z-order multi-column variant). Implies directory/rolled
+        * output semantics are unchanged; overrides the plain rebalance
+        * hint (clustering IS the partitioning).
+        */
+      clusterBy: Seq[String] = Nil,
+      /** Writer-side bloom filters (`--bloom-filter col1,col2`): parquet
+        * (`parquet.bloom.filter.enabled#col`) and ORC
+        * (`orc.bloom.filter.columns`) persist per-row-group/stripe bloom
+        * filters so point-predicate reads skip blocks min/max stats can't
+        * (high-cardinality unsorted keys). No-op for text formats.
+        */
+      bloomFilterCols: Seq[String] = Nil)
 
   /** Write and report metrics (rows written) — the batch-mode analog of the
     * reference's progress tracker totals (progress.rs:6-197), collected via
@@ -68,6 +87,9 @@ object Sink {
     // message, not an analyzer exception
     val missing = cfg.partitionBy.filterNot(df0.columns.contains)
     require(missing.isEmpty, s"--partition-by columns not in data: ${missing.mkString(", ")}")
+    val missingCluster = (cfg.clusterBy ++ cfg.bloomFilterCols).filterNot(df0.columns.contains)
+    require(missingCluster.isEmpty,
+      s"--cluster-by/--bloom-filter columns not in data: ${missingCluster.mkString(", ")}")
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
     val df1 = df0.select(df0.schema.fields.map { f =>
@@ -85,8 +107,18 @@ object Sink {
     // right-sized files instead of one small file per (task x value) — the
     // small-files problem IS the failure mode of partitioned writes at
     // scale — while AQE still splits skewed values across tasks
+    // range-clustering comes FIRST: repartitionByRange gives each task a
+    // contiguous key slice (sampled range boundaries — one extra sampling
+    // pass, the price of the layout), and the within-partition sort makes
+    // every ROW GROUP inside a file narrow too, which is what footer-stat
+    // pruning actually reads. With partitionBy the hive columns lead the
+    // range so each col=value directory still gets clustered files.
+    val clusterCols = (cfg.partitionBy ++ cfg.clusterBy)
+      .map(c => org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(c)))
     val df2 =
-      if (cfg.partitionBy.nonEmpty)
+      if (cfg.clusterBy.nonEmpty)
+        df1.repartitionByRange(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+      else if (cfg.partitionBy.nonEmpty)
         df1.hint("rebalance",
           cfg.partitionBy.map(org.apache.spark.sql.functions.col): _*)
       else if (cfg.preserveOrder || cfg.singleFile) df1
@@ -136,9 +168,9 @@ object Sink {
             .option("ignoreTrailingWhiteSpace", "false")
             .csv(ptmp)
         case graft.sources.Discovery.Parquet =>
-          w0.option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
+          withBloom(w0.option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
             .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString)
-            .option("parquet.block.size", (128L * 1024 * 1024).toString)
+            .option("parquet.block.size", (128L * 1024 * 1024).toString), cfg)
             .parquet(ptmp)
         case graft.sources.Discovery.Orc =>
           orcWriter(w0, cfg).orc(ptmp)
@@ -155,7 +187,11 @@ object Sink {
       return
     }
     val rolled = maxRecords.map(df.writeConfRows).getOrElse(df.write)
-    val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty)
+    // clusterBy keeps one file per range partition (coalesce(1) would fold
+    // the ranges back together and lose the within-file sort): the output
+    // promotes as rolled -NNNN parts in range order
+    val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty
+        && cfg.clusterBy.isEmpty)
       df.coalesce(1).write else rolled
     val tmpDir = cfg.path + ".spark-out"
     cfg.format match {
@@ -173,10 +209,10 @@ object Sink {
           .option("ignoreTrailingWhiteSpace", "false")
           .csv(tmpDir)
       case graft.sources.Discovery.Parquet =>
-        out.mode("overwrite")
+        withBloom(out.mode("overwrite")
           .option("compression", if (cfg.compression == "none") "uncompressed" else cfg.compression)
           .option("parquet.compression.codec.zstd.level", cfg.zstdLevel.toString) // writer_parquet.rs:53
-          .option("parquet.block.size", (128L * 1024 * 1024).toString) // writer_parquet.rs:35
+          .option("parquet.block.size", (128L * 1024 * 1024).toString), cfg) // writer_parquet.rs:35
           .parquet(tmpDir)
       case graft.sources.Discovery.Orc =>
         orcWriter(out.mode("overwrite"), cfg).orc(tmpDir)
@@ -202,13 +238,25 @@ object Sink {
     */
   private def orcWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
       cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
-    w.option("compression", cfg.compression match {
+    withBloom(w.option("compression", cfg.compression match {
         case "none" => "none"
         case "gzip" => "zlib"
         case other  => other // snappy | zstd | lz4 pass through
       })
       .option("orc.compression.zstd.level", cfg.zstdLevel.toString)
-      .option("orc.stripe.size", (128L * 1024 * 1024).toString)
+      .option("orc.stripe.size", (128L * 1024 * 1024).toString), cfg)
+
+  /** Per-column writer-side bloom filters (see [[Config.bloomFilterCols]]). */
+  private def withBloom(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    cfg.format match {
+      case graft.sources.Discovery.Parquet =>
+        cfg.bloomFilterCols.foldLeft(w)((acc, c) =>
+          acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      case graft.sources.Discovery.Orc if cfg.bloomFilterCols.nonEmpty =>
+        w.option("orc.bloom.filter.columns", cfg.bloomFilterCols.mkString(","))
+      case _ => w
+    }
 
   /** JSONL sink options. Uncompressed text like the CSV sink (the
     * `--compression` knob is parquet's; compressed text parts would also
