@@ -48,6 +48,7 @@ object Maw {
       partitionBy: Seq[String] = Nil,
       clusterBy: Seq[String] = Nil,
       bloomFilterCols: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil,
       plan: Boolean = false,
       dryRun: Boolean = false,
       compact: Boolean = false,
@@ -107,6 +108,8 @@ object Maw {
         go(t, a.copy(clusterBy = colList("--cluster-by", v)))
       case "--bloom-filter" :: v :: t =>
         go(t, a.copy(bloomFilterCols = colList("--bloom-filter", v)))
+      case "--zorder-by" :: v :: t =>
+        go(t, a.copy(zorderBy = colList("--zorder-by", v)))
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--compact" :: t                => go(t, a.copy(compact = true))
@@ -144,7 +147,7 @@ object Maw {
     "--rename", "--delimiter", "--quote", "--encoding", "--na", "--na-values",
     "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
     "--roll-by-rows", "--partition-by", "--cluster-by", "--bloom-filter",
-    "--state", "--concurrency",
+    "--zorder-by", "--state", "--concurrency",
     "--writer-buffer", "--mem-budget", "--target-file-size")
 
   /** Comma-separated column list; trailing empties survive `split` with
@@ -181,7 +184,8 @@ object Maw {
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3
       |  --roll-by-rows N --roll-by-bytes N --partition-by col1,col2
-      |  --cluster-by col1,col2 --bloom-filter col1,col2   (data-skipping layout)
+      |  --cluster-by col1,col2 --zorder-by col1,col2 --bloom-filter col1,col2
+      |                                        (data-skipping layouts)
       |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
       |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
@@ -392,7 +396,8 @@ object Maw {
           writerBufferBytes = // clamp to [1 MB, 1 GB] (Int-safe)
             (a.writerBufferMb.toLong.max(1L).min(1024L) * 1024 * 1024).toInt,
           partitionBy = a.partitionBy,
-          clusterBy = a.clusterBy, bloomFilterCols = a.bloomFilterCols)
+          clusterBy = a.clusterBy, bloomFilterCols = a.bloomFilterCols,
+          zorderBy = a.zorderBy)
         val metrics =
           try Concat.convert(spark, cfg, sinkCfg)
           finally {

@@ -78,13 +78,20 @@ object Compact {
     val staging = dir + ".compact-tmp"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
-    // cluster rows by partition value (each col=value dir gets a few
-    // right-sized files, the same small-files logic as Sink's partitioned
-    // branch); a flat tree just rebalances for parallel right-sized writes
+    // DETERMINISTIC partition count from the tree's measured ON-DISK bytes:
+    // an AQE rebalance would size partitions by their IN-MEMORY estimate,
+    // which for compressed columnar text runs several times the output
+    // size — the first soak of this operator watched rebalance split 16
+    // small files into 18. Compaction knows exactly how many output bytes
+    // exist; ceil(bytes/target) is the file count, full stop. Partitioned
+    // trees hash on the partition columns so each task holds whole
+    // col=value groups (maxRecordsPerFile still bounds pathological
+    // per-value skew).
+    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
     val clustered =
       if (partCols.nonEmpty)
-        df.hint("rebalance", partCols.map(org.apache.spark.sql.functions.col): _*)
-      else df.hint("rebalance")
+        df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
     val w0 = clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords.toString)
     val w = if (partCols.nonEmpty) w0.partitionBy(partCols: _*) else w0

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — MULTI-column data skipping, the layout
+  * primitive single-key range clustering (`Sink.Config.clusterBy`) cannot
+  * give: sorting by `(a, b)` makes per-file `a` ranges narrow but leaves
+  * every file spanning `b`'s full domain. Interleaving the bits of each
+  * column's quantile-bucket id instead gives every file a small HYPERCUBE
+  * of the combined domain, so min/max footer stats prune scans filtering
+  * on ANY clustered column (~sqrt coverage per dimension for two columns).
+  *
+  * Scale design:
+  *   - Per-column quantile boundaries come from ONE bounded
+  *     `approxQuantile` pass (driver holds B doubles per column, data
+  *     never moves); skewed distributions get equal-POPULATION buckets,
+  *     which uniform `width_bucket` binning would not.
+  *   - Bucketing + bit interleave are pure built-in expressions (a fold of
+  *     shift/or over the bucket bits), so the whole z-value stays inside
+  *     whole-stage codegen — no UDF, no custom expression needed.
+  *   - The final layout is `repartitionByRange(zvalue)` +
+  *     `sortWithinPartitions(zvalue)`: contiguous z-ranges per file AND
+  *     per row group.
+  *
+  * String/binary columns are bucketed by `xxhash64` (documented caveat:
+  * hash buckets skip POINT predicates only — range predicates on a hashed
+  * dimension see shuffled order and prune nothing).
+  */
+object ZOrder {
+
+  /** Bits per dimension (256 equal-population buckets): granularity is
+    * bounded by the file count a partition produces — hundreds of files
+    * per directory is the practical regime, so 2^8 cells per dimension
+    * (2^16 combined for two columns) over-resolves it already while
+    * keeping the interleave fold short.
+    */
+  val BitsPerDim = 8
+  val Buckets: Int = 1 << BitsPerDim
+
+  /** The z-value column for `cols` over `df`'s own distribution. Runs the
+    * bounded boundary pass now; the returned Column is then pure codegen.
+    */
+  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.nonEmpty, "zorder needs at least one column")
+    require(cols.size * BitsPerDim <= 63,
+      s"zorder supports up to ${63 / BitsPerDim} columns")
+    val buckets = cols.map(c => bucketId(df, c))
+    // Morton interleave: output bit (i * nDims + d) = bit i of dimension d.
+    // A fold of when()+shiftleft builtins — stays in codegen.
+    val nDims = cols.size
+    val terms = for {
+      (b, d) <- buckets.zipWithIndex
+      i <- 0 until BitsPerDim
+    } yield shiftleft(b.bitwiseAND(lit(1L << i)), i * (nDims - 1) + d)
+    terms.reduce(_.bitwiseOR(_)).as("zvalue")
+  }
+
+  /** Equal-population bucket id (0..Buckets-1) for one column. Numeric and
+    * date/timestamp columns bucket by approx-quantile boundaries (binary
+    * values comparable as double); strings bucket by hash (point-skip
+    * only).
+    */
+  private def bucketId(df: DataFrame, c: String): Column = {
+    val dt = df.schema(c).dataType
+    import org.apache.spark.sql.types._
+    val numeric = dt match {
+      case _: NumericType => Some(col(c).cast("double"))
+      case DateType => Some(col(c).cast("double"))
+      case TimestampType | TimestampNTZType => Some(unix_micros(col(c).cast("timestamp")).cast("double"))
+      case _ => None
+    }
+    numeric match {
+      case Some(v) =>
+        // B-1 interior boundaries; approxQuantile ignores nulls (nulls land
+        // in bucket 0, which min/max stats ignore anyway)
+        val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
+        val bounds = df.select(v.as("__z")).na.drop("any", Seq("__z"))
+          .stat.approxQuantile("__z", probs, 0.001)
+        // strictly increasing subset (duplicated quantiles on low-cardinality
+        // data would make bucket comparisons redundant, not wrong; dropping
+        // them keeps the fold short)
+        val distinct = bounds.foldLeft(Vector.empty[Double])((acc, b) =>
+          if (acc.lastOption.exists(_ >= b)) acc else acc :+ b)
+        // bucket = number of boundaries <= v : a fold of when() terms
+        distinct.map(b => when(v >= lit(b), 1L).otherwise(0L))
+          .reduceOption(_ + _).getOrElse(lit(0L))
+      case None =>
+        // hash-bucket: uniform by construction, point-skip only
+        pmod(xxhash64(col(c)), lit(Buckets.toLong)).cast("long")
+    }
+  }
+
+  /** Cluster `df` for writing: z-value computed, range-partitioned and
+    * sorted so contiguous z-ranges land in each file and row group. The
+    * helper column is dropped after the sort (file stats come from the
+    * data columns themselves).
+    *
+    * `numFiles` must be EXPLICIT (default: the session's shuffle
+    * parallelism): an implicit-count range shuffle is fair game for AQE
+    * partition coalescing, which on a small input folds the whole layout
+    * back into one file. An explicit user repartition count is exempt.
+    */
+  def cluster(df: DataFrame, cols: Seq[String], numFiles: Option[Int] = None): DataFrame = {
+    val n = numFiles.getOrElse(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val z = df.withColumn("__zvalue", zvalue(df, cols))
+    z.repartitionByRange(n, col("__zvalue"))
+      .sortWithinPartitions(col("__zvalue"))
+      .drop("__zvalue")
+  }
+}

@@ -68,7 +68,12 @@ object Sink {
         * filters so point-predicate reads skip blocks min/max stats can't
         * (high-cardinality unsorted keys). No-op for text formats.
         */
-      bloomFilterCols: Seq[String] = Nil)
+      bloomFilterCols: Seq[String] = Nil,
+      /** Z-order clustering (`--zorder-by c1,c2`): the MULTI-column
+        * data-skipping layout — see [[graft.operators.ZOrder]]. Mutually
+        * exclusive with `clusterBy` (one layout per write).
+        */
+      zorderBy: Seq[String] = Nil)
 
   /** Write and report metrics (rows written) — the batch-mode analog of the
     * reference's progress tracker totals (progress.rs:6-197), collected via
@@ -87,9 +92,19 @@ object Sink {
     // message, not an analyzer exception
     val missing = cfg.partitionBy.filterNot(df0.columns.contains)
     require(missing.isEmpty, s"--partition-by columns not in data: ${missing.mkString(", ")}")
-    val missingCluster = (cfg.clusterBy ++ cfg.bloomFilterCols).filterNot(df0.columns.contains)
+    val missingCluster = (cfg.clusterBy ++ cfg.bloomFilterCols ++ cfg.zorderBy)
+      .filterNot(df0.columns.contains)
     require(missingCluster.isEmpty,
-      s"--cluster-by/--bloom-filter columns not in data: ${missingCluster.mkString(", ")}")
+      s"--cluster-by/--bloom-filter/--zorder-by columns not in data: ${missingCluster.mkString(", ")}")
+    require(cfg.clusterBy.isEmpty || cfg.zorderBy.isEmpty,
+      "--cluster-by and --zorder-by are mutually exclusive (one layout per write)")
+    // z-ranges don't align with hive partition values: each range task would
+    // write into MANY col=value dirs (the small-files failure mode). Cluster
+    // WITHIN hive dirs is --partition-by + --cluster-by; cross-partition
+    // z-order needs a per-partition boundary pass — not supported yet.
+    require(cfg.partitionBy.isEmpty || cfg.zorderBy.isEmpty,
+      "--zorder-by does not compose with --partition-by (use --cluster-by to " +
+        "cluster within hive directories)")
     // NullType columns (all-null sources) aren't writable in CSV/Parquet;
     // they materialize as string-typed all-null columns
     val df1 = df0.select(df0.schema.fields.map { f =>
@@ -116,8 +131,14 @@ object Sink {
     val clusterCols = (cfg.partitionBy ++ cfg.clusterBy)
       .map(c => org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(c)))
     val df2 =
-      if (cfg.clusterBy.nonEmpty)
-        df1.repartitionByRange(clusterCols: _*).sortWithinPartitions(clusterCols: _*)
+      if (cfg.zorderBy.nonEmpty)
+        graft.operators.ZOrder.cluster(df1, cfg.zorderBy)
+      else if (cfg.clusterBy.nonEmpty)
+        // explicit count: an implicit-count range shuffle is fair game for
+        // AQE coalescing, which would fold the layout back into one file
+        df1.repartitionByRange(
+          df1.sparkSession.sessionState.conf.numShufflePartitions, clusterCols: _*)
+          .sortWithinPartitions(clusterCols: _*)
       else if (cfg.partitionBy.nonEmpty)
         df1.hint("rebalance",
           cfg.partitionBy.map(org.apache.spark.sql.functions.col): _*)
@@ -191,7 +212,7 @@ object Sink {
     // the ranges back together and lose the within-file sort): the output
     // promotes as rolled -NNNN parts in range order
     val out = if (cfg.singleFile && cfg.rollByRows.isEmpty && cfg.rollByBytes.isEmpty
-        && cfg.clusterBy.isEmpty)
+        && cfg.clusterBy.isEmpty && cfg.zorderBy.isEmpty)
       df.coalesce(1).write else rolled
     val tmpDir = cfg.path + ".spark-out"
     cfg.format match {

@@ -110,6 +110,78 @@ class DataSkippingSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
   }
 
+  /** Per-file (min,max) of a long column across all row groups. */
+  private def colRanges(parts: Seq[String], colName: String): Seq[(Long, Long)] =
+    parts.map { p =>
+      val r = parquetFooter(p)
+      try {
+        val blocks = r.getFooter.getBlocks
+        val idx = r.getFooter.getFileMetaData.getSchema.getFieldIndex(colName)
+        val stats = (0 until blocks.size).map { b =>
+          val s = blocks.get(b).getColumns.get(idx).getStatistics
+          (s.genericGetMin.asInstanceOf[Long], s.genericGetMax.asInstanceOf[Long])
+        }
+        (stats.map(_._1).min, stats.map(_._2).max)
+      } finally r.close()
+    }
+
+  /** Summed per-file coverage in units of the global domain: ~1 for a
+    * perfect tiling, ~nFiles when every file spans the whole domain.
+    */
+  private def coverage(ranges: Seq[(Long, Long)]): Double = {
+    val lo = ranges.map(_._1).min
+    val hi = ranges.map(_._2).max
+    ranges.map { case (a, b) => (b - a).toDouble }.sum / (hi - lo).toDouble
+  }
+
+  test("zorder-by: BOTH dimensions get narrow per-file stats; cluster-by only one") {
+    val d = tmpDir("skip-zorder")
+    val li = sf("lineitem", "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val zout = d.resolve("z.parquet").toString
+    Sink.write(li, Sink.Config(zout, Discovery.Parquet,
+      zorderBy = Seq("l_orderkey", "l_partkey")))
+    val zparts = partFiles(d, "z", ".parquet")
+    assert(zparts.size >= 4, s"expected several z-range parts, got ${zparts.size}")
+    val n = zparts.size.toDouble
+    val zKeyCov = coverage(colRanges(zparts, "l_orderkey"))
+    val zPartCov = coverage(colRanges(zparts, "l_partkey"))
+    // both dimensions materially better than the unsorted ~nFiles coverage
+    assert(zKeyCov < 0.66 * n, f"zorder l_orderkey coverage $zKeyCov%.2f vs $n files")
+    assert(zPartCov < 0.66 * n, f"zorder l_partkey coverage $zPartCov%.2f vs $n files")
+    // the single-column clustered layout, for contrast: first dim ~1, the
+    // OTHER dim spans the domain in (almost) every file
+    val cout = d.resolve("c.parquet").toString
+    Sink.write(li, Sink.Config(cout, Discovery.Parquet,
+      clusterBy = Seq("l_orderkey")))
+    val cparts = partFiles(d, "c", ".parquet")
+    val cPartCov = coverage(colRanges(cparts, "l_partkey"))
+    assert(cPartCov > 0.8 * cparts.size,
+      f"expected cluster-by to leave l_partkey unskippable, got $cPartCov%.2f")
+    assert(zPartCov < cPartCov / 2,
+      f"zorder should at least halve the second dimension's coverage: $zPartCov%.2f vs $cPartCov%.2f")
+    // content survives the layout
+    val back = Sink.readBack(spark, zout, Discovery.Parquet)
+    assert(back.count() == li.count())
+    import org.apache.spark.sql.functions.sum
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      li.agg(sum("l_quantity")).head.getDouble(0))
+  }
+
+  test("zorder-by: string columns hash-bucket; layout rejects partition-by composition") {
+    val d = tmpDir("skip-zstr")
+    val docs = sf("documents", "/root/testdata/sf0.01")
+    val out = d.resolve("docs.parquet").toString
+    // mixed numeric + string dims must not throw, and values survive
+    Sink.write(docs, Sink.Config(out, Discovery.Parquet,
+      zorderBy = Seq("doc_id", "lang")))
+    assert(Sink.readBack(spark, out, Discovery.Parquet).count() == docs.count())
+    val e = intercept[IllegalArgumentException](Sink.write(docs,
+      Sink.Config(d.resolve("bad.parquet").toString, Discovery.Parquet,
+        partitionBy = Seq("lang"), zorderBy = Seq("doc_id"))))
+    assert(e.getMessage.contains("--zorder-by"))
+  }
+
   test("cluster-by composes with partition-by: clustered files inside each hive dir") {
     val d = tmpDir("skip-part")
     val li = sf("lineitem", "/root/testdata/sf0.01")
