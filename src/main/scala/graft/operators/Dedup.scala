@@ -463,6 +463,38 @@ object Dedup {
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
   }
 
+  /** Snapshot-to-snapshot corpus diff — the incremental-refresh primitive:
+    * a training corpus is rebuilt from crawls/drops regularly, and the
+    * delta (what appeared, vanished, or changed) drives incremental
+    * re-processing instead of a full re-run.
+    *
+    * Scale shape: both sides reduce to slim (id, fingerprint, marker)
+    * projections — the TEXT never moves — then one full-outer equi-join
+    * shuffle on the id. Output is only the delta rows ('added' /
+    * 'removed' / 'changed'); at a typical refresh that is a small
+    * fraction of either snapshot. Fingerprints compare NULL-safely, so a
+    * NULL-text doc present in both snapshots is 'unchanged', not
+    * 'changed'.
+    */
+  def corpusDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    def slim(df: DataFrame, fp: String, mark: String) = df.select(
+      col(idCol).as("id"),
+      md5(col(textCol).cast(org.apache.spark.sql.types.BinaryType)).as(fp),
+      lit(1L).as(mark))
+    slim(oldSnap, "fp_old", "in_old")
+      .join(slim(newSnap, "fp_new", "in_new"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(!(col("fp_old") <=> col("fp_new")), "changed")
+          .otherwise("unchanged").as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`
     * (a bucket that large means a degenerate signature — e.g. empty text —
     * and contributes O(size^2) pairs of near-zero value). Keeps the

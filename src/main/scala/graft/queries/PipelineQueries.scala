@@ -327,6 +327,21 @@ object PipelineQueries {
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
     // contamination the operator must find; ids offset to a disjoint range
+    // snapshot diff: the new snapshot is built in-query from the old one
+    // (drop %11 ids, append a suffix to %13 texts, add %17 clones under new
+    // ids), so the oracle's full-outer fingerprint join must find EXACTLY
+    // the planted delta — adds, removes, and changes — and nothing else
+    "d13_corpus_diff" -> ((s, dir) => {
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = old.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      ordered(Dedup.corpusDiff(old, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status")))
+    }),
     "d11_cross_contamination" -> ((s, dir) => {
       val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val eval = train.where(col("doc_id") % 7 === 0)
@@ -1314,6 +1329,26 @@ object PipelineQueries {
          |${orderSql("doc_id", "cluster", "score")}""".stripMargin,
     // same window CTE family as d10, split into the train hash set and the
     // eval window stream (semi-join instead of shared-hash window)
+    // same planted construction; IS DISTINCT FROM mirrors Spark's <=> so a
+    // NULL-text doc present in both snapshots stays 'unchanged'
+    "d13_corpus_diff" ->
+      s"""WITH old AS (SELECT doc_id, md5(text) AS fp, 1 AS present FROM documents),
+         |new AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp,
+         |    1 AS present
+         |  FROM documents WHERE doc_id % 11 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, md5(text), 1 FROM documents WHERE doc_id % 17 = 0),
+         |d AS (
+         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.present IS NULL THEN 'added'
+         |         WHEN n.present IS NULL THEN 'removed'
+         |         WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+         |${orderSql("doc_id", "status")}""".stripMargin,
     "d11_cross_contamination" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),
          |ev AS (SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text
