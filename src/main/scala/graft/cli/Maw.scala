@@ -53,6 +53,7 @@ object Maw {
       dryRun: Boolean = false,
       compact: Boolean = false,
       targetFileBytes: Long = 128L * 1024 * 1024,
+      sql: Option[String] = None,
       verify: Boolean = false,
       streaming: Boolean = false,
       checkpoint: Option[String] = None,
@@ -113,6 +114,7 @@ object Maw {
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--compact" :: t                => go(t, a.copy(compact = true))
+      case "--sql" :: v :: t               => go(t, a.copy(sql = Some(v)))
       case "--target-file-size" :: v :: t  =>
         go(t, a.copy(targetFileBytes = parseSize(v)))
       case "--verify" :: t                 => go(t, a.copy(verify = true))
@@ -148,7 +150,7 @@ object Maw {
     "--infer-rows", "--compression", "--zstd-level", "--roll-by-bytes",
     "--roll-by-rows", "--partition-by", "--cluster-by", "--bloom-filter",
     "--zorder-by", "--state", "--concurrency",
-    "--writer-buffer", "--mem-budget", "--target-file-size")
+    "--writer-buffer", "--mem-budget", "--target-file-size", "--sql")
 
   /** Comma-separated column list; trailing empties survive `split` with
     * limit -1 so "," or "a,,b" are REJECTED instead of silently parsing to
@@ -187,6 +189,7 @@ object Maw {
       |  --cluster-by col1,col2 --zorder-by col1,col2 --bloom-filter col1,col2
       |                                        (data-skipping layouts)
       |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
+      |  --sql "SELECT ... FROM t ..."         (query the unified inputs as table t)
       |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
@@ -209,7 +212,8 @@ object Maw {
       fmt: Discovery.Format, naOut: String,
       outDelimiter: String = ",",
       partitionCols: Seq[String] = Nil,
-      sinkCfg: Option[Sink.Config] = None): (Long, java.math.BigDecimal) = {
+      sinkCfg: Option[Sink.Config] = None,
+      sql: Option[String] = None): (Long, java.math.BigDecimal) = {
     // jsonl->jsonl rides the byte fast path, whose contract is fidelity to
     // the SOURCE BYTES — stronger than the typed plan, which is bounded by
     // the --infer-rows sample (a type drifting past the sample nulls in the
@@ -217,7 +221,7 @@ object Maw {
     // full-inference read the output gets, so a correct byte copy can't
     // false-fail; every other route verifies against the typed plan. The
     // REAL sink config decides (rolling flags etc. turn the byte path off).
-    val bytePathRun = fmt == Discovery.Jsonl && {
+    val bytePathRun = sql.isEmpty && fmt == Discovery.Jsonl && {
       val files = Discovery.discover(cfg.inputs, cfg.discovery)
       graft.operators.JsonByteConcat.eligible(cfg,
         sinkCfg.getOrElse(Sink.Config(output, fmt))) && files.nonEmpty &&
@@ -226,7 +230,11 @@ object Maw {
     val planned0 =
       if (bytePathRun)
         spark.read.json(Discovery.discover(cfg.inputs, cfg.discovery).map(_.path): _*)
-      else Concat.run(spark, cfg)
+      else sql match {
+        case Some(q) =>
+          Concat.run(spark, cfg).createOrReplaceTempView("t"); spark.sql(q)
+        case None => Concat.run(spark, cfg)
+      }
     // hive layout folds null AND "" partition values into the same
     // __HIVE_DEFAULT_PARTITION__ directory, so the read-back yields null
     // for both; fold the planned side identically (string partition cols
@@ -353,10 +361,21 @@ object Maw {
       println(s"""{"event":"start","inputs":${a.inputs.size},"output":${jstr(a.output)}}""")
     val fmt = Discovery.outputFormat(a.output, a.outFormat)
       // CSV in -> CSV out skips typed parse + re-render per cell (pure
-      // streaming concatenation); any parquet involvement keeps real types
-      val cfg = toConfig(a).copy(rawPassThrough = fmt == Discovery.Csv)
+      // streaming concatenation); any parquet involvement — or a SQL
+      // transform — keeps real types
+      val cfg = toConfig(a).copy(rawPassThrough = fmt == Discovery.Csv && a.sql.isEmpty)
+      // `--sql`: the unified concat of all inputs is registered as table
+      // `t` and the query's RESULT is what gets written/verified — the
+      // whole relational surface (joins against t, window functions,
+      // grouping sets, ...) from the command line in one flag
+      def applySql(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        a.sql match {
+          case Some(q) => df.createOrReplaceTempView("t"); spark.sql(q)
+          case None    => df
+        }
       if (a.dryRun) {
-        val (files, df) = Concat.plan(spark, cfg)
+        val (files, df0) = Concat.plan(spark, cfg)
+        val df = applySql(df0)
         if (!a.quiet) {
           println(s"Dry run: ${files.size} file(s), unified schema ${df.schema.simpleString}")
           df.explain(true)
@@ -364,6 +383,9 @@ object Maw {
         return // before writing (main.rs:73-76)
       }
       if (a.streaming) {
+        // scope: --sql is a batch transform (arbitrary SQL over a stream
+        // needs watermark/output-mode decisions the flag can't carry)
+        require(a.sql.isEmpty, "--sql is not supported with --stream")
         // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch,
         // plus per-source-file events under --json-logs (file list read from
         // the checkpoint's exactly-once source metadata log)
@@ -399,7 +421,10 @@ object Maw {
           clusterBy = a.clusterBy, bloomFilterCols = a.bloomFilterCols,
           zorderBy = a.zorderBy)
         val metrics =
-          try Concat.convert(spark, cfg, sinkCfg)
+          try a.sql match {
+            case Some(_) => Sink.write(applySql(Concat.plan(spark, cfg)._2), sinkCfg)
+            case None    => Concat.convert(spark, cfg, sinkCfg)
+          }
           finally {
             live.foreach { l => l.finish(); spark.sparkContext.removeSparkListener(l) }
             // the byte totals are read below, after the run; on a shared
@@ -436,7 +461,7 @@ object Maw {
         }
         if (a.verify) {
           val (actual, cs) = verifyOutput(spark, cfg, a.output, fmt, a.naOut, a.delimiter,
-            partitionCols = a.partitionBy, sinkCfg = Some(sinkCfg))
+            partitionCols = a.partitionBy, sinkCfg = Some(sinkCfg), sql = a.sql)
           if (!a.quiet) println(s"verify ok: $actual rows, checksum $cs")
         }
       }

@@ -457,6 +457,32 @@ class MawCliSpec extends SparkSpec {
     assert(back.select("grp").distinct().count() == 3)
   }
 
+  test("--sql queries the unified inputs as table t, with --verify over the result") {
+    val d = tmpDir("sqlmode")
+    val a1 = d.resolve("a.csv").toString
+    Files.writeString(java.nio.file.Paths.get(a1), "grp,v\nx,1\ny,2\nx,3\n")
+    val a2 = d.resolve("b.csv").toString
+    Files.writeString(java.nio.file.Paths.get(a2), "grp,v\ny,10\nz,20\n")
+    val out = d.resolve("agg.csv").toString
+    Maw.execute(spark, Maw.parse(Seq(a1, a2, "-o", out,
+      "--sql", "SELECT grp, SUM(v) AS total FROM t GROUP BY grp ORDER BY grp",
+      "--verify", "-q")))
+    val lines = Files.readAllLines(java.nio.file.Paths.get(out))
+    assert(lines.get(0) == "grp,total")
+    assert(lines.subList(1, lines.size).toArray.toSeq == Seq("x,4", "y,12", "z,20"))
+    // window functions + parquet output work through the same flag
+    val out2 = d.resolve("rk.parquet").toString
+    Maw.execute(spark, Maw.parse(Seq(a1, a2, "-o", out2,
+      "--sql", "SELECT grp, v, RANK() OVER (PARTITION BY grp ORDER BY v) AS rk FROM t",
+      "--verify", "-q")))
+    val back = spark.read.parquet(out2)
+    assert(back.count() == 5)
+    assert(back.where("grp = 'x' AND rk = 2").select("v").head.getLong(0) == 3L)
+    // a broken query fails loudly, not with a half-written output
+    intercept[Exception](Maw.execute(spark, Maw.parse(Seq(a1, "-o",
+      d.resolve("bad.csv").toString, "--sql", "SELECT nope FROM t", "-q"))))
+  }
+
   test("CSV partitioned output: hive tree, values intact, --verify passes") {
     import org.apache.spark.sql.functions.col
     val d = tmpDir("partcsv")
