@@ -184,6 +184,26 @@ object PipelineQueries {
         size(g).as("n_grams3"),
         (size(g) - size(array_distinct(g))).as("n_dup3")))
     }),
+    // Script-mix accounting — the script/language-consistency curation
+    // signal (a "lang=en" doc that is 40% CJK is mislabeled or spam).
+    // Counts characters per Unicode BMP block via regexp_count: BMP ranges
+    // count identically in Java regex (UTF-16 code units = codepoints
+    // inside the BMP) and RE2; astral codepoints match no range on either
+    // engine, so no total/other count is emitted (a total would hit the
+    // length() code-unit-vs-codepoint divergence). One narrow scan, all
+    // counting inside codegen.
+    "t18_script_mix" -> ((s, dir) => {
+      def blockCount(pattern: String) = regexp_count(col("text"), lit(pattern))
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"),
+        blockCount("[A-Za-z]").as("n_latin"),
+        blockCount("[\\u0400-\\u04FF]").as("n_cyrillic"),
+        blockCount("[\\u0370-\\u03FF]").as("n_greek"),
+        blockCount("[\\u4E00-\\u9FFF]").as("n_cjk"),
+        blockCount("[\\u3040-\\u30FF]").as("n_kana"),
+        blockCount("[\\u0600-\\u06FF]").as("n_arabic"),
+        blockCount("[0-9]").as("n_digit")))
+    }),
     // Cross-document boilerplate detection (the CCNet/RefinedWeb curation
     // step: lines repeated across many documents — footers, nav bars,
     // cookie banners — are template noise, not content). A line is
@@ -1042,6 +1062,18 @@ object PipelineQueries {
          |SELECT doc_id, len(grams) AS n_grams3,
          |  len(grams) - len(list_distinct(grams)) AS n_dup3
          |FROM g ${orderSql("doc_id", "n_grams3", "n_dup3")}""".stripMargin,
+    // RE2 \x{...} spells the same BMP blocks Java regex sees as \uXXXX;
+    // NULL text -> NULL counts on both engines
+    "t18_script_mix" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS INTEGER) AS n_latin,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS INTEGER) AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS INTEGER) AS n_greek,
+         |  CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS INTEGER) AS n_cjk,
+         |  CAST(len(regexp_extract_all(text, '[\\x{3040}-\\x{30FF}]')) AS INTEGER) AS n_kana,
+         |  CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS INTEGER) AS n_arabic,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS INTEGER) AS n_digit
+         |FROM documents ${orderSql("doc_id")}""".stripMargin,
     // planted footers on even doc_ids (concat_ws skips NULL text on both
     // engines); boilerplate = a trimmed non-empty line present in >= 3
     // distinct docs, counted per doc
