@@ -67,7 +67,10 @@ object ScaleSoak {
       // (replica ids keep parity — the stride is even); p13 measures
       // compaction throughput: 16 parts of an Nx tree rewritten in place,
       // rows verified pre-swap at every scale
-      "t17_boilerplate", "p13_compaction")
+      "t17_boilerplate", "p13_compaction",
+      // d13's full-outer fingerprint join: delta output must scale with
+      // the planted mutation rate, never with pair counts
+      "d13_corpus_diff")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
