@@ -184,6 +184,38 @@ object PipelineQueries {
         size(g).as("n_grams3"),
         (size(g) - size(array_distinct(g))).as("n_dup3")))
     }),
+    // Frame-level binary dedup — the video/audio analog of t17's line
+    // boilerplate: payloads are sliced into fixed 64-byte frames (no
+    // decode needed for dedup), each frame fingerprinted, and frames
+    // shared across >= 2 media flagged via the same hash-window shape.
+    // Frames slice the HEX rendering of the payload (2 chars/byte):
+    // DuckDB cannot substring a BLOB, but both engines slice the ASCII
+    // hex string identically — including mid-codepoint byte boundaries
+    // the hostile corpus's multibyte text produces, which a charwise
+    // text slice would never expose. Scale shape: frames explode to slim
+    // (media, hash) rows; one map-side-combined shuffle; one slim hash
+    // window; one per-media agg — state O(distinct frames), never a
+    // pair join.
+    "m04_frame_dedup" -> ((s, dir) => {
+      val media = Multimodal.fromText(
+        t(s, dir, "documents").where(col("text").isNotNull && length(col("text")) > 0),
+        "doc_id", "text")
+      val frames = media
+        .select(col("media_id"), hex(col("payload")).as("hx"),
+          posexplode(sequence(lit(0),
+            (ceil(length(col("payload")) / 64.0) - 1).cast(IntegerType))))
+        .select(col("media_id"),
+          md5(expr("substring(hx, pos * 128 + 1, 128)").cast(BinaryType)).as("fhash"))
+      // t17's shape: distinct (hash, media) pairs with per-pair counts,
+      // then a slim window for the distinct-media count — collect_set
+      // would buffer per-hash media lists in window state
+      val pairs = frames.groupBy("fhash", "media_id").agg(count(lit(1)).as("c"))
+      val flagged = pairs.withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fhash")))
+      ordered(flagged.groupBy("media_id").agg(
+        sum(col("c")).as("n_frames"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_shared")))
+    }),
     // Script-mix accounting — the script/language-consistency curation
     // signal (a "lang=en" doc that is 40% CJK is mislabeled or spam).
     // Counts characters per Unicode BMP block via regexp_count: BMP ranges
@@ -1481,6 +1513,22 @@ object PipelineQueries {
          |    THEN least(16, greatest(len - frame_idx * stride, 0))
          |  END AS INTEGER) AS frame_bytes
          |FROM f ${orderSql("media_id", "frame_idx", "frame_bytes")}""".stripMargin,
+    // frames slice the hex rendering (2 chars/byte, DuckDB cannot slice a
+    // BLOB); hex() is uppercase on both engines and md5 of the ASCII hex
+    // slice is engine-portable even at mid-codepoint byte boundaries
+    "m04_frame_dedup" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS len
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |f AS (
+         |  SELECT media_id, md5(substring(hx, CAST(i * 128 + 1 AS INTEGER), 128)) AS fhash
+         |  FROM m, unnest(range(0, CAST(ceil(len / 64.0) AS INTEGER))) AS u(i)),
+         |p AS (SELECT media_id, fhash, COUNT(*) AS c FROM f GROUP BY 1, 2),
+         |w AS (SELECT media_id, c, COUNT(*) OVER (PARTITION BY fhash) AS nd FROM p)
+         |SELECT media_id, CAST(SUM(c) AS BIGINT) AS n_frames,
+         |  CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_shared
+         |FROM w GROUP BY media_id ${orderSql("media_id", "n_frames", "n_shared")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,
