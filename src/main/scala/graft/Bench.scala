@@ -160,7 +160,10 @@ object Bench {
     // the line to 2.7 KB — truncated and unparseable every round since r03
     // (BENCH_r0{3,4,5}.json all carry "parsed": null). The full-name table
     // lives in CORRECTNESS and BENCH_NOTES.md.
-    val qs = results.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.3f""" }
+    // %.2f: 10 ms resolution is noise-level for these queries, and the
+    // saved char per entry buys ~15 more queries under the driver's
+    // 2000-char tail capture (the line crossed 1790 at 119 queries)
+    val qs = results.map { case (k, v) => f""""${k.takeWhile(_ != '_')}":$v%.2f""" }
       .mkString("{", ",", "}")
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
