@@ -121,6 +121,27 @@ object ParityQueries {
       ordered(s.read.parquet(tree)
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Partition-pruned read (K4's payoff, driver-checked): documents land
+    // as a lang=... hive tree, and the lang filter must prune to ONE
+    // directory at planning time — PartitionFilters is asserted IN-QUERY
+    // (a silent full-tree scan errs the run); the DuckDB oracle pins the
+    // filtered content. At 100 TB this is the difference between reading
+    // one language's slice and scanning the corpus.
+    "p14_partition_pruned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p14_part_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      val tree = base.resolve("docs-tree").toString
+      graft.sinks.Sink.write(docs, graft.sinks.Sink.Config(tree,
+        graft.sources.Discovery.Parquet, partitionBy = Seq("lang")))
+      val back = graft.sinks.Sink.readBack(s, tree, graft.sources.Discovery.Parquet)
+        .where(col("lang") === "en")
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters: [isnotnull(lang"),
+        s"p14: lang filter did not reach PartitionFilters:\n${plan.take(600)}")
+      ordered(back.select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -176,5 +197,8 @@ object ParityQueries {
          |${orderSql("doc_id")}""".stripMargin,
     "p13_compaction" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
-         |${orderSql("doc_id")}""".stripMargin)
+         |${orderSql("doc_id")}""".stripMargin,
+    "p14_partition_pruned" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |WHERE lang = 'en' ${orderSql("doc_id")}""".stripMargin)
 }

@@ -570,6 +570,28 @@ object RelationalQueries {
         round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
         round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr")))
     }),
+    // Count-min sketch heavy hitters — the q17/q47 pattern for frequency
+    // estimation: the EXACT per-key counts are what the oracle checks, and
+    // the sketch (a fixed-size mergeable structure — the thing you CAN
+    // compute over 100 TB in one pass where exact per-key maps blow up on
+    // high-cardinality keys) is verified in-query against its
+    // (overestimate-only, eps*N) error contract. The per-key probe loop is
+    // driver-side but bounded by the distinct key count of the output
+    // (event types, a handful).
+    "q52_count_min" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = ordered(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
+      val sketch = ev.stat.countMinSketch(
+        col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
+      val total = sketch.totalCount()
+      exact.collect().foreach { r =>
+        val (k, n) = (r.getString(0), r.getLong(1))
+        val est = sketch.estimateCount(k)
+        require(est >= n && est <= n + (0.001 * total).ceil.toLong,
+          s"q52: sketch estimate $est for '$k' outside [$n, n + eps*N] (N=$total)")
+      }
+      exact
+    }),
     // parquet aggregate pushdown — the 100 TB scan-elimination trick for
     // table-stat queries: MIN/MAX/COUNT with no filter answer from row-group
     // FOOTER STATISTICS alone, reading zero data pages (at 100 TB that is
@@ -880,6 +902,9 @@ object RelationalQueries {
          |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
          |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
          |FROM m ${orderSql("l_returnflag")}""".stripMargin,
+    "q52_count_min" ->
+      s"""SELECT event_type, COUNT(*) AS n FROM events
+         |GROUP BY 1 ${orderSql("event_type", "n")}""".stripMargin,
     "q51_agg_pushdown" ->
       s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
          |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem""".stripMargin,
