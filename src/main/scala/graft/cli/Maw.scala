@@ -54,6 +54,7 @@ object Maw {
       compact: Boolean = false,
       targetFileBytes: Long = 128L * 1024 * 1024,
       sql: Option[String] = None,
+      skipCorrupt: Boolean = false,
       verify: Boolean = false,
       streaming: Boolean = false,
       checkpoint: Option[String] = None,
@@ -115,6 +116,7 @@ object Maw {
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--compact" :: t                => go(t, a.copy(compact = true))
       case "--sql" :: v :: t               => go(t, a.copy(sql = Some(v)))
+      case "--skip-corrupt" :: t           => go(t, a.copy(skipCorrupt = true))
       case "--target-file-size" :: v :: t  =>
         go(t, a.copy(targetFileBytes = parseSize(v)))
       case "--verify" :: t                 => go(t, a.copy(verify = true))
@@ -190,6 +192,7 @@ object Maw {
       |                                        (data-skipping layouts)
       |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
       |  --sql "SELECT ... FROM t ..."         (query the unified inputs as table t)
+      |  --skip-corrupt                        (drop unreadable inputs/blocks, don't abort)
       |  --stream --state DIR --resume
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
@@ -200,6 +203,7 @@ object Maw {
     renames = a.renames,
     include = a.columns,
     exclude = a.exclude,
+    skipCorrupt = a.skipCorrupt,
     discovery = Discovery.Options(
       recursive = !a.noRecursive, followSymlinks = a.followSymlinks))
 
@@ -342,8 +346,27 @@ object Maw {
         val fmt =
           if (a.outFormat.isDefined) Discovery.outputFormat("_", a.outFormat)
           else graft.operators.Compact.detectTreeFormat(spark, dir)
+        // --verify: order-insensitive checksum over the tree BEFORE the
+        // rewrite (Compact itself verifies the row count pre-swap; the
+        // checksum additionally catches count-preserving corruption).
+        // Text formats can't represent timestamps apart from their
+        // rendering, but a compaction re-reads and re-writes with the SAME
+        // options, so the plain string-cast checksum is stable here.
+        def checksum(): java.math.BigDecimal = {
+          val df = Sink.readBack(spark, dir, fmt)
+          Sink.rowChecksum(df.select(df.columns.sorted.map(
+            c => org.apache.spark.sql.functions.col(
+              graft.schema.SchemaUnifier.quoted(c))).toIndexedSeq: _*), None)
+        }
+        val pre = if (a.verify) Some(checksum()) else None
         val st = graft.operators.Compact.run(spark, dir, fmt,
           targetFileBytes = a.targetFileBytes, compression = a.compression)
+        pre.foreach { cs1 =>
+          val cs2 = checksum()
+          if (cs1 != cs2) throw new IllegalStateException(
+            s"verify failed after compaction of $dir: checksum $cs1 -> $cs2")
+          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs2")
+        }
         if (!a.quiet) {
           if (a.jsonLogs)
             println(s"""{"event":"compact","dir":${jstr(dir)},"files_before":${st.filesBefore},""" +
@@ -400,7 +423,7 @@ object Maw {
           else None
         listener.foreach(spark.streams.addListener)
         try graft.streaming.StreamingConcat.run(spark, toConfig(a), a.output, fmt, cp,
-          partitionBy = a.partitionBy)
+          partitionBy = a.partitionBy, rollByRows = a.rollByRows)
         finally listener.foreach { l => l.awaitDrained(); spark.streams.removeListener(l) }
       } else {
         // M1 batch progress (progress.rs:6-197 intent): task-level

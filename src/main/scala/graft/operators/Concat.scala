@@ -39,6 +39,14 @@ object Concat {
         * a parquet sink wants real types.
         */
       rawPassThrough: Boolean = false,
+      /** Skip inputs whose footer/schema probe fails, and tolerate
+        * corrupt blocks at scan time (`ignoreCorruptFiles` on the
+        * columnar readers) — damaged shards are a fact of life in
+        * crawled corpora, and one bad file must not kill a 100 TB run.
+        * Off by default: silently dropping data is opt-in. Disables the
+        * byte fast paths (a byte copy would propagate the corruption).
+        */
+      skipCorrupt: Boolean = false,
       discovery: Discovery.Options = Discovery.Options())
 
   def readOne(spark: SparkSession, f: InputFile, csv: CsvSource.CsvOptions): DataFrame =
@@ -127,7 +135,15 @@ object Concat {
     * for.
     */
   def fileSchemas(spark: SparkSession, files: Seq[InputFile],
-      csv: CsvSource.CsvOptions): Seq[org.apache.spark.sql.types.StructType] = {
+      csv: CsvSource.CsvOptions): Seq[org.apache.spark.sql.types.StructType] =
+    fileSchemasTry(spark, files, csv).map(_.get)
+
+  /** [[fileSchemas]], but a failed probe (corrupt footer, unreadable file)
+    * surfaces as a per-file `Failure` instead of killing the whole batch —
+    * the `skipCorrupt` resolution path.
+    */
+  def fileSchemasTry(spark: SparkSession, files: Seq[InputFile],
+      csv: CsvSource.CsvOptions): Seq[scala.util.Try[org.apache.spark.sql.types.StructType]] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -135,23 +151,26 @@ object Concat {
       .ParquetToSparkSchemaConverter(spark.sessionState.conf)
     val conf = spark.sessionState.newHadoopConf()
     Await.result(
-      Future.sequence(files.map(f => Future(f.format match {
+      Future.sequence(files.map(f => Future(scala.util.Try(f.format match {
         case Csv     => CsvSource.resolveSchema(spark, f.path, csv)
         case Jsonl   => JsonSource.resolveSchema(spark, f.path,
           JsonSource.JsonOptions(inferRows = csv.inferRows))
         case Parquet => parquetFooterSchema(f.path, conv, conf)
         case Orc     => orcFooterSchema(f.path, conf)
-      }))),
+      })))),
       Duration.Inf)
   }
 
   /** One multi-path scan for a group of same-schema files. */
   private def readGroup(spark: SparkSession, format: Format, paths: Seq[String],
-      schema: org.apache.spark.sql.types.StructType, csv: CsvSource.CsvOptions): DataFrame =
+      schema: org.apache.spark.sql.types.StructType, csv: CsvSource.CsvOptions,
+      skipCorrupt: Boolean = false): DataFrame =
     format match {
       case Csv     => CsvSource.readPaths(spark, paths, csv, Some(schema))
-      case Parquet => spark.read.parquet(paths: _*)
-      case Orc     => spark.read.orc(paths: _*)
+      case Parquet => spark.read
+        .option("ignoreCorruptFiles", skipCorrupt.toString).parquet(paths: _*)
+      case Orc     => spark.read
+        .option("ignoreCorruptFiles", skipCorrupt.toString).orc(paths: _*)
       case Jsonl   => JsonSource.readPaths(spark, paths,
         JsonSource.JsonOptions(inferRows = csv.inferRows), Some(schema))
     }
@@ -187,9 +206,19 @@ object Concat {
         cfg0.copy(csv = cfg0.csv.copy(inferTypes = false))
       else cfg0
     // resolve each file's schema concurrently (driver-side sample for CSV,
-    // direct footer read for parquet — see fileSchemas)
+    // direct footer read for parquet — see fileSchemas). With skipCorrupt,
+    // a failed probe drops THAT file (stderr note) instead of killing the
+    // whole concat.
     val resolved: Seq[(InputFile, org.apache.spark.sql.types.StructType)] =
-      files.zip(fileSchemas(spark, files, cfg.csv))
+      files.zip(fileSchemasTry(spark, files, cfg.csv)).flatMap {
+        case (f, scala.util.Success(s)) => Some((f, s))
+        case (f, scala.util.Failure(e)) if cfg.skipCorrupt =>
+          System.err.println(s"[concat] skipping corrupt input ${f.path}: ${e.getMessage}")
+          None
+        case (_, scala.util.Failure(e)) => throw e
+      }
+    require(resolved.nonEmpty,
+      s"every input failed its schema probe: ${files.map(_.path).mkString(", ")}")
     // group contiguous-in-sort-order files by (format, schema): each group
     // is one scan; discovery order is preserved across groups
     val groups = resolved
@@ -213,7 +242,7 @@ object Concat {
     require(liveGroups.nonEmpty,
       s"every input is empty: ${files.map(_.path).mkString(", ")}")
     val dfs = liveGroups.map { case (fmt, schema, paths) =>
-      readGroup(spark, fmt, paths, schema, cfg.csv)
+      readGroup(spark, fmt, paths, schema, cfg.csv, cfg.skipCorrupt)
     }
     val unified = SchemaUnifier.unify(
       dfs.map(_.schema), cfg.stringifyConflicts, cfg.renames, cfg.include, cfg.exclude)

@@ -41,6 +41,7 @@ object CsvByteConcat {
   /** Static eligibility: option combinations that force the record path. */
   def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
     cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
+      !cfg.skipCorrupt && // a byte copy would propagate corrupt blocks verbatim
       sink.format == Csv &&
       // the byte path is value-identical to the ALL-STRING typed plan; with
       // type inference on, the typed fallback re-renders values ("007"->7,
@@ -56,8 +57,8 @@ object CsvByteConcat {
       cfg.csv.quote == "\"" &&
       cfg.csv.encoding.equalsIgnoreCase("UTF-8") &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
-      // partitioned layout re-shapes rows into directories — typed path only
-      sink.partitionBy.isEmpty &&
+      // layout options re-shape rows/files — typed path only
+      sink.partitionBy.isEmpty && sink.clusterBy.isEmpty && sink.zorderBy.isEmpty &&
       // a non-empty output NA string means EMPTY source fields must be
       // re-rendered (null -> naString) — not a pass-through; and the scanner
       // needs at least one NA value (maxNa sizing) without CSV

@@ -46,9 +46,11 @@ object JsonByteConcat {
   /** Static eligibility: any reshaping option forces the typed path. */
   def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
     cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
+      !cfg.skipCorrupt && // a byte copy would propagate corrupt blocks verbatim
       sink.format == Jsonl &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
-      sink.partitionBy.isEmpty
+      // layout options re-shape rows/files — typed path only
+      sink.partitionBy.isEmpty && sink.clusterBy.isEmpty && sink.zorderBy.isEmpty
 
   /** Run the byte path if eligible and every input is JSONL. Returns write
     * metrics like [[Sink.write]]; None = caller falls back to the typed

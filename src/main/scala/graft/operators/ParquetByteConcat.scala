@@ -44,10 +44,13 @@ object ParquetByteConcat {
   /** Static eligibility: option combinations that force the typed path. */
   def eligible(cfg: Concat.Config, sink: Sink.Config): Boolean =
     cfg.include.isEmpty && cfg.exclude.isEmpty && cfg.renames.isEmpty &&
+      !cfg.skipCorrupt && // a byte copy would propagate corrupt blocks verbatim
       sink.format == Parquet &&
       sink.rollByRows.isEmpty && sink.rollByBytes.isEmpty &&
-      // partitioned layout re-shapes rows into directories — typed path only
-      sink.partitionBy.isEmpty
+      // layout options re-shape rows/files — typed path only (a byte copy
+      // would silently drop the requested clustering/bloom layout)
+      sink.partitionBy.isEmpty && sink.clusterBy.isEmpty &&
+      sink.zorderBy.isEmpty && sink.bloomFilterCols.isEmpty
 
   /** Run the row-group copy if eligible; None = caller falls back to the
     * typed pipeline. Returns write metrics like [[Sink.write]].

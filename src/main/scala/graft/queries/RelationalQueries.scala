@@ -570,6 +570,20 @@ object RelationalQueries {
         round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
         round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr")))
     }),
+    // Semi-structured VARIANT (Spark 4's native JSON type): props parses
+    // ONCE into the binary variant encoding and typed paths extract from
+    // it — at scale this replaces per-access JSON re-parsing (q16's
+    // get_json_object re-tokenizes the string per call) with one parse
+    // and O(1) typed field reads. try_variant_get returns NULL on type
+    // mismatch like the oracle's json_extract casts.
+    "q53_variant" -> ((s, dir) => {
+      val k = try_variant_get(parse_json(col("props")), "$.k", "long")
+      ordered(t(s, dir, "events")
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")))
+    }),
     // Count-min sketch heavy hitters — the q17/q47 pattern for frequency
     // estimation: the EXACT per-key counts are what the oracle checks, and
     // the sketch (a fixed-size mergeable structure — the thing you CAN
@@ -905,6 +919,12 @@ object RelationalQueries {
     "q52_count_min" ->
       s"""SELECT event_type, COUNT(*) AS n FROM events
          |GROUP BY 1 ${orderSql("event_type", "n")}""".stripMargin,
+    "q53_variant" ->
+      s"""SELECT event_type, COUNT(CAST(json_extract(props, '$$.k') AS BIGINT)) AS n,
+         |CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k,
+         |MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k
+         |FROM events GROUP BY 1 ${orderSql("event_type")}""".stripMargin,
     "q51_agg_pushdown" ->
       s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
          |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem""".stripMargin,

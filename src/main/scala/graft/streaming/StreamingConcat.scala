@@ -121,7 +121,8 @@ object StreamingConcat {
     * primitive.
     */
   def run(spark: SparkSession, cfg: Concat.Config, outPath: String, fmt: Format,
-      checkpoint: String, partitionBy: Seq[String] = Nil): Unit = {
+      checkpoint: String, partitionBy: Seq[String] = Nil,
+      rollByRows: Option[Long] = None): Unit = {
     val df = planStream(spark, cfg)
     val missing = partitionBy.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -130,8 +131,12 @@ object StreamingConcat {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
+    // --roll-by-rows bounds file sizes within each micro-batch commit
+    // (the streaming analog of the batch sink's rolling contract)
+    val writer1 = rollByRows.fold(writer0)(n =>
+      writer0.option("maxRecordsPerFile", n.toString))
     val writer =
-      if (partitionBy.nonEmpty) writer0.partitionBy(partitionBy: _*) else writer0
+      if (partitionBy.nonEmpty) writer1.partitionBy(partitionBy: _*) else writer1
     val q = fmt match {
       case Csv     => writer.format("csv").option("header", "true").start(outPath)
       case Parquet => writer.format("parquet").start(outPath)

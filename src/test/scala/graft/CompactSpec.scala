@@ -108,6 +108,16 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == sf("region").count())
   }
 
+  test("CLI: --compact --verify checksums the tree across the rewrite") {
+    val d = tmpDir("compact-verify")
+    val out = d.resolve("tree").toString
+    sf("nation").repartition(6).write.parquet(out)
+    // must complete without throwing (the checksum path compares pre/post)
+    cli.Maw.execute(spark, cli.Maw.parse(Seq(out, "--compact", "--verify", "-q")))
+    assert(fileCount(out) < 6)
+    assert(spark.read.parquet(out).count() == sf("nation").count())
+  }
+
   test("size suffix parsing") {
     assert(cli.Maw.parseSize("1024") == 1024L)
     assert(cli.Maw.parseSize("128m") == 128L * 1024 * 1024)

@@ -182,6 +182,24 @@ class DataSkippingSpec extends SparkSpec {
     assert(e.getMessage.contains("--zorder-by"))
   }
 
+  test("parquet->parquet with a layout option takes the typed path, not the byte copy") {
+    val d = tmpDir("skip-bytepath")
+    val src = d.resolve("src.parquet").toString
+    sf("lineitem", "/root/testdata/sf0.01").select("l_orderkey", "l_quantity")
+      .write.parquet(src + ".dir")
+    // single-file source for the CLI (the byte path would be eligible
+    // without the layout flag and would copy row groups verbatim)
+    Sink.write(spark.read.parquet(src + ".dir"),
+      Sink.Config(src, graft.sources.Discovery.Parquet))
+    val out = d.resolve("out.parquet").toString
+    cli.Maw.execute(spark, cli.Maw.parse(Seq(src, "-o", out,
+      "--cluster-by", "l_orderkey", "-q")))
+    val parts = partFiles(d, "out", ".parquet")
+    assert(parts.size > 1, "layout flag was ignored (byte path fired?)")
+    val cov = coverage(colRanges(parts, "l_orderkey"))
+    assert(cov < 1.5, f"output is not range-clustered: coverage $cov%.2f")
+  }
+
   test("cluster-by composes with partition-by: clustered files inside each hive dir") {
     val d = tmpDir("skip-part")
     val li = sf("lineitem", "/root/testdata/sf0.01")

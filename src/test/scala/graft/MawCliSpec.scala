@@ -457,6 +457,36 @@ class MawCliSpec extends SparkSpec {
     assert(back.select("grp").distinct().count() == 3)
   }
 
+  test("--skip-corrupt drops an unreadable parquet input instead of aborting") {
+    val d = tmpDir("skipcorrupt")
+    val good = d.resolve("good.parquet").toString
+    graft.sinks.Sink.write(sf("region"),
+      graft.sinks.Sink.Config(good, graft.sources.Discovery.Parquet))
+    val bad = d.resolve("bad.parquet")
+    Files.write(bad, Array.fill[Byte](256)(0x42)) // not a parquet file
+    // default: the corrupt footer kills the run (silent data loss is opt-in)
+    intercept[Exception](graft.operators.Concat.run(spark,
+      graft.operators.Concat.Config(Seq(d.toString))))
+    val out = d.resolve("out.parquet").toString
+    Maw.execute(spark, Maw.parse(Seq(d.toString, "-o", out, "--skip-corrupt", "-q")))
+    assert(spark.read.parquet(out).count() == sf("region").count())
+  }
+
+  test("--stream --roll-by-rows bounds file sizes within a micro-batch") {
+    val d = tmpDir("rollstream")
+    val in = d.resolve("in")
+    Files.createDirectories(in)
+    Files.writeString(in.resolve("a.csv"), "k\n" + (1 to 10).mkString("\n") + "\n")
+    val out = d.resolve("out").toString
+    Maw.execute(spark, Maw.parse(Seq(in.toString, "-o", out,
+      "--out-format", "parquet", "--stream", "--state", d.resolve("cp").toString,
+      "--roll-by-rows", "3", "-q")))
+    val parts = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.split('/').last.startsWith("part-") && p.endsWith(".parquet"))
+    assert(parts.length >= 4, s"expected >=4 rolled parts for 10 rows @3/file, got ${parts.length}")
+    assert(spark.read.parquet(out).count() == 10)
+  }
+
   test("--sql queries the unified inputs as table t, with --verify over the result") {
     val d = tmpDir("sqlmode")
     val a1 = d.resolve("a.csv").toString
