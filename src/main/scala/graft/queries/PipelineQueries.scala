@@ -532,6 +532,22 @@ object PipelineQueries {
         .select("query_id", "neighbor_id", "rank")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // Attribute-filtered ANN — the vector-DB pattern: top-k among ONLY the
+    // corpus rows matching a metadata predicate (here label parity). The
+    // filter applies BEFORE the distance pass (prefilter, exact recall),
+    // not as a post-filter of an unfiltered top-k (which silently returns
+    // < k or misses matches) — the semantic difference the oracle pins:
+    // every returned neighbor must carry the label predicate AND be the
+    // true rank among the filtered corpus. Same broadcast-queries narrow
+    // corpus pass as s01; the filter prunes the corpus side first.
+    "s10_filtered_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.where(col("label") % 2 === 0).select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10).select("vec_id", "embedding")
+      Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     "s02_knn_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val qs = e.where(col("vec_id") < 10)
@@ -1540,6 +1556,16 @@ object PipelineQueries {
     // double before accumulating, so the oracle must too — float-precision
     // accumulation can rank-swap near-tie neighbors as the corpus grows
     "s01_knn_brute" -> knnRankingOracle,
+    // the filtered variant: corpus restricted by the label predicate
+    // BEFORE ranking (query rows may or may not satisfy it themselves)
+    "s10_filtered_knn" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+         |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |  ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+         |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id AND c.label % 2 = 0
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // s08 is the UDAF formulation of the SAME ranking — one oracle pins both
     "s08_knn_topk_udaf" -> knnRankingOracle,
     // brute-force ranking over the PLANTED corpus (embWithPlantedDups
