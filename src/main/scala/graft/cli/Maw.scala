@@ -225,15 +225,20 @@ object Maw {
     // full-inference read the output gets, so a correct byte copy can't
     // false-fail; every other route verifies against the typed plan. The
     // REAL sink config decides (rolling flags etc. turn the byte path off).
-    val bytePathRun = sql.isEmpty && fmt == Discovery.Jsonl && {
-      val files = Discovery.discover(cfg.inputs, cfg.discovery)
+    // discover ONCE (recursive listings are the cost discovery exists to
+    // bound); only the jsonl byte-path gate needs the file list here
+    val jsonlFiles: Option[Seq[Discovery.InputFile]] =
+      if (sql.isEmpty && fmt == Discovery.Jsonl)
+        Some(Discovery.discover(cfg.inputs, cfg.discovery))
+      else None
+    val bytePathRun = jsonlFiles.exists { files =>
       graft.operators.JsonByteConcat.eligible(cfg,
         sinkCfg.getOrElse(Sink.Config(output, fmt))) && files.nonEmpty &&
         files.forall(f => f.format == Discovery.Jsonl && !Discovery.isGzip(f.path))
     }
     val planned0 =
       if (bytePathRun)
-        spark.read.json(Discovery.discover(cfg.inputs, cfg.discovery).map(_.path): _*)
+        spark.read.json(jsonlFiles.get.map(_.path): _*)
       else sql match {
         case Some(q) =>
           Concat.run(spark, cfg).createOrReplaceTempView("t"); spark.sql(q)
@@ -409,6 +414,13 @@ object Maw {
         // scope: --sql is a batch transform (arbitrary SQL over a stream
         // needs watermark/output-mode decisions the flag can't carry)
         require(a.sql.isEmpty, "--sql is not supported with --stream")
+        // reject, don't silently drop: a stream that quietly writes an
+        // unclustered/unbounded layout a downstream job expects to prune
+        // is the failure mode the old --partition-by guard existed for
+        require(a.clusterBy.isEmpty && a.zorderBy.isEmpty && a.bloomFilterCols.isEmpty,
+          "--cluster-by/--zorder-by/--bloom-filter are not supported with --stream")
+        require(a.rollByBytes.isEmpty,
+          "--roll-by-bytes is not supported with --stream (use --roll-by-rows)")
         // M1 progress (progress.rs:6-197): rows/s + totals per micro-batch,
         // plus per-source-file events under --json-logs (file list read from
         // the checkpoint's exactly-once source metadata log)

@@ -90,7 +90,8 @@ object Compact {
     val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
     val clustered =
       if (partCols.nonEmpty)
-        df.repartition(nOut, partCols.map(org.apache.spark.sql.functions.col): _*)
+        df.repartition(nOut, partCols.map(c =>
+          org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(c))): _*)
       else df.repartition(nOut)
     val w0 = clustered.write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecords.toString)

@@ -126,7 +126,6 @@ object CsvByteConcat {
     val naOut = sink.naString
     val singleFile = sink.singleFile
     val bufBytes = sink.writerBufferBytes
-    val outBase = sink.path.stripSuffix(".csv")
     val paths = files.map(_.path).zipWithIndex
     val headerBc = spark.sparkContext.broadcast(header)
     val hconfBc = spark.sparkContext.broadcast(HConf.snapshot(hconf))
@@ -212,12 +211,6 @@ object CsvByteConcat {
   private def skipLine(in: InputStream): Unit = {
     var b = in.read()
     while (b >= 0 && b != Lf) b = in.read()
-  }
-
-  private def copyAll(in: InputStream, out: OutputStream): Unit = {
-    val buf = new Array[Byte](1 << 20)
-    var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
   }
 
   private def countFields(line: Array[Byte], delim: Byte): Int = {

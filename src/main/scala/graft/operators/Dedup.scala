@@ -296,8 +296,12 @@ object Dedup {
   def bestSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
       pairs: DataFrame): DataFrame = {
     // "id"/"cluster" are this API's output names (shared with [[clusters]]);
-    // a caller frame already carrying them (other than as idCol itself)
-    // would alias ambiguously in the join below — fail readably instead
+    // a caller frame already carrying them (other than idCol == "id", which
+    // the rename makes a no-op) would alias ambiguously in the join below —
+    // fail readably instead. idCol == "cluster" is NOT exempt: the final
+    // rename-back would collide with the labels frame's own column.
+    require(idCol != "cluster",
+      "bestSurvivors: idCol may not be named 'cluster' (a reserved output name)")
     for (reserved <- Seq("id", "cluster") if reserved != idCol)
       require(!docs.columns.contains(reserved),
         s"bestSurvivors: input already has a '$reserved' column — rename it " +

@@ -45,7 +45,28 @@ object ZOrder {
     require(cols.nonEmpty, "zorder needs at least one column")
     require(cols.size * BitsPerDim <= 63,
       s"zorder supports up to ${63 / BitsPerDim} columns")
-    val buckets = cols.map(c => bucketId(df, c))
+    // ONE multi-column approxQuantile job computes every numeric dimension's
+    // boundaries together (per-column calls would re-scan the input once per
+    // dimension); nulls are ignored per column by the sketch
+    val numeric = cols.map(c => c -> numericExpr(df, c))
+    val numericOnly = numeric.collect { case (c, Some(v)) => (c, v) }
+    val boundsByCol: Map[String, Array[Double]] =
+      if (numericOnly.isEmpty) Map.empty
+      else {
+        val names = numericOnly.indices.map(i => s"__z$i")
+        val proj = df.select(numericOnly.zip(names).map {
+          case ((_, v), n) => v.as(n) }: _*)
+        val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
+        val all = proj.stat.approxQuantile(names.toArray, probs, 0.001)
+        numericOnly.map(_._1).zip(all).toMap
+      }
+    val buckets = numeric.map {
+      case (c, Some(v)) => quantileBucket(v, boundsByCol(c))
+      case (c, None)    =>
+        // hash-bucket: uniform by construction, point-skip only
+        pmod(xxhash64(col(graft.schema.SchemaUnifier.quoted(c))),
+          lit(Buckets.toLong)).cast("long")
+    }
     // Morton interleave: output bit (i * nDims + d) = bit i of dimension d.
     // A fold of when()+shiftleft builtins — stays in codegen.
     val nDims = cols.size
@@ -56,39 +77,35 @@ object ZOrder {
     terms.reduce(_.bitwiseOR(_)).as("zvalue")
   }
 
-  /** Equal-population bucket id (0..Buckets-1) for one column. Numeric and
-    * date/timestamp columns bucket by approx-quantile boundaries (binary
-    * values comparable as double); strings bucket by hash (point-skip
-    * only).
+  /** Double-comparable rendering of a column, or None for the hash-bucket
+    * path (strings/binary). Quoted: a literal dotted column name (JSONL
+    * keys like "a.b") must resolve as the column, not a nested field path.
     */
-  private def bucketId(df: DataFrame, c: String): Column = {
+  private def numericExpr(df: DataFrame, c: String): Option[Column] = {
     val dt = df.schema(c).dataType
+    val cRef = col(graft.schema.SchemaUnifier.quoted(c))
     import org.apache.spark.sql.types._
-    val numeric = dt match {
-      case _: NumericType => Some(col(c).cast("double"))
-      case DateType => Some(col(c).cast("double"))
-      case TimestampType | TimestampNTZType => Some(unix_micros(col(c).cast("timestamp")).cast("double"))
+    dt match {
+      case _: NumericType => Some(cRef.cast("double"))
+      case DateType => Some(cRef.cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(unix_micros(cRef.cast("timestamp")).cast("double"))
       case _ => None
     }
-    numeric match {
-      case Some(v) =>
-        // B-1 interior boundaries; approxQuantile ignores nulls (nulls land
-        // in bucket 0, which min/max stats ignore anyway)
-        val probs = (1 until Buckets).map(_.toDouble / Buckets).toArray
-        val bounds = df.select(v.as("__z")).na.drop("any", Seq("__z"))
-          .stat.approxQuantile("__z", probs, 0.001)
-        // strictly increasing subset (duplicated quantiles on low-cardinality
-        // data would make bucket comparisons redundant, not wrong; dropping
-        // them keeps the fold short)
-        val distinct = bounds.foldLeft(Vector.empty[Double])((acc, b) =>
-          if (acc.lastOption.exists(_ >= b)) acc else acc :+ b)
-        // bucket = number of boundaries <= v : a fold of when() terms
-        distinct.map(b => when(v >= lit(b), 1L).otherwise(0L))
-          .reduceOption(_ + _).getOrElse(lit(0L))
-      case None =>
-        // hash-bucket: uniform by construction, point-skip only
-        pmod(xxhash64(col(c)), lit(Buckets.toLong)).cast("long")
-    }
+  }
+
+  /** Equal-population bucket id (0..Buckets-1) from precomputed interior
+    * boundaries: the count of boundaries <= v, as a when() fold (nulls land
+    * in bucket 0, which min/max file stats ignore anyway).
+    */
+  private def quantileBucket(v: Column, bounds: Array[Double]): Column = {
+    // strictly increasing subset (duplicated quantiles on low-cardinality
+    // data would make bucket comparisons redundant, not wrong; dropping
+    // them keeps the fold short)
+    val distinct = bounds.foldLeft(Vector.empty[Double])((acc, b) =>
+      if (acc.lastOption.exists(_ >= b)) acc else acc :+ b)
+    distinct.map(b => when(v >= lit(b), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
   }
 
   /** Cluster `df` for writing: z-value computed, range-partitioned and

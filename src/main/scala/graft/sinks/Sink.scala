@@ -140,8 +140,8 @@ object Sink {
           df1.sparkSession.sessionState.conf.numShufflePartitions, clusterCols: _*)
           .sortWithinPartitions(clusterCols: _*)
       else if (cfg.partitionBy.nonEmpty)
-        df1.hint("rebalance",
-          cfg.partitionBy.map(org.apache.spark.sql.functions.col): _*)
+        df1.hint("rebalance", cfg.partitionBy.map(c =>
+          org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(c))): _*)
       else if (cfg.preserveOrder || cfg.singleFile) df1
       else df1.hint("rebalance")
     // bytes->rows estimate runs on the UN-observed plan: an action on the
@@ -440,10 +440,14 @@ object Sink {
   private[graft] def looksLikeSinkOutput(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean = {
     val listed = fs.listStatus(dir)
+    // hidden entries count as evidence ONLY for Spark's own bookkeeping
+    // (.part-*.crc / ._SUCCESS.crc): a bare n.startsWith(".") would match
+    // .git/.DS_Store and mark every source tree as deletable output —
+    // exactly the trees this guard exists to protect
     listed.isEmpty || listed.exists { st =>
       val n = st.getPath.getName
       n == "_SUCCESS" || n.startsWith("part-") || n.startsWith("_") ||
-        n.startsWith(".") || (st.isDirectory && n.contains("="))
+        n.endsWith(".crc") || (st.isDirectory && n.contains("="))
     }
   }
 

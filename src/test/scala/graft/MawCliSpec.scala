@@ -388,6 +388,12 @@ class MawCliSpec extends SparkSpec {
     Files.createDirectories(precious.resolve("keep"))
     Files.writeString(precious.resolve("keep").resolve("notes.txt"), "do not delete")
     Files.writeString(precious.resolve("photo.jpg"), "bits")
+    // dotfiles are NOT sink evidence: virtually every source tree has a
+    // .git/.gitignore, and treating any hidden entry as proof-of-output
+    // would defeat the guard for exactly the trees it protects (only
+    // Spark's own *.crc bookkeeping counts)
+    Files.createDirectories(precious.resolve(".git"))
+    Files.writeString(precious.resolve(".gitignore"), "target/")
     val cfg = Concat.Config(Seq(src))
     // partitioned write refuses BEFORE the write job starts
     val e1 = intercept[IllegalArgumentException](Concat.convert(spark, cfg,
