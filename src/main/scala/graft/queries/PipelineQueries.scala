@@ -383,6 +383,24 @@ object PipelineQueries {
     // (drop %11 ids, append a suffix to %13 texts, add %17 clones under new
     // ids), so the oracle's full-outer fingerprint join must find EXACTLY
     // the planted delta — adds, removes, and changes — and nothing else
+    // SEMANTIC curation chain — the embedding-space analog of d12's text
+    // chain: near-dup pairs from sign-LSH + cosine verify (d06's recall-1
+    // regime) -> exact transitive clusters -> one quality-ranked survivor
+    // per cluster. Score is a deterministic int (vec_id % 97), so the
+    // cross-engine pick has no float tie-break hazard; the oracle recomputes
+    // pairs brute-force, floods the closure with a recursive CTE, and
+    // applies the same window pick.
+    "d14_semantic_curation" -> ((s, dir) => {
+      val e = embWithNearDups(s, dir)
+      val pairs = Dedup.embeddingPairs(e, "vec_id", "embedding",
+        minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8,
+        targetBucketSize = 32,
+        corpusSizeHint = 2L * t(s, dir, "embeddings").count())
+        .select(col("idA"), col("idB"))
+      val scored = e.select(col("vec_id"), (col("vec_id") % 97).as("score"))
+      ordered(Dedup.bestSurvivors(scored, "vec_id", "score", pairs)
+        .select(col("vec_id"), col("cluster"), col("score")))
+    }),
     "d13_corpus_diff" -> ((s, dir) => {
       val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val newSnap = old.where(col("doc_id") % 11 =!= 0)
@@ -546,6 +564,36 @@ object PipelineQueries {
       val qs = e.where(col("vec_id") < 10).select("vec_id", "embedding")
       Similarity.bruteForceTopK(corpus, qs, "vec_id", "embedding", k = 5)
         .select("query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // Two-stage retrieval — the serving pattern that makes 100 TB ANN
+    // cheap: a COARSE pass scores int8-quantized vectors (4x less memory
+    // bandwidth; cosine is per-vector-scale-invariant, so quantization
+    // preserves ranking to first order) and keeps top-100 candidates; an
+    // EXACT re-rank touches full floats only for those 100 rows/query.
+    // The final top-5 must equal s01's exact ranking — the DuckDB oracle
+    // is the plain brute-force ranking, so a coarse stage that drops a
+    // true neighbor outside its candidate set breaks the hash. The
+    // candidate-set size is asserted in-query (bounded re-rank is the
+    // point).
+    "s11_two_stage_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10)
+      def q8(df: DataFrame) = df.select(col("vec_id"),
+        transform(VF.quantizeI8(col("embedding")), x => x.cast("float")).as("embedding"))
+      val coarse = Similarity.bruteForceTopK(q8(e), q8(qs), "vec_id", "embedding", k = 100)
+        .select(col("query_id"), col("neighbor_id"))
+      val sizes = coarse.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+      require(sizes.length == 10 && sizes.forall(_.getLong(1) == 100L),
+        s"s11: coarse stage must hand exactly 100 candidates per query")
+      val rerank = coarse
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("nv")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     "s02_knn_lsh" -> ((s, dir) => {
@@ -1409,6 +1457,34 @@ object PipelineQueries {
          |${orderSql("doc_id", "cluster", "score")}""".stripMargin,
     // same window CTE family as d10, split into the train hash set and the
     // eval window stream (semi-join instead of shared-hash window)
+    // the embedding-space curation chain: brute-force cosine pairs at the
+    // same recall-1 threshold, recursive-CTE closure, same window pick
+    "d14_semantic_curation" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000,
+         |         CAST(list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS DOUBLE[])
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS idA, b.vec_id AS idB
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.999),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM pairs
+         |  UNION ALL SELECT idB, idA FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM e
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN edges ed ON ed.src = r.id),
+         |lab AS (SELECT id AS vec_id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |scored AS (SELECT e.vec_id, lab.cluster, e.vec_id % 97 AS score,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY e.vec_id % 97 DESC NULLS LAST, e.vec_id ASC) AS rn
+         |  FROM e JOIN lab ON e.vec_id = lab.vec_id)
+         |SELECT vec_id, cluster, CAST(score AS BIGINT) AS score
+         |FROM scored WHERE rn = 1
+         |${orderSql("vec_id", "cluster", "score")}""".stripMargin,
     // same planted construction; IS DISTINCT FROM mirrors Spark's <=> so a
     // NULL-text doc present in both snapshots stays 'unchanged'
     "d13_corpus_diff" ->
@@ -1556,6 +1632,9 @@ object PipelineQueries {
     // double before accumulating, so the oracle must too — float-precision
     // accumulation can rank-swap near-tie neighbors as the corpus grows
     "s01_knn_brute" -> knnRankingOracle,
+    // two-stage = exact by construction when the coarse net holds: one
+    // oracle (s01's exact ranking) pins the whole retrieval pipeline
+    "s11_two_stage_knn" -> knnRankingOracle,
     // the filtered variant: corpus restricted by the label predicate
     // BEFORE ranking (query rows may or may not satisfy it themselves)
     "s10_filtered_knn" ->
