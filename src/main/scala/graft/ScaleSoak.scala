@@ -70,7 +70,11 @@ object ScaleSoak {
       "t17_boilerplate", "p13_compaction",
       // d13's full-outer fingerprint join: delta output must scale with
       // the planted mutation rate, never with pair counts
-      "d13_corpus_diff")
+      "d13_corpus_diff",
+      // s11's coarse stage scans the whole (replicated) corpus but its
+      // re-rank set stays 100/query — output pinned at 50 at any scale;
+      // d14 stresses the LSH-pairs + closure chain end to end
+      "s11_two_stage_knn", "d14_semantic_curation")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
