@@ -74,7 +74,10 @@ object ScaleSoak {
       // s11's coarse stage scans the whole (replicated) corpus but its
       // re-rank set stays 100/query — output pinned at 50 at any scale;
       // d14 stresses the LSH-pairs + closure chain end to end
-      "s11_two_stage_knn", "d14_semantic_curation")
+      "s11_two_stage_knn", "d14_semantic_curation",
+      // m04's frame window shares t17's shape but explodes ~5x more rows
+      // per doc (one per 64-byte frame)
+      "m04_frame_dedup")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
