@@ -49,6 +49,23 @@ object Compact {
 
     val (dataFiles, partCols) = scanTree(fs, root)
     require(dataFiles.nonEmpty, s"no data files under $dir")
+    // every data file must BE the tree's format: the rewrite only carries
+    // rows the reader parses, and the swap deletes the old tree — a stray
+    // README.txt (or a mixed-format tree) would be silently destroyed.
+    // Refuse loudly; the user moves the stray file aside first.
+    val expectedExts: Set[String] = fmt match {
+      case Discovery.Parquet => Set(".parquet")
+      case Discovery.Orc     => Set(".orc")
+      case Discovery.Jsonl   => Set(".json", ".jsonl")
+      case Discovery.Csv     => Set(".csv")
+    }
+    val strays = dataFiles.filterNot(f =>
+      expectedExts.exists(f.getPath.getName.toLowerCase.endsWith(_)))
+    require(strays.isEmpty,
+      s"compact: $dir contains non-$fmt files the rewrite would destroy: " +
+        strays.take(5).map(_.getPath.getName).mkString(", ") +
+        (if (strays.size > 5) s" (+${strays.size - 5} more)" else "") +
+        " — move them aside or pass the right --out-format")
     val bytesBefore = dataFiles.map(_.getLen).sum
 
     // partition values must survive VERBATIM: a `source=007` directory must

@@ -118,6 +118,23 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == sf("nation").count())
   }
 
+  test("refuses a tree holding non-format files the swap would destroy") {
+    val d = tmpDir("compact-stray")
+    val out = d.resolve("tree").toString
+    sf("region").repartition(3).write.parquet(out)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "README.txt"), "user notes")
+    val e = intercept[IllegalArgumentException](
+      Compact.run(spark, out, Discovery.Parquet))
+    assert(e.getMessage.contains("README.txt"))
+    // the tree is untouched, stray file included (glob-filtered read: the
+    // stray itself would fail a bare parquet scan, which is the point)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "README.txt")))
+    assert(spark.read.option("pathGlobFilter", "*.parquet").parquet(out).count() ==
+      sf("region").count())
+    assert(fileCount(out) == 4) // 3 parts + the stray
+  }
+
   test("size suffix parsing") {
     assert(cli.Maw.parseSize("1024") == 1024L)
     assert(cli.Maw.parseSize("128m") == 128L * 1024 * 1024)
