@@ -53,14 +53,7 @@ object Compact {
     // rows the reader parses, and the swap deletes the old tree — a stray
     // README.txt (or a mixed-format tree) would be silently destroyed.
     // Refuse loudly; the user moves the stray file aside first.
-    val expectedExts: Set[String] = fmt match {
-      case Discovery.Parquet => Set(".parquet")
-      case Discovery.Orc     => Set(".orc")
-      case Discovery.Jsonl   => Set(".json", ".jsonl")
-      case Discovery.Csv     => Set(".csv")
-    }
-    val strays = dataFiles.filterNot(f =>
-      expectedExts.exists(f.getPath.getName.toLowerCase.endsWith(_)))
+    val strays = dataFiles.filterNot(f => matchesFormat(f.getPath.getName, fmt))
     require(strays.isEmpty,
       s"compact: $dir contains non-$fmt files the rewrite would destroy: " +
         strays.take(5).map(_.getPath.getName).mkString(", ") +
@@ -164,19 +157,30 @@ object Compact {
     * being compacted is KNOWN to be sink output, where Spark's JSON sink
     * names parts `part-*.json` — so `.json` counts as JSONL here.
     */
+  /** ONE format<->extension table for both tree detection and the stray
+    * guard (two hand-maintained copies would desynchronize). Text formats
+    * accept a `.gz` variant — Spark's text scans decompress by extension,
+    * so a gz text tree compacts fine (re-written uncompressed).
+    */
+  private val extsByFormat: Map[Discovery.Format, Set[String]] = Map(
+    Discovery.Parquet -> Set(".parquet"),
+    Discovery.Orc     -> Set(".orc"),
+    Discovery.Jsonl   -> Set(".json", ".jsonl", ".json.gz", ".jsonl.gz"),
+    Discovery.Csv     -> Set(".csv", ".csv.gz"))
+
+  private def matchesFormat(name: String, fmt: Discovery.Format): Boolean = {
+    val n = name.toLowerCase
+    extsByFormat(fmt).exists(n.endsWith)
+  }
+
   def detectTreeFormat(spark: SparkSession, dir: String): Discovery.Format = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
       s"compact expects a directory tree: $dir")
     val (files, _) = scanTree(fs, root)
-    val fmts = files.map(_.getPath.getName.toLowerCase).flatMap { n =>
-      if (n.endsWith(".parquet")) Some(Discovery.Parquet)
-      else if (n.endsWith(".orc")) Some(Discovery.Orc)
-      else if (n.endsWith(".json") || n.endsWith(".jsonl")) Some(Discovery.Jsonl)
-      else if (n.endsWith(".csv")) Some(Discovery.Csv)
-      else None
-    }.distinct
+    val fmts = files.flatMap(f => extsByFormat.keys.find(
+      matchesFormat(f.getPath.getName, _))).distinct
     require(fmts.size == 1,
       s"cannot infer a single format for $dir (found ${fmts.mkString(", ")}); " +
         "pass --out-format")

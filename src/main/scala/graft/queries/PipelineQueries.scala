@@ -375,14 +375,6 @@ object PipelineQueries {
       ordered(Dedup.bestSurvivors(docs, "doc_id", "score", pairs)
         .select(col("doc_id"), col("cluster"), col("score")))
     }),
-    // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
-    // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
-    // its windows land exactly on the train grid — the planted
-    // contamination the operator must find; ids offset to a disjoint range
-    // snapshot diff: the new snapshot is built in-query from the old one
-    // (drop %11 ids, append a suffix to %13 texts, add %17 clones under new
-    // ids), so the oracle's full-outer fingerprint join must find EXACTLY
-    // the planted delta — adds, removes, and changes — and nothing else
     // SEMANTIC curation chain — the embedding-space analog of d12's text
     // chain: near-dup pairs from sign-LSH + cosine verify (d06's recall-1
     // regime) -> exact transitive clusters -> one quality-ranked survivor
@@ -401,6 +393,10 @@ object PipelineQueries {
       ordered(Dedup.bestSurvivors(scored, "vec_id", "score", pairs)
         .select(col("vec_id"), col("cluster"), col("score")))
     }),
+    // snapshot diff: the new snapshot is built in-query from the old one
+    // (drop %11 ids, append a suffix to %13 texts, add %17 clones under new
+    // ids), so the oracle's full-outer fingerprint join must find EXACTLY
+    // the planted delta — adds, removes, and changes — and nothing else
     "d13_corpus_diff" -> ((s, dir) => {
       val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val newSnap = old.where(col("doc_id") % 11 =!= 0)
@@ -412,6 +408,10 @@ object PipelineQueries {
       ordered(Dedup.corpusDiff(old, newSnap, "doc_id", "text")
         .select(col("id").as("doc_id"), col("status")))
     }),
+    // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
+    // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
+    // its windows land exactly on the train grid — the planted
+    // contamination the operator must find; ids offset to a disjoint range
     "d11_cross_contamination" -> ((s, dir) => {
       val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val eval = train.where(col("doc_id") % 7 === 0)
@@ -581,8 +581,13 @@ object PipelineQueries {
       val qs = e.where(col("vec_id") < 10)
       def q8(df: DataFrame) = df.select(col("vec_id"),
         transform(VF.quantizeI8(col("embedding")), x => x.cast("float")).as("embedding"))
+      // localCheckpoint: the gate's collect AND the re-rank both consume
+      // the candidate set; without it the corpus-wide coarse scan (the
+      // dominant cost) would execute twice. The materialized set is tiny
+      // (queries x 100 rows).
       val coarse = Similarity.bruteForceTopK(q8(e), q8(qs), "vec_id", "embedding", k = 100)
         .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint()
       val sizes = coarse.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
       require(sizes.length == 10 && sizes.forall(_.getLong(1) == 100L),
         s"s11: coarse stage must hand exactly 100 candidates per query")
@@ -1455,8 +1460,6 @@ object PipelineQueries {
          |  FROM docs d JOIN lab USING (doc_id))
          |SELECT doc_id, cluster, score FROM scored WHERE rn = 1
          |${orderSql("doc_id", "cluster", "score")}""".stripMargin,
-    // same window CTE family as d10, split into the train hash set and the
-    // eval window stream (semi-join instead of shared-hash window)
     // the embedding-space curation chain: brute-force cosine pairs at the
     // same recall-1 threshold, recursive-CTE closure, same window pick
     "d14_semantic_curation" ->
@@ -1505,6 +1508,8 @@ object PipelineQueries {
          |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
          |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
          |${orderSql("doc_id", "status")}""".stripMargin,
+    // same window CTE family as d10, split into the train hash set and the
+    // eval window stream (semi-join instead of shared-hash window)
     "d11_cross_contamination" ->
       s"""WITH train AS (SELECT doc_id, text FROM documents),
          |ev AS (SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text

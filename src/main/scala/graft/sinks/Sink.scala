@@ -441,13 +441,15 @@ object Sink {
       dir: org.apache.hadoop.fs.Path): Boolean = {
     val listed = fs.listStatus(dir)
     // hidden entries count as evidence ONLY for Spark's own bookkeeping
-    // (.part-*.crc / ._SUCCESS.crc): a bare n.startsWith(".") would match
-    // .git/.DS_Store and mark every source tree as deletable output —
-    // exactly the trees this guard exists to protect
+    // (HIDDEN checksum sidecars: .part-*.crc / ._SUCCESS.crc): a bare
+    // n.startsWith(".") would match .git/.DS_Store, and a bare
+    // n.endsWith(".crc") would match a user's visible backup.crc — either
+    // way marking a precious tree as deletable output
     listed.isEmpty || listed.exists { st =>
       val n = st.getPath.getName
       n == "_SUCCESS" || n.startsWith("part-") || n.startsWith("_") ||
-        n.endsWith(".crc") || (st.isDirectory && n.contains("="))
+        (n.startsWith(".") && n.endsWith(".crc")) ||
+        (st.isDirectory && n.contains("="))
     }
   }
 
