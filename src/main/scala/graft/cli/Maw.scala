@@ -352,25 +352,30 @@ object Maw {
           if (a.outFormat.isDefined) Discovery.outputFormat("_", a.outFormat)
           else graft.operators.Compact.detectTreeFormat(spark, dir)
         // --verify: order-insensitive checksum over the tree BEFORE the
-        // rewrite (Compact itself verifies the row count pre-swap; the
-        // checksum additionally catches count-preserving corruption).
-        // Text formats can't represent timestamps apart from their
-        // rendering, but a compaction re-reads and re-writes with the SAME
-        // options, so the plain string-cast checksum is stable here.
-        def checksum(): java.math.BigDecimal = {
-          val df = Sink.readBack(spark, dir, fmt)
+        // rewrite, re-checked against the STAGING tree BEFORE the
+        // destructive swap (Compact's preSwapCheck hook) — count-preserving
+        // corruption aborts with the original tree intact, never after it
+        // is already deleted. Text formats can't represent timestamps apart
+        // from their rendering, but a compaction re-reads and re-writes
+        // with the SAME options, so the plain string-cast checksum is
+        // stable here.
+        def checksum(path: String): java.math.BigDecimal = {
+          val df = Sink.readBack(spark, path, fmt, a.delimiter)
           Sink.rowChecksum(df.select(df.columns.sorted.map(
             c => org.apache.spark.sql.functions.col(
               graft.schema.SchemaUnifier.quoted(c))).toIndexedSeq: _*), None)
         }
-        val pre = if (a.verify) Some(checksum()) else None
+        val pre = if (a.verify) Some(checksum(dir)) else None
         val st = graft.operators.Compact.run(spark, dir, fmt,
-          targetFileBytes = a.targetFileBytes, compression = a.compression)
-        pre.foreach { cs1 =>
-          val cs2 = checksum()
-          if (cs1 != cs2) throw new IllegalStateException(
-            s"verify failed after compaction of $dir: checksum $cs1 -> $cs2")
-          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs2")
+          targetFileBytes = a.targetFileBytes, compression = a.compression,
+          delimiter = a.delimiter,
+          preSwapCheck = staging => pre.foreach { cs1 =>
+            val cs2 = checksum(staging)
+            if (cs1 != cs2) throw new IllegalStateException(
+              s"checksum mismatch in the rewritten tree: $cs1 -> $cs2")
+          })
+        pre.foreach { cs =>
+          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs")
         }
         if (!a.quiet) {
           if (a.jsonLogs)

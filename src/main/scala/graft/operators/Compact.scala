@@ -37,15 +37,91 @@ object Compact {
 
   /** Compact `dir` (a parquet/orc/jsonl/csv directory tree, flat or
     * hive-partitioned) into ~`targetFileBytes` files, in place.
+    *
+    * `delimiter` applies to CSV trees only — it MUST match the delimiter
+    * the tree was written with, or every line parses as one column and the
+    * rewrite would destroy the column structure (a shape guard below
+    * refuses the obvious mis-delimiter case loudly).
+    *
+    * `preSwapCheck` runs against the fully-written staging tree AFTER the
+    * row-count verification and BEFORE the destructive swap: a caller-side
+    * content check (e.g. `--verify`'s checksum) that throws here aborts the
+    * compaction with the ORIGINAL tree untouched — never after the old data
+    * is already gone.
     */
   def run(spark: SparkSession, dir: String, fmt: Discovery.Format,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      compression: String = "zstd"): Stats = {
+      compression: String = "zstd",
+      delimiter: String = ",",
+      preSwapCheck: String => Unit = _ => (),
+      leaseStaleMs: Long = 30L * 60 * 1000): Stats = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
       s"compact expects a directory tree: $dir")
+    // single-writer lease: two compactions of the same tree share one
+    // staging path and one promote window, so interleaved runs could cross
+    // their renames. A create-EXCLUSIVE lease file arbitrates; the loser
+    // fails fast with a readable message instead of corrupting the swap.
+    // A crashed holder's lease goes stale after `leaseStaleMs` and is taken
+    // over via atomic rename (only one of N racing takeovers wins the
+    // rename, so takeover itself cannot double-admit).
+    val lease = new org.apache.hadoop.fs.Path(dir + ".compact-lock")
+    acquireLease(fs, lease, leaseStaleMs)
+    try runLocked(spark, fs, root, dir, fmt, targetFileBytes, compression,
+      delimiter, preSwapCheck)
+    finally fs.delete(lease, false)
+  }
+
+  private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path, staleMs: Long): Unit = {
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lease, false) // exclusive: fails if present
+        try out.write(
+          s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val stale =
+      try System.currentTimeMillis - fs.getFileStatus(lease).getModificationTime > staleMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (stale) {
+      // atomic-rename arbitration: of N concurrent takeovers exactly one
+      // rename succeeds; the winner removes the moved-aside lease and
+      // re-runs the exclusive create
+      val aside = new org.apache.hadoop.fs.Path(
+        lease.toString + s".stale-${java.util.UUID.randomUUID()}")
+      val won = try fs.rename(lease, aside) catch { case _: java.io.IOException => false }
+      if (won) {
+        fs.delete(aside, false)
+        if (tryCreate()) return
+      }
+    }
+    throw new IllegalStateException(
+      s"compact: another compaction holds $lease — wait for it to finish " +
+        s"(or, if its process crashed, the lease goes stale after ${staleMs / 1000}s)")
+  }
+
+  private def runLocked(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, dir: String, fmt: Discovery.Format,
+      targetFileBytes: Long, compression: String, delimiter: String,
+      preSwapCheck: String => Unit): Stats = {
+    // a FileStreamSink tree carries a _spark_metadata transaction log that
+    // the rewrite cannot honor: the swap would delete it, and a later stream
+    // resume into the same path would recreate a log listing only NEW files
+    // — at which point metadata-log-aware reads silently drop every
+    // compacted row. Refuse; compaction ends a streaming tree's lifecycle,
+    // and that must be the user's explicit call.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_spark_metadata")),
+      s"compact: $dir is a streaming-sink tree (_spark_metadata present); " +
+        "compacting would orphan the sink's transaction log and a resumed " +
+        "stream would hide the compacted rows from log-aware reads. " +
+        "Delete _spark_metadata first (this ends the tree's streaming-sink " +
+        "lifecycle) or compact a copy.")
 
     val (dataFiles, partCols) = scanTree(fs, root)
     require(dataFiles.nonEmpty, s"no data files under $dir")
@@ -60,6 +136,13 @@ object Compact {
         (if (strays.size > 5) s" (+${strays.size - 5} more)" else "") +
         " — move them aside or pass the right --out-format")
     val bytesBefore = dataFiles.map(_.getLen).sum
+    // sizing bytes: for gz TEXT trees the rewrite is uncompressed, so
+    // deriving bytes/row (and the output file count) from COMPRESSED sizes
+    // would overshoot targetFileBytes by the compression ratio. The gzip
+    // trailer's ISIZE field records each member's uncompressed length (mod
+    // 2^32 — part files are well under 4 GB), so four bytes per file give
+    // the real figure.
+    val sizingBytes = dataFiles.map(f => dataLen(fs, f)).sum
 
     // partition values must survive VERBATIM: a `source=007` directory must
     // not come back as int 7 (Sink.readBack pins the same rule)
@@ -72,18 +155,31 @@ object Compact {
         case Discovery.Orc     => spark.read.orc(dir)
         case Discovery.Jsonl   => spark.read.json(dir)
         case Discovery.Csv     => spark.read.option("header", "true")
-          .option("escape", "\"").csv(dir)
+          .option("delimiter", delimiter).option("escape", "\"").csv(dir)
       } finally prevInfer match {
         case Some(v) => spark.conf.set(inferKey, v)
         case None    => spark.conf.unset(inferKey)
       }
+    // mis-delimiter shape guard: a CSV tree read with the wrong delimiter
+    // parses every line as ONE column whose header still contains the real
+    // delimiter — and the rewrite would then destroy the column structure
+    // while row-count (and a same-delimiter checksum) still pass. Genuine
+    // single-column trees have no delimiter characters in their header.
+    if (fmt == Discovery.Csv && df.columns.length == 1) {
+      val others = Seq(",", ";", "\t", "|").filterNot(_ == delimiter)
+      val hit = others.find(df.columns.head.contains)
+      require(hit.isEmpty,
+        s"compact: $dir parsed as a single column with '$delimiter' but its " +
+          s"header contains '${hit.get.replace("\t", "\\t")}' — wrong --delimiter " +
+          "for this tree? Refusing to rewrite (the column structure would be lost).")
+    }
 
     // this tree's own bytes/row (already reflecting its encoding and
     // compression) sizes the output files — one cheap count job, reused for
     // the pre-swap row verification
     val rows = df.count()
     val maxRecords = math.max(1L, (targetFileBytes.toDouble /
-      math.max(1.0, bytesBefore.toDouble / math.max(1L, rows))).toLong)
+      math.max(1.0, sizingBytes.toDouble / math.max(1L, rows))).toLong)
 
     val staging = dir + ".compact-tmp"
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
@@ -97,7 +193,7 @@ object Compact {
     // trees hash on the partition columns so each task holds whole
     // col=value groups (maxRecordsPerFile still bounds pathological
     // per-value skew).
-    val nOut = math.max(1, math.ceil(bytesBefore.toDouble / targetFileBytes).toInt)
+    val nOut = math.max(1, math.ceil(sizingBytes.toDouble / targetFileBytes).toInt)
     val clustered =
       if (partCols.nonEmpty)
         df.repartition(nOut, partCols.map(c =>
@@ -115,7 +211,8 @@ object Compact {
           compression match { case "none" => "none"; case "gzip" => "zlib"; case c => c })
           .orc(staging)
       case Discovery.Jsonl => w.option("ignoreNullFields", "false").json(staging)
-      case Discovery.Csv => w.option("header", "true").option("escape", "\"")
+      case Discovery.Csv => w.option("header", "true")
+        .option("delimiter", delimiter).option("escape", "\"")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false").csv(staging)
     }
@@ -127,12 +224,20 @@ object Compact {
       case Discovery.Orc     => spark.read.orc(staging)
       case Discovery.Jsonl   => spark.read.json(staging)
       case Discovery.Csv     => spark.read.option("header", "true")
-        .option("escape", "\"").csv(staging)
+        .option("delimiter", delimiter).option("escape", "\"").csv(staging)
     }).count()
     if (newRows != rows) {
       fs.delete(stagingPath, true)
       throw new IllegalStateException(
         s"compaction aborted: rewrote $newRows rows, expected $rows ($dir unchanged)")
+    }
+    // caller-side content verification against the STAGING tree — still
+    // before the swap, so a checksum mismatch aborts with the original
+    // intact (count-preserving corruption must never cost the source data)
+    try preSwapCheck(staging) catch { case e: Throwable =>
+      fs.delete(stagingPath, true)
+      throw new IllegalStateException(
+        s"compaction aborted by pre-swap verification ($dir unchanged): ${e.getMessage}", e)
     }
 
     // swap: old aside -> staging in -> old deleted. A crash between renames
@@ -167,6 +272,28 @@ object Compact {
     Discovery.Orc     -> Set(".orc"),
     Discovery.Jsonl   -> Set(".json", ".jsonl", ".json.gz", ".jsonl.gz"),
     Discovery.Csv     -> Set(".csv", ".csv.gz"))
+
+  /** Sizing length of a data file: its on-disk bytes, except gz members,
+    * whose gzip trailer ISIZE (uncompressed length mod 2^32) is read from
+    * the last four bytes — the rewrite of a gz text tree is uncompressed,
+    * so output sizing must use uncompressed figures. Falls back to the
+    * compressed length on a zero/garbage trailer (multi-member gz
+    * undercounts — still a strictly better estimate than compressed bytes).
+    */
+  private def dataLen(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    if (st.getPath.getName.toLowerCase.endsWith(".gz") && st.getLen > 4) {
+      val in = fs.open(st.getPath)
+      try {
+        in.seek(st.getLen - 4)
+        val b = new Array[Byte](4)
+        in.readFully(b)
+        val isize = (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+          ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+        if (isize > 0) isize else st.getLen
+      } catch { case _: java.io.IOException => st.getLen }
+      finally in.close()
+    } else st.getLen
 
   private def matchesFormat(name: String, fmt: Discovery.Format): Boolean = {
     val n = name.toLowerCase

@@ -119,6 +119,11 @@ object ZOrder {
     * back into one file. An explicit user repartition count is exempt.
     */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Option[Int] = None): DataFrame = {
+    // the helper column is dropped before the write: an input that already
+    // carries __zvalue would be silently replaced and then LOST — fail loud
+    // instead (same reserved-name discipline as Dedup.bestSurvivors)
+    require(!df.columns.contains("__zvalue"),
+      "zorder: input already has a __zvalue column (reserved helper name) — rename it first")
     val n = numFiles.getOrElse(
       df.sparkSession.sessionState.conf.numShufflePartitions)
     val z = df.withColumn("__zvalue", zvalue(df, cols))

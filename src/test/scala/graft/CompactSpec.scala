@@ -135,6 +135,148 @@ class CompactSpec extends SparkSpec {
     assert(fileCount(out) == 4) // 3 parts + the stray
   }
 
+  test("CSV tree with a non-default delimiter round-trips under --delimiter") {
+    val d = tmpDir("compact-delim")
+    val out = d.resolve("tree").toString
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"name$i", s"city,$i")).toDF("id", "nm", "addr")
+    // a semicolon tree whose VALUES contain commas — the case the old
+    // hard-coded comma read destroyed silently
+    df.repartition(8).write.option("header", "true").option("delimiter", ";").csv(out)
+    cli.Maw.execute(spark, cli.Maw.parse(
+      Seq(out, "--compact", "--delimiter", ";", "--verify", "-q")))
+    assert(fileCount(out) < 8)
+    val back = spark.read.option("header", "true").option("delimiter", ";").csv(out)
+    assert(back.columns.toSeq == Seq("id", "nm", "addr"))
+    assert(back.count() == 300)
+    assert(back.where(col("addr") === "city,7").count() == 1)
+  }
+
+  test("CSV tree compacted with the WRONG delimiter is refused, tree untouched") {
+    val d = tmpDir("compact-wrongdelim")
+    val out = d.resolve("tree").toString
+    import spark.implicits._
+    (1 to 50).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4).write.option("header", "true").option("delimiter", ";").csv(out)
+    val before = fileCount(out)
+    val e = intercept[IllegalArgumentException](
+      Compact.run(spark, out, Discovery.Csv)) // default comma: header parses as 1 col
+    assert(e.getMessage.contains("delimiter"))
+    assert(fileCount(out) == before, "refused compaction must not touch the tree")
+    assert(spark.read.option("header", "true").option("delimiter", ";").csv(out)
+      .count() == 50)
+  }
+
+  test("preSwapCheck failure aborts with the ORIGINAL tree intact (no staging residue)") {
+    val d = tmpDir("compact-preswap")
+    val out = d.resolve("tree").toString
+    val orders = sf("orders")
+    orders.repartition(6).write.parquet(out)
+    val before = Sink.rowChecksum(
+      orders.select(orders.columns.sorted.map(col).toIndexedSeq: _*), None)
+    val e = intercept[IllegalStateException](Compact.run(spark, out, Discovery.Parquet,
+      preSwapCheck = _ => throw new IllegalStateException("simulated checksum mismatch")))
+    assert(e.getMessage.contains("pre-swap"))
+    // original tree byte-identical in content, staging cleaned up
+    assert(fileCount(out) == 6)
+    val back = spark.read.parquet(out)
+    assert(Sink.rowChecksum(
+      back.select(back.columns.sorted.map(col).toIndexedSeq: _*), None) == before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+  }
+
+  test("refuses a streaming-sink tree (_spark_metadata would be orphaned)") {
+    val d = tmpDir("compact-stream")
+    val out = d.resolve("tree").toString
+    sf("region").repartition(3).write.parquet(out)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out, "_spark_metadata"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_spark_metadata", "0"), "{}")
+    val e = intercept[IllegalArgumentException](
+      Compact.run(spark, out, Discovery.Parquet))
+    assert(e.getMessage.contains("_spark_metadata"))
+    // tree untouched, log included (don't scan THROUGH the path: a batch
+    // read of a _spark_metadata dir consults the log — the exact hazard)
+    assert(fileCount(out) == 3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_spark_metadata", "0")))
+  }
+
+  test("gz text tree sizes output from UNCOMPRESSED bytes (gzip ISIZE trailer)") {
+    val d = tmpDir("compact-gz")
+    val out = d.resolve("tree").toString
+    import spark.implicits._
+    // highly compressible rows: compressed bytes/row lies ~10x under the
+    // uncompressed figure the rewrite actually writes
+    val df = (1 to 20000).map(i => (i.toLong, "x" * 200)).toDF("id", "pad")
+    df.repartition(8).write.option("header", "true")
+      .option("compression", "gzip").csv(out)
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gzBytes = fs.listStatus(root).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_")).map(_.getLen).sum
+    val rawBytes = 20000L * 210 // ~ uncompressed payload
+    assert(gzBytes < rawBytes / 4, s"fixture not compressible enough: $gzBytes")
+    // target = 1/4 of the UNCOMPRESSED size: ISIZE-based sizing lands ~4
+    // files; compressed-bytes sizing would cram everything into 1
+    val st = Compact.run(spark, out, Discovery.Csv, targetFileBytes = rawBytes / 4)
+    assert(st.filesAfter >= 3 && st.filesAfter <= 6,
+      s"expected ~4 files from uncompressed sizing, got ${st.filesAfter}")
+    assert(spark.read.option("header", "true").csv(out).count() == 20000)
+  }
+
+  test("lease: a held lock fails the second compaction fast; stale locks are taken over") {
+    val d = tmpDir("compact-lease")
+    val out = d.resolve("tree").toString
+    sf("region").repartition(3).write.parquet(out)
+    val lease = java.nio.file.Paths.get(out + ".compact-lock")
+    java.nio.file.Files.writeString(lease, "pid=0 ts=0\n")
+    val e = intercept[IllegalStateException](
+      Compact.run(spark, out, Discovery.Parquet))
+    assert(e.getMessage.contains("another compaction"))
+    assert(java.nio.file.Files.exists(lease), "loser must not remove the holder's lease")
+    // the same lock, declared stale: taken over and compaction proceeds,
+    // lease released afterwards
+    val st = Compact.run(spark, out, Discovery.Parquet, leaseStaleMs = 0L)
+    assert(st.filesBefore == 3)
+    assert(!java.nio.file.Files.exists(lease))
+  }
+
+  test("lease: two RACING compactions — exactly one wins, tree stays intact") {
+    val d = tmpDir("compact-race")
+    val out = d.resolve("tree").toString
+    sf("orders").repartition(10).write.parquet(out)
+    val rows = sf("orders").count()
+    // deterministic overlap: A blocks inside its pre-swap window (lease
+    // held, staging written) until B has attempted — and B must lose fast
+    val aInWindow = new java.util.concurrent.CountDownLatch(1)
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val aFut = pool.submit(new java.util.concurrent.Callable[Compact.Stats] {
+      def call() = Compact.run(spark, out, Discovery.Parquet,
+        preSwapCheck = _ => {
+          aInWindow.countDown()
+          assert(bDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+            "B never attempted")
+        })
+    })
+    try {
+      assert(aInWindow.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "A never reached its swap window")
+      val e = intercept[IllegalStateException](
+        Compact.run(spark, out, Discovery.Parquet))
+      assert(e.getMessage.contains("another compaction"))
+    } finally {
+      bDone.countDown()
+      pool.shutdown()
+    }
+    val st = aFut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(st.filesBefore == 10 && st.filesAfter < 10)
+    assert(spark.read.parquet(out).count() == rows)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-lock")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+  }
+
   test("size suffix parsing") {
     assert(cli.Maw.parseSize("1024") == 1024L)
     assert(cli.Maw.parseSize("128m") == 128L * 1024 * 1024)
