@@ -58,6 +58,41 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // rows-only manifest: the declared queries WITHOUT a DuckDB oracle are
+    // approximate by design (the realistic-regime ANN paths, recall-gated
+    // in-query via Similarity.requireRecall) — in the driver's artifact
+    // they would otherwise read as `err: "no_oracle"`, indistinguishable
+    // from a crash. This sidecar records pass-by-design explicitly, with
+    // the MEASURED recall the outputs carry (requireRecall appends a
+    // per-query `recall` column), so the round artifact itself documents
+    // both the gate and the achieved number.
+    val rowsOnly = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(SparkEntry.oracleSql.contains)
+      .filter(n => only.forall(_.contains(n)))
+    if (rowsOnly.nonEmpty) {
+      import org.apache.spark.sql.functions.{avg, min}
+      val entries = rowsOnly.map { name =>
+        val recall: Option[(Double, Double)] =
+          try {
+            val df = spark.read.parquet(s"$outDir/$name")
+            if (df.columns.contains("recall")) {
+              val r = df.agg(min("recall"), avg("recall")).head()
+              if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+            } else None
+          } catch { case _: Throwable => None } // query failed -> no output
+        val fields = Seq(
+          "\"rows_only\": true",
+          s""""recall_gate": ${graft.operators.Similarity.AnnRecallGate}""") ++
+          recall.toSeq.flatMap { case (mn, av) => Seq(
+            f""""measured_recall_min": $mn%.6f""",
+            f""""measured_recall_mean": $av%.6f""") }
+        recall.foreach { case (mn, av) => System.err.println(
+          f"[verify] $name rows-only by design: recall gate ${graft.operators.Similarity.AnnRecallGate}, measured min $mn%.4f mean $av%.4f") }
+        s"${graft.util.Json.str(name)}: ${fields.mkString("{", ", ", "}")}"
+      }
+      Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+        entries.mkString("{", ",", "}"))
+    }
     spark.stop()
   }
 }

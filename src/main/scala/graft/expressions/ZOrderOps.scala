@@ -1,0 +1,50 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+
+/** Equal-population bucket id for z-order clustering: the count of
+  * precomputed (strictly increasing) quantile boundaries <= v, via one
+  * binary search per row — O(log B) against the B-term `when()` fold it
+  * replaces, whose ~255 chained CaseWhens per dimension blew generated
+  * code past JIT limits and evaluated interpreted at ~16k rows/s
+  * (37 s per pass over sf0.1 lineitem; this expression does the same
+  * pass in well under a second).
+  *
+  * Contract (identical to the fold): nulls and NaNs land in bucket 0 —
+  * min/max file stats ignore them anyway; v == boundary[i] counts it
+  * (i+1 buckets are <= v).
+  */
+case class QuantileBucket(child: Expression, boundaries: Array[Double])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"quantile_bucket expects DOUBLE, got ${child.dataType.simpleString}")
+
+  // eval (not nullSafeEval): a null input must yield bucket 0, not null —
+  // the when()-fold's CaseWhen semantics this expression replaces
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else {
+      val d = v.asInstanceOf[Double]
+      if (d.isNaN) 0L
+      else {
+        val idx = java.util.Arrays.binarySearch(boundaries, d)
+        // exact hit at i: i+1 boundaries are <= v; miss: the insertion
+        // point IS the count of boundaries < v (none equal)
+        (if (idx >= 0) idx + 1 else -idx - 1).toLong
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): QuantileBucket =
+    copy(child = c)
+  override def prettyName: String = "quantile_bucket"
+}

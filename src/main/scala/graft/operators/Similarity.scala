@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The recall@k floor every realistic-regime approximate ANN query
+    * (s02/s03/s05) enforces in-query via [[requireRecall]] — single-sourced
+    * so the verify harness's rows-only manifest records the same gate the
+    * queries actually apply.
+    */
+  val AnnRecallGate = 0.9
+
   /** Exact top-k neighbors for each query vector (excluding itself).
     * `idCol` must be a key: a duplicated corpus id yields one scored row per
     * duplicate row (same contract as [[lshTopK]]).

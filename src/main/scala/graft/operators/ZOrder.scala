@@ -68,13 +68,28 @@ object ZOrder {
           lit(Buckets.toLong)).cast("long")
     }
     // Morton interleave: output bit (i * nDims + d) = bit i of dimension d.
-    // A fold of when()+shiftleft builtins — stays in codegen.
+    // Each dimension's SPREAD (its 8 bucket bits moved to stride-nDims
+    // positions) is a pure function of the 256 possible bucket values, so it
+    // is one element_at into a 256-entry literal array — the bucket
+    // expression (a ~255-term when() fold) is referenced exactly ONCE per
+    // dimension. The earlier shiftleft-per-bit fold referenced it 8 times,
+    // and after projection collapse that inlined ~4000 comparisons per row
+    // and pushed the generated code past JIT limits (~5x wall on the write).
     val nDims = cols.size
-    val terms = for {
-      (b, d) <- buckets.zipWithIndex
-      i <- 0 until BitsPerDim
-    } yield shiftleft(b.bitwiseAND(lit(1L << i)), i * (nDims - 1) + d)
-    terms.reduce(_.bitwiseOR(_)).as("zvalue")
+    def spread(v: Int, d: Int): Long = {
+      var out = 0L; var i = 0
+      while (i < BitsPerDim) {
+        if (((v >> i) & 1) == 1) out |= 1L << (i * nDims + d)
+        i += 1
+      }
+      out
+    }
+    val zs = buckets.zipWithIndex.map { case (b, d) =>
+      val lut = lit((0 until Buckets).map(v => spread(v, d)).toArray)
+      element_at(lut, b.cast("int") + 1)
+    }
+    // spread LUTs occupy disjoint bit positions, so sum == bitwise-or
+    zs.reduce(_ + _).as("zvalue")
   }
 
   /** Double-comparable rendering of a column, or None for the hash-bucket
@@ -95,17 +110,19 @@ object ZOrder {
   }
 
   /** Equal-population bucket id (0..Buckets-1) from precomputed interior
-    * boundaries: the count of boundaries <= v, as a when() fold (nulls land
-    * in bucket 0, which min/max file stats ignore anyway).
+    * boundaries: the count of boundaries <= v, one binary search per row
+    * ([[graft.expressions.QuantileBucket]] — nulls/NaNs land in bucket 0,
+    * which min/max file stats ignore anyway).
     */
   private def quantileBucket(v: Column, bounds: Array[Double]): Column = {
     // strictly increasing subset (duplicated quantiles on low-cardinality
     // data would make bucket comparisons redundant, not wrong; dropping
-    // them keeps the fold short)
+    // them keeps the search array minimal)
     val distinct = bounds.foldLeft(Vector.empty[Double])((acc, b) =>
       if (acc.lastOption.exists(_ >= b)) acc else acc :+ b)
-    distinct.map(b => when(v >= lit(b), 1L).otherwise(0L))
-      .reduceOption(_ + _).getOrElse(lit(0L))
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.QuantileBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v), distinct.toArray))
   }
 
   /** Cluster `df` for writing: z-value computed, range-partitioned and

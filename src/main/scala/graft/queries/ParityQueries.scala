@@ -142,6 +142,76 @@ object ParityQueries {
         s"p14: lang filter did not reach PartitionFilters:\n${plan.take(600)}")
       ordered(back.select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Z-order data skipping, driver-checked end to end (the one layout
+    // primitive p13/p14 didn't cover in-query): lineitem lands z-ordered by
+    // (l_orderkey, l_partkey), and a two-dimension POINT predicate must
+    // find almost every row group's footer stats excluding it — row groups
+    // whose [min,max] contain the point are counted from the parquet
+    // footers and gated IN-QUERY (a layout regression errs the run, like
+    // p14's PartitionFilters gate), the filter itself must reach the scan
+    // as PushedFilters, and the DuckDB oracle pins the filtered content.
+    // At 100 TB this is the difference between reading ~1/N of the corpus
+    // and scanning all of it for multi-column selective predicates.
+    "p15_zorder_skipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p15_zorder_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("liz.parquet").toString
+      // the user-facing layout surface: --zorder-by + --roll-by-rows bound
+      // rows per file so the tree lands at ~24 files/row groups at EVERY
+      // fixture scale — enough for the gate to mean something, bounded so
+      // the footer pass and file count stay O(1) as the fixture grows
+      val nRows = li.count()
+      graft.sinks.Sink.write(li, graft.sinks.Sink.Config(out,
+        graft.sources.Discovery.Parquet,
+        zorderBy = Seq("l_orderkey", "l_partkey"),
+        rollByRows = Some(math.max(2000L, nRows / 24))))
+      // the probed point: the top corner of the 2-D domain (data-derived so
+      // every fixture scale probes a real row; the oracle mirrors it with
+      // scalar subqueries)
+      val corner = li.orderBy(col("l_orderkey").desc, col("l_partkey").desc).limit(1).head()
+      val (k1, k2) = (corner.getLong(0), corner.getLong(1))
+      // footer-stat gate: row groups whose [min,max] boxes contain BOTH
+      // coordinates are the ones a reader must fetch; z-ordering must leave
+      // that a small minority (an unsorted layout matches nearly all)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val dirPath = new org.apache.hadoop.fs.Path(base.toString)
+      val fs = dirPath.getFileSystem(hconf)
+      val parts = fs.listStatus(dirPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("liz-") && p.getName.endsWith(".parquet"))
+      var total = 0L; var matching = 0L
+      parts.foreach { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val (i1, i2) = (schema.getFieldIndex("l_orderkey"), schema.getFieldIndex("l_partkey"))
+          val blocks = r.getFooter.getBlocks
+          (0 until blocks.size).foreach { b =>
+            total += 1
+            def contains(idx: Int, v: Long): Boolean = {
+              val st = blocks.get(b).getColumns.get(idx).getStatistics
+              st.genericGetMin.asInstanceOf[Long] <= v &&
+                v <= st.genericGetMax.asInstanceOf[Long]
+            }
+            if (contains(i1, k1) && contains(i2, k2)) matching += 1
+          }
+        } finally r.close()
+      }
+      require(total >= 8, s"p15: layout produced only $total row groups — gate meaningless")
+      require(matching * 3 <= total,
+        s"p15: z-order layout not skippable — $matching of $total row groups " +
+          s"match the point predicate ($k1, $k2)")
+      val back = graft.sinks.Sink.readBack(s, out, graft.sources.Discovery.Parquet)
+        .where(col("l_orderkey") === k1 && col("l_partkey") === k2)
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters:") && plan.contains("EqualTo(l_orderkey"),
+        s"p15: point predicate did not reach the parquet scan:\n${plan.take(600)}")
+      ordered(back.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -200,5 +270,12 @@ object ParityQueries {
          |${orderSql("doc_id")}""".stripMargin,
     "p14_partition_pruned" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
-         |WHERE lang = 'en' ${orderSql("doc_id")}""".stripMargin)
+         |WHERE lang = 'en' ${orderSql("doc_id")}""".stripMargin,
+    // the same top-corner point the Spark side derives from the data
+    "p15_zorder_skipping" ->
+      s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+         |  AND l_partkey = (SELECT max(l_partkey) FROM lineitem
+         |                   WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem))
+         |${orderSql("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")}""".stripMargin)
 }

@@ -613,7 +613,7 @@ object PipelineQueries {
       val approx = Similarity.lshTopK(e, qs, "vec_id", "embedding",
         k = 5, numPlanes = 4, tables = 6, dim = 64, probes = 4)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
-      Similarity.requireRecall(approx, exact, 0.9, "s02_knn_lsh")
+      Similarity.requireRecall(approx, exact, Similarity.AnnRecallGate, "s02_knn_lsh")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // int8 scalar quantization of the embedding corpus: per-vector integer
@@ -642,7 +642,7 @@ object PipelineQueries {
       val approx = IvfIndex.topK(e, qs, "vec_id", "embedding",
         model, k = 5, nprobe = 6)
       val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
-      Similarity.requireRecall(approx, exact, 0.9, "s03_knn_ivf")
+      Similarity.requireRecall(approx, exact, Similarity.AnnRecallGate, "s03_knn_ivf")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // the PRODUCTION IVF path at 100 TB: corpus assigned once and persisted
@@ -675,7 +675,7 @@ object PipelineQueries {
         require(sel.get.group(1).toLong <= probedCells,
           s"probe read ${sel.get.group(1)} buckets for $probedCells probed cells")
         val exact = Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
-        Similarity.requireRecall(approx, exact, 0.9, "s05_knn_ivf_bucketed")
+        Similarity.requireRecall(approx, exact, Similarity.AnnRecallGate, "s05_knn_ivf_bucketed")
           .orderBy(col("query_id").asc, col("rank").asc)
       } finally s.sql(s"DROP TABLE IF EXISTS $table")
     }),
