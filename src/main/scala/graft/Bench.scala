@@ -56,14 +56,17 @@ object Bench {
     // contract off — measuring the engine, not the coalesce(1) bottleneck)
     val tmp = Files.createTempDirectory("graft-bench")
 
-    // RAW-I/O CANARY before anything Spark touches disk: 200 MB written
-    // (fsync'd) + read back through plain JVM streams. The box shows
-    // recurring degraded-I/O windows (30-40% uniform drops across all legs,
-    // rounds 5-8 — see BENCH_NOTES.md) that previously took manual re-runs
-    // to adjudicate; this number lets every BENCH_r*.json self-label its
-    // window quality: compare io_canary_mbps across rounds before reading
-    // anything into a leg regression.
-    val ioCanaryMbps: Double = {
+    // RAW-I/O CANARY: 200 MB written (fsync'd) + read back through plain
+    // JVM streams. The box shows recurring degraded-I/O windows (30-40%
+    // uniform drops across all legs, rounds 5-9 — see BENCH_NOTES.md) that
+    // previously took manual re-runs to adjudicate; the canary is probed
+    // BEFORE and AFTER each measurement window, and a window whose BETTER
+    // probe (see Window.canaryBest) lands under SPARK_GRAFT_CANARY_MIN
+    // (default 850, ~85% of the box's known-good 1001 MB/s) triggers ONE
+    // automatic re-run — the recorded artifact then carries both windows
+    // and uses the better one, so no round needs manual adjudication
+    // against BENCH_NOTES prose.
+    def canaryProbe(): Double = {
       val f = tmp.resolve("io_canary.bin").toFile
       val buf = new Array[Byte](1 << 20)
       var i = 0
@@ -124,35 +127,64 @@ object Bench {
       // from their own min-of-2 across a warmed session
       Seq(once(), once(), once()).min
     }
-    val csvCsvSec = conv(csvIn, "out_csv.csv", Discovery.Csv)
-    val csvParquetSec = conv(csvIn, "out_pq.parquet", Discovery.Parquet)
-    val pqPqSec = conv(pqIn, "out_pq2.parquet", Discovery.Parquet)
+    final case class Window(canaryPre: Double, canaryPost: Double,
+        csvCsvSec: Double, csvParquetSec: Double, pqPqSec: Double,
+        results: Seq[(String, Double)]) {
+      // window quality = the BETTER probe: the post probe is systematically
+      // depressed by the bench's own dirty-page backlog (observed ~15-20%
+      // under the pre probe on a healthy disk), and the failure mode this
+      // gate exists for — rounds 5-9's degraded-I/O phases — depressed the
+      // WHOLE window uniformly, so a healthy reading at either end clears it
+      def canaryBest: Double = math.max(canaryPre, canaryPost)
+      def total: Double = results.map(_._2).filter(_ >= 0).sum
+    }
+
+    def runWindow(): Window = {
+      val cPre = canaryProbe()
+      val csvCsvSec = conv(csvIn, "out_csv.csv", Discovery.Csv)
+      val csvParquetSec = conv(csvIn, "out_pq.parquet", Discovery.Parquet)
+      val pqPqSec = conv(pqIn, "out_pq2.parquet", Discovery.Parquet)
+      // best of 2: first run pays one-off codegen compilation and is exposed
+      // to GC/machine noise in a long-lived JVM; min-of-2 reports steady state
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Double =
+          try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
+        val a = once()
+        // a failed SECOND run must not discard a's valid measurement (the
+        // sentinel -1.0 is numerically smaller than any real time)
+        val b = if (a < 0) a else { val c = once(); if (c < 0) a else math.min(a, c) }
+        name -> b
+      }
+      Window(cPre, canaryProbe(), csvCsvSec, csvParquetSec, pqPqSec, results)
+    }
+
+    // canary gate: one automatic re-run when the window measured through a
+    // degraded-I/O phase, best (by worst-probe) window reported
+    val canaryMin = sys.env.getOrElse("SPARK_GRAFT_CANARY_MIN", "850").toDouble
+    val w1 = runWindow()
+    val windows: Seq[Window] =
+      if (w1.canaryBest < canaryMin) {
+        System.err.println(f"[bench] canary ${w1.canaryBest}%.0f MB/s < $canaryMin%.0f — re-running the window once")
+        Seq(w1, runWindow())
+      } else Seq(w1)
+    val used = windows.zipWithIndex.maxBy(_._1.canaryBest)._2
+    val w = windows(used)
+
     val mbps = Map(
-      "csv_to_csv" -> csvBytes / 1e6 / csvCsvSec,
-      "csv_to_parquet" -> csvBytes / 1e6 / csvParquetSec,
-      "parquet_to_parquet" -> parquetBytes / 1e6 / pqPqSec)
+      "csv_to_csv" -> csvBytes / 1e6 / w.csvCsvSec,
+      "csv_to_parquet" -> csvBytes / 1e6 / w.csvParquetSec,
+      "parquet_to_parquet" -> parquetBytes / 1e6 / w.pqPqSec)
     // MB/s on small compressed parquet under-sells the engine; report rows/s too
     val liRows = li.count()
     val rowsPerSec = Map(
-      "csv_to_csv" -> liRows * 4 / csvCsvSec, // CSV input is lineitem x4
-      "csv_to_parquet" -> liRows * 4 / csvParquetSec,
-      "parquet_to_parquet" -> liRows * 10 / pqPqSec) // input is lineitem x10
-
-    // best of 2: first run pays one-off codegen compilation and is exposed
-    // to GC/machine noise in a long-lived JVM; min-of-2 reports steady state
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double =
-        try time(fn(spark, sfDir).write.mode("overwrite").format("noop").save())
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
-      val a = once()
-      // a failed SECOND run must not discard a's valid measurement (the
-      // sentinel -1.0 is numerically smaller than any real time)
-      val b = if (a < 0) a else { val c = once(); if (c < 0) a else math.min(a, c) }
-      name -> b
-    }
+      "csv_to_csv" -> liRows * 4 / w.csvCsvSec, // CSV input is lineitem x4
+      "csv_to_parquet" -> liRows * 4 / w.csvParquetSec,
+      "parquet_to_parquet" -> liRows * 10 / w.pqPqSec) // input is lineitem x10
+    val results = w.results
 
     // SHORT query keys (q01, st05, ... — the unique prefix of each name, as
     // in the driver contract's own example): the driver captures only the
@@ -167,8 +199,13 @@ object Bench {
       .mkString("{", ",", "}")
     val th = mbps.map { case (k, v) => f""""$k":$v%.1f""" }.mkString("{", ",", "}")
     val rps = rowsPerSec.map { case (k, v) => f""""$k":$v%.0f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"queries_min_of_2_conversions_best_of_3","io_canary_mbps":$ioCanaryMbps%.0f,"queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
+    val total = w.total
+    // windows: [canary_pre, canary_post, queries_total_sec] per measurement
+    // window (2 entries when the canary gate triggered a re-run); "win_used"
+    // marks which one the headline numbers come from
+    val winJson = windows.map(x =>
+      f"[${x.canaryPre}%.0f,${x.canaryPost}%.0f,${x.total}%.1f]").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"q_min2_conv_best3","io_canary_mbps":${w.canaryBest}%.0f,"windows":$winJson,"win_used":$used,"queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
     // two independent persistence channels: stdout (the driver's 2000-char
     // tail capture) and a file artifact that survives truncation/prefixing
     // by the sbt logger. Print FIRST and Try the write — an unwritable
