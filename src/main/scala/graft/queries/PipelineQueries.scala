@@ -111,6 +111,48 @@ object PipelineQueries {
     (e.unionByName(planted), qs)
   }
 
+  /** s12's build-once serving index: bucketed assigned-corpus table +
+    * persisted centroids, keyed by the fixture's identity (path, size,
+    * mtime — a regenerated fixture gets a fresh key and rebuilds).
+    * Returns (table name, loaded model). Within a session every
+    * invocation after the first measures only centroid load + pruned
+    * probe — the production serving shape where assignment is paid at
+    * ingest. (Scope note: the default in-memory catalog forgets managed
+    * tables at JVM exit, so build-once is per-JVM; on a real cluster with
+    * a persistent metastore the same code is build-once per corpus.)
+    */
+  private def s12ServeIndex(s: SparkSession, dir: String,
+      corpus: DataFrame): (String, graft.operators.IvfIndex.Model) = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val table = s"s12_ivf_serve_$key"
+    val modelPath = s.conf.get("spark.sql.warehouse.dir")
+      .stripSuffix("/") + s"/s12_ivf_model_$key"
+    val cached =
+      try { if (s.catalog.tableExists(table))
+        Some(graft.operators.IvfIndex.load(s, modelPath)) else None }
+      catch { case _: Exception => None } // model parquet missing/torn -> rebuild
+    cached match {
+      case Some(m) => (table, m)
+      case None =>
+        // the default in-memory catalog forgets managed tables across JVMs
+        // while their warehouse LOCATION survives — clear any stale
+        // location first or saveAsTable refuses (LOCATION_ALREADY_EXISTS).
+        // Build-once is therefore per-JVM here; within a session (the
+        // bench's min-of-2, repeated serving calls) the index is reused.
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$table")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val m = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
+        graft.operators.IvfIndex.saveAssigned(corpus, "vec_id", "embedding",
+          m, table, buckets = 8)
+        graft.operators.IvfIndex.save(s, m, modelPath)
+        (table, m)
+    }
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -706,6 +748,33 @@ object PipelineQueries {
       // finds all five
       IvfIndex.topK(corpus, qs, "vec_id", "embedding", model, k = 5, nprobe = 1)
         .select("query_id", "neighbor_id", "rank")
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the SERVING split of the bucketed IVF path (round-9 verdict #3): s05
+    // re-trains and re-writes its bucketed table per invocation, so its
+    // bench number measures index BUILD + probe together and the serving
+    // path's real latency is invisible. s12 builds the index ONCE per
+    // fixture — bucketed table + persisted centroids, keyed by the
+    // fixture's identity, reused across invocations — and the
+    // declared query pays only the serving path: centroid load, driver-side
+    // probe-cell resolution, bucket-pruned scan of the probed cells
+    // (SelectedBucketsCount gated in-query, as in s05). Runs in the PLANTED
+    // regime (nprobe=1 provably finds the five exact duplicates — see s07),
+    // so the DuckDB brute-force oracle hash-checks the SERVED ranking end
+    // to end: probe-only wall AND full-coverage oracle, where s05 keeps the
+    // realistic-regime recall-gate shape.
+    "s12_knn_ivf_serve" -> ((s, dir) => {
+      import graft.operators.IvfIndex
+      val (corpus, qs) = embWithPlantedDups(s, dir)
+      val (table, model) = s12ServeIndex(s, dir, corpus)
+      val approx = IvfIndex.topKAssigned(s, table, qs, "vec_id", "embedding",
+        model, k = 5, nprobe = 1)
+      val plan = approx.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      require(sel.isDefined, "s12: serving probe lost bucket pruning at the scan")
+      require(sel.get.group(1).toLong < sel.get.group(2).toLong,
+        s"s12: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets — no pruning")
+      approx.select("query_id", "neighbor_id", "rank")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // the UDAF surface, driver-checked: s01's ranking re-expressed through
@@ -1658,6 +1727,9 @@ object PipelineQueries {
     // pipelines end to end
     "s06_knn_lsh_planted" -> plantedKnnOracle,
     "s07_knn_ivf_planted" -> plantedKnnOracle,
+    // s12 serves the same planted ranking through the build-once bucketed
+    // index — the exact oracle pins the SERVED result end to end
+    "s12_knn_ivf_serve" -> plantedKnnOracle,
     "s04_quantize_i8" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,

@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 3]: up to 3 attempts per task — a cluster's retry regime,
+      // which RetryDeterminismSpec depends on; deterministic failures in
+      // other suites still fail their jobs (after 2 cheap extra attempts)
+      .master("local[4, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
