@@ -54,6 +54,29 @@ hostile = [
     # German sharp s: upper('\u00df') expands to 'SS' under full case mapping \u2014
     # a length-changing case op both engines must agree on
     "stra\u00dfe STRASSE Ma\u00df MASS sharp s",
+    # --- astral-plane (SMP) rows: every codepoint here is a SURROGATE PAIR
+    # in UTF-16, so any code that walks chars instead of codepoints, or
+    # counts len() in UTF-16 units vs codepoints, diverges. t18 documents
+    # astral chars as deliberately uncounted (BMP-only regex agreement);
+    # these rows prove that behavior cross-engine instead of assuming it.
+    # ZWJ sequence (rainbow flag = flag + VS16 + ZWJ + rainbow), skin-tone
+    # modifier, family (4 people + 3 ZWJ), keycap sequence
+    "\U0001F3F3\ufe0f\u200d\U0001F308 flag \U0001F44B\U0001F3FD wave "
+    "\U0001F468\u200d\U0001F469\u200d\U0001F467\u200d\U0001F466 family 1\ufe0f\u20e3 keycap",
+    # CJK Extension B (U+20000..): surrogate-pair Han ideographs mixed with
+    # BMP CJK \u2014 script-mix accounting must not split a pair
+    "\U00020000\U00020001\U0002A6D6 ext-b han \u4e2d\u6587 bmp mixed",
+    # mathematical alphanumerics (U+1D400..): astral LETTERS \u2014 tokenizers
+    # that class them as word chars vs symbols must agree
+    "\U0001D400\U0001D401\U0001D402 math bold \U0001D7CE\U0001D7CF astral digits",
+    # astral-only document (no BMP text at all except spaces)
+    "\U0001F600 \U0001F601 \U0001F602 \U0001F923 \U0001F60A",
+    # lone-surrogate-adjacent hazard: astral at string BOUNDARIES (first and
+    # last codepoint) where substring/window code clips most easily, plus an
+    # astral char straddling the d10 64-char window boundary position
+    "\U0001F680" + "b" * 62 + "\U0001F680",
+    # combining marks ON astral bases + variation selectors supplementary
+    "\U0001F1E9\U0001F1EA flags de \U0001F1EF\U0001F1F5 jp regional pairs",
 ]
 langs = ['en', 'es', 'de', 'fr', 'zh']
 for i, txt in enumerate(hostile):
