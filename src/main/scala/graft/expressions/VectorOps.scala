@@ -233,3 +233,85 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(c: Expression): LshBucket = copy(child = c)
   override def prettyName: String = "lsh_bucket"
 }
+
+/** Product-quantization encoder: L2-normalizes the vector ONCE, then for
+  * each of the `m` codebooks (one per contiguous subvector) emits the id of
+  * the nearest centroid (squared L2, lowest-id tie-break — the exact
+  * assignment rule the driver-side Lloyd training applies, so encode and
+  * train can never disagree). One expression node for the whole code word:
+  * norm + m argmins in a single pass, no per-subspace slice/normalize
+  * churn.
+  *
+  * Normalization makes inner product == cosine, so ADC scores rank like
+  * the exact cosine pipeline ([[PqAdcScore]]).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private lazy val cf = VectorOps.isFloatArray(child.dataType)
+  private val subDim = codebooks.head.head.length
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = VectorOps.get(v, cf, i); ss += x * x; i += 1 }
+    val inv = if (ss > 0.0) 1.0 / math.sqrt(ss) else 0.0
+    val codes = new Array[Int](codebooks.length)
+    var m = 0
+    while (m < codebooks.length) {
+      val base = m * subDim
+      val book = codebooks(m)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cen = book(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val idx = base + j
+          val x = (if (idx < n) VectorOps.get(v, cf, idx) * inv else 0.0) - cen(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+  override def prettyName: String = "pq_encode"
+  // never render the codebooks into plan strings
+  override def toString: String =
+    s"pq_encode($child, m=${codebooks.length}, k=${codebooks.head.length})"
+}
+
+/** Asymmetric-distance (ADC) score: sum over subspaces of the query's
+  * precomputed lookup table at the stored code — `luts` is the per-query
+  * array<array<double>> of inner products between the (normalized) query
+  * subvector and every codebook centroid, so one add + one array index per
+  * subspace replaces a full float dot product (the 16-64x memory-bandwidth
+  * win PQ serving exists for).
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codesAny: Any, lutsAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val luts = lutsAny.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), luts.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < m) {
+      acc += luts.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcScore =
+    copy(left = l, right = r)
+  override def prettyName: String = "pq_adc_score"
+}

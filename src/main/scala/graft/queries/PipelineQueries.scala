@@ -777,6 +777,41 @@ object PipelineQueries {
       approx.select("query_id", "neighbor_id", "rank")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // Product-quantization retrieval (round-9 verdict #7) — the compressed
+    // serving shape beyond s11's int8: vectors L2-normalized, split into 16
+    // subvectors, each stored as a byte-sized codebook id (16x compression
+    // vs float32). The COARSE pass scores candidates by m table lookups
+    // (asymmetric distance) over the slim codes table — never touching the
+    // float vectors — and keeps top-100; the EXACT re-rank touches full
+    // floats for only those 100 rows/query. Final top-5 must equal s01's
+    // exact brute-force ranking (same oracle), so a codebook/encode/ADC
+    // regression that drops a true neighbor out of the candidate set breaks
+    // the hash. Candidate-set size is asserted in-query, as in s11. (IVF
+    // cell pruning composes orthogonally: bucket the codes table by
+    // ivf_cell as s12 buckets the floats — full IVF-PQ.)
+    "s13_knn_pq_adc" -> ((s, dir) => {
+      import graft.operators.PqIndex
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val qs = e.where(col("vec_id") < 10)
+      val model = PqIndex.train(e, "vec_id", "embedding", m = 16, k = 256,
+        sampleSize = 4096)
+      // localCheckpoint: the size gate and the re-rank both consume the
+      // candidate set; the corpus-wide ADC scan must not run twice
+      val cand = PqIndex.adcCandidates(e, qs, "vec_id", "embedding",
+        model, candidates = 100).localCheckpoint()
+      val sizes = cand.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+      require(sizes.length == 10 && sizes.forall(_.getLong(1) == 100L),
+        "s13: ADC stage must hand exactly 100 candidates per query")
+      val rerank = cand
+        .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("nv")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // the UDAF surface, driver-checked: s01's ranking re-expressed through
     // the typed TopKAggregator registered via functions.udaf — map-side
     // partial top-k means the shuffle carries at most k pairs per group per
@@ -1709,6 +1744,9 @@ object PipelineQueries {
     // two-stage = exact by construction when the coarse net holds: one
     // oracle (s01's exact ranking) pins the whole retrieval pipeline
     "s11_two_stage_knn" -> knnRankingOracle,
+    // PQ-ADC + exact re-rank: same trick, same oracle — the compressed
+    // coarse stage must keep every true top-5 neighbor in its top-100
+    "s13_knn_pq_adc" -> knnRankingOracle,
     // the filtered variant: corpus restricted by the label predicate
     // BEFORE ranking (query rows may or may not satisfy it themselves)
     "s10_filtered_knn" ->

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.PqIndex
+import org.apache.spark.sql.functions._
+
+/** PQ codebook training, encoding, and ADC scoring: shape, determinism,
+  * and the score formula itself (ADC == inner product of the normalized
+  * query with the RECONSTRUCTED candidate, checked directly).
+  */
+class PqIndexSpec extends SparkSpec {
+
+  private def emb = sf("embeddings", "/root/testdata/sf0.001")
+    .select("vec_id", "embedding")
+
+  test("model shape, code ranges, and train/encode determinism") {
+    val m1 = PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 64)
+    val m2 = PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 64)
+    assert(m1.m == 16 && m1.subDim == 4)
+    assert(m1.codebooks.forall(_.length <= 64))
+    // deterministic end to end: same fixture -> bit-identical codebooks
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", m1).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 16 && cs.forall(c => c >= 0 && c < 64), cs.mkString(","))
+    }
+  }
+
+  test("ADC score equals IP(normalized query, reconstructed candidate)") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 16, k = 64)
+    val qs = emb.where(col("vec_id") < 3)
+    val cand = PqIndex.adcCandidates(emb, qs, "vec_id", "embedding", model,
+      candidates = 5).collect()
+    assert(cand.length == 15, s"3 queries x 5 candidates, got ${cand.length}")
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val codesById = PqIndex.encode(emb, "vec_id", "embedding", model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); if (n > 0) v.map(_ / n) else v
+    }
+    cand.foreach { r =>
+      val (q, c, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val qn = normalize(vecs(q))
+      // reconstruction = concatenated codebook centroids of c's codes
+      val rec = codesById(c).zipWithIndex.flatMap { case (code, sub) =>
+        model.codebooks(sub)(code) }
+      val ip = qn.zip(rec).map { case (a, b) => a * b }.sum
+      assert(math.abs(score - ip) < 1e-9, s"ADC $score != reconstructed IP $ip")
+    }
+  }
+
+  test("an exact duplicate encodes to the same codes and tops its query's ADC ranking") {
+    val dup = emb.where(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(dup)
+    val model = PqIndex.train(corpus, "vec_id", "embedding", m = 16, k = 64)
+    val codes = PqIndex.encode(corpus, "vec_id", "embedding", model)
+      .where(col("vec_id").isin(0L, 99999L)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == codes(99999L), "identical vectors must share a code word")
+    val top = PqIndex.adcCandidates(corpus, corpus.where(col("vec_id") === 0),
+      "vec_id", "embedding", model, candidates = 1).collect()
+    assert(top.length == 1 && top.head.getLong(1) == 99999L,
+      s"duplicate must top the ADC ranking, got ${top.mkString}")
+  }
+}
