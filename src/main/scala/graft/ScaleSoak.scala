@@ -77,7 +77,13 @@ object ScaleSoak {
       "s11_two_stage_knn", "d14_semantic_curation",
       // m04's frame window shares t17's shape but explodes ~5x more rows
       // per doc (one per 64-byte frame)
-      "m04_frame_dedup")
+      "m04_frame_dedup",
+      // round-10 additions: s12's serve path (first soak invocation pays
+      // the per-fixture index build, so the leg measures build+probe like
+      // s05 — probe cost alone is nprobe*occupancy and the output stays
+      // 50 rows); s13's ADC coarse scan is one narrow pass over the codes
+      // table (linear) with the re-rank set pinned at 100/query
+      "s12_knn_ivf_serve", "s13_knn_pq_adc")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
