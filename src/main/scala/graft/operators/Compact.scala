@@ -66,26 +66,41 @@ object Compact {
     // fails fast with a readable message instead of corrupting the swap.
     // A crashed holder's lease goes stale after `leaseStaleMs` and is taken
     // over via atomic rename (only one of N racing takeovers wins the
-    // rename, so takeover itself cannot double-admit).
+    // rename, so takeover itself cannot double-admit). The holder's unique
+    // token is re-read just before the destructive swap — a run that
+    // outlives its own lease (stale takeover by a newer run) aborts with
+    // the original tree intact instead of crossing renames with the thief.
     val lease = new org.apache.hadoop.fs.Path(dir + ".compact-lock")
-    acquireLease(fs, lease, leaseStaleMs)
+    val token = acquireLease(fs, lease, leaseStaleMs)
     try runLocked(spark, fs, root, dir, fmt, targetFileBytes, compression,
-      delimiter, preSwapCheck)
-    finally fs.delete(lease, false)
+      delimiter, preSwapCheck, lease, token)
+    finally {
+      // release ONLY if still ours: after a stale takeover the file at the
+      // lease path belongs to the new holder
+      if (readLease(fs, lease).contains(token)) fs.delete(lease, false)
+    }
   }
 
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      lease: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(lease)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   private def acquireLease(fs: org.apache.hadoop.fs.FileSystem,
-      lease: org.apache.hadoop.fs.Path, staleMs: Long): Unit = {
+      lease: org.apache.hadoop.fs.Path, staleMs: Long): String = {
+    val token =
+      s"pid=${ProcessHandle.current.pid} token=${java.util.UUID.randomUUID()} ts=${System.currentTimeMillis}\n"
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lease, false) // exclusive: fails if present
-        try out.write(
-          s"pid=${ProcessHandle.current.pid} ts=${System.currentTimeMillis}\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return
+    if (tryCreate()) return token
     val stale =
       try System.currentTimeMillis - fs.getFileStatus(lease).getModificationTime > staleMs
       catch { case _: java.io.FileNotFoundException => false }
@@ -98,7 +113,7 @@ object Compact {
       val won = try fs.rename(lease, aside) catch { case _: java.io.IOException => false }
       if (won) {
         fs.delete(aside, false)
-        if (tryCreate()) return
+        if (tryCreate()) return token
       }
     }
     throw new IllegalStateException(
@@ -109,7 +124,8 @@ object Compact {
   private def runLocked(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, dir: String, fmt: Discovery.Format,
       targetFileBytes: Long, compression: String, delimiter: String,
-      preSwapCheck: String => Unit): Stats = {
+      preSwapCheck: String => Unit,
+      lease: org.apache.hadoop.fs.Path, leaseToken: String): Stats = {
     // a FileStreamSink tree carries a _spark_metadata transaction log that
     // the rewrite cannot honor: the swap would delete it, and a later stream
     // resume into the same path would recreate a log listing only NEW files
@@ -240,6 +256,17 @@ object Compact {
         s"compaction aborted by pre-swap verification ($dir unchanged): ${e.getMessage}", e)
     }
 
+    // last gate before anything destructive: the lease must still carry
+    // OUR token. A rewrite that ran past `leaseStaleMs` can have had its
+    // lease taken over by a newer run; proceeding would interleave two
+    // promote sequences. Abort instead — the original tree is untouched
+    // and the new holder's compaction supersedes this one.
+    if (!readLease(fs, lease).contains(leaseToken)) {
+      fs.delete(stagingPath, true)
+      throw new IllegalStateException(
+        s"compact: lease on $dir was taken over mid-run (rewrite exceeded the " +
+          "stale window); aborting before the swap — tree unchanged")
+    }
     // swap: old aside -> staging in -> old deleted. A crash between renames
     // leaves the data at `.compact-old` or at the contract path — findable,
     // never gone.

@@ -277,6 +277,25 @@ class CompactSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
   }
 
+  test("lease stolen mid-run: the overrun holder aborts BEFORE the swap, tree intact") {
+    val d = tmpDir("compact-stolen")
+    val out = d.resolve("tree").toString
+    sf("region").repartition(3).write.parquet(out)
+    val lease = java.nio.file.Paths.get(out + ".compact-lock")
+    // simulate a stale takeover while the first run is still rewriting:
+    // the preSwapCheck window replaces the lease with a different holder's
+    val e = intercept[IllegalStateException](Compact.run(spark, out, Discovery.Parquet,
+      preSwapCheck = _ =>
+        java.nio.file.Files.writeString(lease, "pid=9999 token=thief ts=0\n")))
+    assert(e.getMessage.contains("taken over"), e.getMessage)
+    // original tree untouched, staging cleaned, and the THIEF's lease left
+    // in place (the overrun holder must not release someone else's lock)
+    assert(fileCount(out) == 3)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+    assert(java.nio.file.Files.readString(lease).contains("thief"))
+    java.nio.file.Files.delete(lease)
+  }
+
   test("size suffix parsing") {
     assert(cli.Maw.parseSize("1024") == 1024L)
     assert(cli.Maw.parseSize("128m") == 128L * 1024 * 1024)
