@@ -164,11 +164,13 @@ object ParityQueries {
       // rows per file so the tree lands at ~24 files/row groups at EVERY
       // fixture scale — enough for the gate to mean something, bounded so
       // the footer pass and file count stay O(1) as the fixture grows
+      // floor 500: even the sf0.001 fixture (6k rows) must yield >= 8 row
+      // groups or the skipping gate below cannot mean anything
       val nRows = li.count()
       graft.sinks.Sink.write(li, graft.sinks.Sink.Config(out,
         graft.sources.Discovery.Parquet,
         zorderBy = Seq("l_orderkey", "l_partkey"),
-        rollByRows = Some(math.max(2000L, nRows / 24))))
+        rollByRows = Some(math.max(500L, nRows / 24))))
       // the probed point: the top corner of the 2-D domain (data-derived so
       // every fixture scale probes a real row; the oracle mirrors it with
       // scalar subqueries)
