@@ -499,6 +499,37 @@ object Dedup {
       .where(col("status") =!= "unchanged")
   }
 
+  /** CDC-style snapshot merge — the rolling-corpus maintenance primitive
+    * that pairs with [[corpusDiff]]: apply a delta batch of upserts and
+    * tombstones to a snapshot, by key, in ONE equi-join pass.
+    *
+    * `delta` carries an `opCol` with values "upsert" (insert-or-replace
+    * the row) or "delete" (tombstone — the key disappears). Result =
+    * snapshot rows whose key is untouched by the delta, plus the delta's
+    * upsert rows (delta always wins on key collision — last-writer-wins,
+    * the deterministic CDC resolution).
+    *
+    * Scale shape: one `left_anti` equi-join on the key (the delta side is
+    * a batch — typically small enough that AQE broadcasts it; at worst one
+    * slim key shuffle) + a union. No window, no pair join, no full-corpus
+    * rewrite beyond what any snapshot update pays. Duplicate keys WITHIN
+    * the delta are rejected loudly: silently picking one would make the
+    * merge order-dependent.
+    */
+  def mergeSnapshot(snapshot: DataFrame, delta: DataFrame,
+      idCol: String, opCol: String = "op"): DataFrame = {
+    require(delta.columns.contains(opCol),
+      s"mergeSnapshot: delta has no '$opCol' column")
+    val dupKeys = delta.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"mergeSnapshot: delta carries duplicate key ${dupKeys.headOption.map(_.get(0))} — " +
+        "a multi-writer batch must be reduced to one row per key first")
+    val untouched = snapshot.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+    val upserts = delta.where(col(opCol) === "upsert").drop(opCol)
+    untouched.unionByName(upserts)
+  }
+
   /** Cap pathological buckets: drop groups larger than `maxBucketSize`
     * (a bucket that large means a degenerate signature — e.g. empty text —
     * and contributes O(size^2) pairs of near-zero value). Keeps the

@@ -278,6 +278,27 @@ object PipelineQueries {
         blockCount("[\\u0600-\\u06FF]").as("n_arabic"),
         blockCount("[0-9]").as("n_digit")))
     }),
+    // Exact per-column corpus profiling — the first look any pipeline
+    // takes at a new 100 TB drop: row count, null count, and exact
+    // distinct cardinality per column, in ONE pass (Spark plans the
+    // multi-column COUNT(DISTINCT) as a single Expand + one shuffle —
+    // no per-column re-scan). At warehouse scale you'd swap
+    // count_distinct for approx_count_distinct (HLL, constant state) per
+    // column; the exact form here is what DuckDB can hash-pin.
+    "t19_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cs = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cs.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          count_distinct(col(c)).as(s"__dist_$c")))
+      val onerow = docs.agg(aggs.head, aggs.tail: _*)
+      ordered(onerow.select(explode(array(cs.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"))
+    }),
     // Cross-document boilerplate detection (the CCNet/RefinedWeb curation
     // step: lines repeated across many documents — footers, nav bars,
     // cookie banners — are template noise, not content). A line is
@@ -449,6 +470,30 @@ object PipelineQueries {
           .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
       ordered(Dedup.corpusDiff(old, newSnap, "doc_id", "text")
         .select(col("id").as("doc_id"), col("status")))
+    }),
+    // CDC-style snapshot MERGE — the other half of corpus maintenance
+    // (d13 detects a delta; d15 applies one): a deterministic batch of
+    // updates (every 10th doc, text prefixed), inserts (every 13th doc
+    // cloned to a high-id range), and tombstones (every 17th doc) is
+    // merged into the documents snapshot by key. Last-writer-wins upsert
+    // semantics, duplicate delta keys rejected loudly. One left_anti
+    // equi-join + union — the oracle reproduces the merge relationally
+    // and pins every surviving row and value.
+    "d15_corpus_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val updates = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("u:"), col("text")))
+        .withColumn("op", lit("upsert"))
+      val inserts = docs.where(col("doc_id") % 13 === 1)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .withColumn("text", concat(lit("n:"), col("text")))
+        .withColumn("op", lit("upsert"))
+      val deletes = docs.where(col("doc_id") % 17 === 3 && col("doc_id") % 10 =!= 0)
+        .withColumn("op", lit("delete"))
+      val delta = updates.unionByName(inserts).unionByName(deletes)
+      ordered(Dedup.mergeSnapshot(docs, delta, "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
@@ -1620,6 +1665,51 @@ object PipelineQueries {
          |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
          |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
          |${orderSql("doc_id", "status")}""".stripMargin,
+    // the same deterministic delta applied relationally: NOT EXISTS is the
+    // left_anti, upserts re-enter via UNION ALL — every surviving row and
+    // value is pinned
+    "d15_corpus_merge" ->
+      s"""WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         |delta AS (
+         |  SELECT doc_id, 'u:' || text AS text, lang, source, n_chars, 'upsert' AS op
+         |  FROM docs WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, 'n:' || text, lang, source, n_chars, 'upsert'
+         |  FROM docs WHERE doc_id % 13 = 1
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, source, n_chars, 'delete'
+         |  FROM docs WHERE doc_id % 17 = 3 AND doc_id % 10 <> 0),
+         |merged AS (
+         |  SELECT d.* FROM docs d
+         |  WHERE NOT EXISTS (SELECT 1 FROM delta x WHERE x.doc_id = d.doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, text, lang, source, n_chars FROM delta WHERE op = 'upsert')
+         |SELECT doc_id, text, lang, source, n_chars FROM merged
+         |${orderSql("doc_id", "text", "lang", "source", "n_chars")}""".stripMargin,
+    // exact per-column profile — COUNT(DISTINCT) semantics (null-ignoring)
+    // agree across engines
+    "t19_profile" ->
+      s"""SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+         |  UNION ALL
+         |  SELECT 'text', COUNT(*),
+         |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT text) FROM documents
+         |  UNION ALL
+         |  SELECT 'lang', COUNT(*),
+         |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT lang) FROM documents
+         |  UNION ALL
+         |  SELECT 'source', COUNT(*),
+         |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT source) FROM documents
+         |  UNION ALL
+         |  SELECT 'n_chars', COUNT(*),
+         |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT n_chars) FROM documents)
+         |${orderSql("col_name", "n_rows", "n_nulls", "n_distinct")}""".stripMargin,
     // same window CTE family as d10, split into the train hash set and the
     // eval window stream (semi-join instead of shared-hash window)
     "d11_cross_contamination" ->

@@ -539,6 +539,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("mergeSnapshot: upsert wins, tombstones delete, duplicate delta keys refused") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val delta = Seq((2L, "B", "upsert"), (4L, "d", "upsert"), (3L, "c", "delete"))
+      .toDF("id", "v", "op")
+    val merged = graft.operators.Dedup.mergeSnapshot(snap, delta, "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged == Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    // a delta carrying two rows for one key is order-dependent — refuse
+    val dup = Seq((2L, "x", "upsert"), (2L, "y", "delete")).toDF("id", "v", "op")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.mergeSnapshot(snap, dup, "id"))
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(
