@@ -74,14 +74,39 @@ object GraftExtensions {
     ("chunk_spans",
       new ExpressionInfo(classOf[graft.expressions.ChunkSpans].getName, "chunk_spans"),
       (args: Seq[Expression]) => graft.expressions.ChunkSpans(args.head,
-        intArg(args(1), "chunk"), intArg(args(2), "stride"))))
+        intArg(args(1), "chunk"), intArg(args(2), "stride"))),
+    // PQ asymmetric-distance score: sum over subspaces of luts[m][codes[m]]
+    ("pq_adc_score",
+      new ExpressionInfo(classOf[graft.expressions.PqAdcScore].getName, "pq_adc_score"),
+      (args: Seq[Expression]) => graft.expressions.PqAdcScore(args.head, args(1))),
+    // z-order equal-population bucket id; boundaries as a foldable array
+    // literal, e.g. quantile_bucket(v, array(1.0, 2.5, 7.0))
+    ("quantile_bucket",
+      new ExpressionInfo(classOf[graft.expressions.QuantileBucket].getName, "quantile_bucket"),
+      (args: Seq[Expression]) => graft.expressions.QuantileBucket(
+        args.head, doubleArrayArg(args(1), "boundaries"))))
+
+  private def doubleArrayArg(e: Expression, what: String): Array[Double] = {
+    require(e.foldable, s"$what must be a literal array of doubles, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        e.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) => a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"$what must be array<double>, got ${other.simpleString(10)}")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of doubles, got $other")
+    }
+  }
 
   private val arity: Map[String, Int] = Map(
     "shingle_hashes" -> 2, "minhash_sig" -> 3, "simhash64" -> 1,
     "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
     "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1,
     "minhash_sig_md5" -> 3, "simhash60" -> 1, "nfc_normalize" -> 1,
-    "chunk_spans" -> 3)
+    "chunk_spans" -> 3, "pq_adc_score" -> 2, "quantile_bucket" -> 2)
 
   // fail at class-load, not at first invocation: a function added to
   // `functions` without an arity entry would otherwise surface as a bare

@@ -151,6 +151,19 @@ object Compact {
         strays.take(5).map(_.getPath.getName).mkString(", ") +
         (if (strays.size > 5) s" (+${strays.size - 5} more)" else "") +
         " — move them aside or pass the right --out-format")
+    // a BUCKETED table's files encode the bucket id in their names
+    // (part-...-<uuid>_NNNNN.c000...): the hash-to-file mapping IS the
+    // table's join/prune contract, and a compaction rewrite would shuffle
+    // rows across that mapping — every later bucketed join or
+    // SelectedBucketsCount probe would then silently return wrong rows.
+    // Refuse; bucketed tables re-bucket through their writer, not compact.
+    val bucketed = dataFiles.filter(
+      f => BucketFilePattern.matcher(f.getPath.getName).find())
+    require(bucketed.isEmpty,
+      s"compact: $dir looks like a BUCKETED table (bucket-id file names: " +
+        bucketed.take(3).map(_.getPath.getName).mkString(", ") +
+        ") — compacting would scramble the bucket-hash mapping that joins " +
+        "and bucket pruning rely on; rewrite it with the bucketed writer instead")
     val bytesBefore = dataFiles.map(_.getLen).sum
     // sizing bytes: for gz TEXT trees the rewrite is uncompressed, so
     // deriving bytes/row (and the output file count) from COMPRESSED sizes
@@ -294,6 +307,13 @@ object Compact {
     * accept a `.gz` variant — Spark's text scans decompress by extension,
     * so a gz text tree compacts fine (re-written uncompressed).
     */
+  /** Spark bucketed-writer file-name infix: `..._00003.c000.<ext>` — the
+    * five digits are the bucket id. Anchored on the `.cNNN` suffix so a
+    * user file merely containing `_12345` does not false-positive.
+    */
+  private val BucketFilePattern =
+    java.util.regex.Pattern.compile("_\\d{5}\\.c\\d{3}\\.")
+
   private val extsByFormat: Map[Discovery.Format, Set[String]] = Map(
     Discovery.Parquet -> Set(".parquet"),
     Discovery.Orc     -> Set(".orc"),

@@ -296,6 +296,25 @@ class CompactSpec extends SparkSpec {
     java.nio.file.Files.delete(lease)
   }
 
+  test("refuses a BUCKETED table tree (compaction would scramble the bucket-hash mapping)") {
+    import spark.implicits._
+    val table = "compactspec_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    try {
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .write.format("parquet").bucketBy(4, "id").saveAsTable(table)
+      val dir = loc.toUri.getPath
+      val e = intercept[IllegalArgumentException](
+        Compact.run(spark, dir, Discovery.Parquet))
+      assert(e.getMessage.contains("BUCKETED"), e.getMessage)
+      assert(spark.table(table).count() == 100) // untouched
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("size suffix parsing") {
     assert(cli.Maw.parseSize("1024") == 1024L)
     assert(cli.Maw.parseSize("128m") == 128L * 1024 * 1024)

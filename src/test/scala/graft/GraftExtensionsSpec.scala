@@ -79,6 +79,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 2.0 / 6.0)
   }
 
+  test("pq_adc_score and quantile_bucket are SQL-callable") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  pq_adc_score(array(0, 2), array(array(0.5D, 1.0D, 1.5D),
+        |                                  array(10.0D, 20.0D, 30.0D))) AS adc,
+        |  quantile_bucket(3.5D, array(1.0D, 2.0D, 5.0D)) AS qb,
+        |  quantile_bucket(CAST(NULL AS DOUBLE), array(1.0D)) AS qbnull
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 0.5 + 30.0) // luts[0][0] + luts[1][2]
+    assert(r.getLong(1) == 2L)           // two boundaries <= 3.5
+    assert(r.getLong(2) == 0L)           // null -> bucket 0
+    // non-literal boundaries are rejected with a readable message
+    val e = intercept[Exception](spark.sql(
+      "SELECT quantile_bucket(1.0D, array(rand())) ").collect())
+    assert(e.getMessage.contains("boundaries") || e.getMessage.contains("literal"),
+      e.getMessage)
+  }
+
   test("extensions class injects without error (for spark.sql.extensions wiring)") {
     // a shared test session already exists, so we can't observe a fresh
     // session build here; assert the injection path itself is sound
