@@ -495,6 +495,61 @@ object PipelineQueries {
       ordered(Dedup.mergeSnapshot(docs, delta, "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Streaming CDC upsert — the lakehouse maintenance loop d15 runs once:
+    // a stream of delta batches applied to a parquet snapshot via
+    // foreachBatch, the micro-batch sink idiom for transactional writes to
+    // targets no built-in sink covers. The SAME delta as d15 arrives as
+    // two pinned micro-batches (updates+tombstones, then inserts —
+    // disjoint key ranges, so final state is batch-order-free by
+    // construction); each foreachBatch merges into the snapshot tree and
+    // promotes with the staged-rename discipline the sink/compact use. The
+    // final snapshot shares d15's oracle, pinning streaming == batch merge
+    // semantics end to end.
+    "st11_streaming_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"st11_merge_${java.lang.Integer.toHexString(dir.hashCode)}")
+      deleteRecursively(base)
+      val deltaDir = base.resolve("delta")
+      java.nio.file.Files.createDirectories(deltaDir)
+      val snap = base.resolve("snapshot")
+      docs.write.parquet(snap.toString)
+      val updates = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(lit("u:"), col("text")))
+        .withColumn("op", lit("upsert"))
+      val deletes = docs.where(col("doc_id") % 17 === 3 && col("doc_id") % 10 =!= 0)
+        .withColumn("op", lit("delete"))
+      val inserts = docs.where(col("doc_id") % 13 === 1)
+        .withColumn("doc_id", col("doc_id") + 5000000L)
+        .withColumn("text", concat(lit("n:"), col("text")))
+        .withColumn("op", lit("upsert"))
+      val stream = s.readStream.schema(updates.schema).parquet(deltaDir.toString)
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) =>
+        if (!batch.isEmpty) {
+          val staged = java.nio.file.Paths.get(snap.toString + ".next")
+          Dedup.mergeSnapshot(s.read.parquet(snap.toString), batch, "doc_id")
+            .write.mode("overwrite").parquet(staged.toString)
+          // promote: old aside -> staged in -> old deleted (crash leaves a
+          // complete tree at .old or the contract path, never neither)
+          val old = java.nio.file.Paths.get(snap.toString + ".old")
+          deleteRecursively(old)
+          java.nio.file.Files.move(snap, old)
+          java.nio.file.Files.move(staged, snap)
+          deleteRecursively(old)
+        }
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+      try {
+        addStreamFile(updates.unionByName(deletes), deltaDir, "b1")
+        q.processAllAvailable()
+        addStreamFile(inserts, deltaDir, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      ordered(s.read.parquet(snap.toString)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
@@ -1142,6 +1197,30 @@ object PipelineQueries {
       ordered(drainToMemory(s, agg, "st01", dir, "complete"))
     }))
 
+  /** The deterministic upsert/insert/tombstone delta merged into documents
+    * — shared by d15 (one-shot batch merge) and st11 (the same delta
+    * applied through streaming foreachBatch): both must land on this exact
+    * snapshot, so one oracle text pins batch == streaming semantics.
+    */
+  private val mergeOracle: String =
+    s"""WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+       |delta AS (
+       |  SELECT doc_id, 'u:' || text AS text, lang, source, n_chars, 'upsert' AS op
+       |  FROM docs WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000, 'n:' || text, lang, source, n_chars, 'upsert'
+       |  FROM docs WHERE doc_id % 13 = 1
+       |  UNION ALL
+       |  SELECT doc_id, text, lang, source, n_chars, 'delete'
+       |  FROM docs WHERE doc_id % 17 = 3 AND doc_id % 10 <> 0),
+       |merged AS (
+       |  SELECT d.* FROM docs d
+       |  WHERE NOT EXISTS (SELECT 1 FROM delta x WHERE x.doc_id = d.doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, text, lang, source, n_chars FROM delta WHERE op = 'upsert')
+       |SELECT doc_id, text, lang, source, n_chars FROM merged
+       |${orderSql("doc_id", "text", "lang", "source", "n_chars")}""".stripMargin
+
   /** Brute-force cosine top-5 ranking over the raw embeddings — shared by
     * s01 (window formulation) and s08 (UDAF formulation): both must
     * reproduce this exact ranking, so one oracle text pins both.
@@ -1668,24 +1747,11 @@ object PipelineQueries {
     // the same deterministic delta applied relationally: NOT EXISTS is the
     // left_anti, upserts re-enter via UNION ALL — every surviving row and
     // value is pinned
-    "d15_corpus_merge" ->
-      s"""WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
-         |delta AS (
-         |  SELECT doc_id, 'u:' || text AS text, lang, source, n_chars, 'upsert' AS op
-         |  FROM docs WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 5000000, 'n:' || text, lang, source, n_chars, 'upsert'
-         |  FROM docs WHERE doc_id % 13 = 1
-         |  UNION ALL
-         |  SELECT doc_id, text, lang, source, n_chars, 'delete'
-         |  FROM docs WHERE doc_id % 17 = 3 AND doc_id % 10 <> 0),
-         |merged AS (
-         |  SELECT d.* FROM docs d
-         |  WHERE NOT EXISTS (SELECT 1 FROM delta x WHERE x.doc_id = d.doc_id)
-         |  UNION ALL
-         |  SELECT doc_id, text, lang, source, n_chars FROM delta WHERE op = 'upsert')
-         |SELECT doc_id, text, lang, source, n_chars FROM merged
-         |${orderSql("doc_id", "text", "lang", "source", "n_chars")}""".stripMargin,
+    "d15_corpus_merge" -> mergeOracle,
+    // the streaming foreachBatch application of the SAME delta (split into
+    // two disjoint-key micro-batches) must land on the identical snapshot —
+    // one oracle pins streaming == batch merge semantics
+    "st11_streaming_merge" -> mergeOracle,
     // exact per-column profile — COUNT(DISTINCT) semantics (null-ignoring)
     // agree across engines
     "t19_profile" ->
