@@ -214,6 +214,32 @@ object ParityQueries {
         s"p15: point predicate did not reach the parquet scan:\n${plan.take(600)}")
       ordered(back.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"))
     }),
+    // Schema EVOLUTION across a tree's generations — the read-side story a
+    // long-lived table needs: generation 1 wrote (doc_id, text), a later
+    // ingest added (lang, n_chars). A mergeSchema read must present the
+    // union schema with nulls for gen-1's missing columns — the same
+    // widening semantics the in-memory SchemaUnifier applies (O9/T4),
+    // proven here at the PARQUET FOOTER level where evolved trees actually
+    // live. The oracle reproduces the union + null-fill relationally.
+    "p16_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p16_evo_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val tree = base.resolve("tree")
+      java.nio.file.Files.createDirectories(tree)
+      // two generations, disjoint row sets, different schemas
+      docs.where(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.parquet(tree.resolve("gen=1").toString)
+      docs.where(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.parquet(tree.resolve("gen=2").toString)
+      val evolved = s.read.option("mergeSchema", "true")
+        .option("basePath", tree.toString).parquet(
+          tree.resolve("gen=1").toString, tree.resolve("gen=2").toString)
+      ordered(evolved.select("doc_id", "text", "lang", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -273,6 +299,13 @@ object ParityQueries {
     "p14_partition_pruned" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |WHERE lang = 'en' ${orderSql("doc_id")}""".stripMargin,
+    // union schema + null fill for the older generation's missing columns
+    "p16_schema_evolution" ->
+      s"""SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
+         |FROM documents WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+         |${orderSql("doc_id", "text", "lang", "n_chars")}""".stripMargin,
     // the same top-corner point the Spark side derives from the data
     "p15_zorder_skipping" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
