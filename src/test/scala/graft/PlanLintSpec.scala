@@ -1,0 +1,58 @@
+package graft
+
+/** Whole-surface plan lint: every declared query is built (which also runs
+  * any in-query gates/writes its construction performs) and screened for
+  * two scale-killers that can creep in silently:
+  *
+  *   - an UNCONDITIONAL cartesian product (`CartesianProduct` — the
+  *     all-pairs shuffle join; the deliberate broadcast nested loops the
+  *     ANN/top-k family uses plan as `BroadcastNestedLoopJoin` and are
+  *     allowed);
+  *   - a cache LEAK: a query whose construction persists something and
+  *     forgets to unpersist grows a long-lived session forever (the
+  *     round-8 s02/s03 leak class — requireRecall now cleans up after
+  *     itself, and this lint keeps it that way for every future query).
+  *     Queries that return a plan over a `localCheckpoint` legitimately
+  *     leave that ONE materialized RDD behind (it backs the returned
+  *     DataFrame and is released by the ContextCleaner when the consumer
+  *     drops it) — those are declared below and unpersisted by the lint;
+  *     anything undeclared must leave the persistent-RDD set untouched.
+  *
+  * Runs at sf0.01 (the driver's verify scale, where every in-query gate is
+  * known to hold).
+  */
+class PlanLintSpec extends SparkSpec {
+
+  /** Queries whose RESULT is built over localCheckpoint'd RDDs (candidate
+    * sets, per-round closure frontiers) — new persistent entries after
+    * construction are by-design there, bounded, and consumer-lifetime.
+    */
+  private val checkpointBacked = Set(
+    "d09_dedup_clusters", "d12_best_survivors", "d14_semantic_curation",
+    "s05_knn_ivf_bucketed", "s11_two_stage_knn", "s12_knn_ivf_serve",
+    "s13_knn_pq_adc")
+
+  test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
+    val dir = "/root/testdata/sf0.01"
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      try {
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct"))
+          failures += s"$name: unconditional CartesianProduct in the plan"
+        val fresh = spark.sparkContext.getPersistentRDDs.view
+          .filterKeys(k => !before.contains(k)).values.toSeq
+        if (fresh.nonEmpty && !checkpointBacked(name))
+          failures += s"$name: leaked ${fresh.size} persistent RDD(s) " +
+            "(persist without unpersist, or an undeclared localCheckpoint)"
+        // clean either way so one query's residue can't mask the next's
+        fresh.foreach(_.unpersist(false))
+      } catch { case e: Throwable =>
+        failures += s"$name: construction failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, s"${failures.size} lint failure(s):\n${failures.mkString("\n")}")
+  }
+}
