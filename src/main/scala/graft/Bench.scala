@@ -180,10 +180,14 @@ object Bench {
       "parquet_to_parquet" -> parquetBytes / 1e6 / w.pqPqSec)
     // MB/s on small compressed parquet under-sells the engine; report rows/s too
     val liRows = li.count()
+    // short keys (cc/cp/pp = the three legs in throughput_mbps order):
+    // the JSON line lives under the driver's 2000-char tail capture, and
+    // the query map grows every round — rows/s detail doesn't get to cost
+    // 45 chars of that budget
     val rowsPerSec = Map(
-      "csv_to_csv" -> liRows * 4 / w.csvCsvSec, // CSV input is lineitem x4
-      "csv_to_parquet" -> liRows * 4 / w.csvParquetSec,
-      "parquet_to_parquet" -> liRows * 10 / w.pqPqSec) // input is lineitem x10
+      "cc" -> liRows * 4 / w.csvCsvSec, // CSV input is lineitem x4
+      "cp" -> liRows * 4 / w.csvParquetSec,
+      "pp" -> liRows * 10 / w.pqPqSec) // input is lineitem x10
     val results = w.results
 
     // SHORT query keys (q01, st05, ... — the unique prefix of each name, as
@@ -205,7 +209,7 @@ object Bench {
     // marks which one the headline numbers come from
     val winJson = windows.map(x =>
       f"[${x.canaryPre}%.0f,${x.canaryPost}%.0f,${x.total}%.1f]").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"q_min2_conv_best3","io_canary_mbps":${w.canaryBest}%.0f,"windows":$winJson,"win_used":$used,"queries":$qs,"throughput_mbps":$th,"throughput_rows_per_sec":$rps,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"q_min2_conv_best3","io_canary_mbps":${w.canaryBest}%.0f,"windows":$winJson,"win_used":$used,"queries":$qs,"throughput_mbps":$th,"rows_per_sec":$rps,"sf":"$sfDir"}"""
     // two independent persistence channels: stdout (the driver's 2000-char
     // tail capture) and a file artifact that survives truncation/prefixing
     // by the sbt logger. Print FIRST and Try the write — an unwritable

@@ -126,6 +126,17 @@ object RelationalQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice"))),
+    // keyset-style pagination: ORDER BY ... LIMIT ... OFFSET (SQL OFFSET
+    // is Spark 3.4+/4.x surface; the plan stays a single global-limit
+    // take, not a full-sort materialization). Page 3 of 10-row pages over
+    // the q09 ordering.
+    "q54_limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("q54_orders")
+      ordered(s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM q54_orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC
+          |LIMIT 10 OFFSET 20""".stripMargin))
+    }),
     // rollup grouping sets
     "q10_rollup" -> ((s, dir) =>
       ordered(t(s, dir, "orders")
@@ -745,6 +756,9 @@ object RelationalQueries {
     "q09_topk_orders" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q54_limit_offset" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20""".stripMargin,
     "q10_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
