@@ -82,8 +82,11 @@ object ScaleSoak {
       // the per-fixture index build, so the leg measures build+probe like
       // s05 — probe cost alone is nprobe*occupancy and the output stays
       // 50 rows); s13's ADC coarse scan is one narrow pass over the codes
-      // table (linear) with the re-rank set pinned at 100/query
-      "s12_knn_ivf_serve", "s13_knn_pq_adc")
+      // table (linear) with the re-rank set pinned at 100/query; d15's
+      // merge is one left_anti key join (output scales with the corpus,
+      // never with pairs); t19's profile is one Expand+shuffle whose
+      // output stays 5 rows at any corpus
+      "s12_knn_ivf_serve", "s13_knn_pq_adc", "d15_corpus_merge", "t19_profile")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
