@@ -171,10 +171,16 @@ object Bench {
     //       in round 10, csv->parquet 62 MB/s one run, 92 the next).
     // A real regression still shows: both recorded windows stay under.
     val canaryMin = sys.env.getOrElse("SPARK_GRAFT_CANARY_MIN", "850").toDouble
+    // leg floors default to the BASELINE.md targets; env-overridable like
+    // the canary so a re-baseline doesn't leave the gate judging windows
+    // by stale constants (SPARK_GRAFT_LEG_FLOORS="cc,cp,pp" in MB/s)
+    val Array(ccFloor, cpFloor, ppFloor) =
+      sys.env.getOrElse("SPARK_GRAFT_LEG_FLOORS", "150,80,200")
+        .split(",").map(_.trim.toDouble)
     def legsOk(x: Window): Boolean =
-      csvBytes / 1e6 / x.csvCsvSec >= 150 &&
-        csvBytes / 1e6 / x.csvParquetSec >= 80 &&
-        parquetBytes / 1e6 / x.pqPqSec >= 200
+      csvBytes / 1e6 / x.csvCsvSec >= ccFloor &&
+        csvBytes / 1e6 / x.csvParquetSec >= cpFloor &&
+        parquetBytes / 1e6 / x.pqPqSec >= ppFloor
     val w1 = runWindow()
     val windows: Seq[Window] =
       if (w1.canaryBest < canaryMin || !legsOk(w1)) {

@@ -374,8 +374,16 @@ object Maw {
             if (cs1 != cs2) throw new IllegalStateException(
               s"checksum mismatch in the rewritten tree: $cs1 -> $cs2")
           })
-        pre.foreach { cs =>
-          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs")
+        // and AFTER the swap, checksum the PROMOTED tree too: the pre-swap
+        // check protects the source data, this one proves the swap itself
+        // delivered the verified staging bytes to the contract path (stale
+        // files, partial rename on a non-atomic FS)
+        pre.foreach { cs1 =>
+          val cs3 = checksum(dir)
+          if (cs1 != cs3) throw new IllegalStateException(
+            s"verify failed after compaction of $dir: checksum $cs1 -> $cs3 " +
+              "(staging verified clean — the promote itself corrupted the tree)")
+          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs3")
         }
         if (!a.quiet) {
           if (a.jsonLogs)

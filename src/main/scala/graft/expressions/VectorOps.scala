@@ -302,7 +302,13 @@ case class PqAdcScore(left: Expression, right: Expression)
   override def nullSafeEval(codesAny: Any, lutsAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]
     val luts = lutsAny.asInstanceOf[ArrayData]
-    val m = math.min(codes.numElements(), luts.numElements())
+    val m = codes.numElements()
+    // subspace-count skew (codes encoded with one model, LUTs built from
+    // another) must FAIL, not silently sum a prefix into a half-magnitude
+    // score that corrupts the ranking invisibly
+    if (m != luts.numElements()) throw new IllegalArgumentException(
+      s"pq_adc_score: $m codes vs ${luts.numElements()} lookup tables — " +
+        "codes table and query LUTs come from different PQ models")
     var acc = 0.0
     var i = 0
     while (i < m) {

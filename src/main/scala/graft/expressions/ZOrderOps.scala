@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   */
 case class QuantileBucket(child: Expression, boundaries: Array[Double])
     extends UnaryExpression with CodegenFallback {
+  // binarySearch is undefined on unsorted input, and duplicated boundaries
+  // shift the <=-count — ZOrder sorts/dedups before constructing, but the
+  // SQL-registered `quantile_bucket` accepts arbitrary literal arrays, so
+  // the contract is enforced HERE, loudly, for every entry path
+  require(boundaries.zip(boundaries.drop(1)).forall { case (a, b) => a < b },
+    "quantile_bucket boundaries must be strictly increasing: " +
+      boundaries.take(8).mkString(", ") + (if (boundaries.length > 8) ", ..." else ""))
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def checkInputDataTypes()
@@ -34,9 +41,12 @@ case class QuantileBucket(child: Expression, boundaries: Array[Double])
     val v = child.eval(input)
     if (v == null) 0L
     else {
-      val d = v.asInstanceOf[Double]
-      if (d.isNaN) 0L
+      val d0 = v.asInstanceOf[Double]
+      if (d0.isNaN) 0L
       else {
+        // ±0.0 normalize: SQL's >= treats them equal (the fold's contract)
+        // but Double.compare — and so binarySearch — orders -0.0 < 0.0
+        val d = if (d0 == 0.0) 0.0 else d0
         val idx = java.util.Arrays.binarySearch(boundaries, d)
         // exact hit at i: i+1 boundaries are <= v; miss: the insertion
         // point IS the count of boundaries < v (none equal)

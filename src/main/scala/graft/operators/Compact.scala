@@ -210,9 +210,22 @@ object Compact {
     val maxRecords = math.max(1L, (targetFileBytes.toDouble /
       math.max(1.0, sizingBytes.toDouble / math.max(1L, rows))).toLong)
 
-    val staging = dir + ".compact-tmp"
+    // staging path is UNIQUE per run: a previous holder whose lease went
+    // stale mid-rewrite may still have a Spark job committing files into
+    // ITS staging dir — with a shared path, those late files would land in
+    // the new holder's verified staging between count and swap (silent
+    // duplicate rows at the contract path). Per-run suffixes isolate the
+    // trees; the current lease holder sweeps any leftover `.compact-tmp*`
+    // siblings (crashed or superseded runs — both dead to the contract
+    // path, since only the lease holder may swap).
+    val staging = dir + ".compact-tmp-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    if (fs.exists(stagingPath)) fs.delete(stagingPath, true)
+    val parent = root.getParent
+    val leafPrefix = root.getName + ".compact-tmp"
+    fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(leafPrefix))
+      .foreach(p => fs.delete(p, true))
     // DETERMINISTIC partition count from the tree's measured ON-DISK bytes:
     // an AQE rebalance would size partitions by their IN-MEMORY estimate,
     // which for compressed columnar text runs several times the output

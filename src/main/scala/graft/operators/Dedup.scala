@@ -520,11 +520,23 @@ object Dedup {
       idCol: String, opCol: String = "op"): DataFrame = {
     require(delta.columns.contains(opCol),
       s"mergeSnapshot: delta has no '$opCol' column")
-    val dupKeys = delta.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-      .where(col("n") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"mergeSnapshot: delta carries duplicate key ${dupKeys.headOption.map(_.get(0))} — " +
-        "a multi-writer batch must be reduced to one row per key first")
+    // ONE validation pass: duplicate keys (order-dependent merge) and
+    // unrecognized ops are both rejected loudly — an op like "UPSERT" or
+    // null would otherwise anti-join its key out of the snapshot but never
+    // re-insert it, i.e. silently DELETE under a typo
+    val bad = delta.groupBy(col(idCol)).agg(count(lit(1)).as("n"),
+        max(when(!col(opCol).isin("upsert", "delete"), col(opCol))).as("badop"),
+        max(when(col(opCol).isNull, lit("NULL"))).as("nullop"))
+      .where(col("n") > 1 || col("badop").isNotNull || col("nullop").isNotNull)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      if (r.getLong(1) > 1) throw new IllegalArgumentException(
+        s"mergeSnapshot: delta carries duplicate key ${r.get(0)} — " +
+          "a multi-writer batch must be reduced to one row per key first")
+      else throw new IllegalArgumentException(
+        s"mergeSnapshot: delta key ${r.get(0)} carries unrecognized op " +
+          s"'${Option(r.get(2)).getOrElse(r.get(3))}' (expected 'upsert' or 'delete')")
+    }
     val untouched = snapshot.join(delta.select(col(idCol)), Seq(idCol), "left_anti")
     val upserts = delta.where(col(opCol) === "upsert").drop(opCol)
     untouched.unionByName(upserts)

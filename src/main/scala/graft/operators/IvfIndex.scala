@@ -84,7 +84,18 @@ object IvfIndex {
     * per round for kilobytes of data.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-      sampleSize: Int = 2048, iters: Int = 10): Model = {
+      sampleSize: Int = 2048, iters: Int = 10): Model =
+    Model(lloyd(sampleVectors(emb, idCol, vecCol, sampleSize), k, iters))
+
+  /** Deterministic corpus-spanning vector sample: the first
+    * ceil(sampleSize/numSplits) rows of every step-th input split, id-sorted
+    * on the driver, evenly strided down to `sampleSize`. ONE job, no
+    * shuffle, replayable under task retries — shared by IVF and PQ
+    * codebook training so their sampling-bias discipline cannot drift
+    * apart (see [[train]]'s Scaladoc for the full rationale).
+    */
+  private[operators] def sampleVectors(emb: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Double]] = {
     // sort key: numeric ids sort numerically (unchanged results); any other
     // id type sorts by its string rendering — a long cast under ANSI mode
     // would THROW for string ids instead of ordering them
@@ -112,15 +123,23 @@ object IvfIndex {
     val picked = if (sorted.length <= sampleSize) sorted
       else Array.tabulate(sampleSize)(i =>
         sorted((i.toLong * sorted.length / sampleSize).toInt))
-    val sample = picked.map(_.getSeq[Double](1).toArray)
+    picked.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Driver-side Lloyd over the (id-sorted) sample — shared by IVF cells
+    * and PQ subspace codebooks so the clustering discipline stays ONE
+    * implementation: even-stride init (not the head — on an id-correlated
+    * corpus the head is one content region and Lloyd cannot recover from
+    * an all-in-one-cluster start; farthest-first was tried and rejected:
+    * it seeds on outliers, which measurably hurt recall on unclustered
+    * corpora), squared-L2 argmin with lowest-id tie-break (the same order
+    * least(struct(dist, id)) imposes in [[nearestCell]] and
+    * [[graft.expressions.PqEncode]] applies), empty clusters keep their
+    * previous centroid.
+    */
+  private[operators] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     require(sample.nonEmpty, "empty training set")
-    // centroid init: even stride over the id-sorted sample (not its head —
-    // on an id-correlated corpus the head is one content region and Lloyd
-    // cannot recover from an all-in-one-cluster start; farthest-first was
-    // tried and rejected: it seeds on outliers, which measurably hurt
-    // recall on unclustered corpora). Stride + enough Lloyd iterations
-    // scored >=0.9 recall on both the random and the content-sorted
-    // fixtures.
     var centroids =
       if (sample.length <= k) sample.map(_.clone())
       else Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
@@ -129,8 +148,6 @@ object IvfIndex {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
-        // argmin over squared L2; ties keep the lowest cell id (the same
-        // order least(struct(dist, id)) imposes in [[nearestCell]])
         var best = 0; var bestD = Double.MaxValue
         var c = 0
         while (c < centroids.length) {
@@ -150,7 +167,7 @@ object IvfIndex {
         if (counts(c) == 0) old else sums(c).map(_ / counts(c))
       }
     }
-    Model(centroids)
+    centroids
   }
 
   /** Cell count for an `n`-vector corpus: ~sqrt(n), clamped. With nlist

@@ -42,30 +42,17 @@ object PqIndex {
     def subDim: Int = codebooks.head.head.length
   }
 
-  /** Train per-subspace codebooks on a deterministic per-split-head sample
-    * (the `IvfIndex.train` sampling shape: corpus-spanning, one job, no
-    * shuffle, replayable under task retries). Vectors are L2-normalized
-    * BEFORE splitting — training, encoding, and the query LUTs must all
-    * live in the same normalized space.
+  /** Train per-subspace codebooks on the SAME deterministic per-split-head
+    * sample and Lloyd discipline as `IvfIndex.train` — literally the same
+    * code (`IvfIndex.sampleVectors` / `IvfIndex.lloyd`), so the sampling
+    * bias and tie-break contracts cannot drift between the two trainers.
+    * Vectors are L2-normalized BEFORE splitting — training, encoding, and
+    * the query LUTs must all live in the same normalized space.
     */
   def train(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 256, sampleSize: Int = 2048, iters: Int = 10): Model = {
     require(m > 0 && k > 1, s"bad PQ shape m=$m k=$k")
-    val projected = emb.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val rdd = projected.rdd
-    val nSplits = math.max(1, rdd.getNumPartitions)
-    val step = math.max(1, nSplits / sampleSize)
-    val perSplit = math.max(1, math.ceil(sampleSize.toDouble / nSplits).toInt)
-    val collected = rdd.mapPartitionsWithIndex { (idx, it) =>
-      if (idx % step == 0) it.take(perSplit) else Iterator.empty
-    }.collect()
-    val sorted = collected.sortBy(_.getLong(0))
-    val picked = if (sorted.length <= sampleSize) sorted
-      else Array.tabulate(sampleSize)(i =>
-        sorted((i.toLong * sorted.length / sampleSize).toInt))
-    val sample = picked.map { r =>
-      val v = r.getSeq[Double](1).toArray
+    val sample = IvfIndex.sampleVectors(emb, idCol, vecCol, sampleSize).map { v =>
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n > 0.0) v.map(_ / n) else v
     }
@@ -75,43 +62,9 @@ object PqIndex {
     val subDim = dim / m
     val books = Array.tabulate(m) { sub =>
       val subVecs = sample.map(_.slice(sub * subDim, (sub + 1) * subDim))
-      lloyd(subVecs, k, iters)
+      IvfIndex.lloyd(subVecs, k, iters)
     }
     Model(books)
-  }
-
-  /** Driver-side Lloyd with even-stride init over the (id-sorted) sample —
-    * identical discipline to `IvfIndex.train`'s clustering loop: squared
-    * L2, lowest-id tie-break, empty clusters keep their previous centroid.
-    */
-  private def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
-    val dim = sample.head.length
-    var centroids =
-      if (sample.length <= k) sample.map(_.clone())
-      else Array.tabulate(k)(i => sample((i.toLong * sample.length / k).toInt).clone())
-    for (_ <- 1 to iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < centroids.length) {
-          val cen = centroids(c)
-          var d = 0.0; var i = 0
-          while (i < dim) { val t = v(i) - cen(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        counts(best) += 1
-        val s = sums(best)
-        var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
-      }
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
-      }
-    }
-    centroids
   }
 
   /** The m-code word for a vector — one expression node, one pass. */
@@ -135,8 +88,11 @@ object PqIndex {
     val codes = encode(corpus, idCol, vecCol, model)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     // LUTs: luts(m)(c) = <normalized query subvector m, codebook[m][c]> —
-    // computed once per query on the driver (queries x m x k doubles)
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // computed once per query on the driver (queries x m x k doubles).
+    // The id keeps ITS OWN type (a long cast would throw under ANSI for
+    // string ids — the trap IvfIndex.sampleVectors documents).
+    val idType = queries.schema(idCol).dataType
+    val qRows = queries.select(col(idCol), col(vecCol).cast("array<double>"))
       .collect()
     val lutRows: Seq[org.apache.spark.sql.Row] = qRows.toSeq.map { r =>
       val v0 = r.getSeq[Double](1).toArray
@@ -154,12 +110,12 @@ object PqIndex {
           acc
         }
       }
-      org.apache.spark.sql.Row(r.getLong(0), luts)
+      org.apache.spark.sql.Row(r.get(0), luts)
     }
     import org.apache.spark.sql.types._
     val lutDf = spark.createDataFrame(
       java.util.Arrays.asList(lutRows: _*),
-      StructType(Seq(StructField("query_id", LongType, nullable = false),
+      StructType(Seq(StructField("query_id", idType, nullable = false),
         StructField("luts", ArrayType(ArrayType(DoubleType, containsNull = false),
           containsNull = false), nullable = false))))
     val scored = codes.crossJoin(broadcast(lutDf)) // broadcast nested loop

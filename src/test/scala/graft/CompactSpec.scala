@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 class CompactSpec extends SparkSpec {
 
+  /** No leftover staging trees (per-run unique `.compact-tmp-<suffix>`). */
+  private def noStaging(out: String): Boolean = {
+    val parent = java.nio.file.Paths.get(out).getParent
+    !java.nio.file.Files.list(parent).toArray.map(_.toString)
+      .exists(_.startsWith(out + ".compact-tmp"))
+  }
+
   private def fileCount(dir: String): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -41,7 +48,7 @@ class CompactSpec extends SparkSpec {
     assert(Sink.rowChecksum(
       back.select(back.columns.sorted.map(col).toIndexedSeq: _*), None) == before)
     // no staging/old residue next to the compacted tree
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+    assert(noStaging(out))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-old")))
   }
 
@@ -182,7 +189,7 @@ class CompactSpec extends SparkSpec {
     val back = spark.read.parquet(out)
     assert(Sink.rowChecksum(
       back.select(back.columns.sorted.map(col).toIndexedSeq: _*), None) == before)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+    assert(noStaging(out))
   }
 
   test("refuses a streaming-sink tree (_spark_metadata would be orphaned)") {
@@ -274,7 +281,7 @@ class CompactSpec extends SparkSpec {
     assert(st.filesBefore == 10 && st.filesAfter < 10)
     assert(spark.read.parquet(out).count() == rows)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-lock")))
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+    assert(noStaging(out))
   }
 
   test("lease stolen mid-run: the overrun holder aborts BEFORE the swap, tree intact") {
@@ -291,7 +298,7 @@ class CompactSpec extends SparkSpec {
     // original tree untouched, staging cleaned, and the THIEF's lease left
     // in place (the overrun holder must not release someone else's lock)
     assert(fileCount(out) == 3)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-tmp")))
+    assert(noStaging(out))
     assert(java.nio.file.Files.readString(lease).contains("thief"))
     java.nio.file.Files.delete(lease)
   }

@@ -32,6 +32,23 @@ class ZOrderExprSpec extends SparkSpec {
     }
   }
 
+  test("QuantileBucket: ±0.0 follow SQL >= semantics (equal), not Double.compare order") {
+    val expr = graft.expressions.QuantileBucket(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = true), Array(-1.0, 0.0, 1.0))
+    def bucket(v: Double): Long =
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(v)).asInstanceOf[Long]
+    // the fold's `v >= 0.0` was true for -0.0 (SQL equality); so must this be
+    assert(bucket(-0.0) == 2L && bucket(0.0) == 2L)
+    // unsorted / duplicated boundaries are refused at construction
+    intercept[IllegalArgumentException](graft.expressions.QuantileBucket(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = true), Array(5.0, 1.0)))
+    intercept[IllegalArgumentException](graft.expressions.QuantileBucket(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.DoubleType, nullable = true), Array(1.0, 1.0)))
+  }
+
   test("QuantileBucket: exact boundary hits count the boundary (v == b[i] -> i+1)") {
     val bounds = Array(1.0, 2.0, 5.0, 9.0)
     val expr = graft.expressions.QuantileBucket(
