@@ -86,7 +86,10 @@ object ScaleSoak {
       // merge is one left_anti key join (output scales with the corpus,
       // never with pairs); t19's profile is one Expand+shuffle whose
       // output stays 5 rows at any corpus
-      "s12_knn_ivf_serve", "s13_knn_pq_adc", "d15_corpus_merge", "t19_profile")
+      "s12_knn_ivf_serve", "s13_knn_pq_adc", "d15_corpus_merge", "t19_profile",
+      // st11 replays the merge as foreachBatch micro-batches: per-batch
+      // cost = d15's plan + the snapshot rewrite, both linear in the corpus
+      "st11_streaming_merge")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
