@@ -19,13 +19,26 @@ class FaultRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       throw new java.io.IOException(s"injected rename fault: $src -> $dst")
     super.rename(src, dst)
   }
+  // RawLocalFileSystem implements this create variant DIRECTLY (the
+  // FsPermission chain is not consulted), so the fault hook lives here
+  override def create(p: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (FaultRenameFs.createFaults.getAndDecrement() > 0)
+      throw new java.io.IOException(s"injected create fault: $p")
+    super.create(p, overwrite, bufferSize, replication, blockSize, progress)
+  }
 }
 
 object FaultRenameFs {
   val remaining = new AtomicInteger(Int.MaxValue)
-  def allowAll(): Unit = remaining.set(Int.MaxValue)
+  val createFaults = new AtomicInteger(0)
+  def allowAll(): Unit = { remaining.set(Int.MaxValue); createFaults.set(0) }
   /** Let `n` renames succeed, fail the (n+1)th. */
   def failAfter(n: Int): Unit = remaining.set(n)
+  /** Fail the next `n` create() calls (inside TASKS — exercises retries). */
+  def failNextCreates(n: Int): Unit = createFaults.set(n)
 }
 
 /** The byte paths' crash-window contract: all new data is staged before any
@@ -103,6 +116,29 @@ class FaultInjectionSpec extends SparkSpec {
       "old single-file output must survive a failed promote byte-for-byte")
     Concat.convert(spark, csvCfg(in2), sinkCfg)
     assert(Files.readString(d.resolve("out.csv")) == "k,v\n1,new\n2,new\n")
+  }
+
+  test("byte-path task RETRY: a one-shot output create failure leaves output byte-identical") {
+    val d = tmpDir("faultretry")
+    val in = Seq(
+      writeFile(d, "a.csv", "k,v\n1,alpha\n2,beta\n"),
+      writeFile(d, "b.csv", "k,v\n3,gamma\n"))
+    def convert(out: String, faultOut: Boolean): Seq[String] = {
+      val target = d.resolve(s"$out.csv").toString
+      Concat.convert(spark, csvCfg(in),
+        Sink.Config(if (faultOut) s"fault://$target" else target,
+          Discovery.Csv, singleFile = false))
+      (0 to 1).map(i => Files.readString(d.resolve(f"$out%s-$i%04d.csv")))
+    }
+    val clean = convert("clean", faultOut = false)
+    // first staging create() dies inside its TASK -> one task fails and
+    // RETRIES (test master local[4,3]); the promoted output must be
+    // byte-identical to the clean run
+    FaultRenameFs.failNextCreates(1)
+    val retried = convert("retried", faultOut = true)
+    assert(FaultRenameFs.createFaults.get() <= 0, "create fault never fired")
+    assert(retried == clean,
+      s"byte path diverged under a task retry: $retried vs $clean")
   }
 
   test("Parquet multi-part promote killed mid-rename: no torn parts; rerun repairs") {
