@@ -174,9 +174,14 @@ object Bench {
     // leg floors default to the BASELINE.md targets; env-overridable like
     // the canary so a re-baseline doesn't leave the gate judging windows
     // by stale constants (SPARK_GRAFT_LEG_FLOORS="cc,cp,pp" in MB/s)
-    val Array(ccFloor, cpFloor, ppFloor) =
-      sys.env.getOrElse("SPARK_GRAFT_LEG_FLOORS", "150,80,200")
-        .split(",").map(_.trim.toDouble)
+    val legFloorsRaw = sys.env.getOrElse("SPARK_GRAFT_LEG_FLOORS", "150,80,200")
+    val legFloors = try {
+      val a = legFloorsRaw.split(",").map(_.trim.toDouble)
+      require(a.length == 3); a
+    } catch { case _: Exception => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_LEG_FLOORS must be three comma-separated MB/s floors " +
+        s"\"cc,cp,pp\" (e.g. 150,80,200), got '$legFloorsRaw'") }
+    val (ccFloor, cpFloor, ppFloor) = (legFloors(0), legFloors(1), legFloors(2))
     def legsOk(x: Window): Boolean =
       csvBytes / 1e6 / x.csvCsvSec >= ccFloor &&
         csvBytes / 1e6 / x.csvParquetSec >= cpFloor &&

@@ -365,7 +365,21 @@ object Maw {
             c => org.apache.spark.sql.functions.col(
               graft.schema.SchemaUnifier.quoted(c))).toIndexedSeq: _*), None)
         }
+        // relative (path, size) listing of a tree — the cheap swap witness
+        def listing(path: String): Set[(String, Long)] = {
+          val root = new org.apache.hadoop.fs.Path(path)
+          val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val out = scala.collection.mutable.Set.empty[(String, Long)]
+          def walk(p: org.apache.hadoop.fs.Path): Unit =
+            hfs.listStatus(p).foreach { s0 =>
+              if (s0.isDirectory) walk(s0.getPath)
+              else if (!s0.getPath.getName.startsWith("_"))
+                out += ((s0.getPath.toString.stripPrefix(root.toString), s0.getLen))
+            }
+          walk(root); out.toSet
+        }
         val pre = if (a.verify) Some(checksum(dir)) else None
+        var stagingListing: Option[Set[(String, Long)]] = None
         val st = graft.operators.Compact.run(spark, dir, fmt,
           targetFileBytes = a.targetFileBytes, compression = a.compression,
           delimiter = a.delimiter,
@@ -373,17 +387,23 @@ object Maw {
             val cs2 = checksum(staging)
             if (cs1 != cs2) throw new IllegalStateException(
               s"checksum mismatch in the rewritten tree: $cs1 -> $cs2")
+            stagingListing = Some(listing(staging))
           })
-        // and AFTER the swap, checksum the PROMOTED tree too: the pre-swap
-        // check protects the source data, this one proves the swap itself
-        // delivered the verified staging bytes to the contract path (stale
-        // files, partial rename on a non-atomic FS)
+        // AFTER the swap, prove the promote delivered the verified staging
+        // to the contract path. The swap is two directory renames of
+        // already-checksummed inodes, so comparing (path, size) listings is
+        // the honest witness at listing cost; only a MISMATCH (stale files,
+        // partial rename on a non-atomic FS) pays a third full checksum to
+        // adjudicate content.
         pre.foreach { cs1 =>
-          val cs3 = checksum(dir)
-          if (cs1 != cs3) throw new IllegalStateException(
-            s"verify failed after compaction of $dir: checksum $cs1 -> $cs3 " +
-              "(staging verified clean — the promote itself corrupted the tree)")
-          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs3")
+          val promoted = listing(dir)
+          if (stagingListing.exists(_ != promoted)) {
+            val cs3 = checksum(dir)
+            if (cs1 != cs3) throw new IllegalStateException(
+              s"verify failed after compaction of $dir: checksum $cs1 -> $cs3 " +
+                "(staging verified clean — the promote itself corrupted the tree)")
+          }
+          if (!a.quiet) println(s"verify ok: ${st.rows} rows, checksum $cs1")
         }
         if (!a.quiet) {
           if (a.jsonLogs)

@@ -73,7 +73,7 @@ object Compact {
     val lease = new org.apache.hadoop.fs.Path(dir + ".compact-lock")
     val token = acquireLease(fs, lease, leaseStaleMs)
     try runLocked(spark, fs, root, dir, fmt, targetFileBytes, compression,
-      delimiter, preSwapCheck, lease, token)
+      delimiter, preSwapCheck, lease, token, leaseStaleMs)
     finally {
       // release ONLY if still ours: after a stale takeover the file at the
       // lease path belongs to the new holder
@@ -125,7 +125,8 @@ object Compact {
       root: org.apache.hadoop.fs.Path, dir: String, fmt: Discovery.Format,
       targetFileBytes: Long, compression: String, delimiter: String,
       preSwapCheck: String => Unit,
-      lease: org.apache.hadoop.fs.Path, leaseToken: String): Stats = {
+      lease: org.apache.hadoop.fs.Path, leaseToken: String,
+      leaseStaleMs: Long): Stats = {
     // a FileStreamSink tree carries a _spark_metadata transaction log that
     // the rewrite cannot honor: the swap would delete it, and a later stream
     // resume into the same path would recreate a log listing only NEW files
@@ -215,17 +216,29 @@ object Compact {
     // ITS staging dir — with a shared path, those late files would land in
     // the new holder's verified staging between count and swap (silent
     // duplicate rows at the contract path). Per-run suffixes isolate the
-    // trees; the current lease holder sweeps any leftover `.compact-tmp*`
-    // siblings (crashed or superseded runs — both dead to the contract
-    // path, since only the lease holder may swap).
+    // trees. Leftover `.compact-tmp*` siblings are swept only when AGED
+    // past the lease-stale window: a fresh sibling may belong to a live
+    // SUPERSEDING holder (this run could itself be the overrun one — it
+    // stalled, its lease was stolen, and the thief is mid-rewrite; an
+    // unconditional sweep here would delete the thief's verified staging
+    // right before its swap). An aged tree belongs to a dead run by
+    // definition — live runs touch their staging continuously. The
+    // ownership re-check narrows the window further: an already-superseded
+    // run aborts before sweeping anything.
+    if (!readLease(fs, lease).contains(leaseToken))
+      throw new IllegalStateException(
+        s"compact: lease on $dir was taken over before the rewrite started; " +
+          "a newer compaction supersedes this one — tree unchanged")
     val staging = dir + ".compact-tmp-" +
       java.util.UUID.randomUUID().toString.take(8)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
     val parent = root.getParent
     val leafPrefix = root.getName + ".compact-tmp"
-    fs.listStatus(parent).map(_.getPath)
-      .filter(p => p.getName.startsWith(leafPrefix))
-      .foreach(p => fs.delete(p, true))
+    val now = System.currentTimeMillis
+    fs.listStatus(parent)
+      .filter(st => st.getPath.getName.startsWith(leafPrefix) &&
+        now - st.getModificationTime > leaseStaleMs)
+      .foreach(st => fs.delete(st.getPath, true))
     // DETERMINISTIC partition count from the tree's measured ON-DISK bytes:
     // an AQE rebalance would size partitions by their IN-MEMORY estimate,
     // which for compressed columnar text runs several times the output

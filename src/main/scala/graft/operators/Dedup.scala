@@ -520,6 +520,12 @@ object Dedup {
       idCol: String, opCol: String = "op"): DataFrame = {
     require(delta.columns.contains(opCol),
       s"mergeSnapshot: delta has no '$opCol' column")
+    // typed op columns (int CDC codes etc.) would make every comparison
+    // below null-out and the whole batch silently mass-delete — refuse the
+    // TYPE up front, not just unexpected values
+    require(delta.schema(opCol).dataType == org.apache.spark.sql.types.StringType,
+      s"mergeSnapshot: '$opCol' must be a string column ('upsert'/'delete'), " +
+        s"got ${delta.schema(opCol).dataType.simpleString}")
     // ONE validation pass: duplicate keys (order-dependent merge) and
     // unrecognized ops are both rejected loudly — an op like "UPSERT" or
     // null would otherwise anti-join its key out of the snapshot but never

@@ -13,9 +13,10 @@ class CompactSpec extends SparkSpec {
 
   /** No leftover staging trees (per-run unique `.compact-tmp-<suffix>`). */
   private def noStaging(out: String): Boolean = {
-    val parent = java.nio.file.Paths.get(out).getParent
-    !java.nio.file.Files.list(parent).toArray.map(_.toString)
-      .exists(_.startsWith(out + ".compact-tmp"))
+    val p = java.nio.file.Paths.get(out)
+    // File#list holds no directory handle (Files.list would need closing)
+    !Option(p.getParent.toFile.list()).getOrElse(Array.empty[String])
+      .exists(n => n.startsWith(p.getFileName.toString + ".compact-tmp"))
   }
 
   private def fileCount(dir: String): Int = {
