@@ -341,6 +341,31 @@ object PipelineQueries {
         TF.stopwordCount(col("text"), StopWords).as("n_stopwords"),
         (TF.tokenCount(col("text")) - size(array_distinct(toks))).as("n_repeated")))
     }),
+    // Gopher quality rules (Rae et al. 2021, App. A1.1 — the token-level
+    // subset; line-level boilerplate is t17's job): word count in
+    // [50, 100k], mean word length in [3, 10], >= 80% of words contain an
+    // alphabetic character, and >= 2 DISTINCT hits from the paper's
+    // 8-stopword list. Output = every doc's metrics + the composite pass
+    // flag (token-less/null docs simply fail), hash-pinned line-for-line
+    // against the DuckDB mirror.
+    // At 100 TB the token folds collapse into one TextStatsExpr-style
+    // walk; the builtin formulation keeps the oracle mirror exact.
+    "t20_gopher_filter" -> ((s, dir) => {
+      val toks = TF.tokens(col("text"))
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val nTok = size(toks)
+      val meanLen = when(nTok === 0, lit(null)).otherwise(round(
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok, 6))
+      val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
+        size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / nTok, 6))
+      val stopHits = size(array_intersect(
+        transform(toks, x => lower(x)), array(gopherStops.map(lit): _*)))
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
+        alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"),
+        coalesce(nTok.between(50, 100000) && meanLen.between(3.0, 10.0) &&
+          alphaRatio >= 0.8 && stopHits >= 2, lit(false)).as("passes")))
+    }),
     // ---- dedup family ----
     "d01_dedup_exact" -> ((s, dir) => {
       val doubled = t(s, dir, "documents").select("doc_id", "text")
@@ -1436,6 +1461,26 @@ object PipelineQueries {
          |CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it'))) AS INTEGER) AS n_stopwords,
          |CAST(len(toks) - len(list_distinct(toks)) AS INTEGER) AS n_repeated
          |FROM d ${orderSql("doc_id")}""".stripMargin,
+    // same token contract; list_distinct around list_intersect pins the
+    // DISTINCT-hits semantics Spark's array_intersect applies
+    "t20_gopher_filter" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |    ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+         |  END AS mean_word_len,
+         |  CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |    ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+         |  END AS alpha_ratio,
+         |  CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
+         |    ['the','be','to','of','and','that','have','with']))) AS INTEGER) AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_word_len, alpha_ratio, stop_hits,
+         |  COALESCE(n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+         |   AND alpha_ratio >= 0.8 AND stop_hits >= 2, FALSE) AS passes
+         |FROM m ${orderSql("doc_id")}""".stripMargin,
     // same RE2-\s token contract as t04/t07; n_docs is counted over tf so
     // token-less documents drop out on both engines
     "t16_tfidf" ->
