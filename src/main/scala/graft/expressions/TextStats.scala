@@ -23,6 +23,10 @@ object TextStats {
   val EsStop: Set[String] = Set("el", "la", "de", "que", "y", "en", "un", "los", "del", "por")
   val DeStop: Set[String] = Set("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu")
   val FrStop: Set[String] = Set("le", "la", "les", "de", "et", "un", "une", "des", "est", "que")
+  /** Gopher (Rae et al. 2021) App. A1.1 stopword list — DISTINCT hits are
+    * one of the paper's quality rules (>= 2 of these must appear). */
+  val GopherStop: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
 
   val schema: StructType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
@@ -35,7 +39,12 @@ object TextStats {
     StructField("lang_en", IntegerType, nullable = false),
     StructField("stop_es", IntegerType, nullable = false),
     StructField("stop_de", IntegerType, nullable = false),
-    StructField("stop_fr", IntegerType, nullable = false)))
+    StructField("stop_fr", IntegerType, nullable = false),
+    // Gopher-rule inputs (appended fields — earlier positions are pinned
+    // by t02's SQL mirror): tokens containing an ASCII letter, and the
+    // DISTINCT-hit count over GopherStop
+    StructField("alpha_tokens", IntegerType, nullable = false),
+    StructField("gopher_stops", IntegerType, nullable = false)))
 
   def compute(text: String): InternalRow = {
     var nTokens = 0
@@ -44,22 +53,31 @@ object TextStats {
     var cjk = 0
     var bpe = 0
     var stopEn = 0; var langEn = 0; var stopEs = 0; var stopDe = 0; var stopFr = 0
+    var alphaTokens = 0
+    var gopherMask = 0 // bit i = GopherStop(i) seen (distinct-hit count)
     val sb = new java.lang.StringBuilder(16)
     var inLetters = false; var inDigits = false
     var i = 0
     val n = text.length
     var nChars = 0
     var tokCp = 0 // current token length in CODEPOINTS (see below)
+    var tokHasAlpha = false
     def endToken(): Unit = if (sb.length > 0) {
       nTokens += 1
       tokenLenSum += tokCp
+      if (tokHasAlpha) alphaTokens += 1
       val w = sb.toString.toLowerCase
       if (EnStop.contains(w)) stopEn += 1
       if (EnLang.contains(w)) langEn += 1
       if (EsStop.contains(w)) stopEs += 1
       if (DeStop.contains(w)) stopDe += 1
       if (FrStop.contains(w)) stopFr += 1
-      sb.setLength(0); tokCp = 0
+      var g = 0
+      while (g < GopherStop.length) {
+        if (GopherStop(g) == w) gopherMask |= 1 << g
+        g += 1
+      }
+      sb.setLength(0); tokCp = 0; tokHasAlpha = false
     }
     // walk by CODEPOINT, not UTF-16 unit: DuckDB's length()/regex counts
     // codepoints, so a per-unit walk counts every astral char (emoji,
@@ -79,7 +97,7 @@ object TextStats {
         val isLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
         val isDigit = c >= '0' && c <= '9'
         // BPE-ish: a letter run, a digit run, or a lone symbol each count once
-        if (isLetter) { if (!inLetters) bpe += 1; inLetters = true; inDigits = false }
+        if (isLetter) { tokHasAlpha = true; if (!inLetters) bpe += 1; inLetters = true; inDigits = false }
         else if (isDigit) { if (!inDigits) bpe += 1; inDigits = true; inLetters = false }
         else { bpe += 1; inLetters = false; inDigits = false }
         if (c >= '!' && c <= '~' && !isLetter && !isDigit) punct += 1
@@ -89,7 +107,8 @@ object TextStats {
     }
     endToken()
     new GenericInternalRow(Array[Any](nChars, nTokens, tokenLenSum, punct, cjk, bpe,
-      stopEn, langEn, stopEs, stopDe, stopFr))
+      stopEn, langEn, stopEs, stopDe, stopFr,
+      alphaTokens, Integer.bitCount(gopherMask)))
   }
 }
 

@@ -348,19 +348,19 @@ object PipelineQueries {
     // 8-stopword list. Output = every doc's metrics + the composite pass
     // flag (token-less/null docs simply fail), hash-pinned line-for-line
     // against the DuckDB mirror.
-    // At 100 TB the token folds collapse into one TextStatsExpr-style
-    // walk; the builtin formulation keeps the oracle mirror exact.
+    // ONE TextStatsExpr walk per row supplies every metric (token count,
+    // codepoint token lengths, alpha-token count, distinct-stopword mask)
+    // — no per-token lambdas in the hot path, the same t01/t02 discipline.
     "t20_gopher_filter" -> ((s, dir) => {
-      val toks = TF.tokens(col("text"))
-      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val nTok = size(toks)
+      val df = t(s, dir, "documents")
+        .withColumn("__st", TF.textStats(col("text"))) // ONE walk per row
+      val nTok = col("__st.n_tokens")
       val meanLen = when(nTok === 0, lit(null)).otherwise(round(
-        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok, 6))
+        col("__st.token_len_sum").cast("double") / nTok, 6))
       val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
-        size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / nTok, 6))
-      val stopHits = size(array_intersect(
-        transform(toks, x => lower(x)), array(gopherStops.map(lit): _*)))
-      ordered(t(s, dir, "documents").select(
+        col("__st.alpha_tokens").cast("double") / nTok, 6))
+      val stopHits = col("__st.gopher_stops")
+      ordered(df.select(
         col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
         alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"),
         coalesce(nTok.between(50, 100000) && meanLen.between(3.0, 10.0) &&
