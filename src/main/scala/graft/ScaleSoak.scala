@@ -89,7 +89,9 @@ object ScaleSoak {
       "s12_knn_ivf_serve", "s13_knn_pq_adc", "d15_corpus_merge", "t19_profile",
       // st11 replays the merge as foreachBatch micro-batches: per-batch
       // cost = d15's plan + the snapshot rewrite, both linear in the corpus
-      "st11_streaming_merge")
+      "st11_streaming_merge",
+      // t20 is one TextStatsExpr walk per doc — pure narrow pass
+      "t20_gopher_filter")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
