@@ -77,6 +77,13 @@ hostile = [
     "\U0001F680" + "b" * 62 + "\U0001F680",
     # combining marks ON astral bases + variation selectors supplementary
     "\U0001F1E9\U0001F1EA flags de \U0001F1EF\U0001F1F5 jp regional pairs",
+    # --- size-stress rows: a LONG multi-line document (500 distinct lines
+    # — line-based ops like boilerplate detection walk real line volume,
+    # window ops get ~1000 stride windows) and a document whose text is one
+    # huge unbroken token (32 KB — token-length accumulators, BPE runs, and
+    # fixed-width window hashing must not choke on a single token)
+    "\n".join(f"line {i} of the long stress document body text" for i in range(500)),
+    "t" + "ok" * 16000,
 ]
 langs = ['en', 'es', 'de', 'fr', 'zh']
 for i, txt in enumerate(hostile):
