@@ -366,18 +366,9 @@ object Maw {
               graft.schema.SchemaUnifier.quoted(c))).toIndexedSeq: _*), None)
         }
         // relative (path, size) listing of a tree — the cheap swap witness
-        def listing(path: String): Set[(String, Long)] = {
-          val root = new org.apache.hadoop.fs.Path(path)
-          val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val out = scala.collection.mutable.Set.empty[(String, Long)]
-          def walk(p: org.apache.hadoop.fs.Path): Unit =
-            hfs.listStatus(p).foreach { s0 =>
-              if (s0.isDirectory) walk(s0.getPath)
-              else if (!s0.getPath.getName.startsWith("_"))
-                out += ((s0.getPath.toString.stripPrefix(root.toString), s0.getLen))
-            }
-          walk(root); out.toSet
-        }
+        def listing(path: String): Set[(String, Long)] =
+          graft.operators.Compact.relativeListing(
+            spark.sparkContext.hadoopConfiguration, path)
         val pre = if (a.verify) Some(checksum(dir)) else None
         var stagingListing: Option[Set[(String, Long)]] = None
         val st = graft.operators.Compact.run(spark, dir, fmt,

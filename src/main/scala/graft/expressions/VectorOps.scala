@@ -298,6 +298,30 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   */
 case class PqAdcScore(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
+  // SQL-registered, so arbitrary columns reach this expression: with
+  // UnsafeArrayData inputs, codes.getInt on an array<bigint> (or luts
+  // getDouble on array<array<float>>) would read the wrong element width
+  // and return garbage scores that corrupt the ranking invisibly — the
+  // exact failure the m-mismatch guard below exists to prevent. Reject
+  // the TYPE at analysis time instead (AbstractDataType is private[sql],
+  // so this checks directly rather than via ExpectsInputTypes — same
+  // discipline as QuantileBucket).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val codesOk = left.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    val lutsOk = right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && lutsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "pq_adc_score expects (ARRAY<INT> codes, ARRAY<ARRAY<DOUBLE>> luts), got (" +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(codesAny: Any, lutsAny: Any): Any = {
     val codes = codesAny.asInstanceOf[ArrayData]

@@ -13,9 +13,16 @@ import org.apache.spark.sql.types._
   * (37 s per pass over sf0.1 lineitem; this expression does the same
   * pass in well under a second).
   *
-  * Contract (identical to the fold): nulls and NaNs land in bucket 0 —
-  * min/max file stats ignore them anyway; v == boundary[i] counts it
-  * (i+1 buckets are <= v).
+  * Contract: nulls and NaNs land in bucket 0; v == boundary[i] counts it
+  * (i+1 buckets are <= v). Nulls match the fold it replaced (CaseWhen
+  * null-comparison semantics). NaN is a DELIBERATE divergence: the fold's
+  * `when(v >= lit(b), 1)` used Spark SQL comparison semantics where NaN is
+  * greater than every value, so NaN rows landed in the TOP bucket; here
+  * they join nulls in bucket 0, which keeps every non-orderable value in
+  * one place. Impact is layout-only (which file a NaN row lands in), never
+  * query results — parquet min/max stats exclude NaN either way, so
+  * skipping is unaffected. ZOrderExprSpec pins THIS contract (its
+  * referenceBucket uses Scala comparison semantics, i.e. NaN -> 0).
   */
 case class QuantileBucket(child: Expression, boundaries: Array[Double])
     extends UnaryExpression with CodegenFallback {

@@ -72,13 +72,58 @@ object Compact {
     // the original tree intact instead of crossing renames with the thief.
     val lease = new org.apache.hadoop.fs.Path(dir + ".compact-lock")
     val token = acquireLease(fs, lease, leaseStaleMs)
+    // heartbeat: a LIVE holder must never present as stale — a rewrite
+    // that legitimately outlives leaseStaleMs (routine on a 100 TB tree)
+    // would otherwise be taken over mid-job and then waste the entire
+    // rewrite at the pre-swap token re-check. Touch mtime only, never
+    // content: the token bytes the arbitration reads stay stable. Once a
+    // takeover renames the lease away, setTimes throws FileNotFound and
+    // the beat goes quiet — the token re-checks still handle the abort.
+    val beat = new Thread({ () =>
+      val period = math.max(1000L, leaseStaleMs / 3)
+      try while (!Thread.currentThread.isInterrupted) {
+        Thread.sleep(period)
+        try fs.setTimes(lease, System.currentTimeMillis, -1)
+        catch { case _: java.io.IOException => () }
+      } catch { case _: InterruptedException => () }
+    }: Runnable, "compact-lease-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
     try runLocked(spark, fs, root, dir, fmt, targetFileBytes, compression,
       delimiter, preSwapCheck, lease, token, leaseStaleMs)
     finally {
+      beat.interrupt()
       // release ONLY if still ours: after a stale takeover the file at the
       // lease path belongs to the new holder
       if (readLease(fs, lease).contains(token)) fs.delete(lease, false)
     }
+  }
+
+  /** Root-relative (path, size) listing of a tree, skipping `_`-prefixed
+    * metadata files. Used as the cheap post-swap witness that a promote
+    * delivered exactly the verified staging files. The root is QUALIFIED
+    * before prefix-stripping: `listStatus` returns scheme-qualified paths
+    * (`file:/...`), so stripping a caller's plain local path would never
+    * match and every comparison of two trees would spuriously differ.
+    */
+  def relativeListing(conf: org.apache.hadoop.conf.Configuration,
+      path: String): Set[(String, Long)] = {
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val hfs = raw.getFileSystem(conf)
+    val root = hfs.makeQualified(raw)
+    val prefix = root.toString
+    val out = scala.collection.mutable.Set.empty[(String, Long)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      hfs.listStatus(p).foreach { s0 =>
+        if (s0.isDirectory) walk(s0.getPath)
+        else if (!s0.getPath.getName.startsWith("_")) {
+          val full = s0.getPath.toString
+          require(full.startsWith(prefix),
+            s"relativeListing: $full not under $prefix")
+          out += ((full.substring(prefix.length), s0.getLen))
+        }
+      }
+    walk(root); out.toSet
   }
 
   private def readLease(fs: org.apache.hadoop.fs.FileSystem,

@@ -526,17 +526,26 @@ object Dedup {
     require(delta.schema(opCol).dataType == org.apache.spark.sql.types.StringType,
       s"mergeSnapshot: '$opCol' must be a string column ('upsert'/'delete'), " +
         s"got ${delta.schema(opCol).dataType.simpleString}")
-    // ONE validation pass: duplicate keys (order-dependent merge) and
-    // unrecognized ops are both rejected loudly — an op like "UPSERT" or
-    // null would otherwise anti-join its key out of the snapshot but never
-    // re-insert it, i.e. silently DELETE under a typo
+    // ONE validation pass: duplicate keys (order-dependent merge),
+    // unrecognized ops, and NULL KEYS are all rejected loudly — an op like
+    // "UPSERT" or null would otherwise anti-join its key out of the
+    // snapshot but never re-insert it, i.e. silently DELETE under a typo;
+    // a null-key row slips through BOTH merge legs (groupBy puts it in its
+    // own group, and null never equi-joins), so a null-key upsert would be
+    // appended as a junk snapshot row and a null-key delete would be a
+    // silent no-op
     val bad = delta.groupBy(col(idCol)).agg(count(lit(1)).as("n"),
         max(when(!col(opCol).isin("upsert", "delete"), col(opCol))).as("badop"),
         max(when(col(opCol).isNull, lit("NULL"))).as("nullop"))
-      .where(col("n") > 1 || col("badop").isNotNull || col("nullop").isNotNull)
+      .where(col("n") > 1 || col("badop").isNotNull || col("nullop").isNotNull ||
+        col(idCol).isNull)
       .limit(1).collect()
     bad.headOption.foreach { r =>
-      if (r.getLong(1) > 1) throw new IllegalArgumentException(
+      if (r.get(0) == null) throw new IllegalArgumentException(
+        s"mergeSnapshot: delta carries a NULL '$idCol' key — null never " +
+          "matches in the merge join, so its upsert would append a junk row " +
+          "and its delete would be a silent no-op; fix the key upstream")
+      else if (r.getLong(1) > 1) throw new IllegalArgumentException(
         s"mergeSnapshot: delta carries duplicate key ${r.get(0)} — " +
           "a multi-writer batch must be reduced to one row per key first")
       else throw new IllegalArgumentException(

@@ -304,6 +304,64 @@ class CompactSpec extends SparkSpec {
     java.nio.file.Files.delete(lease)
   }
 
+  test("lease heartbeat: a LIVE holder outliving leaseStaleMs is not presented as stale") {
+    val d = tmpDir("compact-heartbeat")
+    val out = d.resolve("tree").toString
+    sf("region").repartition(3).write.parquet(out)
+    val rows = sf("region").count()
+    val inWindow = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val staleMs = 4000L
+    val fut = pool.submit(new java.util.concurrent.Callable[Compact.Stats] {
+      def call() = Compact.run(spark, out, Discovery.Parquet, leaseStaleMs = staleMs,
+        preSwapCheck = _ => {
+          inWindow.countDown()
+          assert(done.await(60, java.util.concurrent.TimeUnit.SECONDS))
+        })
+    })
+    try {
+      assert(inWindow.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "holder never reached its pre-swap window")
+      // park well past the stale window: if the heartbeat were not
+      // refreshing the lease's mtime, this second run would steal it and
+      // the holder would waste its whole rewrite at the token re-check
+      Thread.sleep(staleMs + 1500)
+      val e = intercept[IllegalStateException](
+        Compact.run(spark, out, Discovery.Parquet, leaseStaleMs = staleMs))
+      assert(e.getMessage.contains("another compaction"), e.getMessage)
+    } finally {
+      done.countDown(); pool.shutdown()
+    }
+    val st = fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(st.filesBefore == 3)
+    assert(spark.read.parquet(out).count() == rows)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compact-lock")))
+  }
+
+  test("relativeListing strips the QUALIFIED root: same tree under two roots compares equal") {
+    val d = tmpDir("compact-listing")
+    val a = d.resolve("a").toString
+    val b = d.resolve("b").toString
+    sf("region").repartition(2).write.parquet(a)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(a).getFileSystem(conf)
+    // byte-copy (preserves part-file names) so only the ROOT differs —
+    // exactly the staging-vs-promoted shape of the post-swap witness
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(a),
+      fs, new org.apache.hadoop.fs.Path(b), false, conf)
+    val la = Compact.relativeListing(conf, a)
+    val lb = Compact.relativeListing(conf, b)
+    assert(la.nonEmpty)
+    // the prefix really stripped: plain caller paths vs listStatus's
+    // scheme-qualified file:/ paths was the bug — a leftover scheme or
+    // absolute root would make these differ and turn the witness into
+    // dead code (every clean promote paying a third checksum)
+    assert(la.forall { case (rel, len) => rel.startsWith("/") &&
+      !rel.contains("file:") && !rel.contains(d.toString) && len > 0 }, la.take(3))
+    assert(la == lb)
+  }
+
   test("refuses a BUCKETED table tree (compaction would scramble the bucket-hash mapping)") {
     import spark.implicits._
     val table = "compactspec_bucketed"

@@ -551,6 +551,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       graft.operators.Dedup.mergeSnapshot(snap, dup, "id"))
     assert(e.getMessage.contains("duplicate key"))
+    // a NULL key slips through BOTH merge legs (its group is its own, and
+    // null never equi-joins): an upsert would append a junk row, a delete
+    // would be a silent no-op — refuse up front
+    val nullKey = Seq((Some(2L), "x", "upsert"), (None, "y", "upsert"))
+      .toDF("id", "v", "op")
+    val en = intercept[IllegalArgumentException](
+      graft.operators.Dedup.mergeSnapshot(snap, nullKey, "id"))
+    assert(en.getMessage.contains("NULL"), en.getMessage)
+    val nullDelete = Seq((Option.empty[Long], "y", "delete")).toDF("id", "v", "op")
+    val ed = intercept[IllegalArgumentException](
+      graft.operators.Dedup.mergeSnapshot(snap, nullDelete, "id"))
+    assert(ed.getMessage.contains("NULL"), ed.getMessage)
   }
 
   test("cosine/dot/norm math") {

@@ -98,6 +98,22 @@ class GraftExtensionsSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("pq_adc_score rejects wrong element widths at ANALYSIS time") {
+    GraftExtensions.register(spark)
+    // array<bigint> codes: getInt on an UnsafeArrayData of longs would
+    // read the wrong element width and silently corrupt the ranking —
+    // must fail analysis, not return garbage
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT pq_adc_score(array(0L, 2L), array(array(0.5D), array(1.0D)))").collect())
+    assert(e1.getMessage.toLowerCase.contains("array<int>") ||
+      e1.getMessage.contains("pq_adc_score"), e1.getMessage)
+    // array<array<float>> luts: same trap on the read side
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT pq_adc_score(array(0, 1), array(array(CAST(0.5 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT))))").collect())
+    assert(e2.getMessage.contains("pq_adc_score"), e2.getMessage)
+  }
+
   test("extensions class injects without error (for spark.sql.extensions wiring)") {
     // a shared test session already exists, so we can't observe a fresh
     // session build here; assert the injection path itself is sound
