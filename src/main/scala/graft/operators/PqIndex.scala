@@ -76,17 +76,128 @@ object PqIndex {
   def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
     emb.select(col(idCol), encodeCol(col(vecCol), model).as("codes"))
 
-  /** Top-`candidates` ADC candidates per query: the codes table is scanned
-    * once, each candidate scored by m table lookups against the broadcast
-    * per-query LUTs. `queries` must be small (collected driver-side to
-    * build the LUTs — the same bounded-query-set contract as
+  /** Persist PQ codebooks as a (sub, cell, centroid) parquet table — like
+    * [[IvfIndex.save]], the model is KBs regardless of corpus size and is
+    * trained once per corpus, loaded per serving session.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, m: Model, path: String): Unit = {
+    import spark.implicits._
+    m.codebooks.zipWithIndex.flatMap { case (book, sub) =>
+      book.zipWithIndex.map { case (cen, c) => (sub, c, cen.toSeq) }
+    }.toSeq.toDF("sub", "cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load codebooks saved by [[save]]; (sub, cell) ids restore ordering. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("sub").cast("int"), col("cell").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+    val books = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+    require(books.nonEmpty, s"empty PQ model at $path")
+    Model(books)
+  }
+
+  /** Persist the FULL IVF-PQ index: every vector's coarse cell
+    * ([[IvfIndex.assign]]) plus its PQ code word, as a parquet table
+    * bucketed (and sorted) by `ivf_cell`. This is the 100-TB serving
+    * layout: the table carries (id, cell, m-byte codes) — never the float
+    * vectors — so a probe's bucket-pruned ADC scan reads ~corpus/16th the
+    * bytes of the float layout AND only the probed cells' buckets. Both
+    * narrow passes (assign + encode) happen in ONE scan at ingest.
+    */
+  def saveEncodedAssigned(corpus: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex.Model, pq: Model, table: String, buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      IvfIndex.assign(corpus, idCol, vecCol, ivf)
+        .select(col(idCol), col("ivf_cell"), encodeCol(col(vecCol), pq).as("codes")),
+      table, "ivf_cell", buckets)
+
+  /** Encode a CDC delta for an IVF-PQ index built with the SAME frozen
+    * models: upsert rows get their coarse cell and PQ code word (one
+    * narrow pass — re-assignment included, so a vector whose content moved
+    * cells is re-bucketed and probe pruning stays correct); delete rows
+    * pass through slim. The op column survives for [[mergeAssigned]]'s
+    * `mergeSnapshot` validation. Unknown ops are refused HERE — the
+    * upsert/delete split below would silently drop them before
+    * mergeSnapshot's own validation could see them.
+    */
+  def encodeDelta(delta: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex.Model, pq: Model, opCol: String = "op"): DataFrame = {
+    require(delta.where(col(opCol).isNull ||
+        !col(opCol).isin("upsert", "delete")).limit(1).collect().isEmpty,
+      s"encodeDelta: delta carries an op outside upsert/delete — " +
+        "refusing (the encode split would silently drop it)")
+    val upIdx = IvfIndex.assign(delta.where(col(opCol) === "upsert"),
+        idCol, vecCol, ivf)
+      .select(col(idCol), col("ivf_cell"),
+        encodeCol(col(vecCol), pq).as("codes"), col(opCol))
+    val delIdx = delta.where(col(opCol) === "delete")
+      .select(col(idCol), lit(null).cast("int").as("ivf_cell"),
+        lit(null).cast("array<int>").as("codes"), col(opCol))
+    upIdx.unionByName(delIdx)
+  }
+
+  /** Apply an encoded CDC delta ([[encodeDelta]]) to an index table written
+    * by [[saveEncodedAssigned]]: one `mergeSnapshot` (left_anti + union —
+    * the d15 merge shape) over the slim code rows, rewritten bucketed by
+    * `ivf_cell` so SelectedBucketsCount pruning survives maintenance. The
+    * float corpus is never read: maintenance cost is O(index + delta), and
+    * the index is ~16-64x smaller than the vectors it serves.
+    */
+  def mergeAssigned(spark: org.apache.spark.sql.SparkSession, baseTable: String,
+      encodedDelta: DataFrame, idCol: String, mergedTable: String,
+      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      Dedup.mergeSnapshot(spark.table(baseTable), encodedDelta, idCol),
+      mergedTable, "ivf_cell", buckets)
+
+  /** Top-`candidates` ADC candidates per query over the whole corpus: the
+    * codes table is derived inline (encode pass) and scanned once.
+    * `queries` must be small (collected driver-side to build the LUTs —
+    * the same bounded-query-set contract as
     * `Similarity.bruteForceTopK`'s broadcast).
     */
   def adcCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, model: Model, candidates: Int = 100): DataFrame = {
-    val spark = corpus.sparkSession
-    val codes = encode(corpus, idCol, vecCol, model)
+      vecCol: String, model: Model, candidates: Int = 100): DataFrame =
+    adcTopCandidates(
+      encode(corpus, idCol, vecCol, model)
+        .select(col(idCol).as("neighbor_id"), col("codes")),
+      queries, idCol, vecCol, model, candidates)
+
+  /** The IVF-PQ SERVING probe: resolve each query's `nprobe` nearest
+    * coarse cells driver-side, scan ONLY those cells' buckets of a table
+    * written by [[saveEncodedAssigned]] (literal `ivf_cell IN (...)` →
+    * bucket pruning at the scan, as [[IvfIndex.topKAssigned]] does for
+    * floats), and ADC-score the surviving slim code rows. The float
+    * vectors are never touched — exact re-rank of the returned candidates
+    * is the caller's (cheap, `candidates`-bounded) step.
+    */
+  def adcCandidatesAssigned(spark: org.apache.spark.sql.SparkSession,
+      table: String, queries: DataFrame, idCol: String, vecCol: String,
+      ivf: IvfIndex.Model, pq: Model, nprobe: Int = 3,
+      candidates: Int = 100): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val cells = queries
+      .select(explode(VF.nearestCells(col(vecCol), ivf.centroids, nprobe)).as("c"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val codes = spark.table(table)
+      .where(col("ivf_cell").isin(cells.map(Int.box).toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col("codes"))
+    adcTopCandidates(codes, queries, idCol, vecCol, pq, candidates)
+  }
+
+  /** ADC scoring core shared by the inline and bucketed-serving paths:
+    * broadcast per-query LUTs against a slim (neighbor_id, codes) table,
+    * keep the top `candidates` per query.
+    */
+  private def adcTopCandidates(codes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, model: Model, candidates: Int): DataFrame = {
+    val spark = codes.sparkSession
     // LUTs: luts(m)(c) = <normalized query subvector m, codebook[m][c]> —
     // computed once per query on the driver (queries x m x k doubles).
     // The id keeps ITS OWN type (a long cast would throw under ANSI for

@@ -153,6 +153,47 @@ object PipelineQueries {
     }
   }
 
+  /** s14's build-once IVF-PQ serving index — the composition of s12's
+    * bucketed coarse index and s13's PQ compression into the production
+    * serving layout: ONE ingest-time scan assigns every vector its coarse
+    * cell AND its m-byte PQ code, persisted bucketed by `ivf_cell` with
+    * both models alongside (fixture-keyed like [[s12ServeIndex]]). The
+    * serving path then never touches float vectors until the
+    * candidates-bounded exact re-rank. Cell count is fixture-sized at 8
+    * (= [[graft.operators.IvfIndex.autoNlist]]'s floor region for this
+    * corpus); at warehouse scale autoNlist keeps probe cost ~nprobe*sqrt(n).
+    */
+  private def s14ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
+      : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val table = s"s14_ivfpq_serve_$key"
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val ivfPath = s"$wh/s14_ivf_model_$key"
+    val pqPath = s"$wh/s14_pq_model_$key"
+    val cached =
+      try { if (s.catalog.tableExists(table))
+        Some((graft.operators.IvfIndex.load(s, ivfPath),
+          graft.operators.PqIndex.load(s, pqPath))) else None }
+      catch { case _: Exception => None } // model parquet missing/torn -> rebuild
+    cached match {
+      case Some((ivf, pq)) => (table, ivf, pq)
+      case None =>
+        val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
+        val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
+          m = 16, k = 256, sampleSize = 4096)
+        graft.operators.PqIndex.saveEncodedAssigned(corpus, "vec_id", "embedding",
+          ivf, pq, table, buckets = 8)
+        graft.operators.IvfIndex.save(s, ivf, ivfPath)
+        graft.operators.PqIndex.save(s, pq, pqPath)
+        (table, ivf, pq)
+    }
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -520,6 +561,83 @@ object PipelineQueries {
       ordered(Dedup.mergeSnapshot(docs, delta, "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
+    // applied to s14's serving index: the delta deletes each query's two
+    // lowest-id planted copies, inserts two fresh copies at new ids, and
+    // MOVES one (same id, content becomes the NEXT query's vector — so the
+    // upsert must re-assign its coarse cell or the probe misses it). The
+    // delta is encoded with the FROZEN models (the ingest-side contract:
+    // maintenance never retrains), merged into the slim code table by the
+    // same mergeSnapshot d15 uses — the float corpus is never read — and
+    // rewritten bucketed so SelectedBucketsCount still prunes (gated
+    // in-query). Oracle: brute force over the merged corpus hash-checks
+    // the SERVED post-merge ranking — a missed delete, a lost insert, or a
+    // stale cell assignment each lands distinct wrong ids in the top-5.
+    "d16_ann_index_cdc" -> ((s, dir) => {
+      import graft.operators.{IvfIndex, PqIndex}
+      val (corpus0, qs) = embWithPlantedDups(s, dir)
+      val (baseTable, ivf, pq) = s14ServeIndex(s, dir, corpus0)
+      val vecT = corpus0.schema("embedding").dataType
+      val del = qs.select(col("vec_id"), explode(sequence(lit(0), lit(1))).as("j"))
+        .select((lit(100000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          lit(null).cast(vecT).as("embedding"), lit("delete").as("op"))
+      val news = qs
+        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(1))).as("j"))
+        .select((lit(200000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          col("embedding"), lit("upsert").as("op"))
+      val moved = qs.select(col("vec_id").as("q"))
+        .join(qs.select(((col("vec_id") + 9) % 10).as("q"), col("embedding")), Seq("q"))
+        .select((lit(100000L) + col("q") * 10 + lit(2)).as("vec_id"),
+          col("embedding"), lit("upsert").as("op"))
+      val delta = del.unionByName(news).unionByName(moved).localCheckpoint()
+      val mergedTable = s"d16_ivfpq_merged_${java.lang.Integer.toHexString(dir.hashCode)}"
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$mergedTable")
+      val hfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.sql(s"DROP TABLE IF EXISTS $mergedTable")
+      if (hfs.exists(loc)) hfs.delete(loc, true)
+      PqIndex.mergeAssigned(s, baseTable,
+        PqIndex.encodeDelta(delta, "vec_id", "embedding", ivf, pq),
+        "vec_id", mergedTable, buckets = 8)
+      try {
+        val cand0 = PqIndex.adcCandidatesAssigned(s, mergedTable, qs, "vec_id",
+          "embedding", ivf, pq, nprobe = 1, candidates = 50)
+        // maintenance must PRESERVE the serving contract: the post-merge
+        // probe still reads only the probed cells' buckets
+        val probedCells = qs
+          .select(explode(VF.nearestCells(col("embedding"), ivf.centroids, 1)).as("c"))
+          .distinct().count()
+        val plan = cand0.queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+        require(sel.isDefined, "d16: post-merge probe lost bucket pruning at the ADC scan")
+        require(sel.get.group(1).toLong <= probedCells,
+          s"d16: post-merge probe read ${sel.get.group(1)}/${sel.get.group(2)} " +
+            s"buckets for $probedCells probed cells")
+        val cand = cand0.localCheckpoint()
+        val sizes = cand.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+        require(sizes.length == 10 && sizes.forall { r =>
+          r.getLong(1) >= 5L && r.getLong(1) <= 50L },
+          "d16: each query must hand 5..50 post-merge ADC candidates to the re-rank")
+        // float-side merged corpus for the exact re-rank — the SAME
+        // mergeSnapshot applied to the vectors, so index and corpus
+        // maintenance share one merge semantics by construction
+        val mergedCorpus = Dedup.mergeSnapshot(corpus0, delta, "vec_id")
+        val rerank = cand
+          .join(mergedCorpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nv")), Seq("neighbor_id"))
+          .join(broadcast(qs.select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            VF.cosine(col("qv"), col("nv")).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id").asc, col("rank").asc)
+          // the result must OUTLIVE the finally-dropped merged table
+          .localCheckpoint()
+      } finally s.sql(s"DROP TABLE IF EXISTS $mergedTable")
+    }),
     // Streaming CDC upsert — the lakehouse maintenance loop d15 runs once:
     // a stream of delta batches applied to a parquet snapshot via
     // foreachBatch, the micro-batch sink idiom for transactional writes to
@@ -552,16 +670,16 @@ object PipelineQueries {
       val stream = s.readStream.schema(updates.schema).parquet(deltaDir.toString)
       val applyBatch: (DataFrame, Long) => Unit = (batch, _) =>
         if (!batch.isEmpty) {
+          // crash inside a previous promote leaves the contract path empty
+          // with the complete tree at .next (or .old) — recover FIRST, so
+          // the merge always reads a complete snapshot
+          graft.util.Fs.recoverStaged(snap)
           val staged = java.nio.file.Paths.get(snap.toString + ".next")
           Dedup.mergeSnapshot(s.read.parquet(snap.toString), batch, "doc_id")
             .write.mode("overwrite").parquet(staged.toString)
-          // promote: old aside -> staged in -> old deleted (crash leaves a
-          // complete tree at .old or the contract path, never neither)
-          val old = java.nio.file.Paths.get(snap.toString + ".old")
-          deleteRecursively(old)
-          java.nio.file.Files.move(snap, old)
-          java.nio.file.Files.move(staged, snap)
-          deleteRecursively(old)
+          // promote: old aside -> staged in -> old swept; every crash
+          // state recoverable by recoverStaged (see its contract)
+          graft.util.Fs.promoteStaged(snap)
         }
       val q = stream.writeStream
         .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -939,6 +1057,55 @@ object PipelineQueries {
         .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")), Seq("neighbor_id"))
         .join(broadcast(qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))), Seq("query_id"))
         .select(col("query_id"), col("neighbor_id"), VF.cosine(col("qv"), col("nv")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // FULL IVF-PQ serving (round-10 verdict #1) — the composition of s12
+    // and s13 into *the* production ANN serving shape: the build-once index
+    // table carries (id, ivf_cell, 16 PQ codes) bucketed by cell — no float
+    // vectors — so a probe (a) reads ONLY its probed cells' buckets
+    // (SelectedBucketsCount gated in-query) and (b) scores those rows by 16
+    // table lookups each (ADC) at 16x less scan bytes than the float
+    // layout. Exact re-rank touches full floats for only the top-50
+    // candidate rows per query. Runs in the PLANTED regime (nprobe=1
+    // provably probes the planted duplicates' cell — see s07), so the
+    // DuckDB brute-force oracle hash-checks the SERVED ranking end to end:
+    // probe-only wall, compressed scan, full-coverage oracle.
+    "s14_knn_ivfpq_serve" -> ((s, dir) => {
+      import graft.operators.PqIndex
+      val (corpus, qs) = embWithPlantedDups(s, dir)
+      val (table, ivf, pq) = s14ServeIndex(s, dir, corpus)
+      val cand0 = PqIndex.adcCandidatesAssigned(s, table, qs, "vec_id",
+        "embedding", ivf, pq, nprobe = 1, candidates = 50)
+      // gate BEFORE checkpointing (the checkpointed plan is a LogicalRDD
+      // and no longer shows the scan): buckets read must not exceed the
+      // distinct probed cells — same contract as s05/s12
+      val probedCells = qs
+        .select(explode(VF.nearestCells(col("embedding"), ivf.centroids, 1)).as("c"))
+        .distinct().count()
+      val plan = cand0.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      require(sel.isDefined, "s14: IVF-PQ probe lost bucket pruning at the ADC scan")
+      require(sel.get.group(1).toLong <= probedCells,
+        s"s14: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets " +
+          s"for $probedCells probed cells")
+      // localCheckpoint: the size gate and the re-rank both consume the
+      // candidate set; the pruned ADC scan must not run twice
+      val cand = cand0.localCheckpoint()
+      val sizes = cand.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+      require(sizes.length == 10 && sizes.forall { r =>
+        r.getLong(1) >= 5L && r.getLong(1) <= 50L },
+        "s14: each query must hand 5..50 ADC candidates to the re-rank")
+      val rerank = cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv")), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("qv"), col("nv")).as("cosine"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
@@ -1793,6 +1960,35 @@ object PipelineQueries {
     // left_anti, upserts re-enter via UNION ALL — every surviving row and
     // value is pinned
     "d15_corpus_merge" -> mergeOracle,
+    // the SQL mirror of d16's CDC delta applied to the planted corpus,
+    // then brute-force ranking: deletes (planted j=0,1), a moved vector
+    // (planted j=2 takes the NEXT query's vector), inserts (200000-range
+    // fresh copies). Hash-pins the SERVED post-maintenance ranking.
+    "d16_ann_index_cdc" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 100000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
+         |  FROM (SELECT vec_id, v, unnest(range(0, 5)) AS j FROM q)),
+         |base AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+         |kept AS (SELECT * FROM base
+         |  WHERE NOT (vec_id BETWEEN 100000 AND 100099 AND vec_id % 10 IN (0, 1))),
+         |merged AS (
+         |  SELECT k.vec_id,
+         |    CASE WHEN k.vec_id BETWEEN 100000 AND 100099 AND k.vec_id % 10 = 2
+         |      THEN (SELECT v FROM q
+         |            WHERE q.vec_id = ((k.vec_id - 100000) // 10 + 1) % 10)
+         |      ELSE k.v END AS v
+         |  FROM kept k
+         |  UNION ALL
+         |  SELECT 200000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
+         |  FROM (SELECT vec_id, v, unnest(range(0, 2)) AS j FROM q))
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(q.v, m.v) DESC, m.vec_id ASC) AS rank
+         |  FROM q JOIN merged m ON q.vec_id <> m.vec_id
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // the streaming foreachBatch application of the SAME delta (split into
     // two disjoint-key micro-batches) must land on the identical snapshot —
     // one oracle pins streaming == batch merge semantics
@@ -1977,6 +2173,9 @@ object PipelineQueries {
     // s12 serves the same planted ranking through the build-once bucketed
     // index — the exact oracle pins the SERVED result end to end
     "s12_knn_ivf_serve" -> plantedKnnOracle,
+    // s14 serves it through the composed IVF-PQ index (bucket-pruned ADC
+    // scan + exact re-rank) — same exact oracle pins the full composition
+    "s14_knn_ivfpq_serve" -> plantedKnnOracle,
     "s04_quantize_i8" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,

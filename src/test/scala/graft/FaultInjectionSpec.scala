@@ -182,4 +182,45 @@ class FaultInjectionSpec extends SparkSpec {
     Concat.convert(spark, Concat.Config(in2), sinkCfg)
     assert((0 to 1).map(readPart) == Seq(Set((0L, 200L)), Set((1L, 200L))))
   }
+
+  test("staged snapshot promote crashed between its two moves: recoverable, never torn") {
+    // the st11/d15 snapshot-maintenance promote (Fs.promoteStaged): POSIX
+    // cannot rename-over a non-empty dir, so there is an instant where the
+    // contract path is empty — the contract is that EVERY crash state is
+    // recoverable because .next is complete before the first move
+    val base = Files.createTempDirectory("promote-fault")
+    try {
+      val snap = base.resolve("snapshot")
+      Files.createDirectories(snap)
+      Files.writeString(snap.resolve("data.txt"), "v1")
+      val staged = base.resolve("snapshot.next")
+      Files.createDirectories(staged)
+      Files.writeString(staged.resolve("data.txt"), "v2")
+      // one-shot crash INSIDE the window: old moved aside, staged not in
+      val boom = intercept[RuntimeException](graft.util.Fs.promoteStaged(
+        snap, () => throw new RuntimeException("injected crash")))
+      assert(boom.getMessage == "injected crash")
+      assert(!Files.exists(snap), "crash window: contract path is empty")
+      assert(Files.exists(staged) && Files.exists(base.resolve("snapshot.old")))
+      // recovery moves the COMPLETE newer tree in and sweeps the old
+      assert(graft.util.Fs.recoverStaged(snap))
+      assert(Files.readString(snap.resolve("data.txt")) == "v2")
+      assert(!Files.exists(staged) && !Files.exists(base.resolve("snapshot.old")))
+      // idempotent once healthy
+      assert(!graft.util.Fs.recoverStaged(snap))
+      // degenerate .old-only state rolls back to the previous snapshot
+      val snap2 = base.resolve("s2")
+      Files.createDirectories(base.resolve("s2.old"))
+      Files.writeString(base.resolve("s2.old").resolve("d"), "old")
+      assert(graft.util.Fs.recoverStaged(snap2))
+      assert(Files.readString(snap2.resolve("d")) == "old")
+      // and a clean promote still works end to end after recovery
+      val staged3 = base.resolve("snapshot.next")
+      Files.createDirectories(staged3)
+      Files.writeString(staged3.resolve("data.txt"), "v3")
+      graft.util.Fs.promoteStaged(snap)
+      assert(Files.readString(snap.resolve("data.txt")) == "v3")
+      assert(!Files.exists(staged3) && !Files.exists(base.resolve("snapshot.old")))
+    } finally graft.util.Fs.deleteRecursively(base)
+  }
 }
