@@ -91,7 +91,16 @@ object ScaleSoak {
       // cost = d15's plan + the snapshot rewrite, both linear in the corpus
       "st11_streaming_merge",
       // t20 is one TextStatsExpr walk per doc — pure narrow pass
-      "t20_gopher_filter")
+      "t20_gopher_filter",
+      // round-11 additions: p15 is the layout-write leg (z-order quantile
+      // pass + clustered write + footer audit — cost must stay linear in
+      // rows; its row-group gate self-adjusts via nRows/24); s14's serve
+      // wall is probe-only after the first build (flat expected, like
+      // s12); d16 measures index maintenance: frozen-model delta encode +
+      // one left_anti merge + bucketed rewrite, linear in the index
+      "p15_zorder_skipping", "s14_knn_ivfpq_serve", "d16_ann_index_cdc",
+      // t21 is t19's sketch pass: same Expand-free shape, output 5 rows
+      "t21_profile_approx")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -160,6 +169,18 @@ object ScaleSoak {
     java.nio.file.Files.move(part, dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     deleteRecursively(evTmp.toFile)
+    // lineitem (p15's z-order leg): keys offset per replica so the 2-D
+    // (orderkey, partkey) domain GROWS with the corpus — the layout pass
+    // must keep its skipping property as the key space scales, not just
+    // as rows stack into the same domain. Only p15's five columns travel.
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    (0 until scale).map(r => li.select(
+        (col("l_orderkey") + lit(r * 10000000L)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * 10000000L)).as("l_partkey"),
+        col("l_suppkey"), col("l_linenumber"), col("l_quantity")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(dir.resolve("lineitem.parquet").toString)
     dir.toString
   }
 

@@ -240,6 +240,46 @@ object ParityQueries {
           tree.resolve("gen=1").toString, tree.resolve("gen=2").toString)
       ordered(evolved.select("doc_id", "text", "lang", "n_chars"))
     }),
+    // Resilient ingestion (--skip-corrupt — the last §2.3 primitive pinned
+    // only by a CLI spec until now): a tree of good parquet parts PLUS two
+    // corrupt members — pure garbage bytes, and a TORN copy of a real part
+    // (PAR1 magic, footer gone: the realistic crashed-upload artifact).
+    // Corruption must be REAL (the strict read refuses the tree, asserted
+    // in-query) and the skip-corrupt read must deliver exactly the good
+    // rows — the DuckDB oracle pins them. At 100 TB a single torn object
+    // must cost one stderr line and its own rows, never the ingest.
+    "p17_resilient_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p17_resilient_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val tree = base.resolve("tree")
+      docs.write.parquet(tree.toString)
+      java.nio.file.Files.write(tree.resolve("zz-garbage.parquet"),
+        Array.fill[Byte](512)(0x5A))
+      val firstPart = {
+        import scala.jdk.CollectionConverters._
+        import scala.util.Using
+        Using.resource(java.nio.file.Files.list(tree)) { st =>
+          st.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.toList.minBy(_.getFileName.toString)
+        }
+      }
+      val head = java.nio.file.Files.readAllBytes(firstPart).take(256)
+      java.nio.file.Files.write(tree.resolve("zz-torn.parquet"), head)
+      val strictFailed =
+        try { graft.operators.Concat.run(s,
+          graft.operators.Concat.Config(Seq(tree.toString))); false }
+        catch { case _: Exception => true }
+      require(strictFailed, "p17: the strict read accepted a corrupt tree")
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(tree.toString), skipCorrupt = true))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -306,6 +346,10 @@ object ParityQueries {
          |UNION ALL
          |SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id % 2 = 1
          |${orderSql("doc_id", "text", "lang", "n_chars")}""".stripMargin,
+    // the good rows, exactly — corrupt members contribute nothing
+    "p17_resilient_ingest" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
     // the same top-corner point the Spark side derives from the data
     "p15_zorder_skipping" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem

@@ -340,6 +340,32 @@ object PipelineQueries {
           col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
         .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"))
     }),
+    // t19's WAREHOUSE-SCALE mode, declared and tested rather than prose:
+    // per-column distinct cardinality via approx_count_distinct (HLL++,
+    // constant sketch state per column — no Expand, no distinct shuffle;
+    // the only form that survives a 100 TB profile pass). The exact count
+    // rides along here purely to GATE the sketch inside the query (q17's
+    // error-envelope discipline, |approx-exact| <= 15%): the declared
+    // output carries the exact figure + the gate bool, so the DuckDB
+    // oracle hash-pins it while the sketch path is what actually executed.
+    "t21_profile_approx" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cs = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cs.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+          count_distinct(col(c)).as(s"__dist_$c"),
+          approx_count_distinct(col(c)).as(s"__approx_$c")))
+      val onerow = docs.agg(aggs.head, aggs.tail: _*)
+      ordered(onerow.select(explode(array(cs.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__dist_$c").as("n_distinct"),
+          (abs(col(s"__approx_$c") - col(s"__dist_$c")) <=
+            col(s"__dist_$c") * lit(0.15)).as("approx_ok"))): _*)).as("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
+          "p.approx_ok"))
+    }),
     // Cross-document boilerplate detection (the CCNet/RefinedWeb curation
     // step: lines repeated across many documents — footers, nav bars,
     // cookie banners — are template noise, not content). A line is
@@ -1997,6 +2023,31 @@ object PipelineQueries {
     // agree across engines
     "t19_profile" ->
       s"""SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+         |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+         |  UNION ALL
+         |  SELECT 'text', COUNT(*),
+         |    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT text) FROM documents
+         |  UNION ALL
+         |  SELECT 'lang', COUNT(*),
+         |    CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT lang) FROM documents
+         |  UNION ALL
+         |  SELECT 'source', COUNT(*),
+         |    CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT source) FROM documents
+         |  UNION ALL
+         |  SELECT 'n_chars', COUNT(*),
+         |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |    COUNT(DISTINCT n_chars) FROM documents)
+         |${orderSql("col_name", "n_rows", "n_nulls", "n_distinct")}""".stripMargin,
+    // the approx variant: exact figures + the in-query-verified envelope
+    // bool (DuckDB's own HLL differs bit-wise, so the SKETCH value itself
+    // is gated Spark-side, never hashed cross-engine — q17's discipline)
+    "t21_profile_approx" ->
+      s"""SELECT col_name, n_rows, n_nulls, n_distinct, TRUE AS approx_ok FROM (
          |  SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
          |    CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |    COUNT(DISTINCT doc_id) AS n_distinct FROM documents
