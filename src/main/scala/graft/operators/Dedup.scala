@@ -250,15 +250,32 @@ object Dedup {
         // — pass corpusSizeHint to avoid it
         autoPlanes(emb.count(), numPlanes, targetBucketSize)
     // one lshBucket expression per table (each a single pass over the
-    // vector); posexplode to slim (id, band=table, bucket) rows
+    // vector); posexplode to (id, v, band=table, bucket) rows. Unlike the
+    // TEXT paths (pairCandidates + attach — right when the payload is an
+    // unbounded document), the fixed-width vector RIDES THROUGH the bucket
+    // self-join: the cosine verify then runs INLINE in the join stage
+    // (candidate rows never shuffle — at high thresholds ~99% of them fail
+    // verification, so shipping them to a distinct and then two attach
+    // joins was the whole constant: the round-10 soak measured this at
+    // 3.5x the wall of the carried form at x16, identical output), and
+    // distinct dedupes only the verified survivors (~tables copies of each
+    // true pair) instead of millions of candidates. Shuffle volume is
+    // corpus x tables x vector-width — linear in the corpus with a width
+    // constant, vs pair-count-driven volume that inherits bucket skew.
     val bucketKeys = (0 until tables).map(t =>
       VF.lshBucket(col("v"), VF.hyperplanes(planes, dim, seed = 42L + t)))
-    val banded = base.select(col("id"), posexplode(array(bucketKeys: _*)))
+    val banded = base.select(col("id"), col("v"), posexplode(array(bucketKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
-    val candidates = pairCandidates(banded, Seq("band", "bucket"), maxBucketSize)
-    attach(candidates, base, "v")
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("id").as("idA"), col("v").as("vA"),
+      col("band"), col("bucket"))
+    val b = capped.select(col("id").as("idB"), col("v").as("vB"),
+      col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= minCosine)
+      .distinct()
   }
 
   /** Plane count giving ~`targetBucketSize` expected rows per LSH bucket
