@@ -100,7 +100,10 @@ object ScaleSoak {
       // one left_anti merge + bucketed rewrite, linear in the index
       "p15_zorder_skipping", "s14_knn_ivfpq_serve", "d16_ann_index_cdc",
       // t21 is t19's sketch pass: same Expand-free shape, output 5 rows
-      "t21_profile_approx")
+      "t21_profile_approx",
+      // st12 replays d16's maintenance as two foreachBatch versions:
+      // per-batch cost = frozen-model encode + merge + bucketed rewrite
+      "st12_ann_index_stream")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

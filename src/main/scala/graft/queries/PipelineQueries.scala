@@ -719,6 +719,111 @@ object PipelineQueries {
       ordered(s.read.parquet(snap.toString)
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Streaming ANN index maintenance — d16's delta arriving as TWO
+    // micro-batches (deletes+moved, then inserts — disjoint key ranges,
+    // so final state is batch-order-free by construction) applied to
+    // s14's serving index through foreachBatch: each batch is encoded
+    // with the frozen models and merged into a NEW bucketed table
+    // version (the snapshot-versioned maintenance loop — the float
+    // corpus is never read, and readers of version N are never torn by
+    // the write of N+1). The final version is served with the same
+    // pruning + candidate gates as d16 and shares its oracle: one hash
+    // pins streaming == batch index maintenance, the st11/d15 discipline.
+    "st12_ann_index_stream" -> ((s, dir) => {
+      import graft.operators.PqIndex
+      val (corpus0, qs) = embWithPlantedDups(s, dir)
+      val (baseTable, ivf, pq) = s14ServeIndex(s, dir, corpus0)
+      val vecT = corpus0.schema("embedding").dataType
+      val del = qs.select(col("vec_id"), explode(sequence(lit(0), lit(1))).as("j"))
+        .select((lit(100000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          lit(null).cast(vecT).as("embedding"), lit("delete").as("op"))
+      val moved = qs.select(col("vec_id").as("q"))
+        .join(qs.select(((col("vec_id") + 9) % 10).as("q"), col("embedding")), Seq("q"))
+        .select((lit(100000L) + col("q") * 10 + lit(2)).as("vec_id"),
+          col("embedding"), lit("upsert").as("op"))
+      val news = qs
+        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(1))).as("j"))
+        .select((lit(200000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          col("embedding"), lit("upsert").as("op"))
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"st12_annidx_$key")
+      deleteRecursively(base)
+      val deltaDir = base.resolve("delta")
+      java.nio.file.Files.createDirectories(deltaDir)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      val versions = Seq(s"st12_ivfpq_v1_$key", s"st12_ivfpq_v2_$key")
+      versions.foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val loc = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
+        val hfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (hfs.exists(loc)) hfs.delete(loc, true)
+      }
+      var current = baseTable
+      var version = 0
+      val stream = s.readStream.schema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding", vecT),
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(deltaDir.toString)
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) =>
+        if (!batch.isEmpty) {
+          val next = versions(version)
+          PqIndex.mergeAssigned(s, current,
+            PqIndex.encodeDelta(batch, "vec_id", "embedding", ivf, pq),
+            "vec_id", next, buckets = 8)
+          current = next
+          version += 1
+        }
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+      try {
+        addStreamFile(del.unionByName(moved), deltaDir, "b1")
+        q.processAllAvailable()
+        addStreamFile(news, deltaDir, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      try {
+        require(version == 2 && current == versions(1),
+          s"st12: expected 2 delta micro-batches, applied $version")
+        val cand0 = PqIndex.adcCandidatesAssigned(s, current, qs, "vec_id",
+          "embedding", ivf, pq, nprobe = 1, candidates = 50)
+        val probedCells = qs
+          .select(explode(VF.nearestCells(col("embedding"), ivf.centroids, 1)).as("c"))
+          .distinct().count()
+        val plan = cand0.queryExecution.executedPlan.toString
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+        require(sel.isDefined, "st12: post-stream probe lost bucket pruning at the ADC scan")
+        require(sel.get.group(1).toLong <= probedCells,
+          s"st12: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets " +
+            s"for $probedCells probed cells")
+        val cand = cand0.localCheckpoint()
+        val sizes = cand.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+        require(sizes.length == 10 && sizes.forall { r =>
+          r.getLong(1) >= 5L && r.getLong(1) <= 50L },
+          "st12: each query must hand 5..50 post-stream ADC candidates to the re-rank")
+        val mergedCorpus = Dedup.mergeSnapshot(corpus0,
+          del.unionByName(moved).unionByName(news), "vec_id")
+        val rerank = cand
+          .join(mergedCorpus.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("nv")), Seq("neighbor_id"))
+          .join(broadcast(qs.select(col("vec_id").as("query_id"),
+            col("embedding").as("qv"))), Seq("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            VF.cosine(col("qv"), col("nv")).as("cosine"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)
+        rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id").asc, col("rank").asc)
+          // the result must OUTLIVE the finally-dropped version tables
+          .localCheckpoint()
+      } finally versions.foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
@@ -1470,6 +1575,36 @@ object PipelineQueries {
        |FROM q JOIN c ON q.vec_id <> c.vec_id
        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Brute-force ranking over the CDC-merged planted corpus (the SQL
+    * mirror of d16's delta) — shared by d16 (batch maintenance) and st12
+    * (streaming maintenance), pinning streaming == batch semantics.
+    */
+  private val annCdcOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+       |planted AS (
+       |  SELECT 100000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
+       |  FROM (SELECT vec_id, v, unnest(range(0, 5)) AS j FROM q)),
+       |base AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
+       |kept AS (SELECT * FROM base
+       |  WHERE NOT (vec_id BETWEEN 100000 AND 100099 AND vec_id % 10 IN (0, 1))),
+       |merged AS (
+       |  SELECT k.vec_id,
+       |    CASE WHEN k.vec_id BETWEEN 100000 AND 100099 AND k.vec_id % 10 = 2
+       |      THEN (SELECT v FROM q
+       |            WHERE q.vec_id = ((k.vec_id - 100000) // 10 + 1) % 10)
+       |      ELSE k.v END AS v
+       |  FROM kept k
+       |  UNION ALL
+       |  SELECT 200000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
+       |  FROM (SELECT vec_id, v, unnest(range(0, 2)) AS j FROM q))
+       |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(q.v, m.v) DESC, m.vec_id ASC) AS rank
+       |  FROM q JOIN merged m ON q.vec_id <> m.vec_id
+       |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Overlapping-chunk explosion (chunk 1000, stride 900) — shared by t12
     * (posexplode+substring) and t15 (the chunk_spans generator): the two
     * formulations are defined to be row-for-row equal.
@@ -1990,31 +2125,10 @@ object PipelineQueries {
     // then brute-force ranking: deletes (planted j=0,1), a moved vector
     // (planted j=2 takes the NEXT query's vector), inserts (200000-range
     // fresh copies). Hash-pins the SERVED post-maintenance ranking.
-    "d16_ann_index_cdc" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-         |planted AS (
-         |  SELECT 100000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
-         |  FROM (SELECT vec_id, v, unnest(range(0, 5)) AS j FROM q)),
-         |base AS (SELECT * FROM e UNION ALL SELECT * FROM planted),
-         |kept AS (SELECT * FROM base
-         |  WHERE NOT (vec_id BETWEEN 100000 AND 100099 AND vec_id % 10 IN (0, 1))),
-         |merged AS (
-         |  SELECT k.vec_id,
-         |    CASE WHEN k.vec_id BETWEEN 100000 AND 100099 AND k.vec_id % 10 = 2
-         |      THEN (SELECT v FROM q
-         |            WHERE q.vec_id = ((k.vec_id - 100000) // 10 + 1) % 10)
-         |      ELSE k.v END AS v
-         |  FROM kept k
-         |  UNION ALL
-         |  SELECT 200000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id, v
-         |  FROM (SELECT vec_id, v, unnest(range(0, 2)) AS j FROM q))
-         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
-         |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id,
-         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |    ORDER BY list_cosine_similarity(q.v, m.v) DESC, m.vec_id ASC) AS rank
-         |  FROM q JOIN merged m ON q.vec_id <> m.vec_id
-         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // st12 replays the SAME delta as micro-batches — one oracle pins
+    // streaming == batch index maintenance, the st11/d15 discipline.
+    "d16_ann_index_cdc" -> annCdcOracle,
+    "st12_ann_index_stream" -> annCdcOracle,
     // the streaming foreachBatch application of the SAME delta (split into
     // two disjoint-key micro-batches) must land on the identical snapshot —
     // one oracle pins streaming == batch merge semantics
