@@ -98,6 +98,74 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("model save/load round-trips the codebooks bit-for-bit") {
+    val m1 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32)
+    val path = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/pqspec_model_rt"
+    PqIndex.save(spark, m1, path)
+    val m2 = PqIndex.load(spark, path)
+    assert(m2.m == m1.m && m2.subDim == m1.subDim)
+    assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("CDC maintenance: delta re-assigned with frozen models, merged table still prunes") {
+    import graft.operators.IvfIndex
+    val e = emb
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+    val pq = PqIndex.train(e, "vec_id", "embedding", m = 16, k = 64)
+    val baseTable = "pqspec_cdc_base"
+    val mergedTable = "pqspec_cdc_merged"
+    Seq(baseTable, mergedTable).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$t")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    try {
+      PqIndex.saveEncodedAssigned(e, "vec_id", "embedding", ivf, pq,
+        baseTable, buckets = 8)
+      val baseN = spark.table(baseTable).count()
+      // delta: delete id 1, upsert id 0's row with id 7's VECTOR — the
+      // upsert must land in 7's cell (re-assignment), not keep 0's
+      val vec7 = e.where(col("vec_id") === 7)
+        .select(lit(0L).as("vec_id"), col("embedding"), lit("upsert").as("op"))
+      val del = e.where(col("vec_id") === 1)
+        .select(col("vec_id"), lit(null).cast(e.schema("embedding").dataType)
+          .as("embedding"), lit("delete").as("op"))
+      val encoded = PqIndex.encodeDelta(vec7.unionByName(del),
+        "vec_id", "embedding", ivf, pq)
+      PqIndex.mergeAssigned(spark, baseTable, encoded, "vec_id",
+        mergedTable, buckets = 8)
+      val merged = spark.table(mergedTable)
+      assert(merged.count() == baseN - 1) // one delete, one in-place upsert
+      assert(merged.where(col("vec_id") === 1).isEmpty, "tombstone not applied")
+      val cells = merged.where(col("vec_id").isin(0L, 7L))
+        .select("vec_id", "ivf_cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(cells(0L) == cells(7L),
+        "upsert with moved content must be RE-ASSIGNED to its new cell")
+      // maintenance must preserve the layout contract: the merged table's
+      // probe scan still bucket-prunes
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val pruned = merged.where(col("ivf_cell") === cells(0L))
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toLong <= 1,
+        s"merged table lost bucket pruning:\n${plan.take(400)}")
+      // unknown ops are refused BEFORE the encode split can drop them
+      val bad = e.where(col("vec_id") === 2)
+        .select(col("vec_id"), col("embedding"), lit("UPSERT").as("op"))
+      val err = intercept[IllegalArgumentException](
+        PqIndex.encodeDelta(bad, "vec_id", "embedding", ivf, pq))
+      assert(err.getMessage.contains("op"), err.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      Seq(baseTable, mergedTable).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("an exact duplicate encodes to the same codes and tops its query's ADC ranking") {
     val dup = emb.where(col("vec_id") === 0)
       .select(lit(99999L).as("vec_id"), col("embedding"))
