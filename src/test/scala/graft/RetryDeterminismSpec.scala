@@ -86,6 +86,42 @@ class RetryDeterminismSpec extends SparkSpec {
       "IVF top-k diverged under a probe task retry")
   }
 
+  test("carried-payload embedding pairs are bit-identical under a task retry") {
+    // round 11 rewired embeddingPairs (vectors ride the bucket self-join,
+    // verify inline, distinct post-verify) — the retry contract must hold
+    // for the NEW shuffle structure, not just the old attach shape
+    val e = sf("embeddings", "/root/testdata/sf0.01").select("vec_id", "embedding")
+    val nd = e.unionByName(e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.01f)).as("embedding")))
+    def pairs(in: DataFrame) = Dedup.embeddingPairs(in, "vec_id", "embedding",
+      minCosine = 0.999, numPlanes = 8, dim = 64, tables = 8,
+      targetBucketSize = 32, corpusSizeHint = 2L * e.count())
+    val clean = rows(pairs(nd))
+    RetryFault.arm()
+    val retried = rows(pairs(faulted(nd)))
+    assert(RetryFault.fired.get(), "fault never fired in the carried bucket join")
+    assert(clean.nonEmpty && retried == clean,
+      s"embedding pairs diverged under retry: ${clean.size} vs ${retried.size} rows")
+  }
+
+  test("CDC index merge is bit-identical under a task retry") {
+    import graft.operators.PqIndex
+    val e = sf("embeddings", "/root/testdata/sf0.01").select("vec_id", "embedding")
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+    val pq = PqIndex.train(e, "vec_id", "embedding", m = 16, k = 64)
+    val delta = e.where(col("vec_id") < 5)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"),
+        lit("upsert").as("op"))
+    def encoded(in: DataFrame) =
+      rows(PqIndex.encodeDelta(in, "vec_id", "embedding", ivf, pq))
+    val clean = encoded(delta)
+    RetryFault.arm()
+    val retried = encoded(faulted(delta))
+    assert(RetryFault.fired.get(), "fault never fired in the delta encode")
+    assert(clean.nonEmpty && retried == clean,
+      "encoded delta (cells + code words) diverged under a task retry")
+  }
+
   test("salted join output is bit-identical under a task retry") {
     val li = sf("lineitem", "/root/testdata/sf0.01")
       .select("l_orderkey", "l_partkey", "l_quantity")
