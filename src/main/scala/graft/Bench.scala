@@ -236,7 +236,10 @@ object Bench {
     // "t" (was "timing":"q_min2_conv_best3"): 24 chars reclaimed for the
     // queries dict — at 138 queries the line sits ~1870 of the 1900-char
     // budget, so every constant char is ~0.1 query of headroom
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","t":"m2b3","io_canary_mbps":${w.canaryBest}%.0f,"windows":$winJson,"win_used":$used,"queries":$qs,"throughput_mbps":$th,"rows_per_sec":$rps,"sf":"$sfDir"}"""
+    // sf is the DIR BASENAME (sf0.1), not the full path — 16 more chars
+    // for the queries dict under the same budget
+    val sfShort = sfDir.stripSuffix("/").split('/').last
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","t":"m2b3","io_canary_mbps":${w.canaryBest}%.0f,"windows":$winJson,"win_used":$used,"queries":$qs,"throughput_mbps":$th,"rows_per_sec":$rps,"sf":"$sfShort"}"""
     // two independent persistence channels: stdout (the driver's 2000-char
     // tail capture) and a file artifact that survives truncation/prefixing
     // by the sbt logger. Print FIRST and Try the write — an unwritable
