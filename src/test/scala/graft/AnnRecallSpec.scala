@@ -82,6 +82,42 @@ class AnnRecallSpec extends SparkSpec {
     assert(model.centroids.map(_.toSeq).toSeq == model2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("autoNlist holds probed-cell occupancy ~sqrt(n): probe cost does not grow linearly") {
+    import spark.implicits._
+    // the s14/s12 soak legs pin nlist=8 for the oracle regime, so their
+    // probe walls grow with corpus/8 — this test is the evidence for the
+    // documented warehouse path: with nlist = autoNlist(n) ~ sqrt(n), a
+    // 16x corpus grows the probed cell by ~4x, not 16x
+    def corpus(n: Int): DataFrame = {
+      val rnd = new scala.util.Random(13)
+      (0 until n).map { i =>
+        (i.toLong, Array.tabulate(16)(_ => rnd.nextFloat() * 2 - 1).toSeq)
+      }.toDF("vec_id", "embedding")
+    }
+    def probedOccupancy(n: Int): (Int, Double) = {
+      val e = corpus(n).localCheckpoint()
+      val nlist = IvfIndex.autoNlist(n)
+      val model = IvfIndex.train(e, "vec_id", "embedding", k = nlist)
+      val assigned = IvfIndex.assign(e, "vec_id", "embedding", model)
+      // mean occupancy over the cells the 5 lowest-id queries would probe
+      val q = e.where(col("vec_id") < 5)
+      val cells = q.select(explode(graft.functions.VectorFunctions
+          .nearestCells(col("embedding"), model.centroids, 1)).as("c"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val occ = assigned.where(col("ivf_cell").isin(cells.toSeq.map(Int.box): _*))
+        .count().toDouble / cells.size
+      (nlist, occ)
+    }
+    val (nlistS, occS) = probedOccupancy(1024)
+    val (nlistL, occL) = probedOccupancy(16 * 1024)
+    info(f"n=1024: nlist=$nlistS occ=$occS%.1f; n=16384: nlist=$nlistL occ=$occL%.1f")
+    assert(nlistL > 3 * nlistS, s"autoNlist must grow with the corpus: $nlistS -> $nlistL")
+    // 16x corpus, sqrt-sized cells: occupancy should grow ~4x; allow 2x
+    // slack for imbalance, and require it is far under linear (16x)
+    assert(occL <= 8 * occS,
+      f"probed-cell occupancy grew ${occL / occS}%.1fx for 16x corpus — probe cost is not sqrt-bounded")
+  }
+
   test("requireRecall leaves no cached frames behind (unpersist hygiene)") {
     // snapshot-delta, not global emptiness: suites share one sequential
     // forked JVM, and EARLIER suites legitimately leave localCheckpoint
