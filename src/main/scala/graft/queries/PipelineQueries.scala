@@ -752,15 +752,19 @@ object PipelineQueries {
       val deltaDir = base.resolve("delta")
       java.nio.file.Files.createDirectories(deltaDir)
       val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-      val versions = Seq(s"st12_ivfpq_v1_$key", s"st12_ivfpq_v2_$key")
-      versions.foreach { tbl =>
+      // version tables are keyed by the sink's BATCH ID — the foreachBatch
+      // exactly-once idiom: a batch redelivered after a crash-restart
+      // rewrites ITS OWN table (mode overwrite), so replay is idempotent
+      // instead of minting a phantom version
+      def versionTable(batchId: Long) = s"st12_ivfpq_b${batchId}_$key"
+      (0L to 3L).map(versionTable).foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS $tbl")
         val loc = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
         val hfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (hfs.exists(loc)) hfs.delete(loc, true)
       }
       var current = baseTable
-      var version = 0
+      val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
       val stream = s.readStream.schema(
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("vec_id",
@@ -769,14 +773,14 @@ object PipelineQueries {
           org.apache.spark.sql.types.StructField("op",
             org.apache.spark.sql.types.StringType))))
         .parquet(deltaDir.toString)
-      val applyBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
         if (!batch.isEmpty) {
-          val next = versions(version)
+          val next = versionTable(batchId)
           PqIndex.mergeAssigned(s, current,
             PqIndex.encodeDelta(batch, "vec_id", "embedding", ivf, pq),
             "vec_id", next, buckets = 8)
           current = next
-          version += 1
+          applied += batchId
         }
       val q = stream.writeStream
         .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -788,8 +792,8 @@ object PipelineQueries {
         q.processAllAvailable()
       } finally q.stop()
       try {
-        require(version == 2 && current == versions(1),
-          s"st12: expected 2 delta micro-batches, applied $version")
+        require(applied.size == 2 && current == versionTable(applied.last),
+          s"st12: expected 2 delta micro-batches, applied ${applied.size}")
         val cand0 = PqIndex.adcCandidatesAssigned(s, current, qs, "vec_id",
           "embedding", ivf, pq, nprobe = 1, candidates = 50)
         val probedCells = qs
@@ -822,7 +826,8 @@ object PipelineQueries {
           .orderBy(col("query_id").asc, col("rank").asc)
           // the result must OUTLIVE the finally-dropped version tables
           .localCheckpoint()
-      } finally versions.foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
+      } finally (0L to 3L).map(versionTable)
+        .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
     }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
