@@ -103,7 +103,10 @@ object ScaleSoak {
       "t21_profile_approx",
       // st12 replays d16's maintenance as two foreachBatch versions:
       // per-batch cost = frozen-model encode + merge + bucketed rewrite
-      "st12_ann_index_stream")
+      "st12_ann_index_stream",
+      // s15 = s14's probe plus an attribute pre-filter INSIDE the pruned
+      // scan — wall should track s14's (the filter only shrinks the scan)
+      "s15_knn_ivfpq_filtered")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

@@ -111,10 +111,13 @@ object PqIndex {
     * narrow passes (assign + encode) happen in ONE scan at ingest.
     */
   def saveEncodedAssigned(corpus: DataFrame, idCol: String, vecCol: String,
-      ivf: IvfIndex.Model, pq: Model, table: String, buckets: Int = 16): Unit =
+      ivf: IvfIndex.Model, pq: Model, table: String, buckets: Int = 16,
+      extraCols: Seq[String] = Nil): Unit =
     Bucketing.writeBucketed(
       IvfIndex.assign(corpus, idCol, vecCol, ivf)
-        .select(col(idCol), col("ivf_cell"), encodeCol(col(vecCol), pq).as("codes")),
+        .select((col(idCol) +: col("ivf_cell") +:
+          encodeCol(col(vecCol), pq).as("codes") +:
+          extraCols.map(col)): _*),
       table, "ivf_cell", buckets)
 
   /** Encode a CDC delta for an IVF-PQ index built with the SAME frozen
@@ -177,16 +180,26 @@ object PqIndex {
     * vectors are never touched — exact re-rank of the returned candidates
     * is the caller's (cheap, `candidates`-bounded) step.
     */
+  /** `attrFilter`: an optional metadata predicate over the index table's
+    * extra columns (see [[saveEncodedAssigned]]'s `extraCols`), applied
+    * INSIDE the pruned scan — filtered vector search with PRE-filter
+    * semantics: rows failing the predicate never reach ADC scoring, so
+    * top-k among the filtered set loses no recall to post-filtering (the
+    * s10 contract, composed with the serving index). Simple predicates
+    * reach the parquet scan as PushedFilters on top of the bucket pruning.
+    */
   def adcCandidatesAssigned(spark: org.apache.spark.sql.SparkSession,
       table: String, queries: DataFrame, idCol: String, vecCol: String,
       ivf: IvfIndex.Model, pq: Model, nprobe: Int = 3,
-      candidates: Int = 100): DataFrame = {
+      candidates: Int = 100,
+      attrFilter: Option[Column] = None): DataFrame = {
     import graft.functions.{VectorFunctions => VF}
     val cells = queries
       .select(explode(VF.nearestCells(col(vecCol), ivf.centroids, nprobe)).as("c"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val codes = spark.table(table)
+    val pruned = spark.table(table)
       .where(col("ivf_cell").isin(cells.map(Int.box).toSeq: _*))
+    val codes = attrFilter.fold(pruned)(pruned.where)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     adcTopCandidates(codes, queries, idCol, vecCol, pq, candidates)
   }

@@ -194,6 +194,42 @@ object PipelineQueries {
     }
   }
 
+  /** s15's build-once filtered-serving index: like [[s14ServeIndex]] but
+    * the corpus carries a label column persisted into the index
+    * (`extraCols`) so attribute predicates can pre-filter the pruned ADC
+    * scan. Separate key space from s14 — the schemas differ.
+    */
+  private def s15ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
+      : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val table = s"s15_ivfpq_filt_$key"
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val ivfPath = s"$wh/s15_ivf_model_$key"
+    val pqPath = s"$wh/s15_pq_model_$key"
+    val cached =
+      try { if (s.catalog.tableExists(table))
+        Some((graft.operators.IvfIndex.load(s, ivfPath),
+          graft.operators.PqIndex.load(s, pqPath))) else None }
+      catch { case _: Exception => None }
+    cached match {
+      case Some((ivf, pq)) => (table, ivf, pq)
+      case None =>
+        val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
+        val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
+          m = 16, k = 256, sampleSize = 4096)
+        graft.operators.PqIndex.saveEncodedAssigned(corpus, "vec_id", "embedding",
+          ivf, pq, table, buckets = 8, extraCols = Seq("label"))
+        graft.operators.IvfIndex.save(s, ivf, ivfPath)
+        graft.operators.PqIndex.save(s, pq, pqPath)
+        (table, ivf, pq)
+    }
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1245,6 +1281,59 @@ object PipelineQueries {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // FILTERED vector search over the served IVF-PQ index — s10's
+    // pre-filter contract composed with s14's serving layout (the shape
+    // real retrieval services need: "nearest neighbors WHERE tenant/lang/
+    // split = X" without post-filter recall loss). The label predicate is
+    // applied INSIDE the bucket-pruned scan (PushedFilters gated in-query
+    // alongside SelectedBucketsCount), so filtered-out rows never reach
+    // ADC scoring. Hash-observable by construction: each query gets FIVE
+    // exact copies — the two LOWEST ids labeled out of the filter — so an
+    // implementation that ignored the predicate would return ids +0,+1,+2
+    // (tie-break id asc) where the oracle demands +2,+3,+4.
+    "s15_knn_ivfpq_filtered" -> ((s, dir) => {
+      import graft.operators.PqIndex
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val qs = e.where(col("vec_id") < 10).select("vec_id", "embedding")
+      val planted = qs
+        .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(4))).as("j"))
+        .select((lit(300000L) + col("vec_id") * 10 + col("j")).as("vec_id"),
+          col("embedding"),
+          when(col("j") < 2, lit(1)).otherwise(lit(0)).as("label"))
+      val corpus = e.unionByName(planted)
+      val (table, ivf, pq) = s15ServeIndex(s, dir, corpus)
+      val cand0 = PqIndex.adcCandidatesAssigned(s, table, qs, "vec_id",
+        "embedding", ivf, pq, nprobe = 1, candidates = 50,
+        attrFilter = Some(col("label") === 0))
+      val probedCells = qs
+        .select(explode(VF.nearestCells(col("embedding"), ivf.centroids, 1)).as("c"))
+        .distinct().count()
+      val plan = cand0.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      require(sel.isDefined, "s15: filtered probe lost bucket pruning at the ADC scan")
+      require(sel.get.group(1).toLong <= probedCells,
+        s"s15: probe read ${sel.get.group(1)}/${sel.get.group(2)} buckets " +
+          s"for $probedCells probed cells")
+      require(plan.contains("EqualTo(label,0)"),
+        s"s15: label predicate did not reach the scan as a pushed filter:\n${plan.take(600)}")
+      val cand = cand0.localCheckpoint()
+      val sizes = cand.groupBy("query_id").agg(count(lit(1)).as("n")).collect()
+      require(sizes.length == 10 && sizes.forall { r =>
+        r.getLong(1) >= 3L && r.getLong(1) <= 50L },
+        "s15: each query must hand 3..50 filtered ADC candidates to the re-rank")
+      val rerank = cand
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nv")), Seq("neighbor_id"))
+        .join(broadcast(qs.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv"))), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("qv"), col("nv")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      rerank.withColumn("rank", row_number().over(w)).where(col("rank") <= 3)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
@@ -2346,6 +2435,25 @@ object PipelineQueries {
     // s14 serves it through the composed IVF-PQ index (bucket-pruned ADC
     // scan + exact re-rank) — same exact oracle pins the full composition
     "s14_knn_ivfpq_serve" -> plantedKnnOracle,
+    // s15: filtered ranking over the served index — the label predicate
+    // restricts CANDIDATES (not queries); the two lowest-id planted copies
+    // per query are labeled out, so a filter-ignoring implementation
+    // hash-mismatches on the tie-break order
+    "s15_knn_ivfpq_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+         |planted AS (
+         |  SELECT 300000 + vec_id * 10 + CAST(j AS BIGINT) AS vec_id,
+         |         CASE WHEN j < 2 THEN 1 ELSE 0 END AS label, v
+         |  FROM (SELECT vec_id, v, unnest(range(0, 5)) AS j FROM q)),
+         |c AS (SELECT vec_id, label, v FROM e
+         |      UNION ALL SELECT vec_id, label, v FROM planted)
+         |SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN c ON q.vec_id <> c.vec_id AND c.label = 0
+         |) WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "s04_quantize_i8" ->
       s"""WITH m AS (
          |  SELECT vec_id, embedding,
