@@ -402,6 +402,32 @@ object PipelineQueries {
         .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
           "p.approx_ok"))
     }),
+    // Deterministic data-MIXTURE sampling — the per-source rate control a
+    // training-data pipeline applies before packing ("web at 1.0, forums
+    // at 0.5, ..."): each source gets a keep probability, and a doc is
+    // kept iff its salted-md5 uniform falls under its source's threshold
+    // (t08's split discipline, so a doc's fate never changes as the corpus
+    // grows — mixtures are reproducible AND incrementally maintainable;
+    // rerunning over a grown corpus keeps exactly the old decisions).
+    // Weights here derive from the source id (suffix % 4 -> 1/4..4/4),
+    // with thresholds expressed as exact 2-hex-char md5 prefixes ("40"/
+    // "80"/"c0") so the comparison is integer-exact on both engines.
+    // Sources OUTSIDE the mixture spec (unparsable suffix -> null weight)
+    // are dropped — the real-world contract: an unknown source
+    // contributes nothing rather than silently passing at some default.
+    // Scale shape: one narrow pass, no shuffle before the output order.
+    "t22_mixture_sample" -> ((s, dir) => {
+      val n = expr("try_cast(substring(source, 4) AS INT)")
+      val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
+      val fp = md5(concat(lit("mix:"), col("doc_id").cast("string")))
+      val keep = bucket === 3 ||
+        substring(fp, 1, 2) < when(bucket === 0, "40")
+          .when(bucket === 1, "80").when(bucket === 2, "c0")
+      ordered(t(s, dir, "documents")
+        .where(keep)
+        .select(col("doc_id"), col("source"),
+          ((bucket + 1).cast("double") / 4.0).as("keep_rate")))
+    }),
     // Cross-document boilerplate detection (the CCNet/RefinedWeb curation
     // step: lines repeated across many documents — footers, nav bars,
     // cookie banners — are template noise, not content). A line is
@@ -2251,6 +2277,20 @@ object PipelineQueries {
          |    CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
          |    COUNT(DISTINCT n_chars) FROM documents)
          |${orderSql("col_name", "n_rows", "n_nulls", "n_distinct")}""".stripMargin,
+    // the per-source mixture rates replayed relationally; unknown sources
+    // (null weight) drop on both engines via NULL comparison semantics
+    "t22_mixture_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    TRY_CAST(substr(source, 4) AS INTEGER) % 4 AS bucket,
+         |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS fp
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(bucket + 1 AS DOUBLE) / 4.0 AS keep_rate
+         |FROM d
+         |WHERE bucket = 3 OR substr(fp, 1, 2) <
+         |  CASE bucket WHEN 0 THEN '40' WHEN 1 THEN '80' WHEN 2 THEN 'c0' END
+         |${orderSql("doc_id", "source", "keep_rate")}""".stripMargin,
     // the approx variant: exact figures + the in-query-verified envelope
     // bool (DuckDB's own HLL differs bit-wise, so the SKETCH value itself
     // is gated Spark-side, never hashed cross-engine — q17's discipline)
