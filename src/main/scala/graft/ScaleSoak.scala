@@ -106,7 +106,11 @@ object ScaleSoak {
       "st12_ann_index_stream",
       // s15 = s14's probe plus an attribute pre-filter INSIDE the pruned
       // scan — wall should track s14's (the filter only shrinks the scan)
-      "s15_knn_ivfpq_filtered")
+      "s15_knn_ivfpq_filtered",
+      // d17's candidate join is batch x occupancy — replicas grow BOTH
+      // sides here, so the leg should track the banded-pairs family
+      // (linear), with old x old structurally absent from the plan
+      "d17_incremental_dedup")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -124,7 +128,9 @@ object ScaleSoak {
       docs.agg(max("doc_id")).head.getLong(0),
       emb.agg(max("vec_id")).head.getLong(0),
       evIds.getLong(0), evIds.getLong(1)).max
-    require(maxId + 1000000L < 10000000L,
+    // 2e6: d17's fresh-batch offset is the largest in-query id offset
+    // (most d-family mutations use +1e6)
+    require(maxId + 2000000L < 10000000L,
       s"base ids reach $maxId — raise the replica stride above 10^7")
     val docParts = (0 until scale).map { r =>
       val text =

@@ -201,6 +201,63 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** INCREMENTAL ingest dedup: near-dup pairs between an arriving batch
+    * and the existing corpus — `(newId, blockerId, jaccard)` where the
+    * blocker is an old doc or an earlier (smaller-id) new doc — WITHOUT
+    * ever pairing the old corpus against itself. The candidate join's A
+    * side is restricted to NEW rows, so cost is O(batch x bucket
+    * occupancy) regardless of corpus size: the shape that lets a 100 TB
+    * corpus absorb daily batches without an O(corpus^2) — or even
+    * O(corpus x batch) brute — re-scan. At warehouse scale the old side's
+    * banded signature table is PERSISTED at ingest (the serving-index
+    * discipline); here it is derived inline from `old`. Ids must be
+    * globally unique across both inputs. Same recall discipline as
+    * [[ngramJaccardPairs]] (bandRows=1, numHashes=16 -> candidate recall
+    * ~1 at J>=0.5).
+    */
+  def incrementalJaccardPairs(
+      old: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 16,
+      bandRows: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bandRows == 0, "bandRows must divide numHashes")
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      TF.shingleHashes(col(textCol), shingleN).as("sh"),
+      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .repartition(col("id"))
+    val bandKeys = (0 until numHashes / bandRows).map(b =>
+      xxhash64(((0 until bandRows).map(r => col("sig").getItem(bandRows * b + r)) :+ lit(b)): _*))
+    def band(base: DataFrame, isNew: Boolean): DataFrame = base
+      .select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+      .withColumn("is_new", lit(isNew))
+    val oldP = prep(old)
+    val freshP = prep(fresh)
+    val banded = band(oldP, isNew = false).unionByName(band(freshP, isNew = true))
+    val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
+    // A side = NEW rows only; B side = old rows, or new rows with a
+    // smaller id (keep-first within the batch) — old x old never forms
+    val a = capped.where(col("is_new"))
+      .select(col("id").as("idA"), col("band"), col("bucket"))
+    val b = capped.select(col("id").as("idB"), col("is_new").as("b_new"),
+      col("band"), col("bucket"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(!col("b_new") || col("idB") < col("idA"))
+      .select("idA", "idB").distinct()
+    attach(candidates,
+      oldP.select(col("id"), col("sh")).unionByName(freshP.select(col("id"), col("sh"))),
+      "sh")
+      .select(col("idA"), col("idB"),
+        TF.jaccardSorted(col("shA"), col("shB")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Embedding near-dup pairs: sign-LSH bucket join + exact cosine verify.
     *
     * Multi-table LSH: a pair is a candidate if its `numPlanes`-bit sign

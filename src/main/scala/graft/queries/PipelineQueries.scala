@@ -649,6 +649,32 @@ object PipelineQueries {
       ordered(Dedup.mergeSnapshot(docs, delta, "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // INCREMENTAL ingest dedup — the daily-batch shape: an arriving batch
+    // (near-dup mutations of existing docs at +1e6, genuinely-new
+    // token-salted docs at +2e6) is deduped against the EXISTING corpus
+    // and against its own earlier rows, without ever pairing old x old
+    // (the candidate join's A side is batch-only — cost O(batch x
+    // occupancy) at any corpus size). Output: the batch's survivors.
+    // Oracle: DuckDB brute-force jaccard over new x (old + earlier-new)
+    // with the d05 shingle construction — a candidate-stage miss, a wrong
+    // asymmetry (old x old pairs, or new-new in the wrong direction), or
+    // a verify divergence each changes the survivor set.
+    "d17_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mut = docs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val freshNew = docs.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "), t => concat(t, lit("_xq"))),
+            " ").as("text"))
+      val batch = mut.unionByName(freshNew)
+      val pairs = Dedup.incrementalJaccardPairs(docs, batch, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      ordered(batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id"))
+    }),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -2249,6 +2275,40 @@ object PipelineQueries {
     // streaming == batch index maintenance, the st11/d15 discipline.
     "d16_ann_index_cdc" -> annCdcOracle,
     "st12_ann_index_stream" -> annCdcOracle,
+    // brute-force jaccard (d05's shingle construction) over new x
+    // (old + smaller-id new); survivors = batch minus blocked
+    "d17_incremental_dedup" ->
+      s"""WITH oldd AS (SELECT doc_id, text, FALSE AS isnew FROM documents),
+         |newd AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         substring(text, instr(text, ' ') + 1) AS text, TRUE AS isnew
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |         array_to_string(list_transform(str_split(text, ' '), t -> t || '_xq'), ' '),
+         |         TRUE
+         |  FROM documents WHERE doc_id % 5 = 1),
+         |docs AS (SELECT * FROM oldd UNION ALL SELECT * FROM newd),
+         |tk AS (SELECT doc_id, isnew,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id, isnew,
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, isnew, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, COUNT(*) AS inter,
+         |         any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.isnew
+         |    AND (NOT b.isnew OR b.doc_id < a.doc_id) AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |blocked AS (SELECT DISTINCT idA FROM pairs
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
+         |SELECT n.doc_id FROM newd n
+         |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.idA = n.doc_id)
+         |${orderSql("doc_id")}""".stripMargin,
     // the streaming foreachBatch application of the SAME delta (split into
     // two disjoint-key micro-batches) must land on the identical snapshot —
     // one oracle pins streaming == batch merge semantics
