@@ -110,7 +110,9 @@ object ScaleSoak {
       // d17's candidate join is batch x occupancy — replicas grow BOTH
       // sides here, so the leg should track the banded-pairs family
       // (linear), with old x old structurally absent from the plan
-      "d17_incremental_dedup")
+      "d17_incremental_dedup",
+      // t22 is one narrow filter pass; output scales with kept rows
+      "t22_mixture_sample")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
