@@ -373,7 +373,7 @@ object Maw {
         var stagingListing: Option[Set[(String, Long)]] = None
         val st = graft.operators.Compact.run(spark, dir, fmt,
           targetFileBytes = a.targetFileBytes, compression = a.compression,
-          delimiter = a.delimiter,
+          delimiter = a.delimiter, zorderBy = a.zorderBy,
           preSwapCheck = staging => pre.foreach { cs1 =>
             val cs2 = checksum(staging)
             if (cs1 != cs2) throw new IllegalStateException(

@@ -54,7 +54,15 @@ object Compact {
       compression: String = "zstd",
       delimiter: String = ",",
       preSwapCheck: String => Unit = _ => (),
-      leaseStaleMs: Long = 30L * 60 * 1000): Stats = {
+      leaseStaleMs: Long = 30L * 60 * 1000,
+      // non-empty: the rewrite RE-CLUSTERS the tree z-ordered by these
+      // columns (the lakehouse OPTIMIZE ZORDER maintenance shape —
+      // compaction and layout repair in one staged swap). Columnar
+      // formats only (text has no row-group stats to make selective),
+      // flat trees only (a hive tree's directories already partition the
+      // key space; z-ordering across them would need per-directory
+      // clustering, which is a different rewrite).
+      zorderBy: Seq[String] = Nil): Stats = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -90,7 +98,7 @@ object Compact {
     beat.setDaemon(true)
     beat.start()
     try runLocked(spark, fs, root, dir, fmt, targetFileBytes, compression,
-      delimiter, preSwapCheck, lease, token, leaseStaleMs)
+      delimiter, preSwapCheck, lease, token, leaseStaleMs, zorderBy)
     finally {
       beat.interrupt()
       // release ONLY if still ours: after a stale takeover the file at the
@@ -171,7 +179,7 @@ object Compact {
       targetFileBytes: Long, compression: String, delimiter: String,
       preSwapCheck: String => Unit,
       lease: org.apache.hadoop.fs.Path, leaseToken: String,
-      leaseStaleMs: Long): Stats = {
+      leaseStaleMs: Long, zorderBy: Seq[String]): Stats = {
     // a FileStreamSink tree carries a _spark_metadata transaction log that
     // the rewrite cannot honor: the swap would delete it, and a later stream
     // resume into the same path would recreate a log listing only NEW files
@@ -187,6 +195,15 @@ object Compact {
 
     val (dataFiles, partCols) = scanTree(fs, root)
     require(dataFiles.nonEmpty, s"no data files under $dir")
+    if (zorderBy.nonEmpty) {
+      require(fmt == Discovery.Parquet || fmt == Discovery.Orc,
+        s"compact --zorder-by: $fmt has no row-group statistics to make " +
+          "selective — z-order re-clustering applies to parquet/orc trees only")
+      require(partCols.isEmpty,
+        "compact --zorder-by: tree is hive-partitioned (" +
+          partCols.mkString(",") + ") — its directories already partition " +
+          "the key space; z-order the flat tree or drop the flag")
+    }
     // every data file must BE the tree's format: the rewrite only carries
     // rows the reader parses, and the swap deletes the old tree — a stray
     // README.txt (or a mixed-format tree) would be silently destroyed.
@@ -295,7 +312,13 @@ object Compact {
     // per-value skew).
     val nOut = math.max(1, math.ceil(sizingBytes.toDouble / targetFileBytes).toInt)
     val clustered =
-      if (partCols.nonEmpty)
+      if (zorderBy.nonEmpty)
+        // OPTIMIZE ZORDER: the rewrite pays one extra pass (quantile
+        // boundaries) and range-shuffles on the interleaved z-value with
+        // the SAME deterministic file count — compaction and
+        // data-skipping layout repair in one staged swap
+        graft.operators.ZOrder.cluster(df, zorderBy, numFiles = Some(nOut))
+      else if (partCols.nonEmpty)
         df.repartition(nOut, partCols.map(c =>
           org.apache.spark.sql.functions.col(graft.schema.SchemaUnifier.quoted(c))): _*)
       else df.repartition(nOut)

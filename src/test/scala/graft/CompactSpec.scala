@@ -304,6 +304,78 @@ class CompactSpec extends SparkSpec {
     java.nio.file.Files.delete(lease)
   }
 
+  test("--zorder-by re-clusters during compaction (OPTIMIZE ZORDER); text/hive refused") {
+    val d = tmpDir("compact-zorder")
+    val out = d.resolve("tree").toString
+    val li = sf("lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    // scrambled small files: hash-partitioned on a NON-key column, so
+    // every file spans the whole (orderkey, partkey) domain — the layout
+    // a point predicate cannot skip
+    li.repartition(16, col("l_quantity")).write.parquet(out)
+    val rows = li.count()
+    val bytes = fileSize(out)
+    val st = Compact.run(spark, out, Discovery.Parquet,
+      targetFileBytes = math.max(1L, bytes / 12),
+      zorderBy = Seq("l_orderkey", "l_partkey"))
+    assert(st.rows == rows && st.filesBefore == 16)
+    assert(spark.read.parquet(out).count() == rows)
+    // footer audit: after the z-ordered rewrite, the top-corner point must
+    // be containable by only a minority of row groups (p15's gate)
+    val corner = li.orderBy(col("l_orderkey").desc, col("l_partkey").desc).limit(1).head()
+    val (k1, k2) = (corner.getLong(0), corner.getLong(1))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(out)
+    val hfs = rootP.getFileSystem(hconf)
+    val parts = hfs.listStatus(rootP).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    var total = 0L; var matching = 0L
+    parts.foreach { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+      try {
+        val schema = r.getFooter.getFileMetaData.getSchema
+        val (i1, i2) = (schema.getFieldIndex("l_orderkey"), schema.getFieldIndex("l_partkey"))
+        val blocks = r.getFooter.getBlocks
+        (0 until blocks.size).foreach { b =>
+          total += 1
+          def contains(idx: Int, v: Long): Boolean = {
+            val s0 = blocks.get(b).getColumns.get(idx).getStatistics
+            s0.genericGetMin.asInstanceOf[Long] <= v &&
+              v <= s0.genericGetMax.asInstanceOf[Long]
+          }
+          if (contains(i1, k1) && contains(i2, k2)) matching += 1
+        }
+      } finally r.close()
+    }
+    assert(total >= 8, s"z-ordered compaction landed only $total row groups")
+    assert(matching * 3 <= total,
+      s"compacted layout not skippable: $matching of $total row groups match ($k1,$k2)")
+    // refusals, tree untouched each time: text formats have no row-group
+    // stats; hive trees' directories already partition the key space
+    val csvT = d.resolve("csvtree").toString
+    li.limit(10).repartition(2).write.option("header", "true").csv(csvT)
+    val e1 = intercept[IllegalArgumentException](Compact.run(spark, csvT,
+      Discovery.Csv, zorderBy = Seq("l_orderkey")))
+    assert(e1.getMessage.contains("row-group statistics"), e1.getMessage)
+    val hiveT = d.resolve("hivetree").toString
+    li.limit(100).withColumn("b", col("l_orderkey") % 2)
+      .write.partitionBy("b").parquet(hiveT)
+    val e2 = intercept[IllegalArgumentException](Compact.run(spark, hiveT,
+      Discovery.Parquet, zorderBy = Seq("l_orderkey")))
+    assert(e2.getMessage.contains("hive-partitioned"), e2.getMessage)
+  }
+
+  private def fileSize(dir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.startsWith("_")) 0L else st.getLen
+      }.sum
+    walk(root)
+  }
+
   test("lease heartbeat: a LIVE holder outliving leaseStaleMs is not presented as stale") {
     val d = tmpDir("compact-heartbeat")
     val out = d.resolve("tree").toString
