@@ -226,6 +226,13 @@ object Dedup {
       bandRows: Int = 1,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bandRows == 0, "bandRows must divide numHashes")
+    // an id present on BOTH sides would self-pair through the old leg
+    // (jaccard 1 -> the new row silently always blocked); one slim
+    // bounded equi-join catches it — trivial next to the pair work
+    require(old.select(col(idCol))
+        .join(fresh.select(col(idCol)), Seq(idCol)).limit(1).collect().isEmpty,
+      "incrementalJaccardPairs: ids must be globally unique across old and " +
+        "fresh — at least one id appears on both sides")
     def prep(df: DataFrame): DataFrame = df.select(
       col(idCol).as("id"),
       TF.shingleHashes(col(textCol), shingleN).as("sh"),

@@ -89,16 +89,31 @@ object PqIndex {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Load codebooks saved by [[save]]; (sub, cell) ids restore ordering. */
+  /** Load codebooks saved by [[save]]; (sub, cell) ids restore ordering.
+    * STRICT: a torn/partial model file (missing subspace, missing cell)
+    * would otherwise load with COMPACTED indices — every later encode
+    * would then read the wrong codebooks and corrupt the index silently.
+    */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     val rows = spark.read.parquet(path)
       .select(col("sub").cast("int"), col("cell").cast("int"),
         col("centroid").cast("array<double>"))
       .collect()
-    val books = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
+    require(rows.nonEmpty, s"empty PQ model at $path")
+    val grouped = rows.groupBy(_.getInt(0))
+    val subs = grouped.keySet
+    require(subs == (0 until subs.size).toSet,
+      s"torn PQ model at $path: subspace ids ${subs.toSeq.sorted.mkString(",")} " +
+        "are not contiguous from 0")
+    val books = grouped.toArray.sortBy(_._1).map { case (sub, rs) =>
+      val cells = rs.map(_.getInt(1)).toSet
+      require(cells == (0 until rs.length).toSet,
+        s"torn PQ model at $path: subspace $sub cell ids not contiguous")
       rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }
-    require(books.nonEmpty, s"empty PQ model at $path")
+    val dims = books.flatMap(_.map(_.length)).distinct
+    require(dims.length == 1,
+      s"torn PQ model at $path: mixed centroid dims ${dims.mkString(",")}")
     Model(books)
   }
 
@@ -135,6 +150,14 @@ object PqIndex {
         !col(opCol).isin("upsert", "delete")).limit(1).collect().isEmpty,
       s"encodeDelta: delta carries an op outside upsert/delete — " +
         "refusing (the encode split would silently drop it)")
+    // a NULL-vector upsert would encode to (null cell, null codes): merged
+    // in but outside every probed-cell IN-list — a row that EXISTS in the
+    // index yet can never be found. Refuse; deletes are the only rows
+    // allowed to travel without a vector.
+    require(delta.where(col(opCol) === "upsert" && col(vecCol).isNull)
+        .limit(1).collect().isEmpty,
+      s"encodeDelta: upsert row with NULL $vecCol — it would be assigned " +
+        "no cell and become unsearchable; send a delete or a real vector")
     val upIdx = IvfIndex.assign(delta.where(col(opCol) === "upsert"),
         idCol, vecCol, ivf)
       .select(col(idCol), col("ivf_cell"),

@@ -565,6 +565,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ed.getMessage.contains("NULL"), ed.getMessage)
   }
 
+  test("incrementalJaccardPairs: batch-vs-corpus pairs, asymmetry, id-collision refused") {
+    val old = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    // 10: near-dup of old 1 (drops first token); 11: unique; 12: near-dup
+    // of 11 (earlier-new blocker, not old)
+    val fresh = Seq((10L, "beta gamma delta epsilon"),
+      (11L, "red orange yellow green blue indigo"),
+      (12L, "orange yellow green blue indigo")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.incrementalJaccardPairs(old, fresh,
+      "doc_id", "text", shingleN = 3, minJaccard = 0.4, numHashes = 16,
+      bandRows = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 1L)), s"old blocker missed: $pairs")
+    assert(pairs.contains((12L, 11L)), s"earlier-new blocker missed: $pairs")
+    // asymmetry: old x old pairs structurally absent, new side only as A
+    assert(pairs.forall { case (a, b) => a >= 10L && (b < 10L || b < a) }, pairs)
+    // id collision across sides is refused loudly (a shared id would
+    // self-pair at jaccard 1 and silently always-block the new row)
+    val clash = Seq((1L, "whatever text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.incrementalJaccardPairs(old, clash, "doc_id", "text"))
+    assert(e.getMessage.contains("globally unique"), e.getMessage)
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(

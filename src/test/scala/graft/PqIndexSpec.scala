@@ -98,7 +98,7 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
-  test("model save/load round-trips the codebooks bit-for-bit") {
+  test("model save/load round-trips the codebooks bit-for-bit; torn models refused") {
     val m1 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 32)
     val path = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
       "/pqspec_model_rt"
@@ -107,6 +107,26 @@ class PqIndexSpec extends SparkSpec {
     assert(m2.m == m1.m && m2.subDim == m1.subDim)
     assert(m1.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
       m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // a model missing a whole subspace would otherwise load with COMPACTED
+    // sub indices and silently encode against the wrong codebooks
+    val torn = path + "_torn"
+    spark.read.parquet(path).where(col("sub") =!= 3)
+      .write.mode("overwrite").parquet(torn)
+    val e = intercept[IllegalArgumentException](PqIndex.load(spark, torn))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+  }
+
+  test("encodeDelta refuses a NULL-vector upsert (it would be unsearchable)") {
+    import graft.operators.IvfIndex
+    val e = emb
+    val ivf = IvfIndex.train(e, "vec_id", "embedding", k = 8)
+    val pq = PqIndex.train(e, "vec_id", "embedding", m = 16, k = 64)
+    val bad = e.where(col("vec_id") === 1).select(col("vec_id"),
+      lit(null).cast(e.schema("embedding").dataType).as("embedding"),
+      lit("upsert").as("op"))
+    val err = intercept[IllegalArgumentException](
+      PqIndex.encodeDelta(bad, "vec_id", "embedding", ivf, pq))
+    assert(err.getMessage.contains("unsearchable"), err.getMessage)
   }
 
   test("CDC maintenance: delta re-assigned with frozen models, merged table still prunes") {
