@@ -190,7 +190,9 @@ object Maw {
       |  --roll-by-rows N --roll-by-bytes N --partition-by col1,col2
       |  --cluster-by col1,col2 --zorder-by col1,col2 --bloom-filter col1,col2
       |                                        (data-skipping layouts)
-      |  --compact [--target-file-size 128m]   (in-place small-file compaction of a tree)
+      |  --compact [--target-file-size 128m] [--zorder-by cols]
+      |                                        (in-place compaction; with --zorder-by the
+      |                                         rewrite also re-clusters — OPTIMIZE ZORDER)
       |  --sql "SELECT ... FROM t ..."         (query the unified inputs as table t)
       |  --skip-corrupt                        (drop unreadable inputs/blocks, don't abort)
       |  --stream --state DIR --resume
