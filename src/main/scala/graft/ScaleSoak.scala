@@ -126,10 +126,17 @@ object ScaleSoak {
     // event_id/user_id stride by the same 10^7 below
     val evIds = spark.read.parquet(s"$base/events.parquet")
       .agg(max("event_id"), max("user_id")).head
+    // lineitem keys stride by the same 10^7 below — at a larger base scale
+    // factor (sf>=10, l_orderkey up to ~6e7) replica key domains would
+    // silently overlap and p15's z-order scaling signal degrade; cover them
+    // in the same guard as the doc/emb/event ids
+    val liKeys = spark.read.parquet(s"$base/lineitem.parquet")
+      .agg(max("l_orderkey"), max("l_partkey")).head
     val maxId = Seq(
       docs.agg(max("doc_id")).head.getLong(0),
       emb.agg(max("vec_id")).head.getLong(0),
-      evIds.getLong(0), evIds.getLong(1)).max
+      evIds.getLong(0), evIds.getLong(1),
+      liKeys.getLong(0), liKeys.getLong(1)).max
     // 2e6: d17's fresh-batch offset is the largest in-query id offset
     // (most d-family mutations use +1e6)
     require(maxId + 2000000L < 10000000L,

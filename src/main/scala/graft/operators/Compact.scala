@@ -87,12 +87,28 @@ object Compact {
     // content: the token bytes the arbitration reads stay stable. Once a
     // takeover renames the lease away, setTimes throws FileNotFound and
     // the beat goes quiet — the token re-checks still handle the abort.
+    // setTimes failures beyond IOException (e.g. UnsupportedOperationException
+    // on object-store connectors that don't implement mtime updates) must not
+    // kill the thread SILENTLY — that would quietly lose the stale-takeover
+    // protection for long rewrites. Warn loudly once, then stop beating: the
+    // pre-swap token re-check still guards the destructive step.
     val beat = new Thread({ () =>
       val period = math.max(1000L, leaseStaleMs / 3)
-      try while (!Thread.currentThread.isInterrupted) {
-        Thread.sleep(period)
-        try fs.setTimes(lease, System.currentTimeMillis, -1)
-        catch { case _: java.io.IOException => () }
+      try {
+        var beating = true
+        while (beating && !Thread.currentThread.isInterrupted) {
+          Thread.sleep(period)
+          try fs.setTimes(lease, System.currentTimeMillis, -1)
+          catch {
+            case _: java.io.IOException => () // transient (or lease renamed away) — keep trying
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"compact: lease heartbeat disabled — setTimes " +
+                s"unsupported on this FileSystem (${e.getClass.getSimpleName}: " +
+                s"${e.getMessage}); a rewrite outliving ${leaseStaleMs} ms may be " +
+                "taken over and abort at the pre-swap token check")
+              beating = false
+          }
+        }
       } catch { case _: InterruptedException => () }
     }: Runnable, "compact-lease-heartbeat")
     beat.setDaemon(true)

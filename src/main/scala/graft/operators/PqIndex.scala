@@ -111,6 +111,15 @@ object PqIndex {
         s"torn PQ model at $path: subspace $sub cell ids not contiguous")
       rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }
+    // per-subspace contiguity alone has a hole: a torn file that drops the
+    // TAIL cells of one subspace (cells k0..k-1) still reads as contiguous
+    // from 0 — and a codebook with fewer cells than its siblings silently
+    // encodes different code words than the original model. All subspaces
+    // were trained with one k; require they still agree.
+    val ks = books.map(_.length).distinct
+    require(ks.length == 1,
+      s"torn PQ model at $path: subspace cell counts ${books.map(_.length).mkString(",")} " +
+        "disagree — one subspace lost its tail cells")
     val dims = books.flatMap(_.map(_.length)).distinct
     require(dims.length == 1,
       s"torn PQ model at $path: mixed centroid dims ${dims.mkString(",")}")

@@ -114,6 +114,14 @@ class PqIndexSpec extends SparkSpec {
       .write.mode("overwrite").parquet(torn)
     val e = intercept[IllegalArgumentException](PqIndex.load(spark, torn))
     assert(e.getMessage.contains("torn"), e.getMessage)
+    // the subtler tear: one subspace loses its TAIL cells (k0..k-1). Cells
+    // 0..k0-1 are still contiguous from 0, so the per-subspace check alone
+    // passes — the cross-subspace cell-count agreement must catch it.
+    val tornTail = path + "_torn_tail"
+    spark.read.parquet(path).where(col("sub") =!= 3 || col("cell") < 20)
+      .write.mode("overwrite").parquet(tornTail)
+    val e2 = intercept[IllegalArgumentException](PqIndex.load(spark, tornTail))
+    assert(e2.getMessage.contains("cell counts"), e2.getMessage)
   }
 
   test("encodeDelta refuses a NULL-vector upsert (it would be unsearchable)") {
