@@ -209,11 +209,13 @@ object Dedup {
     * occupancy) regardless of corpus size: the shape that lets a 100 TB
     * corpus absorb daily batches without an O(corpus^2) — or even
     * O(corpus x batch) brute — re-scan. At warehouse scale the old side's
-    * banded signature table is PERSISTED at ingest (the serving-index
-    * discipline); here it is derived inline from `old`. Ids must be
-    * globally unique across both inputs. Same recall discipline as
-    * [[ngramJaccardPairs]] (bandRows=1, numHashes=16 -> candidate recall
-    * ~1 at J>=0.5).
+    * banded signature table is PERSISTED at ingest — build it with
+    * [[buildJaccardIngestIndex]] and probe with
+    * [[incrementalJaccardPairsIndexed]] (same output, the corpus text is
+    * never re-shingled per batch); this overload derives the old side
+    * inline from `old` for one-shot use. Ids must be globally unique
+    * across both inputs. Same recall discipline as [[ngramJaccardPairs]]
+    * (bandRows=1, numHashes=16 -> candidate recall ~1 at J>=0.5).
     */
   def incrementalJaccardPairs(
       old: DataFrame,
@@ -225,7 +227,6 @@ object Dedup {
       numHashes: Int = 16,
       bandRows: Int = 1,
       maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bandRows == 0, "bandRows must divide numHashes")
     // an id present on BOTH sides would self-pair through the old leg
     // (jaccard 1 -> the new row silently always blocked); one slim
     // bounded equi-join catches it — trivial next to the pair work
@@ -233,20 +234,118 @@ object Dedup {
         .join(fresh.select(col(idCol)), Seq(idCol)).limit(1).collect().isEmpty,
       "incrementalJaccardPairs: ids must be globally unique across old and " +
         "fresh — at least one id appears on both sides")
-    def prep(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("id"),
-      TF.shingleHashes(col(textCol), shingleN).as("sh"),
-      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-      .repartition(col("id"))
+    val oldP = jaccardPrep(old, idCol, textCol, shingleN, numHashes)
+    val freshP = jaccardPrep(fresh, idCol, textCol, shingleN, numHashes)
+    incrementalCore(
+      jaccardBand(oldP, numHashes, bandRows, isNew = false),
+      jaccardBand(freshP, numHashes, bandRows, isNew = true),
+      oldP.select(col("id"), col("sh")), freshP.select(col("id"), col("sh")),
+      minJaccard, maxBucketSize)
+  }
+
+  /** Build the INGEST-SIDE dedup index [[incrementalJaccardPairsIndexed]]
+    * probes: one pass over the corpus text computes shingle hashes + the
+    * minhash signature, persisted as two slim bucketed tables —
+    * `bandTable` (id, band, bucket), bucketed by `bucket` (the candidate
+    * join's probe key), and `shingleTable` (id, sh), bucketed by `id` (the
+    * verify attach's key). Built ONCE per corpus at ingest; after that, no
+    * arriving batch ever re-shingles or re-hashes the old corpus — the
+    * warehouse-scale shape the inline [[incrementalJaccardPairs]] only
+    * documented. Band parameters are baked into the table contents; probe
+    * with the SAME (shingleN, numHashes, bandRows) or candidates are
+    * silently wrong.
+    */
+  def buildJaccardIngestIndex(
+      old: DataFrame,
+      idCol: String,
+      textCol: String,
+      bandTable: String,
+      shingleTable: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 1,
+      buckets: Int = 16): Unit = {
+    // one expensive text pass (shingle + minhash), two slim table writes:
+    // persist() keeps the signatures in memory between the writes instead
+    // of recomputing the text walk
+    val prep = jaccardPrep(old, idCol, textCol, shingleN, numHashes).persist()
+    try {
+      Bucketing.writeBucketed(prep.select(col("id"), col("sh")),
+        shingleTable, "id", buckets)
+      Bucketing.writeBucketed(
+        jaccardBand(prep, numHashes, bandRows, isNew = false)
+          .select("id", "band", "bucket"),
+        bandTable, "bucket", buckets)
+    } finally prep.unpersist()
+  }
+
+  /** [[incrementalJaccardPairs]] against a PERSISTED ingest index
+    * ([[buildJaccardIngestIndex]]): only the arriving batch is shingled and
+    * banded; the old side is two slim bucketed table scans (banded rows for
+    * the candidate join, shingle sets for the verify attach). Output is
+    * identical to the inline overload by construction — same banding, same
+    * cap, same A-side restriction, same exact verify — so the d17 oracle
+    * pins both paths. Per-batch cost: O(batch text) + one linear scan of
+    * the slim index, never a re-shingle of the corpus.
+    */
+  def incrementalJaccardPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      bandTable: String,
+      shingleTable: String,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 16,
+      bandRows: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val oldSh = spark.table(shingleTable)
+    require(oldSh.select(col("id").as(idCol))
+        .join(fresh.select(col(idCol)), Seq(idCol)).limit(1).collect().isEmpty,
+      "incrementalJaccardPairsIndexed: ids must be globally unique across " +
+        "the indexed corpus and fresh — at least one id appears on both sides")
+    val freshP = jaccardPrep(fresh, idCol, textCol, shingleN, numHashes)
+    incrementalCore(
+      spark.table(bandTable).withColumn("is_new", lit(false)),
+      jaccardBand(freshP, numHashes, bandRows, isNew = true),
+      oldSh, freshP.select(col("id"), col("sh")),
+      minJaccard, maxBucketSize)
+  }
+
+  /** (id, sh, sig) signature rows over one exchange — all consumers (band
+    * explode, shingle attach) hang off the same shuffle so the text walk
+    * happens once (see [[minhashPairs]]).
+    */
+  private def jaccardPrep(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = df.select(
+    col(idCol).as("id"),
+    TF.shingleHashes(col(textCol), shingleN).as("sh"),
+    TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+    .repartition(col("id"))
+
+  /** Slim (id, band, bucket, is_new) banding rows for the incremental
+    * candidate join — the rows [[buildJaccardIngestIndex]] persists.
+    */
+  private def jaccardBand(base: DataFrame, numHashes: Int, bandRows: Int,
+      isNew: Boolean): DataFrame = {
+    require(numHashes % bandRows == 0, "bandRows must divide numHashes")
     val bandKeys = (0 until numHashes / bandRows).map(b =>
       xxhash64(((0 until bandRows).map(r => col("sig").getItem(bandRows * b + r)) :+ lit(b)): _*))
-    def band(base: DataFrame, isNew: Boolean): DataFrame = base
-      .select(col("id"), posexplode(array(bandKeys: _*)))
+    base.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
       .withColumn("is_new", lit(isNew))
-    val oldP = prep(old)
-    val freshP = prep(fresh)
-    val banded = band(oldP, isNew = false).unionByName(band(freshP, isNew = true))
+  }
+
+  /** The incremental pair shape shared by the inline and indexed paths:
+    * cap buckets over old+fresh banding rows, restrict the candidate
+    * join's A side to NEW rows (old x old structurally absent), verify
+    * with exact Jaccard over the attached shingle sets.
+    */
+  private def incrementalCore(oldBanded: DataFrame, freshBanded: DataFrame,
+      oldSh: DataFrame, freshSh: DataFrame,
+      minJaccard: Double, maxBucketSize: Int): DataFrame = {
+    val banded = oldBanded.unionByName(freshBanded)
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // A side = NEW rows only; B side = old rows, or new rows with a
     // smaller id (keep-first within the batch) — old x old never forms
@@ -257,9 +356,7 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(!col("b_new") || col("idB") < col("idA"))
       .select("idA", "idB").distinct()
-    attach(candidates,
-      oldP.select(col("id"), col("sh")).unionByName(freshP.select(col("id"), col("sh"))),
-      "sh")
+    attach(candidates, oldSh.unionByName(freshSh), "sh")
       .select(col("idA"), col("idB"),
         TF.jaccardSorted(col("shA"), col("shB")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)

@@ -134,17 +134,18 @@ object PipelineQueries {
         Some(graft.operators.IvfIndex.load(s, modelPath)) else None }
       catch { case _: Exception => None } // model parquet missing/torn -> rebuild
     cached match {
-      case Some(m) => (table, m)
+      case Some(m) =>
+        graft.util.TableRetention.sweep(s, "s12_",
+          keep = Set(table, s"s12_ivf_model_$key"))
+        (table, m)
       case None =>
         // the default in-memory catalog forgets managed tables across JVMs
-        // while their warehouse LOCATION survives — clear any stale
-        // location first or saveAsTable refuses (LOCATION_ALREADY_EXISTS).
+        // while their warehouse LOCATION survives — the retention sweep
+        // clears stale-key litter AND this build's own stale location
+        // (saveAsTable would refuse with LOCATION_ALREADY_EXISTS).
         // Build-once is therefore per-JVM here; within a session (the
         // bench's min-of-2, repeated serving calls) the index is reused.
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$table")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.util.TableRetention.sweep(s, "s12_", keep = Set.empty)
         val m = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         graft.operators.IvfIndex.saveAssigned(corpus, "vec_id", "embedding",
           m, table, buckets = 8)
@@ -178,11 +179,14 @@ object PipelineQueries {
           graft.operators.PqIndex.load(s, pqPath))) else None }
       catch { case _: Exception => None } // model parquet missing/torn -> rebuild
     cached match {
-      case Some((ivf, pq)) => (table, ivf, pq)
+      case Some((ivf, pq)) =>
+        graft.util.TableRetention.sweep(s, "s14_",
+          keep = Set(table, s"s14_ivf_model_$key", s"s14_pq_model_$key"))
+        (table, ivf, pq)
       case None =>
-        val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        // retention sweep clears stale-key litter and this build's own
+        // stale location (see s12ServeIndex)
+        graft.util.TableRetention.sweep(s, "s14_", keep = Set.empty)
         val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
           m = 16, k = 256, sampleSize = 4096)
@@ -214,11 +218,12 @@ object PipelineQueries {
           graft.operators.PqIndex.load(s, pqPath))) else None }
       catch { case _: Exception => None }
     cached match {
-      case Some((ivf, pq)) => (table, ivf, pq)
+      case Some((ivf, pq)) =>
+        graft.util.TableRetention.sweep(s, "s15_",
+          keep = Set(table, s"s15_ivf_model_$key", s"s15_pq_model_$key"))
+        (table, ivf, pq)
       case None =>
-        val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.util.TableRetention.sweep(s, "s15_", keep = Set.empty)
         val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
           m = 16, k = 256, sampleSize = 4096)
@@ -228,6 +233,35 @@ object PipelineQueries {
         graft.operators.PqIndex.save(s, pq, pqPath)
         (table, ivf, pq)
     }
+  }
+
+  /** d17's build-once INGEST-SIDE dedup index (round-11 verdict #2): the
+    * corpus's banded minhash signatures + shingle sets persisted as two
+    * slim bucketed tables, fixture-keyed like [[s14ServeIndex]]. First
+    * invocation per fixture pays the one corpus text pass; every
+    * subsequent batch probe reads the slim tables and never re-shingles
+    * the corpus — the warehouse-scale daily-batch absorption shape.
+    * Parameters are pinned to d17's (shingleN=3, numHashes=16, bandRows=1)
+    * — the index bakes them in.
+    */
+  private def d17IngestIndex(s: SparkSession, dir: String,
+      corpus: DataFrame): (String, String) = {
+    val f = new java.io.File(s"$dir/documents.parquet")
+    val key = java.lang.Integer.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val bandTable = s"d17_band_$key"
+    val shTable = s"d17_sh_$key"
+    val live = Set(bandTable, shTable)
+    if (!(s.catalog.tableExists(bandTable) && s.catalog.tableExists(shTable))) {
+      // retention sweep: stale fixture keys' tables (and a crashed build's
+      // orphan locations) go before the rebuild — also clears this build's
+      // own locations, which saveAsTable would otherwise refuse
+      graft.util.TableRetention.sweep(s, "d17_", keep = Set.empty)
+      Dedup.buildJaccardIngestIndex(corpus, "doc_id", "text",
+        bandTable, shTable, shingleN = 3, numHashes = 16, bandRows = 1,
+        buckets = 16)
+    } else graft.util.TableRetention.sweep(s, "d17_", keep = live)
+    (bandTable, shTable)
   }
 
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
@@ -669,7 +703,12 @@ object PipelineQueries {
           array_join(transform(split(col("text"), " "), t => concat(t, lit("_xq"))),
             " ").as("text"))
       val batch = mut.unionByName(freshNew)
-      val pairs = Dedup.incrementalJaccardPairs(docs, batch, "doc_id", "text",
+      // the old side comes from the PERSISTED ingest index (build-once per
+      // fixture) — the batch is the only text that gets shingled here; the
+      // oracle is unchanged, pinning indexed == inline semantics
+      val (bandTable, shTable) = d17IngestIndex(s, dir, docs)
+      val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandTable, shTable,
+        batch, "doc_id", "text",
         shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
       ordered(batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -705,11 +744,10 @@ object PipelineQueries {
           col("embedding"), lit("upsert").as("op"))
       val delta = del.unionByName(news).unionByName(moved).localCheckpoint()
       val mergedTable = s"d16_ivfpq_merged_${java.lang.Integer.toHexString(dir.hashCode)}"
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + s"/$mergedTable")
-      val hfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      s.sql(s"DROP TABLE IF EXISTS $mergedTable")
-      if (hfs.exists(loc)) hfs.delete(loc, true)
+      // retention sweep at maintenance entry (round-11 verdict #6): a
+      // crashed run's merged tables — ANY key, not just this one — are
+      // ownerless litter; sweep them all before building this invocation's
+      graft.util.TableRetention.sweep(s, "d16_ivfpq_merged_", keep = Set.empty)
       PqIndex.mergeAssigned(s, baseTable,
         PqIndex.encodeDelta(delta, "vec_id", "embedding", ivf, pq),
         "vec_id", mergedTable, buckets = 8)
@@ -839,18 +877,17 @@ object PipelineQueries {
       deleteRecursively(base)
       val deltaDir = base.resolve("delta")
       java.nio.file.Files.createDirectories(deltaDir)
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
       // version tables are keyed by the sink's BATCH ID — the foreachBatch
       // exactly-once idiom: a batch redelivered after a crash-restart
       // rewrites ITS OWN table (mode overwrite), so replay is idempotent
       // instead of minting a phantom version
       def versionTable(batchId: Long) = s"st12_ivfpq_b${batchId}_$key"
-      (0L to 3L).map(versionTable).foreach { tbl =>
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        val loc = new org.apache.hadoop.fs.Path(s"$wh/$tbl")
-        val hfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (hfs.exists(loc)) hfs.delete(loc, true)
-      }
+      // retention sweep at maintenance entry (round-11 verdict #6): the old
+      // per-key pre-drop only covered THIS run's rerun; a crashed run with
+      // a different fixture key (or a batch id outside the expected range)
+      // left versions behind forever. Sweep the whole version-table prefix
+      // — this run creates its versions after this point.
+      graft.util.TableRetention.sweep(s, "st12_ivfpq_", keep = Set.empty)
       var current = baseTable
       val applied = scala.collection.mutable.ArrayBuffer.empty[Long]
       val stream = s.readStream.schema(

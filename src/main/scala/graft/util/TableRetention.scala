@@ -1,0 +1,49 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Retention sweep for serving-index version tables (round-11 verdict #6).
+  *
+  * The maintenance loops (d16's per-invocation merged table, st12's
+  * batch-id-keyed versions, the fixture-keyed serve indexes) create managed
+  * tables whose cleanup is normally a `finally` drop or a same-key
+  * overwrite — but a CRASHED run's tables (and any table keyed by a
+  * fixture that no longer exists) have no owner and accumulate as
+  * warehouse litter in a long-lived deployment. Each family therefore
+  * sweeps its own prefix at build/maintenance ENTRY: everything under the
+  * prefix that is not in the caller's live set — catalog entries AND their
+  * warehouse locations (the default in-memory catalog forgets tables at
+  * JVM exit while locations survive, so orphan LOCATIONS are the common
+  * crash residue) — is dropped.
+  */
+object TableRetention {
+
+  /** Drop every catalog table and warehouse location whose name starts
+    * with `prefix` and is not in `keep`. Returns what was swept
+    * (`table:name` / `loc:name`) for logging and specs. The prefix must be
+    * a family-specific name stem — a short prefix would sweep unrelated
+    * state, so refuse anything under 4 chars.
+    */
+  def sweep(spark: SparkSession, prefix: String, keep: Set[String] = Set.empty): Seq[String] = {
+    require(prefix.length >= 4,
+      s"retention sweep prefix '$prefix' too short — it would sweep unrelated tables")
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(t => t.startsWith(prefix) && !keep.contains(t))
+      .foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        swept += s"table:$t"
+      }
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix) && !keep.contains(n)) {
+        fs.delete(st.getPath, true)
+        swept += s"loc:$n"
+      }
+    }
+    swept.toSeq
+  }
+}

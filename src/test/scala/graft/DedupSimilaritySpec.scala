@@ -588,6 +588,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("globally unique"), e.getMessage)
   }
 
+  test("incrementalJaccardPairsIndexed == inline path on a real corpus; stale index litter swept") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val batch = docs.where($"doc_id" % 7 === 2)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "substring(text, instr(text, ' ') + 1)").as("text"))
+    val inline = graft.operators.Dedup.incrementalJaccardPairs(docs, batch,
+      "doc_id", "text", shingleN = 3, minJaccard = 0.5, numHashes = 16,
+      bandRows = 1)
+    // plant litter a "crashed" earlier build would leave: a stale-key
+    // catalog table and an orphan warehouse location
+    import spark.implicits._
+    Seq((1L, 2, 3L)).toDF("id", "band", "bucket")
+      .write.mode("overwrite").saveAsTable("dspec_band_deadbeef")
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val orphan = new java.io.File(wh, "dspec_sh_cafe")
+    orphan.mkdirs()
+    graft.operators.Dedup.buildJaccardIngestIndex(docs, "doc_id", "text",
+      "dspec_band_live", "dspec_sh_live", shingleN = 3, numHashes = 16,
+      bandRows = 1, buckets = 4)
+    val swept = graft.util.TableRetention.sweep(spark, "dspec_",
+      keep = Set("dspec_band_live", "dspec_sh_live"))
+    assert(swept.exists(_.endsWith("dspec_band_deadbeef")), swept)
+    assert(swept.exists(_ == "loc:dspec_sh_cafe"), swept)
+    assert(!spark.catalog.tableExists("dspec_band_deadbeef"))
+    assert(!orphan.exists())
+    // live index survived the sweep and serves the probe
+    assert(spark.catalog.tableExists("dspec_band_live"))
+    val indexed = graft.operators.Dedup.incrementalJaccardPairsIndexed(spark,
+      "dspec_band_live", "dspec_sh_live", batch, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+    val a = inline.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"indexed path diverged: only-inline=${a.diff(b).take(5)} " +
+      s"only-indexed=${b.diff(a).take(5)}")
+    assert(a.nonEmpty, "fixture produced no incremental pairs — test is vacuous")
+    // id collision against the PERSISTED corpus is refused like the inline path
+    val clash2 = docs.limit(1).select($"doc_id", $"text")
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Dedup.incrementalJaccardPairsIndexed(spark,
+        "dspec_band_live", "dspec_sh_live", clash2, "doc_id", "text"))
+    assert(e2.getMessage.contains("globally unique"), e2.getMessage)
+    // a too-short sweep prefix is refused (it would sweep unrelated tables)
+    val e3 = intercept[IllegalArgumentException](
+      graft.util.TableRetention.sweep(spark, "s", Set.empty))
+    assert(e3.getMessage.contains("too short"), e3.getMessage)
+    graft.util.TableRetention.sweep(spark, "dspec_", keep = Set.empty)
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(
