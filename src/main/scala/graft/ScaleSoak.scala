@@ -112,7 +112,14 @@ object ScaleSoak {
       // (linear), with old x old structurally absent from the plan
       "d17_incremental_dedup",
       // t22 is one narrow filter pass; output scales with kept rows
-      "t22_mixture_sample")
+      "t22_mixture_sample",
+      // round-12 additions (round-11 verdict #3): the recall-gated ANN
+      // legs run at soak scale too — their in-query requireRecall gate
+      // (>= 0.9 vs the exact ranking) now fires at x16 density, and the
+      // measured recall lands in the CSV's recall_min column. LSH/IVF
+      // recall drifts with corpus density; sf0.1-only gating left that
+      // unmeasured ("s05" was already here; s02/s03 join it).
+      "s02_knn_lsh", "s03_knn_ivf")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -228,7 +235,31 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("ERROR")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak")
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double, Long, Int)]
+    final case class Leg(q: String, scale: Int, sec: Double, rows: Long,
+      rounds: Int, recallMin: Double, batches: Long, stateRows: Long)
+    val results = scala.collection.mutable.ArrayBuffer.empty[Leg]
+    // STREAMING ATTRIBUTION (round-11 verdict #7): the st legs' x16 ratios
+    // mix micro-batch fixed cost with real state growth, and the matrix's
+    // worst rows (st10 5.9x, st07 5.0x) were indistinguishable from disk
+    // weather. Count micro-batches and peak state rows per leg so a future
+    // regression separates "more batches scheduled" from "state blew up".
+    // Listener delivery is async; counters are reset before the SECOND
+    // (recorded) run and read after it — attribution, not a gate.
+    val batchCount = new java.util.concurrent.atomic.AtomicLong
+    val peakStateRows = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        batchCount.incrementAndGet()
+        val sr = e.progress.stateOperators.map(_.numRowsTotal).sum
+        peakStateRows.getAndUpdate(m => math.max(m, sr))
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     try {
       for (scale <- scales) {
         // shuffle partitions must scale with the data or large-scale sorts
@@ -249,30 +280,76 @@ object ScaleSoak {
             ((System.nanoTime() - t0) / 1e9, rows)
           }
           val (t1, rows) = once()
+          batchCount.set(0); peakStateRows.set(0)
           val (t2, _) = once()
           val sec = math.min(t1, t2)
           val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1
-          results += ((q, scale, sec, rows, rounds))
+          // recall-gated ANN legs: the in-query requireRecall gate already
+          // fired (>= 0.9) during both timed runs at THIS scale; one more
+          // evaluation surfaces the measured number into the CSV
+          val probe = fn(spark, dir)
+          val recallMin =
+            if (probe.columns.contains("recall"))
+              probe.agg(min(col("recall"))).head.getDouble(0)
+            else -1.0
+          // d04's OUTPUT BOUND (round-11 verdict #5), derived from the
+          // replica construction: replicas share zero tokens (salting), so
+          // every simhash pair must be within-replica — cross-replica
+          // pairs are asserted ZERO, making total output structurally
+          // <= scale x max-per-replica. Each replica is a same-size corpus
+          // whose signature values are freshly hashed (salted tokens), so
+          // its organic pair count is an independent draw of the base
+          // corpus's pair process; 4x base bounds the per-replica draw
+          // (observed spread ~1.7x mean at x16) — so total rows_ratio is
+          // bounded by 4 x scale, linear in replicas by construction.
+          if (q == "d04_simhash_pairs" && scale > 1) {
+            val rep = (c: String) => floor(col(c) / 10000000L)
+            val pairs = fn(spark, dir)
+            val cross = pairs.where(rep("idA") =!= rep("idB")).count()
+            require(cross == 0L,
+              s"d04 x$scale: $cross cross-replica pairs — replica salting " +
+                "broke, output is no longer structurally linear in replicas")
+            val basePairs = results
+              .find(l => l.q == q && l.scale == scales.head).map(_.rows)
+            basePairs.filter(_ > 0).foreach { bp =>
+              val perRep = pairs.groupBy(rep("idA").as("rep"))
+                .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+              require(perRep <= 4 * bp,
+                s"d04 x$scale: a replica produced $perRep pairs " +
+                  s"(> 4x the base corpus's $bp) — pair growth outran the " +
+                  "independent-draw envelope")
+            }
+          }
+          val (nb, sr) =
+            if (q.startsWith("st")) (batchCount.get, peakStateRows.get)
+            else (-1L, -1L)
+          results += Leg(q, scale, sec, rows, rounds, recallMin, nb, sr)
           println(f"$q%-28s x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
-            (if (rounds >= 0) s" rounds=$rounds" else ""))
+            (if (rounds >= 0) s" rounds=$rounds" else "") +
+            (if (recallMin >= 0) f" recall_min=$recallMin%.3f" else "") +
+            (if (nb >= 0) s" batches=$nb state_rows=$sr" else ""))
         }
       }
       // summary: time and row ratios vs the 1x run for each query; also
       // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)
       // so the numbers survive log truncation
-      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds"
+      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds, recall_min, batches, state_rows"
       println("\n" + header)
-      val base1 = results.filter(_._2 == scales.head).map(r => r._1 -> (r._3, r._4)).toMap
-      val lines = results.map { case (q, s, sec, rows, rounds) =>
-        val (b, br) = base1(q)
-        f"$q,$s,$sec%.2f,${sec / b}%.2f,$rows,${rows.toDouble / br}%.2f," +
-          (if (rounds >= 0) rounds.toString else "")
+      val base1 = results.filter(_.scale == scales.head).map(l => l.q -> (l.sec, l.rows)).toMap
+      val lines = results.map { l =>
+        val (b, br) = base1(l.q)
+        f"${l.q},${l.scale},${l.sec}%.2f,${l.sec / b}%.2f,${l.rows},${l.rows.toDouble / br}%.2f," +
+          (if (l.rounds >= 0) l.rounds.toString else "") + "," +
+          (if (l.recallMin >= 0) f"${l.recallMin}%.3f" else "") + "," +
+          (if (l.batches >= 0) l.batches.toString else "") + "," +
+          (if (l.stateRows >= 0) l.stateRows.toString else "")
       }
       lines.foreach(println)
       val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_RESULTS.csv")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (header +: lines).mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally {
+      spark.streams.removeListener(listener)
       deleteRecursively(tmp.toFile)
       spark.stop()
     }

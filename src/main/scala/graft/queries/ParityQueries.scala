@@ -280,6 +280,76 @@ object ParityQueries {
         graft.operators.Concat.Config(Seq(tree.toString), skipCorrupt = true))
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // OPTIMIZE ZORDER, driver-checked end to end (round-11 verdict #4): the
+    // COMPOSED maintenance pass p13 (compaction) and p15 (z-order write)
+    // prove only separately — a fragmented AND unclustered tree rewritten
+    // in place by compact --zorder-by. Three gates: the file count drops
+    // (p13's), the post-maintenance footer stats must skip the 2-D point
+    // probe (p15's row-group gate — before the rewrite every part spans
+    // the whole key domain, so skipping is CREATED by the maintenance,
+    // not inherited), and the DuckDB oracle pins that the destructive
+    // swap changed not one row (p13's discipline). At 100 TB this is the
+    // nightly OPTIMIZE job: fix fragmentation and data-skipping layout in
+    // one staged, verified, lease-guarded rewrite.
+    "p18_compact_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p18_czorder_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val tree = base.resolve("li-tree").toString
+      // 24 tiny hash-scattered parts: the worst maintenance input —
+      // fragmented, and every row group spans the full key domain
+      li.repartition(24).write.parquet(tree)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val treePath = new org.apache.hadoop.fs.Path(tree)
+      val fs = treePath.getFileSystem(hconf)
+      val bytes = fs.listStatus(treePath)
+        .filter(f => f.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+      // target ~bytes/16: enough output row groups (>= 8) for the skip
+      // gate to mean something at every fixture scale, still < 24 inputs
+      val st = graft.operators.Compact.run(s, tree,
+        graft.sources.Discovery.Parquet,
+        targetFileBytes = math.max(64L * 1024, bytes / 16),
+        zorderBy = Seq("l_orderkey", "l_partkey"))
+      require(st.filesBefore == 24 && st.filesAfter < st.filesBefore,
+        s"p18: maintenance did not compact: ${st.filesBefore} -> ${st.filesAfter}")
+      // p15's footer-stat gate, applied to the REWRITTEN tree: row groups
+      // whose [min,max] contain both coordinates of the top-corner point
+      // must be a small minority (pre-rewrite: all of them)
+      val corner = li.orderBy(col("l_orderkey").desc, col("l_partkey").desc)
+        .limit(1).head()
+      val (k1, k2) = (corner.getLong(0), corner.getLong(1))
+      val parts = fs.listStatus(treePath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+      var total = 0L; var matching = 0L
+      parts.foreach { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          val (i1, i2) = (schema.getFieldIndex("l_orderkey"), schema.getFieldIndex("l_partkey"))
+          val blocks = r.getFooter.getBlocks
+          (0 until blocks.size).foreach { b =>
+            total += 1
+            def contains(idx: Int, v: Long): Boolean = {
+              val cs = blocks.get(b).getColumns.get(idx).getStatistics
+              cs.genericGetMin.asInstanceOf[Long] <= v &&
+                v <= cs.genericGetMax.asInstanceOf[Long]
+            }
+            if (contains(i1, k1) && contains(i2, k2)) matching += 1
+          }
+        } finally r.close()
+      }
+      require(total >= 8,
+        s"p18: maintenance produced only $total row groups — gate meaningless")
+      require(matching * 3 <= total,
+        s"p18: rewritten layout not skippable — $matching of $total row " +
+          s"groups match the point predicate ($k1, $k2)")
+      ordered(s.read.parquet(tree)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -350,6 +420,10 @@ object ParityQueries {
     "p17_resilient_ingest" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
+    // the maintenance swap must preserve the full content exactly
+    "p18_compact_zorder" ->
+      s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
+         |${orderSql("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")}""".stripMargin,
     // the same top-corner point the Spark side derives from the data
     "p15_zorder_skipping" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
