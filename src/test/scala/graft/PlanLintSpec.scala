@@ -31,7 +31,10 @@ class PlanLintSpec extends SparkSpec {
     "d09_dedup_clusters", "d12_best_survivors", "d14_semantic_curation",
     "s05_knn_ivf_bucketed", "s11_two_stage_knn", "s12_knn_ivf_serve",
     "s13_knn_pq_adc", "s14_knn_ivfpq_serve", "s15_knn_ivfpq_filtered",
-    "d16_ann_index_cdc", "st12_ann_index_stream")
+    "d16_ann_index_cdc", "st12_ann_index_stream",
+    // t16 materializes its aggregated (doc, token, tf) table so the text
+    // is tokenized once for both consumers (df window + n_docs count)
+    "t16_tfidf")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
