@@ -231,7 +231,8 @@ object Dedup {
     // (jaccard 1 -> the new row silently always blocked); one slim
     // bounded equi-join catches it — trivial next to the pair work
     require(old.select(col(idCol))
-        .join(fresh.select(col(idCol)), Seq(idCol)).limit(1).collect().isEmpty,
+        .join(broadcast(fresh.select(col(idCol))), Seq(idCol))
+        .limit(1).collect().isEmpty,
       "incrementalJaccardPairs: ids must be globally unique across old and " +
         "fresh — at least one id appears on both sides")
     val oldP = jaccardPrep(old, idCol, textCol, shingleN, numHashes)
@@ -301,8 +302,11 @@ object Dedup {
       bandRows: Int = 1,
       maxBucketSize: Int = 1000): DataFrame = {
     val oldSh = spark.table(shingleTable)
+    // broadcast the batch ids: the corpus side stays a narrow id-column
+    // scan (never a corpus shuffle just to validate ids)
     require(oldSh.select(col("id").as(idCol))
-        .join(fresh.select(col(idCol)), Seq(idCol)).limit(1).collect().isEmpty,
+        .join(broadcast(fresh.select(col(idCol))), Seq(idCol))
+        .limit(1).collect().isEmpty,
       "incrementalJaccardPairsIndexed: ids must be globally unique across " +
         "the indexed corpus and fresh — at least one id appears on both sides")
     val freshP = jaccardPrep(fresh, idCol, textCol, shingleN, numHashes)
@@ -311,6 +315,46 @@ object Dedup {
       jaccardBand(freshP, numHashes, bandRows, isNew = true),
       oldSh, freshP.select(col("id"), col("sh")),
       minJaccard, maxBucketSize)
+  }
+
+  /** MAINTAIN the ingest index: append a batch's ACCEPTED rows (the
+    * dedup survivors — only admitted docs enter the corpus) to both index
+    * tables, so the NEXT batch blocks against them. One text pass over
+    * the batch; the existing index is never rewritten (bucketed appends
+    * add per-bucket files, and both the bucket-join and the attach keep
+    * their pruning). Ids already present are refused — an id appended
+    * twice would shadow-pair against itself in every later batch. The
+    * (shingleN, numHashes, bandRows) parameters MUST match the build's;
+    * `buckets` must match the table's bucket spec (Spark refuses a
+    * mismatched bucketed append loudly).
+    */
+  def appendJaccardIngestIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      bandTable: String,
+      shingleTable: String,
+      accepted: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 16,
+      bandRows: Int = 1,
+      buckets: Int = 16): Unit = {
+    require(spark.table(shingleTable).select(col("id").as(idCol))
+        .join(broadcast(accepted.select(col(idCol))), Seq(idCol))
+        .limit(1).collect().isEmpty,
+      "appendJaccardIngestIndex: an accepted id is already in the index — " +
+        "appending it again would make every later batch pair against a " +
+        "phantom duplicate")
+    val prep = jaccardPrep(accepted, idCol, textCol, shingleN, numHashes).persist()
+    try {
+      prep.select(col("id"), col("sh"))
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(shingleTable)
+      jaccardBand(prep, numHashes, bandRows, isNew = false)
+        .select("id", "band", "bucket")
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(bandTable)
+    } finally prep.unpersist()
   }
 
   /** (id, sh, sig) signature rows over one exchange — all consumers (band
@@ -345,7 +389,20 @@ object Dedup {
   private def incrementalCore(oldBanded: DataFrame, freshBanded: DataFrame,
       oldSh: DataFrame, freshSh: DataFrame,
       minJaccard: Double, maxBucketSize: Int): DataFrame = {
-    val banded = oldBanded.unionByName(freshBanded)
+    // old banded rows in (band, bucket) groups the BATCH never lands in
+    // cannot form a candidate (the A side is batch-only), and capBuckets
+    // drops whole over-cap groups — so broadcast the batch's bucket set
+    // and semi-filter the corpus side INSIDE its scan. Retained groups
+    // keep every row, so the cap (and the output) is unchanged; what
+    // changes is cost: the per-batch shuffle is occupancy-bounded
+    // (batch x bands x bucket size), not corpus-sized. The batch's
+    // bucket set is batch x bands rows of two longs — broadcastable for
+    // any sane ingest batch.
+    val freshBuckets = broadcast(
+      freshBanded.select(col("band"), col("bucket")).distinct())
+    val oldPruned = oldBanded
+      .join(freshBuckets, Seq("band", "bucket"), "left_semi")
+    val banded = oldPruned.unionByName(freshBanded)
     val capped = capBuckets(banded, Seq("band", "bucket"), maxBucketSize)
     // A side = NEW rows only; B side = old rows, or new rows with a
     // smaller id (keep-first within the batch) — old x old never forms
@@ -353,10 +410,28 @@ object Dedup {
       .select(col("id").as("idA"), col("band"), col("bucket"))
     val b = capped.select(col("id").as("idB"), col("is_new").as("b_new"),
       col("band"), col("bucket"))
+    // candidates are bounded by batch x bucket occupancy — the operator's
+    // whole cost contract — so MATERIALIZE them (tiny: two longs/row) and
+    // broadcast their id sets to pre-filter both payload sides. The
+    // corpus-sized shingle table is then only ever narrow-SCANNED (the
+    // broadcast hash filter runs inside the scan stage); the fat shingle
+    // arrays that reach a shuffle are candidates-many, not corpus-many.
+    // The previous union-then-attach shuffled the whole corpus shingle
+    // table per batch — the x64 soak's dominant cost after the index
+    // removed re-banding. (Joining the bucketed table directly instead
+    // was 1.5x worse at x64: it caps the fat sort-merge at the table's
+    // bucket count.)
     val candidates = a.join(b, Seq("band", "bucket"))
       .where(!col("b_new") || col("idB") < col("idA"))
       .select("idA", "idB").distinct()
-    attach(candidates, oldSh.unionByName(freshSh), "sh")
+      .localCheckpoint()
+    val bIds = broadcast(candidates.select(col("idB").as("id")).distinct())
+    val aIds = broadcast(candidates.select(col("idA").as("id")).distinct())
+    val shA = freshSh.join(aIds, Seq("id"), "left_semi")
+      .select(col("id").as("idA"), col("sh").as("shA"))
+    val shB = oldSh.unionByName(freshSh).join(bIds, Seq("id"), "left_semi")
+      .select(col("id").as("idB"), col("sh").as("shB"))
+    candidates.join(shA, Seq("idA")).join(shB, Seq("idB"))
       .select(col("idA"), col("idB"),
         TF.jaccardSorted(col("shA"), col("shB")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
@@ -437,6 +512,47 @@ object Dedup {
       .select(col("idA"), col("idB"), VF.cosine(col("vA"), col("vB")).as("cosine"))
       .where(col("cosine") >= minCosine)
       .distinct()
+  }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space, compare pairs only WITHIN a
+    * cluster, and keep the lowest id of every group whose cosine exceeds
+    * `minCosine`. Survivors = rows with no smaller-id within-cell
+    * neighbor at cosine >= minCosine.
+    *
+    * Scale shape: clustering is what makes 100 TB semantic dedup
+    * tractable — the all-pairs O(n^2) collapses to sum over cells of
+    * O(cell^2), and `nlist ~ sqrt(n)` (the [[IvfIndex.autoNlist]]
+    * default) keeps the EXPECTED cell quadratic at O(n). Training is a
+    * bounded deterministic sample + driver-side Lloyd (kilobytes); the
+    * assignment is a narrow map, the only shuffle is the within-cell
+    * self-join on the cell id, and the fixed-width vectors CARRY through
+    * that join so the verify runs inline in the join stage (the d06
+    * carry-payload lesson — no slim-pairs + re-attach round trip).
+    * Cluster-boundary pairs are missed by design — the documented
+    * SemDeDup approximation (duplicates land in the same cell in
+    * practice; exact copies always do).
+    */
+  def semanticDedup(
+      emb: DataFrame,           // (id, vector)
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.95,
+      nlist: Int = 0,           // 0 -> autoNlist(corpus size)
+      sampleSize: Int = 2048): DataFrame = {
+    val k = if (nlist > 0) nlist else IvfIndex.autoNlist(emb.count())
+    val m = IvfIndex.train(emb, idCol, vecCol, k, sampleSize)
+    val assigned = IvfIndex.assign(
+      emb.select(col(idCol), col(vecCol)), idCol, vecCol, m)
+    val a = assigned.select(col(idCol).as("idA"), col(vecCol).as("vA"),
+      col("ivf_cell"))
+    val b = assigned.select(col(idCol).as("idB"), col(vecCol).as("vB"),
+      col("ivf_cell"))
+    val blocked = a.join(b, Seq("ivf_cell"))
+      .where(col("idB") < col("idA") &&
+        VF.cosine(col("vA"), col("vB")) >= minCosine)
+      .select(col("idA").as(idCol)).distinct()
+    emb.join(blocked, Seq(idCol), "left_anti")
   }
 
   /** Plane count giving ~`targetBucketSize` expected rows per LSH bucket

@@ -1436,6 +1436,22 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // SemDeDup-style semantic dedup: k-means cells bound the pairwise
+    // cosine comparisons (sum of O(cell^2), nlist ~ sqrt(n)); survivors
+    // keep the lowest id of every >= 0.999-cosine group. Planted EXACT
+    // copies (+1e6 ids) make the within-cell approximation invisible to
+    // the oracle — identical vectors always share a cell, and at 0.999 no
+    // organic pair qualifies — so DuckDB's brute-force all-pairs survivor
+    // set hash-pins the operator end to end: a cross-cell false negative,
+    // a verify threshold drift, or a wrong keep-lowest tie-break each
+    // changes the survivor set.
+    "s16_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val corpus = e.unionByName(
+        e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      ordered(Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        minCosine = 0.999).select("vec_id"))
+    }),
     // the UDAF surface, driver-checked: s01's ranking re-expressed through
     // the typed TopKAggregator registered via functions.udaf — map-side
     // partial top-k means the shuffle carries at most k pairs per group per
@@ -2162,6 +2178,21 @@ object PipelineQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
          |${orderSql("idA", "idB", "cosine")}""".stripMargin,
+    // brute-force all-pairs survivor set — ignores the operator's cell
+    // structure entirely (planted exact copies make it invisible; see the
+    // query comment): keep every id with no smaller-id >= 0.999 neighbor
+    "s16_semantic_dedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings),
+         |blocked AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM e a JOIN e b ON b.vec_id < a.vec_id
+         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.999)
+         |SELECT vec_id FROM e
+         |WHERE NOT EXISTS (SELECT 1 FROM blocked bl WHERE bl.vec_id = e.vec_id)
+         |${orderSql("vec_id")}""".stripMargin,
     // exact reachability clusters: recursive CTE floods every component and
     // labels each member with the minimum reachable id — the ground truth
     // the iterative min-label propagation must converge to

@@ -638,6 +638,63 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "dspec_", keep = Set.empty)
   }
 
+  test("appendJaccardIngestIndex: next batch blocks against appended survivors") {
+    import org.apache.spark.sql.functions.expr
+    val docs = sf("documents").select($"doc_id", $"text")
+    // a prior failed run's tables/locations would make saveAsTable refuse
+    graft.util.TableRetention.sweep(spark, "dspeca_", keep = Set.empty)
+    graft.operators.Dedup.buildJaccardIngestIndex(docs, "doc_id", "text",
+      "dspeca_band", "dspeca_sh", shingleN = 3, numHashes = 16,
+      bandRows = 1, buckets = 4)
+    // batch 1: near-dup mutations of every 7th doc (blocked) plus
+    // genuinely-new docs (every token suffixed — all shingles change);
+    // the survivors are what a real ingest admits to the corpus
+    val batch1 = docs.where($"doc_id" % 7 === 2)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      .unionByName(docs.where($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 3000000L).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), t -> concat(t, '_ap')), ' ')")
+            .as("text")))
+    val blocked1 = graft.operators.Dedup.incrementalJaccardPairsIndexed(spark,
+      "dspeca_band", "dspeca_sh", batch1, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      .select($"idA".as("doc_id")).distinct()
+    val accepted1 = batch1.join(blocked1, Seq("doc_id"), "left_anti")
+    assert(accepted1.limit(1).collect().nonEmpty,
+      "fixture admitted nothing — append test is vacuous")
+    graft.operators.Dedup.appendJaccardIngestIndex(spark,
+      "dspeca_band", "dspeca_sh", accepted1, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bandRows = 1, buckets = 4)
+    // batch 2 contains near-dups of batch-1 SURVIVORS (+4e6 ids, first
+    // token dropped) — only an appended index can block those
+    val batch2 = accepted1
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val indexed2 = graft.operators.Dedup.incrementalJaccardPairsIndexed(spark,
+      "dspeca_band", "dspeca_sh", batch2, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline2 = graft.operators.Dedup.incrementalJaccardPairs(
+      docs.unionByName(accepted1), batch2, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed2 == inline2, s"appended index diverged from inline over " +
+      s"grown corpus: only-indexed=${indexed2.diff(inline2).take(5)} " +
+      s"only-inline=${inline2.diff(indexed2).take(5)}")
+    // at least one batch-2 row is blocked BY an appended survivor — proof
+    // the append is load-bearing, not just harmless
+    assert(indexed2.exists(_._2 >= 3000000L),
+      s"no batch-2 pair blocks on an appended survivor: ${indexed2.take(5)}")
+    // re-appending the same ids is refused (they would shadow-pair forever)
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Dedup.appendJaccardIngestIndex(spark,
+        "dspeca_band", "dspeca_sh", accepted1, "doc_id", "text",
+        shingleN = 3, numHashes = 16, bandRows = 1, buckets = 4))
+    assert(e.getMessage.contains("already in the index"), e.getMessage)
+    graft.util.TableRetention.sweep(spark, "dspeca_", keep = Set.empty)
+  }
+
   test("cosine/dot/norm math") {
     val df = Seq((Seq(1f, 2f, 2f), Seq(2f, 4f, 4f))).toDF("a", "b")
     val r = df.select(

@@ -34,7 +34,10 @@ class PlanLintSpec extends SparkSpec {
     "d16_ann_index_cdc", "st12_ann_index_stream",
     // t16 materializes its aggregated (doc, token, tf) table so the text
     // is tokenized once for both consumers (df window + n_docs count)
-    "t16_tfidf")
+    "t16_tfidf",
+    // the incremental-dedup paths materialize their (tiny) candidate list
+    // so its id sets broadcast-filter the payload attach
+    "d17_incremental_dedup")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
