@@ -129,7 +129,7 @@ class TextFunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT nfc_normalize('cafe\u0301') AS r").head().getString(0) == "caf\u00e9")
   }
 
-  test("t16 tfidf: exact tf/df/n_docs on a hand-checked corpus; two-scan window plan") {
+  test("t16 tfidf: exact tf/df/n_docs on a hand-checked corpus; single tokenize pass") {
     // 3 docs; "b" appears in all (idf ln(1)=0), "a" in two, "x" only in doc 3 (twice)
     val dir = tmpDir("tfidf")
     Seq((1L, "a b", "en", "s", 3L), (2L, "a b", "en", "s", 3L), (3L, "x x b", "en", "s", 5L))
@@ -143,15 +143,22 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, "a", 1L, 2L, w(1, 2)), (1L, "b", 1L, 3L, 0.0),
       (2L, "a", 1L, 2L, w(1, 2)), (2L, "b", 1L, 3L, 0.0),
       (3L, "b", 1L, 3L, 0.0), (3L, "x", 2L, 1L, w(2, 1))))
-    // the scale claim: df comes from a window, not a self-join diamond \u2014
-    // the corpus is scanned exactly TWICE (tf pass + narrow n_docs pass).
-    // Checked on the static plan (AQE respells stages).
+    // the scale claim: the corpus is tokenized ONCE \u2014 the aggregated
+    // (doc, token, tf) table is materialized and BOTH consumers (df
+    // window + n_docs count) read the materialization, so the final plan
+    // contains zero corpus parquet scans; df still comes from a window,
+    // not a self-join diamond. Checked on the static plan (AQE respells
+    // stages).
     val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
       graft.queries.PipelineQueries.queries("t16_tfidf")(spark, dir.toString)
         .queryExecution.executedPlan.toString
     }
     val scans = "Scan parquet".r.findAllIn(static).size
-    assert(scans == 2, s"t16 should scan the corpus exactly twice, saw $scans:\n$static")
+    assert(scans == 0, s"t16's final plan must read the materialized tf " +
+      s"table only (single tokenize pass), saw $scans corpus scans:\n$static")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(static).size
+    assert(rddScans == 2, s"t16 should read the materialized tf table " +
+      s"exactly twice (df window + n_docs count), saw $rddScans:\n$static")
     assert(static.contains("Window"), "t16 lost the window-based df attachment")
   }
 
