@@ -119,7 +119,12 @@ object ScaleSoak {
       // measured recall lands in the CSV's recall_min column. LSH/IVF
       // recall drifts with corpus density; sf0.1-only gating left that
       // unmeasured ("s05" was already here; s02/s03 join it).
-      "s02_knn_lsh", "s03_knn_ivf")
+      "s02_knn_lsh", "s03_knn_ivf",
+      // s16's within-cell self-join is the matrix's only deliberate
+      // quadratic — the leg proves the cell bound holds as n grows
+      // (nlist ~ sqrt(n), so expected cell work stays O(n)); output must
+      // track survivors linearly, never pairs
+      "s16_semantic_dedup")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {

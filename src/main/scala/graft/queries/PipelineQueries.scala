@@ -954,6 +954,109 @@ object PipelineQueries {
       } finally (0L to 3L).map(versionTable)
         .foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
     }),
+    // Streaming corpus ingestion with online near-dup rejection — d17's
+    // probe + the ingest-index APPEND run as a foreachBatch loop: each
+    // micro-batch is deduped against the index (corpus + every EARLIER
+    // batch's survivors + its own smaller-id rows), its ADMITTED rows are
+    // appended to the index, and the next batch blocks against them.
+    // Batch order is pinned by the harness (one file per
+    // processAllAvailable), because the semantics genuinely depend on it:
+    // survivors-only admission differs from d17's one-shot "pairs against
+    // all earlier rows". The fixture makes that difference
+    // hash-observable with a jaccard CHAIN of salted token windows of the
+    // same docs (shingle-start spans: A=1..18, B=6..23, C=11..28,
+    // D=2..18): batch 1 admits A and blocks B on it (J(A,B)=13/23=0.57);
+    // batch 2's C pairs only B (J=0.57) — B was REJECTED, never appended,
+    // so C must be ADMITTED (J(A,C)=8/28=0.29 < 0.5); a one-shot
+    // all-earlier-rows dedup would block C. D (J(A,D)=17/18=0.94) must be
+    // BLOCKED by the batch-1 append — proof the append is load-bearing.
+    // Unsalted corpus mutations (m1) and salted fresh docs (n2) pin the
+    // corpus leg both ways. Oracle: the two-level cascade in SQL — batch-1
+    // admission vs corpus + smaller-id batch-1 rows, batch-2 admission vs
+    // corpus + batch-1 SURVIVORS + smaller-id batch-2 rows. Index tables
+    // are per-invocation (appends mutate them — never d17's shared
+    // fixture index); a batch's admitted rows are materialized to parquet
+    // BEFORE the append so the probe never re-evaluates against its own
+    // appended rows, and the per-batch marker directory makes a fully
+    // applied batch's redelivery a skip (a crash BETWEEN append and
+    // marker is refused loudly on replay by the append's duplicate-id
+    // guard — never silently double-applied).
+    "st13_streaming_ingest_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val bandT = s"st13_band_$key"; val shT = s"st13_sh_$key"
+      // per-invocation index: sweep crashed leftovers, then build fresh
+      graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
+      Dedup.buildJaccardIngestIndex(docs, "doc_id", "text", bandT, shT,
+        shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+      try {
+        val toks = split(col("text"), " ")
+        val wdocs = docs.where(size(toks) >= 30 && col("doc_id") % 4 === 0)
+        def win(from: Int, len: Int, off: Long) = wdocs.select(
+          (col("doc_id") + off).as("doc_id"),
+          array_join(transform(slice(toks, from, len),
+            t => concat(t, lit("_w"))), " ").as("text"))
+        val m1 = docs.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substring(text, instr(text, ' ') + 1)").as("text"))
+        val a = win(1, 20, 4000000L)
+        val b = win(6, 20, 5000000L)
+        val batch1 = m1.unionByName(a).unionByName(b)
+        val c = win(11, 20, 6000000L)
+        val d = win(2, 19, 7000000L)
+        val n2 = docs.where(col("doc_id") % 5 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            array_join(transform(toks, t => concat(t, lit("_xr"))), " ")
+              .as("text"))
+        val batch2 = c.unionByName(d).unionByName(n2)
+        val base = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"st13_ingest_$key")
+        deleteRecursively(base)
+        val deltaDir = base.resolve("delta")
+        val admittedDir = base.resolve("admitted")
+        java.nio.file.Files.createDirectories(deltaDir)
+        java.nio.file.Files.createDirectories(admittedDir)
+        val stream = s.readStream.schema(
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("text", StringType)))).parquet(deltaDir.toString)
+        val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val marker = admittedDir.resolve(s"b$batchId")
+          if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
+            val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
+              batch, "doc_id", "text",
+              shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+            val staged = base.resolve(s"stage_b$batchId")
+            // materialize admitted BEFORE the append mutates the index
+            batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(staged.toString)
+            Dedup.appendJaccardIngestIndex(s, bandT, shT,
+              s.read.parquet(staged.toString), "doc_id", "text",
+              shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+            java.nio.file.Files.move(staged, marker)
+          }
+        }
+        val q = stream.writeStream
+          .option("checkpointLocation", base.resolve("ckpt").toString)
+          .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+        try {
+          addStreamFile(batch1, deltaDir, "b1")
+          q.processAllAvailable()
+          addStreamFile(batch2, deltaDir, "b2")
+          q.processAllAvailable()
+        } finally q.stop()
+        val parts = {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.list(admittedDir)) {
+            st => st.iterator().asScala.map(_.toString).toSeq.sorted
+          }
+        }
+        require(parts.size == 2,
+          s"st13: expected 2 admitted micro-batches, saw ${parts.size}")
+        // the result must OUTLIVE the finally-swept index tables
+        ordered(s.read.parquet(parts: _*).select("doc_id")).localCheckpoint()
+      } finally graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
+    }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
@@ -2386,6 +2489,74 @@ object PipelineQueries {
          |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5)
          |SELECT n.doc_id FROM newd n
          |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.idA = n.doc_id)
+         |${orderSql("doc_id")}""".stripMargin,
+    // the streaming-admission cascade, ignorant of the index/append
+    // machinery: batch-1 admission vs corpus + smaller-id batch-1 rows;
+    // batch-2 admission vs corpus + batch-1 SURVIVORS (adm1 — the
+    // survivors-only semantics the one-shot d17 oracle doesn't have) +
+    // smaller-id batch-2 rows. The C-window rows (+6e6) pair only the
+    // REJECTED B-windows, so they appear in the output iff the engine
+    // blocks against survivors rather than all earlier rows.
+    "st13_streaming_ingest_dedup" ->
+      s"""WITH wd AS (
+         |  SELECT doc_id, str_split(text, ' ') AS wt FROM documents
+         |  WHERE len(str_split(text, ' ')) >= 30 AND doc_id % 4 = 0),
+         |b1 AS (
+         |  SELECT doc_id + 1000000 AS doc_id,
+         |         substring(text, instr(text, ' ') + 1) AS text
+         |  FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000,
+         |    array_to_string(list_transform(wt[1:20], x -> x || '_w'), ' ') FROM wd
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string(list_transform(wt[6:25], x -> x || '_w'), ' ') FROM wd),
+         |b2 AS (
+         |  SELECT doc_id + 6000000 AS doc_id,
+         |    array_to_string(list_transform(wt[11:30], x -> x || '_w'), ' ') AS text FROM wd
+         |  UNION ALL
+         |  SELECT doc_id + 7000000,
+         |    array_to_string(list_transform(wt[2:20], x -> x || '_w'), ' ') FROM wd
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    array_to_string(list_transform(str_split(text, ' '), t -> t || '_xr'), ' ')
+         |  FROM documents WHERE doc_id % 5 = 2),
+         |docs AS (
+         |  SELECT doc_id, text, 0 AS batch FROM documents
+         |  UNION ALL SELECT doc_id, text, 1 FROM b1
+         |  UNION ALL SELECT doc_id, text, 2 FROM b2),
+         |tk AS (SELECT doc_id, batch,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id, batch,
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, batch, unnest(s) AS g, len(s) AS n FROM sh),
+         |p1 AS (
+         |  SELECT a.doc_id AS idA, COUNT(*) AS inter,
+         |         any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.batch = 1
+         |    AND (b.batch = 0 OR (b.batch = 1 AND b.doc_id < a.doc_id))
+         |  GROUP BY a.doc_id, b.doc_id),
+         |blocked1 AS (SELECT DISTINCT idA FROM p1
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |adm1 AS (SELECT doc_id FROM b1
+         |  WHERE NOT EXISTS (SELECT 1 FROM blocked1 x WHERE x.idA = b1.doc_id)),
+         |p2 AS (
+         |  SELECT a.doc_id AS idA, COUNT(*) AS inter,
+         |         any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.batch = 2
+         |    AND (b.batch = 0
+         |         OR (b.batch = 1 AND b.doc_id IN (SELECT doc_id FROM adm1))
+         |         OR (b.batch = 2 AND b.doc_id < a.doc_id))
+         |  GROUP BY a.doc_id, b.doc_id),
+         |blocked2 AS (SELECT DISTINCT idA FROM p2
+         |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+         |adm2 AS (SELECT doc_id FROM b2
+         |  WHERE NOT EXISTS (SELECT 1 FROM blocked2 x WHERE x.idA = b2.doc_id))
+         |SELECT doc_id FROM adm1 UNION ALL SELECT doc_id FROM adm2
          |${orderSql("doc_id")}""".stripMargin,
     // the streaming foreachBatch application of the SAME delta (split into
     // two disjoint-key micro-batches) must land on the identical snapshot —

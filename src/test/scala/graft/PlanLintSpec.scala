@@ -36,8 +36,10 @@ class PlanLintSpec extends SparkSpec {
     // is tokenized once for both consumers (df window + n_docs count)
     "t16_tfidf",
     // the incremental-dedup paths materialize their (tiny) candidate list
-    // so its id sets broadcast-filter the payload attach
-    "d17_incremental_dedup")
+    // so its id sets broadcast-filter the payload attach; st13 replays
+    // d17's probe per micro-batch and localCheckpoints its result past
+    // the finally-swept index tables
+    "d17_incremental_dedup", "st13_streaming_ingest_dedup")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
