@@ -124,7 +124,24 @@ object ScaleSoak {
       // quadratic — the leg proves the cell bound holds as n grows
       // (nlist ~ sqrt(n), so expected cell work stays O(n)); output must
       // track survivors linearly, never pairs
-      "s16_semantic_dedup")
+      "s16_semantic_dedup",
+      // round-13 addition (round-12 verdict #3): the streaming ingest loop.
+      // The leg wall mixes the one-off index build (linear in corpus) with
+      // the two micro-batches, so the per-batch claim — probe cost
+      // occupancy-bounded, append O(admitted) — lands in the dedicated
+      // ingest_batch_sec_max column (replicas grow batch AND corpus
+      // together, so per-batch wall scaling ~linearly with replicas is the
+      // pass signal; corpus-sized probes would scale quadratically)
+      "st13_streaming_ingest_dedup")
+
+  /** The recall-gated ANN legs — the ONLY queries the post-measurement
+    * probe below may re-invoke. Everything else (the eager st legs, the
+    * write-legs p13/p15, the maintenance legs) executes its whole pipeline
+    * at construction, so probing them would triple their soak cost and
+    * double-count their streaming batches (ADVICE round-12).
+    */
+  private val RecallLegs =
+    Set("s02_knn_lsh", "s03_knn_ivf", "s05_knn_ivf_bucketed")
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -241,7 +258,8 @@ object ScaleSoak {
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak")
     final case class Leg(q: String, scale: Int, sec: Double, rows: Long,
-      rounds: Int, recallMin: Double, batches: Long, stateRows: Long)
+      rounds: Int, recallMin: Double, batches: Long, stateRows: Long,
+      ingestBatchSecMax: Double)
     val results = scala.collection.mutable.ArrayBuffer.empty[Leg]
     // STREAMING ATTRIBUTION (round-11 verdict #7): the st legs' x16 ratios
     // mix micro-batch fixed cost with real state growth, and the matrix's
@@ -288,15 +306,29 @@ object ScaleSoak {
           batchCount.set(0); peakStateRows.set(0)
           val (t2, _) = once()
           val sec = math.min(t1, t2)
+          // streaming attribution counters FIRST: anything below that
+          // re-invokes fn (the recall probe, the d04 bound) re-runs an
+          // eager st pipeline and would double-count its batches
+          // (ADVICE round-12 #1)
+          val (nb, sr) =
+            if (q.startsWith("st")) (batchCount.get, peakStateRows.get)
+            else (-1L, -1L)
+          val ingestBatchSecMax =
+            if (q == "st13_streaming_ingest_dedup") {
+              val walls = graft.queries.PipelineQueries.lastIngestBatchWalls
+              if (walls.isEmpty) -1.0 else walls.max
+            } else -1.0
           val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1
-          // recall-gated ANN legs: the in-query requireRecall gate already
-          // fired (>= 0.9) during both timed runs at THIS scale; one more
-          // evaluation surfaces the measured number into the CSV
-          val probe = fn(spark, dir)
+          // recall-gated ANN legs ONLY: the in-query requireRecall gate
+          // already fired (>= 0.9) during both timed runs at THIS scale;
+          // one more evaluation surfaces the measured number into the CSV.
+          // Null-guarded: a zero-row probe must record a missing recall,
+          // not kill the soak run (ADVICE round-12 #3).
           val recallMin =
-            if (probe.columns.contains("recall"))
-              probe.agg(min(col("recall"))).head.getDouble(0)
-            else -1.0
+            if (RecallLegs.contains(q)) {
+              val r = fn(spark, dir).agg(min(col("recall"))).head
+              if (r.isNullAt(0)) -1.0 else r.getDouble(0)
+            } else -1.0
           // d04's OUTPUT BOUND (round-11 verdict #5), derived from the
           // replica construction: replicas share zero tokens (salting), so
           // every simhash pair must be within-replica — cross-replica
@@ -325,20 +357,19 @@ object ScaleSoak {
                   "independent-draw envelope")
             }
           }
-          val (nb, sr) =
-            if (q.startsWith("st")) (batchCount.get, peakStateRows.get)
-            else (-1L, -1L)
-          results += Leg(q, scale, sec, rows, rounds, recallMin, nb, sr)
+          results += Leg(q, scale, sec, rows, rounds, recallMin, nb, sr,
+            ingestBatchSecMax)
           println(f"$q%-28s x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             (if (rounds >= 0) s" rounds=$rounds" else "") +
             (if (recallMin >= 0) f" recall_min=$recallMin%.3f" else "") +
-            (if (nb >= 0) s" batches=$nb state_rows=$sr" else ""))
+            (if (nb >= 0) s" batches=$nb state_rows=$sr" else "") +
+            (if (ingestBatchSecMax >= 0) f" batch_sec_max=$ingestBatchSecMax%.2f" else ""))
         }
       }
       // summary: time and row ratios vs the 1x run for each query; also
       // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)
       // so the numbers survive log truncation
-      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds, recall_min, batches, state_rows"
+      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds, recall_min, batches, state_rows, ingest_batch_sec_max"
       println("\n" + header)
       val base1 = results.filter(_.scale == scales.head).map(l => l.q -> (l.sec, l.rows)).toMap
       val lines = results.map { l =>
@@ -347,7 +378,8 @@ object ScaleSoak {
           (if (l.rounds >= 0) l.rounds.toString else "") + "," +
           (if (l.recallMin >= 0) f"${l.recallMin}%.3f" else "") + "," +
           (if (l.batches >= 0) l.batches.toString else "") + "," +
-          (if (l.stateRows >= 0) l.stateRows.toString else "")
+          (if (l.stateRows >= 0) l.stateRows.toString else "") + "," +
+          (if (l.ingestBatchSecMax >= 0) f"${l.ingestBatchSecMax}%.2f" else "")
       }
       lines.foreach(println)
       val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_RESULTS.csv")

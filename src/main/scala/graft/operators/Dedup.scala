@@ -525,13 +525,43 @@ object Dedup {
     * O(cell^2), and `nlist ~ sqrt(n)` (the [[IvfIndex.autoNlist]]
     * default) keeps the EXPECTED cell quadratic at O(n). Training is a
     * bounded deterministic sample + driver-side Lloyd (kilobytes); the
-    * assignment is a narrow map, the only shuffle is the within-cell
-    * self-join on the cell id, and the fixed-width vectors CARRY through
-    * that join so the verify runs inline in the join stage (the d06
-    * carry-payload lesson — no slim-pairs + re-attach round trip).
-    * Cluster-boundary pairs are missed by design — the documented
-    * SemDeDup approximation (duplicates land in the same cell in
-    * practice; exact copies always do).
+    * assignment is a narrow map, and the fixed-width vectors CARRY
+    * through the within-cell self-join so the verify runs inline in the
+    * join stage (the d06 carry-payload lesson — no slim-pairs +
+    * re-attach round trip). Cluster-boundary pairs are missed by design
+    * — the documented SemDeDup approximation (duplicates land in the
+    * same cell in practice; exact copies always do).
+    *
+    * HOT-CELL BOUND (the expected-case O(n) is not enough: the corpora
+    * this operator exists for are duplicate-heavy, and a 10M-copy
+    * cluster in one cell is ~10^13 pairs in a single task). Three layers:
+    *
+    *  1. EXACT-DUPLICATE COLLAPSE, semantics-preserving: group rows by
+    *     the vector itself, enter only the min-id representative of each
+    *     identical-vector group into the pairwise stage. A non-rep id x
+    *     always has its group's rep as a smaller-id same-cell neighbor
+    *     at cosine(v,v), so x is blocked iff cosine(v,v) >= minCosine
+    *     (evaluated, not assumed — a zero vector's NaN cosine blocks
+    *     nothing, exactly like the all-pairs formulation); a rep is
+    *     blocked iff a smaller-id rep in its cell qualifies (any smaller
+    *     non-rep neighbor implies its even-smaller rep also qualifies,
+    *     same vector). Identical-copy mega-clusters — THE degenerate
+    *     case — thus cost one group-min, never a pair.
+    *  2. OVERSIZED-CELL SUB-SPLIT over the surviving DISTINCT vectors: a
+    *     cell with cn > maxCellSize reps is split by the low
+    *     p = ceil(log2(cn/maxCellSize)) bits of a 16-plane sign-LSH
+    *     signature of the vector (deterministic per vector, so what
+    *     remains co-assigned stays deterministic); normal cells take
+    *     p = 0 and are byte-identical to the unsplit plan. Distinct
+    *     near-dup pairs split across sub-buckets are missed — the same
+    *     approximation class as SemDeDup's cross-cell misses, and only
+    *     in cells that were already over the bound.
+    *  3. LOUD RESIDUAL GUARD: if a (cell, sub) bucket still exceeds
+    *     8*maxCellSize distinct vectors (near-identical-but-unequal
+    *     vectors share sign bits, so an adversarial cluster can defeat
+    *     the split), `assert_true` fails the job with the occupancy in
+    *     the message instead of silently hanging a task on a quadratic
+    *     bucket — the capBuckets discipline, fail-loud variant.
     */
   def semanticDedup(
       emb: DataFrame,           // (id, vector)
@@ -539,20 +569,62 @@ object Dedup {
       vecCol: String,
       minCosine: Double = 0.95,
       nlist: Int = 0,           // 0 -> autoNlist(corpus size)
-      sampleSize: Int = 2048): DataFrame = {
-    val k = if (nlist > 0) nlist else IvfIndex.autoNlist(emb.count())
+      sampleSize: Int = 2048,
+      // max DISTINCT vectors entering one pairwise bucket before the
+      // sub-split engages; the hard fail bound is 8x this (a residual
+      // bucket task is then <= (8*maxCellSize)^2 inline cosines)
+      maxCellSize: Int = 4096,
+      // corpus row count if the caller already knows it (>= 0): skips
+      // the nlist-sizing count() job (one full scan on derived inputs)
+      corpusSizeHint: Long = -1L): DataFrame = {
+    val n = if (corpusSizeHint >= 0L) corpusSizeHint else emb.count()
+    val k = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
     val m = IvfIndex.train(emb, idCol, vecCol, k, sampleSize)
-    val assigned = IvfIndex.assign(
-      emb.select(col(idCol), col(vecCol)), idCol, vecCol, m)
-    val a = assigned.select(col(idCol).as("idA"), col(vecCol).as("vA"),
-      col("ivf_cell"))
-    val b = assigned.select(col(idCol).as("idB"), col(vecCol).as("vB"),
-      col("ivf_cell"))
-    val blocked = a.join(b, Seq("ivf_cell"))
+    val base = emb.select(col(idCol), col(vecCol))
+    // 1. identical-vector groups -> min-id rep (blocked-set equality with
+    // the all-pairs form argued in the docstring)
+    val wv = Window.partitionBy(col(vecCol))
+    val withRep = base.withColumn("__rep", min(col(idCol)).over(wv))
+    val selfBlocked = withRep
+      .where(col(idCol) =!= col("__rep") &&
+        VF.cosine(col(vecCol), col(vecCol)) >= minCosine)
+      .select(col(idCol))
+    val reps = withRep.where(col(idCol) === col("__rep"))
+      .select(col(idCol), col(vecCol))
+    val assigned = IvfIndex.assign(reps, idCol, vecCol, m)
+    // 2. sub-split cells over the bound; p=0 (sub=0) below it
+    val dim = m.centroids.headOption.map(_.length).getOrElse(0)
+    val sig = VF.lshBucket(col(vecCol),
+      VF.hyperplanes(16, dim, seed = 1013L))
+    val wc = Window.partitionBy(col("ivf_cell"))
+    val p = least(lit(16), greatest(lit(0),
+      ceil(log(2.0, col("__cn").cast("double") / maxCellSize)).cast("int")))
+    val subbed = assigned
+      .withColumn("__cn", count(lit(1)).over(wc))
+      .withColumn("__sub",
+        sig.bitwiseAND(pow(lit(2.0), p).cast("long") - 1L))
+      .drop("__cn")
+    // 3. fail loudly if a sub-bucket is still degenerate
+    val wcs = Window.partitionBy(col("ivf_cell"), col("__sub"))
+    val guarded = subbed
+      .withColumn("__sn", count(lit(1)).over(wcs))
+      .where(assert_true(col("__sn") <= lit(8L * maxCellSize),
+        concat(lit("semanticDedup: a sub-split cell still holds "),
+          col("__sn"),
+          lit(s" distinct vectors (> ${8L * maxCellSize}) — " +
+            "near-identical distinct vectors defeated the LSH split; " +
+            "lower minCosine prefiltering or raise maxCellSize " +
+            "consciously"))).isNull)
+      .drop("__sn")
+    val a = guarded.select(col(idCol).as("idA"), col(vecCol).as("vA"),
+      col("ivf_cell"), col("__sub"))
+    val b = guarded.select(col(idCol).as("idB"), col(vecCol).as("vB"),
+      col("ivf_cell"), col("__sub"))
+    val blocked = a.join(b, Seq("ivf_cell", "__sub"))
       .where(col("idB") < col("idA") &&
         VF.cosine(col("vA"), col("vB")) >= minCosine)
       .select(col("idA").as(idCol)).distinct()
-    emb.join(blocked, Seq(idCol), "left_anti")
+    emb.join(blocked.unionByName(selfBlocked), Seq(idCol), "left_anti")
   }
 
   /** Plane count giving ~`targetBucketSize` expected rows per LSH bucket

@@ -18,6 +18,15 @@ import Q._
   */
 object PipelineQueries {
 
+  /** Per-batch wall seconds of the most recent st13 invocation, in batch
+    * order — soak ATTRIBUTION only (written by the foreachBatch closure,
+    * read by ScaleSoak after the query returns; harnesses are
+    * single-threaded over legs). st13's product claim is per-batch cost
+    * flat in corpus size / linear in batch rows; the total leg wall mixes
+    * in the one-off index build, so the claim needs per-batch numbers.
+    */
+  @volatile var lastIngestBatchWalls: List[Double] = Nil
+
   /** Minimal English stopword list used by the quality queries (kept tiny and
     * explicit so the DuckDB oracle can mirror it verbatim).
     */
@@ -1019,7 +1028,9 @@ object PipelineQueries {
         val stream = s.readStream.schema(
           StructType(Seq(StructField("doc_id", LongType),
             StructField("text", StringType)))).parquet(deltaDir.toString)
+        lastIngestBatchWalls = Nil
         val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+          val tb0 = System.nanoTime()
           val marker = admittedDir.resolve(s"b$batchId")
           if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
             val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
@@ -1034,6 +1045,8 @@ object PipelineQueries {
               s.read.parquet(staged.toString), "doc_id", "text",
               shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
             java.nio.file.Files.move(staged, marker)
+            lastIngestBatchWalls =
+              lastIngestBatchWalls :+ (System.nanoTime() - tb0) / 1e9
           }
         }
         val q = stream.writeStream
@@ -1552,8 +1565,12 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val corpus = e.unionByName(
         e.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      // hint = 2x the fixture row count (a metadata-only count on the
+      // parquet scan) — the derived union would otherwise pay a real
+      // count job just to size nlist
       ordered(Dedup.semanticDedup(corpus, "vec_id", "embedding",
-        minCosine = 0.999).select("vec_id"))
+        minCosine = 0.999, corpusSizeHint = 2L * e.count())
+        .select("vec_id"))
     }),
     // the UDAF surface, driver-checked: s01's ranking re-expressed through
     // the typed TopKAggregator registered via functions.udaf — map-side

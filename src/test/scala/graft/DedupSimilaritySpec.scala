@@ -705,4 +705,65 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
     assert(math.abs(r.getDouble(3) - 3.0) < 1e-9)
   }
+
+  private def randVec(rnd: scala.util.Random, dim: Int): Seq[Float] =
+    Seq.fill(dim)(rnd.nextGaussian().toFloat)
+
+  test("semanticDedup: identical-copy mega-cluster collapses to one rep; " +
+    "zero-vector dups (NaN cosine) survive like the all-pairs form") {
+    val rnd = new scala.util.Random(7)
+    val bases = (0L until 3L).map(i => (i, randVec(rnd, 8)))
+    // 20k exact copies of base 0 — the degenerate workload; pre-fix this
+    // was ~2*10^8 pairs in ONE task, post-fix it is one window group
+    val copies = (1L to 20000L).map(j => (1000L + j, bases.head._2))
+    val zeroV = Seq.fill(8)(0f)
+    val zeros = Seq((100L, zeroV), (101L, zeroV))
+    val emb = (bases ++ copies ++ zeros).toDF("id", "v")
+    val out = Dedup.semanticDedup(emb, "id", "v", minCosine = 0.95, nlist = 1)
+      .select("id").as[Long].collect().sorted
+    // survivors: the 3 distinct bases + BOTH zero-vector rows (cosine of a
+    // zero vector is NaN, which qualifies nowhere — brute force keeps both)
+    assert(out.toSeq == Seq(0L, 1L, 2L, 100L, 101L))
+  }
+
+  test("semanticDedup: oversized distinct-vector cell sub-splits without " +
+    "losing exact-copy blocking; result equals the unsplit plan") {
+    val rnd = new scala.util.Random(11)
+    // dim 32: cosine of random gaussians ~ N(0, 1/32), so 0.95 is 5.4
+    // sigma and the 45k organic pairs produce zero qualifiers (at dim 8
+    // a handful DO pair organically — observed 3)
+    val bases = (0L until 300L).map(i => (i, randVec(rnd, 32)))
+    val copies = bases.take(50).map { case (i, v) => (10000L + i, v) }
+    val emb = (bases ++ copies).toDF("id", "v")
+    // maxCellSize=20 over 300 distinct reps in one cell -> p=4, 16 subs
+    val split = Dedup.semanticDedup(emb, "id", "v", minCosine = 0.95,
+      nlist = 1, maxCellSize = 20).select("id").as[Long].collect().sorted
+    val unsplit = Dedup.semanticDedup(emb, "id", "v", minCosine = 0.95,
+      nlist = 1).select("id").as[Long].collect().sorted
+    // random gaussians don't organically pair at 0.95, so survivors are
+    // exactly the 300 base ids — from BOTH plans
+    assert(split.toSeq == (0L until 300L))
+    assert(unsplit.toSeq == split.toSeq)
+  }
+
+  test("semanticDedup: residual occupancy guard fails loudly when " +
+    "near-identical DISTINCT vectors defeat the LSH sub-split") {
+    val rnd = new scala.util.Random(13)
+    val u = randVec(rnd, 8)
+    // 100 distinct vectors within 1e-4 of u (spacing 1e-6 is far above
+    // float eps near |u0|~1, so all stay distinct): same 16-plane
+    // signature, every sub-bucket collides; bound = 8*maxCellSize = 32
+    val adv = (0L until 100L).map { i =>
+      (i, u.updated(0, u.head + (i + 1) * 1e-6f))
+    }
+    val emb = adv.toDF("id", "v")
+    val e = intercept[Exception] {
+      Dedup.semanticDedup(emb, "id", "v", minCosine = 0.95,
+        nlist = 1, maxCellSize = 4).select("id").count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("semanticDedup")),
+      s"expected the semanticDedup occupancy message, got: $e")
+  }
 }
