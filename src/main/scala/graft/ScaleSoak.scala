@@ -333,12 +333,18 @@ object ScaleSoak {
           // replica construction: replicas share zero tokens (salting), so
           // every simhash pair must be within-replica — cross-replica
           // pairs are asserted ZERO, making total output structurally
-          // <= scale x max-per-replica. Each replica is a same-size corpus
-          // whose signature values are freshly hashed (salted tokens), so
-          // its organic pair count is an independent draw of the base
-          // corpus's pair process; 4x base bounds the per-replica draw
-          // (observed spread ~1.7x mean at x16) — so total rows_ratio is
-          // bounded by 4 x scale, linear in replicas by construction.
+          // <= scale x max-per-replica: linear in replicas by construction.
+          // Per-replica draws are HEAVY-TAILED, not tightly bounded: the
+          // round-13 x16 measurement saw ratios 0.62x..5.5x of base
+          // (median 1.08) — salting re-rolls every signature, and
+          // near-threshold hamming pairs over the corpus's document
+          // clusters flip in/out of the <=8 cut en masse per re-roll, so
+          // the MAX of N draws grows with N (a 4x max cap killed the first
+          // round-13 run). The robust detector for the failure this guard
+          // exists for — salting systematically creating WITHIN-replica
+          // similarity — is the MEDIAN ratio: a systematic break inflates
+          // every salted replica, while an honest tail draw moves only the
+          // max. Assert median <= 4x base; record the spread.
           if (q == "d04_simhash_pairs" && scale > 1) {
             val rep = (c: String) => floor(col(c) / 10000000L)
             val pairs = fn(spark, dir)
@@ -350,11 +356,16 @@ object ScaleSoak {
               .find(l => l.q == q && l.scale == scales.head).map(_.rows)
             basePairs.filter(_ > 0).foreach { bp =>
               val perRep = pairs.groupBy(rep("idA").as("rep"))
-                .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
-              require(perRep <= 4 * bp,
-                s"d04 x$scale: a replica produced $perRep pairs " +
-                  s"(> 4x the base corpus's $bp) — pair growth outran the " +
-                  "independent-draw envelope")
+                .agg(count(lit(1)).as("n")).collect()
+                .map(_.getAs[Long]("n")).sorted
+              val med = perRep(perRep.length / 2)
+              require(med <= 4 * bp,
+                s"d04 x$scale: median per-replica pair count $med " +
+                  s"(> 4x the base corpus's $bp) — salting is " +
+                  "systematically creating within-replica similarity")
+              println(f"d04 x$scale%-3d replica-draw ratio vs base: " +
+                f"median=${med.toDouble / bp}%.2f " +
+                f"max=${perRep.last.toDouble / bp}%.2f")
             }
           }
           results += Leg(q, scale, sec, rows, rounds, recallMin, nb, sr,
