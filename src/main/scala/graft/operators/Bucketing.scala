@@ -13,10 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and optionally sorted) managed parquet table. */
+  /** Write `df` as a bucketed (and optionally sorted) managed parquet table.
+    *
+    * The input is repartitioned BY THE BUCKET KEY into exactly `buckets`
+    * partitions first: `repartition(n, col)` and the bucket assignment use
+    * the same hash family (murmur3 pmod n), so every write task holds
+    * exactly one bucket's rows and emits ONE file per bucket. Without
+    * this, file count = input-partitions x buckets — the round-13 x64
+    * soak measured the d17 band index at 16,384 files of ~12 KB (1024
+    * shuffle partitions x 16 buckets), and the "corpus-sized scan" in the
+    * probe was mostly file-open/footer overhead: fixed-batch probe 9.4 s
+    * against that tree vs 2.8 s after this change (flat in corpus size —
+    * the same probe against a 1x index was 3.4 s), and the x64 index
+    * BUILD dropped 88 s -> 17 s (file commits dominated). Write parallelism
+    * becomes `buckets`: at larger corpora raise `buckets` (the same knob
+    * that scales probe-side pruning), not the file count per bucket.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
       sorted: Boolean = true): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    val w = df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite").format("parquet").bucketBy(buckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 

@@ -347,11 +347,16 @@ object Dedup {
         "phantom duplicate")
     val prep = jaccardPrep(accepted, idCol, textCol, shingleN, numHashes).persist()
     try {
+      // repartition by the bucket key first (see Bucketing.writeBucketed):
+      // an append otherwise adds input-partitions x buckets files PER
+      // BATCH, and the probe's scan cost becomes file-open overhead
       prep.select(col("id"), col("sh"))
+        .repartition(buckets, col("id"))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "id").sortBy("id").saveAsTable(shingleTable)
       jaccardBand(prep, numHashes, bandRows, isNew = false)
         .select("id", "band", "bucket")
+        .repartition(buckets, col("bucket"))
         .write.mode("append").format("parquet")
         .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(bandTable)
     } finally prep.unpersist()
