@@ -376,6 +376,30 @@ object ScaleSoak {
             (if (nb >= 0) s" batches=$nb state_rows=$sr" else "") +
             (if (ingestBatchSecMax >= 0) f" batch_sec_max=$ingestBatchSecMax%.2f" else ""))
         }
+        // FIXED-batch flatness probe (round-13): the d17 soak leg derives
+        // its batch from the scaled corpus, so its wall grows with the
+        // batch and can't witness the indexed probe's product claim —
+        // per-batch cost flat in CORPUS size. Probe every scale's index
+        // with the SAME base-fixture batch; this row's ratio_vs_1x IS the
+        // flatness number (≈1.0 when the claim holds). The warm call pays
+        // the index build (if the d17 leg didn't already) + codegen,
+        // untimed — the product cost under measurement is the probe, the
+        // build is a once-per-corpus ingest cost measured by the d17 leg.
+        if (queryFilter.forall(_.contains("d17_incremental_dedup"))) {
+          def probe() = graft.queries.PipelineQueries
+            .d17FixedBatchProbe(spark, dir, base)
+          probe().count()
+          def once(): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val n = probe().count()
+            ((System.nanoTime() - t0) / 1e9, n)
+          }
+          val (t1, r1) = once(); val (t2, _) = once()
+          val sec = math.min(t1, t2)
+          results += Leg("d17_fixed_batch_probe", scale, sec, r1,
+            -1, -1.0, -1L, -1L, -1.0)
+          println(f"d17_fixed_batch_probe        x$scale%-3d ${sec}%8.2f s  rows=$r1%-8d")
+        }
       }
       // summary: time and row ratios vs the 1x run for each query; also
       // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)

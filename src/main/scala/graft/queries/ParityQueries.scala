@@ -308,10 +308,13 @@ object ParityQueries {
       val bytes = fs.listStatus(treePath)
         .filter(f => f.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
       // target ~bytes/16: enough output row groups (>= 8) for the skip
-      // gate to mean something at every fixture scale, still < 24 inputs
+      // gate to mean something at every fixture scale, still < 24 inputs.
+      // The floor is 8 KB, not 64: at sf0.001 the whole 24-part tree is
+      // ~115 KB and a 64 KB floor compacts it to 2 row groups (16 KB to 7)
+      // — under the gate's own >= 8 minimum (round-13 sf0.001 sweep)
       val st = graft.operators.Compact.run(s, tree,
         graft.sources.Discovery.Parquet,
-        targetFileBytes = math.max(64L * 1024, bytes / 16),
+        targetFileBytes = math.max(8L * 1024, bytes / 16),
         zorderBy = Seq("l_orderkey", "l_partkey"))
       require(st.filesBefore == 24 && st.filesAfter < st.filesBefore,
         s"p18: maintenance did not compact: ${st.filesBefore} -> ${st.filesAfter}")

@@ -273,6 +273,39 @@ object PipelineQueries {
     (bandTable, shTable)
   }
 
+  /** FIXED-batch ingest-dedup probe: the d17 batch constructed from
+    * `baseDir`'s documents, probed against `dir`'s persisted ingest index.
+    * The indexed probe's product claim is per-batch cost FLAT in corpus
+    * size — the d17 soak leg can't measure that (its batch is derived from
+    * the scaled corpus, so its wall mixes batch growth in); ScaleSoak times
+    * THIS at every scale with the same batch, so the `ratio_vs_1x` column
+    * is the flatness number directly (round-13 measured: ~2.6 s against a
+    * 1x index vs ~2.2 s against 64x, identical survivors). When
+    * `dir == baseDir` the output is exactly the d17 query's (spec-pinned).
+    * Batch ids (+1e6/+2e6 over base ids) stay disjoint from every soak
+    * replica id (r * 1e7 offsets) — the probe's uniqueness guard enforces
+    * it rather than trusting this comment.
+    */
+  def d17FixedBatchProbe(s: SparkSession, dir: String, baseDir: String): DataFrame = {
+    val baseDocs = t(s, baseDir, "documents").select("doc_id", "text")
+    val mut = baseDocs.where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val freshNew = baseDocs.where(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "), t => concat(t, lit("_xq"))),
+          " ").as("text"))
+    val batch = mut.unionByName(freshNew)
+    val (bandTable, shTable) =
+      d17IngestIndex(s, dir, t(s, dir, "documents").select("doc_id", "text"))
+    val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandTable, shTable,
+      batch, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+    batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id")
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")

@@ -638,6 +638,21 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "dspec_", keep = Set.empty)
   }
 
+  test("d17FixedBatchProbe at the base fixture == the d17 query's survivors") {
+    // the soak flatness leg must measure THE d17 probe, not a lookalike:
+    // when the index dir and the batch dir coincide, the probe's output is
+    // by construction the d17 query's survivor set
+    val dir = "/root/testdata/sf0.001"
+    val viaQuery = graft.SparkEntry.queries("d17_incremental_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val viaProbe = graft.queries.PipelineQueries.d17FixedBatchProbe(spark, dir, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaProbe == viaQuery,
+      s"probe diverged from d17: only-query=${viaQuery.diff(viaProbe).take(5)} " +
+        s"only-probe=${viaProbe.diff(viaQuery).take(5)}")
+    assert(viaProbe.nonEmpty, "fixture produced no survivors — test is vacuous")
+  }
+
   test("appendJaccardIngestIndex: next batch blocks against appended survivors") {
     import org.apache.spark.sql.functions.expr
     val docs = sf("documents").select($"doc_id", $"text")
