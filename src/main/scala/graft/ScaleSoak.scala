@@ -400,6 +400,28 @@ object ScaleSoak {
             -1, -1.0, -1L, -1L, -1.0)
           println(f"d17_fixed_batch_probe        x$scale%-3d ${sec}%8.2f s  rows=$r1%-8d")
         }
+        // st13's analog: the SAME two base-fixture micro-batches ingested
+        // against this scale's corpus index. The leg's total wall includes
+        // the per-invocation index build (linear in corpus by design); the
+        // CLAIM column is ingest_batch_sec_max — per-batch cost (probe +
+        // staged admitted write + bucketed append + marker) flat in corpus
+        // size. One run, not min-of-2: the number under test is internal
+        // per-batch wall, already amortized over two batches, and a second
+        // run would pay a full corpus index rebuild for a warmup the
+        // foreachBatch path doesn't need.
+        if (queryFilter.forall(_.contains("st13_streaming_ingest_dedup"))) {
+          batchCount.set(0); peakStateRows.set(0)
+          val t0 = System.nanoTime()
+          val rows = graft.queries.PipelineQueries
+            .st13FixedBatchIngest(spark, dir, base).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val walls = graft.queries.PipelineQueries.lastIngestBatchWalls
+          val bmax = if (walls.isEmpty) -1.0 else walls.max
+          results += Leg("st13_fixed_batch_ingest", scale, sec, rows,
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax)
+          println(f"st13_fixed_batch_ingest      x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" batch_sec_max=$bmax%.2f")
+        }
       }
       // summary: time and row ratios vs the 1x run for each query; also
       // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)

@@ -306,6 +306,110 @@ object PipelineQueries {
       .select("doc_id")
   }
 
+  /** st13's ingest loop, with the CORPUS side (index build) and the BATCH
+    * side (the two arriving micro-batches) decoupled. The st13 query passes
+    * the same docs for both; [[st13FixedBatchIngest]] scales only the
+    * corpus. Body is the load-bearing st13 shape: per-invocation index,
+    * probe -> admitted rows staged to parquet BEFORE the append -> bucketed
+    * append -> per-batch marker (full redelivery a skip, partial-apply
+    * replay refused by the append's duplicate-id guard).
+    */
+  private def st13Ingest(s: SparkSession, corpusDocs: DataFrame,
+      batchDocs: DataFrame, key: String): DataFrame = {
+    val bandT = s"st13_band_$key"; val shT = s"st13_sh_$key"
+    // per-invocation index: sweep crashed leftovers, then build fresh
+    graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
+    Dedup.buildJaccardIngestIndex(corpusDocs, "doc_id", "text", bandT, shT,
+      shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+    try {
+      val toks = split(col("text"), " ")
+      val wdocs = batchDocs.where(size(toks) >= 30 && col("doc_id") % 4 === 0)
+      def win(from: Int, len: Int, off: Long) = wdocs.select(
+        (col("doc_id") + off).as("doc_id"),
+        array_join(transform(slice(toks, from, len),
+          t => concat(t, lit("_w"))), " ").as("text"))
+      val m1 = batchDocs.where(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val a = win(1, 20, 4000000L)
+      val b = win(6, 20, 5000000L)
+      val batch1 = m1.unionByName(a).unionByName(b)
+      val c = win(11, 20, 6000000L)
+      val d = win(2, 19, 7000000L)
+      val n2 = batchDocs.where(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(transform(toks, t => concat(t, lit("_xr"))), " ")
+            .as("text"))
+      val batch2 = c.unionByName(d).unionByName(n2)
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"st13_ingest_$key")
+      deleteRecursively(base)
+      val deltaDir = base.resolve("delta")
+      val admittedDir = base.resolve("admitted")
+      java.nio.file.Files.createDirectories(deltaDir)
+      java.nio.file.Files.createDirectories(admittedDir)
+      val stream = s.readStream.schema(
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType)))).parquet(deltaDir.toString)
+      lastIngestBatchWalls = Nil
+      val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+        val tb0 = System.nanoTime()
+        val marker = admittedDir.resolve(s"b$batchId")
+        if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
+          val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
+            batch, "doc_id", "text",
+            shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+          val staged = base.resolve(s"stage_b$batchId")
+          // materialize admitted BEFORE the append mutates the index
+          batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(staged.toString)
+          Dedup.appendJaccardIngestIndex(s, bandT, shT,
+            s.read.parquet(staged.toString), "doc_id", "text",
+            shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+          java.nio.file.Files.move(staged, marker)
+          lastIngestBatchWalls =
+            lastIngestBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+        }
+      }
+      val q = stream.writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+      try {
+        addStreamFile(batch1, deltaDir, "b1")
+        q.processAllAvailable()
+        addStreamFile(batch2, deltaDir, "b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      val parts = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.list(admittedDir)) {
+          st => st.iterator().asScala.map(_.toString).toSeq.sorted
+        }
+      }
+      require(parts.size == 2,
+        s"st13: expected 2 admitted micro-batches, saw ${parts.size}")
+      // the result must OUTLIVE the finally-swept index tables
+      ordered(s.read.parquet(parts: _*).select("doc_id")).localCheckpoint()
+    } finally graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
+  }
+
+  /** st13's ingest loop with the corpus index built over `dir` and the
+    * SAME two micro-batches (constructed from `baseDir`) at every corpus
+    * scale. ScaleSoak runs this as the `st13_fixed_batch_ingest` leg: the
+    * `ingest_batch_sec_max` column across scales is the streaming claim —
+    * per-batch wall (probe + staged admitted write + bucketed append +
+    * marker) independent of corpus size — that the st13 soak leg can't
+    * witness (its batches are derived from the scaled corpus). When
+    * `dir == baseDir` the output equals the st13 query's (spec-pinned).
+    * Batch ids stay under 1e7, disjoint from every soak replica id.
+    */
+  def st13FixedBatchIngest(s: SparkSession, dir: String, baseDir: String): DataFrame =
+    st13Ingest(s,
+      t(s, dir, "documents").select("doc_id", "text"),
+      t(s, baseDir, "documents").select("doc_id", "text"),
+      java.lang.Integer.toHexString((dir + "|" + baseDir).hashCode))
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1025,83 +1129,7 @@ object PipelineQueries {
     // guard — never silently double-applied).
     "st13_streaming_ingest_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
-      val key = java.lang.Integer.toHexString(dir.hashCode)
-      val bandT = s"st13_band_$key"; val shT = s"st13_sh_$key"
-      // per-invocation index: sweep crashed leftovers, then build fresh
-      graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
-      Dedup.buildJaccardIngestIndex(docs, "doc_id", "text", bandT, shT,
-        shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
-      try {
-        val toks = split(col("text"), " ")
-        val wdocs = docs.where(size(toks) >= 30 && col("doc_id") % 4 === 0)
-        def win(from: Int, len: Int, off: Long) = wdocs.select(
-          (col("doc_id") + off).as("doc_id"),
-          array_join(transform(slice(toks, from, len),
-            t => concat(t, lit("_w"))), " ").as("text"))
-        val m1 = docs.where(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            expr("substring(text, instr(text, ' ') + 1)").as("text"))
-        val a = win(1, 20, 4000000L)
-        val b = win(6, 20, 5000000L)
-        val batch1 = m1.unionByName(a).unionByName(b)
-        val c = win(11, 20, 6000000L)
-        val d = win(2, 19, 7000000L)
-        val n2 = docs.where(col("doc_id") % 5 === 2)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            array_join(transform(toks, t => concat(t, lit("_xr"))), " ")
-              .as("text"))
-        val batch2 = c.unionByName(d).unionByName(n2)
-        val base = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"st13_ingest_$key")
-        deleteRecursively(base)
-        val deltaDir = base.resolve("delta")
-        val admittedDir = base.resolve("admitted")
-        java.nio.file.Files.createDirectories(deltaDir)
-        java.nio.file.Files.createDirectories(admittedDir)
-        val stream = s.readStream.schema(
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("text", StringType)))).parquet(deltaDir.toString)
-        lastIngestBatchWalls = Nil
-        val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-          val tb0 = System.nanoTime()
-          val marker = admittedDir.resolve(s"b$batchId")
-          if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
-            val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
-              batch, "doc_id", "text",
-              shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
-            val staged = base.resolve(s"stage_b$batchId")
-            // materialize admitted BEFORE the append mutates the index
-            batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
-                Seq("doc_id"), "left_anti")
-              .write.mode("overwrite").parquet(staged.toString)
-            Dedup.appendJaccardIngestIndex(s, bandT, shT,
-              s.read.parquet(staged.toString), "doc_id", "text",
-              shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
-            java.nio.file.Files.move(staged, marker)
-            lastIngestBatchWalls =
-              lastIngestBatchWalls :+ (System.nanoTime() - tb0) / 1e9
-          }
-        }
-        val q = stream.writeStream
-          .option("checkpointLocation", base.resolve("ckpt").toString)
-          .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
-        try {
-          addStreamFile(batch1, deltaDir, "b1")
-          q.processAllAvailable()
-          addStreamFile(batch2, deltaDir, "b2")
-          q.processAllAvailable()
-        } finally q.stop()
-        val parts = {
-          import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(java.nio.file.Files.list(admittedDir)) {
-            st => st.iterator().asScala.map(_.toString).toSeq.sorted
-          }
-        }
-        require(parts.size == 2,
-          s"st13: expected 2 admitted micro-batches, saw ${parts.size}")
-        // the result must OUTLIVE the finally-swept index tables
-        ordered(s.read.parquet(parts: _*).select("doc_id")).localCheckpoint()
-      } finally graft.util.TableRetention.sweep(s, "st13_", keep = Set.empty)
+      st13Ingest(s, docs, docs, java.lang.Integer.toHexString(dir.hashCode))
     }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so

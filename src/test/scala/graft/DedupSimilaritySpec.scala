@@ -653,6 +653,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaProbe.nonEmpty, "fixture produced no survivors — test is vacuous")
   }
 
+  test("st13FixedBatchIngest at the base fixture == the st13 query's admissions") {
+    // same contract as the d17 probe: the soak leg must run THE st13 ingest
+    // loop (probe -> staged write -> append -> marker), not a lookalike
+    val dir = "/root/testdata/sf0.001"
+    val viaQuery = graft.SparkEntry.queries("st13_streaming_ingest_dedup")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val viaFixed = graft.queries.PipelineQueries.st13FixedBatchIngest(spark, dir, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaFixed == viaQuery,
+      s"fixed-batch ingest diverged from st13: only-query=${viaQuery.diff(viaFixed).take(5)} " +
+        s"only-fixed=${viaFixed.diff(viaQuery).take(5)}")
+    assert(viaFixed.nonEmpty, "fixture produced no admissions — test is vacuous")
+  }
+
   test("appendJaccardIngestIndex: next batch blocks against appended survivors") {
     import org.apache.spark.sql.functions.expr
     val docs = sf("documents").select($"doc_id", $"text")
