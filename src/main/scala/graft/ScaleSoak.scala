@@ -132,7 +132,13 @@ object ScaleSoak {
       // ingest_batch_sec_max column (replicas grow batch AND corpus
       // together, so per-batch wall scaling ~linearly with replicas is the
       // pass signal; corpus-sized probes would scale quadratically)
-      "st13_streaming_ingest_dedup")
+      "st13_streaming_ingest_dedup",
+      // round-13 addition: sub-document exact-span dedup. Replica salting
+      // makes spans replica-unique, so output rows must scale linearly
+      // with replicas; the leg exercises the window-over-fingerprint
+      // shuffle (the operator's only wide stage besides the reassembly
+      // groupBy) at growing key cardinality
+      "d18_span_dedup")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -805,6 +805,56 @@ object Dedup {
       .select(col("id"), col("n_windows"), col("n_shared"))
   }
 
+  /** Sub-document exact-span dedup, first-occurrence-wins — the corpus
+    * REWRITE counterpart of [[substringContamination]]'s detection signal
+    * (the exact-substring deduplication of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", approximated on a fixed
+    * non-overlapping character grid; the reference engine has no analog —
+    * this is pipeline-extension surface). Each document is cut into
+    * consecutive `spanChars`-character spans (last span = remainder; the
+    * grid tiles the text exactly, so an untouched doc reassembles
+    * byte-identical). A span whose exact content occurs EARLIER in the
+    * corpus — earlier = smaller (id, span_idx), across documents or within
+    * one — is removed; survivors reassemble in span order. Documents left
+    * with no surviving span (exact full duplicates, empty/NULL text) drop.
+    *
+    * Output: (id, n_spans, n_kept, text) — text is the rewritten document.
+    *
+    * Scale shape: a non-overlapping explode (rows ~= bytes/spanChars,
+    * payload ~= input bytes — linear), then exactly two shuffles: a window
+    * over the span fingerprint ranks occurrences by (id, span_idx) — never
+    * a pair join, so boilerplate repeated 100k times costs O(100k) rows in
+    * one linear-scan group, the same accepted skew shape as
+    * [[substringContamination]] — and a groupBy(id) reassembles survivors.
+    * Winner selection keys on md5(span) (128 bits, the d01/d10 fingerprint
+    * convention; a collision needs ~2^64 distinct spans).
+    */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+      spanChars: Int = 100): DataFrame = {
+    require(spanChars > 0, s"spanChars must be positive (got $spanChars)")
+    val nSpans = ceil(length(col(textCol)).cast("double") / spanChars).cast("int")
+    val spans = docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"), nSpans.as("__ns"))
+      .where(col("__ns") > 0) // empty/NULL text: no spans, doc drops
+      .select(col("id"), col("__ns"), col("__t"),
+        posexplode(sequence(lit(0), col("__ns") - 1)))
+      .select(col("id"), col("__ns"), col("pos").as("span_idx"),
+        expr(s"substring(__t, pos * $spanChars + 1, $spanChars)").as("span"))
+    val byFp = Window.partitionBy(md5(col("span").cast("binary")))
+      .orderBy(col("id"), col("span_idx"))
+    spans
+      .withColumn("__rk", row_number().over(byFp))
+      .where(col("__rk") === 1)
+      .groupBy(col("id"))
+      .agg(
+        first(col("__ns")).cast("long").as("n_spans"),
+        count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("span_idx"), col("span")))),
+          x => x.getField("span")), "").as("text"))
+      .select(col("id"), col("n_spans"), col("n_kept"), col("text"))
+  }
+
   /** Cross-corpus decontamination — the train-vs-eval overlap check every
     * benchmark-hygiene pipeline runs before training: flag each EVAL doc by
     * how many of its stride-grid windows appear ANYWHERE in the train

@@ -860,6 +860,27 @@ object PipelineQueries {
           Seq("doc_id"), "left_anti")
         .select("doc_id"))
     }),
+    // SUB-document exact-span dedup (corpus rewrite; Lee et al. 2022's
+    // exact-substring dedup on a 100-char non-overlapping grid). Planted:
+    // every 4th doc re-appears at +1e6 as original text + a salted tail
+    // (its full leading grid spans dedupe away, the mixed boundary span +
+    // tail survive), every 10th doc re-appears VERBATIM at +3e6 (every
+    // span loses to the lower-id original — the whole copy drops). Oracle:
+    // the same grid + first-occurrence window + ordered reassembly in SQL
+    // — a wrong winner order, a grid misalignment, or a lost/extra span
+    // each changes the rewritten text hash.
+    "d18_span_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val salted = d.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" salt_"), col("doc_id").cast("string")).as("text"))
+      val verbatim = d.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      ordered(Dedup.spanDedup(
+          d.unionByName(salted).unionByName(verbatim), "doc_id", "text",
+          spanChars = 100)
+        .withColumnRenamed("id", "doc_id"))
+    }),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -2568,6 +2589,33 @@ object PipelineQueries {
          |SELECT n.doc_id FROM newd n
          |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.idA = n.doc_id)
          |${orderSql("doc_id")}""".stripMargin,
+    // the span grid + first-occurrence window + ordered reassembly,
+    // ignorant of the engine's window/groupBy split
+    "d18_span_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' salt_' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 3),
+         |sp AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(0, CAST(ceil(length(text) / 100.0) AS INTEGER))) AS INTEGER) AS span_idx
+         |  FROM corpus WHERE length(text) > 0),
+         |w AS (
+         |  SELECT doc_id, span_idx,
+         |    substr(text, span_idx * 100 + 1, 100) AS span,
+         |    row_number() OVER (PARTITION BY md5(substr(text, span_idx * 100 + 1, 100))
+         |      ORDER BY doc_id, span_idx) AS rk
+         |  FROM sp)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+         |  string_agg(CASE WHEN rk = 1 THEN span END, '' ORDER BY span_idx) AS text
+         |FROM w GROUP BY doc_id
+         |HAVING count(*) FILTER (WHERE rk = 1) > 0
+         |${orderSql("doc_id", "n_spans", "n_kept", "text")}""".stripMargin,
     // the streaming-admission cascade, ignorant of the index/append
     // machinery: batch-1 admission vs corpus + smaller-id batch-1 rows;
     // batch-2 admission vs corpus + batch-1 SURVIVORS (adm1 — the

@@ -638,6 +638,27 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "dspec_", keep = Set.empty)
   }
 
+  test("spanDedup: first-occurrence wins across and within docs; exact copies drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghijKLMNOPQRST"), // spans "abcdefghij","KLMNOPQRST"
+      (2L, "abcdefghijZZZZ"),       // span0 loses to doc1; "ZZZZ" survives
+      (3L, "abcdefghijKLMNOPQRST"), // exact copy of doc1 -> drops entirely
+      (4L, "ababababababababab"),   // span0 == span1[..8] ? no: spans "ababababab","abababab"
+      (5L, "qqqqqqqqqqqqqqqqqqqq"), // spans "qqqqqqqqqq","qqqqqqqqqq": within-doc dup
+      (6L, ""),                     // empty -> drops
+      (7L, null.asInstanceOf[String])) // null -> drops
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanDedup(docs, "doc_id", "text", spanChars = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 4L, 5L), out.keySet)
+    assert(out(1L) == ((2L, 2L, "abcdefghijKLMNOPQRST")), out(1L)) // untouched: byte-identical
+    assert(out(2L) == ((2L, 1L, "ZZZZ")), out(2L))                 // shared prefix span removed
+    assert(out(4L) == ((2L, 2L, "ababababababababab")), out(4L))   // distinct spans both kept
+    assert(out(5L) == ((2L, 1L, "qqqqqqqqqq")), out(5L))           // within-doc dup: first kept
+  }
+
   test("d17FixedBatchProbe at the base fixture == the d17 query's survivors") {
     // the soak flatness leg must measure THE d17 probe, not a lookalike:
     // when the index dir and the batch dir coincide, the probe's output is
