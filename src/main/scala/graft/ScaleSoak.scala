@@ -138,7 +138,14 @@ object ScaleSoak {
       // with replicas; the leg exercises the window-over-fingerprint
       // shuffle (the operator's only wide stage besides the reassembly
       // groupBy) at growing key cardinality
-      "d18_span_dedup")
+      "d18_span_dedup",
+      // round-13 addition: d11 through the persisted hash index. Each soak
+      // scale is a fresh fixture, so the leg pays one index build (linear
+      // in corpus) + the probe (linear in eval, which also scales here) —
+      // the leg should track d11's inline wall, proving the indexed path
+      // adds no asymptotic cost; the serving win (probe without train
+      // re-scan) is pinned by the plan-gate spec
+      "d19_decontamination_index")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -888,6 +888,49 @@ object Dedup {
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
   }
 
+  /** Build the SERVING-side decontamination index [[crossContaminationIndexed]]
+    * probes: the train corpus's DISTINCT stride-grid window hashes persisted
+    * as one slim bucketed table keyed by the hash. At warehouse scale the
+    * train side is the 100 TB corpus — scanned ONCE here; every later eval
+    * set probes the slim table without re-reading train text (the d17
+    * build-once discipline applied to d11's decontamination check). Window
+    * parameters are baked into the table contents; probe with the SAME
+    * (windowChars, stride) or hits are silently wrong.
+    */
+  def buildContaminationIndex(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      windowChars: Int = 64,
+      stride: Int = 32,
+      buckets: Int = 16): Unit =
+    Bucketing.writeBucketed(
+      windowHashes(train, idCol, textCol, windowChars, stride)
+        .where(col("wh").isNotNull).select("wh").distinct(),
+      table, "wh", buckets)
+
+  /** [[crossContamination]] against a PERSISTED train index
+    * ([[buildContaminationIndex]]): only the eval side is windowed and
+    * hashed; the train side is one slim bucketed table scan, joined on its
+    * own bucket key so the big side never reshuffles. Output is identical
+    * to the inline overload by construction — same grid, same NULL-window
+    * rule, same left-join hit counting — so one oracle pins both paths.
+    */
+  def crossContaminationIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowChars: Int = 64,
+      stride: Int = 32): DataFrame =
+    windowHashes(eval, idCol, textCol, windowChars, stride)
+      .join(spark.table(table).withColumn("__hit", lit(1L)), Seq("wh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+
   /** Snapshot-to-snapshot corpus diff — the incremental-refresh primitive:
     * a training corpus is rebuilt from crawls/drops regularly, and the
     * delta (what appeared, vanished, or changed) drives incremental

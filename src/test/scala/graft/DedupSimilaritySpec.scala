@@ -638,6 +638,33 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "dspec_", keep = Set.empty)
   }
 
+  test("crossContaminationIndexed == inline; probe plan never re-scans the train corpus") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = rows("d11_cross_contamination")
+    val indexed = rows("d19_decontamination_index") // builds the fixture-keyed index
+    assert(indexed == inline, s"indexed decontamination diverged: " +
+      s"only-inline=${inline.diff(indexed).take(3)} only-indexed=${indexed.diff(inline).take(3)}")
+    assert(inline.exists(_._3 > 0), "no contamination found — test is vacuous")
+    // serving contract: the probe reads documents ONCE (the eval side);
+    // the train text lives in the slim bucketed hash table
+    import org.apache.spark.sql.functions._
+    val table = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("d19_whx_")).head
+    val eval = sf("documents").select($"doc_id", $"text")
+      .where($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 2000000L).as("doc_id"),
+        expr("substring(text, 65)").as("text"))
+    val plan = graft.operators.Dedup
+      .crossContaminationIndexed(spark, table, eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val docScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(docScans == 1, s"probe plan scans documents $docScans times:\n${plan.take(800)}")
+    assert(plan.contains(table), s"probe plan does not read the index table:\n${plan.take(800)}")
+    graft.util.TableRetention.sweep(spark, "d19_", keep = Set.empty)
+  }
+
   test("spanDedup: first-occurrence wins across and within docs; exact copies drop") {
     import spark.implicits._
     val docs = Seq(
