@@ -181,8 +181,8 @@ object Maw {
   }
 
   val usage: String =
-    """graft <inputs...> -o out.{csv,parquet,jsonl,orc} [options]
-      |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC, on Spark.
+    """graft <inputs...> -o out.{csv,parquet,jsonl,orc,xml} [options]
+      |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC/XML, on Spark.
       |Gzip-compressed text inputs (.csv.gz/.jsonl.gz) are read transparently.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8

@@ -63,6 +63,8 @@ object Compact {
       // key space; z-ordering across them would need per-directory
       // clustering, which is a different rewrite).
       zorderBy: Seq[String] = Nil): Stats = {
+    require(fmt != Discovery.Xml,
+      "--compact does not support xml trees — compact csv/parquet/jsonl/orc")
     require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,6 +261,8 @@ object Compact {
     spark.conf.set(inferKey, "false")
     val df =
       try fmt match {
+        case Discovery.Xml => throw new IllegalArgumentException(
+          "--compact does not support xml trees — compact csv/parquet/jsonl/orc")
         case Discovery.Parquet => spark.read.parquet(dir)
         case Discovery.Orc     => spark.read.orc(dir)
         case Discovery.Jsonl   => spark.read.json(dir)
@@ -354,6 +358,8 @@ object Compact {
         .option("delimiter", delimiter).option("escape", "\"")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false").csv(staging)
+      case Discovery.Xml => throw new IllegalStateException(
+        "unreachable: xml trees are refused at the compaction read")
     }
 
     // verify BEFORE the swap: the destructive step only runs once the new
@@ -364,6 +370,8 @@ object Compact {
       case Discovery.Jsonl   => spark.read.json(staging)
       case Discovery.Csv     => spark.read.option("header", "true")
         .option("delimiter", delimiter).option("escape", "\"").csv(staging)
+      case Discovery.Xml => throw new IllegalStateException(
+        "unreachable: xml trees are refused at the compaction read")
     }).count()
     if (newRows != rows) {
       fs.delete(stagingPath, true)

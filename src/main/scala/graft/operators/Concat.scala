@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.schema.SchemaUnifier
-import graft.sources.{CsvSource, Discovery, JsonSource}
-import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Orc, Parquet}
+import graft.sources.{CsvSource, Discovery, JsonSource, XmlSource}
+import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Orc, Parquet, Xml}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's whole dataflow as ONE lazy Catalyst plan:
@@ -56,6 +56,8 @@ object Concat {
       case Orc     => spark.read.orc(f.path)
       case Jsonl   => JsonSource.read(spark, f.path,
         JsonSource.JsonOptions(inferRows = csv.inferRows))
+      case Xml     => XmlSource.read(spark, f.path,
+        XmlSource.XmlOptions(inferRows = csv.inferRows))
     }
 
   /** `spark.read` reports every file-source column nullable RECURSIVELY
@@ -125,6 +127,8 @@ object Concat {
             .ParquetToSparkSchemaConverter(spark.sessionState.conf),
           spark.sessionState.newHadoopConf())
       case Orc => orcFooterSchema(f.path, spark.sessionState.newHadoopConf())
+      case Xml => XmlSource.resolveSchema(spark, f.path,
+        XmlSource.XmlOptions(inferRows = csv.inferRows))
     }
 
   /** All files' schemas, probed concurrently on the driver pool — one
@@ -157,6 +161,8 @@ object Concat {
           JsonSource.JsonOptions(inferRows = csv.inferRows))
         case Parquet => parquetFooterSchema(f.path, conv, conf)
         case Orc     => orcFooterSchema(f.path, conf)
+        case Xml     => XmlSource.resolveSchema(spark, f.path,
+          XmlSource.XmlOptions(inferRows = csv.inferRows))
       })))),
       Duration.Inf)
   }
@@ -173,6 +179,10 @@ object Concat {
         .option("ignoreCorruptFiles", skipCorrupt.toString).orc(paths: _*)
       case Jsonl   => JsonSource.readPaths(spark, paths,
         JsonSource.JsonOptions(inferRows = csv.inferRows), Some(schema))
+      // the XML scan has no ignoreCorruptFiles lever at the reader level;
+      // a corrupt member is dropped at the skipCorrupt SCHEMA probe stage
+      case Xml     => XmlSource.readPaths(spark, paths,
+        XmlSource.XmlOptions(inferRows = csv.inferRows), Some(schema))
     }
 
   /** Discover + build the unified concat plan. Lazy — nothing big executes

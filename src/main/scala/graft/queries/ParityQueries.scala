@@ -103,6 +103,27 @@ object ParityQueries {
         graft.operators.Concat.Config(Seq(out)))
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // XML sink + source round trip through the REAL write/read path
+    // (beyond-reference format: Spark 4's native XML source — the
+    // structured-record interchange format). Same oracle shape as p11/p12:
+    // DuckDB pins the round-tripped table against the parquet original, so
+    // a broken XML escape/encode, a type-inference drift, or a lost
+    // null/empty distinction breaks the hash. Orders (ts stringified), not
+    // documents: XML 1.0 cannot represent control characters, so the
+    // hostile raw-text corpus is out of the format's contract by design.
+    "p19_xml_roundtrip" -> ((s, dir) => {
+      val o = ordersStringified(t(s, dir, "orders"))
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p19_xml_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("orders.xml").toString
+      graft.sinks.Sink.write(o,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Xml))
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(out)))
+        .select("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    }),
     // In-place small-file compaction (the 100 TB maintenance primitive):
     // litter a tree with 16 tiny parts, compact it, read it back. The
     // file-count reduction is asserted INSIDE the query (driver-visible:
@@ -406,6 +427,10 @@ object ParityQueries {
     "p12_orc_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
+    "p19_xml_roundtrip" ->
+      s"""SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate, o_orderkey,
+         |o_orderpriority, o_orderstatus, o_totalprice FROM orders
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
     "p13_compaction" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,

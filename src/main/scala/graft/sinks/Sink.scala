@@ -197,6 +197,8 @@ object Sink {
           orcWriter(w0, cfg).orc(ptmp)
         case graft.sources.Discovery.Jsonl =>
           jsonWriter(w0, cfg).json(ptmp)
+        case graft.sources.Discovery.Xml =>
+          xmlWriter(w0, cfg).save(ptmp)
       }
       replaceMove(fs, new org.apache.hadoop.fs.Path(ptmp), target)
       // stale rolled parts from an earlier non-partitioned run at the same
@@ -239,6 +241,8 @@ object Sink {
         orcWriter(out.mode("overwrite"), cfg).orc(tmpDir)
       case graft.sources.Discovery.Jsonl =>
         jsonWriter(out.mode("overwrite"), cfg).json(tmpDir)
+      case graft.sources.Discovery.Xml =>
+        xmlWriter(out.mode("overwrite"), cfg).save(tmpDir)
     }
     promote(tmpDir, cfg, df0.sparkSession.sparkContext.hadoopConfiguration)
   }
@@ -251,6 +255,7 @@ object Sink {
     case graft.sources.Discovery.Parquet => ".parquet"
     case graft.sources.Discovery.Orc     => ".orc"
     case graft.sources.Discovery.Jsonl   => ".jsonl"
+    case graft.sources.Discovery.Xml     => ".xml"
   }
 
   /** ORC sink options: the `--compression` knob maps onto ORC's codec set —
@@ -289,6 +294,18 @@ object Sink {
   private def jsonWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
       cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
     w.option("ignoreNullFields", "false")
+
+  /** XML sink options (Spark 4 native XML writer). Uncompressed text like
+    * the CSV/JSONL sinks (same promotion-contract reasoning). `rowTag` is
+    * [[graft.sources.XmlSource.XmlOptions]]'s default so the sink's output
+    * reads back through the same source without configuration. Nulls write
+    * as ABSENT elements; the bounded sampler types an absent field from the
+    * rows that carry it, so an all-null column still needs JSONL/ORC —
+    * XML (like CSV) carries no type evidence for it.
+    */
+  private def xmlWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.format("xml").option("rowTag", "row")
 
   private implicit class RollOps(df: DataFrame) {
     def writeConfRows(rows: Long) = df.write.option("maxRecordsPerFile", rows.toString)
@@ -339,6 +356,9 @@ object Sink {
       // full-pass native inference, not the bounded sample: verify wants
       // every value's type evidence (JSON carries types, so nothing drifts)
       case graft.sources.Discovery.Jsonl   => spark.read.json(paths: _*)
+      // native inference full pass, like JSONL: verify wants every value
+      case graft.sources.Discovery.Xml     =>
+        spark.read.format("xml").option("rowTag", "row").load(paths: _*)
     }
     if (isDir) {
       // partition-column TYPE INFERENCE would re-type the directory names

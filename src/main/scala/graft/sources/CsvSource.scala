@@ -23,6 +23,21 @@ object CsvSource {
   private val LongRe = "[+-]?\\d{1,19}".r
   private val DoubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
 
+  /** The reference's inference precedence over a column's sampled non-null
+    * values: i64 -> f64 -> bool -> string (csv_in.rs:171-232); all-null ->
+    * transient NullType (widened away by the lattice). Strict numeric
+    * shapes, Rust-parse-like — Java parseDouble would also admit
+    * "1d"/"NaN", which the typed scan later rejects. Shared by the CSV and
+    * XML samplers so both formats type identically.
+    */
+  private[sources] def inferColumnType(values: Seq[String]): DataType =
+    if (values.isEmpty) NullType
+    else if (values.forall(v => LongRe.matches(v) &&
+      scala.util.Try(v.toLong).isSuccess)) LongType
+    else if (values.forall(v => DoubleRe.matches(v))) DoubleType
+    else if (values.forall(v => v == "true" || v == "false")) BooleanType
+    else StringType
+
   final case class CsvOptions(
       delimiter: String = ",",
       quote: String = "\"",
@@ -177,17 +192,7 @@ object CsvSource {
         .map(r => if (i < r.length) r(i) else null)
         .map(v => if (v == null || opts.naValues.contains(v)) null else v)
         .filter(_ != null).toVector
-      // reference precedence: i64 -> f64 -> bool -> string (csv_in.rs:171-232);
-      // strict numeric shapes (Rust-parse-like; Java parseDouble would also
-      // admit "1d"/"NaN" which the Spark CSV parser later rejects)
-      val t: DataType =
-        if (values.isEmpty) NullType
-        else if (values.forall(v => LongRe.matches(v) &&
-          scala.util.Try(v.toLong).isSuccess)) LongType
-        else if (values.forall(v => DoubleRe.matches(v))) DoubleType
-        else if (values.forall(v => v == "true" || v == "false")) BooleanType
-        else StringType
-      names(i) -> t
+      names(i) -> inferColumnType(values)
     }.toMap
     (names, types)
   }

@@ -24,6 +24,14 @@ object Discovery {
     * of first-class support is plumbing, and warehouses routinely hold both.
     */
   case object Orc extends Format
+  /** XML — beyond the reference; Spark 4 ships the (formerly spark-xml)
+    * data source natively. Typed path only (rows under a `row` tag; no
+    * byte fast path — XML has no line-delimited framing to splice). XML
+    * 1.0 cannot represent control characters, so arbitrary binary-ish
+    * text does not round-trip; the format exists for the
+    * structured-record interchange case, not raw-corpus storage.
+    */
+  case object Xml extends Format
 
   final case class InputFile(path: String, format: Format, sizeBytes: Long)
 
@@ -41,6 +49,9 @@ object Discovery {
     else if (lower.endsWith(".parquet") && lower == lower0) Some(Parquet)
     // ORC is internally compressed, like parquet: no .orc.gz variant
     else if (lower.endsWith(".orc") && lower == lower0) Some(Orc)
+    // .xml.gz works like the other text formats: Spark's scan decompresses
+    // by extension
+    else if (lower.endsWith(".xml")) Some(Xml)
     // bare .json is deliberately NOT an input format: directory walks would
     // otherwise ingest configs / pretty-printed arrays that are not
     // line-delimited (they were skipped before JSONL existed, and must stay
@@ -65,6 +76,7 @@ object Discovery {
       case Some("csv")              => Csv
       case Some("jsonl" | "json")   => Jsonl
       case Some("orc")              => Orc
+      case Some("xml")              => Xml
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
       case None =>
         detectFormat(outPath)

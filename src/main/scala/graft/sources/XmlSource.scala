@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** XML reading on Spark 4's built-in XML data source (the upstreamed
+  * spark-xml) — beyond the reference, the structured-record interchange
+  * format. Same design as [[CsvSource]]/[[JsonSource]]:
+  *
+  *   - schema resolution is a DRIVER-SIDE bounded sample (`--infer-rows`,
+  *     shared knob): a StAX stream over the first N `<row>` elements, no
+  *     Spark jobs — with many input files this is O(files) cheap probes,
+  *     not O(files) job round-trips;
+  *   - type inference uses the same i64 -> f64 -> bool -> string precedence
+  *     as CSV ([[CsvSource.inferColumnType]]), so a value types identically
+  *     whether it arrived in a .csv or a .xml;
+  *   - the typed scan reads one-or-many same-schema files in ONE reader
+  *     with the resolved schema; PERMISSIVE => parse failure -> null.
+  *
+  * Scope: FLAT rows (each `<row>` child element is a column; nested
+  * elements and attributes are out of scope for the sampler — the sink
+  * writes flat rows, and concat-unification is column-oriented). XML 1.0
+  * cannot represent control characters, so raw-corpus text with exotic
+  * bytes does not round-trip — this format is for structured records.
+  * `.xml.gz` decompresses by extension like the other text formats.
+  */
+object XmlSource {
+
+  final case class XmlOptions(
+      rowTag: String = "row",
+      inferRows: Int = 1000,
+      inferTypes: Boolean = true)
+
+  def read(spark: SparkSession, path: String, opts: XmlOptions = XmlOptions()): DataFrame =
+    readPaths(spark, Seq(path), opts, Some(resolveSchema(spark, path, opts)))
+
+  /** Driver-side bounded sample: StAX over the first `inferRows` row
+    * elements straight off the (Hadoop) filesystem. Returns the union of
+    * observed field names (first-seen order) with inferred types. A field
+    * absent from a row samples as absent (not empty string), matching the
+    * scan's null-fill for missing elements.
+    */
+  def resolveSchema(spark: SparkSession, path: String, opts: XmlOptions): StructType = {
+    val (names, values) = sampleRows(spark, path, opts)
+    StructType(names.map { n =>
+      val t =
+        if (!opts.inferTypes) StringType
+        else CsvSource.inferColumnType(values(n).filter(_ != null))
+      StructField(n, t, nullable = true)
+    })
+  }
+
+  /** Typed scan of one-or-many same-schema XML files in ONE reader. */
+  def readPaths(spark: SparkSession, paths: Seq[String], opts: XmlOptions,
+      resolvedSchema: Option[StructType] = None): DataFrame = {
+    val schema = resolvedSchema.getOrElse(resolveSchema(spark, paths.head, opts))
+    // NullType isn't a valid parser type (all-null sampled column): read as
+    // string, project to true null columns below — CsvSource's convention
+    val parserSchema = StructType(schema.fields.map(f =>
+      f.copy(dataType = if (f.dataType == NullType) StringType else f.dataType,
+        nullable = true)))
+    val typed = spark.read
+      .format("xml")
+      .schema(parserSchema)
+      .option("rowTag", opts.rowTag)
+      .option("mode", "PERMISSIVE")
+      .load(paths: _*)
+    typed.select(schema.fieldNames.toIndexedSeq.map { n =>
+      if (schema(n).dataType == NullType) lit(null).as(n)
+      else col(graft.schema.SchemaUnifier.quoted(n))
+    }: _*)
+  }
+
+  /** (field names in first-seen order, field -> sampled values incl. nulls
+    * for rows where the field is missing). StAX pull parsing: only START/
+    * END/CHARACTERS events, constant memory, stops at `inferRows` rows.
+    */
+  private def sampleRows(spark: SparkSession, path: String,
+      opts: XmlOptions): (Seq[String], Map[String, Seq[String]]) = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file =
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).map(_.getPath)
+          .filter(p => Discovery.detectFormat(p.getName).contains(Discovery.Xml))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalArgumentException(s"no xml files under $path"))
+      else hPath
+    val in: java.io.InputStream =
+      if (Discovery.isGzip(file.toString)) new java.util.zip.GZIPInputStream(fs.open(file))
+      else fs.open(file)
+    val factory = XMLInputFactory.newInstance()
+    // the sampler parses UNTRUSTED input: no DTDs, no external entities
+    factory.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    factory.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val reader = factory.createXMLStreamReader(in)
+    val names = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    try {
+      var inRow = false
+      var field: String = null
+      val sb = new StringBuilder
+      var depth = 0 // element depth relative to the row element
+      var cur = scala.collection.mutable.Map.empty[String, String]
+      while (reader.hasNext && rows.length < opts.inferRows) {
+        reader.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            val ln = reader.getLocalName
+            if (!inRow && ln == opts.rowTag) { inRow = true; depth = 0; cur.clear() }
+            else if (inRow) {
+              depth += 1
+              if (depth == 1) { field = ln; sb.clear() }
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inRow && depth == 1 && field != null) sb.append(reader.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            val ln = reader.getLocalName
+            if (inRow && depth == 0 && ln == opts.rowTag) {
+              inRow = false
+              rows += cur.toMap
+            } else if (inRow) {
+              if (depth == 1 && field != null) {
+                names += field
+                cur(field) = sb.toString
+                field = null
+              }
+              depth -= 1
+            }
+          case _ => ()
+        }
+      }
+    } finally {
+      reader.close()
+      in.close()
+    }
+    val byField = names.toSeq.map { n =>
+      n -> rows.toSeq.map(r => r.getOrElse(n, null))
+    }.toMap
+    (names.toSeq, byField)
+  }
+}

@@ -75,6 +75,11 @@ object StreamingConcat {
         if (f.isFile) (Option(f.getParent).getOrElse("."), Some(f.getName))
         else (input, None)
       val src = format match {
+        case Discovery.Xml =>
+          // the typed XML scan is batch-only surface here: streaming it is
+          // untested plumbing, and an untested path must refuse, not guess
+          throw new IllegalArgumentException(
+            "--stream does not support xml inputs — run a batch concat")
         case Parquet =>
           val r = spark.readStream.schema(schema)
           globFilter.fold(r)(g => r.option("pathGlobFilter", g)).parquet(path)
@@ -143,6 +148,9 @@ object StreamingConcat {
       case Jsonl   => writer.format("json")
         .option("ignoreNullFields", "false").start(outPath)
       case Orc     => writer.format("orc").start(outPath)
+      case Discovery.Xml =>
+        throw new IllegalArgumentException(
+          "--stream does not support xml output — write jsonl/csv/parquet/orc")
     }
     q.awaitTermination()
   }
