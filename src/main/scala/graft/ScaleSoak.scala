@@ -368,9 +368,15 @@ object ScaleSoak {
             val basePairs = results
               .find(l => l.q == q && l.scale == scales.head).map(_.rows)
             basePairs.filter(_ > 0).foreach { bp =>
-              val perRep = pairs.groupBy(rep("idA").as("rep"))
+              // pad to ALL `scale` replicas: the groupBy only sees replicas
+              // with >= 1 pair, and heavy-tailed draws leave many salted
+              // replicas at zero — omitting them biases the median upward
+              // and can falsely trip the guard on small fixtures
+              val nonZero = pairs.groupBy(rep("idA").as("rep"))
                 .agg(count(lit(1)).as("n")).collect()
-                .map(_.getAs[Long]("n")).sorted
+                .map(_.getAs[Long]("n"))
+              val perRep = (nonZero ++
+                Array.fill(math.max(0, scale - nonZero.length))(0L)).sorted
               val med = perRep(perRep.length / 2)
               require(med <= 4 * bp,
                 s"d04 x$scale: median per-replica pair count $med " +

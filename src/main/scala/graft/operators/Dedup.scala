@@ -546,8 +546,13 @@ object Dedup {
     *     identical-vector group into the pairwise stage. A non-rep id x
     *     always has its group's rep as a smaller-id same-cell neighbor
     *     at cosine(v,v), so x is blocked iff cosine(v,v) >= minCosine
-    *     (evaluated, not assumed — a zero vector's NaN cosine blocks
-    *     nothing, exactly like the all-pairs formulation); a rep is
+    *     (evaluated, not assumed — [[graft.expressions.CosineSim]] returns
+    *     0.0 for a zero-norm vector BY CONVENTION, never NaN, so a zero
+    *     vector blocks nothing, exactly like the all-pairs formulation;
+    *     a NaN-returning similarity would INVERT this — Spark's ordering
+    *     puts NaN above every value, so `NaN >= minCosine` is true —
+    *     which is why the guard evaluates the expression instead of
+    *     assuming self-similarity is 1); a rep is
     *     blocked iff a smaller-id rep in its cell qualifies (any smaller
     *     non-rep neighbor implies its even-smaller rep also qualifies,
     *     same vector). Identical-copy mega-clusters — THE degenerate

@@ -130,11 +130,21 @@ object PipelineQueries {
     * tables at JVM exit, so build-once is per-JVM; on a real cluster with
     * a persistent metastore the same code is build-once per corpus.)
     */
+  /** Fixture-identity key for build-once serving tables: dir + the backing
+    * parquet's (length, mtime), so a regenerated fixture at the same path
+    * gets fresh tables (a stale index would silently serve old data). One
+    * definition for all five build-once families — a keying fix must land
+    * once, not five times.
+    */
+  private def fixtureKey(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    java.lang.Integer.toHexString(
+      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+  }
+
   private def s12ServeIndex(s: SparkSession, dir: String,
       corpus: DataFrame): (String, graft.operators.IvfIndex.Model) = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val key = fixtureKey(dir, "embeddings")
     val table = s"s12_ivf_serve_$key"
     val modelPath = s.conf.get("spark.sql.warehouse.dir")
       .stripSuffix("/") + s"/s12_ivf_model_$key"
@@ -175,9 +185,7 @@ object PipelineQueries {
     */
   private def s14ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
       : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val key = fixtureKey(dir, "embeddings")
     val table = s"s14_ivfpq_serve_$key"
     val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
     val ivfPath = s"$wh/s14_ivf_model_$key"
@@ -214,9 +222,7 @@ object PipelineQueries {
     */
   private def s15ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
       : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val key = fixtureKey(dir, "embeddings")
     val table = s"s15_ivfpq_filt_$key"
     val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
     val ivfPath = s"$wh/s15_ivf_model_$key"
@@ -255,9 +261,7 @@ object PipelineQueries {
     */
   private def d17IngestIndex(s: SparkSession, dir: String,
       corpus: DataFrame): (String, String) = {
-    val f = new java.io.File(s"$dir/documents.parquet")
-    val key = java.lang.Integer.toHexString(
-      (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+    val key = fixtureKey(dir, "documents")
     val bandTable = s"d17_band_$key"
     val shTable = s"d17_sh_$key"
     val live = Set(bandTable, shTable)
@@ -1177,9 +1181,7 @@ object PipelineQueries {
       val eval = train.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           expr("substring(text, 65)").as("text"))
-      val f = new java.io.File(s"$dir/documents.parquet")
-      val key = java.lang.Integer.toHexString(
-        (dir + ":" + f.length + ":" + f.lastModified).hashCode)
+      val key = fixtureKey(dir, "documents")
       val table = s"d19_whx_$key"
       if (!s.catalog.tableExists(table)) {
         graft.util.TableRetention.sweep(s, "d19_", keep = Set.empty)

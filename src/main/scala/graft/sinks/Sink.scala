@@ -356,9 +356,11 @@ object Sink {
       // full-pass native inference, not the bounded sample: verify wants
       // every value's type evidence (JSON carries types, so nothing drifts)
       case graft.sources.Discovery.Jsonl   => spark.read.json(paths: _*)
-      // native inference full pass, like JSONL: verify wants every value
+      // native inference full pass, like JSONL: verify wants every value;
+      // no trimming — the scan must agree byte-for-byte with the plan side
       case graft.sources.Discovery.Xml     =>
-        spark.read.format("xml").option("rowTag", "row").load(paths: _*)
+        spark.read.format("xml").option("rowTag", "row")
+          .option("ignoreSurroundingSpaces", "false").load(paths: _*)
     }
     if (isDir) {
       // partition-column TYPE INFERENCE would re-type the directory names

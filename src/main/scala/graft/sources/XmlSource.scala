@@ -64,6 +64,11 @@ object XmlSource {
       .format("xml")
       .schema(parserSchema)
       .option("rowTag", opts.rowTag)
+      // fidelity like the CSV scan's ignoreLeading/TrailingWhiteSpace=false:
+      // Spark's XML reader TRIMS element text by default, which would
+      // silently alter whitespace-padded values on a pure concat (and
+      // disagree with the StAX sampler, which never trims)
+      .option("ignoreSurroundingSpaces", "false")
       .option("mode", "PERMISSIVE")
       .load(paths: _*)
     typed.select(schema.fieldNames.toIndexedSeq.map { n =>

@@ -787,7 +787,7 @@ class DedupSimilaritySpec extends SparkSpec {
     Seq.fill(dim)(rnd.nextGaussian().toFloat)
 
   test("semanticDedup: identical-copy mega-cluster collapses to one rep; " +
-    "zero-vector dups (NaN cosine) survive like the all-pairs form") {
+    "zero-vector dups (cosine 0.0 by convention) survive like the all-pairs form") {
     val rnd = new scala.util.Random(7)
     val bases = (0L until 3L).map(i => (i, randVec(rnd, 8)))
     // 20k exact copies of base 0 — the degenerate workload; pre-fix this
@@ -798,8 +798,10 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = (bases ++ copies ++ zeros).toDF("id", "v")
     val out = Dedup.semanticDedup(emb, "id", "v", minCosine = 0.95, nlist = 1)
       .select("id").as[Long].collect().sorted
-    // survivors: the 3 distinct bases + BOTH zero-vector rows (cosine of a
-    // zero vector is NaN, which qualifies nowhere — brute force keeps both)
+    // survivors: the 3 distinct bases + BOTH zero-vector rows (CosineSim
+    // returns 0.0 for zero norm BY CONVENTION — not NaN, which Spark would
+    // order above minCosine — so a zero vector qualifies nowhere and brute
+    // force keeps both)
     assert(out.toSeq == Seq(0L, 1L, 2L, 100L, 101L))
   }
 

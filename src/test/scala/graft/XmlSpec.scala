@@ -28,7 +28,11 @@ class XmlSpec extends SparkSpec {
     val df = Seq(
       (1L, "v one", "x", 1.5),
       (2L, null.asInstanceOf[String], "", 2.0),
-      (3L, "v <three> & \"co\"", "y", -0.25))
+      (3L, "v <three> & \"co\"", "y", -0.25),
+      // whitespace-padded value: the reader must NOT trim it (pure-concat
+      // fidelity — same contract the CSV scan pins with its
+      // ignoreLeading/TrailingWhiteSpace=false options)
+      (4L, "  padded  ", "z", 0.5))
       .toDF("id", "s", "e", "d")
     val out = dir.resolve("t.xml").toString
     Sink.write(df, Sink.Config(out, Discovery.Xml))
@@ -39,7 +43,9 @@ class XmlSpec extends SparkSpec {
     assert(byName("id") == LongType && byName("d") == DoubleType, byName)
     assert(byName("s") == StringType && byName("e") == StringType, byName)
     val rows = back.orderBy("id").collect()
-    assert(rows.length == 3)
+    assert(rows.length == 4)
+    assert(rows(3).getAs[String]("s") == "  padded  ", // no silent trim
+      s"'${rows(3).getAs[String]("s")}'")
     // null wrote as an ABSENT element and reads back null; empty string
     // wrote as an empty element and reads back "" — the distinction the
     // JSONL sink also preserves
