@@ -1156,6 +1156,41 @@ object PipelineQueries {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       st13Ingest(s, docs, docs, java.lang.Integer.toHexString(dir.hashCode))
     }),
+    // STATE-STORE INTROSPECTION (Spark 4 state data source): run a keyed
+    // streaming aggregation to completion, then read its CHECKPOINTED
+    // STATE back as a table — the ops surface a 100 TB pipeline needs
+    // (inspect a deployment's live state offline: skewed keys, stuck
+    // watermarks, state bloat) without touching the pipeline itself. The
+    // output is the state contents, NOT the sink's, so the oracle — the
+    // same aggregation in SQL over what the stream consumed — pins that
+    // the store holds exactly the semantic aggregate: a lost update, a
+    // double-applied batch, or a key corrupted across the store's
+    // serialization round trip each breaks the hash. sum(event_id), not
+    // sum(value): long accumulation is order-independent, double is not.
+    "st14_state_introspection" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val agg = stream.groupBy("event_type")
+        .agg(count(lit(1)), sum("event_id"))
+      val ckpt = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        s"st14_ckpt_${java.lang.Integer.toHexString(dir.hashCode)}")
+      // invocation-fresh checkpoint: a stale one from another fixture at
+      // the same path would serve that fixture's state
+      deleteRecursively(ckpt)
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch((b: DataFrame, _: Long) => { b.count(); () })
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      // the state source returns (key struct, value struct, partition_id);
+      // value field names are the canonical agg names (count, sum)
+      ordered(s.read.format("statestore").load(ckpt.toString)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("n_events"),
+          col("value.sum").as("id_sum")))
+    }),
     // TRAIN-vs-EVAL decontamination: every 7th doc contributes a VERBATIM
     // tail slice starting at a stride-aligned offset (65 = 2*32 + 1), so
     // its windows land exactly on the train grid — the planted
@@ -2638,6 +2673,13 @@ object PipelineQueries {
          |SELECT n.doc_id FROM newd n
          |WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.idA = n.doc_id)
          |${orderSql("doc_id")}""".stripMargin,
+    // the semantic aggregate the state store must hold after consuming
+    // everything — index/store/serialization-blind
+    "st14_state_introspection" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |CAST(sum(event_id) AS BIGINT) AS id_sum
+         |FROM events GROUP BY event_type
+         |${orderSql("event_type", "n_events", "id_sum")}""".stripMargin,
     // the span grid + first-occurrence window + ordered reassembly,
     // ignorant of the engine's window/groupBy split
     "d18_span_dedup" ->
