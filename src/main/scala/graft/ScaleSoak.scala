@@ -145,7 +145,13 @@ object ScaleSoak {
       // wall is the PROBE, which must stay flat-to-d11 as eval scales and
       // never re-scan train text (plan-gate spec); measured x64: 0.38 s
       // indexed vs 0.54 s inline
-      "d19_decontamination_index")
+      "d19_decontamination_index",
+      // round-13 addition: state introspection. event_type cardinality is
+      // CONSTANT (5 keys) at every scale, so state_rows must stay flat
+      // while the consumed events scale — the leg separates streaming
+      // fixed overhead (flat) from per-row aggregation work (linear) and
+      // would catch a state-source read that scales with corpus size
+      "st14_state_introspection")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the
