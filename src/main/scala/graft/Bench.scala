@@ -137,19 +137,24 @@ object Bench {
     * window as the round's headline numbers. Hash of every fixture file's
     * (name, size, mtime) plus the effective cpu setting — a content change
     * without a size/mtime change is not a thing any fixture writer does.
+    * The walk is RECURSIVE (ADVICE round-13 #3): a fixture entry that is
+    * itself a directory (multi-part parquet) can have nested parts
+    * rewritten without the top-level size/mtime moving, so every file in
+    * the tree contributes, keyed by its dir-relative path.
     */
   def envFingerprint(sfDir: String, cpus: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.update(s"cpus=$cpus;".getBytes("UTF-8"))
     val dir = java.nio.file.Paths.get(sfDir)
     if (java.nio.file.Files.isDirectory(dir)) {
-      scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
         import scala.jdk.CollectionConverters._
-        s.iterator.asScala.toSeq.sortBy(_.toString).foreach { p =>
+        s.iterator.asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.toString).foreach { p =>
           val sz = scala.util.Try(java.nio.file.Files.size(p)).getOrElse(-1L)
           val mt = scala.util.Try(
             java.nio.file.Files.getLastModifiedTime(p).toMillis).getOrElse(-1L)
-          md.update(s"${p.getFileName}:$sz:$mt;".getBytes("UTF-8"))
+          md.update(s"${dir.relativize(p)}:$sz:$mt;".getBytes("UTF-8"))
         }
       }
     }

@@ -183,7 +183,7 @@ object Maw {
   val usage: String =
     """graft <inputs...> -o out.{csv,parquet,jsonl,orc,xml} [options]
       |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC/XML, on Spark.
-      |Gzip-compressed text inputs (.csv.gz/.jsonl.gz) are read transparently.
+      |Gzip-compressed text inputs (.csv.gz/.jsonl.gz/.xml.gz) are read transparently.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8
       |  --na-values NA,null,\N --na "" --infer-rows 1000 --compression zstd --zstd-level 3

@@ -833,6 +833,12 @@ object Dedup {
     * [[substringContamination]] — and a groupBy(id) reassembles survivors.
     * Winner selection keys on md5(span) (128 bits, the d01/d10 fingerprint
     * convention; a collision needs ~2^64 distinct spans).
+    *
+    * Precondition: `idCol` values must be UNIQUE — winner ranking and the
+    * reassembly groupBy both key on the id, so two documents sharing an id
+    * would silently interleave into one corrupted text (the same contract
+    * the ingest-index append enforces with its duplicate-id guard; callers
+    * ingesting untrusted ids should dedupe ids first).
     */
   def spanDedup(docs: DataFrame, idCol: String, textCol: String,
       spanChars: Int = 100): DataFrame = {

@@ -54,7 +54,21 @@ object XmlSource {
   /** Typed scan of one-or-many same-schema XML files in ONE reader. */
   def readPaths(spark: SparkSession, paths: Seq[String], opts: XmlOptions,
       resolvedSchema: Option[StructType] = None): DataFrame = {
-    val schema = resolvedSchema.getOrElse(resolveSchema(spark, paths.head, opts))
+    // a directory passed straight to the scan would sweep EVERY member file
+    // (a stray non-XML member parses as PERMISSIVE nulls) while the sampler
+    // reads only the first .xml member — expand directories to their XML
+    // members so scan and sampler agree on the file set
+    val expanded = paths.flatMap { p =>
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.getFileStatus(hPath).isDirectory)
+        fs.listStatus(hPath).map(_.getPath)
+          .filter(q => Discovery.detectFormat(q.getName).contains(Discovery.Xml))
+          .sortBy(_.getName).map(_.toString).toSeq
+      else Seq(p)
+    }
+    require(expanded.nonEmpty, s"no xml files under ${paths.mkString(",")}")
+    val schema = resolvedSchema.getOrElse(resolveSchema(spark, expanded.head, opts))
     // NullType isn't a valid parser type (all-null sampled column): read as
     // string, project to true null columns below — CsvSource's convention
     val parserSchema = StructType(schema.fields.map(f =>
@@ -70,7 +84,7 @@ object XmlSource {
       // disagree with the StAX sampler, which never trims)
       .option("ignoreSurroundingSpaces", "false")
       .option("mode", "PERMISSIVE")
-      .load(paths: _*)
+      .load(expanded: _*)
     typed.select(schema.fieldNames.toIndexedSeq.map { n =>
       if (schema(n).dataType == NullType) lit(null).as(n)
       else col(graft.schema.SchemaUnifier.quoted(n))
