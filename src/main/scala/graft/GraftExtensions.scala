@@ -75,6 +75,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.expressions.ChunkSpans].getName, "chunk_spans"),
       (args: Seq[Expression]) => graft.expressions.ChunkSpans(args.head,
         intArg(args(1), "chunk"), intArg(args(2), "stride"))),
+    // content-defined chunking generator (alignment-robust span dedup)
+    ("cdc_spans",
+      new ExpressionInfo(classOf[graft.expressions.CdcSpans].getName, "cdc_spans"),
+      (args: Seq[Expression]) => graft.expressions.CdcSpans(args.head,
+        intArg(args(1), "window"), intArg(args(2), "base"),
+        intArg(args(3), "modulus"), intArg(args(4), "divisor"))),
     // PQ asymmetric-distance score: sum over subspaces of luts[m][codes[m]]
     ("pq_adc_score",
       new ExpressionInfo(classOf[graft.expressions.PqAdcScore].getName, "pq_adc_score"),
@@ -106,7 +112,8 @@ object GraftExtensions {
     "shingle_strings" -> 2, "jaccard_sorted" -> 2, "text_stats" -> 1,
     "vec_dot" -> 2, "vec_cosine" -> 2, "vec_l2" -> 2, "quantize_i8" -> 1,
     "minhash_sig_md5" -> 3, "simhash60" -> 1, "nfc_normalize" -> 1,
-    "chunk_spans" -> 3, "pq_adc_score" -> 2, "quantile_bucket" -> 2)
+    "chunk_spans" -> 3, "cdc_spans" -> 5, "pq_adc_score" -> 2,
+    "quantile_bucket" -> 2)
 
   // fail at class-load, not at first invocation: a function added to
   // `functions` without an arity entry would otherwise surface as a bare

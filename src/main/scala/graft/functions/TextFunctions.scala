@@ -188,6 +188,16 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Content-defined chunking generator ([[graft.expressions.CdcSpans]]):
+    * explodes a text column into (span_idx, n_spans, span) rows whose
+    * boundaries re-synchronize on content — use in a select list like
+    * posexplode.
+    */
+  def cdcSpans(text: Column, window: Int, base: Int, modulus: Int,
+      divisor: Int): Column =
+    ExpressionUtils.column(graft.expressions.CdcSpans(
+      ExpressionUtils.expression(text), window, base, modulus, divisor))
+
   /** One-pass text statistics struct ([[graft.expressions.TextStatsExpr]]):
     * n_chars, n_tokens, token_len_sum, punct, cjk, bpe, per-language
     * stopword hits — a single walk replacing N stacked tokenizing lambdas.

@@ -851,7 +851,34 @@ object Dedup {
         posexplode(sequence(lit(0), col("__ns") - 1)))
       .select(col("id"), col("__ns"), col("pos").as("span_idx"),
         expr(s"substring(__t, pos * $spanChars + 1, $spanChars)").as("span"))
-    val byFp = Window.partitionBy(md5(col("span").cast("binary")))
+    firstSpanWins(spans)
+  }
+
+  /** Shared rewrite tail of [[spanDedup]] / [[cdcSpanDedup]]: over
+    * (id, __ns, span_idx, span) rows, the FIRST occurrence of each exact
+    * span content — first = smallest (id, span_idx) — wins; survivors
+    * reassemble in span order; documents with no surviving span drop.
+    * Exactly two shuffles, and the `row_number() = 1` filter triggers
+    * Catalyst's rank-limit pushdown (a map-side WindowGroupLimit ships <=1
+    * row per fingerprint per partition into the window shuffle, so a hot
+    * boilerplate span can't skew a task).
+    *
+    * `minSpan > 0` exempts spans shorter than that many chars from dedup
+    * (the min-match-length rule of Lee et al. 2022, §4: matching tiny
+    * strings is coincidence, not duplication — without it a 1-char CDC
+    * chunk like "e" would "duplicate" across unrelated documents and
+    * corrupt them). Implemented by giving short spans a per-row-unique
+    * fingerprint rather than a CASE over the rank, so the filter stays a
+    * bare `row_number() = 1` and the map-side pushdown is preserved.
+    */
+  private def firstSpanWins(spans: DataFrame, minSpan: Int = 0): DataFrame = {
+    val fp =
+      if (minSpan <= 0) md5(col("span").cast("binary")).cast("string")
+      else when(length(col("span")) >= minSpan,
+          md5(col("span").cast("binary")).cast("string"))
+        .otherwise(concat(lit("#"), col("id").cast("string"),
+          lit(":"), col("span_idx").cast("string")))
+    val byFp = Window.partitionBy(fp)
       .orderBy(col("id"), col("span_idx"))
     spans
       .withColumn("__rk", row_number().over(byFp))
@@ -864,6 +891,45 @@ object Dedup {
           array_sort(collect_list(struct(col("span_idx"), col("span")))),
           x => x.getField("span")), "").as("text"))
       .select(col("id"), col("n_spans"), col("n_kept"), col("text"))
+  }
+
+  /** Alignment-robust sub-document exact-span dedup — [[spanDedup]] with
+    * CONTENT-DEFINED span boundaries ([[graft.expressions.CdcSpans]], the
+    * LBFS/rsync rolling-hash chunking) instead of a fixed character grid.
+    * The grid variant's documented miss window — a duplicate span that
+    * starts off the 100-char grid is invisible, and real boilerplate has
+    * arbitrary prefixes — disappears: chunk boundaries depend only on the
+    * content under a `window`-codepoint rolling hash, so a duplicated
+    * region re-synchronizes to identical spans within one hash window of
+    * its start regardless of what offset it occupies in each document.
+    * Residual (inherent to CDC, documented not hidden): the one chunk
+    * STRADDLING the duplicate region's start mixes unique prefix with
+    * duplicate content and survives; everything past the first boundary
+    * inside the region dedupes.
+    *
+    * Same contract as [[spanDedup]]: first occurrence by (id, span_idx)
+    * wins, survivors reassemble in order, fully-deduped / empty / NULL
+    * docs drop, ids must be unique. Output (id, n_spans, n_kept, text).
+    * Expected span length ~= `divisor` codepoints. Spans shorter than
+    * `minSpan` chars never dedupe (Lee et al.'s min-match-length rule —
+    * CDC occasionally emits tiny chunks, and tiny exact matches across
+    * unrelated documents are coincidence, not duplication).
+    *
+    * Scale shape: the chunker is one narrow O(len) pass per document (a
+    * Generator — no per-char explode, no extra shuffle), then the exact
+    * two-shuffle [[firstSpanWins]] tail with its map-side rank-limit
+    * pushdown. Linear in corpus bytes, skew-immune at the fingerprint
+    * window, never a pair join.
+    */
+  def cdcSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, base: Int = 257, modulus: Int = 1048573,
+      divisor: Int = 64, minSpan: Int = 20): DataFrame = {
+    val chunks = graft.functions.TextFunctions.cdcSpans(
+      col(textCol), window, base, modulus, divisor)
+    val spans = docs
+      .select(col(idCol).as("id"), chunks)
+      .select(col("id"), col("n_spans").as("__ns"), col("span_idx"), col("span"))
+    firstSpanWins(spans, minSpan)
   }
 
   /** Cross-corpus decontamination — the train-vs-eval overlap check every

@@ -136,6 +136,21 @@ object PipelineQueries {
     * definition for all five build-once families — a keying fix must land
     * once, not five times.
     */
+  /** d20's planted off-grid offset: exactly 37 chars (off every 100-char
+    * grid point), shared by the Spark fixture, the SQL oracle, and the spec
+    * that proves d18's fixed grid misses the duplicate behind it.
+    */
+  private[graft] val cdcOffGridPrefix = "OFFGRID_PREFIX_0123456789_abcdefghij "
+
+  /** The d20 chunker's rolling polynomial in nested stepwise-mod form —
+    * the exact arithmetic [[graft.expressions.CdcSpans]] folds, kept
+    * INT64-safe under DuckDB's strict overflow checking (each partial is
+    * reduced mod 1048573 before the next multiply-by-257).
+    */
+  private val cdcPolySql: String =
+    (0 until 8).foldLeft("0")((acc, k) =>
+      s"(($acc * 257 + unicode(substr(text, i - ${7 - k}, 1))) % 1048573)")
+
   private def fixtureKey(dir: String, table: String): String = {
     val f = new java.io.File(s"$dir/$table.parquet")
     java.lang.Integer.toHexString(
@@ -883,6 +898,29 @@ object PipelineQueries {
       ordered(Dedup.spanDedup(
           d.unionByName(salted).unionByName(verbatim), "doc_id", "text",
           spanChars = 100)
+        .withColumnRenamed("id", "doc_id"))
+    }),
+    // Alignment-robust sub-document dedup: d18 with CONTENT-DEFINED span
+    // boundaries (CdcSpans rolling-hash chunking). Planted: every 4th doc
+    // re-appears at +1e6 behind a fixed 37-char prefix — OFF any fixed
+    // 100-char grid, the duplicate d18's spanDedup provably misses
+    // (spec-pinned) — plus a salted tail; the chunker re-synchronizes
+    // inside the copied text, so every interior chunk dedupes away. Every
+    // 10th doc re-appears verbatim at +3e6: identical chunks all lose to
+    // the lower id and the copy drops entirely. Oracle: the identical
+    // rolling polynomial + cut rule + first-occurrence window recomputed
+    // with a per-char explode in SQL — a boundary off by one char, a
+    // wrong winner, or a lost span each changes the rewritten text hash.
+    "d20_cdc_span_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val offgrid = d.where(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit(cdcOffGridPrefix), col("text"),
+            lit(" tail_"), col("doc_id").cast("string")).as("text"))
+      val verbatim = d.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+      ordered(Dedup.cdcSpanDedup(
+          d.unionByName(offgrid).unionByName(verbatim), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"))
     }),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
@@ -2706,6 +2744,54 @@ object PipelineQueries {
          |  string_agg(CASE WHEN rk = 1 THEN span END, '' ORDER BY span_idx) AS text
          |FROM w GROUP BY doc_id
          |HAVING count(*) FILTER (WHERE rk = 1) > 0
+         |${orderSql("doc_id", "n_spans", "n_kept", "text")}""".stripMargin,
+    // the CdcSpans chunker recomputed per-char: the same stepwise-mod
+    // rolling polynomial over the last 8 codepoints decides each cut, a
+    // prefix-sum window assigns chars to spans, and the d18 tail (first
+    // occurrence by (doc_id, span_idx), ordered reassembly) rewrites
+    "d20_cdc_span_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    '$cdcOffGridPrefix' || text || ' tail_' || CAST(doc_id AS VARCHAR)
+         |  FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 10 = 3),
+         |ch AS (
+         |  SELECT doc_id, text,
+         |    CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS i
+         |  FROM corpus WHERE length(text) > 0),
+         |cut AS (
+         |  SELECT doc_id, i, substr(text, i, 1) AS c,
+         |    CASE WHEN i >= 8 AND $cdcPolySql % 64 = 0 THEN 1 ELSE 0 END AS x
+         |  FROM ch),
+         |idx AS (
+         |  SELECT doc_id, i, c,
+         |    COALESCE(SUM(x) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_idx
+         |  FROM cut),
+         |sp AS (
+         |  SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx,
+         |    string_agg(c, '' ORDER BY i) AS span
+         |  FROM idx GROUP BY doc_id, span_idx),
+         |spn AS (
+         |  SELECT doc_id, span_idx, span,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS ns
+         |  FROM sp),
+         |w AS (
+         |  -- spans under 20 chars are EXEMPT from dedup (min-match-length):
+         |  -- a per-row-unique fingerprint puts each alone in its partition
+         |  SELECT doc_id, span_idx, span, ns,
+         |    row_number() OVER (PARTITION BY
+         |      CASE WHEN length(span) >= 20 THEN md5(span)
+         |           ELSE '#' || CAST(doc_id AS VARCHAR) || ':' || CAST(span_idx AS VARCHAR) END
+         |      ORDER BY doc_id, span_idx) AS rk
+         |  FROM spn)
+         |SELECT doc_id, CAST(max(ns) AS BIGINT) AS n_spans,
+         |  CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(span, '' ORDER BY span_idx) AS text
+         |FROM w WHERE rk = 1 GROUP BY doc_id
          |${orderSql("doc_id", "n_spans", "n_kept", "text")}""".stripMargin,
     // the streaming-admission cascade, ignorant of the index/append
     // machinery: batch-1 admission vs corpus + smaller-id batch-1 rows;

@@ -686,6 +686,94 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L) == ((2L, 1L, "qqqqqqqqqq")), out(5L))           // within-doc dup: first kept
   }
 
+  test("cdcSpanDedup: untouched docs reassemble byte-identical; empty/null drop") {
+    import spark.implicits._
+    // unique content, varied lengths (incl. shorter than the hash window)
+    val docs = (1L to 20L).map(i =>
+      (i, (0 until (i * 7).toInt).map(j => s"u${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text") unionByName
+      Seq((98L, ""), (99L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.cdcSpanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == (1L to 20L).toSet, out.keySet)
+    val orig = docs.where($"text".isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 20L).foreach { i =>
+      val (ns, nk, text) = out(i)
+      assert(ns == nk, s"doc $i lost spans with unique content: $ns vs $nk")
+      assert(text == orig(i), s"doc $i did not reassemble byte-identical")
+    }
+  }
+
+  test("cdcSpanDedup catches the off-grid duplicate spanDedup provably misses") {
+    import spark.implicits._
+    val prefix = graft.queries.PipelineQueries.cdcOffGridPrefix
+    assert(prefix.length == 37, s"fixture offset drifted: ${prefix.length}")
+    val base = (0 until 120).map(j => s"tok${(j * 17) % 211}x$j").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      // the same content at offset 37 — off every 100-char grid point
+      (2L, prefix + base + " tail_2")).toDF("doc_id", "text")
+
+    // d18 (fixed 100-char grid): NO span of doc 2 matches doc 1 — the copy
+    // is invisible (this is the documented miss window, pinned here)
+    val grid = Dedup.spanDedup(docs, "doc_id", "text", spanChars = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gridSpans2 = Dedup.spanDedup(docs.where($"doc_id" === 2), "doc_id", "text",
+      spanChars = 100).collect().head.getLong(1)
+    assert(grid(2L) == gridSpans2,
+      s"grid dedup unexpectedly caught the off-grid copy (kept ${grid(2L)} of $gridSpans2)")
+
+    // d20 (content-defined): boundaries re-synchronize inside the copied
+    // region, so most of doc 2's content dedupes away; only the prefix,
+    // the one straddling chunk, and the tail survive
+    val cdc = Dedup.cdcSpanDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (ns1, nk1, text1) = cdc(1L)
+    assert(ns1 == nk1 && text1 == base, "doc 1 (first occurrence) must be untouched")
+    val (ns2, nk2, text2) = cdc(2L)
+    assert(nk2 < ns2, s"cdc dedup removed nothing from the off-grid copy ($nk2 of $ns2)")
+    assert(text2.length < (prefix + base + " tail_2").length / 2,
+      s"cdc dedup should remove most of the copied content, survivor is ${text2.length} " +
+        s"of ${(prefix + base + " tail_2").length} chars: ${text2.take(120)}")
+    assert(text2.startsWith(prefix), "the unique prefix must survive")
+  }
+
+  test("cdcSpanDedup: spans under minSpan never dedupe (min-match-length rule)") {
+    import spark.implicits._
+    // force a shared SHORT chunk: identical 10-char texts in two docs would
+    // normally dedupe doc 2 away; with minSpan=20 both survive untouched,
+    // while a shared LONG text still dedupes
+    val docs = Seq(
+      (1L, "tiny_same!"), (2L, "tiny_same!"),
+      (3L, "long_shared_content " * 5), (4L, "long_shared_content " * 5))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcSpanDedup(docs, "doc_id", "text", minSpan = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.keySet.contains(1L) && out.keySet.contains(2L),
+      s"short identical docs must BOTH survive: ${out.keySet}")
+    assert(out(2L) == "tiny_same!", "short span must not be removed")
+    assert(out.keySet.contains(3L) && !out.keySet.contains(4L),
+      s"long verbatim copy must still drop: ${out.keySet}")
+  }
+
+  test("CdcSpans: boundaries re-synchronize — shared suffix chunks identical past one window") {
+    import spark.implicits._
+    val shared = (0 until 90).map(j => s"s${(j * 13) % 83}q$j").mkString(" ")
+    val chunksOf = (head: String) =>
+      Seq((1L, head + shared)).toDF("doc_id", "text")
+        .select(TF.cdcSpans(col("text"), 8, 257, 1048573, 64))
+        .collect().map(_.getString(2)).toSeq
+    val a = chunksOf("A")
+    val b = chunksOf("Bxx" + "Cyy")
+    // all chunks past the first boundary inside `shared` must be identical
+    val commonTail = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }.length
+    assert(commonTail >= 1, s"no re-synchronized chunks: a=${a.size}, b=${b.size}")
+    val tailChars = a.takeRight(commonTail).map(_.length).sum
+    assert(tailChars > shared.length / 2,
+      s"re-sync too late: only $tailChars of ${shared.length} shared chars align")
+  }
+
   test("d17FixedBatchProbe at the base fixture == the d17 query's survivors") {
     // the soak flatness leg must measure THE d17 probe, not a lookalike:
     // when the index dir and the batch dir coincide, the probe's output is
