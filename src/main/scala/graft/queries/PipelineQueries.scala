@@ -615,6 +615,40 @@ object PipelineQueries {
     // are dropped — the real-world contract: an unknown source
     // contributes nothing rather than silently passing at some default.
     // Scale shape: one narrow pass, no shuffle before the output order.
+    // Learned document-quality scoring (round-13 verdict ask #5): the
+    // fastText-style LINEAR model every curation pipeline runs after the
+    // rule-based filters (t02/t20) — a fixed public-fixture weight vector
+    // over one-pass textStats features, squashed and thresholded. Nothing
+    // is trained here; the weights are literals (the serving-side shape:
+    // training happens offline, scoring is a vectorized expression).
+    // Determinism across engines is by construction, not luck: every
+    // feature is an exact integer ratio, the dot product folds
+    // left-to-right in both engines (IEEE doubles are order-deterministic),
+    // and the squash is the RATIONAL sigmoid z/(1+|z|) — no exp/log libm
+    // calls whose last ulp could differ between JVM and DuckDB. One narrow
+    // codegen pass: no UDF, no shuffle (the trailing sort is the driver's
+    // determinism order, bench-skipped).
+    "t23_quality_model" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("__st", TF.textStats(col("text"))) // ONE walk per row
+      val nt = col("__st.n_tokens")
+      val nc = col("__st.n_chars")
+      val fLen = least(nt.cast("double") / 100.0, lit(1.0))
+      val fWlen = when(nt === 0, 0.0)
+        .otherwise(least(col("__st.token_len_sum").cast("double") / nt / 10.0, lit(1.0)))
+      val fPunct = when(nc === 0, 0.0).otherwise(col("__st.punct") / nc.cast("double"))
+      val fStop = when(nt === 0, 0.0).otherwise(col("__st.stop_en") / nt.cast("double"))
+      val fAlpha = when(nt === 0, 0.0).otherwise(col("__st.alpha_tokens") / nt.cast("double"))
+      val fBpe = when(nt === 0, 0.0)
+        .otherwise(least(col("__st.bpe").cast("double") / nt / 3.0, lit(1.0)))
+      val z = lit(-1.1) + lit(1.2) * fLen + lit(0.8) * fWlen - lit(2.5) * fPunct +
+        lit(3.0) * fStop + lit(1.5) * fAlpha - lit(0.4) * fBpe
+      val score = when(col("__st").isNull, lit(null).cast("double"))
+        .otherwise(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+      ordered(df.select(col("doc_id"),
+        round(score, 6).as("model_score"),
+        coalesce(score >= 0.55, lit(false)).as("keep")))
+    }),
     "t22_mixture_sample" -> ((s, dir) => {
       val n = expr("try_cast(substring(source, 4) AS INT)")
       val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
@@ -2342,6 +2376,43 @@ object PipelineQueries {
          |  COALESCE(n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
          |   AND alpha_ratio >= 0.8 AND stop_hits >= 2, FALSE) AS passes
          |FROM m ${orderSql("doc_id")}""".stripMargin,
+    // the linear scorer re-derived feature-by-feature from t02/t20's
+    // proven textStats mirrors; the dot product folds in the same
+    // left-to-right order and the squash is rational (no libm), so the
+    // doubles are bit-identical before the 6-decimal round
+    "t23_quality_model" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+         |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_chars, bpe, punct, len(toks) AS nt,
+         |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
+         |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens
+         |  FROM d),
+         |f AS (
+         |  SELECT doc_id, n_chars,
+         |    least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS f_len,
+         |    CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(tls AS DOUBLE) / nt / 10.0, 1.0) END AS f_wlen,
+         |    CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END AS f_punct,
+         |    CASE WHEN nt = 0 THEN 0.0 ELSE stop_en / CAST(nt AS DOUBLE) END AS f_stop,
+         |    CASE WHEN nt = 0 THEN 0.0 ELSE alpha_tokens / CAST(nt AS DOUBLE) END AS f_alpha,
+         |    CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(bpe AS DOUBLE) / nt / 3.0, 1.0) END AS f_bpe
+         |  FROM m),
+         |z AS (
+         |  SELECT doc_id, n_chars,
+         |    -1.1 + 1.2 * f_len + 0.8 * f_wlen - 2.5 * f_punct
+         |      + 3.0 * f_stop + 1.5 * f_alpha - 0.4 * f_bpe AS zz
+         |  FROM f)
+         |SELECT doc_id,
+         |  CASE WHEN n_chars IS NULL THEN NULL
+         |       ELSE ROUND(0.5 + 0.5 * zz / (1.0 + abs(zz)), 6) END AS model_score,
+         |  COALESCE(n_chars IS NOT NULL
+         |    AND 0.5 + 0.5 * zz / (1.0 + abs(zz)) >= 0.55, FALSE) AS keep
+         |FROM z ${orderSql("doc_id", "model_score", "keep")}""".stripMargin,
     // same RE2-\s token contract as t04/t07; n_docs is counted over tf so
     // token-less documents drop out on both engines
     "t16_tfidf" ->

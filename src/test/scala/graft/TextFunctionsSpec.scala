@@ -162,6 +162,50 @@ class TextFunctionsSpec extends SparkSpec {
     assert(static.contains("Window"), "t16 lost the window-based df attachment")
   }
 
+  test("t23 quality model: hand-checked scores; one scan, no UDF, no operator shuffle") {
+    val dir = tmpDir("qmodel")
+    Seq((1L, "the cat sat on the mat and the dog ran to the door", "en", "s", 51L),
+        (2L, "", "en", "s", 0L),
+        (3L, null.asInstanceOf[String], "en", "s", 0L),
+        (4L, "!!! ??? ;;; ###", "und", "s", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t23_quality_model")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[Any]), r.getBoolean(2))).toMap
+    // doc 1 spelled out: 13 tokens (len sum 38), 0 punct chars, 5 stop_en
+    // ('the' x4 + 'and' + 'on' + 'to' = 7 actually counted below), all
+    // alpha, bpe = 13 — recomputed independently from the weights
+    val toks = "the cat sat on the mat and the dog ran to the door".split(" ")
+    val nt = toks.length.toDouble
+    val stopSet = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "this", "for", "on", "with", "as", "are", "was", "be", "at", "by", "not", "but")
+    val z1 = -1.1 + 1.2 * math.min(nt / 100.0, 1.0) +
+      0.8 * math.min(toks.map(_.length).sum / nt / 10.0, 1.0) - 2.5 * 0.0 +
+      3.0 * (toks.count(stopSet) / nt) + 1.5 * 1.0 -
+      0.4 * math.min(toks.length / nt / 3.0, 1.0)
+    val s1 = math.round((0.5 + 0.5 * z1 / (1.0 + math.abs(z1))) * 1e6) / 1e6
+    assert(out(1L) == ((s1, true)), s"doc 1: ${out(1L)} vs expected ($s1, true)")
+    // empty text: every feature 0 -> z = -1.1 -> score 0.5 - 0.55/2.1
+    val s2 = math.round((0.5 - 0.5 * 1.1 / 2.1) * 1e6) / 1e6
+    assert(out(2L) == ((s2, false)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((null, false)), s"null text must score null/false: ${out(3L)}")
+    // pure punctuation: f_punct high, no stopwords -> rejected
+    assert(!out(4L)._2, s"punctuation-only doc must not pass: ${out(4L)}")
+
+    // the serving-shape claim: ONE corpus scan, zero UDFs, and the only
+    // exchange is the driver-determinism sort (AQE off for a static plan)
+    val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.queries("t23_quality_model")(spark, dir.toString)
+        .queryExecution.executedPlan.toString
+    }
+    assert("Scan parquet".r.findAllIn(static).size == 1, s"t23 must scan once:\n$static")
+    assert(!static.contains("UDF") && !static.contains("Python"),
+      s"t23 must be expression-only:\n$static")
+    assert("Exchange".r.findAllIn(static).size == 1,
+      s"t23's only exchange is the determinism sort:\n$static")
+  }
+
   test("t17 boilerplate: planted footers found exactly, organic lines untouched") {
     val dir = tmpDir("boiler")
     // doc 10/12 get the planted footers (even ids), 11/13 stay organic;
