@@ -151,7 +151,19 @@ object ScaleSoak {
       // while the consumed events scale — the leg separates streaming
       // fixed overhead (flat) from per-row aggregation work (linear) and
       // would catch a state-source read that scales with corpus size
-      "st14_state_introspection")
+      "st14_state_introspection",
+      // round-14 addition: content-defined span dedup — d18's shape (two
+      // shuffles, window over span fingerprint, never a pair join) with
+      // the chunker's O(len) narrow pass in front; same linearity
+      // expectation as d18 (replica salting keeps spans replica-unique)
+      "d20_cdc_span_dedup",
+      // round-14 addition: the linear quality scorer — one narrow codegen
+      // pass, wall should track the scan (the matrix's cheapest text leg)
+      "t23_quality_model",
+      // round-14 addition: streaming decontamination. The leg scales eval
+      // AND train together; the per-batch claim (probe flat in TRAIN size)
+      // lands in ingest_batch_sec_max via the fixed-eval block below
+      "st15_streaming_decontamination")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the
@@ -336,6 +348,9 @@ object ScaleSoak {
             if (q == "st13_streaming_ingest_dedup") {
               val walls = graft.queries.PipelineQueries.lastIngestBatchWalls
               if (walls.isEmpty) -1.0 else walls.max
+            } else if (q == "st15_streaming_decontamination") {
+              val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
+              if (walls.isEmpty) -1.0 else walls.max
             } else -1.0
           val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1
           // recall-gated ANN legs ONLY: the in-query requireRecall gate
@@ -445,6 +460,27 @@ object ScaleSoak {
           results += Leg("st13_fixed_batch_ingest", scale, sec, rows,
             -1, -1.0, batchCount.get, peakStateRows.get, bmax)
           println(f"st13_fixed_batch_ingest      x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" batch_sec_max=$bmax%.2f")
+        }
+        // st15's analog: the SAME two base-fixture eval micro-batches
+        // probed against this scale's train index. The leg wall includes
+        // the once-per-fixture index build (linear in train, and already
+        // paid when the st15 leg ran first at this scale); the CLAIM
+        // column is ingest_batch_sec_max — per-batch probe wall flat in
+        // TRAIN size (the index is slim/bucketed, only the batch is
+        // windowed). One run, like st13's block: the number under test is
+        // internal per-batch wall.
+        if (queryFilter.forall(_.contains("st15_streaming_decontamination"))) {
+          batchCount.set(0); peakStateRows.set(0)
+          val t0 = System.nanoTime()
+          val rows = graft.queries.PipelineQueries
+            .st15FixedEvalProbe(spark, dir, base).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
+          val bmax = if (walls.isEmpty) -1.0 else walls.max
+          results += Leg("st15_fixed_eval_probe", scale, sec, rows,
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax)
+          println(f"st15_fixed_eval_probe        x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" batch_sec_max=$bmax%.2f")
         }
       }

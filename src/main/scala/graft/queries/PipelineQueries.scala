@@ -374,22 +374,30 @@ object PipelineQueries {
       val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
         val tb0 = System.nanoTime()
         val marker = admittedDir.resolve(s"b$batchId")
-        if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
-          val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
-            batch, "doc_id", "text",
-            shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
-          val staged = base.resolve(s"stage_b$batchId")
-          // materialize admitted BEFORE the append mutates the index
-          batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")
-            .write.mode("overwrite").parquet(staged.toString)
-          Dedup.appendJaccardIngestIndex(s, bandT, shT,
-            s.read.parquet(staged.toString), "doc_id", "text",
-            shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
-          java.nio.file.Files.move(staged, marker)
-          lastIngestBatchWalls =
-            lastIngestBatchWalls :+ (System.nanoTime() - tb0) / 1e9
-        }
+        // per-batch stages are sized by the BATCH, not by the global
+        // shuffle-partition setting (which a soak/production session sizes
+        // for the CORPUS): round 13 measured the 1x->16x fixed-batch step
+        // (4.54 -> 7.65 s) tracking the soak's 32->1024 partition scaling,
+        // pure task-scheduling overhead. Pinning to the core count makes
+        // per-batch wall flat from 1x; the corpus side is bucketed, so the
+        // probe join never reshuffles it regardless of this setting.
+        if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+          withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+            val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
+              batch, "doc_id", "text",
+              shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+            val staged = base.resolve(s"stage_b$batchId")
+            // materialize admitted BEFORE the append mutates the index
+            batch.join(pairs.select(col("idA").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+              .write.mode("overwrite").parquet(staged.toString)
+            Dedup.appendJaccardIngestIndex(s, bandT, shT,
+              s.read.parquet(staged.toString), "doc_id", "text",
+              shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+            java.nio.file.Files.move(staged, marker)
+            lastIngestBatchWalls =
+              lastIngestBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+          }
       }
       val q = stream.writeStream
         .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -428,6 +436,113 @@ object PipelineQueries {
       t(s, dir, "documents").select("doc_id", "text"),
       t(s, baseDir, "documents").select("doc_id", "text"),
       java.lang.Integer.toHexString((dir + "|" + baseDir).hashCode))
+
+  /** d19's build-once contamination index (train's distinct window hashes,
+    * one slim bucketed table per fixture) — shared by the batch probe
+    * (d19) and the streaming probe (st15), the same build-once discipline
+    * as [[d17IngestIndex]].
+    */
+  private def d19ContaminationIndex(s: SparkSession, dir: String,
+      train: DataFrame): String = {
+    val key = fixtureKey(dir, "documents")
+    val table = s"d19_whx_$key"
+    if (!s.catalog.tableExists(table)) {
+      graft.util.TableRetention.sweep(s, "d19_", keep = Set.empty)
+      Dedup.buildContaminationIndex(train, "doc_id", "text", table)
+    } else graft.util.TableRetention.sweep(s, "d19_", keep = Set(table))
+    table
+  }
+
+  /** Per-batch wall seconds of the most recent st15 invocation (the d19
+    * probe inside foreachBatch), batch order — ScaleSoak's evidence column
+    * for the streaming-decontamination claim: per-batch probe cost flat in
+    * TRAIN-corpus size (the index is slim and bucketed; the batch is the
+    * only text windowed per arrival).
+    */
+  @volatile var lastProbeBatchWalls: List[Double] = Nil
+
+  /** st15's probe loop: the d11/d19 eval set arrives as a STREAM (two
+    * micro-batches) and each batch is decontamination-checked inside
+    * foreachBatch against the PERSISTED train-hash table — the
+    * build-once/probe-streaming pairing d17/st13 have, applied to d19.
+    * Results land as one idempotent parquet dir per batch id (a replayed
+    * batch overwrites its own output and a marker skips the probe —
+    * exactly-once results without an index mutation to guard). Per-doc
+    * counts are batch-local AND correct: a document's windows all arrive
+    * in its batch, so the union over batches equals the one-shot d19
+    * output — one oracle pins all three paths (d11, d19, st15).
+    *
+    * The probe's shuffle stages are pinned to the session's core count
+    * rather than `spark.sql.shuffle.partitions`: per-batch work is sized
+    * by the BATCH, and inheriting a corpus-sized global setting would
+    * charge each micro-batch the task-scheduling cost of the whole-corpus
+    * configuration (the st13 coupling round 13 measured).
+    */
+  private def st15Probe(s: SparkSession, dir: String, baseDir: String): DataFrame = {
+    val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val table = d19ContaminationIndex(s, dir, train)
+    val eval0 = t(s, baseDir, "documents").select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 65)").as("text"))
+    val batch1 = eval0.where(col("doc_id") % 2 === 0)
+    val batch2 = eval0.where(col("doc_id") % 2 =!= 0)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"st15_probe_${java.lang.Integer.toHexString((dir + "|" + baseDir).hashCode)}")
+    deleteRecursively(base)
+    val deltaDir = base.resolve("delta")
+    val outDir = base.resolve("out")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(outDir)
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))).parquet(deltaDir.toString)
+    lastProbeBatchWalls = Nil
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val tb0 = System.nanoTime()
+      val marker = outDir.resolve(s"b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val staged = base.resolve(s"stage_b$batchId")
+          Dedup.crossContaminationIndexed(s, table, batch, "doc_id", "text")
+            .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated"))
+            .write.mode("overwrite").parquet(staged.toString)
+          java.nio.file.Files.move(staged, marker)
+        }
+        lastProbeBatchWalls =
+          lastProbeBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+      }
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(outDir)) {
+        st => st.iterator().asScala.map(_.toString).toSeq.sorted
+      }
+    }
+    require(parts.size == 2,
+      s"st15: expected 2 probed micro-batches, saw ${parts.size}")
+    ordered(s.read.parquet(parts: _*)
+      .select("doc_id", "n_windows", "n_contaminated"))
+  }
+
+  /** st15's loop with the train index from `dir` (soak-scaled) and the
+    * SAME eval batches from `baseDir`: ScaleSoak's
+    * `st15_fixed_eval_probe` leg — per-batch probe wall flat in train
+    * size is the claim; when `dir == baseDir` the output equals the st15
+    * query's (spec-pinned).
+    */
+  def st15FixedEvalProbe(s: SparkSession, dir: String, baseDir: String): DataFrame =
+    st15Probe(s, dir, baseDir)
 
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
@@ -1288,15 +1403,18 @@ object PipelineQueries {
       val eval = train.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           expr("substring(text, 65)").as("text"))
-      val key = fixtureKey(dir, "documents")
-      val table = s"d19_whx_$key"
-      if (!s.catalog.tableExists(table)) {
-        graft.util.TableRetention.sweep(s, "d19_", keep = Set.empty)
-        Dedup.buildContaminationIndex(train, "doc_id", "text", table)
-      } else graft.util.TableRetention.sweep(s, "d19_", keep = Set(table))
+      val table = d19ContaminationIndex(s, dir, train)
       ordered(Dedup.crossContaminationIndexed(s, table, eval, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated")))
     }),
+    // STREAMING decontamination (round-13 verdict ask #4): the same eval
+    // set arrives as two micro-batches and each is probed inside
+    // foreachBatch against d19's persisted train-hash table — the
+    // build-once/probe-streaming pairing d17/st13 already have. Idempotent
+    // per-batch parquet output + redelivery marker; union over batches ==
+    // the one-shot d19 output by construction, so d11's oracle pins this
+    // path too.
+    "st15_streaming_decontamination" -> ((s, dir) => st15Probe(s, dir, dir)),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -3005,6 +3123,9 @@ object PipelineQueries {
     // same admission semantics, index-blind: one oracle pins the inline
     // AND the persisted-index path (the t12/t15 shared-oracle convention)
     "d19_decontamination_index" -> decontaminationOracle,
+    // streaming probe of the same index over the same eval set, batch
+    // union == one-shot output by construction
+    "st15_streaming_decontamination" -> decontaminationOracle,
     "d10_substring_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents

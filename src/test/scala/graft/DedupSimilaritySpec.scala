@@ -803,6 +803,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaFixed.nonEmpty, "fixture produced no admissions — test is vacuous")
   }
 
+  test("st15FixedEvalProbe at the base fixture == st15 == d19's one-shot output") {
+    // the streaming probe must be THE d19 check batched over arrivals:
+    // union over micro-batches == one-shot output, and the soak's
+    // fixed-eval leg must run the same loop
+    val dir = "/root/testdata/sf0.001"
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    val oneShot = graft.SparkEntry.queries("d19_decontamination_index")(spark, dir)
+      .collect().map(key).toSet
+    val streamed = graft.SparkEntry.queries("st15_streaming_decontamination")(spark, dir)
+      .collect().map(key).toSet
+    assert(streamed == oneShot,
+      s"streamed probe diverged: only-oneshot=${oneShot.diff(streamed).take(3)} " +
+        s"only-streamed=${streamed.diff(oneShot).take(3)}")
+    val viaFixed = graft.queries.PipelineQueries.st15FixedEvalProbe(spark, dir, dir)
+      .collect().map(key).toSet
+    assert(viaFixed == streamed, "fixed-eval soak leg diverged from st15")
+    assert(streamed.nonEmpty, "fixture produced no probed rows — test is vacuous")
+    val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
+    assert(walls.size == 2, s"expected 2 per-batch walls, got $walls")
+  }
+
   test("appendJaccardIngestIndex: next batch blocks against appended survivors") {
     import org.apache.spark.sql.functions.expr
     val docs = sf("documents").select($"doc_id", $"text")
