@@ -55,14 +55,27 @@ object Multimodal {
     * text). Lossless encoding, so a decoder recovers the exact gray levels
     * — which is what lets an engine with no PNG codec (the oracle) verify
     * the decode path from the source text alone.
+    *
+    * `shift` brightens every pixel by that many levels (clamped at 255) —
+    * the m05 fixture's "same image, adjusted" copy. `rgb = true` writes the
+    * SAME gray levels through an RGB raster (R=G=B): a re-encode that
+    * changes the payload bytes (color-type-2 PNG) but not the decoded
+    * band-0 samples — the "same image, different file" copy exact-byte
+    * dedup (m04) provably passes and perceptual dedup must catch.
     */
-  def encodePng(bytes: Array[Byte]): Array[Byte] = {
-    val img = new BufferedImage(ImgW, ImgH, BufferedImage.TYPE_BYTE_GRAY)
+  def encodePng(bytes: Array[Byte], shift: Int = 0, rgb: Boolean = false): Array[Byte] = {
+    val img = new BufferedImage(ImgW, ImgH,
+      if (rgb) BufferedImage.TYPE_INT_RGB else BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var i = 0
     while (i < ImgW * ImgH) {
-      val px = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
-      raster.setSample(i % ImgW, i / ImgW, 0, px)
+      val raw = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      val px = math.min(raw + shift, 255)
+      var b = 0
+      while (b < raster.getNumBands) { // gray: 1 band; rgb: R=G=B
+        raster.setSample(i % ImgW, i / ImgW, b, px)
+        b += 1
+      }
       i += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -76,7 +89,8 @@ object Multimodal {
     * [[encodePng]] itself is allocation-per-row (ImageIO keeps no reusable
     * encoder state worth hoisting), the batched shape is what matters.
     */
-  def fromTextPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def fromTextPng(df: DataFrame, idCol: String, textCol: String,
+      shift: Int = 0, rgb: Boolean = false): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     df.select(col(idCol).cast(LongType).as("media_id"),
         encode(col(textCol), "utf-8").as("bytes"))
@@ -84,8 +98,71 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-          Row(id, encodePng(bytes),
+          Row(id, encodePng(bytes, shift, rgb),
             Row("image/png", ImgW, ImgH, null))
+        }
+      }(enc)
+  }
+
+  /** 64-bit difference hash (dHash) over decoded gray levels — the
+    * standard public perceptual fingerprint (average the image down to an
+    * 8x8 grid, emit one bit per horizontal neighbor comparison): invariant
+    * to re-encoding (bytes change, pixels don't) and to uniform brightness
+    * shifts (every comparison shifts both sides), the two duplicate forms
+    * exact-byte frame dedup (m04) passes. Bit (r*8+c) is 1 iff cell
+    * (r,c)'s average exceeds cell (r,(c+1)%8)'s — wraparound keeps all 64
+    * bits defined. Block averages use floor boundaries and CROSS-MULTIPLIED
+    * integer sums (sumA*nB > sumB*nA), so the hash is exact arithmetic any
+    * engine reproduces — no float resize, no rounding mode.
+    */
+  def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 8 && h >= 8, s"dHash needs >= 8x8 pixels (got ${w}x$h)")
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 8 / w
+        sums(r * 8 + c) += px(y * w + x)
+        counts(r * 8 + c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val j = (i / 8) * 8 + (i % 8 + 1) % 8
+      if (sums(i) * counts(j) > sums(j) * counts(i)) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** (media_id, dhash) via the same batched decode pass as
+    * [[extractFeatures]]: one codec init per partition, undecodable or
+    * non-image payloads yield a null hash (they drop out of perceptual
+    * pairing). Narrow — no shuffle; the pairing stage downstream owns the
+    * banding discipline.
+    */
+  def withDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("media_id", LongType, nullable = true),
+      StructField("dhash", LongType, nullable = true))))
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          val isImage = Option(r.getAs[String]("mime")).exists(_.startsWith("image/"))
+          val decoded = if (isImage) decodeImage(payload) else null
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          decoded match {
+            case null => Row(id, null)
+            case (w, h, px) if w >= 8 && h >= 8 => Row(id, dHash64(px, w, h))
+            case _ => Row(id, null) // thumbnails under the grid: no hash
+          }
         }
       }(enc)
   }

@@ -1963,6 +1963,39 @@ object PipelineQueries {
       ordered(Multimodal.sampleFrames(
         Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"), n = 4)
         .select(col("media_id"), col("frame_idx"), length(col("frame")).as("frame_bytes")))),
+    // PERCEPTUAL image near-dup (round-13 verdict ask #2): m04 dedups
+    // exact payload bytes, so a re-encoded or brightness-shifted copy of
+    // the same image — the common multimodal duplicate — passes it. m05
+    // decodes payloads (real javax.imageio pass), computes a 64-bit dHash
+    // over the pixels, and pairs within Hamming<=4 via d04's
+    // combination-key banding (blocks=8: C(8,4)=70 keys of 32 bits,
+    // pigeonhole-EXACT, so the brute-force DuckDB oracle reproduces the
+    // banded output bit-for-bit). Planted: every 7th doc's image re-appears
+    // brightness-shifted (+16, clamped), every 9th re-encoded through an
+    // RGB raster (different PNG bytes, identical gray levels) — both
+    // invisible to m04, both hamming-0-or-near here. The oracle recomputes
+    // the dHash from the text bytes the pixels encode (the m02 trick) and
+    // brute-forces all pairs.
+    "m05_perceptual_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select("doc_id", "text")
+      val base = Multimodal.fromTextPng(docs, "doc_id", "text")
+      val shifted = Multimodal.fromTextPng(
+        docs.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        "doc_id", "text", shift = 16)
+      val reenc = Multimodal.fromTextPng(
+        docs.where(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
+        "doc_id", "text", rgb = true)
+      val sigs = Multimodal.withDHash(
+          base.unionByName(shifted).unionByName(reenc))
+        .where(col("dhash").isNotNull)
+      ordered(Dedup.simhashPairs(sigs, "media_id", "dhash",
+          maxHamming = 4, bits = 64, sigFn = c => c, blocks = 8)
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))
+    }),
     // stateful streaming: running per-user counts via mapGroupsWithState;
     // the FINAL state per user must equal the batch GROUP BY — checked
     // against the DuckDB oracle
@@ -3220,6 +3253,49 @@ object PipelineQueries {
          |SELECT media_id, CAST(SUM(c) AS BIGINT) AS n_frames,
          |  CAST(SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_shared
          |FROM w GROUP BY media_id ${orderSql("media_id", "n_frames", "n_shared")}""".stripMargin,
+    // the dHash recomputed from the text bytes the PNG pixels encode (m02's
+    // trick: pixel i = utf-8 byte i mod len; shifted copies add 16 clamped
+    // at 255, RGB re-encodes change no pixel), then brute-force all-pairs
+    // Hamming — the banded Spark output is pigeonhole-exact at
+    // maxHamming=4 < blocks=8, so the two agree row-for-row
+    "m05_perceptual_dedup" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |         octet_length(encode(text)) AS len
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |m AS (
+         |  SELECT doc_id AS media_id, 0 AS shift, hx, len FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, 16, hx, len FROM src WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, 0, hx, len FROM src WHERE doc_id % 9 = 4),
+         |e AS (SELECT media_id, shift, len, hx, unnest(range(0, 256)) AS i FROM m),
+         |v AS (
+         |  SELECT media_id, i, least(
+         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+1 AS INTEGER), 1)) - 1) * 16 +
+         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+2 AS INTEGER), 1)) - 1)
+         |    + shift, 255) AS px
+         |  FROM e),
+         |cells AS (
+         |  SELECT media_id, CAST((i // 16 // 2) * 8 + (i % 16) // 2 AS INTEGER) AS cell,
+         |         SUM(px) AS s
+         |  FROM v GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT a.media_id, a.cell AS idx,
+         |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+         |  FROM cells a JOIN cells b
+         |    ON a.media_id = b.media_id
+         |   AND b.cell = (a.cell // 8) * 8 + (a.cell % 8 + 1) % 8),
+         |sig AS (
+         |  SELECT media_id,
+         |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY media_id)
+         |SELECT idA, idB, hamming FROM (
+         |  SELECT a.media_id AS idA, b.media_id AS idB,
+         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+         |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+         |WHERE hamming <= 4 ${orderSql("idA", "idB", "hamming")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,
