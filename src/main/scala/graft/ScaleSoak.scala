@@ -163,7 +163,14 @@ object ScaleSoak {
       // round-14 addition: streaming decontamination. The leg scales eval
       // AND train together; the per-batch claim (probe flat in TRAIN size)
       // lands in ingest_batch_sec_max via the fixed-eval block below
-      "st15_streaming_decontamination")
+      "st15_streaming_decontamination",
+      // round-14 addition: CDC decontamination — crossContamination's
+      // distinct-set/equi-join shape with the chunker in front of both
+      // sides; wall should track d11's leg
+      "d21_cdc_contamination",
+      // round-14 addition: one-pass char-distribution profiling — with
+      // t23, the matrix's pure narrow-scan floor
+      "t24_char_distribution")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

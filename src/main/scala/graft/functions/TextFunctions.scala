@@ -188,6 +188,14 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** One-pass code-point distribution summary
+    * ([[graft.expressions.CharDistributionExpr]]): struct(n_cp, n_distinct,
+    * sum_sq) — exact integers for Gini-impurity curation scoring.
+    */
+  def charDistribution(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.CharDistributionExpr(
+      ExpressionUtils.expression(c)))
+
   /** Content-defined chunking generator ([[graft.expressions.CdcSpans]]):
     * explodes a text column into (span_idx, n_spans, span) rows whose
     * boundaries re-synchronize on content — use in a select list like

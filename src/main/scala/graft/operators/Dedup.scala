@@ -965,6 +965,55 @@ object Dedup {
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
   }
 
+  /** Alignment-robust train-vs-eval decontamination — [[crossContamination]]
+    * with CONTENT-DEFINED windows ([[graft.expressions.CdcSpans]]) instead
+    * of the stride grid. The grid variant's own documented caveat — "a
+    * verbatim inclusion is only guaranteed to hit when it starts on the
+    * train grid" — disappears: both sides chunk on content, so a copied
+    * passage produces identical chunks in train and eval no matter what
+    * offset it sits at in either document (the same re-synchronization
+    * argument as [[cdcSpanDedup]], applied to detection instead of
+    * rewrite). Chunks shorter than `minSpan` never count as contamination
+    * (tiny exact matches are coincidence — the d20 rule).
+    *
+    * Returns (id, n_spans, n_contaminated) over the eval side: every CDC
+    * span of the eval doc, and how many of its >=minSpan spans occur
+    * verbatim anywhere in train. Empty/NULL eval docs drop (no spans).
+    *
+    * Scale shape: train reduces to a DISTINCT span-hash set (slim, one
+    * column — the 100 TB side is scanned once and collapses to hashes),
+    * eval spans left-join it on the hash (plain equi-join, never a pair
+    * join), one groupBy(id) folds hit flags. Identical to
+    * [[crossContamination]]'s shape with the chunker's narrow O(len) pass
+    * in front of each side.
+    */
+  def cdcContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 8,
+      base: Int = 257,
+      modulus: Int = 1048573,
+      divisor: Int = 64,
+      minSpan: Int = 20): DataFrame = {
+    def spansOf(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.cdcSpans(
+          col(textCol), window, base, modulus, divisor))
+    val trainHashes = spansOf(train)
+      .where(length(col("span")) >= minSpan)
+      .select(md5(col("span").cast("binary")).as("sh")).distinct()
+    spansOf(eval)
+      .select(col("id"),
+        when(length(col("span")) >= minSpan,
+          md5(col("span").cast("binary"))).as("sh"))
+      .join(trainHashes.withColumn("__hit", lit(1L)), Seq("sh"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+  }
+
   /** Build the SERVING-side decontamination index [[crossContaminationIndexed]]
     * probes: the train corpus's DISTINCT stride-grid window hashes persisted
     * as one slim bucketed table keyed by the hash. At warehouse scale the

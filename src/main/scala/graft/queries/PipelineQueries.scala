@@ -764,6 +764,25 @@ object PipelineQueries {
         round(score, 6).as("model_score"),
         coalesce(score >= 0.55, lit(false)).as("keep")))
     }),
+    // Character-distribution profiling — the degenerate-text detector
+    // (padding runs, progress-bar spam, encoded payloads masquerading as
+    // text): distinct code points and the Gini impurity of the character
+    // distribution, from ONE CharDistributionExpr walk per row. All
+    // accumulation is integer (sum of squared counts), so the Gini is one
+    // exact division — no order-dependent float summation, no libm (why
+    // this is Gini and not Shannon entropy). Narrow single pass, no UDF,
+    // no shuffle beyond the determinism sort.
+    "t24_char_distribution" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("__cd", TF.charDistribution(col("text")))
+      val n = col("__cd.n_cp")
+      val gini = when(col("__cd").isNull || n === 0, lit(null).cast("double"))
+        .otherwise(round(lit(1.0) - col("__cd.sum_sq") / (n.cast("double") * n), 6))
+      ordered(df.select(col("doc_id"),
+        when(col("__cd").isNull, lit(null).cast("int"))
+          .otherwise(col("__cd.n_distinct")).as("n_distinct_chars"),
+        gini.as("char_gini")))
+    }),
     "t22_mixture_sample" -> ((s, dir) => {
       val n = expr("try_cast(substring(source, 4) AS INT)")
       val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
@@ -1071,6 +1090,22 @@ object PipelineQueries {
       ordered(Dedup.cdcSpanDedup(
           d.unionByName(offgrid).unionByName(verbatim), "doc_id", "text")
         .withColumnRenamed("id", "doc_id"))
+    }),
+    // Alignment-robust decontamination: d11 with CONTENT-DEFINED windows.
+    // d11's eval slices MUST start at a stride-aligned offset (65) or its
+    // grid misses them — its own documented caveat. Here every 7th doc's
+    // eval slice starts at the OFF-GRID offset 38 and is still caught,
+    // because both sides chunk on content (the d20 re-synchronization
+    // argument applied to detection). Oracle: the identical per-char CDC
+    // chunking over train + eval, train collapsed to a distinct >=20-char
+    // span-hash set, eval spans membership-checked.
+    "d21_cdc_contamination" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = train.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 38)").as("text"))
+      ordered(Dedup.cdcContamination(train, eval, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_contaminated")))
     }),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
@@ -2564,6 +2599,24 @@ object PipelineQueries {
          |  COALESCE(n_chars IS NOT NULL
          |    AND 0.5 + 0.5 * zz / (1.0 + abs(zz)) >= 0.55, FALSE) AS keep
          |FROM z ${orderSql("doc_id", "model_score", "keep")}""".stripMargin,
+    // per-codepoint counts via a char explode; the Gini inputs are exact
+    // integers, so the single division reproduces Spark's double exactly
+    "t24_char_distribution" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id,
+         |    substr(text, CAST(unnest(range(1, length(text) + 1)) AS INTEGER), 1) AS c
+         |  FROM documents WHERE length(text) > 0),
+         |g AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+         |        CAST(COUNT(*) AS INTEGER) AS nd, CAST(SUM(n * n) AS BIGINT) AS ss
+         |      FROM g GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE COALESCE(a.nd, 0) END AS n_distinct_chars,
+         |  CASE WHEN a.total IS NULL THEN NULL
+         |       ELSE ROUND(1.0 - a.ss / (CAST(a.total AS DOUBLE) * a.total), 6)
+         |  END AS char_gini
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |${orderSql("doc_id", "n_distinct_chars", "char_gini")}""".stripMargin,
     // same RE2-\s token contract as t04/t07; n_docs is counted over tf so
     // token-less documents drop out on both engines
     "t16_tfidf" ->
@@ -3015,6 +3068,40 @@ object PipelineQueries {
          |  string_agg(span, '' ORDER BY span_idx) AS text
          |FROM w WHERE rk = 1 GROUP BY doc_id
          |${orderSql("doc_id", "n_spans", "n_kept", "text")}""".stripMargin,
+    // the d20 chunker over BOTH corpora (side-tagged), train collapsed to
+    // a distinct span-hash set, eval spans membership-checked — catching
+    // the off-grid (offset 38) inclusions d11's stride grid cannot
+    "d21_cdc_contamination" ->
+      s"""WITH corpus AS (
+         |  SELECT 't' AS side, doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 'e', doc_id + 2000000, substring(text, 38)
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |ch AS (
+         |  SELECT side, doc_id, text,
+         |    CAST(unnest(range(1, length(text) + 1)) AS INTEGER) AS i
+         |  FROM corpus WHERE length(text) > 0),
+         |cut AS (
+         |  SELECT side, doc_id, i, substr(text, i, 1) AS c,
+         |    CASE WHEN i >= 8 AND $cdcPolySql % 64 = 0 THEN 1 ELSE 0 END AS x
+         |  FROM ch),
+         |idx AS (
+         |  SELECT side, doc_id, i, c,
+         |    COALESCE(SUM(x) OVER (PARTITION BY side, doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS span_idx
+         |  FROM cut),
+         |sp AS (
+         |  SELECT side, doc_id, span_idx, string_agg(c, '' ORDER BY i) AS span
+         |  FROM idx GROUP BY 1, 2, 3),
+         |tset AS (
+         |  SELECT DISTINCT md5(span) AS h FROM sp
+         |  WHERE side = 't' AND length(span) >= 20)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(CASE WHEN length(span) >= 20
+         |    AND md5(span) IN (SELECT h FROM tset) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated
+         |FROM sp WHERE side = 'e' GROUP BY doc_id
+         |${orderSql("doc_id", "n_spans", "n_contaminated")}""".stripMargin,
     // the streaming-admission cascade, ignorant of the index/append
     // machinery: batch-1 admission vs corpus + smaller-id batch-1 rows;
     // batch-2 admission vs corpus + batch-1 SURVIVORS (adm1 — the

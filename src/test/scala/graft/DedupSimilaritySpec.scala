@@ -757,6 +757,25 @@ class DedupSimilaritySpec extends SparkSpec {
       s"long verbatim copy must still drop: ${out.keySet}")
   }
 
+  test("cdcContamination catches off-grid inclusions the stride grid misses") {
+    import spark.implicits._
+    val passage = (0 until 100).map(j => s"pw${(j * 19) % 173}n$j").mkString(" ")
+    val train = Seq((1L, s"header text then $passage and a footer")).toDF("doc_id", "text")
+    // eval contains the passage at a DIFFERENT, non-stride-aligned offset
+    val eval = Seq((2L, s"x$passage")).toDF("doc_id", "text")
+    val grid = Dedup.crossContamination(train, eval, "doc_id", "text")
+      .collect().head
+    assert(grid.getLong(2) == 0L,
+      s"stride-grid d11 unexpectedly caught the off-phase inclusion " +
+        s"(${grid.getLong(2)} windows) — fixture no longer demonstrates the caveat")
+    val cdc = Dedup.cdcContamination(train, eval, "doc_id", "text")
+      .collect().head
+    assert(cdc.getLong(2) > 0L,
+      s"cdc contamination missed the off-grid inclusion: $cdc")
+    assert(cdc.getLong(2) >= cdc.getLong(1) / 2,
+      s"most of the copied passage's spans should flag: $cdc")
+  }
+
   test("CdcSpans: boundaries re-synchronize — shared suffix chunks identical past one window") {
     import spark.implicits._
     val shared = (0 until 90).map(j => s"s${(j * 13) % 83}q$j").mkString(" ")

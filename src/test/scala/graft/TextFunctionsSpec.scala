@@ -206,6 +206,31 @@ class TextFunctionsSpec extends SparkSpec {
       s"t23's only exchange is the determinism sort:\n$static")
   }
 
+  test("t24 char distribution: hand-checked Gini; degenerate vs varied text") {
+    val dir = tmpDir("chardist")
+    Seq((1L, "aaaa", "en", "s", 4L),          // one char: gini 0
+        (2L, "abcd", "en", "s", 4L),          // uniform over 4: gini 0.75
+        (3L, "", "en", "s", 0L),              // empty: 0 distinct, null gini
+        (4L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t24_char_distribution")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) null else r.getInt(1).asInstanceOf[Any],
+        if (r.isNullAt(2)) null else r.getDouble(2).asInstanceOf[Any]))).toMap
+    assert(out(1L) == ((1, 0.0)), s"repetitive text: ${out(1L)}")
+    assert(out(2L) == ((4, 0.75)), s"uniform text: ${out(2L)}")
+    assert(out(3L) == ((0, null)), s"empty text: ${out(3L)}")
+    assert(out(4L) == ((null, null)), s"null text: ${out(4L)}")
+    // astral codepoints count once, not as surrogate halves
+    import org.apache.spark.sql.functions.{col, lit}
+    val astral = Seq("😀😀").toDF("t")
+      .select(TF.charDistribution(col("t")).as("cd"))
+      .select(col("cd.n_cp"), col("cd.n_distinct"), col("cd.sum_sq")).head()
+    assert((astral.getInt(0), astral.getInt(1), astral.getLong(2)) == ((2, 1, 4L)),
+      s"astral handling: $astral")
+  }
+
   test("t17 boilerplate: planted footers found exactly, organic lines untouched") {
     val dir = tmpDir("boiler")
     // doc 10/12 get the planted footers (even ids), 11/13 stay organic;
