@@ -170,7 +170,23 @@ object ScaleSoak {
       "d21_cdc_contamination",
       // round-14 addition: one-pass char-distribution profiling — with
       // t23, the matrix's pure narrow-scan floor
-      "t24_char_distribution")
+      "t24_char_distribution",
+      // round-14 addition: perceptual near-dup. PNG encode+decode is the
+      // linear cost; the PAIR OUTPUT is O(cluster^2) BY CONTRACT, and the
+      // salted replicas form real within-replica perceptual clusters (the
+      // uniform _rN token suffixes create periodic byte structure that
+      // converges under 8x8 block averaging; measured: a salted copy sits
+      // ~32 bits from its base, so cross-replica pairs of the same doc do
+      // NOT form — the x64 blowup is within-replica cluster pairs, each
+      // genuinely hamming<=4 and bounded per bucket by capBuckets). The
+      // leg documents the quadratic pair regime; m06 below is the linear
+      // production shape
+      "m05_perceptual_dedup",
+      // round-14 addition: m05's pairs closed into components — output
+      // LINEAR in images (one label per image) regardless of how clustered
+      // the pair graph is; wall is pair generation + O(diameter) label
+      // rounds
+      "m06_perceptual_clusters")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -142,6 +142,73 @@ object PipelineQueries {
     */
   private[graft] val cdcOffGridPrefix = "OFFGRID_PREFIX_0123456789_abcdefghij "
 
+  /** m05/m06's shared signature table: base PNGs of every non-empty doc
+    * plus the planted perceptual duplicates — brightness-shifted (+16,
+    * clamped) at +2e6 and RGB-re-encoded (different bytes, identical
+    * pixels) at +3e6 — decoded and dHashed; undecodable rows drop.
+    */
+  private def m05Sigs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .select("doc_id", "text")
+    val base = Multimodal.fromTextPng(docs, "doc_id", "text")
+    val shifted = Multimodal.fromTextPng(
+      docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+      "doc_id", "text", shift = 16)
+    val reenc = Multimodal.fromTextPng(
+      docs.where(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
+      "doc_id", "text", rgb = true)
+    Multimodal.withDHash(base.unionByName(shifted).unionByName(reenc))
+      .where(col("dhash").isNotNull)
+  }
+
+  /** m05/m06's shared oracle CTEs: the dHash rebuilt from text bytes
+    * (pixel i = utf-8 byte i mod len; +16 clamp for the shifted copies,
+    * RGB re-encode changes nothing), 2x2 block sums, wraparound neighbor
+    * comparisons, and the (hi, lo) 32-bit halves for portable popcounts.
+    */
+  private val m05SigCtes: String =
+    s"""src AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |         octet_length(encode(text)) AS len
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |m AS (
+       |  SELECT doc_id AS media_id, 0 AS shift, hx, len FROM src
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 16, hx, len FROM src WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 0, hx, len FROM src WHERE doc_id % 9 = 4),
+       |e AS (SELECT media_id, shift, len, hx, unnest(range(0, 256)) AS i FROM m),
+       |v AS (
+       |  SELECT media_id, i, least(
+       |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+1 AS INTEGER), 1)) - 1) * 16 +
+       |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+2 AS INTEGER), 1)) - 1)
+       |    + shift, 255) AS px
+       |  FROM e),
+       |cells AS (
+       |  SELECT media_id, CAST((i // 16 // 2) * 8 + (i % 16) // 2 AS INTEGER) AS cell,
+       |         SUM(px) AS s
+       |  FROM v GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT a.media_id, a.cell AS idx,
+       |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.media_id = b.media_id
+       |   AND b.cell = (a.cell // 8) * 8 + (a.cell % 8 + 1) % 8),
+       |sig AS (
+       |  SELECT media_id,
+       |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
+       |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
+       |  FROM bits GROUP BY media_id)""".stripMargin
+
+  /** Brute-force all-pairs Hamming over [[m05SigCtes]]'s sig table. */
+  private val m05PairsSql: String =
+    s"""SELECT a.media_id AS idA, b.media_id AS idB,
+       |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |  FROM sig a JOIN sig b ON a.media_id < b.media_id""".stripMargin
+
   /** The d20 chunker's rolling polynomial in nested stepwise-mod form —
     * the exact arithmetic [[graft.expressions.CdcSpans]] folds, kept
     * INT64-safe under DuckDB's strict overflow checking (each partial is
@@ -2011,25 +2078,23 @@ object PipelineQueries {
     // invisible to m04, both hamming-0-or-near here. The oracle recomputes
     // the dHash from the text bytes the pixels encode (the m02 trick) and
     // brute-forces all pairs.
-    "m05_perceptual_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .where(col("text").isNotNull && length(col("text")) > 0)
-        .select("doc_id", "text")
-      val base = Multimodal.fromTextPng(docs, "doc_id", "text")
-      val shifted = Multimodal.fromTextPng(
-        docs.where(col("doc_id") % 7 === 3)
-          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
-        "doc_id", "text", shift = 16)
-      val reenc = Multimodal.fromTextPng(
-        docs.where(col("doc_id") % 9 === 4)
-          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
-        "doc_id", "text", rgb = true)
-      val sigs = Multimodal.withDHash(
-          base.unionByName(shifted).unionByName(reenc))
-        .where(col("dhash").isNotNull)
-      ordered(Dedup.simhashPairs(sigs, "media_id", "dhash",
+    "m05_perceptual_dedup" -> ((s, dir) =>
+      ordered(Dedup.simhashPairs(m05Sigs(s, dir), "media_id", "dhash",
           maxHamming = 4, bits = 64, sigFn = c => c, blocks = 8)
-        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))),
+    // m05's pairs closed into connected components (d09's exact min-label
+    // propagation) — the PRODUCTION shape for perceptual dedup: pair
+    // emission is O(cluster^2) by contract (the x64 soak measured exactly
+    // that on its salted-replica clusters), while the cluster labeling is
+    // LINEAR in images; a curation pipeline keeps min-id survivors from
+    // this table. Oracle: the same brute-force pairs + a recursive-CTE
+    // reachability closure (d09's oracle pattern).
+    "m06_perceptual_clusters" -> ((s, dir) => {
+      val sigs = m05Sigs(s, dir)
+      val pairs = Dedup.simhashPairs(sigs, "media_id", "dhash",
+        maxHamming = 4, bits = 64, sigFn = c => c, blocks = 8)
+      ordered(Dedup.clusters(sigs, "media_id", pairs)
+        .select(col("id").as("media_id"), col("cluster")))
     }),
     // stateful streaming: running per-user counts via mapGroupsWithState;
     // the FINAL state per user must equal the batch GROUP BY — checked
@@ -3346,43 +3411,23 @@ object PipelineQueries {
     // Hamming — the banded Spark output is pigeonhole-exact at
     // maxHamming=4 < blocks=8, so the two agree row-for-row
     "m05_perceptual_dedup" ->
-      s"""WITH src AS (
-         |  SELECT doc_id, hex(encode(text)) AS hx,
-         |         octet_length(encode(text)) AS len
-         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-         |m AS (
-         |  SELECT doc_id AS media_id, 0 AS shift, hx, len FROM src
-         |  UNION ALL
-         |  SELECT doc_id + 2000000, 16, hx, len FROM src WHERE doc_id % 7 = 3
-         |  UNION ALL
-         |  SELECT doc_id + 3000000, 0, hx, len FROM src WHERE doc_id % 9 = 4),
-         |e AS (SELECT media_id, shift, len, hx, unnest(range(0, 256)) AS i FROM m),
-         |v AS (
-         |  SELECT media_id, i, least(
-         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+1 AS INTEGER), 1)) - 1) * 16 +
-         |    (instr('0123456789ABCDEF', substr(hx, CAST(2*(i % len)+2 AS INTEGER), 1)) - 1)
-         |    + shift, 255) AS px
-         |  FROM e),
-         |cells AS (
-         |  SELECT media_id, CAST((i // 16 // 2) * 8 + (i % 16) // 2 AS INTEGER) AS cell,
-         |         SUM(px) AS s
-         |  FROM v GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT a.media_id, a.cell AS idx,
-         |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
-         |  FROM cells a JOIN cells b
-         |    ON a.media_id = b.media_id
-         |   AND b.cell = (a.cell // 8) * 8 + (a.cell % 8 + 1) % 8),
-         |sig AS (
-         |  SELECT media_id,
-         |    CAST(SUM(CASE WHEN idx >= 32 THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS hi,
-         |    CAST(SUM(CASE WHEN idx < 32 THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS lo
-         |  FROM bits GROUP BY media_id)
-         |SELECT idA, idB, hamming FROM (
-         |  SELECT a.media_id AS idA, b.media_id AS idB,
-         |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
-         |  FROM sig a JOIN sig b ON a.media_id < b.media_id)
+      s"""WITH $m05SigCtes
+         |SELECT idA, idB, hamming FROM ($m05PairsSql)
          |WHERE hamming <= 4 ${orderSql("idA", "idB", "hamming")}""".stripMargin,
+    // m05's pairs closed by d09's recursive-CTE reachability: every image
+    // labeled with the min id reachable through the hamming<=4 graph
+    "m06_perceptual_clusters" ->
+      s"""WITH RECURSIVE $m05SigCtes,
+         |p AS (SELECT idA, idB FROM ($m05PairsSql) WHERE hamming <= 4),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM p
+         |  UNION ALL SELECT idB, idA FROM p),
+         |reach(id, lbl) AS (
+         |  SELECT media_id, media_id FROM sig
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS media_id, min(lbl) AS cluster FROM reach GROUP BY id
+         |${orderSql("media_id", "cluster")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,

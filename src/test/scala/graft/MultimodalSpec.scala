@@ -46,6 +46,22 @@ class MultimodalSpec extends SparkSpec {
     assert(cross.forall(_ > 4), s"unrelated images within the gate: $cross")
   }
 
+  test("m06 clusters: planted variants label with their base image's id") {
+    val dir = java.nio.file.Files.createTempDirectory("m06spec")
+    // doc 3 gets a shifted copy (+2e6: 3 % 7 == 3), doc 4 an RGB re-encode
+    // (+3e6: 4 % 9 == 4); both must cluster under the base id
+    (texts ++ Seq((4L, "fourth text, reencoded downstream by the fixture rule")))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("m06_perceptual_clusters")(
+      spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2000003L) == 3L, s"shifted copy must cluster under base: $out")
+    assert(out(3000004L) == 4L, s"re-encoded copy must cluster under base: $out")
+    assert(out(1L) == 1L && out(2L) == 2L, s"unrelated images stay singletons: $out")
+  }
+
   test("dHash64 block math: uniform shift invariance and wraparound bits") {
     val px = Array.tabulate(256)(i => (i * 37) % 251)
     val h = Multimodal.dHash64(px, 16, 16)

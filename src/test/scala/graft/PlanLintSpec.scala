@@ -39,7 +39,9 @@ class PlanLintSpec extends SparkSpec {
     // so its id sets broadcast-filter the payload attach; st13 replays
     // d17's probe per micro-batch and localCheckpoints its result past
     // the finally-swept index tables
-    "d17_incremental_dedup", "st13_streaming_ingest_dedup")
+    "d17_incremental_dedup", "st13_streaming_ingest_dedup",
+    // m06 runs d09's min-label closure over the perceptual pair graph
+    "m06_perceptual_clusters")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
