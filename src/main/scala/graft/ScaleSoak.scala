@@ -202,9 +202,10 @@ object ScaleSoak {
     val dir = out.resolve(s"x$scale")
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    // replica stride (10^7) must clear base ids + the in-query +10^6
-    // mutation offset, or replica r's mutated ids collide with replica
-    // r+1's base range and every pair query re-expands on duplicate ids
+    // replica stride (10^7) must clear base ids + the largest in-query
+    // id offset (+7e6, see the require below), or replica r's planted ids
+    // collide with replica r+1's base range and every pair query
+    // re-expands on duplicate ids
     // the guard must cover EVERY id family the replicas offset — events'
     // event_id/user_id stride by the same 10^7 below
     val evIds = spark.read.parquet(s"$base/events.parquet")
@@ -220,9 +221,13 @@ object ScaleSoak {
       emb.agg(max("vec_id")).head.getLong(0),
       evIds.getLong(0), evIds.getLong(1),
       liKeys.getLong(0), liKeys.getLong(1)).max
-    // 2e6: d17's fresh-batch offset is the largest in-query id offset
-    // (most d-family mutations use +1e6)
-    require(maxId + 2000000L < 10000000L,
+    // 7e6: the largest in-query id offset applied to (replica-strided)
+    // fixture ids — st13's batch-2 window rows at +7e6; d20/m05/m06 plant
+    // at +3e6, the d-family mutations at +1e6/+2e6. A guard below the
+    // true max would bless a fixture whose replica-r planted ids land in
+    // replica r+1's base range (duplicate ids -> silently corrupted span
+    // reassembly, merged media identities, re-expanded pair queries).
+    require(maxId + 7000000L < 10000000L,
       s"base ids reach $maxId — raise the replica stride above 10^7")
     val docParts = (0 until scale).map { r =>
       val text =

@@ -160,8 +160,13 @@ object PipelineQueries {
       docs.where(col("doc_id") % 9 === 4)
         .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
       "doc_id", "text", rgb = true)
+    // localCheckpoint: the ImageIO encode+decode pass is the dominant cost
+    // and this frame's lineage appears on BOTH sides of the banded
+    // self-join (and a third time in m06's singleton rejoin) — materialize
+    // the slim (id, hash) table once instead of decoding 2-3x
     Multimodal.withDHash(base.unionByName(shifted).unionByName(reenc))
       .where(col("dhash").isNotNull)
+      .localCheckpoint()
   }
 
   /** m05/m06's shared oracle CTEs: the dHash rebuilt from text bytes

@@ -57,15 +57,20 @@ object XmlSource {
     // a directory passed straight to the scan would sweep EVERY member file
     // (a stray non-XML member parses as PERMISSIVE nulls) while the sampler
     // reads only the first .xml member — expand directories to their XML
-    // members so scan and sampler agree on the file set
+    // members so scan and sampler agree on the file set. Paths that already
+    // carry an XML extension (the Concat/Discovery case: always resolved
+    // regular files) skip the existence RPC entirely, so 10^5 discovered
+    // inputs cost zero extra driver round-trips; only extension-less paths
+    // (directories, by convention) pay one stat each.
     val expanded = paths.flatMap { p =>
       val hPath = new org.apache.hadoop.fs.Path(p)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.getFileStatus(hPath).isDirectory)
-        fs.listStatus(hPath).map(_.getPath)
-          .filter(q => Discovery.detectFormat(q.getName).contains(Discovery.Xml))
-          .sortBy(_.getName).map(_.toString).toSeq
-      else Seq(p)
+      if (Discovery.detectFormat(hPath.getName).contains(Discovery.Xml)) Seq(p)
+      else {
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.getFileStatus(hPath).isDirectory)
+          xmlMembers(fs, hPath).map(_.toString)
+        else Seq(p)
+      }
     }
     require(expanded.nonEmpty, s"no xml files under ${paths.mkString(",")}")
     val schema = resolvedSchema.getOrElse(resolveSchema(spark, expanded.head, opts))
@@ -95,6 +100,16 @@ object XmlSource {
     * for rows where the field is missing). StAX pull parsing: only START/
     * END/CHARACTERS events, constant memory, stops at `inferRows` rows.
     */
+  /** A directory's XML member files (by [[Discovery.detectFormat]]),
+    * name-sorted — the ONE member-selection rule the scan expansion and
+    * the schema sampler share, so they agree by construction.
+    */
+  private def xmlMembers(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => Discovery.detectFormat(p.getName).contains(Discovery.Xml))
+      .sortBy(_.getName).toIndexedSeq
+
   private def sampleRows(spark: SparkSession, path: String,
       opts: XmlOptions): (Seq[String], Map[String, Seq[String]]) = {
     import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
@@ -102,9 +117,7 @@ object XmlSource {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val file =
       if (fs.getFileStatus(hPath).isDirectory)
-        fs.listStatus(hPath).map(_.getPath)
-          .filter(p => Discovery.detectFormat(p.getName).contains(Discovery.Xml))
-          .sortBy(_.getName).headOption
+        xmlMembers(fs, hPath).headOption
           .getOrElse(throw new IllegalArgumentException(s"no xml files under $path"))
       else hPath
     val in: java.io.InputStream =

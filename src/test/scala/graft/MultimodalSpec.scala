@@ -47,7 +47,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("m06 clusters: planted variants label with their base image's id") {
-    val dir = java.nio.file.Files.createTempDirectory("m06spec")
+    val dir = tmpDir("m06spec")
     // doc 3 gets a shifted copy (+2e6: 3 % 7 == 3), doc 4 an RGB re-encode
     // (+3e6: 4 % 9 == 4); both must cluster under the base id
     (texts ++ Seq((4L, "fourth text, reencoded downstream by the fixture rule")))

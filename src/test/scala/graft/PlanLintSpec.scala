@@ -40,8 +40,10 @@ class PlanLintSpec extends SparkSpec {
     // d17's probe per micro-batch and localCheckpoints its result past
     // the finally-swept index tables
     "d17_incremental_dedup", "st13_streaming_ingest_dedup",
-    // m06 runs d09's min-label closure over the perceptual pair graph
-    "m06_perceptual_clusters")
+    // m05/m06 materialize the decoded (id, dhash) table once (the ImageIO
+    // pass would otherwise run on both sides of the banded self-join);
+    // m06 additionally runs d09's min-label closure over the pair graph
+    "m05_perceptual_dedup", "m06_perceptual_clusters")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
