@@ -186,7 +186,11 @@ object ScaleSoak {
       // LINEAR in images (one label per image) regardless of how clustered
       // the pair graph is; wall is pair generation + O(diameter) label
       // rounds
-      "m06_perceptual_clusters")
+      "m06_perceptual_clusters",
+      // round-14 addition: Gopher repetition filters — one
+      // RepetitionStatsExpr pass per row (per-doc hash maps, no explode),
+      // wall should track the narrow-scan floor with t23/t24
+      "t25_repetition_filter")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -188,6 +188,14 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** One-pass within-document repetition statistics
+    * ([[graft.expressions.RepetitionStatsExpr]]): duplicate-line and
+    * repeated-n-gram integer counters for the Gopher repetition filters.
+    */
+  def repetitionStats(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.RepetitionStatsExpr(
+      ExpressionUtils.expression(c)))
+
   /** One-pass code-point distribution summary
     * ([[graft.expressions.CharDistributionExpr]]): struct(n_cp, n_distinct,
     * sum_sq) — exact integers for Gini-impurity curation scoring.

@@ -836,6 +836,40 @@ object PipelineQueries {
         round(score, 6).as("model_score"),
         coalesce(score >= 0.55, lit(false)).as("keep")))
     }),
+    // Gopher REPETITION filters (Rae et al. 2021, App. A1.2 — the
+    // within-doc complement of t20's token-level rules): documents
+    // dominated by duplicate lines or repeated n-grams are template/spam
+    // noise. All fractions derive from RepetitionStatsExpr's exact
+    // integer counters (the t07/t13 excess convention) in ONE narrow
+    // pass — no explode, no shuffle, no libm; thresholds adapted from
+    // the paper (dup-line 0.30, dup-line-chars 0.20, top-2-gram cover
+    // 0.20, dup-3-gram mass 0.18). The planted doubled-line docs (every
+    // 6th doc gets its text twice, newline-joined) make the line counters
+    // hash-observable even on single-line fixtures.
+    "t25_repetition_filter" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 2,
+          concat(col("text"), lit("\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      val df = aug.withColumn("__rs", TF.repetitionStats(col("text")))
+      val nl = col("__rs.n_lines")
+      val nc = col("__rs.n_chars")
+      def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num / den.cast("double"), 6))
+      val dupLine = frac(col("__rs.dup_line_excess"), nl)
+      val dupLineChar = frac(col("__rs.dup_line_char_excess"), col("__rs.line_chars"))
+      val top2 = frac(col("__rs.top2_cover"), nc)
+      val dup3 = frac(col("__rs.dup3_chars"), nc)
+      ordered(df.select(col("doc_id"),
+        when(col("__rs").isNull, lit(null).cast("int")).otherwise(nl).as("n_lines"),
+        dupLine.as("dup_line_frac"),
+        dupLineChar.as("dup_line_char_frac"),
+        top2.as("top2gram_frac"),
+        dup3.as("dup3gram_frac"),
+        coalesce(dupLine <= 0.30 && dupLineChar <= 0.20 &&
+          top2 <= 0.20 && dup3 <= 0.18, lit(false)).as("passes")))
+    }),
     // Character-distribution profiling — the degenerate-text detector
     // (padding runs, progress-bar spam, encoded payloads masquerading as
     // text): distinct code points and the Gini impurity of the character
@@ -2669,6 +2703,63 @@ object PipelineQueries {
          |  COALESCE(n_chars IS NOT NULL
          |    AND 0.5 + 0.5 * zz / (1.0 + abs(zz)) >= 0.55, FALSE) AS keep
          |FROM z ${orderSql("doc_id", "model_score", "keep")}""".stripMargin,
+    // the repetition counters via line/gram explodes (the per-row
+    // expression's excess convention: repeated mass = total - distinct);
+    // all fractions are single exact divisions of integers, rounded 6
+    "t25_repetition_filter" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 6 = 2
+         |    THEN text || chr(10) || text ELSE text END AS text
+         |  FROM documents),
+         |lf AS (
+         |  SELECT doc_id, unnest(str_split(text, chr(10))) AS ln FROM aug),
+         |lg AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf
+         |       WHERE length(ln) > 0 GROUP BY 1, 2),
+         |la AS (SELECT doc_id,
+         |    CAST(SUM(c) AS INTEGER) AS n_lines,
+         |    CAST(SUM(c - 1) AS INTEGER) AS dle,
+         |    CAST(SUM(c * length(ln)) AS BIGINT) AS lc,
+         |    CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dlce
+         |  FROM lg GROUP BY doc_id),
+         |tk AS (SELECT doc_id, length(text) AS n_chars,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM aug),
+         |g2a AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])) AS g
+         |    FROM tk WHERE len(t) >= 2) GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2 FROM g2a GROUP BY doc_id),
+         |g3a AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)])) AS g
+         |    FROM tk WHERE len(t) >= 3) GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3
+         |  FROM g3a GROUP BY doc_id),
+         |f AS (
+         |  SELECT a.doc_id, a.text,
+         |    COALESCE(la.n_lines, 0) AS n_lines,
+         |    CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
+         |         ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END AS dup_line_frac,
+         |    CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
+         |         ELSE ROUND(la.dlce / CAST(la.lc AS DOUBLE), 6) END AS dup_line_char_frac,
+         |    CASE WHEN COALESCE(tk.n_chars, 0) = 0 THEN NULL
+         |         ELSE ROUND(COALESCE(t2.top2, 0) / CAST(tk.n_chars AS DOUBLE), 6) END AS top2gram_frac,
+         |    CASE WHEN COALESCE(tk.n_chars, 0) = 0 THEN NULL
+         |         ELSE ROUND(COALESCE(t3.dup3, 0) / CAST(tk.n_chars AS DOUBLE), 6) END AS dup3gram_frac
+         |  FROM aug a
+         |  LEFT JOIN la USING (doc_id) LEFT JOIN tk USING (doc_id)
+         |  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id))
+         |SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
+         |  dup_line_frac, dup_line_char_frac, top2gram_frac, dup3gram_frac,
+         |  COALESCE(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+         |    AND top2gram_frac <= 0.20 AND dup3gram_frac <= 0.18, FALSE) AS passes
+         |FROM f
+         |${orderSql("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+                     "top2gram_frac", "dup3gram_frac", "passes")}""".stripMargin,
     // per-codepoint counts via a char explode; the Gini inputs are exact
     // integers, so the single division reproduces Spark's double exactly
     "t24_char_distribution" ->

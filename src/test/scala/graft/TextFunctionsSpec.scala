@@ -231,6 +231,34 @@ class TextFunctionsSpec extends SparkSpec {
       s"astral handling: $astral")
   }
 
+  test("t25 repetition filter: hand-checked fractions on repetitive vs clean docs") {
+    val dir = tmpDir("repet")
+    Seq(
+      // 4 lines, "spam line" x3 (excess 2/4=0.5); heavy top-2-gram
+      (1L, "spam line\nspam line\nspam line\nok text", "en", "s", 0L),
+      // clean prose, no repetition at all
+      (3L, "one two three four five six seven eight nine ten", "en", "s", 0L),
+      (5L, "", "en", "s", 0L),
+      (7L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t25_repetition_filter")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getInt(1) == 4 && d1.getDouble(2) == 0.5,
+      s"doc 1 line stats: n_lines=${d1.getInt(1)} dup_line_frac=${d1.getDouble(2)}")
+    // dup_line_char_frac: "spam line" = 9 chars, excess 2 of the 3 copies,
+    // line chars = 9*3 + 7 = 34 -> 18/34
+    assert(d1.getDouble(3) == math.round(18.0 / 34 * 1e6) / 1e6, s"doc 1 char frac: $d1")
+    assert(!d1.getBoolean(6), "repetitive doc must fail the composite")
+    val d3 = out(3L)
+    assert(d3.getDouble(2) == 0.0 && d3.getDouble(5) == 0.0, s"clean doc fracs: $d3")
+    assert(d3.getBoolean(6) == (d3.getDouble(4) <= 0.20),
+      s"clean doc composite should hinge only on top2 coverage: $d3")
+    assert(out(5L).isNullAt(2) && !out(5L).getBoolean(6), "empty text: null fracs, fail")
+    assert(out(7L).isNullAt(1) && !out(7L).getBoolean(6), "null text: nulls, fail")
+  }
+
   test("t17 boilerplate: planted footers found exactly, organic lines untouched") {
     val dir = tmpDir("boiler")
     // doc 10/12 get the planted footers (even ids), 11/13 stay organic;
