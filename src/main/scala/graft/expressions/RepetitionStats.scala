@@ -68,22 +68,11 @@ case class RepetitionStatsExpr(child: Expression)
     lineCounts.forEach { (ln, c) =>
       if (c > 1) { dupLineExcess += c - 1; dupLineCharExcess += (c - 1).toLong * cpLen(ln) }
     }
-    // tokens: the proven engine-parity walk (Hash64.isWs == RE2's \s set;
-    // Java's own \s adds \x0B and String.trim strips all <= U+0020, both
-    // of which diverge from DuckDB on hostile whitespace)
-    val toks = {
-      val buf = new scala.collection.mutable.ArrayBuffer[String](64)
-      var i = 0
-      var start = -1
-      while (i <= s.length) {
-        val ws = i == s.length || Hash64.isWs(s.charAt(i))
-        if (ws) {
-          if (start >= 0) { buf += s.substring(start, i); start = -1 }
-        } else if (start < 0) start = i
-        i += 1
-      }
-      buf.toArray
-    }
+    // tokens: THE whitespace contract (Hash64.isWs == RE2's \s set; Java's
+    // own \s adds \x0B and String.trim strips all <= U+0020, both of which
+    // diverge from DuckDB on hostile whitespace) — the one shared walk, so
+    // a contract change applies to every tokenized oracle at once
+    val toks = PortableHash.tokenize(s)
     def gramStats(n: Int): (Int, java.util.HashMap[String, Integer]) = {
       val m = new java.util.HashMap[String, Integer]()
       var i = 0

@@ -861,6 +861,13 @@ object PipelineQueries {
       val dupLineChar = frac(col("__rs.dup_line_char_excess"), col("__rs.line_chars"))
       val top2 = frac(col("__rs.top2_cover"), nc)
       val dup3 = frac(col("__rs.dup3_chars"), nc)
+      // the top-2-gram coverage rule only applies once there are enough
+      // 2-grams for "most frequent" to mean anything: on a short clean doc
+      // every 2-gram is distinct and the single LONGEST one alone can
+      // exceed 20% of the characters (Gopher runs this on long web docs;
+      // its word-count floor lives in t20) — under 20 2-grams the sub-rule
+      // is vacuously satisfied rather than misclassifying short docs
+      val top2Ok = col("__rs.n_2grams") < 20 || top2 <= 0.20
       ordered(df.select(col("doc_id"),
         when(col("__rs").isNull, lit(null).cast("int")).otherwise(nl).as("n_lines"),
         dupLine.as("dup_line_frac"),
@@ -868,7 +875,7 @@ object PipelineQueries {
         top2.as("top2gram_frac"),
         dup3.as("dup3gram_frac"),
         coalesce(dupLine <= 0.30 && dupLineChar <= 0.20 &&
-          top2 <= 0.20 && dup3 <= 0.18, lit(false)).as("passes")))
+          top2Ok && dup3 <= 0.18, lit(false)).as("passes")))
     }),
     // Character-distribution profiling — the degenerate-text detector
     // (padding runs, progress-bar spam, encoded payloads masquerading as
@@ -2741,6 +2748,7 @@ object PipelineQueries {
          |f AS (
          |  SELECT a.doc_id, a.text,
          |    COALESCE(la.n_lines, 0) AS n_lines,
+         |    greatest(len(tk.t) - 1, 0) AS n_2grams,
          |    CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
          |         ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END AS dup_line_frac,
          |    CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
@@ -2756,7 +2764,8 @@ object PipelineQueries {
          |  CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
          |  dup_line_frac, dup_line_char_frac, top2gram_frac, dup3gram_frac,
          |  COALESCE(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
-         |    AND top2gram_frac <= 0.20 AND dup3gram_frac <= 0.18, FALSE) AS passes
+         |    AND (n_2grams < 20 OR top2gram_frac <= 0.20)
+         |    AND dup3gram_frac <= 0.18, FALSE) AS passes
          |FROM f
          |${orderSql("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
                      "top2gram_frac", "dup3gram_frac", "passes")}""".stripMargin,
