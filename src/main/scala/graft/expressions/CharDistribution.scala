@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,23 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL text evaluates to null; empty text to (0, 0, 0). One O(len) walk,
   * state bounded by the alphabet (a HashMap of distinct code points).
   */
-case class CharDistributionExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_cp", IntegerType, nullable = false),
-    StructField("n_distinct", IntegerType, nullable = false),
-    StructField("sum_sq", LongType, nullable = false)))
-
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val s = v.asInstanceOf[UTF8String].toString
+object CharDistribution extends Serializable {
+  def compute(text: String): InternalRow = {
     val counts = new java.util.HashMap[Integer, Integer]()
     var n = 0
     var j = 0
-    while (j < s.length) {
-      val cp = s.codePointAt(j)
+    while (j < text.length) {
+      val cp = text.codePointAt(j)
       j += Character.charCount(cp)
       counts.merge(cp, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
       n += 1
@@ -48,6 +38,26 @@ case class CharDistributionExpr(child: Expression)
     while (it.hasNext) { val c = it.next().toLong; sumSq += c * c }
     new GenericInternalRow(Array[Any](n, counts.size(), sumSq))
   }
+}
+
+case class CharDistributionExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    CharDistribution.compute(input.asInstanceOf[UTF8String].toString)
+
+  // one static helper call instead of CodegenFallback, so the t24 scan
+  // stays one WholeStageCodegen span (see TextStatsExpr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.addReferenceObj("charDist", CharDistribution,
+        CharDistribution.getClass.getName)
+      s"${ev.value} = $h.compute($c.toString());"
+    })
 
   override protected def withNewChildInternal(c: Expression): CharDistributionExpr =
     copy(child = c)

@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,32 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - dup3_chars: Σ over word 3-grams occurring ≥2 times of
   *     count·len(gram) — the duplicate-3-gram character-mass numerator
   *
-  * Words are the t04 token contract (trim, split on whitespace runs,
-  * drop empties); grams join tokens with one space; lengths are code
-  * points. NULL text → null; state is bounded by one document's distinct
-  * lines/grams. One O(len) walk, no shuffle — the scale-right shape for a
-  * per-row curation signal.
+  * Words are the t04 token contract ([[PortableHash.tokenize]]); grams
+  * join tokens with one space; lengths are code points. NULL text → null;
+  * state is bounded by one document's distinct lines/grams. One O(len)
+  * walk, no shuffle — the scale-right shape for a per-row curation signal.
   */
-case class RepetitionStatsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_chars", IntegerType, nullable = false),
-    StructField("n_lines", IntegerType, nullable = false),
-    StructField("dup_line_excess", IntegerType, nullable = false),
-    StructField("line_chars", LongType, nullable = false),
-    StructField("dup_line_char_excess", LongType, nullable = false),
-    StructField("n_2grams", IntegerType, nullable = false),
-    StructField("top2_cover", LongType, nullable = false),
-    StructField("n_3grams", IntegerType, nullable = false),
-    StructField("dup3_chars", LongType, nullable = false)))
-
+object RepetitionStats extends Serializable {
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) return null
-    val s = v.asInstanceOf[UTF8String].toString
+  def compute(s: String): InternalRow = {
     // lines: split on '\n' exactly (no trimming — a line differing only in
     // padding is a different line), empties excluded from both counters
     val lineCounts = new java.util.HashMap[String, Integer]()
@@ -98,6 +81,32 @@ case class RepetitionStatsExpr(child: Expression)
       cpLen(s), nLines, dupLineExcess, lineChars, dupLineCharExcess,
       n2, top2, n3, dup3))
   }
+}
+
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("dup_line_excess", IntegerType, nullable = false),
+    StructField("line_chars", LongType, nullable = false),
+    StructField("dup_line_char_excess", LongType, nullable = false),
+    StructField("n_2grams", IntegerType, nullable = false),
+    StructField("top2_cover", LongType, nullable = false),
+    StructField("n_3grams", IntegerType, nullable = false),
+    StructField("dup3_chars", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String].toString)
+
+  // one static helper call instead of CodegenFallback, so the t25 scan
+  // stays one WholeStageCodegen span (see TextStatsExpr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.addReferenceObj("repStats", RepetitionStats,
+        RepetitionStats.getClass.getName)
+      s"${ev.value} = $h.compute($c.toString());"
+    })
 
   override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
     copy(child = c)
