@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * NULL text evaluates to null; empty text to (0, 0, 0). One O(len) walk,
   * state bounded by the alphabet (a HashMap of distinct code points).
   */
-object CharDistribution extends Serializable {
+object CharDistribution {
   def compute(text: String): InternalRow = {
     val counts = new java.util.HashMap[Integer, Integer]()
     var n = 0
@@ -40,7 +40,8 @@ object CharDistribution extends Serializable {
   }
 }
 
-case class CharDistributionExpr(child: Expression) extends UnaryExpression {
+case class CharDistributionExpr(child: Expression)
+    extends UnaryExpression with StaticComputeCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_cp", IntegerType, nullable = false),
@@ -50,14 +51,7 @@ case class CharDistributionExpr(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     CharDistribution.compute(input.asInstanceOf[UTF8String].toString)
 
-  // one static helper call instead of CodegenFallback, so the t24 scan
-  // stays one WholeStageCodegen span (see TextStatsExpr)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val h = ctx.addReferenceObj("charDist", CharDistribution,
-        CharDistribution.getClass.getName)
-      s"${ev.value} = $h.compute($c.toString());"
-    })
+  override protected def helperClass: String = "graft.expressions.CharDistribution"
 
   override protected def withNewChildInternal(c: Expression): CharDistributionExpr =
     copy(child = c)

@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * state is bounded by one document's distinct lines/grams. One O(len)
   * walk, no shuffle — the scale-right shape for a per-row curation signal.
   */
-object RepetitionStats extends Serializable {
+object RepetitionStats {
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
   def compute(s: String): InternalRow = {
@@ -83,7 +83,8 @@ object RepetitionStats extends Serializable {
   }
 }
 
-case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with StaticComputeCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_chars", IntegerType, nullable = false),
@@ -99,14 +100,7 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any =
     RepetitionStats.compute(input.asInstanceOf[UTF8String].toString)
 
-  // one static helper call instead of CodegenFallback, so the t25 scan
-  // stays one WholeStageCodegen span (see TextStatsExpr)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val h = ctx.addReferenceObj("repStats", RepetitionStats,
-        RepetitionStats.getClass.getName)
-      s"${ev.value} = $h.compute($c.toString());"
-    })
+  override protected def helperClass: String = "graft.expressions.RepetitionStats"
 
   override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
     copy(child = c)

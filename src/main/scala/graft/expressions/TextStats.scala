@@ -14,7 +14,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * token count, total token length, ASCII-punctuation count, CJK codepoint
   * count, per-language stopword hits, BPE-ish subword count, char count.
   */
-object TextStats extends Serializable {
+object TextStats {
   val EnStop: Set[String] = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
     "it", "that", "this", "for", "on", "with", "as", "are", "was", "be", "at", "by",
     "not", "but")
@@ -112,24 +112,15 @@ object TextStats extends Serializable {
   }
 }
 
-case class TextStatsExpr(child: Expression) extends UnaryExpression {
+case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with StaticComputeCodegen {
   override def dataType: DataType = TextStats.schema
   override def nullSafeEval(input: Any): Any =
     TextStats.compute(input.asInstanceOf[UTF8String].toString)
-  // NOT CodegenFallback: a fallback leaf splits the WholeStageCodegen span
-  // of every full-corpus curation scan this sits in (t01/t02/t20/t23/d08),
-  // re-materializing rows around the projection. One static helper call
-  // keeps the walk inside the generated stage — and lets codegen's
-  // subexpression elimination evaluate the struct once per row even when
-  // several output columns consume it.
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val h = ctx.addReferenceObj("textStats", TextStats, TextStats.getClass.getName)
-      s"${ev.value} = $h.compute($c.toString());"
-    })
+  // NOT CodegenFallback (see StaticComputeCodegen): the walk is a direct
+  // static call inside the generated stage of every full-corpus curation
+  // scan this sits in (t01/t02/t20/t23/d08)
+  override protected def helperClass: String = "graft.expressions.TextStats"
   override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(child = c)
   override def prettyName: String = "text_stats"
 }
