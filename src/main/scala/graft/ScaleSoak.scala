@@ -233,6 +233,12 @@ object ScaleSoak {
     // reassembly, merged media identities, re-expanded pair queries).
     require(maxId + 7000000L < 10000000L,
       s"base ids reach $maxId — raise the replica stride above 10^7")
+    // stricter: the SMALLEST in-query offset is +1e6, so a base id >= 1e6
+    // would let one replica's +1e6-planted id collide with ANOTHER base
+    // doc's id inside the same replica (cross-family intra-replica clash
+    // the stride guard above can't see) — keep base ids below every offset
+    require(maxId < 1000000L,
+      s"base ids reach $maxId — intra-replica planted-id offsets start at 10^6")
     val docParts = (0 until scale).map { r =>
       val text =
         if (r == 0) col("text")

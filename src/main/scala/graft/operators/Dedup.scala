@@ -158,6 +158,71 @@ object Dedup {
       .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
   }
 
+  /** Identical-signature collapse ([[semanticDedup]]'s exact-dup discipline
+    * applied to hash signatures): exact-duplicate media — the dominant
+    * duplicate class in web crawls (logos, spacers, re-posts) — all share
+    * ONE signature, so banding them directly pairs O(cluster^2) rows inside
+    * every one of the C(blocks, blocks-d) combination keys. Collapsing each
+    * signature group to its min-id representative first lets the banded
+    * self-join see one row per DISTINCT signature; members re-attach
+    * linearly afterwards. Returns slim (id, rep, sig) membership rows,
+    * rep = min(id) over the signature group (`row_number`-free window min:
+    * one shuffle on the signature).
+    */
+  def collapseExactSigs(sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val w = Window.partitionBy(col("sig"))
+    sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .withColumn("rep", min(col("id")).over(w))
+  }
+
+  /** [[simhashPairs]] with identical-signature collapse: the same
+    * (idA, idB, hamming) rows, produced as within-group pairs (hamming 0,
+    * one self-join on the group key — never through the banding) plus
+    * representative pairs expanded back through group membership on both
+    * sides. A cross-group member pair's hamming equals its reps' hamming
+    * (identical signatures within a group), and each such pair appears
+    * exactly once (repPairs is already pair-deduped), so no distinct is
+    * needed after expansion. vs [[simhashPairs]]: banded buckets now hold
+    * only distinct signatures, so a mega-cluster of exact copies can no
+    * longer overflow `maxBucketSize` (it enters the band as ONE row), and
+    * the C(blocks,blocks-d)-way banding multiplicity applies to reps, not
+    * members. Output equals [[simhashPairs]] whenever no distinct-signature
+    * bucket exceeds the cap (spec-pinned; the collapsed form can only
+    * retain MORE true pairs when a cap does engage).
+    */
+  def simhashPairsCollapsed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000,
+      bits: Int = 64,
+      sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TF.simhash64,
+      blocks: Int = 0): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
+    val members = collapseExactSigs(sig, "id", "sig")
+    val reps = members.where(col("id") === col("rep")).select("id", "sig")
+    val repPairs =
+      simhashPairs(reps, "id", "sig", maxHamming, bands, maxBucketSize, bits, c => c, blocks)
+    // within-group: every member pair of one signature group, hamming 0
+    // (bit_count's IntegerType, matching TF.hamming64's output type)
+    val gA = members.select(col("rep").as("__g"), col("id").as("idA"))
+    val gB = members.select(col("rep").as("__g"), col("id").as("idB"))
+    val within = gA.join(gB, Seq("__g")).where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"), lit(0).as("hamming"))
+    // cross-group: one row per rep pair, expanded through both memberships;
+    // reorient since a member of group B can carry a smaller id than a
+    // member of group A
+    val cross = repPairs
+      .join(members.select(col("rep").as("idA"), col("id").as("__mA")), Seq("idA"))
+      .join(members.select(col("rep").as("idB"), col("id").as("__mB")), Seq("idB"))
+      .select(least(col("__mA"), col("__mB")).as("idA"),
+        greatest(col("__mA"), col("__mB")).as("idB"), col("hamming"))
+    within.unionByName(cross)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs. Candidates come
     * from minhash position collisions (cheap); the verify step recomputes
     * TRUE Jaccard from the shingle-hash sets — no estimation error.

@@ -70,7 +70,7 @@ object Multimodal {
     var i = 0
     while (i < ImgW * ImgH) {
       val raw = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
-      val px = math.min(raw + shift, 255)
+      val px = math.max(0, math.min(raw + shift, 255)) // clamp both ends: a negative shift must saturate at 0, not wrap mod 256
       var b = 0
       while (b < raster.getNumBands) { // gray: 1 band; rgb: R=G=B
         raster.setSample(i % ImgW, i / ImgW, b, px)

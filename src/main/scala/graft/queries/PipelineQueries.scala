@@ -574,7 +574,12 @@ object PipelineQueries {
     val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val tb0 = System.nanoTime()
       val marker = outDir.resolve(s"b$batchId")
-      if (!batch.isEmpty && !java.nio.file.Files.exists(marker)) {
+      // an EMPTY micro-batch still writes its (empty) marker — the trailing
+      // two-marker check must see one marker per delivered batch, or a
+      // parity split that drained one side would abort instead of reporting
+      // an empty probe result (an empty DataFrame write still emits a
+      // schema-bearing part file, so the union read below stays valid)
+      if (!java.nio.file.Files.exists(marker)) {
         withShufflePartitions(s, s.sparkContext.defaultParallelism) {
           val staged = base.resolve(s"stage_b$batchId")
           Dedup.crossContaminationIndexed(s, table, batch, "doc_id", "text")
@@ -2124,22 +2129,40 @@ object PipelineQueries {
     // invisible to m04, both hamming-0-or-near here. The oracle recomputes
     // the dHash from the text bytes the pixels encode (the m02 trick) and
     // brute-forces all pairs.
+    // v2 (round-15): identical dHashes — exact-pixel copies, the dominant
+    // image-duplicate class — collapse to one representative BEFORE the
+    // banding (Dedup.simhashPairsCollapsed), so the C(8,4)=70 combination
+    // keys band one row per DISTINCT hash: a mega-cluster of exact copies
+    // pairs once through a single group self-join (its own output mass, no
+    // 70x banding multiplicity, no pair-dedup shuffle) and can no longer
+    // overflow the bucket cap. Output (and the brute-force oracle) is
+    // unchanged — the pair VIEW is still O(cluster^2) rows by contract;
+    // m06 below is the linear production shape.
     "m05_perceptual_dedup" -> ((s, dir) =>
-      ordered(Dedup.simhashPairs(m05Sigs(s, dir), "media_id", "dhash",
+      ordered(Dedup.simhashPairsCollapsed(m05Sigs(s, dir), "media_id", "dhash",
           maxHamming = 4, bits = 64, sigFn = c => c, blocks = 8)
         .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))),
     // m05's pairs closed into connected components (d09's exact min-label
-    // propagation) — the PRODUCTION shape for perceptual dedup: pair
-    // emission is O(cluster^2) by contract (the x64 soak measured exactly
-    // that on its salted-replica clusters), while the cluster labeling is
-    // LINEAR in images; a curation pipeline keeps min-id survivors from
-    // this table. Oracle: the same brute-force pairs + a recursive-CTE
-    // reachability closure (d09's oracle pattern).
+    // propagation) — the PRODUCTION shape for perceptual dedup: LINEAR in
+    // images end-to-end (v2): identical-dHash groups collapse to their
+    // min-id rep, only rep pairs feed the closure, and members inherit the
+    // rep's cluster label afterwards. Exactness: a member's neighbors are
+    // exactly its rep's neighbors (identical signature), so components of
+    // the full graph = components of the rep graph with each group attached
+    // to its rep; and min-id-per-component is preserved because each rep IS
+    // the min id of its group. A curation pipeline keeps min-id survivors
+    // from this table. Oracle: brute-force pairs + a recursive-CTE
+    // reachability closure over the FULL graph (d09's oracle pattern) —
+    // unchanged from v1, pinning the collapse's exactness.
     "m06_perceptual_clusters" -> ((s, dir) => {
-      val sigs = m05Sigs(s, dir)
-      val pairs = Dedup.simhashPairs(sigs, "media_id", "dhash",
+      val members = Dedup.collapseExactSigs(m05Sigs(s, dir), "media_id", "dhash")
+        .localCheckpoint() // used by both the rep pairing and the final attach
+      val reps = members.where(col("id") === col("rep")).select("id", "sig")
+      val repPairs = Dedup.simhashPairs(reps, "id", "sig",
         maxHamming = 4, bits = 64, sigFn = c => c, blocks = 8)
-      ordered(Dedup.clusters(sigs, "media_id", pairs)
+      val repClusters = Dedup.clusters(reps, "id", repPairs)
+        .select(col("id").as("rep"), col("cluster"))
+      ordered(members.join(repClusters, Seq("rep"))
         .select(col("id").as("media_id"), col("cluster")))
     }),
     // stateful streaming: running per-user counts via mapGroupsWithState;

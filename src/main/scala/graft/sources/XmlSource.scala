@@ -61,15 +61,24 @@ object XmlSource {
     // carry an XML extension (the Concat/Discovery case: always resolved
     // regular files) skip the existence RPC entirely, so 10^5 discovered
     // inputs cost zero extra driver round-trips; only extension-less paths
-    // (directories, by convention) pay one stat each.
+    // (directories, by convention) pay one stat each. Glob patterns can't be
+    // stat'd (getFileStatus throws on the literal pattern) — expand them via
+    // globStatus, then treat each match like a directly-passed path.
+    // Directory members must carry an .xml extension to be scanned.
+    def expandOne(p: String, fs: org.apache.hadoop.fs.FileSystem,
+        hPath: org.apache.hadoop.fs.Path): Seq[String] =
+      if (fs.getFileStatus(hPath).isDirectory) xmlMembers(fs, hPath).map(_.toString)
+      else Seq(p)
     val expanded = paths.flatMap { p =>
       val hPath = new org.apache.hadoop.fs.Path(p)
       if (Discovery.detectFormat(hPath.getName).contains(Discovery.Xml)) Seq(p)
       else {
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.getFileStatus(hPath).isDirectory)
-          xmlMembers(fs, hPath).map(_.toString)
-        else Seq(p)
+        if (p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
+          val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+          require(matches.nonEmpty, s"glob matched no files: $p")
+          matches.flatMap(st => expandOne(st.getPath.toString, fs, st.getPath))
+        } else expandOne(p, fs, hPath)
       }
     }
     require(expanded.nonEmpty, s"no xml files under ${paths.mkString(",")}")

@@ -94,6 +94,40 @@ class DedupSimilaritySpec extends SparkSpec {
     (1L to 5L).foreach(i => assert(pairs.contains((i, i + 1000L)), s"missing dup pair $i"))
   }
 
+  test("collapsed simhash pairs equal plain simhash pairs (exact-dup clusters planted)") {
+    // m05/m06 v2's load-bearing claim: collapsing identical signatures to
+    // their min-id rep before banding changes NOTHING about the output —
+    // within-group pairs come back as hamming 0, cross-group pairs inherit
+    // the rep pair's hamming, and each pair appears exactly once
+    val docs = mkDocs(40)
+    val exactCopies = docs.take(8).flatMap { case (i, t) =>
+      Seq((i + 1000L, t), (i + 2000L, t)) // clusters of 3 identical signatures
+    }
+    val nearCopies = docs.take(12).map { case (i, t) =>
+      (i + 3000L, t.split(" ").drop(1).mkString(" "))
+    }
+    val df = (docs ++ exactCopies ++ nearCopies).toDF("id", "text")
+    def canon(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    val plain = canon(Dedup.simhashPairs(df, "id", "text", maxHamming = 8,
+      bands = 12, bits = 60, sigFn = TF.simhash60, blocks = 10))
+    val collapsed = canon(Dedup.simhashPairsCollapsed(df, "id", "text",
+      maxHamming = 8, bands = 12, bits = 60, sigFn = TF.simhash60, blocks = 10))
+    assert(plain == collapsed,
+      s"collapse changed output: ${plain.diff(collapsed)} vs ${collapsed.diff(plain)}")
+    // the planted exact triples must appear as hamming-0 pairs
+    (1L to 8L).foreach { i =>
+      assert(collapsed.contains((i, i + 1000L, "0")), s"missing within-group pair $i")
+      assert(collapsed.contains((i + 1000L, i + 2000L, "0")), s"missing within-group pair $i+1000")
+    }
+    // and a mega-cluster of exact copies survives a bucket cap the plain
+    // banding would drop: 30 identical docs with maxBucketSize=10
+    val mega = (1L to 30L).map(i => (i, "same text for everyone")).toDF("id", "text")
+    val megaPairs = canon(Dedup.simhashPairsCollapsed(mega, "id", "text",
+      maxHamming = 0, maxBucketSize = 10, bits = 64, blocks = 1))
+    assert(megaPairs.size == 30 * 29 / 2, s"mega-cluster pairs: ${megaPairs.size}")
+  }
+
   test("survivors drops the larger member of each pair") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val pairs = Seq((1L, 3L, 0.9)).toDF("idA", "idB", "est_jaccard")
