@@ -190,7 +190,19 @@ object ScaleSoak {
       // round-14 addition: Gopher repetition filters — one
       // RepetitionStatsExpr pass per row (per-doc hash maps, no explode),
       // wall should track the narrow-scan floor with t23/t24
-      "t25_repetition_filter")
+      "t25_repetition_filter",
+      // round-15 additions: t26 is a LangIdExpr pass over base + planted
+      // unions (narrow, no shuffle beyond the sort skip); t27 is one
+      // TokenCountExpr pass + t09's per-lang window (one shuffle at
+      // growing lang-partition sizes); d22 is the URL-normalization
+      // string pass + rank-limit window + broadcast anti join. d22's
+      // replicas deliberately COLLIDE cross-replica (sources are not
+      // salted and 1e7 % 500 = 0, so every replica of a base doc maps to
+      // the same url_norm): survivor groups grow linearly with replicas
+      // while output rows stay ~flat — exactly the mega-group regime the
+      // map-side WindowGroupLimit must absorb (<=1 row per key per
+      // partition into the shuffle)
+      "t26_language_id", "t27_token_packing", "d22_url_dedup")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

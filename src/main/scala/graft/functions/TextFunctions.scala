@@ -196,6 +196,25 @@ object TextFunctions {
     ExpressionUtils.column(graft.expressions.RepetitionStatsExpr(
       ExpressionUtils.expression(c)))
 
+  /** Fixture-weight n-gram language identification
+    * ([[graft.expressions.LangIdExpr]]): (lang, score, margin) struct,
+    * all-integer scores a DuckDB oracle recomputes exactly — the
+    * engine-exact, one-pass successor of the HOF [[langId]] heuristic.
+    */
+  def langIdScore(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.LangIdExpr(
+      ExpressionUtils.expression(c)))
+
+  /** Greedy longest-prefix SUBWORD token count over the fixture vocabulary
+    * ([[graft.expressions.TokenCountExpr]]) — the packing budget unit.
+    * [[tokenCount]] counts whitespace words and [[bpeTokenCount]] counts
+    * regex run classes; this is actual vocab-driven tokenizer inference,
+    * what a trainer's tokenizer produces.
+    */
+  def vocabTokenCount(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.TokenCountExpr(
+      ExpressionUtils.expression(c)))
+
   /** One-pass code-point distribution summary
     * ([[graft.expressions.CharDistributionExpr]]): struct(n_cp, n_distinct,
     * sum_sq) — exact integers for Gini-impurity curation scoring.

@@ -970,7 +970,15 @@ object Dedup {
     * Residual (inherent to CDC, documented not hidden): the one chunk
     * STRADDLING the duplicate region's start mixes unique prefix with
     * duplicate content and survives; everything past the first boundary
-    * inside the region dedupes.
+    * inside the region dedupes. Measured (round 15, spec "d20 straddle
+    * residual"): 103 surviving chars per duplicate occurrence of a
+    * 1200-char region, IDENTICAL across 20 different prefix offsets —
+    * the rolling hash forgets the prefix after `window` codepoints, so
+    * the residual is a constant of the region content near one expected
+    * chunk (divisor) long, not a function of alignment. A two-sided trim
+    * would buy back ~divisor chars per occurrence at the cost of a second
+    * pass; at divisor=64 over 64-char-plus regions that's under half a
+    * chunk of the region — not worth the pass.
     *
     * Same contract as [[spanDedup]]: first occurrence by (id, span_idx)
     * wins, survivors reassemble in order, fully-deduped / empty / NULL

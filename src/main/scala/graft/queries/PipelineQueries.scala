@@ -231,33 +231,29 @@ object PipelineQueries {
 
   private def s12ServeIndex(s: SparkSession, dir: String,
       corpus: DataFrame): (String, graft.operators.IvfIndex.Model) = {
+    // staged-swap versioned: the bucketed table AND its model parquet share
+    // one versioned name (model at `<name>_model`), committed atomically
+    // after both are written. Build-once is still per-JVM (the in-memory
+    // catalog forgets managed tables across JVMs while locations survive) —
+    // a fresh JVM builds a NEW version and a sibling session's live reader
+    // keeps its old one (retention keeps the newest two committed versions).
     val key = fixtureKey(dir, "embeddings")
-    val table = s"s12_ivf_serve_$key"
-    val modelPath = s.conf.get("spark.sql.warehouse.dir")
-      .stripSuffix("/") + s"/s12_ivf_model_$key"
-    val cached =
-      try { if (s.catalog.tableExists(table))
-        Some(graft.operators.IvfIndex.load(s, modelPath)) else None }
-      catch { case _: Exception => None } // model parquet missing/torn -> rebuild
-    cached match {
-      case Some(m) =>
-        graft.util.TableRetention.sweep(s, "s12_",
-          keep = Set(table, s"s12_ivf_model_$key"))
-        (table, m)
-      case None =>
-        // the default in-memory catalog forgets managed tables across JVMs
-        // while their warehouse LOCATION survives — the retention sweep
-        // clears stale-key litter AND this build's own stale location
-        // (saveAsTable would refuse with LOCATION_ALREADY_EXISTS).
-        // Build-once is therefore per-JVM here; within a session (the
-        // bench's min-of-2, repeated serving calls) the index is reused.
-        graft.util.TableRetention.sweep(s, "s12_", keep = Set.empty)
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    var model: graft.operators.IvfIndex.Model = null
+    val name = graft.util.VersionedTable.ensure(s, "s12_", s"s12_ivf_serve_$key",
+      build = n => {
         val m = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         graft.operators.IvfIndex.saveAssigned(corpus, "vec_id", "embedding",
-          m, table, buckets = 8)
-        graft.operators.IvfIndex.save(s, m, modelPath)
-        (table, m)
-    }
+          m, n, buckets = 8)
+        graft.operators.IvfIndex.save(s, m, s"$wh/${n}_model")
+        model = m
+      },
+      // a throwing probe (torn model parquet) counts as unusable -> rebuild
+      usable = n => s.catalog.tableExists(n) && {
+        model = graft.operators.IvfIndex.load(s, s"$wh/${n}_model"); true
+      },
+      siblings = n => Seq(s"${n}_model"))
+    (name, model)
   }
 
   /** s14's build-once IVF-PQ serving index — the composition of s12's
@@ -272,34 +268,27 @@ object PipelineQueries {
     */
   private def s14ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
       : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
+    // staged-swap versioned like s12, with TWO model artifacts per version
     val key = fixtureKey(dir, "embeddings")
-    val table = s"s14_ivfpq_serve_$key"
     val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    val ivfPath = s"$wh/s14_ivf_model_$key"
-    val pqPath = s"$wh/s14_pq_model_$key"
-    val cached =
-      try { if (s.catalog.tableExists(table))
-        Some((graft.operators.IvfIndex.load(s, ivfPath),
-          graft.operators.PqIndex.load(s, pqPath))) else None }
-      catch { case _: Exception => None } // model parquet missing/torn -> rebuild
-    cached match {
-      case Some((ivf, pq)) =>
-        graft.util.TableRetention.sweep(s, "s14_",
-          keep = Set(table, s"s14_ivf_model_$key", s"s14_pq_model_$key"))
-        (table, ivf, pq)
-      case None =>
-        // retention sweep clears stale-key litter and this build's own
-        // stale location (see s12ServeIndex)
-        graft.util.TableRetention.sweep(s, "s14_", keep = Set.empty)
+    var models: (graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = null
+    val name = graft.util.VersionedTable.ensure(s, "s14_", s"s14_ivfpq_serve_$key",
+      build = n => {
         val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
           m = 16, k = 256, sampleSize = 4096)
         graft.operators.PqIndex.saveEncodedAssigned(corpus, "vec_id", "embedding",
-          ivf, pq, table, buckets = 8)
-        graft.operators.IvfIndex.save(s, ivf, ivfPath)
-        graft.operators.PqIndex.save(s, pq, pqPath)
-        (table, ivf, pq)
-    }
+          ivf, pq, n, buckets = 8)
+        graft.operators.IvfIndex.save(s, ivf, s"$wh/${n}_ivf")
+        graft.operators.PqIndex.save(s, pq, s"$wh/${n}_pq")
+        models = (ivf, pq)
+      },
+      usable = n => s.catalog.tableExists(n) && {
+        models = (graft.operators.IvfIndex.load(s, s"$wh/${n}_ivf"),
+          graft.operators.PqIndex.load(s, s"$wh/${n}_pq")); true
+      },
+      siblings = n => Seq(s"${n}_ivf", s"${n}_pq"))
+    (name, models._1, models._2)
   }
 
   /** s15's build-once filtered-serving index: like [[s14ServeIndex]] but
@@ -309,32 +298,27 @@ object PipelineQueries {
     */
   private def s15ServeIndex(s: SparkSession, dir: String, corpus: DataFrame)
       : (String, graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = {
+    // staged-swap versioned like s14 (separate key space — schemas differ)
     val key = fixtureKey(dir, "embeddings")
-    val table = s"s15_ivfpq_filt_$key"
     val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
-    val ivfPath = s"$wh/s15_ivf_model_$key"
-    val pqPath = s"$wh/s15_pq_model_$key"
-    val cached =
-      try { if (s.catalog.tableExists(table))
-        Some((graft.operators.IvfIndex.load(s, ivfPath),
-          graft.operators.PqIndex.load(s, pqPath))) else None }
-      catch { case _: Exception => None }
-    cached match {
-      case Some((ivf, pq)) =>
-        graft.util.TableRetention.sweep(s, "s15_",
-          keep = Set(table, s"s15_ivf_model_$key", s"s15_pq_model_$key"))
-        (table, ivf, pq)
-      case None =>
-        graft.util.TableRetention.sweep(s, "s15_", keep = Set.empty)
+    var models: (graft.operators.IvfIndex.Model, graft.operators.PqIndex.Model) = null
+    val name = graft.util.VersionedTable.ensure(s, "s15_", s"s15_ivfpq_filt_$key",
+      build = n => {
         val ivf = graft.operators.IvfIndex.train(corpus, "vec_id", "embedding", k = 8)
         val pq = graft.operators.PqIndex.train(corpus, "vec_id", "embedding",
           m = 16, k = 256, sampleSize = 4096)
         graft.operators.PqIndex.saveEncodedAssigned(corpus, "vec_id", "embedding",
-          ivf, pq, table, buckets = 8, extraCols = Seq("label"))
-        graft.operators.IvfIndex.save(s, ivf, ivfPath)
-        graft.operators.PqIndex.save(s, pq, pqPath)
-        (table, ivf, pq)
-    }
+          ivf, pq, n, buckets = 8, extraCols = Seq("label"))
+        graft.operators.IvfIndex.save(s, ivf, s"$wh/${n}_ivf")
+        graft.operators.PqIndex.save(s, pq, s"$wh/${n}_pq")
+        models = (ivf, pq)
+      },
+      usable = n => s.catalog.tableExists(n) && {
+        models = (graft.operators.IvfIndex.load(s, s"$wh/${n}_ivf"),
+          graft.operators.PqIndex.load(s, s"$wh/${n}_pq")); true
+      },
+      siblings = n => Seq(s"${n}_ivf", s"${n}_pq"))
+    (name, models._1, models._2)
   }
 
   /** d17's build-once INGEST-SIDE dedup index (round-11 verdict #2): the
@@ -348,20 +332,19 @@ object PipelineQueries {
     */
   private def d17IngestIndex(s: SparkSession, dir: String,
       corpus: DataFrame): (String, String) = {
+    // staged-swap versioned like d19: one version = TWO sibling tables
+    // (band + shingle) derived from the versioned base name; the commit
+    // marker lands on the base name only after both are written, so a
+    // reader never resolves a version with one table missing
     val key = fixtureKey(dir, "documents")
-    val bandTable = s"d17_band_$key"
-    val shTable = s"d17_sh_$key"
-    val live = Set(bandTable, shTable)
-    if (!(s.catalog.tableExists(bandTable) && s.catalog.tableExists(shTable))) {
-      // retention sweep: stale fixture keys' tables (and a crashed build's
-      // orphan locations) go before the rebuild — also clears this build's
-      // own locations, which saveAsTable would otherwise refuse
-      graft.util.TableRetention.sweep(s, "d17_", keep = Set.empty)
-      Dedup.buildJaccardIngestIndex(corpus, "doc_id", "text",
-        bandTable, shTable, shingleN = 3, numHashes = 16, bandRows = 1,
-        buckets = 16)
-    } else graft.util.TableRetention.sweep(s, "d17_", keep = live)
-    (bandTable, shTable)
+    val name = graft.util.VersionedTable.ensure(s, "d17_", s"d17_jx_$key",
+      build = n => Dedup.buildJaccardIngestIndex(corpus, "doc_id", "text",
+        s"${n}_band", s"${n}_sh", shingleN = 3, numHashes = 16, bandRows = 1,
+        buckets = 16),
+      usable = n =>
+        s.catalog.tableExists(s"${n}_band") && s.catalog.tableExists(s"${n}_sh"),
+      siblings = n => Seq(s"${n}_band", s"${n}_sh"))
+    (s"${name}_band", s"${name}_sh")
   }
 
   /** FIXED-batch ingest-dedup probe: the d17 batch constructed from
@@ -516,13 +499,13 @@ object PipelineQueries {
     */
   private def d19ContaminationIndex(s: SparkSession, dir: String,
       train: DataFrame): String = {
+    // staged-swap versioned (round-14 verdict #2): a sibling session's
+    // rebuild can no longer clobber a live probe — each build goes to a
+    // fresh versioned name and the previous committed version survives
+    // until two newer ones exist (VersionedTable's retention contract)
     val key = fixtureKey(dir, "documents")
-    val table = s"d19_whx_$key"
-    if (!s.catalog.tableExists(table)) {
-      graft.util.TableRetention.sweep(s, "d19_", keep = Set.empty)
-      Dedup.buildContaminationIndex(train, "doc_id", "text", table)
-    } else graft.util.TableRetention.sweep(s, "d19_", keep = Set(table))
-    table
+    graft.util.VersionedTable.ensure(s, "d19_", s"d19_whx_$key",
+      build = name => Dedup.buildContaminationIndex(train, "doc_id", "text", name))
   }
 
   /** Per-batch wall seconds of the most recent st15 invocation (the d19
@@ -901,6 +884,52 @@ object PipelineQueries {
           .otherwise(col("__cd.n_distinct")).as("n_distinct_chars"),
         gini.as("char_gini")))
     }),
+    // Content-derived language identification (round-14 verdict ask #3):
+    // t05 aggregates the fixture's EXISTING lang column; a crawl pipeline
+    // must DERIVE language from content. LangIdExpr is the public
+    // fastText-langid shape (n-gram features -> linear scores -> argmax)
+    // with fixture marker weights and all-integer scoring, so the DuckDB
+    // oracle recomputes every score via replace()-count arithmetic. The
+    // fixture's text is pseudo-English under every lang label, so ground
+    // truth is PLANTED: every doc re-appears at +4e6 rewritten in one
+    // language's marker words (lang chosen by doc_id % 4, phrase repeated
+    // 1 + doc_id % 3 times so scores vary by row); base docs classify from
+    // their own content (en when ' the '/' a ' fire, und when nothing
+    // does). One narrow codegen pass, no UDF, no shuffle.
+    "t26_language_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val phrases = Seq( // index = doc_id % 4 residue
+        " der und das nicht der und ",
+        " el los que y el que ",
+        " le les est une le est ",
+        "的了是在的是")
+      val planted = phrases.zipWithIndex.map { case (ph, k) =>
+        docs.where(col("doc_id") % 4 === k)
+          .select((col("doc_id") + 4000000L).as("doc_id"),
+            expr(s"repeat('$ph', CAST(1 + doc_id % 3 AS INT))").as("text"))
+      }
+      val corpus = planted.foldLeft(docs)(_ unionByName _)
+      ordered(corpus.withColumn("__li", TF.langIdScore(col("text")))
+        .select(col("doc_id"),
+          col("__li.lang").as("lang_pred"),
+          col("__li.score").as("score"),
+          col("__li.margin").as("margin")))
+    }),
+    // Token-budget sequence packing (round-14 verdict ask #4): t09 packs
+    // by characters, but trainers budget by TOKENS. TokenCountExpr is the
+    // public greedy longest-prefix subword tokenizer over a fixture vocab
+    // (BPE-vocab inference), integer-exact, so the oracle replays the
+    // identical walk with a recursive CTE. Same per-lang prefix-sum window
+    // as t09 (pack boundary = running token total div 1024), so the plan
+    // keeps t09's single-shuffle shape with the count folded into the scan
+    // projection.
+    "t27_token_packing" -> ((s, dir) =>
+      ordered(t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        coalesce(TF.vocabTokenCount(col("text")), lit(0L)).as("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("coalesce(sum(n_tokens) over (partition by lang order by doc_id " +
+            "rows between unbounded preceding and 1 preceding), 0) div 1024").as("pack_id")))),
     "t22_mixture_sample" -> ((s, dir) => {
       val n = expr("try_cast(substring(source, 4) AS INT)")
       val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
@@ -1224,6 +1253,83 @@ object PipelineQueries {
           expr("substring(text, 38)").as("text"))
       ordered(Dedup.cdcContamination(train, eval, "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_spans"), col("n_contaminated")))
+    }),
+    // URL/source-level dedup + blocklist (round-14 verdict ask #5) — the
+    // cheapest high-value curation step in public pipelines (RefinedWeb/C4
+    // dedupe by normalized URL before any content pass). The fixture's
+    // `source` is a bare label, so URLs are synthesized from it and the
+    // planted variants exercise every RFC 3986 normalization rule: every
+    // 6th doc re-appears (+5e6) with upper-cased scheme/host, an explicit
+    // default port, a trailing slash, and utm_* tracking params — at
+    // HIGHER quality, so the planted row must WIN the survivor pick (a
+    // normalizer that misses any rule forfeits the collision and the
+    // id-ordered hash flips); every 6th-offset-4 doc re-appears (+6e6)
+    // with a fragment and a mixed utm/real query string — the fragment and
+    // the utm param must be stripped while the real param survives, all
+    // hash-observable in its url_norm. Hosts are filtered against a BROADCAST
+    // blocklist frame (left_anti — the shape a multi-million-host
+    // blocklist needs; isin would compile the list into the plan).
+    // Survivor pick is the rank-limit window (row_number=1 over the
+    // normalized URL, quality desc, id asc) — map-side WindowGroupLimit,
+    // one shuffle, no UDF anywhere: all string surgery is substring_index/
+    // split/filter/array_join, codegen'd and mirrored 1:1 in the oracle.
+    "d22_url_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      val path = concat(lit("/p/"), (col("doc_id") % 500).cast("string"))
+      val base = docs.select(col("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com"), path).as("url"),
+        col("n_chars"))
+      val v1 = docs.where(col("doc_id") % 6 === 1).select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE.COM:443"),
+          path, lit("/?utm_source=feed&utm_campaign=x")).as("url"),
+        (col("n_chars") + 100000L).as("n_chars"))
+      val v2 = docs.where(col("doc_id") % 6 === 4).select(
+        (col("doc_id") + 6000000L).as("doc_id"),
+        concat(lit("https://www."), col("source"), lit(".example.com"),
+          path, lit("?utm_medium=z&id=7#frag")).as("url"),
+        lit(0L).as("n_chars"))
+      val corpus = base.unionByName(v1).unionByName(v2)
+      // --- RFC 3986 string normalization, one rule per staged column ---
+      val normed = corpus
+        .withColumn("__nofrag", substring_index(col("url"), "#", 1))
+        .withColumn("__qs", when(col("__nofrag").contains("?"),
+          substring_index(col("__nofrag"), "?", -1)).otherwise(lit("")))
+        .withColumn("__pre", substring_index(col("__nofrag"), "?", 1))
+        .withColumn("__scheme", lower(substring_index(col("__pre"), "://", 1)))
+        .withColumn("__rest",
+          expr("substring(__pre, length(substring_index(__pre, '://', 1)) + 4)"))
+        .withColumn("__hostport", lower(substring_index(col("__rest"), "/", 1)))
+        .withColumn("__path",
+          expr("substring(__rest, length(substring_index(__rest, '/', 1)) + 1)"))
+        .withColumn("__host",
+          when(col("__scheme") === "https" && col("__hostport").endsWith(":443"),
+            expr("substring(__hostport, 1, length(__hostport) - 4)"))
+          .when(col("__scheme") === "http" && col("__hostport").endsWith(":80"),
+            expr("substring(__hostport, 1, length(__hostport) - 3)"))
+          .otherwise(col("__hostport")))
+        .withColumn("__pathn",
+          when(col("__path") === "", lit("/"))
+          .when(length(col("__path")) > 1 && col("__path").endsWith("/"),
+            expr("substring(__path, 1, length(__path) - 1)"))
+          .otherwise(col("__path")))
+        .withColumn("__params", array_join(
+          filter(split(col("__qs"), "&"), p => !p.startsWith("utm_") && p =!= ""), "&"))
+        .withColumn("url_norm", concat(col("__scheme"), lit("://"), col("__host"),
+          col("__pathn"),
+          when(col("__params") === "", lit(""))
+            .otherwise(concat(lit("?"), col("__params")))))
+      val blocklist = Seq("www.src3.example.com", "www.src7.example.com",
+        "www.src13.example.com").toDF("blocked_host")
+      val allowed = normed.join(broadcast(blocklist),
+        normed("__host") === blocklist("blocked_host"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_norm"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      ordered(allowed
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("doc_id"), col("url_norm"), col("n_chars")))
     }),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
@@ -2733,6 +2839,157 @@ object PipelineQueries {
          |  COALESCE(n_chars IS NOT NULL
          |    AND 0.5 + 0.5 * zz / (1.0 + abs(zz)) >= 0.55, FALSE) AS keep
          |FROM z ${orderSql("doc_id", "model_score", "keep")}""".stripMargin,
+    // every score is a sum of replace()-count integers — exactly LangId's
+    // non-overlapping left-to-right occurrence count — so the argmax,
+    // tie-break (alphabetical: de,en,es,fr,zh) and margin land on the
+    // same integers in both engines; planted corpora rebuilt verbatim
+    "t26_language_id" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 4000000,
+         |    repeat(' der und das nicht der und ', CAST(1 + doc_id % 3 AS INTEGER))
+         |    FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL SELECT doc_id + 4000000,
+         |    repeat(' el los que y el que ', CAST(1 + doc_id % 3 AS INTEGER))
+         |    FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL SELECT doc_id + 4000000,
+         |    repeat(' le les est une le est ', CAST(1 + doc_id % 3 AS INTEGER))
+         |    FROM documents WHERE doc_id % 4 = 2
+         |  UNION ALL SELECT doc_id + 4000000,
+         |    repeat('的了是在的是', CAST(1 + doc_id % 3 AS INTEGER))
+         |    FROM documents WHERE doc_id % 4 = 3),
+         |sc AS (
+         |  SELECT doc_id,
+         |    (length(text) - length(replace(text, ' der ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' und ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' das ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' nicht ', ''))) // 7 AS s_de,
+         |    (length(text) - length(replace(text, ' the ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' a ', ''))) // 3
+         |      + (length(text) - length(replace(text, ' of ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' and ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' is ', ''))) // 4 AS s_en,
+         |    (length(text) - length(replace(text, ' el ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' los ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' que ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS s_es,
+         |    (length(text) - length(replace(text, ' le ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' les ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' est ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' une ', ''))) // 5 AS s_fr,
+         |    (length(text) - length(replace(text, '的', '')))
+         |      + (length(text) - length(replace(text, '了', '')))
+         |      + (length(text) - length(replace(text, '是', '')))
+         |      + (length(text) - length(replace(text, '在', ''))) AS s_zh
+         |  FROM corpus),
+         |best AS (
+         |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+         |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS b
+         |  FROM sc)
+         |SELECT doc_id,
+         |  CASE WHEN b IS NULL THEN NULL WHEN b = 0 THEN 'und'
+         |       WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
+         |       WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr'
+         |       ELSE 'zh' END AS lang_pred,
+         |  CAST(b AS INTEGER) AS score,
+         |  CAST(b - CASE WHEN s_de = b THEN greatest(s_en, s_es, s_fr, s_zh)
+         |       WHEN s_en = b THEN greatest(s_de, s_es, s_fr, s_zh)
+         |       WHEN s_es = b THEN greatest(s_de, s_en, s_fr, s_zh)
+         |       WHEN s_fr = b THEN greatest(s_de, s_en, s_es, s_zh)
+         |       ELSE greatest(s_de, s_en, s_es, s_fr) END AS INTEGER) AS margin
+         |FROM best ${orderSql("doc_id", "lang_pred", "score", "margin")}""".stripMargin,
+    // the greedy longest-prefix walk replayed per word by a recursive CTE:
+    // max(length(v)) over prefix-matching vocab entries IS the greedy
+    // choice; substr advances one CHARACTER on no-match, matching the
+    // expression's one-codepoint step
+    "t27_token_packing" ->
+      s"""WITH RECURSIVE vocab(v) AS (
+         |  SELECT unnest(['customer','column','stream','filter','window','vector',
+         |    'batch','spark','merge','query','small','value','order',
+         |    'group','table','scan','hash','line','part','slow','sort',
+         |    'fast','data','join','big','key','agg','row','the',
+         |    'er','ing','an','st','on'])),
+         |words AS (
+         |  SELECT doc_id, w, row_number() OVER (ORDER BY doc_id) AS wid
+         |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0),
+         |walk(wid, doc_id, rest, cnt) AS (
+         |  SELECT wid, doc_id, w, 0 FROM words
+         |  UNION ALL
+         |  SELECT wid, doc_id,
+         |    substr(rest, 1 + COALESCE((SELECT max(length(v)) FROM vocab
+         |      WHERE substr(rest, 1, length(v)) = v), 1)),
+         |    cnt + 1
+         |  FROM walk WHERE length(rest) > 0),
+         |tok AS (
+         |  SELECT doc_id, wid, max(cnt) AS cnt FROM walk GROUP BY 1, 2),
+         |per_doc AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)
+         |SELECT d.doc_id, d.lang, COALESCE(p.n_tokens, 0) AS n_tokens,
+         |  CAST(COALESCE(SUM(COALESCE(p.n_tokens, 0)) OVER (PARTITION BY d.lang
+         |    ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) // 1024 AS pack_id
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |${orderSql("doc_id", "lang", "n_tokens", "pack_id")}""".stripMargin,
+    // the URL surgery mirrored step for step (split_part == substring_index
+    // for these shapes); survivor = min doc_id among max n_chars per
+    // normalized URL, i.e. the same (n_chars DESC, doc_id ASC) rank
+    "d22_url_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    'https://www.' || source || '.example.com/p/' || CAST(doc_id % 500 AS VARCHAR) AS url,
+         |    n_chars FROM documents
+         |  UNION ALL SELECT doc_id + 5000000,
+         |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/p/'
+         |      || CAST(doc_id % 500 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x',
+         |    n_chars + 100000 FROM documents WHERE doc_id % 6 = 1
+         |  UNION ALL SELECT doc_id + 6000000,
+         |    'https://www.' || source || '.example.com/p/'
+         |      || CAST(doc_id % 500 AS VARCHAR) || '?utm_medium=z&id=7#frag',
+         |    0 FROM documents WHERE doc_id % 6 = 4),
+         |n1 AS (
+         |  SELECT doc_id, n_chars,
+         |    split_part(url, '#', 1) AS nofrag FROM corpus),
+         |n2 AS (
+         |  SELECT doc_id, n_chars, nofrag,
+         |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END AS qs,
+         |    split_part(nofrag, '?', 1) AS pre FROM n1),
+         |n3 AS (
+         |  SELECT doc_id, n_chars, qs,
+         |    lower(split_part(pre, '://', 1)) AS scheme,
+         |    substr(pre, length(split_part(pre, '://', 1)) + 4) AS rest FROM n2),
+         |n4 AS (
+         |  SELECT doc_id, n_chars, qs, scheme,
+         |    lower(split_part(rest, '/', 1)) AS hostport,
+         |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path FROM n3),
+         |n5 AS (
+         |  SELECT doc_id, n_chars, qs, scheme, path,
+         |    CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+         |           THEN substr(hostport, 1, length(hostport) - 4)
+         |         WHEN scheme = 'http' AND hostport LIKE '%:80'
+         |           THEN substr(hostport, 1, length(hostport) - 3)
+         |         ELSE hostport END AS host FROM n4),
+         |n6 AS (
+         |  SELECT doc_id, n_chars, host,
+         |    scheme || '://' || host ||
+         |    CASE WHEN path = '' THEN '/'
+         |         WHEN length(path) > 1 AND path LIKE '%/'
+         |           THEN substr(path, 1, length(path) - 1)
+         |         ELSE path END ||
+         |    CASE WHEN len(list_filter(str_split(qs, '&'),
+         |             p -> NOT starts_with(p, 'utm_') AND p <> '')) = 0 THEN ''
+         |         ELSE '?' || array_to_string(list_filter(str_split(qs, '&'),
+         |             p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') END AS url_norm
+         |  FROM n5),
+         |allowed AS (
+         |  SELECT * FROM n6 WHERE host NOT IN
+         |    ('www.src3.example.com', 'www.src7.example.com', 'www.src13.example.com')),
+         |ranked AS (
+         |  SELECT doc_id, url_norm, n_chars,
+         |    row_number() OVER (PARTITION BY url_norm
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM allowed)
+         |SELECT doc_id, url_norm, n_chars FROM ranked WHERE rk = 1
+         |${orderSql("doc_id", "url_norm", "n_chars")}""".stripMargin,
     // the repetition counters via line/gram explodes (the per-row
     // expression's excess convention: repeated mass = total - distinct);
     // all fractions are single exact divisions of integers, rounded 6

@@ -699,6 +699,78 @@ class DedupSimilaritySpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "d19_", keep = Set.empty)
   }
 
+  test("d20 straddle residual: surviving duplicate bytes bounded near one chunk length") {
+    // CDC's documented residual: the one chunk STRADDLING a duplicate
+    // region's start mixes unique prefix with duplicate content and
+    // survives. Quantify it (round-14 verdict #6): plant one 1200-char
+    // region behind unique prefixes of 20 different lengths and measure
+    // how many region chars survive per duplicate. Expected: about one
+    // chunk (mean chunk length = divisor = 64 chars, geometric tail), so
+    // the MEAN residual must sit near 64 and far below the region size —
+    // the data that decides whether a two-sided trim is worth building.
+    val rng = new scala.util.Random(20260815L)
+    val region = (0 until 1200).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val docs = (0 until 20).map { i =>
+      val prefix = (0 until 15 + 13 * i).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+      (i.toLong, prefix + region, prefix.length)
+    }
+    import spark.implicits._
+    val out = graft.operators.Dedup
+      .cdcSpanDedup(docs.map(d => (d._1, d._2)).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // doc 0 keeps everything it owns first (all spans new at min id)
+    assert(out(0L).length == docs(0)._3 + 1200, s"doc 0 must keep its full text")
+    val residuals = docs.tail.map { case (id, _, plen) =>
+      val kept = out(id).length
+      assert(kept >= plen, s"doc $id lost prefix chars: kept=$kept prefix=$plen")
+      kept - plen // chars of the shared region that survived
+    }
+    val mean = residuals.sum.toDouble / residuals.size
+    // measured: 103 chars at EVERY offset — min == max because the rolling
+    // hash depends only on the last 8 codepoints, so once 8 region chars
+    // have streamed the cut sequence is region-determined regardless of
+    // prefix: the residual is a constant of the region's content (~one
+    // expected chunk), which is the re-synchronization property itself
+    info(f"straddle residual per duplicate: mean=$mean%.1f chars " +
+      f"min=${residuals.min} max=${residuals.max} (region=1200, divisor=64)")
+    assert(mean <= 3 * 64,
+      s"mean straddle residual $mean exceeds ~3 chunk lengths: $residuals")
+    assert(residuals.max < 1200 / 2,
+      s"a duplicate kept over half the region: $residuals")
+  }
+
+  test("d22 url dedup: normalization merges variants, survivor by quality, blocklist drops") {
+    val dir = tmpDir("urldedup")
+    // doc 1 (%6==1): base url + a planted variant with case/port/slash/utm
+    //   noise at HIGHER quality -> the variant must WIN the collision
+    // doc 4 (%6==4): planted fragment+mixed-params variant -> its own row,
+    //   utm_medium dropped, id=7 kept
+    // doc 3: source src3 is blocklisted -> absent entirely
+    Seq((1L, "t", "en", "srca", 50L), (4L, "t", "en", "srcb", 70L),
+        (3L, "t", "en", "src3", 10L), (2L, "t", "en", "srcc", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("d22_url_dedup")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (5000001L, "https://www.srca.example.com/p/1", 100050L), // variant won
+      (4L, "https://www.srcb.example.com/p/4", 70L),
+      (6000004L, "https://www.srcb.example.com/p/4?id=7", 0L), // utm gone, id kept
+      (2L, "https://www.srcc.example.com/p/2", 60L)), s"got: $out")
+    assert(!out.exists(_._1 == 1L), "base doc 1 must lose to its higher-quality variant")
+    assert(!out.exists(_._2.contains("src3")), "blocklisted host must drop")
+    // plan shape: rank-limit window (map-side WindowGroupLimit) + broadcast
+    // anti join for the blocklist — the shapes that survive 100 TB
+    val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.queries("d22_url_dedup")(spark, dir.toString)
+        .queryExecution.executedPlan.toString
+    }
+    assert(static.contains("WindowGroupLimit"),
+      s"survivor pick must push the rank limit map-side:\n$static")
+    assert(static.contains("BroadcastHashJoin") && static.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti join:\n$static")
+  }
+
   test("spanDedup: first-occurrence wins across and within docs; exact copies drop") {
     import spark.implicits._
     val docs = Seq(

@@ -295,6 +295,66 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Set((2L, 3L, 2L), (4L, 3L, 2L), (6L, 3L, 2L), (7L, 1L, 0L)))
   }
 
+  test("t26 language id: planted languages recovered; expression-only plan") {
+    val dir = tmpDir("langid26")
+    Seq((0L, "x the table is a table x", "en", "s", 24L), // en: the+is+a
+        (1L, "no markers here", "en", "s", 15L),          // nothing fires -> und
+        (2L, "", "en", "s", 0L),                          // empty -> und/0/0
+        (3L, null.asInstanceOf[String], "en", "s", 0L),   // null -> null struct
+        (4L, " der the ", "en", "s", 9L))                 // de/en tie -> de, margin 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t26_language_id")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+         (if (r.isNullAt(2)) -1 else r.getInt(2)),
+         (if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    // base rows classify from content
+    assert(out(0L) == (("en", 3, 3)), s"doc 0: ${out(0L)}") // the+is+a
+    assert(out(1L) == (("und", 0, 0)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("und", 0, 0)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((null, -1, -1)), s"doc 3: ${out(3L)}")
+    assert(out(4L) == (("de", 1, 0)), s"doc 4 must tie-break alphabetically: ${out(4L)}")
+    // planted rows recover their language: de x(1+0%3), es x2, fr x3, zh x1, de x2
+    assert(out(4000000L) == (("de", 6, 6)), s"planted de: ${out(4000000L)}")
+    assert(out(4000001L) == (("es", 12, 12)), s"planted es x2: ${out(4000001L)}")
+    assert(out(4000002L) == (("fr", 18, 18)), s"planted fr x3: ${out(4000002L)}")
+    assert(out(4000003L) == (("zh", 6, 6)), s"planted zh: ${out(4000003L)}")
+    assert(out(4000004L) == (("de", 12, 12)), s"planted de x2: ${out(4000004L)}")
+    // expression-only: no UDF, and the only exchange is the determinism sort
+    val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.queries("t26_language_id")(spark, dir.toString)
+        .queryExecution.executedPlan.toString
+    }
+    assert(!static.contains("UDF") && !static.contains("Python"),
+      s"t26 must be expression-only:\n$static")
+    assert("Exchange".r.findAllIn(static).size == 1,
+      s"t26's only exchange is the determinism sort:\n$static")
+  }
+
+  test("t27 token packing: greedy longest-prefix counts; pack boundary at 1024 tokens") {
+    // vocabTokenCount unit pins first (vocab: 'the','customer','er','an'...)
+    assert(one[Long](TF.vocabTokenCount($"t"), "the table") == 2L)
+    assert(one[Long](TF.vocabTokenCount($"t"), "customers") == 2L)    // customer + s
+    assert(one[Long](TF.vocabTokenCount($"t"), "theory xyz") == 7L)   // the,o,r,y + x,y,z
+    assert(one[Long](TF.vocabTokenCount($"t"), "") == 0L)
+    assert(one[Long](TF.vocabTokenCount($"t"), "   ") == 0L)
+    assert(one[Long](TF.vocabTokenCount($"t"), "好的 好") == 3L)       // per-codepoint fallback
+    val dir = tmpDir("tokpack")
+    // 600 'big' tokens per doc -> cumulative 0/600/1200 -> packs 0,0,1
+    val six = ("big " * 600).trim
+    Seq((1L, six, "en", "s", 1L), (2L, six, "en", "s", 1L), (3L, six, "en", "s", 1L),
+        (4L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t27_token_packing")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((600L, 0L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((600L, 0L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((600L, 1L)), s"doc 3 crosses the 1024 boundary: ${out(3L)}")
+    assert(out(4L) == ((0L, 1L)), s"null text counts 0 tokens: ${out(4L)}")
+  }
+
   test("s09 centroids: exact decimal-accumulated means, label x dim cardinality") {
     val dir = tmpDir("centroids")
     Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0), (3L, Array(10.0f, 20.0f), 1))

@@ -1,0 +1,99 @@
+package graft
+
+import graft.util.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Staged-swap versioning contract (round-14 verdict #2): a rebuild must
+  * never clobber the version a concurrent reader resolved — the first-hand
+  * cross-session repro was a sibling JVM's sweep/rebuild invalidating a
+  * live d19 probe mid-query.
+  */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def whPath(name: String) = new java.io.File(
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      .stripPrefix("file:"), name)
+
+  private def buildTable(rows: Seq[(Long, String)])(name: String): Unit =
+    rows.toDF("id", "v").write.format("parquet")
+      .bucketBy(2, "id").saveAsTable(name)
+
+  test("a reader holding v1 survives a v2 rebuild; v1 is swept only at v3") {
+    val stem = "vtspec_tbl_k1"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val dataA = Seq((1L, "a"), (2L, "a"))
+    val dataB = Seq((1L, "b"), (2L, "b"), (3L, "b"))
+    val dataC = Seq((9L, "c"))
+
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem, buildTable(dataA))
+    val reader = spark.table(v1) // lazy: the "live probe" holding v1
+    assert(reader.count() == 2)
+
+    // a second ensure with nothing changed reuses v1 (build-once)
+    assert(VersionedTable.ensure(spark, "vtspec_", stem,
+      _ => fail("must not rebuild a usable committed version")) == v1)
+
+    // sibling rebuild: force a new version while the reader still holds v1
+    val v2 = VersionedTable.ensure(spark, "vtspec_", stem, buildTable(dataB),
+      usable = _ => false)
+    assert(v2 != v1)
+    // BOTH get consistent results: the v1 reader's data is intact (location
+    // kept — retention keeps the newest two committed versions) and a fresh
+    // resolve sees v2's data
+    assert(reader.collect().map(_.getString(1)).forall(_ == "a"))
+    assert(spark.table(VersionedTable.ensure(spark, "vtspec_", stem,
+        _ => fail("v2 must resolve")))
+      .collect().map(_.getString(1)).forall(_ == "b"))
+    assert(whPath(v1).exists(), "v1 location must survive the v2 build")
+
+    // the third build retires v1 (two newer committed versions exist)
+    val v3 = VersionedTable.ensure(spark, "vtspec_", stem, buildTable(dataC),
+      usable = n => n != v1 && n != v2) // simulate a sibling that can't see our catalog
+    assert(!whPath(v1).exists(), "v1 must be swept once v2 and v3 are committed")
+    assert(whPath(v2).exists() && whPath(v3).exists())
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
+  test("uncommitted versions are never resolved; in-flight builds are not swept") {
+    val stem = "vtspec_tbl_k2"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "x"))))
+    // a torn build: location exists, no commit marker, version number ABOVE
+    // the committed one (an in-flight sibling build)
+    val torn = s"${stem}__v99_deadbeef"
+    assert(whPath(torn).mkdirs())
+    // resolution skips it (uncommitted) and keeps reusing v1...
+    assert(VersionedTable.ensure(spark, "vtspec_", stem,
+      _ => fail("must not rebuild over a committed usable version")) == v1)
+    // ...without sweeping the in-flight location out from under its builder
+    assert(whPath(torn).exists(), "in-flight (uncommitted, newer) build swept")
+    // and the next build numbers itself ABOVE the in-flight version so the
+    // two can never collide on a location
+    val v2 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((2L, "y"))), usable = _ => false)
+    assert(v2.contains("__v100_"), s"expected v100, got $v2")
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
+  test("sibling artifacts (model dirs) version and retire with their table") {
+    val stem = "vtspec_tbl_k3"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    def buildWithModel(tag: String)(name: String): Unit = {
+      buildTable(Seq((1L, tag)))(name)
+      Seq((tag, 1)).toDF("m", "k").write.parquet(whPath(s"${name}_model").toString)
+    }
+    val sib = (n: String) => Seq(s"${n}_model")
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildWithModel("a"), siblings = sib)
+    val v2 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildWithModel("b"), usable = _ => false, siblings = sib)
+    assert(whPath(s"${v1}_model").exists(), "previous version's model must survive")
+    val v3 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildWithModel("c"), usable = n => n != v1 && n != v2, siblings = sib)
+    assert(!whPath(s"${v1}_model").exists(), "retired version's model must be swept")
+    assert(whPath(s"${v2}_model").exists() && whPath(s"${v3}_model").exists())
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+}
