@@ -66,21 +66,18 @@ object TokenCount {
   }
 }
 
-case class TokenCountExpr(child: Expression) extends UnaryExpression {
+case class TokenCountExpr(child: Expression)
+    extends UnaryExpression with StaticComputeCodegen {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
     TokenCount.compute(input.asInstanceOf[UTF8String].toString)
 
-  // primitive long output: inline the static call directly (the struct
-  // trait targets InternalRow-producing helpers)
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expressions.TokenCount.compute($c.toString());")
+  // the static-call trait is type-agnostic (ev.value is declared from
+  // dataType), so it serves this primitive-long helper exactly as it
+  // serves the struct-producing ones
+  override protected def helperClass: String = "graft.expressions.TokenCount"
 
   override protected def withNewChildInternal(c: Expression): TokenCountExpr =
     copy(child = c)

@@ -167,11 +167,16 @@ object Dedup {
     * self-join see one row per DISTINCT signature; members re-attach
     * linearly afterwards. Returns slim (id, rep, sig) membership rows,
     * rep = min(id) over the signature group (`row_number`-free window min:
-    * one shuffle on the signature).
+    * one shuffle on the signature). NULL signatures are DROPPED — they
+    * carry no content to match on, and grouping them would declare every
+    * null-signature row an exact duplicate of every other (the window
+    * treats NULL as one partition), where [[simhashPairs]] emits nothing
+    * for them (null hamming fails the <= cut).
     */
   def collapseExactSigs(sigs: DataFrame, idCol: String, sigCol: String): DataFrame = {
     val w = Window.partitionBy(col("sig"))
     sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("sig").isNotNull)
       .withColumn("rep", min(col("id")).over(w))
   }
 

@@ -1275,7 +1275,11 @@ object PipelineQueries {
     // split/filter/array_join, codegen'd and mirrored 1:1 in the oracle.
     "d22_url_dedup" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+      // NULL-safe source: a null host would slip a broadcast-anti-join
+      // blocklist (null never equals) while SQL NOT IN drops it — coalesce
+      // on BOTH sides keeps the engines row-identical on hostile fixtures
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        coalesce(col("source"), lit("nosrc")).as("source"), col("n_chars"))
       val path = concat(lit("/p/"), (col("doc_id") % 500).cast("string"))
       val base = docs.select(col("doc_id"),
         concat(lit("https://www."), col("source"), lit(".example.com"), path).as("url"),
@@ -1294,8 +1298,11 @@ object PipelineQueries {
       // --- RFC 3986 string normalization, one rule per staged column ---
       val normed = corpus
         .withColumn("__nofrag", substring_index(col("url"), "#", 1))
+        // after the FIRST '?' (a second '?' belongs to the query string —
+        // substring_index(-1) would take after the LAST and diverge from
+        // the oracle on a host/path that itself contains '?')
         .withColumn("__qs", when(col("__nofrag").contains("?"),
-          substring_index(col("__nofrag"), "?", -1)).otherwise(lit("")))
+          expr("substring(__nofrag, instr(__nofrag, '?') + 1)")).otherwise(lit("")))
         .withColumn("__pre", substring_index(col("__nofrag"), "?", 1))
         .withColumn("__scheme", lower(substring_index(col("__pre"), "://", 1)))
         .withColumn("__rest",
@@ -2935,24 +2942,27 @@ object PipelineQueries {
     // for these shapes); survivor = min doc_id among max n_chars per
     // normalized URL, i.e. the same (n_chars DESC, doc_id ASC) rank
     "d22_url_dedup" ->
-      s"""WITH corpus AS (
+      s"""WITH src AS (
+         |  SELECT doc_id, COALESCE(source, 'nosrc') AS source, n_chars FROM documents),
+         |corpus AS (
          |  SELECT doc_id,
          |    'https://www.' || source || '.example.com/p/' || CAST(doc_id % 500 AS VARCHAR) AS url,
-         |    n_chars FROM documents
+         |    n_chars FROM src
          |  UNION ALL SELECT doc_id + 5000000,
          |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/p/'
          |      || CAST(doc_id % 500 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x',
-         |    n_chars + 100000 FROM documents WHERE doc_id % 6 = 1
+         |    n_chars + 100000 FROM src WHERE doc_id % 6 = 1
          |  UNION ALL SELECT doc_id + 6000000,
          |    'https://www.' || source || '.example.com/p/'
          |      || CAST(doc_id % 500 AS VARCHAR) || '?utm_medium=z&id=7#frag',
-         |    0 FROM documents WHERE doc_id % 6 = 4),
+         |    0 FROM src WHERE doc_id % 6 = 4),
          |n1 AS (
          |  SELECT doc_id, n_chars,
          |    split_part(url, '#', 1) AS nofrag FROM corpus),
          |n2 AS (
          |  SELECT doc_id, n_chars, nofrag,
-         |    CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2) ELSE '' END AS qs,
+         |    CASE WHEN contains(nofrag, '?')
+         |         THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS qs,
          |    split_part(nofrag, '?', 1) AS pre FROM n1),
          |n3 AS (
          |  SELECT doc_id, n_chars, qs,

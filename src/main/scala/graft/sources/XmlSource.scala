@@ -65,10 +65,6 @@ object XmlSource {
     // stat'd (getFileStatus throws on the literal pattern) — expand them via
     // globStatus, then treat each match like a directly-passed path.
     // Directory members must carry an .xml extension to be scanned.
-    def expandOne(p: String, fs: org.apache.hadoop.fs.FileSystem,
-        hPath: org.apache.hadoop.fs.Path): Seq[String] =
-      if (fs.getFileStatus(hPath).isDirectory) xmlMembers(fs, hPath).map(_.toString)
-      else Seq(p)
     val expanded = paths.flatMap { p =>
       val hPath = new org.apache.hadoop.fs.Path(p)
       if (Discovery.detectFormat(hPath.getName).contains(Discovery.Xml)) Seq(p)
@@ -77,8 +73,16 @@ object XmlSource {
         if (p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
           val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
           require(matches.nonEmpty, s"glob matched no files: $p")
-          matches.flatMap(st => expandOne(st.getPath.toString, fs, st.getPath))
-        } else expandOne(p, fs, hPath)
+          // globStatus already returned each match's FileStatus — branch on
+          // it directly; re-statting would double the driver round-trips on
+          // exactly the large-discovery path this block exists to keep cheap
+          matches.flatMap { st =>
+            if (st.isDirectory) xmlMembers(fs, st.getPath).map(_.toString)
+            else Seq(st.getPath.toString)
+          }
+        } else if (fs.getFileStatus(hPath).isDirectory) {
+          xmlMembers(fs, hPath).map(_.toString)
+        } else Seq(p)
       }
     }
     require(expanded.nonEmpty, s"no xml files under ${paths.mkString(",")}")

@@ -15,31 +15,46 @@ import org.apache.spark.sql.SparkSession
   *
   *  - every build writes `<stem>__v<N>_<nonce>` (N strictly above every
   *    version visible at build start; the nonce keeps two concurrent
-  *    builders that picked the same N from colliding on a location);
-  *  - a `_GRAFT_COMMITTED` marker file is written into the table location
+  *    builders that picked the same N from colliding on a location); the
+  *    version's base location is created BEFORE the build runs, so an
+  *    in-flight build is visible to sibling retention from its first
+  *    moment (sibling artifacts like `<name>_band` don't parse as
+  *    versions — the base dir is what announces them);
+  *  - a `_GRAFT_COMMITTED` marker file is written into the base location
   *    only after the table (and any sibling artifacts derived from the
   *    versioned name) are fully written — readers resolve ONLY committed
   *    versions, so a torn build is never observable;
-  *  - retention keeps the newest TWO committed versions of the stem (the
-  *    current one and the one a concurrent reader may still hold) plus any
-  *    in-flight (uncommitted, >= current N) builds; everything older is
-  *    swept, locations and catalog entries both.
+  *  - retention keeps: the version being returned (always), the newest TWO
+  *    committed versions of the stem (current + the one a concurrent
+  *    reader may still hold), and any uncommitted version younger than
+  *    [[InFlightGraceMs]] (a build in flight; CRASHED builds age out and
+  *    sweep as litter). Everything else goes, locations and catalog
+  *    entries both.
   *
   * Residual contract (documented, not hidden): a reader that holds a
   * resolved version across MORE THAN ONE full sibling rebuild cycle can
-  * still lose its location — retention depth is 2, not a lease. Query
-  * entry points re-resolve per invocation, so the exposure window is one
-  * query's execution, not a session lifetime.
+  * still lose its location — retention depth is 2, not a lease — and a
+  * build stalled past the grace window can be swept mid-write. Query entry
+  * points re-resolve per invocation, so the exposure window is one query's
+  * execution, not a session lifetime.
   */
 object VersionedTable {
 
   private val VersionedName = "^(.+)__v([0-9]+)_([0-9a-f]+)$".r
   private val Marker = "_GRAFT_COMMITTED"
 
-  /** Parsed warehouse state of one versioned build. `name` is the catalog
-    * table / location base name; `committed` mirrors the marker file.
+  /** How long an uncommitted version is presumed to be a live in-flight
+    * build (protected from sweeps). Index builds here are seconds-long;
+    * an hour is orders of magnitude of headroom before a crashed build's
+    * litter starts costing disk.
     */
-  case class Version(name: String, n: Long, committed: Boolean)
+  val InFlightGraceMs: Long = 60L * 60 * 1000
+
+  /** Parsed warehouse state of one versioned build. `name` is the catalog
+    * table / location base name; `committed` mirrors the marker file;
+    * `modifiedMs` is the base location's mtime (the in-flight age signal).
+    */
+  case class Version(name: String, n: Long, committed: Boolean, modifiedMs: Long)
 
   private def warehouse(spark: SparkSession) = {
     val wh = new org.apache.hadoop.fs.Path(
@@ -60,7 +75,8 @@ object VersionedTable {
       st.getPath.getName match {
         case VersionedName(s, n, _) if s == stem =>
           Some(Version(st.getPath.getName, n.toLong,
-            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker))))
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker)),
+            st.getModificationTime))
         case _ => None
       }
     }.sortBy(-_.n)
@@ -95,17 +111,26 @@ object VersionedTable {
       (try probe(v.name) catch { case _: Exception => false }))
     reusable match {
       case Some(v) =>
-        retain(spark, familyPrefix, stem, versions, currentN = v.n, siblings)
+        // the resolved version is ALWAYS kept, even when siblings have
+        // since committed two newer versions this JVM can't use — sweeping
+        // the name we are about to return would fail the caller's query
+        retain(spark, familyPrefix, stem, versions, resolved = v.name, siblings)
         v.name
       case None =>
         val nextN = versions.headOption.map(_.n + 1).getOrElse(1L)
         val nonce = java.lang.Long.toHexString(
           java.util.concurrent.ThreadLocalRandom.current().nextLong() & 0xffffffffL)
         val name = s"${stem}__v${nextN}_$nonce"
+        // announce the in-flight build BEFORE writing any artifact: the
+        // base dir is what listVersions parses, so sibling retention sees
+        // (and spares) this build even while only `<name>_band`-style
+        // sibling tables exist on disk
+        val (wh, fs) = warehouse(spark)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(wh, name))
         build(name)
         commit(spark, name)
         retain(spark, familyPrefix, stem,
-          listVersions(spark, stem), currentN = nextN, siblings)
+          listVersions(spark, stem), resolved = name, siblings)
         name
     }
   }
@@ -119,18 +144,21 @@ object VersionedTable {
     out.close()
   }
 
-  /** Retention under `familyPrefix`: keep the newest two committed versions
-    * of `stem` (and their sibling artifacts), plus uncommitted versions at
-    * or above `currentN` (a concurrent build in flight); sweep the rest —
-    * including stale fixture keys' stems under the same family, which no
-    * live set claims (same litter policy as before versioning).
+  /** Retention under `familyPrefix`: keep the resolved version (always),
+    * the newest two committed versions of `stem` (and their sibling
+    * artifacts), and uncommitted versions younger than [[InFlightGraceMs]]
+    * (a concurrent build in flight — crashed builds age out); sweep the
+    * rest, including stale fixture keys' stems under the same family,
+    * which no live set claims (same litter policy as before versioning).
     */
   private def retain(spark: SparkSession, familyPrefix: String, stem: String,
-      versions: Seq[Version], currentN: Long,
+      versions: Seq[Version], resolved: String,
       siblings: String => Seq[String]): Unit = {
+    val now = System.currentTimeMillis()
     val keepVersions =
-      versions.filter(_.committed).take(2) ++
-        versions.filter(v => !v.committed && v.n >= currentN)
+      versions.filter(_.name == resolved) ++
+        versions.filter(_.committed).take(2) ++
+        versions.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
     val keep = keepVersions.flatMap(v => v.name +: siblings(v.name)).toSet
     TableRetention.sweep(spark, familyPrefix, keep)
   }

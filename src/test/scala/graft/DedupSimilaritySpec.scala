@@ -106,7 +106,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val nearCopies = docs.take(12).map { case (i, t) =>
       (i + 3000L, t.split(" ").drop(1).mkString(" "))
     }
-    val df = (docs ++ exactCopies ++ nearCopies).toDF("id", "text")
+    // null texts yield null signatures: plain banding emits NO pairs for
+    // them (null hamming fails the cut) and the collapsed form must agree
+    // — not declare them exact duplicates of each other via the null
+    // window partition
+    val nulls = Seq((9001L, null.asInstanceOf[String]), (9002L, null.asInstanceOf[String]))
+    val df = (docs ++ exactCopies ++ nearCopies ++ nulls).toDF("id", "text")
     def canon(p: org.apache.spark.sql.DataFrame) =
       p.collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
     val plain = canon(Dedup.simhashPairs(df, "id", "text", maxHamming = 8,

@@ -77,6 +77,27 @@ class VersionedTableSpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
   }
 
+  test("reuse keeps the resolved version even when two newer committed versions exist") {
+    // the cross-JVM shape: siblings committed v2/v3 this session can't use
+    // (no catalog entries here), so resolution falls back to v1 — and the
+    // retention pass must NOT sweep the very name it is about to return
+    val stem = "vtspec_tbl_k4"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "a"))))
+    for (n <- Seq(2, 3)) { // committed marker-only sibling builds
+      val d = whPath(s"${stem}__v${n}_cafe000$n")
+      assert(d.mkdirs())
+      assert(new java.io.File(d, "_GRAFT_COMMITTED").createNewFile())
+    }
+    val resolved = VersionedTable.ensure(spark, "vtspec_", stem,
+      _ => fail("v1 is usable — must not rebuild"))
+    assert(resolved == v1, s"expected fallback to $v1, got $resolved")
+    assert(whPath(v1).exists(), "the resolved version was swept out from under its caller")
+    assert(spark.table(v1).count() == 1)
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
   test("sibling artifacts (model dirs) version and retire with their table") {
     val stem = "vtspec_tbl_k3"
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
