@@ -380,7 +380,13 @@ object ScaleSoak {
           def once(): (Double, Long) = {
             val t0 = System.nanoTime()
             val df = fn(spark, dir)
-            val rows = df.count() // count = full compute for these plans
+            // execute the query's OWN physical plan, not count(df):
+            // Catalyst prunes deterministic projections under a count, so
+            // a pure-expression leg (t23..t27's one-pass scorers) would
+            // measure scan+filter only — the expression never evaluated.
+            // toRdd runs the plan as the consumer would see it (round-15
+            // fix; earlier narrow-leg walls under-measured for this reason)
+            val rows = df.queryExecution.toRdd.count()
             ((System.nanoTime() - t0) / 1e9, rows)
           }
           val (t1, rows) = once()
