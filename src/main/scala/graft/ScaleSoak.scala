@@ -202,7 +202,11 @@ object ScaleSoak {
       // while output rows stay ~flat — exactly the mega-group regime the
       // map-side WindowGroupLimit must absorb (<=1 row per key per
       // partition into the shuffle)
-      "t26_language_id", "t27_token_packing", "d22_url_dedup")
+      "t26_language_id", "t27_token_packing", "d22_url_dedup",
+      // round-15: the composite funnel — three expression walks + the
+      // blocklist CASE in one projection; wall should track the t23/t25
+      // narrow-scan legs it composes
+      "t28_curation_funnel")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

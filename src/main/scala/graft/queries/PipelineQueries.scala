@@ -930,6 +930,71 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr("coalesce(sum(n_tokens) over (partition by lang order by doc_id " +
             "rows between unbounded preceding and 1 preceding), 0) div 1024").as("pack_id")))),
+    // End-to-end curation FUNNEL (t28): the per-document keep/drop decision
+    // a C4/Gopher/RefinedWeb-style pipeline actually applies, composed from
+    // this engine's proven gates in one pass — blocklisted source, content
+    // language (t26's scorer), Gopher token rules (t20), repetition rules
+    // (t25, raw text), learned quality score (t23) — with the FIRST failing
+    // gate recorded as the drop reason (the operational contract: a
+    // curation run must explain every drop). One scan, one projection
+    // (subexpression elimination shares the three expression walks), no
+    // shuffle beyond the determinism sort. Every gate's arithmetic is an
+    // already-oracled mirror; the funnel pins their composition end to end.
+    "t28_curation_funnel" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("__st", TF.textStats(col("text")))
+        .withColumn("__rs", TF.repetitionStats(col("text")))
+        .withColumn("__li", TF.langIdScore(col("text")))
+      val gBlock = coalesce(col("source").isin("src3", "src7", "src13"), lit(false))
+      val gLang = coalesce(col("__li.lang") === "en", lit(false))
+      // t20's gates with the token floor scaled to the fixture (Gopher's
+      // 50-token floor targets web pages; the synthetic docs run ~15-30
+      // tokens, and a funnel that drops EVERY row exercises nothing past
+      // its first gate — the token floor and the stopword-hit floor (the
+      // fixture vocabulary contains exactly ONE Gopher stopword) are the
+      // two deliberately fixture-sized parameters, called out not hidden)
+      val nTok = col("__st.n_tokens")
+      val meanLen = when(nTok === 0, lit(null)).otherwise(round(
+        col("__st.token_len_sum").cast("double") / nTok, 6))
+      val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
+        col("__st.alpha_tokens").cast("double") / nTok, 6))
+      val gGopher = coalesce(nTok.between(10, 100000) && meanLen.between(3.0, 10.0) &&
+        alphaRatio >= 0.8 && col("__st.gopher_stops") >= 1, lit(false))
+      // t25's gates, verbatim (raw text — no planted augmentation here)
+      val nl = col("__rs.n_lines")
+      val rc = col("__rs.n_chars")
+      def rfrac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        when(den === 0, lit(null).cast("double"))
+          .otherwise(round(num / den.cast("double"), 6))
+      val gRep = coalesce(
+        rfrac(col("__rs.dup_line_excess"), nl) <= 0.30 &&
+        rfrac(col("__rs.dup_line_char_excess"), col("__rs.line_chars")) <= 0.20 &&
+        (col("__rs.n_2grams") < 20 || rfrac(col("__rs.top2_cover"), rc) <= 0.20) &&
+        rfrac(col("__rs.dup3_chars"), rc) <= 0.18, lit(false))
+      // t23's scorer, verbatim
+      val nc23 = col("__st.n_chars")
+      val fLen = least(nTok.cast("double") / 100.0, lit(1.0))
+      val fWlen = when(nTok === 0, 0.0)
+        .otherwise(least(col("__st.token_len_sum").cast("double") / nTok / 10.0, lit(1.0)))
+      val fPunct = when(nc23 === 0, 0.0).otherwise(col("__st.punct") / nc23.cast("double"))
+      val fStop = when(nTok === 0, 0.0).otherwise(col("__st.stop_en") / nTok.cast("double"))
+      val fAlpha = when(nTok === 0, 0.0).otherwise(col("__st.alpha_tokens") / nTok.cast("double"))
+      val fBpe = when(nTok === 0, 0.0)
+        .otherwise(least(col("__st.bpe").cast("double") / nTok / 3.0, lit(1.0)))
+      val z = lit(-1.1) + lit(1.2) * fLen + lit(0.8) * fWlen - lit(2.5) * fPunct +
+        lit(3.0) * fStop + lit(1.5) * fAlpha - lit(0.4) * fBpe
+      val score = when(col("__st").isNull, lit(null).cast("double"))
+        .otherwise(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+      val gQual = coalesce(score >= 0.55, lit(false))
+      val reason = when(gBlock, "blocklist")
+        .when(!gLang, "language")
+        .when(!gGopher, "gopher")
+        .when(!gRep, "repetition")
+        .when(!gQual, "quality")
+        .otherwise("kept")
+      ordered(df.select(col("doc_id"),
+        (reason === "kept").as("keep"), reason.as("reason")))
+    }),
     "t22_mixture_sample" -> ((s, dir) => {
       val n = expr("try_cast(substring(source, 4) AS INT)")
       val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
@@ -3059,6 +3124,123 @@ object PipelineQueries {
          |FROM f
          |${orderSql("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
                      "top2gram_frac", "dup3gram_frac", "passes")}""".stripMargin,
+    // the funnel's gates are the t20/t23/t25/t26 mirrors verbatim (t25's
+    // explodes on RAW text, t26's scores without the planted union), then
+    // one CASE picks the first failing gate — both engines fold the same
+    // total (coalesced) booleans, so the decision column hashes exactly
+    "t28_curation_funnel" ->
+      s"""WITH d AS (SELECT doc_id, text, source,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+         |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |m AS (SELECT doc_id, text, source, n_chars, bpe, punct, len(toks) AS nt,
+         |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
+         |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens,
+         |    CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
+         |      ['the','be','to','of','and','that','have','with']))) AS INTEGER) AS stop_hits,
+         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |      ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+         |    END AS mean_word_len,
+         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |      ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+         |    END AS alpha_ratio,
+         |    greatest(len(toks) - 1, 0) AS n_2grams
+         |  FROM d),
+         |lf AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS ln FROM documents),
+         |lg AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf WHERE length(ln) > 0 GROUP BY 1, 2),
+         |la AS (SELECT doc_id,
+         |    CAST(SUM(c) AS INTEGER) AS n_lines,
+         |    CAST(SUM(c - 1) AS INTEGER) AS dle,
+         |    CAST(SUM(c * length(ln)) AS BIGINT) AS lc,
+         |    CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dlce
+         |  FROM lg GROUP BY doc_id),
+         |g2a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS g
+         |    FROM d WHERE len(toks) >= 2) GROUP BY 1, 2),
+         |t2 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2 FROM g2a GROUP BY doc_id),
+         |g3a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)])) AS g
+         |    FROM d WHERE len(toks) >= 3) GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3
+         |  FROM g3a GROUP BY doc_id),
+         |rep AS (SELECT m.doc_id,
+         |    COALESCE(
+         |      (CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
+         |            ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END) <= 0.30
+         |      AND (CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
+         |            ELSE ROUND(la.dlce / CAST(la.lc AS DOUBLE), 6) END) <= 0.20
+         |      AND (m.n_2grams < 20 OR
+         |        (CASE WHEN COALESCE(m.n_chars, 0) = 0 THEN NULL
+         |              ELSE ROUND(COALESCE(t2.top2, 0) / CAST(m.n_chars AS DOUBLE), 6) END) <= 0.20)
+         |      AND (CASE WHEN COALESCE(m.n_chars, 0) = 0 THEN NULL
+         |            ELSE ROUND(COALESCE(t3.dup3, 0) / CAST(m.n_chars AS DOUBLE), 6) END) <= 0.18,
+         |      FALSE) AS g_rep
+         |  FROM m LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
+         |li AS (SELECT doc_id,
+         |    (length(text) - length(replace(text, ' der ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' und ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' das ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' nicht ', ''))) // 7 AS s_de,
+         |    (length(text) - length(replace(text, ' the ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' a ', ''))) // 3
+         |      + (length(text) - length(replace(text, ' of ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' and ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' is ', ''))) // 4 AS s_en,
+         |    (length(text) - length(replace(text, ' el ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' los ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' que ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS s_es,
+         |    (length(text) - length(replace(text, ' le ', ''))) // 4
+         |      + (length(text) - length(replace(text, ' les ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' est ', ''))) // 5
+         |      + (length(text) - length(replace(text, ' une ', ''))) // 5 AS s_fr,
+         |    (length(text) - length(replace(text, '的', '')))
+         |      + (length(text) - length(replace(text, '了', '')))
+         |      + (length(text) - length(replace(text, '是', '')))
+         |      + (length(text) - length(replace(text, '在', ''))) AS s_zh
+         |  FROM documents),
+         |lang AS (SELECT doc_id,
+         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) IS NULL THEN NULL
+         |         WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |         ELSE 'zh' END AS lang_pred
+         |  FROM li),
+         |z AS (SELECT doc_id, n_chars,
+         |    -1.1 + 1.2 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+         |      + 0.8 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(tls AS DOUBLE) / nt / 10.0, 1.0) END)
+         |      - 2.5 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END)
+         |      + 3.0 * (CASE WHEN nt = 0 THEN 0.0 ELSE stop_en / CAST(nt AS DOUBLE) END)
+         |      + 1.5 * (CASE WHEN nt = 0 THEN 0.0 ELSE alpha_tokens / CAST(nt AS DOUBLE) END)
+         |      - 0.4 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(bpe AS DOUBLE) / nt / 3.0, 1.0) END) AS zz
+         |  FROM m),
+         |gates AS (SELECT m.doc_id,
+         |    COALESCE(m.source IN ('src3', 'src7', 'src13'), FALSE) AS g_block,
+         |    COALESCE(lang.lang_pred = 'en', FALSE) AS g_lang,
+         |    COALESCE(m.nt BETWEEN 10 AND 100000 AND m.mean_word_len BETWEEN 3 AND 10
+         |      AND m.alpha_ratio >= 0.8 AND m.stop_hits >= 1, FALSE) AS g_gopher,
+         |    rep.g_rep,
+         |    COALESCE(z.n_chars IS NOT NULL
+         |      AND 0.5 + 0.5 * z.zz / (1.0 + abs(z.zz)) >= 0.55, FALSE) AS g_qual
+         |  FROM m JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN z USING (doc_id)),
+         |decided AS (SELECT doc_id,
+         |    CASE WHEN g_block THEN 'blocklist'
+         |         WHEN NOT g_lang THEN 'language'
+         |         WHEN NOT g_gopher THEN 'gopher'
+         |         WHEN NOT g_rep THEN 'repetition'
+         |         WHEN NOT g_qual THEN 'quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM gates)
+         |SELECT doc_id, reason = 'kept' AS keep, reason FROM decided
+         |${orderSql("doc_id", "keep", "reason")}""".stripMargin,
     // per-codepoint counts via a char explode; the Gini inputs are exact
     // integers, so the single division reproduces Spark's double exactly
     "t24_char_distribution" ->

@@ -355,6 +355,41 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 1L)), s"null text counts 0 tokens: ${out(4L)}")
   }
 
+  test("t28 curation funnel: each gate produces its reason; first failure wins") {
+    val dir = tmpDir("funnel28")
+    val kept = "x the cats sat upon the mats and the dogs run toward the door"
+    Seq((1L, kept, "en", "srca", 62L),                       // all gates pass
+        (2L, kept, "en", "src3", 62L),                       // blocklisted source
+        (3L, "zz qq ww", "en", "srca", 8L),                  // no en markers -> language
+        (4L, "z the y", "en", "srca", 7L),                   // en but 3 tokens -> gopher
+        (5L, "x the dogs the dogs the dogs the dogs the dogs the dogs",
+          "en", "srca", 55L),                                // dup-3-gram mass -> repetition
+        (6L, "x the qq!!! ww!!! ee!!! rr!!! tt!!! yy!!! uu!!! ii!!! oo!!! pp!!! ss!!! dd!!!",
+          "en", "srca", 76L),                                // score 0.35 -> quality
+        (7L, null.asInstanceOf[String], "en", "srca", 0L))   // null text -> language
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val out = graft.queries.PipelineQueries.queries("t28_curation_funnel")(spark, dir.toString)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) == ((true, "kept")), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((false, "blocklist")), s"doc 2: ${out(2L)}")
+    assert(out(3L) == ((false, "language")), s"doc 3: ${out(3L)}")
+    assert(out(4L) == ((false, "gopher")), s"doc 4: ${out(4L)}")
+    assert(out(5L) == ((false, "repetition")), s"doc 5: ${out(5L)}")
+    assert(out(6L) == ((false, "quality")), s"doc 6: ${out(6L)}")
+    assert(out(7L) == ((false, "language")), s"doc 7: ${out(7L)}")
+    // one scan, expression-only, no shuffle beyond the determinism sort
+    val static = graft.queries.Q.withConf(spark, "spark.sql.adaptive.enabled", "false") {
+      graft.queries.PipelineQueries.queries("t28_curation_funnel")(spark, dir.toString)
+        .queryExecution.executedPlan.toString
+    }
+    assert("Scan parquet".r.findAllIn(static).size == 1, s"t28 must scan once:\n$static")
+    assert(!static.contains("UDF") && !static.contains("Python"),
+      s"t28 must be expression-only:\n$static")
+    assert("Exchange".r.findAllIn(static).size == 1,
+      s"t28's only exchange is the determinism sort:\n$static")
+  }
+
   test("s09 centroids: exact decimal-accumulated means, label x dim cardinality") {
     val dir = tmpDir("centroids")
     Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0), (3L, Array(10.0f, 20.0f), 1))

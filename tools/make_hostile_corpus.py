@@ -93,6 +93,27 @@ for i, txt in enumerate(hostile):
     base['source'].append('hostile')
     base['n_chars'].append(len(txt) if txt is not None else None)
 
+# hostile SOURCE values (round 15): source feeds URL synthesis (d22 — '?'
+# placement, '#' fragments, '&' params, case, NULL hosts vs blocklists),
+# try_cast parsing (t22), and null accounting (t19/t21). A '?'-bearing
+# source diverged the d22 engines before the after-FIRST-'?' alignment;
+# these rows keep that class of bug out permanently.
+hostile_sources = [
+    None,              # NULL host: anti-join vs NOT IN must agree
+    'a?b?c',           # query-string split: after FIRST '?' on both engines
+    'SRC9',            # host lowering
+    'src&x=1#y',       # param separator + fragment inside the host label
+    'src 3',           # embedded space (never matches the blocklist)
+    'src3',            # collides with a BLOCKLISTED host -> row must drop
+]
+for j, s in enumerate(hostile_sources):
+    txt = f"hostile source row {j} the quick brown fox"
+    base['doc_id'].append(maxid + 1 + len(hostile) + j)
+    base['text'].append(txt)
+    base['lang'].append(langs[j % 5])
+    base['source'].append(s)
+    base['n_chars'].append(len(txt))
+
 schema = pa.schema([('doc_id', pa.int64()), ('text', pa.string()),
                     ('lang', pa.string()), ('source', pa.string()),
                     ('n_chars', pa.int64())])
