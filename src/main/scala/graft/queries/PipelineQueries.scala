@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators.{Dedup, Multimodal, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Q._
@@ -612,6 +612,74 @@ object PipelineQueries {
     e.unionByName(mutated)
   }
 
+  // ---- the curation GATES, defined once (round-15 review: t28 composes
+  // t20/t23/t25's arithmetic, and a hand-copied gate silently stops
+  // composing the moment the original is tuned — so each gate has exactly
+  // one Spark definition and one SQL fragment, shared by the standalone
+  // query and the funnel) ----
+
+  /** t20's Gopher token gates over one textStats struct. Returns
+    * (mean_word_len, alpha_ratio, passes); floors parameterized — t20 uses
+    * the paper's 50-token / 2-stopword floors, t28's funnel fixture-sizes
+    * them to 10 / 1 (the synthetic vocabulary carries ONE Gopher stopword).
+    */
+  private def gopherGates(st: Column, tokenFloor: Int, stopFloor: Int)
+      : (Column, Column, Column) = {
+    val nTok = st.getField("n_tokens")
+    val meanLen = when(nTok === 0, lit(null)).otherwise(round(
+      st.getField("token_len_sum").cast("double") / nTok, 6))
+    val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
+      st.getField("alpha_tokens").cast("double") / nTok, 6))
+    val passes = coalesce(nTok.between(tokenFloor, 100000) &&
+      meanLen.between(3.0, 10.0) && alphaRatio >= 0.8 &&
+      st.getField("gopher_stops") >= stopFloor, lit(false))
+    (meanLen, alphaRatio, passes)
+  }
+
+  /** t25's repetition fractions + pass over one repetitionStats struct
+    * (whether the text was augmented is the caller's business). Returns
+    * (dup_line_frac, dup_line_char_frac, top2gram_frac, dup3gram_frac,
+    * passes).
+    */
+  private def repetitionGates(rs: Column)
+      : (Column, Column, Column, Column, Column) = {
+    val nl = rs.getField("n_lines")
+    val nc = rs.getField("n_chars")
+    def frac(num: Column, den: Column) =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(round(num / den.cast("double"), 6))
+    val dupLine = frac(rs.getField("dup_line_excess"), nl)
+    val dupLineChar = frac(rs.getField("dup_line_char_excess"), rs.getField("line_chars"))
+    val top2 = frac(rs.getField("top2_cover"), nc)
+    val dup3 = frac(rs.getField("dup3_chars"), nc)
+    // the top-2-gram rule carries its applicability floor (see t25)
+    val top2Ok = rs.getField("n_2grams") < 20 || top2 <= 0.20
+    val passes = coalesce(dupLine <= 0.30 && dupLineChar <= 0.20 &&
+      top2Ok && dup3 <= 0.18, lit(false))
+    (dupLine, dupLineChar, top2, dup3, passes)
+  }
+
+  /** t23's learned quality score over one textStats struct — rational
+    * sigmoid z/(1+|z|), left-to-right literal fold, bit-identical doubles
+    * across engines. NULL struct (null text) scores null.
+    */
+  private def qualityModelScore(st: Column): Column = {
+    val nt = st.getField("n_tokens")
+    val nc = st.getField("n_chars")
+    val fLen = least(nt.cast("double") / 100.0, lit(1.0))
+    val fWlen = when(nt === 0, 0.0)
+      .otherwise(least(st.getField("token_len_sum").cast("double") / nt / 10.0, lit(1.0)))
+    val fPunct = when(nc === 0, 0.0).otherwise(st.getField("punct") / nc.cast("double"))
+    val fStop = when(nt === 0, 0.0).otherwise(st.getField("stop_en") / nt.cast("double"))
+    val fAlpha = when(nt === 0, 0.0).otherwise(st.getField("alpha_tokens") / nt.cast("double"))
+    val fBpe = when(nt === 0, 0.0)
+      .otherwise(least(st.getField("bpe").cast("double") / nt / 3.0, lit(1.0)))
+    val z = lit(-1.1) + lit(1.2) * fLen + lit(0.8) * fWlen - lit(2.5) * fPunct +
+      lit(3.0) * fStop + lit(1.5) * fAlpha - lit(0.4) * fBpe
+    when(st.isNull, lit(null).cast("double"))
+      .otherwise(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text analysis ----
     "t01_text_stats" -> ((s, dir) =>
@@ -806,20 +874,7 @@ object PipelineQueries {
     "t23_quality_model" -> ((s, dir) => {
       val df = t(s, dir, "documents")
         .withColumn("__st", TF.textStats(col("text"))) // ONE walk per row
-      val nt = col("__st.n_tokens")
-      val nc = col("__st.n_chars")
-      val fLen = least(nt.cast("double") / 100.0, lit(1.0))
-      val fWlen = when(nt === 0, 0.0)
-        .otherwise(least(col("__st.token_len_sum").cast("double") / nt / 10.0, lit(1.0)))
-      val fPunct = when(nc === 0, 0.0).otherwise(col("__st.punct") / nc.cast("double"))
-      val fStop = when(nt === 0, 0.0).otherwise(col("__st.stop_en") / nt.cast("double"))
-      val fAlpha = when(nt === 0, 0.0).otherwise(col("__st.alpha_tokens") / nt.cast("double"))
-      val fBpe = when(nt === 0, 0.0)
-        .otherwise(least(col("__st.bpe").cast("double") / nt / 3.0, lit(1.0)))
-      val z = lit(-1.1) + lit(1.2) * fLen + lit(0.8) * fWlen - lit(2.5) * fPunct +
-        lit(3.0) * fStop + lit(1.5) * fAlpha - lit(0.4) * fBpe
-      val score = when(col("__st").isNull, lit(null).cast("double"))
-        .otherwise(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
+      val score = qualityModelScore(col("__st"))
       ordered(df.select(col("doc_id"),
         round(score, 6).as("model_score"),
         coalesce(score >= 0.55, lit(false)).as("keep")))
@@ -840,30 +895,18 @@ object PipelineQueries {
           concat(col("text"), lit("\n"), col("text")))
           .otherwise(col("text")).as("text"))
       val df = aug.withColumn("__rs", TF.repetitionStats(col("text")))
-      val nl = col("__rs.n_lines")
-      val nc = col("__rs.n_chars")
-      def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        when(den === 0, lit(null).cast("double"))
-          .otherwise(round(num / den.cast("double"), 6))
-      val dupLine = frac(col("__rs.dup_line_excess"), nl)
-      val dupLineChar = frac(col("__rs.dup_line_char_excess"), col("__rs.line_chars"))
-      val top2 = frac(col("__rs.top2_cover"), nc)
-      val dup3 = frac(col("__rs.dup3_chars"), nc)
-      // the top-2-gram coverage rule only applies once there are enough
-      // 2-grams for "most frequent" to mean anything: on a short clean doc
-      // every 2-gram is distinct and the single LONGEST one alone can
-      // exceed 20% of the characters (Gopher runs this on long web docs;
-      // its word-count floor lives in t20) — under 20 2-grams the sub-rule
-      // is vacuously satisfied rather than misclassifying short docs
-      val top2Ok = col("__rs.n_2grams") < 20 || top2 <= 0.20
+      // the top-2-gram coverage rule's applicability floor (n_2grams < 20
+      // exempts short clean docs — Gopher targets long web pages) lives
+      // inside the shared repetitionGates with the thresholds
+      val (dupLine, dupLineChar, top2, dup3, passes) = repetitionGates(col("__rs"))
       ordered(df.select(col("doc_id"),
-        when(col("__rs").isNull, lit(null).cast("int")).otherwise(nl).as("n_lines"),
+        when(col("__rs").isNull, lit(null).cast("int"))
+          .otherwise(col("__rs.n_lines")).as("n_lines"),
         dupLine.as("dup_line_frac"),
         dupLineChar.as("dup_line_char_frac"),
         top2.as("top2gram_frac"),
         dup3.as("dup3gram_frac"),
-        coalesce(dupLine <= 0.30 && dupLineChar <= 0.20 &&
-          top2Ok && dup3 <= 0.18, lit(false)).as("passes")))
+        passes.as("passes")))
     }),
     // Character-distribution profiling — the degenerate-text detector
     // (padding runs, progress-bar spam, encoded payloads masquerading as
@@ -947,45 +990,15 @@ object PipelineQueries {
         .withColumn("__li", TF.langIdScore(col("text")))
       val gBlock = coalesce(col("source").isin("src3", "src7", "src13"), lit(false))
       val gLang = coalesce(col("__li.lang") === "en", lit(false))
-      // t20's gates with the token floor scaled to the fixture (Gopher's
-      // 50-token floor targets web pages; the synthetic docs run ~15-30
-      // tokens, and a funnel that drops EVERY row exercises nothing past
-      // its first gate — the token floor and the stopword-hit floor (the
-      // fixture vocabulary contains exactly ONE Gopher stopword) are the
-      // two deliberately fixture-sized parameters, called out not hidden)
-      val nTok = col("__st.n_tokens")
-      val meanLen = when(nTok === 0, lit(null)).otherwise(round(
-        col("__st.token_len_sum").cast("double") / nTok, 6))
-      val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
-        col("__st.alpha_tokens").cast("double") / nTok, 6))
-      val gGopher = coalesce(nTok.between(10, 100000) && meanLen.between(3.0, 10.0) &&
-        alphaRatio >= 0.8 && col("__st.gopher_stops") >= 1, lit(false))
-      // t25's gates, verbatim (raw text — no planted augmentation here)
-      val nl = col("__rs.n_lines")
-      val rc = col("__rs.n_chars")
-      def rfrac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
-        when(den === 0, lit(null).cast("double"))
-          .otherwise(round(num / den.cast("double"), 6))
-      val gRep = coalesce(
-        rfrac(col("__rs.dup_line_excess"), nl) <= 0.30 &&
-        rfrac(col("__rs.dup_line_char_excess"), col("__rs.line_chars")) <= 0.20 &&
-        (col("__rs.n_2grams") < 20 || rfrac(col("__rs.top2_cover"), rc) <= 0.20) &&
-        rfrac(col("__rs.dup3_chars"), rc) <= 0.18, lit(false))
-      // t23's scorer, verbatim
-      val nc23 = col("__st.n_chars")
-      val fLen = least(nTok.cast("double") / 100.0, lit(1.0))
-      val fWlen = when(nTok === 0, 0.0)
-        .otherwise(least(col("__st.token_len_sum").cast("double") / nTok / 10.0, lit(1.0)))
-      val fPunct = when(nc23 === 0, 0.0).otherwise(col("__st.punct") / nc23.cast("double"))
-      val fStop = when(nTok === 0, 0.0).otherwise(col("__st.stop_en") / nTok.cast("double"))
-      val fAlpha = when(nTok === 0, 0.0).otherwise(col("__st.alpha_tokens") / nTok.cast("double"))
-      val fBpe = when(nTok === 0, 0.0)
-        .otherwise(least(col("__st.bpe").cast("double") / nTok / 3.0, lit(1.0)))
-      val z = lit(-1.1) + lit(1.2) * fLen + lit(0.8) * fWlen - lit(2.5) * fPunct +
-        lit(3.0) * fStop + lit(1.5) * fAlpha - lit(0.4) * fBpe
-      val score = when(col("__st").isNull, lit(null).cast("double"))
-        .otherwise(lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)))
-      val gQual = coalesce(score >= 0.55, lit(false))
+      // the SHARED gate definitions (one Spark definition per gate — a
+      // hand-copied gate silently stops composing when the original is
+      // tuned). Gopher's floors are the two deliberately fixture-sized
+      // parameters (synthetic docs run ~15-30 tokens and the fixture
+      // vocabulary contains exactly ONE Gopher stopword), called out not
+      // hidden; t25's gates run on RAW text (no planted augmentation here).
+      val (_, _, gGopher) = gopherGates(col("__st"), 10, 1)
+      val (_, _, _, _, gRep) = repetitionGates(col("__rs"))
+      val gQual = coalesce(qualityModelScore(col("__st")) >= 0.55, lit(false))
       val reason = when(gBlock, "blocklist")
         .when(!gLang, "language")
         .when(!gGopher, "gopher")
@@ -1062,17 +1075,11 @@ object PipelineQueries {
     "t20_gopher_filter" -> ((s, dir) => {
       val df = t(s, dir, "documents")
         .withColumn("__st", TF.textStats(col("text"))) // ONE walk per row
-      val nTok = col("__st.n_tokens")
-      val meanLen = when(nTok === 0, lit(null)).otherwise(round(
-        col("__st.token_len_sum").cast("double") / nTok, 6))
-      val alphaRatio = when(nTok === 0, lit(null)).otherwise(round(
-        col("__st.alpha_tokens").cast("double") / nTok, 6))
-      val stopHits = col("__st.gopher_stops")
+      val (meanLen, alphaRatio, passes) = gopherGates(col("__st"), 50, 2)
       ordered(df.select(
-        col("doc_id"), nTok.as("n_tokens"), meanLen.as("mean_word_len"),
-        alphaRatio.as("alpha_ratio"), stopHits.as("stop_hits"),
-        coalesce(nTok.between(50, 100000) && meanLen.between(3.0, 10.0) &&
-          alphaRatio >= 0.8 && stopHits >= 2, lit(false)).as("passes")))
+        col("doc_id"), col("__st.n_tokens").as("n_tokens"),
+        meanLen.as("mean_word_len"), alphaRatio.as("alpha_ratio"),
+        col("__st.gopher_stops").as("stop_hits"), passes.as("passes")))
     }),
     // ---- dedup family ----
     "d01_dedup_exact" -> ((s, dir) => {
@@ -2685,6 +2692,120 @@ object PipelineQueries {
        |  md5(substr(text, CAST(chunk_idx * 900 + 1 AS INTEGER), 1000)) AS chunk_fp
        |FROM c ${orderSql("doc_id", "chunk_idx", "chunk_chars", "chunk_fp")}""".stripMargin
 
+  // ---- shared ORACLE fragments for the curation gates (one SQL
+  // definition per gate, mirrored 1:1 by the Spark helpers above —
+  // t20/t23/t25/t26 each use their fragment standalone and t28's funnel
+  // composes the same strings, so the mirrors cannot drift apart) ----
+
+  /** t26's marker-n-gram scores (s_de..s_zh) from `$from(doc_id, text)`. */
+  private def langScoresSelectSql(from: String): String =
+    s"""SELECT doc_id,
+       |    (length(text) - length(replace(text, ' der ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' und ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' das ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' nicht ', ''))) // 7 AS s_de,
+       |    (length(text) - length(replace(text, ' the ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' a ', ''))) // 3
+       |      + (length(text) - length(replace(text, ' of ', ''))) // 4
+       |      + (length(text) - length(replace(text, ' and ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' is ', ''))) // 4 AS s_en,
+       |    (length(text) - length(replace(text, ' el ', ''))) // 4
+       |      + (length(text) - length(replace(text, ' los ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' que ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS s_es,
+       |    (length(text) - length(replace(text, ' le ', ''))) // 4
+       |      + (length(text) - length(replace(text, ' les ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' est ', ''))) // 5
+       |      + (length(text) - length(replace(text, ' une ', ''))) // 5 AS s_fr,
+       |    (length(text) - length(replace(text, '的', '')))
+       |      + (length(text) - length(replace(text, '了', '')))
+       |      + (length(text) - length(replace(text, '是', '')))
+       |      + (length(text) - length(replace(text, '在', ''))) AS s_zh
+       |  FROM $from""".stripMargin
+
+  /** The argmax label over s_de..s_zh — alphabetical tie-break, 'und' at
+    * zero, NULL text stays NULL (mirrors [[graft.expressions.LangId]]).
+    */
+  private val langPredCaseSql: String =
+    """CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) IS NULL THEN NULL
+      |         WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |         ELSE 'zh' END""".stripMargin
+
+  /** t23's z over an `m` CTE exposing (nt, tls, punct, n_chars, stop_en,
+    * alpha_tokens, bpe) — left-to-right fold, mirrors [[qualityModelScore]].
+    */
+  private val qualityZExprSql: String =
+    """-1.1 + 1.2 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
+      |      + 0.8 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(tls AS DOUBLE) / nt / 10.0, 1.0) END)
+      |      - 2.5 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END)
+      |      + 3.0 * (CASE WHEN nt = 0 THEN 0.0 ELSE stop_en / CAST(nt AS DOUBLE) END)
+      |      + 1.5 * (CASE WHEN nt = 0 THEN 0.0 ELSE alpha_tokens / CAST(nt AS DOUBLE) END)
+      |      - 0.4 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(bpe AS DOUBLE) / nt / 3.0, 1.0) END)""".stripMargin
+
+  /** t20's Gopher pass over (mean_word_len, alpha_ratio, stop_hits) with
+    * the token count column and floors parameterized (mirrors
+    * [[gopherGates]]).
+    */
+  private def gopherPassSql(nt: String, tokenFloor: Int, stopFloor: Int): String =
+    s"""COALESCE($nt BETWEEN $tokenFloor AND 100000 AND mean_word_len BETWEEN 3 AND 10
+       |   AND alpha_ratio >= 0.8 AND stop_hits >= $stopFloor, FALSE)""".stripMargin
+
+  /** t25's duplicate-line counters over `$docs(doc_id, text)` (CTEs
+    * lf/lg/la).
+    */
+  private def repLineCtesSql(docs: String): String =
+    s"""lf AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS ln FROM $docs),
+       |lg AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf
+       |       WHERE length(ln) > 0 GROUP BY 1, 2),
+       |la AS (SELECT doc_id,
+       |    CAST(SUM(c) AS INTEGER) AS n_lines,
+       |    CAST(SUM(c - 1) AS INTEGER) AS dle,
+       |    CAST(SUM(c * length(ln)) AS BIGINT) AS lc,
+       |    CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dlce
+       |  FROM lg GROUP BY doc_id)""".stripMargin
+
+  /** t25's n-gram mass counters over `$tbl`'s token-list column `$toks`
+    * (CTEs g2a/t2/g3a/t3).
+    */
+  private def repGramCtesSql(tbl: String, toks: String): String =
+    s"""g2a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len($toks)),
+       |      i -> $toks[CAST(i AS INTEGER)] || ' ' || $toks[CAST(i + 1 AS INTEGER)])) AS g
+       |    FROM $tbl WHERE len($toks) >= 2) GROUP BY 1, 2),
+       |t2 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2 FROM g2a GROUP BY doc_id),
+       |g3a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len($toks) - 1),
+       |      i -> $toks[CAST(i AS INTEGER)] || ' ' || $toks[CAST(i + 1 AS INTEGER)] || ' ' || $toks[CAST(i + 2 AS INTEGER)])) AS g
+       |    FROM $tbl WHERE len($toks) >= 3) GROUP BY 1, 2),
+       |t3 AS (SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3
+       |  FROM g3a GROUP BY doc_id)""".stripMargin
+
+  /** t25's four repetition fractions over joined la/t2/t3, the char-count
+    * expression parameterized.
+    */
+  private def repFracColsSql(nChars: String): String =
+    s"""CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
+       |         ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END AS dup_line_frac,
+       |    CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
+       |         ELSE ROUND(la.dlce / CAST(la.lc AS DOUBLE), 6) END AS dup_line_char_frac,
+       |    CASE WHEN COALESCE($nChars, 0) = 0 THEN NULL
+       |         ELSE ROUND(COALESCE(t2.top2, 0) / CAST($nChars AS DOUBLE), 6) END AS top2gram_frac,
+       |    CASE WHEN COALESCE($nChars, 0) = 0 THEN NULL
+       |         ELSE ROUND(COALESCE(t3.dup3, 0) / CAST($nChars AS DOUBLE), 6) END AS dup3gram_frac""".stripMargin
+
+  /** t25's composite pass over the fraction columns (mirrors
+    * [[repetitionGates]], applicability floor included).
+    */
+  private val repPassSql: String =
+    """COALESCE(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      |    AND (n_2grams < 20 OR top2gram_frac <= 0.20)
+      |    AND dup3gram_frac <= 0.18, FALSE)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t01_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
@@ -2871,8 +2992,7 @@ object PipelineQueries {
          |    ['the','be','to','of','and','that','have','with']))) AS INTEGER) AS stop_hits
          |  FROM d)
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, mean_word_len, alpha_ratio, stop_hits,
-         |  COALESCE(n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
-         |   AND alpha_ratio >= 0.8 AND stop_hits >= 2, FALSE) AS passes
+         |  ${gopherPassSql("n_tokens", 50, 2)} AS passes
          |FROM m ${orderSql("doc_id")}""".stripMargin,
     // the linear scorer re-derived feature-by-feature from t02/t20's
     // proven textStats mirrors; the dot product folds in the same
@@ -2891,20 +3011,10 @@ object PipelineQueries {
          |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
          |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens
          |  FROM d),
-         |f AS (
-         |  SELECT doc_id, n_chars,
-         |    least(CAST(nt AS DOUBLE) / 100.0, 1.0) AS f_len,
-         |    CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(tls AS DOUBLE) / nt / 10.0, 1.0) END AS f_wlen,
-         |    CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END AS f_punct,
-         |    CASE WHEN nt = 0 THEN 0.0 ELSE stop_en / CAST(nt AS DOUBLE) END AS f_stop,
-         |    CASE WHEN nt = 0 THEN 0.0 ELSE alpha_tokens / CAST(nt AS DOUBLE) END AS f_alpha,
-         |    CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(bpe AS DOUBLE) / nt / 3.0, 1.0) END AS f_bpe
-         |  FROM m),
          |z AS (
          |  SELECT doc_id, n_chars,
-         |    -1.1 + 1.2 * f_len + 0.8 * f_wlen - 2.5 * f_punct
-         |      + 3.0 * f_stop + 1.5 * f_alpha - 0.4 * f_bpe AS zz
-         |  FROM f)
+         |    $qualityZExprSql AS zz
+         |  FROM m)
          |SELECT doc_id,
          |  CASE WHEN n_chars IS NULL THEN NULL
          |       ELSE ROUND(0.5 + 0.5 * zz / (1.0 + abs(zz)), 6) END AS model_score,
@@ -2930,39 +3040,13 @@ object PipelineQueries {
          |  UNION ALL SELECT doc_id + 4000000,
          |    repeat('的了是在的是', CAST(1 + doc_id % 3 AS INTEGER))
          |    FROM documents WHERE doc_id % 4 = 3),
-         |sc AS (
-         |  SELECT doc_id,
-         |    (length(text) - length(replace(text, ' der ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' und ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' das ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' nicht ', ''))) // 7 AS s_de,
-         |    (length(text) - length(replace(text, ' the ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' a ', ''))) // 3
-         |      + (length(text) - length(replace(text, ' of ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' and ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' is ', ''))) // 4 AS s_en,
-         |    (length(text) - length(replace(text, ' el ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' los ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' que ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS s_es,
-         |    (length(text) - length(replace(text, ' le ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' les ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' est ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' une ', ''))) // 5 AS s_fr,
-         |    (length(text) - length(replace(text, '的', '')))
-         |      + (length(text) - length(replace(text, '了', '')))
-         |      + (length(text) - length(replace(text, '是', '')))
-         |      + (length(text) - length(replace(text, '在', ''))) AS s_zh
-         |  FROM corpus),
+         |sc AS (${langScoresSelectSql("corpus")}),
          |best AS (
          |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
          |    greatest(s_de, s_en, s_es, s_fr, s_zh) AS b
          |  FROM sc)
          |SELECT doc_id,
-         |  CASE WHEN b IS NULL THEN NULL WHEN b = 0 THEN 'und'
-         |       WHEN s_de = b THEN 'de' WHEN s_en = b THEN 'en'
-         |       WHEN s_es = b THEN 'es' WHEN s_fr = b THEN 'fr'
-         |       ELSE 'zh' END AS lang_pred,
+         |  $langPredCaseSql AS lang_pred,
          |  CAST(b AS INTEGER) AS score,
          |  CAST(b - CASE WHEN s_de = b THEN greatest(s_en, s_es, s_fr, s_zh)
          |       WHEN s_en = b THEN greatest(s_de, s_es, s_fr, s_zh)
@@ -3073,54 +3157,23 @@ object PipelineQueries {
          |  SELECT doc_id, CASE WHEN doc_id % 6 = 2
          |    THEN text || chr(10) || text ELSE text END AS text
          |  FROM documents),
-         |lf AS (
-         |  SELECT doc_id, unnest(str_split(text, chr(10))) AS ln FROM aug),
-         |lg AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf
-         |       WHERE length(ln) > 0 GROUP BY 1, 2),
-         |la AS (SELECT doc_id,
-         |    CAST(SUM(c) AS INTEGER) AS n_lines,
-         |    CAST(SUM(c - 1) AS INTEGER) AS dle,
-         |    CAST(SUM(c * length(ln)) AS BIGINT) AS lc,
-         |    CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dlce
-         |  FROM lg GROUP BY doc_id),
+         |${repLineCtesSql("aug")},
          |tk AS (SELECT doc_id, length(text) AS n_chars,
          |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
          |  FROM aug),
-         |g2a AS (
-         |  SELECT doc_id, g, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)])) AS g
-         |    FROM tk WHERE len(t) >= 2) GROUP BY 1, 2),
-         |t2 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2 FROM g2a GROUP BY doc_id),
-         |g3a AS (
-         |  SELECT doc_id, g, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
-         |      i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i + 1 AS INTEGER)] || ' ' || t[CAST(i + 2 AS INTEGER)])) AS g
-         |    FROM tk WHERE len(t) >= 3) GROUP BY 1, 2),
-         |t3 AS (SELECT doc_id,
-         |    CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3
-         |  FROM g3a GROUP BY doc_id),
+         |${repGramCtesSql("tk", "t")},
          |f AS (
          |  SELECT a.doc_id, a.text,
          |    COALESCE(la.n_lines, 0) AS n_lines,
          |    greatest(len(tk.t) - 1, 0) AS n_2grams,
-         |    CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
-         |         ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END AS dup_line_frac,
-         |    CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
-         |         ELSE ROUND(la.dlce / CAST(la.lc AS DOUBLE), 6) END AS dup_line_char_frac,
-         |    CASE WHEN COALESCE(tk.n_chars, 0) = 0 THEN NULL
-         |         ELSE ROUND(COALESCE(t2.top2, 0) / CAST(tk.n_chars AS DOUBLE), 6) END AS top2gram_frac,
-         |    CASE WHEN COALESCE(tk.n_chars, 0) = 0 THEN NULL
-         |         ELSE ROUND(COALESCE(t3.dup3, 0) / CAST(tk.n_chars AS DOUBLE), 6) END AS dup3gram_frac
+         |    ${repFracColsSql("tk.n_chars")}
          |  FROM aug a
          |  LEFT JOIN la USING (doc_id) LEFT JOIN tk USING (doc_id)
          |  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id))
          |SELECT doc_id,
          |  CASE WHEN text IS NULL THEN NULL ELSE n_lines END AS n_lines,
          |  dup_line_frac, dup_line_char_frac, top2gram_frac, dup3gram_frac,
-         |  COALESCE(dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
-         |    AND (n_2grams < 20 OR top2gram_frac <= 0.20)
-         |    AND dup3gram_frac <= 0.18, FALSE) AS passes
+         |  $repPassSql AS passes
          |FROM f
          |${orderSql("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
                      "top2gram_frac", "dup3gram_frac", "passes")}""".stripMargin,
@@ -3135,7 +3188,7 @@ object PipelineQueries {
          |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
          |    length(text) AS n_chars
          |  FROM documents),
-         |m AS (SELECT doc_id, text, source, n_chars, bpe, punct, len(toks) AS nt,
+         |m AS (SELECT doc_id, source, n_chars, bpe, punct, len(toks) AS nt,
          |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
          |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
          |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens,
@@ -3146,88 +3199,24 @@ object PipelineQueries {
          |    END AS mean_word_len,
          |    CASE WHEN len(toks) = 0 THEN NULL ELSE
          |      ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
-         |    END AS alpha_ratio,
-         |    greatest(len(toks) - 1, 0) AS n_2grams
+         |    END AS alpha_ratio
          |  FROM d),
-         |lf AS (SELECT doc_id, unnest(str_split(text, chr(10))) AS ln FROM documents),
-         |lg AS (SELECT doc_id, ln, COUNT(*) AS c FROM lf WHERE length(ln) > 0 GROUP BY 1, 2),
-         |la AS (SELECT doc_id,
-         |    CAST(SUM(c) AS INTEGER) AS n_lines,
-         |    CAST(SUM(c - 1) AS INTEGER) AS dle,
-         |    CAST(SUM(c * length(ln)) AS BIGINT) AS lc,
-         |    CAST(SUM((c - 1) * length(ln)) AS BIGINT) AS dlce
-         |  FROM lg GROUP BY doc_id),
-         |g2a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS g
-         |    FROM d WHERE len(toks) >= 2) GROUP BY 1, 2),
-         |t2 AS (SELECT doc_id, CAST(MAX(c * length(g)) AS BIGINT) AS top2 FROM g2a GROUP BY doc_id),
-         |g3a AS (SELECT doc_id, g, COUNT(*) AS c FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
-         |      i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)])) AS g
-         |    FROM d WHERE len(toks) >= 3) GROUP BY 1, 2),
-         |t3 AS (SELECT doc_id,
-         |    CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(g) END), 0) AS BIGINT) AS dup3
-         |  FROM g3a GROUP BY doc_id),
-         |rep AS (SELECT m.doc_id,
-         |    COALESCE(
-         |      (CASE WHEN COALESCE(la.n_lines, 0) = 0 THEN NULL
-         |            ELSE ROUND(la.dle / CAST(la.n_lines AS DOUBLE), 6) END) <= 0.30
-         |      AND (CASE WHEN COALESCE(la.lc, 0) = 0 THEN NULL
-         |            ELSE ROUND(la.dlce / CAST(la.lc AS DOUBLE), 6) END) <= 0.20
-         |      AND (m.n_2grams < 20 OR
-         |        (CASE WHEN COALESCE(m.n_chars, 0) = 0 THEN NULL
-         |              ELSE ROUND(COALESCE(t2.top2, 0) / CAST(m.n_chars AS DOUBLE), 6) END) <= 0.20)
-         |      AND (CASE WHEN COALESCE(m.n_chars, 0) = 0 THEN NULL
-         |            ELSE ROUND(COALESCE(t3.dup3, 0) / CAST(m.n_chars AS DOUBLE), 6) END) <= 0.18,
-         |      FALSE) AS g_rep
-         |  FROM m LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
-         |li AS (SELECT doc_id,
-         |    (length(text) - length(replace(text, ' der ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' und ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' das ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' nicht ', ''))) // 7 AS s_de,
-         |    (length(text) - length(replace(text, ' the ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' a ', ''))) // 3
-         |      + (length(text) - length(replace(text, ' of ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' and ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' is ', ''))) // 4 AS s_en,
-         |    (length(text) - length(replace(text, ' el ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' los ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' que ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' y ', ''))) // 3 AS s_es,
-         |    (length(text) - length(replace(text, ' le ', ''))) // 4
-         |      + (length(text) - length(replace(text, ' les ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' est ', ''))) // 5
-         |      + (length(text) - length(replace(text, ' une ', ''))) // 5 AS s_fr,
-         |    (length(text) - length(replace(text, '的', '')))
-         |      + (length(text) - length(replace(text, '了', '')))
-         |      + (length(text) - length(replace(text, '是', '')))
-         |      + (length(text) - length(replace(text, '在', ''))) AS s_zh
-         |  FROM documents),
-         |lang AS (SELECT doc_id,
-         |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) IS NULL THEN NULL
-         |         WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-         |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-         |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-         |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-         |         ELSE 'zh' END AS lang_pred
-         |  FROM li),
+         |${repLineCtesSql("documents")},
+         |${repGramCtesSql("d", "toks")},
+         |rep AS (SELECT d.doc_id,
+         |    greatest(len(d.toks) - 1, 0) AS n_2grams,
+         |    ${repFracColsSql("d.n_chars")}
+         |  FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
+         |li AS (${langScoresSelectSql("documents")}),
+         |lang AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM li),
          |z AS (SELECT doc_id, n_chars,
-         |    -1.1 + 1.2 * least(CAST(nt AS DOUBLE) / 100.0, 1.0)
-         |      + 0.8 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(tls AS DOUBLE) / nt / 10.0, 1.0) END)
-         |      - 2.5 * (CASE WHEN n_chars = 0 THEN 0.0 ELSE punct / CAST(n_chars AS DOUBLE) END)
-         |      + 3.0 * (CASE WHEN nt = 0 THEN 0.0 ELSE stop_en / CAST(nt AS DOUBLE) END)
-         |      + 1.5 * (CASE WHEN nt = 0 THEN 0.0 ELSE alpha_tokens / CAST(nt AS DOUBLE) END)
-         |      - 0.4 * (CASE WHEN nt = 0 THEN 0.0 ELSE least(CAST(bpe AS DOUBLE) / nt / 3.0, 1.0) END) AS zz
+         |    $qualityZExprSql AS zz
          |  FROM m),
          |gates AS (SELECT m.doc_id,
          |    COALESCE(m.source IN ('src3', 'src7', 'src13'), FALSE) AS g_block,
          |    COALESCE(lang.lang_pred = 'en', FALSE) AS g_lang,
-         |    COALESCE(m.nt BETWEEN 10 AND 100000 AND m.mean_word_len BETWEEN 3 AND 10
-         |      AND m.alpha_ratio >= 0.8 AND m.stop_hits >= 1, FALSE) AS g_gopher,
-         |    rep.g_rep,
+         |    ${gopherPassSql("m.nt", 10, 1)} AS g_gopher,
+         |    ($repPassSql) AS g_rep,
          |    COALESCE(z.n_chars IS NOT NULL
          |      AND 0.5 + 0.5 * z.zz / (1.0 + abs(z.zz)) >= 0.55, FALSE) AS g_qual
          |  FROM m JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN z USING (doc_id)),

@@ -358,14 +358,14 @@ class TextFunctionsSpec extends SparkSpec {
   test("t28 curation funnel: each gate produces its reason; first failure wins") {
     val dir = tmpDir("funnel28")
     val kept = "x the cats sat upon the mats and the dogs run toward the door"
-    Seq((1L, kept, "en", "srca", 62L),                       // all gates pass
-        (2L, kept, "en", "src3", 62L),                       // blocklisted source
+    Seq((1L, kept, "en", "srca", 61L),                       // all gates pass
+        (2L, kept, "en", "src3", 61L),                       // blocklisted source
         (3L, "zz qq ww", "en", "srca", 8L),                  // no en markers -> language
         (4L, "z the y", "en", "srca", 7L),                   // en but 3 tokens -> gopher
         (5L, "x the dogs the dogs the dogs the dogs the dogs the dogs",
           "en", "srca", 55L),                                // dup-3-gram mass -> repetition
         (6L, "x the qq!!! ww!!! ee!!! rr!!! tt!!! yy!!! uu!!! ii!!! oo!!! pp!!! ss!!! dd!!!",
-          "en", "srca", 76L),                                // score 0.35 -> quality
+          "en", "srca", 77L),                                // score 0.35 -> quality
         (7L, null.asInstanceOf[String], "en", "srca", 0L))   // null text -> language
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(dir.resolve("documents.parquet").toString)
