@@ -206,7 +206,11 @@ object ScaleSoak {
       // round-15: the composite funnel — three expression walks + the
       // blocklist CASE in one projection; wall should track the t23/t25
       // narrow-scan legs it composes
-      "t28_curation_funnel")
+      "t28_curation_funnel",
+      // round-15: the funnel at ingest — per-batch cost is the batch's
+      // row-local decision + the parquet write; no corpus-wide state, so
+      // the wall scales with the arriving data only
+      "st16_streaming_curation")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

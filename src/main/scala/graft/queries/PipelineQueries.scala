@@ -604,6 +604,58 @@ object PipelineQueries {
   def st15FixedEvalProbe(s: SparkSession, dir: String, baseDir: String): DataFrame =
     st15Probe(s, dir, baseDir)
 
+  /** st16's ingest loop: two parity micro-batches of documents decided by
+    * [[curationDecision]] inside foreachBatch — see the query entry for
+    * the batch==streaming argument.
+    */
+  private def st16Funnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 =!= 0)
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"st16_funnel_${java.lang.Integer.toHexString(dir.hashCode)}")
+    deleteRecursively(base)
+    val deltaDir = base.resolve("delta")
+    val outDir = base.resolve("out")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(outDir)
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("source", StringType))))
+      .parquet(deltaDir.toString)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = outDir.resolve(s"b$batchId")
+      // empty batches still write their marker (st15's convention: the
+      // two-marker check counts delivered batches, not non-empty ones)
+      if (!java.nio.file.Files.exists(marker)) {
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val staged = base.resolve(s"stage_b$batchId")
+          curationDecision(batch).write.mode("overwrite").parquet(staged.toString)
+          java.nio.file.Files.move(staged, marker)
+        }
+      }
+    }
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val parts = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(outDir)) {
+        st => st.iterator().asScala.map(_.toString).toSeq.sorted
+      }
+    }
+    require(parts.size == 2,
+      s"st16: expected 2 decided micro-batches, saw ${parts.size}")
+    ordered(s.read.parquet(parts: _*).select("doc_id", "keep", "reason"))
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -657,6 +709,35 @@ object PipelineQueries {
     val passes = coalesce(dupLine <= 0.30 && dupLineChar <= 0.20 &&
       top2Ok && dup3 <= 0.18, lit(false))
     (dupLine, dupLineChar, top2, dup3, passes)
+  }
+
+  /** t28/st16's funnel decision over (doc_id, text, source) rows: the
+    * per-document keep/drop a curation pipeline applies, FIRST failing
+    * gate recorded as the reason. Entirely row-local (three expression
+    * walks + the blocklist CASE in one projection, shared by
+    * subexpression elimination), which is exactly why the streaming form
+    * (st16) equals the batch form per construction. The Gopher floors are
+    * the two deliberately fixture-sized parameters (synthetic docs run
+    * ~15-30 tokens and the fixture vocabulary carries exactly ONE Gopher
+    * stopword), called out not hidden; t25's gates run on RAW text.
+    */
+  private def curationDecision(docs: DataFrame): DataFrame = {
+    val df = docs
+      .withColumn("__st", TF.textStats(col("text")))
+      .withColumn("__rs", TF.repetitionStats(col("text")))
+      .withColumn("__li", TF.langIdScore(col("text")))
+    val gBlock = coalesce(col("source").isin("src3", "src7", "src13"), lit(false))
+    val gLang = coalesce(col("__li.lang") === "en", lit(false))
+    val (_, _, gGopher) = gopherGates(col("__st"), 10, 1)
+    val (_, _, _, _, gRep) = repetitionGates(col("__rs"))
+    val gQual = coalesce(qualityModelScore(col("__st")) >= 0.55, lit(false))
+    val reason = when(gBlock, "blocklist")
+      .when(!gLang, "language")
+      .when(!gGopher, "gopher")
+      .when(!gRep, "repetition")
+      .when(!gQual, "quality")
+      .otherwise("kept")
+    df.select(col("doc_id"), (reason === "kept").as("keep"), reason.as("reason"))
   }
 
   /** t23's learned quality score over one textStats struct — rational
@@ -983,31 +1064,8 @@ object PipelineQueries {
     // (subexpression elimination shares the three expression walks), no
     // shuffle beyond the determinism sort. Every gate's arithmetic is an
     // already-oracled mirror; the funnel pins their composition end to end.
-    "t28_curation_funnel" -> ((s, dir) => {
-      val df = t(s, dir, "documents")
-        .withColumn("__st", TF.textStats(col("text")))
-        .withColumn("__rs", TF.repetitionStats(col("text")))
-        .withColumn("__li", TF.langIdScore(col("text")))
-      val gBlock = coalesce(col("source").isin("src3", "src7", "src13"), lit(false))
-      val gLang = coalesce(col("__li.lang") === "en", lit(false))
-      // the SHARED gate definitions (one Spark definition per gate — a
-      // hand-copied gate silently stops composing when the original is
-      // tuned). Gopher's floors are the two deliberately fixture-sized
-      // parameters (synthetic docs run ~15-30 tokens and the fixture
-      // vocabulary contains exactly ONE Gopher stopword), called out not
-      // hidden; t25's gates run on RAW text (no planted augmentation here).
-      val (_, _, gGopher) = gopherGates(col("__st"), 10, 1)
-      val (_, _, _, _, gRep) = repetitionGates(col("__rs"))
-      val gQual = coalesce(qualityModelScore(col("__st")) >= 0.55, lit(false))
-      val reason = when(gBlock, "blocklist")
-        .when(!gLang, "language")
-        .when(!gGopher, "gopher")
-        .when(!gRep, "repetition")
-        .when(!gQual, "quality")
-        .otherwise("kept")
-      ordered(df.select(col("doc_id"),
-        (reason === "kept").as("keep"), reason.as("reason")))
-    }),
+    "t28_curation_funnel" -> ((s, dir) =>
+      ordered(curationDecision(t(s, dir, "documents")))),
     "t22_mixture_sample" -> ((s, dir) => {
       val n = expr("try_cast(substring(source, 4) AS INT)")
       val bucket = pmod(n, lit(4)) // 0..3 -> keep 1/4, 1/2, 3/4, all
@@ -1753,6 +1811,17 @@ object PipelineQueries {
     // the one-shot d19 output by construction, so d11's oracle pins this
     // path too.
     "st15_streaming_decontamination" -> ((s, dir) => st15Probe(s, dir, dir)),
+    // the t28 funnel applied AT INGEST: documents arrive as micro-batches
+    // and each batch is decided inside foreachBatch with NO corpus-wide
+    // state — every funnel gate is row-local, so union-over-batches equals
+    // the one-shot t28 output BY CONSTRUCTION and t28's oracle pins
+    // batch == streaming exactly (the d11/d19/st15 triangulation
+    // discipline applied to curation). Results land as one idempotent
+    // parquet dir per batch id (redelivery overwrites its own output, a
+    // marker skips re-work); per-batch stages pin shuffle partitions to
+    // the core count (work is sized by the batch, not the corpus-global
+    // setting).
+    "st16_streaming_curation" -> ((s, dir) => st16Funnel(s, dir)),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -2806,6 +2875,59 @@ object PipelineQueries {
       |    AND (n_2grams < 20 OR top2gram_frac <= 0.20)
       |    AND dup3gram_frac <= 0.18, FALSE)""".stripMargin
 
+  /** t28's funnel oracle — also st16's (batch == streaming by
+    * construction for row-local decisions).
+    */
+  private lazy val curationFunnelOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, source,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
+         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
+         |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |m AS (SELECT doc_id, source, n_chars, bpe, punct, len(toks) AS nt,
+         |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
+         |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens,
+         |    CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
+         |      ['the','be','to','of','and','that','have','with']))) AS INTEGER) AS stop_hits,
+         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |      ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
+         |    END AS mean_word_len,
+         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
+         |      ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
+         |    END AS alpha_ratio
+         |  FROM d),
+         |${repLineCtesSql("documents")},
+         |${repGramCtesSql("d", "toks")},
+         |rep AS (SELECT d.doc_id,
+         |    greatest(len(d.toks) - 1, 0) AS n_2grams,
+         |    ${repFracColsSql("d.n_chars")}
+         |  FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
+         |li AS (${langScoresSelectSql("documents")}),
+         |lang AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM li),
+         |z AS (SELECT doc_id, n_chars,
+         |    $qualityZExprSql AS zz
+         |  FROM m),
+         |gates AS (SELECT m.doc_id,
+         |    COALESCE(m.source IN ('src3', 'src7', 'src13'), FALSE) AS g_block,
+         |    COALESCE(lang.lang_pred = 'en', FALSE) AS g_lang,
+         |    ${gopherPassSql("m.nt", 10, 1)} AS g_gopher,
+         |    ($repPassSql) AS g_rep,
+         |    COALESCE(z.n_chars IS NOT NULL
+         |      AND 0.5 + 0.5 * z.zz / (1.0 + abs(z.zz)) >= 0.55, FALSE) AS g_qual
+         |  FROM m JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN z USING (doc_id)),
+         |decided AS (SELECT doc_id,
+         |    CASE WHEN g_block THEN 'blocklist'
+         |         WHEN NOT g_lang THEN 'language'
+         |         WHEN NOT g_gopher THEN 'gopher'
+         |         WHEN NOT g_rep THEN 'repetition'
+         |         WHEN NOT g_qual THEN 'quality'
+         |         ELSE 'kept' END AS reason
+         |  FROM gates)
+         |SELECT doc_id, reason = 'kept' AS keep, reason FROM decided
+         |${orderSql("doc_id", "keep", "reason")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "t01_text_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
@@ -3181,55 +3303,11 @@ object PipelineQueries {
     // explodes on RAW text, t26's scores without the planted union), then
     // one CASE picks the first failing gate — both engines fold the same
     // total (coalesced) booleans, so the decision column hashes exactly
-    "t28_curation_funnel" ->
-      s"""WITH d AS (SELECT doc_id, text, source,
-         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
-         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
-         |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
-         |    length(text) AS n_chars
-         |  FROM documents),
-         |m AS (SELECT doc_id, source, n_chars, bpe, punct, len(toks) AS nt,
-         |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
-         |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
-         |    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_tokens,
-         |    CAST(len(list_distinct(list_intersect(list_transform(toks, x -> lower(x)),
-         |      ['the','be','to','of','and','that','have','with']))) AS INTEGER) AS stop_hits,
-         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
-         |      ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6)
-         |    END AS mean_word_len,
-         |    CASE WHEN len(toks) = 0 THEN NULL ELSE
-         |      ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
-         |    END AS alpha_ratio
-         |  FROM d),
-         |${repLineCtesSql("documents")},
-         |${repGramCtesSql("d", "toks")},
-         |rep AS (SELECT d.doc_id,
-         |    greatest(len(d.toks) - 1, 0) AS n_2grams,
-         |    ${repFracColsSql("d.n_chars")}
-         |  FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
-         |li AS (${langScoresSelectSql("documents")}),
-         |lang AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM li),
-         |z AS (SELECT doc_id, n_chars,
-         |    $qualityZExprSql AS zz
-         |  FROM m),
-         |gates AS (SELECT m.doc_id,
-         |    COALESCE(m.source IN ('src3', 'src7', 'src13'), FALSE) AS g_block,
-         |    COALESCE(lang.lang_pred = 'en', FALSE) AS g_lang,
-         |    ${gopherPassSql("m.nt", 10, 1)} AS g_gopher,
-         |    ($repPassSql) AS g_rep,
-         |    COALESCE(z.n_chars IS NOT NULL
-         |      AND 0.5 + 0.5 * z.zz / (1.0 + abs(z.zz)) >= 0.55, FALSE) AS g_qual
-         |  FROM m JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN z USING (doc_id)),
-         |decided AS (SELECT doc_id,
-         |    CASE WHEN g_block THEN 'blocklist'
-         |         WHEN NOT g_lang THEN 'language'
-         |         WHEN NOT g_gopher THEN 'gopher'
-         |         WHEN NOT g_rep THEN 'repetition'
-         |         WHEN NOT g_qual THEN 'quality'
-         |         ELSE 'kept' END AS reason
-         |  FROM gates)
-         |SELECT doc_id, reason = 'kept' AS keep, reason FROM decided
-         |${orderSql("doc_id", "keep", "reason")}""".stripMargin,
+    "t28_curation_funnel" -> curationFunnelOracle,
+    // batch == streaming for the funnel: row-local decisions make the
+    // union over micro-batches equal the one-shot output by construction,
+    // so ONE oracle pins both paths
+    "st16_streaming_curation" -> curationFunnelOracle,
     // per-codepoint counts via a char explode; the Gini inputs are exact
     // integers, so the single division reproduces Spark's double exactly
     "t24_char_distribution" ->

@@ -390,6 +390,20 @@ class TextFunctionsSpec extends SparkSpec {
       s"t28's only exchange is the determinism sort:\n$static")
   }
 
+  test("st16 streaming curation equals t28 row-for-row (batch == streaming)") {
+    // the funnel's gates are all row-local, so the union over micro-batches
+    // must equal the one-shot decision exactly — this is what lets st16
+    // share t28's oracle
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = graft.queries.PipelineQueries.queries(q)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    val batch = rows("t28_curation_funnel")
+    val streamed = rows("st16_streaming_curation")
+    assert(batch == streamed, s"diverged: only-batch=${batch.diff(streamed).take(3)} " +
+      s"only-streamed=${streamed.diff(batch).take(3)}")
+    assert(batch.exists(_._2) && batch.exists(!_._2), "both decisions must occur")
+  }
+
   test("s09 centroids: exact decimal-accumulated means, label x dim cardinality") {
     val dir = tmpDir("centroids")
     Seq((1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 5.0f), 0), (3L, Array(10.0f, 20.0f), 1))
