@@ -209,7 +209,11 @@ object ScaleSoak {
       "t28_curation_funnel",
       // round-15: the funnel at ingest — per-batch cost is the batch's
       // row-local decision + the parquet write; no corpus-wide state, so
-      // the wall scales with the arriving data only
+      // the wall scales with the arriving data only. Caveat recorded in
+      // BENCH_NOTES: unlike st15 (small derived eval), this leg stages the
+      // WHOLE scaled corpus through addStreamFile's single-task writes
+      // inside the timed window, so part of the wall is fixture staging,
+      // not the decision
       "st16_streaming_curation")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement

@@ -533,45 +533,42 @@ object PipelineQueries {
     * charge each micro-batch the task-scheduling cost of the whole-corpus
     * configuration (the st13 coupling round 13 measured).
     */
-  private def st15Probe(s: SparkSession, dir: String, baseDir: String): DataFrame = {
-    val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val table = d19ContaminationIndex(s, dir, train)
-    val eval0 = t(s, baseDir, "documents").select(col("doc_id"), col("text"))
-      .where(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        expr("substring(text, 65)").as("text"))
-    val batch1 = eval0.where(col("doc_id") % 2 === 0)
-    val batch2 = eval0.where(col("doc_id") % 2 =!= 0)
+  /** Shared two-micro-batch foreachBatch harness (st15/st16 — this
+    * idempotency scaffold was hand-copied per loop, and its conventions
+    * are hard-won: stage OUTSIDE the watched dir, write-then-atomic-move
+    * output markers keyed by batch id, EMPTY batches still marked so the
+    * trailing delivered-batch check holds, per-batch stages pinned to the
+    * core count because per-batch work is sized by the BATCH, not the
+    * corpus-global shuffle setting — a no-op for exchange-free decisions
+    * like st16's). Streams `batch1` then `batch2` through a file source,
+    * decides each arriving batch with `perBatch`, lands one idempotent
+    * parquet dir per batch id, and returns the union read plus per-batch
+    * walls. st13/st12 keep their own loops — mutating an index between
+    * batches is a different contract.
+    */
+  private def twoBatchIngestLoop(s: SparkSession, tag: String, key: String,
+      schema: StructType, batch1: DataFrame, batch2: DataFrame)
+      (perBatch: DataFrame => DataFrame): (DataFrame, List[Double]) = {
     val base = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"st15_probe_${java.lang.Integer.toHexString((dir + "|" + baseDir).hashCode)}")
+      s"${tag}_${java.lang.Integer.toHexString(key.hashCode)}")
     deleteRecursively(base)
     val deltaDir = base.resolve("delta")
     val outDir = base.resolve("out")
     java.nio.file.Files.createDirectories(deltaDir)
     java.nio.file.Files.createDirectories(outDir)
-    val stream = s.readStream.schema(
-      StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType)))).parquet(deltaDir.toString)
-    lastProbeBatchWalls = Nil
+    val stream = s.readStream.schema(schema).parquet(deltaDir.toString)
+    var walls: List[Double] = Nil
     val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val tb0 = System.nanoTime()
       val marker = outDir.resolve(s"b$batchId")
-      // an EMPTY micro-batch still writes its (empty) marker — the trailing
-      // two-marker check must see one marker per delivered batch, or a
-      // parity split that drained one side would abort instead of reporting
-      // an empty probe result (an empty DataFrame write still emits a
-      // schema-bearing part file, so the union read below stays valid)
       if (!java.nio.file.Files.exists(marker)) {
         withShufflePartitions(s, s.sparkContext.defaultParallelism) {
           val staged = base.resolve(s"stage_b$batchId")
-          Dedup.crossContaminationIndexed(s, table, batch, "doc_id", "text")
-            .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated"))
-            .write.mode("overwrite").parquet(staged.toString)
+          perBatch(batch).write.mode("overwrite").parquet(staged.toString)
           java.nio.file.Files.move(staged, marker)
         }
-        lastProbeBatchWalls =
-          lastProbeBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+        walls = walls :+ (System.nanoTime() - tb0) / 1e9
       }
     }
     val q = stream.writeStream
@@ -590,9 +587,30 @@ object PipelineQueries {
       }
     }
     require(parts.size == 2,
-      s"st15: expected 2 probed micro-batches, saw ${parts.size}")
-    ordered(s.read.parquet(parts: _*)
-      .select("doc_id", "n_windows", "n_contaminated"))
+      s"$tag: expected 2 decided micro-batches, saw ${parts.size}")
+    (s.read.parquet(parts: _*), walls)
+  }
+
+  private def st15Probe(s: SparkSession, dir: String, baseDir: String): DataFrame = {
+    val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val table = d19ContaminationIndex(s, dir, train)
+    val eval0 = t(s, baseDir, "documents").select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 65)").as("text"))
+    // eval ids are derived non-null (offset over a % filter), so the
+    // parity split is total here; st16's corpus-wide split must also
+    // route NULL ids
+    val batch1 = eval0.where(col("doc_id") % 2 === 0)
+    val batch2 = eval0.where(col("doc_id") % 2 =!= 0)
+    val (res, walls) = twoBatchIngestLoop(s, "st15_probe", dir + "|" + baseDir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))), batch1, batch2) { batch =>
+      Dedup.crossContaminationIndexed(s, table, batch, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated"))
+    }
+    lastProbeBatchWalls = walls
+    ordered(res.select("doc_id", "n_windows", "n_contaminated"))
   }
 
   /** st15's loop with the train index from `dir` (soak-scaled) and the
@@ -605,55 +623,21 @@ object PipelineQueries {
     st15Probe(s, dir, baseDir)
 
   /** st16's ingest loop: two parity micro-batches of documents decided by
-    * [[curationDecision]] inside foreachBatch — see the query entry for
-    * the batch==streaming argument.
+    * [[curationDecision]] through [[twoBatchIngestLoop]] — see the query
+    * entry for the batch==streaming argument. NULL doc_ids route to
+    * batch1: the parity predicates alone would drop them from BOTH sides
+    * (NULL % 2 is NULL) while the one-shot t28 decides them — the
+    * union-equals-batch invariant must cover every row.
     */
   private def st16Funnel(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text", "source")
-    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch1 = docs.where(col("doc_id") % 2 === 0 || col("doc_id").isNull)
     val batch2 = docs.where(col("doc_id") % 2 =!= 0)
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"st16_funnel_${java.lang.Integer.toHexString(dir.hashCode)}")
-    deleteRecursively(base)
-    val deltaDir = base.resolve("delta")
-    val outDir = base.resolve("out")
-    java.nio.file.Files.createDirectories(deltaDir)
-    java.nio.file.Files.createDirectories(outDir)
-    val stream = s.readStream.schema(
+    val (res, _) = twoBatchIngestLoop(s, "st16_funnel", dir,
       StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType), StructField("source", StringType))))
-      .parquet(deltaDir.toString)
-    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
-      val marker = outDir.resolve(s"b$batchId")
-      // empty batches still write their marker (st15's convention: the
-      // two-marker check counts delivered batches, not non-empty ones)
-      if (!java.nio.file.Files.exists(marker)) {
-        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
-          val staged = base.resolve(s"stage_b$batchId")
-          curationDecision(batch).write.mode("overwrite").parquet(staged.toString)
-          java.nio.file.Files.move(staged, marker)
-        }
-      }
-    }
-    val q = stream.writeStream
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
-    try {
-      addStreamFile(batch1, deltaDir, "b1")
-      q.processAllAvailable()
-      addStreamFile(batch2, deltaDir, "b2")
-      q.processAllAvailable()
-    } finally q.stop()
-    val parts = {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.list(outDir)) {
-        st => st.iterator().asScala.map(_.toString).toSeq.sorted
-      }
-    }
-    require(parts.size == 2,
-      s"st16: expected 2 decided micro-batches, saw ${parts.size}")
-    ordered(s.read.parquet(parts: _*).select("doc_id", "keep", "reason"))
+        StructField("text", StringType), StructField("source", StringType))),
+      batch1, batch2)(curationDecision)
+    ordered(res.select("doc_id", "keep", "reason"))
   }
 
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
@@ -1814,13 +1798,13 @@ object PipelineQueries {
     // the t28 funnel applied AT INGEST: documents arrive as micro-batches
     // and each batch is decided inside foreachBatch with NO corpus-wide
     // state — every funnel gate is row-local, so union-over-batches equals
-    // the one-shot t28 output BY CONSTRUCTION and t28's oracle pins
-    // batch == streaming exactly (the d11/d19/st15 triangulation
-    // discipline applied to curation). Results land as one idempotent
-    // parquet dir per batch id (redelivery overwrites its own output, a
-    // marker skips re-work); per-batch stages pin shuffle partitions to
-    // the core count (work is sized by the batch, not the corpus-global
-    // setting).
+    // the one-shot t28 output BY CONSTRUCTION (NULL ids explicitly routed
+    // — see st16Funnel) and t28's oracle pins batch == streaming exactly
+    // (the d11/d19/st15 triangulation discipline applied to curation).
+    // Results land as one idempotent parquet dir per batch id via the
+    // shared twoBatchIngestLoop (redelivery overwrites its own output, a
+    // marker skips re-work); the decision itself is exchange-free, so the
+    // per-batch cost is the scan + projection + write.
     "st16_streaming_curation" -> ((s, dir) => st16Funnel(s, dir)),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,

@@ -394,13 +394,16 @@ class TextFunctionsSpec extends SparkSpec {
     // the funnel's gates are all row-local, so the union over micro-batches
     // must equal the one-shot decision exactly — this is what lets st16
     // share t28's oracle
+    // sorted Seq, not Set: a replayed/overlapping batch would DUPLICATE
+    // rows, and a set compare would collapse exactly that failure
     val dir = "/root/testdata/sf0.001"
     def rows(q: String) = graft.queries.PipelineQueries.queries(q)(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2)))
+      .toSeq.sorted
     val batch = rows("t28_curation_funnel")
     val streamed = rows("st16_streaming_curation")
-    assert(batch == streamed, s"diverged: only-batch=${batch.diff(streamed).take(3)} " +
-      s"only-streamed=${streamed.diff(batch).take(3)}")
+    assert(batch == streamed, s"diverged (${batch.size} vs ${streamed.size} rows): " +
+      s"only-batch=${batch.diff(streamed).take(3)} only-streamed=${streamed.diff(batch).take(3)}")
     assert(batch.exists(_._2) && batch.exists(!_._2), "both decisions must occur")
   }
 
