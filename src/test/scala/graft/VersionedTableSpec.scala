@@ -98,6 +98,24 @@ class VersionedTableSpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
   }
 
+  test("crashed builds age out: uncommitted versions older than the grace window sweep") {
+    val stem = "vtspec_tbl_k5"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "x"))))
+    // a crashed build: uncommitted location whose mtime is beyond the grace
+    // window — retention must treat it as litter, not an in-flight build
+    val crashed = whPath(s"${stem}__v50_0ddba11")
+    assert(crashed.mkdirs())
+    assert(crashed.setLastModified(
+      System.currentTimeMillis() - VersionedTable.InFlightGraceMs - 60000))
+    assert(VersionedTable.ensure(spark, "vtspec_", stem,
+      _ => fail("v1 is usable — must not rebuild")) == v1)
+    assert(!crashed.exists(), "aged-out uncommitted build must be swept")
+    assert(whPath(v1).exists())
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
   test("sibling artifacts (model dirs) version and retire with their table") {
     val stem = "vtspec_tbl_k3"
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
