@@ -659,7 +659,24 @@ object Dedup {
       corpusSizeHint: Long = -1L): DataFrame = {
     val n = if (corpusSizeHint >= 0L) corpusSizeHint else emb.count()
     val k = if (nlist > 0) nlist else IvfIndex.autoNlist(n)
-    val m = IvfIndex.train(emb, idCol, vecCol, k, sampleSize)
+    // cells are assigned on UNIT-normalized vectors: cosine is
+    // scale-invariant but L2 cells are not, so a near-duplicate whose NORM
+    // differs wildly (a re-scaled embedding — the round-15
+    // hostile-embeddings probe planted 1e-20x and 1e18x copies) would land
+    // in a different cell than its twin and silently escape the within-cell
+    // pairing. Normalizing the ASSIGNMENT key collocates by direction —
+    // the metric the dedup actually uses — while verification still runs
+    // VF.cosine on the raw vectors. Zero-norm vectors pass through
+    // unnormalized: their cosine with anything is NaN, which never crosses
+    // the threshold (the docstring's blocked-set argument).
+    def unit(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val nrm = VF.norm(v)
+      when(nrm === 0.0, v)
+        .otherwise(transform(v, x => (x / nrm).cast("float")))
+    }
+    val m = IvfIndex.train(
+      emb.select(col(idCol), unit(col(vecCol)).as(vecCol)),
+      idCol, vecCol, k, sampleSize)
     val base = emb.select(col(idCol), col(vecCol))
     // 1. identical-vector groups -> min-id rep (blocked-set equality with
     // the all-pairs form argued in the docstring)
@@ -671,7 +688,9 @@ object Dedup {
       .select(col(idCol))
     val reps = withRep.where(col(idCol) === col("__rep"))
       .select(col(idCol), col(vecCol))
-    val assigned = IvfIndex.assign(reps, idCol, vecCol, m)
+    val assigned = IvfIndex
+      .assign(reps.withColumn("__unit", unit(col(vecCol))), idCol, "__unit", m)
+      .drop("__unit")
     // 2. sub-split cells over the bound; p=0 (sub=0) below it
     val dim = m.centroids.headOption.map(_.length).getOrElse(0)
     val sig = VF.lshBucket(col(vecCol),

@@ -64,8 +64,13 @@ object Q {
   /** Exact average via dsum/count (decimal division rounding differs across
     * engines; double division does not).
     */
+  // DECIMAL(38,6), not (18,6): the order-insensitive exact mean must
+  // survive outlier magnitudes — a single 1e15-scale embedding component
+  // overflowed (18,6) and ANSI mode killed the whole centroid job (found
+  // by the round-15 hostile-embeddings probe). Values that fit (18,6)
+  // quantize identically at scale 6, so existing oracles are unchanged.
   def davg(c: Column): Column =
-    sum(c.cast(DecimalType(18, 6))).cast("double") / count(lit(1))
+    sum(c.cast(DecimalType(38, 6))).cast("double") / count(lit(1))
 
   /** Timestamp -> engine-neutral string. */
   def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -105,5 +110,5 @@ object Q {
     s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
 
   def davgSql(expr: String): String =
-    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)"
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)"
 }

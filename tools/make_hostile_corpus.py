@@ -119,3 +119,29 @@ schema = pa.schema([('doc_id', pa.int64()), ('text', pa.string()),
                     ('n_chars', pa.int64())])
 pq.write_table(pa.table(base, schema=schema), os.path.join(dst, 'documents.parquet'))
 print('wrote', len(base['doc_id']), 'docs')
+
+# hostile EMBEDDINGS (round 15): extreme norms and exact direction copies.
+# Cosine is scale-invariant but L2 cells/means are not — these rows caught
+# two real bugs on first contact: s09's DECIMAL(18,6) mean overflowed (ANSI
+# kill) on the 1e15 component, and s16's un-normalized cell assignment let
+# re-scaled near-duplicates escape their twin's cell. No NaN/Inf/zero
+# vectors: those make cosine undefined, which both engines treat as
+# "never similar" but order differently — a separate contract.
+et = pq.read_table(os.path.join(src, 'embeddings.parquet'))
+e = et.to_pydict()
+dim = len(e['embedding'][0])
+emaxid = max(e['vec_id'])
+v0 = list(e['embedding'][0])
+hostile_vecs = [
+    [x * 1e-20 for x in v0],                        # tiny norm, same direction
+    [x * 1e18 for x in v0],                         # huge norm, same direction
+    list(v0),                                       # exact duplicate, new id
+    [-x for x in v0],                               # exact negation (cos -1)
+    [1e15 if i == 0 else 1e-3 for i in range(dim)], # one dominant component
+]
+for j, v in enumerate(hostile_vecs):
+    e['vec_id'].append(emaxid + 1 + j)
+    e['embedding'].append([float(x) for x in v])
+    e['label'].append(j % 4)
+pq.write_table(pa.table(e, schema=et.schema), os.path.join(dst, 'embeddings.parquet'))
+print('wrote', len(e['vec_id']), 'vectors')
