@@ -2412,7 +2412,14 @@ object PipelineQueries {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val counts = stream.select(col("user_id").as[Long])
+      // null-keyed events can't hold per-user state (the typed Long key
+      // asserts non-null and a NULL "user" is not an identity) — they are
+      // excluded HERE and in the oracle; production routes them to a
+      // dead-letter lane (found by the round-15 hostile-events probe:
+      // one NULL user_id killed the whole stream with
+      // NOT_NULL_ASSERT_VIOLATION)
+      val counts = stream.where(col("user_id").isNotNull)
+        .select(col("user_id").as[Long])
         .groupByKey(identity)
         .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
           (user: Long, it: Iterator[Long], state: GroupState[Long]) =>
@@ -2447,8 +2454,13 @@ object PipelineQueries {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val typed = stream.select(col("user_id"),
-            (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType).as("micros"),
+        // null user_ids excluded on both sides (st02's dead-letter rule);
+        // a NULL value coalesces to 0 micros — SQL SUM skips nulls, which
+        // is the same arithmetic — so n_events still counts the row
+        val typed = stream.where(col("user_id").isNotNull)
+          .select(col("user_id"),
+            coalesce((col("value").cast(DecimalType(18, 6)) * 1000000)
+              .cast(LongType), lit(0L)).as("micros"),
             col("event_type"))
           .as[(Long, Long, String)]
         val stats = typed.groupByKey(_._1)
@@ -4130,8 +4142,11 @@ object PipelineQueries {
          |SELECT vec_id, COUNT(*) AS dim, CAST(SUM(qi) AS BIGINT) AS qsum,
          |  min(qi) AS qmin, max(qi) AS qmax
          |FROM q GROUP BY vec_id ${orderSql("vec_id", "dim", "qsum", "qmin", "qmax")}""".stripMargin,
+    // user_id IS NOT NULL on both sides: per-user state needs a user (see
+    // the query's dead-letter note)
     "st02_stateful_counts" ->
-      s"""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+      s"""SELECT user_id, COUNT(*) AS n_events FROM events
+         |WHERE user_id IS NOT NULL GROUP BY user_id
          |${orderSql("user_id", "n_events")}""".stripMargin,
     // the full matched-pair set of the streaming range join; CAST(ts AS
     // TIMESTAMP) mirrors Q.normalizeTs's truncation on old ns fixtures
@@ -4154,11 +4169,14 @@ object PipelineQueries {
          |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST""".stripMargin,
     // micro-unit longs on both sides: SUM over exact DECIMAL(18,6) values
     // scaled by 1e6 is an integer — no float addition order anywhere
+    // user_id IS NOT NULL (the dead-letter rule); SUM's null-skip and
+    // COUNT(DISTINCT)'s null-skip match the processor's coalesce-to-0
+    // micros and skip-null-type updates
     "st07_transform_with_state" ->
       s"""SELECT user_id, COUNT(*) AS n_events,
-         |CAST(SUM(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS total_micros,
+         |CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,6))), 0) * 1000000 AS BIGINT) AS total_micros,
          |COUNT(DISTINCT event_type) AS n_types
-         |FROM events GROUP BY user_id
+         |FROM events WHERE user_id IS NOT NULL GROUP BY user_id
          |${orderSql("user_id", "n_events", "total_micros", "n_types")}""".stripMargin,
     "st01_streaming_hourly" ->
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,

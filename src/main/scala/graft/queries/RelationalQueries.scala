@@ -588,7 +588,10 @@ object RelationalQueries {
     // and O(1) typed field reads. try_variant_get returns NULL on type
     // mismatch like the oracle's json_extract casts.
     "q53_variant" -> ((s, dir) => {
-      val k = try_variant_get(parse_json(col("props")), "$.k", "long")
+      // try_parse_json, not parse_json: malformed props must yield a null
+      // VARIANT (the hostile corpus plants 'not json'), matching the
+      // oracle's json_valid guard — parse_json aborts the whole scan
+      val k = try_variant_get(try_parse_json(col("props")), "$.k", "long")
       ordered(t(s, dir, "events")
         .select(col("event_type"), k.as("k"))
         .groupBy("event_type")
@@ -604,7 +607,10 @@ object RelationalQueries {
     // driver-side but bounded by the distinct key count of the output
     // (event types, a handful).
     "q52_count_min" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      // non-null keys only, on BOTH sides: countMinSketch NPEs on a null
+      // key (found by the hostile-events probe) and a null "key" has no
+      // frequency-estimation meaning — the dead-letter rule again
+      val ev = t(s, dir, "events").where(col("event_type").isNotNull)
       val exact = ordered(ev.groupBy("event_type").agg(count(lit(1)).as("n")))
       val sketch = ev.stat.countMinSketch(
         col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
@@ -780,8 +786,13 @@ object RelationalQueries {
       s"""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:00:00') AS hour,
          |event_type, COUNT(*) AS n, ${dsumSql("value")} AS total_value
          |FROM events GROUP BY 1, 2 ${orderSql("hour", "event_type", "n")}""".stripMargin,
+    // json_valid guard: Spark's get_json_object returns NULL on malformed
+    // JSON while DuckDB's json_extract_string THROWS — the hostile events
+    // corpus plants a 'not json' props to keep this aligned
     "q16_json_extract" ->
-      s"""SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(CASE WHEN json_valid(props)
+         |    THEN json_extract_string(props, '$$.k') END AS BIGINT)) AS BIGINT) AS sum_k
          |FROM events GROUP BY event_type ${orderSql("event_type")}""".stripMargin,
     // the exact column is the cross-engine contract; approx_ok mirrors the
     // in-query HLL error-envelope assert (Spark emits false -> hash breaks)
@@ -932,13 +943,15 @@ object RelationalQueries {
          |FROM m ${orderSql("l_returnflag")}""".stripMargin,
     "q52_count_min" ->
       s"""SELECT event_type, COUNT(*) AS n FROM events
+         |WHERE event_type IS NOT NULL
          |GROUP BY 1 ${orderSql("event_type", "n")}""".stripMargin,
     "q53_variant" ->
-      s"""SELECT event_type, COUNT(CAST(json_extract(props, '$$.k') AS BIGINT)) AS n,
-         |CAST(SUM(CAST(json_extract(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-         |MIN(CAST(json_extract(props, '$$.k') AS BIGINT)) AS min_k,
-         |MAX(CAST(json_extract(props, '$$.k') AS BIGINT)) AS max_k
-         |FROM events GROUP BY 1 ${orderSql("event_type")}""".stripMargin,
+      s"""WITH j AS (SELECT event_type,
+         |  CAST(CASE WHEN json_valid(props)
+         |    THEN json_extract(props, '$$.k') END AS BIGINT) AS k FROM events)
+         |SELECT event_type, COUNT(k) AS n,
+         |CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+         |FROM j GROUP BY 1 ${orderSql("event_type")}""".stripMargin,
     "q51_agg_pushdown" ->
       s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
          |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty FROM lineitem""".stripMargin,
@@ -959,7 +972,8 @@ object RelationalQueries {
          |${orderSql("c_custkey", "o_orderkey", "o_totalprice")}""".stripMargin,
     "q34_map_funcs" ->
       s"""WITH kv AS (
-         |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events)
+         |  SELECT event_type, unnest(json_keys(props)) AS key, props FROM events
+         |  WHERE json_valid(props))
          |SELECT event_type, key, COUNT(*) AS n,
          |CAST(SUM(CAST(json_extract_string(props, '$$.' || key) AS BIGINT)) AS BIGINT) AS sum_v,
          |CAST(MIN(CAST(json_extract_string(props, '$$.' || key) AS BIGINT)) AS BIGINT) AS min_v,

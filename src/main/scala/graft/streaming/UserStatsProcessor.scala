@@ -39,7 +39,10 @@ class UserStatsProcessor
     rows.foreach { case (_, m, eventType) =>
       n += 1
       micros += m
-      if (!seenTypes.containsKey(eventType)) seenTypes.updateValue(eventType, true)
+      // null types don't enter the distinct set — SQL COUNT(DISTINCT)
+      // skips nulls, and MapState would refuse a null key anyway
+      if (eventType != null && !seenTypes.containsKey(eventType))
+        seenTypes.updateValue(eventType, true)
     }
     agg.update((n, micros))
     var nTypes = 0L

@@ -145,3 +145,33 @@ for j, v in enumerate(hostile_vecs):
     e['label'].append(j % 4)
 pq.write_table(pa.table(e, schema=et.schema), os.path.join(dst, 'embeddings.parquet'))
 print('wrote', len(e['vec_id']), 'vectors')
+
+# hostile EVENTS (round 15): NULL keys/values/types/props, malformed JSON,
+# boundary timestamps, negative and large-but-in-domain values. Found on
+# first contact: NULL user_id killed st02/st07 outright (typed Long key
+# asserts non-null — both now route null-keyed events to the documented
+# dead-letter rule), and q16's oracle threw on non-JSON props where Spark
+# returns NULL (json_valid guard added). Timestamps stay INSIDE the
+# corpus's existing range: a far-future ts legitimately advances
+# watermarks and drops the rest of the corpus as late — that is the
+# watermark CONTRACT (st06 proves it on purpose), not an oracle-parity
+# target, so the skew budget is respected here.
+ev = pq.read_table(os.path.join(src, 'events.parquet'))
+g = ev.to_pydict()
+gmax = max(g['event_id'])
+umax = max(u for u in g['user_id'] if u is not None)
+ts_min, ts_max = min(g['ts']), max(g['ts'])
+ts_mid = g['ts'][0]
+hostile_events = [
+    dict(event_id=gmax+1, ts=ts_mid, user_id=None, event_type='click', value=1.5, props='{}'),
+    dict(event_id=gmax+2, ts=ts_mid, user_id=umax+1, event_type=None, value=2.5, props=None),
+    dict(event_id=gmax+3, ts=ts_mid, user_id=umax+1, event_type='view', value=None, props='{"k":1}'),
+    dict(event_id=gmax+4, ts=ts_min, user_id=umax+2, event_type='click', value=0.25, props='{}'),
+    dict(event_id=gmax+5, ts=ts_max, user_id=umax+2, event_type='view', value=0.75, props='{}'),
+    dict(event_id=gmax+6, ts=ts_mid, user_id=umax+3, event_type='click', value=999999.999999, props='{}'),
+    dict(event_id=gmax+7, ts=ts_mid, user_id=umax+3, event_type='a b\nc', value=-42.5, props='not json'),
+]
+for r in hostile_events:
+    for k in g: g[k].append(r[k])
+pq.write_table(pa.table(g, schema=ev.schema), os.path.join(dst, 'events.parquet'))
+print('wrote', len(g['event_id']), 'events')
