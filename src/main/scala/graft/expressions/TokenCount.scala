@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * consumes one CODEPOINT here, not one UTF-16 char). Empty segments from
   * repeated spaces contribute nothing.
   *
-  * Scale shape: per-row, shuffle-free, O(len x longest-vocab-entry) with a
-  * 29-entry vocab — stays inside whole-stage codegen via the static-call
-  * trait like the other profile expressions.
+  * Scale shape: per-row, shuffle-free, O(len x longest-vocab-entry) over
+  * [[TokenCount.Vocab]] (whose length, not a hardcoded count, is the
+  * contract the oracle's literal list must mirror entry for entry) — stays
+  * inside whole-stage codegen via the static-call trait like the other
+  * profile expressions.
   */
 object TokenCount {
   /** Fixture vocabulary: the synthetic corpus's high-frequency words plus a

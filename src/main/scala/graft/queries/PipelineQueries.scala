@@ -563,12 +563,22 @@ object PipelineQueries {
       val tb0 = System.nanoTime()
       val marker = outDir.resolve(s"b$batchId")
       if (!java.nio.file.Files.exists(marker)) {
-        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
-          val staged = base.resolve(s"stage_b$batchId")
-          perBatch(batch).write.mode("overwrite").parquet(staged.toString)
-          java.nio.file.Files.move(staged, marker)
+        if (batch.isEmpty) {
+          // an EMPTY micro-batch (no-data trigger) is still a delivered
+          // batch — mark it so the trailing delivered-batch check holds —
+          // but without a parquet payload: relying on the writer to emit a
+          // schema-bearing empty part file is fragile, and an empty marker
+          // records neither a wall (nothing was decided) nor a union member
+          // (the read below skips payload-less markers)
+          java.nio.file.Files.createDirectories(marker)
+        } else {
+          withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+            val staged = base.resolve(s"stage_b$batchId")
+            perBatch(batch).write.mode("overwrite").parquet(staged.toString)
+            java.nio.file.Files.move(staged, marker)
+          }
+          walls = walls :+ (System.nanoTime() - tb0) / 1e9
         }
-        walls = walls :+ (System.nanoTime() - tb0) / 1e9
       }
     }
     val q = stream.writeStream
@@ -588,7 +598,16 @@ object PipelineQueries {
     }
     require(parts.size == 2,
       s"$tag: expected 2 decided micro-batches, saw ${parts.size}")
-    (s.read.parquet(parts: _*), walls)
+    // only markers WITH a parquet payload join the union read (an empty
+    // delivered batch's marker carries no part files and no schema)
+    val decided = parts.filter { p =>
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(java.nio.file.Paths.get(p))) {
+        st => st.iterator().asScala.exists(_.getFileName.toString.startsWith("part-"))
+      }
+    }
+    require(decided.nonEmpty, s"$tag: every delivered micro-batch was empty")
+    (s.read.parquet(decided: _*), walls)
   }
 
   private def st15Probe(s: SparkSession, dir: String, baseDir: String): DataFrame = {

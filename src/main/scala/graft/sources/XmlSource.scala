@@ -67,22 +67,26 @@ object XmlSource {
     // Directory members must carry an .xml extension to be scanned.
     val expanded = paths.flatMap { p =>
       val hPath = new org.apache.hadoop.fs.Path(p)
-      if (Discovery.detectFormat(hPath.getName).contains(Discovery.Xml)) Seq(p)
+      // glob check FIRST: the most natural glob form is `dir/*.xml`, whose
+      // getName ('*.xml') matches the xml extension — the extension branch
+      // would pass the literal pattern to the sampler's getFileStatus and
+      // throw FileNotFoundException instead of expanding it
+      if (p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
+        require(matches.nonEmpty, s"glob matched no files: $p")
+        // globStatus already returned each match's FileStatus — branch on
+        // it directly; re-statting would double the driver round-trips on
+        // exactly the large-discovery path this block exists to keep cheap
+        matches.flatMap { st =>
+          if (st.isDirectory) xmlMembers(fs, st.getPath).map(_.toString)
+          else Seq(st.getPath.toString)
+        }
+      } else if (Discovery.detectFormat(hPath.getName).contains(Discovery.Xml)) Seq(p)
       else {
         val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (p.exists(c => c == '*' || c == '?' || c == '[' || c == '{')) {
-          val matches = Option(fs.globStatus(hPath)).map(_.toSeq).getOrElse(Seq.empty)
-          require(matches.nonEmpty, s"glob matched no files: $p")
-          // globStatus already returned each match's FileStatus — branch on
-          // it directly; re-statting would double the driver round-trips on
-          // exactly the large-discovery path this block exists to keep cheap
-          matches.flatMap { st =>
-            if (st.isDirectory) xmlMembers(fs, st.getPath).map(_.toString)
-            else Seq(st.getPath.toString)
-          }
-        } else if (fs.getFileStatus(hPath).isDirectory) {
-          xmlMembers(fs, hPath).map(_.toString)
-        } else Seq(p)
+        if (fs.getFileStatus(hPath).isDirectory) xmlMembers(fs, hPath).map(_.toString)
+        else Seq(p)
       }
     }
     require(expanded.nonEmpty, s"no xml files under ${paths.mkString(",")}")

@@ -19,17 +19,25 @@ import org.apache.spark.sql.SparkSession
 object TableRetention {
 
   /** Drop every catalog table and warehouse location whose name starts
-    * with `prefix` and is not in `keep`. Returns what was swept
-    * (`table:name` / `loc:name`) for logging and specs. The prefix must be
-    * a family-specific name stem — a short prefix would sweep unrelated
-    * state, so refuse anything under 4 chars.
+    * with `prefix` and is neither in `keep` nor under a `keepPrefixes`
+    * entry. Returns what was swept (`table:name` / `loc:name`) for logging
+    * and specs. The prefix must be a family-specific name stem — a short
+    * prefix would sweep unrelated state, so refuse anything under 4 chars.
+    *
+    * `keepPrefixes` protects versions whose SIBLING artifacts the caller
+    * cannot enumerate (another session's fixture key under the same
+    * family): every artifact derives from its versioned base name, so a
+    * prefix keep covers the base location and all of its artifacts.
     */
-  def sweep(spark: SparkSession, prefix: String, keep: Set[String] = Set.empty): Seq[String] = {
+  def sweep(spark: SparkSession, prefix: String, keep: Set[String] = Set.empty,
+      keepPrefixes: Set[String] = Set.empty): Seq[String] = {
     require(prefix.length >= 4,
       s"retention sweep prefix '$prefix' too short — it would sweep unrelated tables")
+    def kept(n: String): Boolean =
+      keep.contains(n) || keepPrefixes.exists(n.startsWith)
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
     spark.catalog.listTables().collect().map(_.name)
-      .filter(t => t.startsWith(prefix) && !keep.contains(t))
+      .filter(t => t.startsWith(prefix) && !kept(t))
       .foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
         swept += s"table:$t"
@@ -39,7 +47,7 @@ object TableRetention {
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(prefix) && !keep.contains(n)) {
+      if (n.startsWith(prefix) && !kept(n)) {
         fs.delete(st.getPath, true)
         swept += s"loc:$n"
       }

@@ -25,11 +25,12 @@ import org.apache.spark.sql.SparkSession
   *    versioned name) are fully written — readers resolve ONLY committed
   *    versions, so a torn build is never observable;
   *  - retention keeps: the version being returned (always), the newest TWO
-  *    committed versions of the stem (current + the one a concurrent
-  *    reader may still hold), and any uncommitted version younger than
-  *    [[InFlightGraceMs]] (a build in flight; CRASHED builds age out and
-  *    sweep as litter). Everything else goes, locations and catalog
-  *    entries both.
+  *    committed versions of EVERY stem under the family prefix (current +
+  *    the one a concurrent reader may still hold — including a sibling
+  *    session keyed by a different fixture, whose stem shares the prefix),
+  *    and any uncommitted version younger than [[InFlightGraceMs]] (a
+  *    build in flight; CRASHED builds age out and sweep as litter).
+  *    Everything else goes, locations and catalog entries both.
   *
   * Residual contract (documented, not hidden): a reader that holds a
   * resolved version across MORE THAN ONE full sibling rebuild cycle can
@@ -68,18 +69,27 @@ object VersionedTable {
     * locations survive, and it is exactly those surviving locations a
     * sibling session must not clobber.
     */
-  def listVersions(spark: SparkSession, stem: String): Seq[Version] = {
+  def listVersions(spark: SparkSession, stem: String): Seq[Version] =
+    listFamily(spark, stem).getOrElse(stem, Seq.empty)
+
+  /** Every versioned build under `prefix`, grouped by stem, newest first
+    * within each stem. Retention needs the WHOLE family, not just the
+    * caller's stem: a sibling session keyed by a different fixture has its
+    * own stem under the same prefix, and its versions deserve the same
+    * committed/grace-window protection.
+    */
+  def listFamily(spark: SparkSession, prefix: String): Map[String, Seq[Version]] = {
     val (wh, fs) = warehouse(spark)
-    if (!fs.exists(wh)) return Seq.empty
+    if (!fs.exists(wh)) return Map.empty
     fs.listStatus(wh).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case VersionedName(s, n, _) if s == stem =>
-          Some(Version(st.getPath.getName, n.toLong,
+        case VersionedName(s, n, _) if s.startsWith(prefix) =>
+          Some((s, Version(st.getPath.getName, n.toLong,
             fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker)),
-            st.getModificationTime))
+            st.getModificationTime)))
         case _ => None
       }
-    }.sortBy(-_.n)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(-_.n)).toMap
   }
 
   /** Resolve the newest committed, usable version of `stem`, or build the
@@ -145,21 +155,33 @@ object VersionedTable {
   }
 
   /** Retention under `familyPrefix`: keep the resolved version (always),
-    * the newest two committed versions of `stem` (and their sibling
-    * artifacts), and uncommitted versions younger than [[InFlightGraceMs]]
-    * (a concurrent build in flight — crashed builds age out); sweep the
-    * rest, including stale fixture keys' stems under the same family,
-    * which no live set claims (same litter policy as before versioning).
+    * the newest two committed versions of EVERY stem under the family (and
+    * their sibling artifacts), and any stem's uncommitted versions younger
+    * than [[InFlightGraceMs]] (a concurrent build in flight — crashed
+    * builds age out); sweep the rest. The keep rules apply family-wide,
+    * not just to the caller's stem: a sibling session keyed by a DIFFERENT
+    * fixture shares the prefix, and a stem-scoped keep set would clobber
+    * its committed versions — the round-14 cross-session repro, which the
+    * versioning fixed only for same-key siblings until now. Stale fixture
+    * keys therefore no longer sweep eagerly; their litter is BOUNDED (two
+    * committed versions per dead stem, uncommitted ones age out), which is
+    * the price of never deleting a live sibling's table.
+    *
+    * Sibling artifacts of other stems can't be enumerated (the siblings fn
+    * is this family instance's own naming rule), but every artifact
+    * derives from its versioned base name — kept by PREFIX.
     */
   private def retain(spark: SparkSession, familyPrefix: String, stem: String,
       versions: Seq[Version], resolved: String,
       siblings: String => Seq[String]): Unit = {
     val now = System.currentTimeMillis()
-    val keepVersions =
-      versions.filter(_.name == resolved) ++
-        versions.filter(_.committed).take(2) ++
-        versions.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
+    def rules(vs: Seq[Version]): Seq[Version] =
+      vs.filter(_.committed).take(2) ++
+        vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
+    val keepVersions = versions.filter(_.name == resolved) ++ rules(versions)
     val keep = keepVersions.flatMap(v => v.name +: siblings(v.name)).toSet
-    TableRetention.sweep(spark, familyPrefix, keep)
+    val otherStems = listFamily(spark, familyPrefix) - stem
+    val keepPrefixes = otherStems.values.flatMap(rules(_).map(_.name)).toSet
+    TableRetention.sweep(spark, familyPrefix, keep, keepPrefixes)
   }
 }

@@ -116,6 +116,35 @@ class VersionedTableSpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
   }
 
+  test("a sibling stem (different fixture key) survives another stem's retention") {
+    // the cross-STEM shape the round-15 advice flagged: two sessions under
+    // the same family prefix but keyed by different fixtures — one stem's
+    // retain must apply the committed/grace-window keep rules to the OTHER
+    // stem instead of sweeping everything the current keep set doesn't name
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    // the "sibling session": a committed version + an in-flight build +
+    // a sibling artifact, all under a DIFFERENT fixture key
+    val sibCommitted = "vtspec_tbl_kA__v7_beef0007"
+    val sibArtifact = s"${sibCommitted}_band"
+    val sibInFlight = "vtspec_tbl_kA__v8_beef0008"
+    for (d <- Seq(sibCommitted, sibArtifact, sibInFlight)) assert(whPath(d).mkdirs())
+    assert(new java.io.File(whPath(sibCommitted), "_GRAFT_COMMITTED").createNewFile())
+    // ...and a crashed sibling build beyond the grace window (must sweep)
+    val sibCrashed = "vtspec_tbl_kA__v5_beef0005"
+    assert(whPath(sibCrashed).mkdirs())
+    assert(whPath(sibCrashed).setLastModified(
+      System.currentTimeMillis() - VersionedTable.InFlightGraceMs - 60000))
+    // this session builds + retains under ITS stem
+    val v1 = VersionedTable.ensure(spark, "vtspec_", "vtspec_tbl_kB",
+      buildTable(Seq((1L, "mine"))))
+    assert(whPath(v1).exists())
+    assert(whPath(sibCommitted).exists(), "sibling stem's committed version swept")
+    assert(whPath(sibArtifact).exists(), "sibling stem's artifact swept")
+    assert(whPath(sibInFlight).exists(), "sibling stem's in-flight build swept")
+    assert(!whPath(sibCrashed).exists(), "sibling stem's aged-out crash must still sweep")
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
   test("sibling artifacts (model dirs) version and retire with their table") {
     val stem = "vtspec_tbl_k3"
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)

@@ -55,6 +55,20 @@ class XmlSpec extends SparkSpec {
     assert(rows(2).getAs[String]("s") == "v <three> & \"co\"")
   }
 
+  test("glob with an xml extension (dir/*.xml) expands instead of being stat'd literally") {
+    // the round-15 advice repro: '*.xml' carries the xml extension, so the
+    // extension branch used to pass the literal pattern to the sampler's
+    // getFileStatus — the glob check must come first
+    val dir = tmpDir("xml-glob")
+    for (i <- Seq(1, 2)) {
+      val out = dir.resolve(s"g$i.xml").toString
+      Sink.write(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        Sink.Config(out, Discovery.Xml))
+    }
+    val back = XmlSource.readPaths(spark, Seq(s"$dir/*.xml"), XmlSource.XmlOptions())
+    assert(back.orderBy("id").collect().map(_.getAs[String]("s")).toSeq == Seq("v1", "v2"))
+  }
+
   test("driver-side StAX sampler: bounded, typed like CSV, DTDs refused") {
     val dir = tmpDir("xml-sample")
     val f = dir.resolve("r.xml")
