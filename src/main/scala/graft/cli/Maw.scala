@@ -181,8 +181,8 @@ object Maw {
   }
 
   val usage: String =
-    """graft <inputs...> -o out.{csv,parquet,jsonl,orc,xml} [options]
-      |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC/XML, on Spark.
+    """graft <inputs...> -o out.{csv,parquet,jsonl,orc,xml,avro} [options]
+      |Streaming concatenation + format conversion of CSV/Parquet/JSONL/ORC/XML/Avro, on Spark.
       |Gzip-compressed text inputs (.csv.gz/.jsonl.gz/.xml.gz) are read transparently.
       |  --plan --dry-run --columns a,b --exclude c --rename old=new
       |  --stringify-conflicts --no-headers --delimiter , --quote " --encoding UTF-8

@@ -262,9 +262,11 @@ object Compact {
     val df =
       try fmt match {
         case Discovery.Xml => throw new IllegalArgumentException(
-          "--compact does not support xml trees — compact csv/parquet/jsonl/orc")
+          "--compact does not support xml trees — compact csv/parquet/jsonl/orc/avro")
         case Discovery.Parquet => spark.read.parquet(dir)
         case Discovery.Orc     => spark.read.orc(dir)
+        case Discovery.Avro    =>
+          spark.read.format(Discovery.AvroClass).load(dir)
         case Discovery.Jsonl   => spark.read.json(dir)
         case Discovery.Csv     => spark.read.option("header", "true")
           .option("delimiter", delimiter).option("escape", "\"").csv(dir)
@@ -353,6 +355,12 @@ object Compact {
         w.option("compression",
           compression match { case "none" => "none"; case "gzip" => "zlib"; case c => c })
           .orc(staging)
+      case Discovery.Avro =>
+        w.format(Discovery.AvroClass)
+          .option("compression", compression match {
+            case "none" => "uncompressed"; case "gzip" => "deflate"
+            case "zstd" => "zstandard"; case c => c
+          }).save(staging)
       case Discovery.Jsonl => w.option("ignoreNullFields", "false").json(staging)
       case Discovery.Csv => w.option("header", "true")
         .option("delimiter", delimiter).option("escape", "\"")
@@ -367,6 +375,8 @@ object Compact {
     val newRows = (fmt match {
       case Discovery.Parquet => spark.read.parquet(staging)
       case Discovery.Orc     => spark.read.orc(staging)
+      case Discovery.Avro    =>
+        spark.read.format(Discovery.AvroClass).load(staging)
       case Discovery.Jsonl   => spark.read.json(staging)
       case Discovery.Csv     => spark.read.option("header", "true")
         .option("delimiter", delimiter).option("escape", "\"").csv(staging)
@@ -435,6 +445,7 @@ object Compact {
   private val extsByFormat: Map[Discovery.Format, Set[String]] = Map(
     Discovery.Parquet -> Set(".parquet"),
     Discovery.Orc     -> Set(".orc"),
+    Discovery.Avro    -> Set(".avro"),
     Discovery.Jsonl   -> Set(".json", ".jsonl", ".json.gz", ".jsonl.gz"),
     Discovery.Csv     -> Set(".csv", ".csv.gz"))
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.schema.SchemaUnifier
 import graft.sources.{CsvSource, Discovery, JsonSource, XmlSource}
-import graft.sources.Discovery.{Csv, Format, InputFile, Jsonl, Orc, Parquet, Xml}
+import graft.sources.Discovery.{Avro, Csv, Format, InputFile, Jsonl, Orc, Parquet, Xml}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's whole dataflow as ONE lazy Catalyst plan:
@@ -54,6 +54,7 @@ object Concat {
       case Csv     => CsvSource.read(spark, f.path, csv)
       case Parquet => spark.read.parquet(f.path)
       case Orc     => spark.read.orc(f.path)
+      case Avro    => spark.read.format(Discovery.AvroClass).load(f.path)
       case Jsonl   => JsonSource.read(spark, f.path,
         JsonSource.JsonOptions(inferRows = csv.inferRows))
       case Xml     => XmlSource.read(spark, f.path,
@@ -105,6 +106,25 @@ object Concat {
       new org.apache.hadoop.fs.Path(path), conf))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
+  /** Header-only Avro schema: a container file carries its writer schema in
+    * the file HEADER, so one bounded open + Spark's own Avro->Catalyst
+    * converter gives the scan schema with zero Spark jobs — the parquet/orc
+    * footer-probe discipline, reading the front of the file instead of the
+    * tail. Same recursive nullability normalization as the other probes.
+    */
+  private def avroHeaderSchema(path: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.sql.types.StructType = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val in = hPath.getFileSystem(conf).open(hPath)
+    val reader = new org.apache.avro.file.DataFileStream(
+      in, new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+    val avroSchema = try reader.getSchema finally { reader.close(); in.close() }
+    forceNullable(
+      org.apache.spark.sql.avro.SchemaConverters.toSqlType(avroSchema).dataType)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** Per-file schema WITHOUT a per-file DataFrameReader: CSV resolves via
     * the driver-side bounded sample (zero Spark jobs); parquet reads the
     * file FOOTER directly and converts through Spark's own
@@ -127,6 +147,7 @@ object Concat {
             .ParquetToSparkSchemaConverter(spark.sessionState.conf),
           spark.sessionState.newHadoopConf())
       case Orc => orcFooterSchema(f.path, spark.sessionState.newHadoopConf())
+      case Avro => avroHeaderSchema(f.path, spark.sessionState.newHadoopConf())
       case Xml => XmlSource.resolveSchema(spark, f.path,
         XmlSource.XmlOptions(inferRows = csv.inferRows))
     }
@@ -161,6 +182,7 @@ object Concat {
           JsonSource.JsonOptions(inferRows = csv.inferRows))
         case Parquet => parquetFooterSchema(f.path, conv, conf)
         case Orc     => orcFooterSchema(f.path, conf)
+        case Avro    => avroHeaderSchema(f.path, conf)
         case Xml     => XmlSource.resolveSchema(spark, f.path,
           XmlSource.XmlOptions(inferRows = csv.inferRows))
       })))),
@@ -177,6 +199,9 @@ object Concat {
         .option("ignoreCorruptFiles", skipCorrupt.toString).parquet(paths: _*)
       case Orc     => spark.read
         .option("ignoreCorruptFiles", skipCorrupt.toString).orc(paths: _*)
+      case Avro    => spark.read
+        .option("ignoreCorruptFiles", skipCorrupt.toString)
+        .format(Discovery.AvroClass).load(paths: _*)
       case Jsonl   => JsonSource.readPaths(spark, paths,
         JsonSource.JsonOptions(inferRows = csv.inferRows), Some(schema))
       // the XML scan has no ignoreCorruptFiles lever at the reader level;

@@ -103,6 +103,28 @@ object ParityQueries {
         graft.operators.Concat.Config(Seq(out)))
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Avro sink + source round trip through the REAL write/read path
+    // (beyond-reference format: the Kafka-ecosystem row format; Spark 4
+    // bundles the formerly-external avro FileFormat classes minus only the
+    // short-name registration — see Discovery.AvroClass). Same oracle shape
+    // as p11/p12: DuckDB pins the round-tripped table against the parquet
+    // original, so a broken avro write, codec, header-schema probe, or
+    // Avro<->Catalyst type mapping breaks the hash. Avro unions carry the
+    // null/type distinction exactly (unlike JSONL's stringly types), so the
+    // full column set survives unprojected — including the hostile corpus's
+    // control characters, which the binary row encoding stores verbatim.
+    "p20_avro_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p20_avro_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.avro").toString
+      graft.sinks.Sink.write(docs,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Avro))
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(out)))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // XML sink + source round trip through the REAL write/read path
     // (beyond-reference format: Spark 4's native XML source — the
     // structured-record interchange format). Same oracle shape as p11/p12:
@@ -425,6 +447,9 @@ object ParityQueries {
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
     "p12_orc_roundtrip" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    "p20_avro_roundtrip" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
     "p19_xml_roundtrip" ->

@@ -195,6 +195,8 @@ object Sink {
             .parquet(ptmp)
         case graft.sources.Discovery.Orc =>
           orcWriter(w0, cfg).orc(ptmp)
+        case graft.sources.Discovery.Avro =>
+          avroWriter(w0, cfg).save(ptmp)
         case graft.sources.Discovery.Jsonl =>
           jsonWriter(w0, cfg).json(ptmp)
         case graft.sources.Discovery.Xml =>
@@ -239,6 +241,8 @@ object Sink {
           .parquet(tmpDir)
       case graft.sources.Discovery.Orc =>
         orcWriter(out.mode("overwrite"), cfg).orc(tmpDir)
+      case graft.sources.Discovery.Avro =>
+        avroWriter(out.mode("overwrite"), cfg).save(tmpDir)
       case graft.sources.Discovery.Jsonl =>
         jsonWriter(out.mode("overwrite"), cfg).json(tmpDir)
       case graft.sources.Discovery.Xml =>
@@ -254,6 +258,7 @@ object Sink {
     case graft.sources.Discovery.Csv     => ".csv"
     case graft.sources.Discovery.Parquet => ".parquet"
     case graft.sources.Discovery.Orc     => ".orc"
+    case graft.sources.Discovery.Avro    => ".avro"
     case graft.sources.Discovery.Jsonl   => ".jsonl"
     case graft.sources.Discovery.Xml     => ".xml"
   }
@@ -271,6 +276,23 @@ object Sink {
       })
       .option("orc.compression.zstd.level", cfg.zstdLevel.toString)
       .option("orc.stripe.size", (128L * 1024 * 1024).toString), cfg)
+
+  /** Avro sink options: the `--compression` knob maps onto Avro's codec
+    * set — gzip's algorithm is spelled "deflate", zstd "zstandard"; snappy
+    * passes through. The zstd LEVEL rides a session conf, not a writer
+    * option, so it is deliberately not plumbed here (the parquet/orc level
+    * knob stays those formats' contract). No bloom filters in the Avro
+    * container format — row format, no data-skipping metadata.
+    */
+  private def avroWriter(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      cfg: Config): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    w.format(graft.sources.Discovery.AvroClass)
+      .option("compression", cfg.compression match {
+        case "none" => "uncompressed"
+        case "gzip" => "deflate"
+        case "zstd" => "zstandard"
+        case other  => other // snappy | deflate | xz pass through
+      })
 
   /** Per-column writer-side bloom filters (see [[Config.bloomFilterCols]]). */
   private def withBloom(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
@@ -353,6 +375,8 @@ object Sink {
           .option("escape", "\"").csv(paths: _*)
       case graft.sources.Discovery.Parquet => spark.read.parquet(paths: _*)
       case graft.sources.Discovery.Orc     => spark.read.orc(paths: _*)
+      case graft.sources.Discovery.Avro    =>
+        spark.read.format(graft.sources.Discovery.AvroClass).load(paths: _*)
       // full-pass native inference, not the bounded sample: verify wants
       // every value's type evidence (JSON carries types, so nothing drifts)
       case graft.sources.Discovery.Jsonl   => spark.read.json(paths: _*)

@@ -32,6 +32,19 @@ object Discovery {
     * structured-record interchange case, not raw-corpus storage.
     */
   case object Xml extends Format
+  /** Avro — beyond the reference; the Kafka-ecosystem row format. Spark
+    * 4 bundles the (formerly external spark-avro) file format classes in
+    * spark-sql minus only the short-name service registration, so the
+    * scan/sink go through the fully-qualified [[AvroClass]]. Container
+    * files are internally compressed (deflate/snappy/zstandard codecs in
+    * the block headers) — no `.avro.gz` variant, like parquet/orc.
+    */
+  case object Avro extends Format
+
+  /** The bundled Avro FileFormat's class name — `format("avro")` throws
+    * (no DataSourceRegister entry in this distribution), the class works.
+    */
+  val AvroClass = "org.apache.spark.sql.avro.AvroFileFormat"
 
   final case class InputFile(path: String, format: Format, sizeBytes: Long)
 
@@ -49,6 +62,8 @@ object Discovery {
     else if (lower.endsWith(".parquet") && lower == lower0) Some(Parquet)
     // ORC is internally compressed, like parquet: no .orc.gz variant
     else if (lower.endsWith(".orc") && lower == lower0) Some(Orc)
+    // Avro container files are internally compressed too: no .avro.gz
+    else if (lower.endsWith(".avro") && lower == lower0) Some(Avro)
     // .xml.gz works like the other text formats: Spark's scan decompresses
     // by extension
     else if (lower.endsWith(".xml")) Some(Xml)
@@ -77,6 +92,7 @@ object Discovery {
       case Some("jsonl" | "json")   => Jsonl
       case Some("orc")              => Orc
       case Some("xml")              => Xml
+      case Some("avro")             => Avro
       case Some(other)             => throw new IllegalArgumentException(s"unknown format $other")
       case None =>
         detectFormat(outPath)

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.operators.Concat
 import graft.schema.SchemaUnifier
 import graft.sources.{CsvSource, Discovery}
-import graft.sources.Discovery.{Csv, Format, Jsonl, Orc, Parquet}
+import graft.sources.Discovery.{Avro, Csv, Format, Jsonl, Orc, Parquet}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
@@ -109,6 +109,9 @@ object StreamingConcat {
         case Orc =>
           val r = spark.readStream.schema(schema)
           globFilter.fold(r)(g => r.option("pathGlobFilter", g)).orc(path)
+        case Avro =>
+          val r = spark.readStream.schema(schema).format(Discovery.AvroClass)
+          globFilter.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
       }
       SchemaUnifier.align(src, unified)
     }
@@ -148,9 +151,10 @@ object StreamingConcat {
       case Jsonl   => writer.format("json")
         .option("ignoreNullFields", "false").start(outPath)
       case Orc     => writer.format("orc").start(outPath)
+      case Avro    => writer.format(Discovery.AvroClass).start(outPath)
       case Discovery.Xml =>
         throw new IllegalArgumentException(
-          "--stream does not support xml output — write jsonl/csv/parquet/orc")
+          "--stream does not support xml output — write jsonl/csv/parquet/orc/avro")
     }
     q.awaitTermination()
   }
