@@ -1154,6 +1154,40 @@ object Dedup {
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
 
+  /** Overlap-FRACTION decontamination (d23) — the published scoring
+    * discipline on top of [[crossContamination]]'s membership counts: a
+    * per-eval-document contamination score (matched windows / total
+    * windows) thresholded at `minFrac`, instead of flagging ANY shared
+    * window. This is the distinction the GPT-3 appendix-C / Llama
+    * contamination analyses draw: an eval doc that QUOTES one sentence
+    * from the training set is usable (score near 0), a LEAKED eval doc is
+    * not (score near 1) — membership alone cannot tell them apart.
+    *
+    * The threshold compares as an exact integer cross-multiply
+    * (`n_contaminated * denom >= num * n_windows` for minFrac = num/denom)
+    * so both engines decide identically; the reported fraction is one
+    * double division, rounded. Output per eval doc: (id, n_windows,
+    * n_contaminated, contamination_frac, flagged).
+    *
+    * Scale shape: identical to [[crossContamination]] — the fraction is a
+    * projection on its one groupBy(id); no new shuffle.
+    */
+  def contaminationFraction(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      minFracNum: Int = 1,
+      minFracDenom: Int = 2,
+      windowChars: Int = 64,
+      stride: Int = 32): DataFrame =
+    crossContamination(train, eval, idCol, textCol, windowChars, stride)
+      .select(col("id"), col("n_windows"), col("n_contaminated"),
+        round(col("n_contaminated") / col("n_windows").cast("double"), 6)
+          .as("contamination_frac"),
+        (col("n_contaminated") * minFracDenom >= col("n_windows") * minFracNum)
+          .as("flagged"))
+
   /** Snapshot-to-snapshot corpus diff — the incremental-refresh primitive:
     * a training corpus is rebuilt from crawls/drops regularly, and the
     * delta (what appeared, vanished, or changed) drives incremental

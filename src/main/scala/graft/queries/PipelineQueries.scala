@@ -743,6 +743,25 @@ object PipelineQueries {
     df.select(col("doc_id"), (reason === "kept").as("keep"), reason.as("reason"))
   }
 
+  /** t19's exact per-column profile (ONE pass: Spark plans the
+    * multi-column COUNT(DISTINCT) as a single Expand + one shuffle), shared
+    * with d24's snapshot-drift diff so the profile arithmetic has exactly
+    * one definition (the t28 composition discipline). Returns one row per
+    * column: (col_name, n_rows, n_nulls, n_distinct).
+    */
+  private def columnProfile(df: DataFrame, cs: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      cs.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count_distinct(col(c)).as(s"__dist_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cs.map(c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"__nulls_$c").as("n_nulls"),
+          col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct")
+  }
+
   /** t23's learned quality score over one textStats struct — rational
     * sigmoid z/(1+|z|), left-to-right literal fold, bit-identical doubles
     * across engines. NULL struct (null text) scores null.
@@ -888,20 +907,9 @@ object PipelineQueries {
     // no per-column re-scan). At warehouse scale you'd swap
     // count_distinct for approx_count_distinct (HLL, constant state) per
     // column; the exact form here is what DuckDB can hash-pin.
-    "t19_profile" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val cs = Seq("doc_id", "text", "lang", "source", "n_chars")
-      val aggs = count(lit(1)).as("n_rows") +:
-        cs.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-          count_distinct(col(c)).as(s"__dist_$c")))
-      val onerow = docs.agg(aggs.head, aggs.tail: _*)
-      ordered(onerow.select(explode(array(cs.map(c =>
-        struct(lit(c).as("col_name"), col("n_rows"),
-          col(s"__nulls_$c").as("n_nulls"),
-          col(s"__dist_$c").as("n_distinct"))): _*)).as("p"))
-        .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct"))
-    }),
+    "t19_profile" -> ((s, dir) =>
+      ordered(columnProfile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")))),
     // t19's WAREHOUSE-SCALE mode, declared and tested rather than prose:
     // per-column distinct cardinality via approx_count_distinct (HLL++,
     // constant sketch state per column — no Expand, no distinct shuffle;
@@ -1814,6 +1822,68 @@ object PipelineQueries {
     // the one-shot d19 output by construction, so d11's oracle pins this
     // path too.
     "st15_streaming_decontamination" -> ((s, dir) => st15Probe(s, dir, dir)),
+    // Overlap-FRACTION decontamination (round-15 verdict ask #3): d11/d19
+    // flag ANY shared window — membership can't tell an eval doc that
+    // QUOTES one sentence from a LEAKED one. The published discipline
+    // (GPT-3 appendix C, Llama) scores the per-eval-doc overlap fraction
+    // and thresholds it. Two planted populations make both branches
+    // hash-observable: d11's leaked tails (every full window lands on the
+    // train grid -> frac 1, flagged) and QUOTED docs embedding exactly one
+    // train window (a 32-char unique prefix grid-aligns the 64-char quote;
+    // unique filler pushes n_windows up -> frac ~1/7, unflagged). The
+    // threshold is an integer cross-multiply (no float compare); same
+    // scan/join/groupBy shape as d11 — the fraction is a projection.
+    "d23_contamination_fraction" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val leaked = train.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 65)").as("text"))
+      val quoted = train.where(col("doc_id") % 7 === 3 && length(col("text")) >= 64)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(
+            rpad(concat(lit("q"), col("doc_id").cast("string")), 32, "x"),
+            expr("substring(text, 1, 64)"),
+            expr("repeat(concat(' unique-', cast(doc_id as string), '-filler'), 8)"))
+            .as("text"))
+      ordered(Dedup.contaminationFraction(train, leaked.unionByName(quoted),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_windows"), col("n_contaminated"),
+          col("contamination_frac"), col("flagged")))
+    }),
+    // Profile DRIFT between snapshots (round-15 verdict ask #6): compose
+    // t19's per-column profile (shared columnProfile — one definition)
+    // with d13's two-sided discipline. Corpus v2 simulates the next drop:
+    // rows removed (doc_id % 11), text degraded to NULL (doc_id % 13), a
+    // column dropped (n_chars) and one added (rev) — the full-outer join
+    // on column name surfaces schema drift as added/removed rows and value
+    // drift as (rows/nulls/distinct) deltas, which is the ops check a
+    // pipeline runs before promoting a new corpus version. Scale shape:
+    // two one-pass profile aggs (each one Expand + one shuffle, output
+    // O(columns)) + a trivial O(columns) join — the 100 TB promotion gate
+    // costs two scans regardless of row count.
+    "d24_profile_drift" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1.where(!coalesce(col("doc_id") % 11 === 0, lit(false)))
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(col("text")).as("text"),
+          col("lang"), col("source"),
+          (col("doc_id") % 5).as("rev"))
+      val p1 = columnProfile(v1, Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("col_name"), col("n_rows").as("rows1"),
+          col("n_nulls").as("nulls1"), col("n_distinct").as("dist1"))
+      val p2 = columnProfile(v2, Seq("doc_id", "text", "lang", "source", "rev"))
+        .select(col("col_name"), col("n_rows").as("rows2"),
+          col("n_nulls").as("nulls2"), col("n_distinct").as("dist2"))
+      ordered(p1.join(p2, Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          when(col("rows1").isNull, "added")
+            .when(col("rows2").isNull, "removed")
+            .otherwise("common").as("status"),
+          (col("rows2") - col("rows1")).as("rows_delta"),
+          (col("nulls2") - col("nulls1")).as("nulls_delta"),
+          (col("dist2") - col("dist1")).as("distinct_delta")))
+    }),
     // the t28 funnel applied AT INGEST: documents arrive as micro-batches
     // and each batch is decided inside foreachBatch with NO corpus-wide
     // state — every funnel gate is row-local, so union-over-batches equals
@@ -3970,6 +4040,68 @@ object PipelineQueries {
     // streaming probe of the same index over the same eval set, batch
     // union == one-shot output by construction
     "st15_streaming_decontamination" -> decontaminationOracle,
+    // the decontamination window CTEs over the two-population eval set
+    // (leaked tails + one-quote plants); fraction = one float division,
+    // flagged = the integer cross-multiply (no float threshold compare)
+    "d23_contamination_fraction" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (
+         |  SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    rpad('q' || CAST(doc_id AS VARCHAR), 32, 'x') || substr(text, 1, 64) ||
+         |    repeat(' unique-' || CAST(doc_id AS VARCHAR) || '-filler', 8) AS text
+         |  FROM documents WHERE doc_id % 7 = 3 AND length(text) >= 64),
+         |tw AS (
+         |  SELECT DISTINCT md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  FROM (SELECT text, unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM train)
+         |  WHERE length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0),
+         |ew AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0
+         |         THEN md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) END AS wh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM ev)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_windows FROM ew GROUP BY doc_id),
+         |hit AS (SELECT ew.doc_id, COUNT(*) AS n_contaminated
+         |        FROM ew JOIN tw USING (wh) GROUP BY ew.doc_id)
+         |SELECT c.doc_id AS doc_id, c.n_windows,
+         |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+         |  round(COALESCE(h.n_contaminated, 0) / c.n_windows, 6) AS contamination_frac,
+         |  COALESCE(h.n_contaminated, 0) * 2 >= c.n_windows AS flagged
+         |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
+         |${orderSql("doc_id", "n_windows", "n_contaminated", "contamination_frac", "flagged")}""".stripMargin,
+    // t19's profile SQL on both snapshots + a full join on column name;
+    // the v2 CTE mirrors the Spark-side planted drift step for step
+    "d24_profile_drift" -> {
+      def profileSql(from: String, cs: Seq[String]): String =
+        cs.map(c =>
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    COUNT(DISTINCT $c) AS n_distinct FROM $from""".stripMargin)
+          .mkString("\n  UNION ALL\n  ")
+      s"""WITH v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+         |    lang, source, doc_id % 5 AS rev
+         |  FROM documents WHERE NOT COALESCE(doc_id % 11 = 0, FALSE)),
+         |p1 AS (
+         |  ${profileSql("documents", Seq("doc_id", "text", "lang", "source", "n_chars"))}),
+         |p2 AS (
+         |  ${profileSql("v2", Seq("doc_id", "text", "lang", "source", "rev"))})
+         |SELECT COALESCE(p1.col_name, p2.col_name) AS col_name,
+         |  CASE WHEN p1.col_name IS NULL THEN 'added'
+         |       WHEN p2.col_name IS NULL THEN 'removed'
+         |       ELSE 'common' END AS status,
+         |  p2.n_rows - p1.n_rows AS rows_delta,
+         |  p2.n_nulls - p1.n_nulls AS nulls_delta,
+         |  p2.n_distinct - p1.n_distinct AS distinct_delta
+         |FROM p1 FULL OUTER JOIN p2 ON p1.col_name = p2.col_name
+         |${orderSql("col_name", "status", "rows_delta", "nulls_delta", "distinct_delta")}""".stripMargin
+    },
     "d10_substring_contamination" ->
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents

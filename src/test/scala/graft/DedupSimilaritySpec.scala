@@ -206,6 +206,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(13L) == ((1L, 0L)) && got(14L) == ((1L, 0L)))
   }
 
+  test("contaminationFraction: a leaked doc flags, a one-quote doc scores below threshold") {
+    val base = (0 until 8).map(i => s"chunk$i-" + "x" * 24).mkString // 248 chars
+    val train = Seq((1L, base)).toDF("id", "text")
+    // the quoted doc embeds exactly ONE train window, grid-aligned by a
+    // 32-char prefix, inside otherwise-novel text (the d23 plant shape)
+    val quote = base.substring(0, 64)
+    val quoted = ("q" + "p" * 31) + quote + (" novel-filler" * 12)
+    val eval = Seq(
+      (10L, base),            // leaked verbatim: frac 1 -> flagged
+      (11L, base.substring(64)), // leaked tail: all windows hit -> flagged
+      (12L, quoted))          // one quote among many windows -> unflagged
+      .toDF("id", "text")
+    val got = Dedup.contaminationFraction(train, eval, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got(10L)._2 == got(10L)._1 && got(10L)._3, s"leaked verbatim: ${got(10L)}")
+    assert(got(11L)._2 == got(11L)._1 && got(11L)._3, s"leaked tail: ${got(11L)}")
+    assert(got(12L)._2 == 1L && !got(12L)._3,
+      s"one-quote doc must score below threshold: ${got(12L)}")
+    // membership (d11's rule) would have flagged all three — the fraction
+    // is what distinguishes the quote
+    assert(got.values.forall(_._2 > 0), "every eval doc shares at least one window")
+  }
+
   test("best survivors: highest score wins per transitive cluster, ties by min id") {
     val docs = Seq(
       (1L, "a", 10), (2L, "b", 30), (3L, "c", 30), // one chain cluster 1~2, 2~3
