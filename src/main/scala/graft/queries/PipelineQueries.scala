@@ -743,6 +743,32 @@ object PipelineQueries {
     df.select(col("doc_id"), (reason === "kept").as("keep"), reason.as("reason"))
   }
 
+  /** Luhn checksum terms over a fixed-length all-digit string expression
+    * `x` — pure integer arithmetic, so BOTH engines replay it from the
+    * SAME generated SQL text (Spark SQL and DuckDB agree on substring/
+    * CAST/CASE/%): for a 16-digit card the doubled digits are the odd
+    * 1-indexed positions (= every second from the right, starting at the
+    * second-to-last), the check digit (position 16) is never doubled. The
+    * same parity rule over the first 15 positions yields the partial sum
+    * the check digit is derived from — one fragment, two uses, zero drift.
+    */
+  private def luhnSumSql(x: String, len: Int): String =
+    (1 to len).map { i =>
+      val d = s"CAST(substring($x, $i, 1) AS INT)"
+      if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+      else d
+    }.mkString(" + ")
+
+  /** Lambda body validating a 16-digit candidate bound to `x`. */
+  private val luhnValidSql = s"((${luhnSumSql("x", 16)}) % 10) = 0"
+
+  /** t30's IPv4 pattern — octet-precise (999.1.2.3 must NOT match), word
+    * boundaries, no lookarounds (Java regex and RE2 agree on every form
+    * used: alternation, bounded classes, ASCII \b).
+    */
+  private val ipv4Pat =
+    "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\b"
+
   /** t19's exact per-column profile (ONE pass: Spark plans the
     * multi-column COUNT(DISTINCT) as a single Expand + one shuffle), shared
     * with d24's snapshot-drift diff so the profile arithmetic has exactly
@@ -1958,6 +1984,38 @@ object PipelineQueries {
         size(regexp_extract_all(aug, lit(emailPat), lit(0))).as("n_emails"),
         md5(redacted.cast(BinaryType)).as("redacted_fp")))
     }),
+    // PII v2 (round-15 verdict ask #5): IPs and credit cards, on top of
+    // t11's email/phone. The card rule is the real one — a 16-digit run
+    // redacts ONLY when its Luhn checksum validates (pure integer
+    // arithmetic, so the same generated SQL text runs on both engines) —
+    // because blanket digit-run redaction destroys order numbers and
+    // timestamps a pipeline must keep. Plants make both branches
+    // hash-observable PER ROW: a card whose check digit is DERIVED
+    // in-query (valid by construction, varies with doc_id), its +1
+    // lookalike (invalid), a real IP, and an octet-overflow lookalike
+    // (999.1.2.3) the octet-precise pattern must ignore. Candidate
+    // validation runs in array HOFs over regexp_extract_all hits — a few
+    // candidates per row, so the CodegenFallback lambda is off the hot
+    // path; everything else is one narrow projection.
+    "t30_pii_luhn" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("__pfx",
+          expr("concat('4', lpad(cast(doc_id % 1000000 as string), 14, '3'))"))
+        .withColumn("__chk", expr(s"(10 - (${luhnSumSql("__pfx", 15)}) % 10) % 10"))
+        .withColumn("__aug", expr(
+          "concat(text, ' card ', __pfx, cast(__chk as string), " +
+            "' alt ', __pfx, cast((__chk + 1) % 10 as string), " +
+            "' ip 192.168.', cast(doc_id % 256 as string), '.7 bogus 999.1.2.3')"))
+        .withColumn("__cands", expr("regexp_extract_all(__aug, '[0-9]{16}', 0)"))
+        .withColumn("__valid", expr(s"filter(__cands, x -> $luhnValidSql)"))
+        .withColumn("__ipred", regexp_replace(col("__aug"), lit(ipv4Pat), lit("[IP]")))
+      ordered(df.select(col("doc_id"),
+        size(col("__cands")).as("n_digit16"),
+        size(col("__valid")).as("n_cards_valid"),
+        size(regexp_extract_all(col("__aug"), lit(ipv4Pat), lit(0))).as("n_ips"),
+        md5(expr("aggregate(__valid, __ipred, (acc, x) -> replace(acc, x, '[CARD]'))")
+          .cast(BinaryType)).as("redacted_fp")))
+    }),
     // context-window chunking: split long documents into 1000-char chunks
     // with 100-char overlap (stride 900), stable (doc_id, chunk_idx) keys —
     // the explode-side counterpart of t09's packing. Narrow (no shuffle
@@ -3114,6 +3172,43 @@ object PipelineQueries {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_fp
          |FROM a ${orderSql("doc_id", "n_emails", "redacted_fp")}""".stripMargin,
+    // the Luhn arithmetic is the SAME generated SQL text the Spark side
+    // runs (luhnSumSql / luhnValidSql); ||-concat (not DuckDB's
+    // null-skipping concat()) mirrors Spark concat's null propagation;
+    // list_reduce has no init parameter, so the redacted text seeds the
+    // fold via list_prepend
+    "t30_pii_luhn" ->
+      s"""WITH a AS (
+         |  SELECT doc_id, text,
+         |    '4' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 14, '3') AS __pfx
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, __pfx,
+         |    (10 - (${luhnSumSql("__pfx", 15)}) % 10) % 10 AS __chk
+         |  FROM a),
+         |c AS (
+         |  SELECT doc_id,
+         |    text || ' card ' || __pfx || CAST(__chk AS VARCHAR) ||
+         |    ' alt ' || __pfx || CAST((__chk + 1) % 10 AS VARCHAR) ||
+         |    ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 bogus 999.1.2.3' AS aug
+         |  FROM b),
+         |d AS (
+         |  SELECT doc_id, aug,
+         |    regexp_extract_all(aug, '[0-9]{16}') AS cands,
+         |    regexp_replace(aug, '$ipv4Pat', '[IP]', 'g') AS ipred
+         |  FROM c),
+         |e AS (
+         |  SELECT doc_id, aug, cands, ipred,
+         |    list_filter(cands, x -> $luhnValidSql) AS valid
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(len(cands) AS INTEGER) AS n_digit16,
+         |  CAST(len(valid) AS INTEGER) AS n_cards_valid,
+         |  CAST(len(regexp_extract_all(aug, '$ipv4Pat')) AS INTEGER) AS n_ips,
+         |  md5(list_reduce(list_prepend(ipred, valid),
+         |    (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_fp
+         |FROM e
+         |${orderSql("doc_id", "n_digit16", "n_cards_valid", "n_ips", "redacted_fp")}""".stripMargin,
     "t04_token_freq" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
