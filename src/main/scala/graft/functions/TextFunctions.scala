@@ -215,6 +215,14 @@ object TextFunctions {
     ExpressionUtils.column(graft.expressions.TokenCountExpr(
       ExpressionUtils.expression(c)))
 
+  /** One-pass fixture n-gram LM scoring ([[graft.expressions.NgramLmExpr]]):
+    * (n_tokens, total_cost) integer struct — the CCNet perplexity-filter
+    * shape with fixed-point costs a DuckDB oracle replays exactly.
+    */
+  def ngramLmStats(c: Column): Column =
+    ExpressionUtils.column(graft.expressions.NgramLmExpr(
+      ExpressionUtils.expression(c)))
+
   /** One-pass code-point distribution summary
     * ([[graft.expressions.CharDistributionExpr]]): struct(n_cp, n_distinct,
     * sum_sq) — exact integers for Gini-impurity curation scoring.

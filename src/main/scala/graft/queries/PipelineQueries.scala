@@ -1026,6 +1026,29 @@ object PipelineQueries {
         dup3.as("dup3gram_frac"),
         passes.as("passes")))
     }),
+    // N-gram LM perplexity filter (round-15 verdict ask #2): the public
+    // CCNet curation step (Wenzek et al. 2020) t23's linear scorer only
+    // approximates — score each document by a small language model and
+    // threshold on the per-token cost. NgramLmExpr is the engine-exact
+    // reduction: fixture bigram/unigram tables with fixed-point integer
+    // costs, stupid-backoff lookup (bigram, else unigram + flat penalty,
+    // else OOV), integer accumulation, ONE division at the end. The DuckDB
+    // oracle replays every lookup via a token/lag join over the SAME
+    // literal tables (generated from the fixture arrays — one definition).
+    // passes is an integer cross-multiply, not a float threshold compare.
+    // One narrow codegen pass, no UDF, no shuffle.
+    "t29_lm_perplexity" -> ((s, dir) => {
+      val df = t(s, dir, "documents")
+        .withColumn("__lm", TF.ngramLmStats(col("text")))
+      val n = col("__lm.n_tokens")
+      val tot = col("__lm.total_cost")
+      ordered(df.select(col("doc_id"),
+        coalesce(n, lit(0L)).as("n_tokens"),
+        coalesce(tot, lit(0L)).as("total_cost"),
+        when(n > 0, round(tot / n.cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("avg_cost"),
+        coalesce(n > 0 && tot <= lit(700L) * n, lit(false)).as("passes")))
+    }),
     // Character-distribution profiling — the degenerate-text detector
     // (padding runs, progress-bar spam, encoded payloads masquerading as
     // text): distinct code points and the Gini impurity of the character
@@ -3177,6 +3200,40 @@ object PipelineQueries {
     // null-skipping concat()) mirrors Spark concat's null propagation;
     // list_reduce has no init parameter, so the redacted text seeds the
     // fold via list_prepend
+    // every LM lookup replayed relationally: tokens with positions, the
+    // bigram context via lag() (COALESCE '<s>' at doc start — the
+    // expression's prev-token convention), stupid-backoff via the
+    // COALESCE(bigram, unigram + penalty, OOV) chain over VALUES tables
+    // GENERATED from the fixture arrays; integer compare for passes
+    "t29_lm_perplexity" ->
+      s"""WITH uni(w, c) AS (SELECT * FROM (VALUES ${graft.expressions.NgramLm.uniSqlValues})),
+         |bi(p, w, c) AS (SELECT * FROM (VALUES ${graft.expressions.NgramLm.biSqlValues})),
+         |toks AS (
+         |  SELECT doc_id, w, ord FROM (
+         |    SELECT doc_id, unnest(str_split(text, ' ')) AS w,
+         |           generate_subscripts(str_split(text, ' '), 1) AS ord
+         |    FROM documents)
+         |  WHERE length(w) > 0),
+         |seq AS (
+         |  SELECT doc_id, w,
+         |    COALESCE(lag(w) OVER (PARTITION BY doc_id ORDER BY ord), '<s>') AS prev
+         |  FROM toks),
+         |cost AS (
+         |  SELECT s.doc_id,
+         |    COALESCE(b.c, u.c + ${graft.expressions.NgramLm.Backoff},
+         |             ${graft.expressions.NgramLm.Oov}) AS c
+         |  FROM seq s
+         |  LEFT JOIN bi b ON b.p = s.prev AND b.w = s.w
+         |  LEFT JOIN uni u ON u.w = s.w),
+         |agg AS (SELECT doc_id, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS tot
+         |        FROM cost GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.tot, 0) AS BIGINT) AS total_cost,
+         |  CASE WHEN a.n > 0 THEN round(a.tot / a.n, 6) END AS avg_cost,
+         |  COALESCE(a.n > 0 AND a.tot <= 700 * a.n, FALSE) AS passes
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |${orderSql("doc_id", "n_tokens", "total_cost", "avg_cost", "passes")}""".stripMargin,
     "t30_pii_luhn" ->
       s"""WITH a AS (
          |  SELECT doc_id, text,

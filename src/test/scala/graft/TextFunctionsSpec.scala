@@ -355,6 +355,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(4L) == ((0L, 1L)), s"null text counts 0 tokens: ${out(4L)}")
   }
 
+  test("t29 ngram LM: bigram hit, backoff, OOV, doc-start context, empty text") {
+    import graft.expressions.NgramLm.{Backoff, Oov}
+    def lm(text: String): (Long, Long) = {
+      val r = one[org.apache.spark.sql.Row](TF.ngramLmStats($"t"), text)
+      (r.getLong(0), r.getLong(1))
+    }
+    // 'the' at doc start: no <s>-bigram -> unigram 200 + backoff;
+    // 'the table' is a bigram hit (150), cheaper than table's backoff path
+    assert(lm("the table") == ((2L, (200L + Backoff) + 150L)))
+    // backoff chain: 'table the' has no bigram -> both unigram + penalty
+    assert(lm("table the") == ((2L, (380L + Backoff) + (200L + Backoff))))
+    // OOV branch: 'customer' is deliberately outside the unigram fixture
+    assert(lm("customer") == ((1L, Oov)))
+    // bigram context skips empty segments (double space)
+    assert(lm("the  table") == ((2L, (200L + Backoff) + 150L)))
+    // contentless docs score (0, 0)
+    assert(lm("") == ((0L, 0L)))
+    assert(lm("   ") == ((0L, 0L)))
+  }
+
   test("t28 curation funnel: each gate produces its reason; first failure wins") {
     val dir = tmpDir("funnel28")
     val kept = "x the cats sat upon the mats and the dogs run toward the door"
