@@ -209,12 +209,28 @@ object ScaleSoak {
       "t28_curation_funnel",
       // round-15: the funnel at ingest — per-batch cost is the batch's
       // row-local decision + the parquet write; no corpus-wide state, so
-      // the wall scales with the arriving data only. Caveat recorded in
-      // BENCH_NOTES: unlike st15 (small derived eval), this leg stages the
-      // WHOLE scaled corpus through addStreamFile's single-task writes
-      // inside the timed window, so part of the wall is fixture staging,
-      // not the decision
-      "st16_streaming_curation")
+      // the wall scales with the arriving data only. Since round 16 the
+      // recorded wall EXCLUDES fixture staging (addStreamFile's
+      // single-task writes of the whole scaled corpus — measured via
+      // lastStagingSecs and subtracted, see StagedCorpusLegs), so the leg
+      // ratio reflects the funnel's own cost
+      "st16_streaming_curation",
+      // round-16: token packing at ingest — the first genuinely
+      // CROSS-BATCH-stateful leg (per-lang running totals on RocksDB,
+      // query restarted between batches). State is O(langs) longs, so the
+      // wall must scale with arriving rows only; same staging exclusion
+      // as st16 (both batches together are the whole corpus). Per-batch
+      // walls land in ingest_batch_sec_max via lastPackBatchWalls
+      "st17_streaming_packing")
+
+  /** Legs whose stream input is the WHOLE scaled corpus: their
+    * addStreamFile staging (single-task coalesce(1) writes) is test
+    * harness, not operator cost, and is measured + subtracted from the
+    * recorded wall (round-15 verdict ask #7). st13/st15 stage small
+    * derived subsets and keep their historical all-in walls.
+    */
+  private val StagedCorpusLegs =
+    Set("st16_streaming_curation", "st17_streaming_packing")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the
@@ -390,6 +406,9 @@ object ScaleSoak {
           val fn = SparkEntry.queries(q)
           // min of 2: the first run pays codegen for this (query, scale)
           def once(): (Double, Long) = {
+            // corpus-sized stream legs: measured fixture-staging wall is
+            // subtracted (StagedCorpusLegs); zero for everything else
+            graft.queries.PipelineQueries.lastStagingSecs = 0.0
             val t0 = System.nanoTime()
             val df = fn(spark, dir)
             // execute the query's OWN physical plan, not count(df):
@@ -399,7 +418,11 @@ object ScaleSoak {
             // toRdd runs the plan as the consumer would see it (round-15
             // fix; earlier narrow-leg walls under-measured for this reason)
             val rows = df.queryExecution.toRdd.count()
-            ((System.nanoTime() - t0) / 1e9, rows)
+            val staging =
+              if (StagedCorpusLegs.contains(q))
+                graft.queries.PipelineQueries.lastStagingSecs
+              else 0.0
+            (math.max(0.0, (System.nanoTime() - t0) / 1e9 - staging), rows)
           }
           val (t1, rows) = once()
           batchCount.set(0); peakStateRows.set(0)
@@ -418,6 +441,9 @@ object ScaleSoak {
               if (walls.isEmpty) -1.0 else walls.max
             } else if (q == "st15_streaming_decontamination") {
               val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
+              if (walls.isEmpty) -1.0 else walls.max
+            } else if (q == "st17_streaming_packing") {
+              val walls = graft.queries.PipelineQueries.lastPackBatchWalls
               if (walls.isEmpty) -1.0 else walls.max
             } else -1.0
           val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1

@@ -144,7 +144,8 @@ class MawCliSpec extends SparkSpec {
     assert(Discovery.outputFormat("x.parquet", None) == Discovery.Parquet)
     assert(Discovery.outputFormat("x.unknown", None) == Discovery.Csv)
     assert(Discovery.outputFormat("x", Some("orc")) == Discovery.Orc)
-    intercept[IllegalArgumentException](Discovery.outputFormat("x", Some("avro")))
+    assert(Discovery.outputFormat("x", Some("avro")) == Discovery.Avro)
+    intercept[IllegalArgumentException](Discovery.outputFormat("x", Some("feather")))
   }
 
   test("latin1 encoding + BOM stripping (csv_in.rs:80-84,158-162)") {

@@ -375,6 +375,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(lm("   ") == ((0L, 0L)))
   }
 
+  test("st17 streaming packing equals t27; the running sum provably crosses the batch boundary") {
+    val dir = tmpDir("pack17")
+    // 600 'big' tokens per doc; median split at max(4)/2=2 puts docs 1,2
+    // (and the null-id doc) in batch 1, docs 3,4 in batch 2. Doc 3's pack
+    // id is floor(1200/1024)=1 ONLY if batch 2 sees the carried running
+    // total (a fresh state would compute floor(0/1024)=0) — and the query
+    // restarts between the batches, so the carry crosses a checkpoint.
+    val six = ("big " * 600).trim
+    Seq((1L, six, "en", "s", 1L), (2L, six, "en", "s", 1L), (3L, six, "en", "s", 1L),
+        (4L, six, "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val st = graft.queries.PipelineQueries.queries("st17_streaming_packing")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val batch = graft.queries.PipelineQueries.queries("t27_token_packing")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(st.toSeq == batch.toSeq, s"streaming diverged from batch:\n$st\nvs\n$batch")
+    val byId = st.map(r => r._1 -> r._4).toMap
+    assert(byId(3L) == 1L, s"doc 3 must start pack 1 from CARRIED state: $byId")
+    assert(byId(4L) == 0L, "de is its own lang partition — fresh running total")
+  }
+
   test("t28 curation funnel: each gate produces its reason; first failure wins") {
     val dir = tmpDir("funnel28")
     val kept = "x the cats sat upon the mats and the dogs run toward the door"
