@@ -52,6 +52,8 @@ object Maw {
       plan: Boolean = false,
       dryRun: Boolean = false,
       compact: Boolean = false,
+      indexStatus: Boolean = false,
+      sweepIndexes: Boolean = false,
       targetFileBytes: Long = 128L * 1024 * 1024,
       sql: Option[String] = None,
       skipCorrupt: Boolean = false,
@@ -115,6 +117,8 @@ object Maw {
       case "--plan" :: t                   => go(t, a.copy(plan = true))
       case "--dry-run" :: t                => go(t, a.copy(dryRun = true))
       case "--compact" :: t                => go(t, a.copy(compact = true))
+      case "--index-status" :: t           => go(t, a.copy(indexStatus = true))
+      case "--sweep-indexes" :: t          => go(t, a.copy(sweepIndexes = true))
       case "--sql" :: v :: t               => go(t, a.copy(sql = Some(v)))
       case "--skip-corrupt" :: t           => go(t, a.copy(skipCorrupt = true))
       case "--target-file-size" :: v :: t  =>
@@ -196,6 +200,9 @@ object Maw {
       |  --sql "SELECT ... FROM t ..."         (query the unified inputs as table t)
       |  --skip-corrupt                        (drop unreadable inputs/blocks, don't abort)
       |  --stream --state DIR --resume
+      |  --index-status                        (list versioned serving-index builds)
+      |  --sweep-indexes                       (retention: keep newest 2 committed +
+      |                                         in-flight builds per index, sweep the rest)
       |  --no-recursive --follow-symlinks --progress/--no-progress --verify""".stripMargin
 
   def toConfig(a: Args): Concat.Config = Concat.Config(
@@ -301,7 +308,9 @@ object Maw {
       case e: Exception =>
         System.err.println(s"error: ${e.getMessage}"); sys.exit(1)
     }
-    if (a.inputs.isEmpty) { System.err.println("error: no inputs"); sys.exit(1) }
+    if (a.inputs.isEmpty && !a.indexStatus && !a.sweepIndexes) {
+      System.err.println("error: no inputs"); sys.exit(1)
+    }
     if (a.plan) {
       // plan mode: discover (no Spark session needed) and print the file
       // plan BEFORE building the pipeline (main.rs:65-71) — a bad input
@@ -344,6 +353,35 @@ object Maw {
   private def jstr(s: Any): String = graft.util.Json.str(s)
 
   private[graft] def execute(spark: SparkSession, a: Args): Unit = {
+    // serving-index maintenance verbs (the VersionedTable ops surface):
+    // status lists every versioned build; sweep applies the standard keep
+    // rules warehouse-wide (newest 2 committed + in-flight per stem) and
+    // deletes the rest — the manual form of the retention each build runs
+    if (a.indexStatus || a.sweepIndexes) {
+      if (a.indexStatus) {
+        val fam = graft.util.VersionedTable.status(spark)
+        if (fam.isEmpty && !a.quiet) println("no versioned index builds")
+        val now = System.currentTimeMillis()
+        for ((stem, vs) <- fam.toSeq.sortBy(_._1); v <- vs) {
+          val age = (now - v.modifiedMs) / 1000
+          if (a.jsonLogs)
+            println(s"""{"event":"index","stem":${jstr(stem)},"name":${jstr(v.name)},""" +
+              s""""version":${v.n},"committed":${v.committed},"age_sec":$age}""")
+          else println(f"$stem%-40s v${v.n}%-4d " +
+            (if (v.committed) "committed  " else "UNCOMMITTED") + f" age=${age}s  ${v.name}")
+        }
+      }
+      if (a.sweepIndexes) {
+        val swept = graft.util.VersionedTable.sweepStale(spark)
+        if (a.jsonLogs)
+          println(s"""{"event":"sweep_indexes","swept":${swept.size}}""")
+        else if (!a.quiet) {
+          println(s"swept ${swept.size} stale index artifact(s)")
+          swept.foreach(s => println(s"  $s"))
+        }
+      }
+      return
+    }
     if (a.compact) {
       // in-place maintenance verb: each INPUT is a directory tree rewritten
       // into ~target-file-size files (hive partitioning preserved); -o is

@@ -104,6 +104,73 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[encodePng]] with an explicit raster size and an optional INDEXED
+    * (palette, PNG color type 3) encoding — the shapes a crawled image
+    * corpus actually contains and [[decodeImage]] must survive: thin
+    * rasters below the dHash grid, and palette images whose band-0 samples
+    * are palette indices, not gray levels.
+    */
+  def encodePngSized(bytes: Array[Byte], w: Int, h: Int,
+      indexed: Boolean = false): Array[Byte] = {
+    val img = new BufferedImage(w, h,
+      if (indexed) BufferedImage.TYPE_BYTE_INDEXED else BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      val raw = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+      raster.setSample(i % w, i / w, 0, raw)
+      i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Adversarial media fixture (m07): five payload variants per input row,
+    * `media_id = id * 8 + variant index` so the per-variant outcome stays
+    * keyed through [[extractFeatures]]/[[withDHash]] (which carry only the
+    * id). Variants, in index order:
+    *
+    *   0 `valid`      — the standard 16x16 gray PNG;
+    *   1 `truncated`  — a recognized PNG magic cut mid-header (the codec
+    *                    throws; the contract is a null row, not a task
+    *                    failure);
+    *   2 `mislabeled` — mime says image/png, bytes are NOT an image. A
+    *                    0x00 0x01 prefix guarantees no codec recognizes
+    *                    the magic (raw crawl text could legitimately start
+    *                    with 'BM'/'GIF87a' and make the outcome
+    *                    content-dependent);
+    *   3 `thin`       — a real 1x16 PNG: decodes fine, but sits under the
+    *                    8x8 dHash grid (features yes, perceptual hash no);
+    *   4 `palette`    — color-type-3 PNG: decodes, hashes (over palette
+    *                    indices — deterministic, engine-local).
+    */
+  def adversarialMedia(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("meta", mediaSchema("meta").dataType, nullable = true)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("id"),
+        encode(col(textCol), "utf-8").as("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          def vid(v: Int) =
+            if (id == null) null else java.lang.Long.valueOf(id * 8 + v)
+          val meta = Row("image/png", null, null, null)
+          val png = encodePng(bytes)
+          Seq(
+            Row(vid(0), png, meta),
+            Row(vid(1), png.take(20), meta),
+            Row(vid(2), Array[Byte](0, 1) ++ Option(bytes).getOrElse(Array.empty[Byte]), meta),
+            Row(vid(3), encodePngSized(bytes, 1, 16), meta),
+            Row(vid(4), encodePngSized(bytes, 16, 16, indexed = true), meta))
+        }
+      }(enc)
+  }
+
   /** 64-bit difference hash (dHash) over decoded gray levels — the
     * standard public perceptual fingerprint (average the image down to an
     * 8x8 grid, emit one bit per horizontal neighbor comparison): invariant

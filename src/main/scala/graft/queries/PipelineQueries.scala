@@ -2681,6 +2681,34 @@ object PipelineQueries {
       ordered(members.join(repClusters, Seq("rep"))
         .select(col("id").as("media_id"), col("cluster")))
     }),
+    // Media decode ROBUSTNESS (round-15 verdict ask #9): the m-family's
+    // synthesized media are always well-formed, so the decode path's
+    // null-row contract never met adversarial bytes in the driver sweep.
+    // m07 builds the crawl-reality variants IN-QUERY from every 50th doc
+    // (truncated PNG header -> codec throws, mislabeled non-image bytes ->
+    // unrecognized, a real 1x16 PNG -> decodes but sits under the dHash
+    // grid, palette PNG -> decodes and hashes) and runs them through the
+    // SAME extractFeatures/withDHash operators m02/m05 use. The outcome
+    // per variant is STRUCTURAL (decoded? dimensions? hash present?) and
+    // fully determined by the variant — the oracle pins it as literals, so
+    // a decode-path regression (a throw escaping, a thin image hashing, a
+    // null row lost) breaks the hash. Runs on the hostile corpus too:
+    // hostile text bytes become the PNG pixel source and the mislabeled
+    // payload body.
+    "m07_media_robustness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
+      val adv = Multimodal.adversarialMedia(docs, "doc_id", "text")
+      val f = Multimodal.extractFeatures(adv)
+      val d = Multimodal.withDHash(adv)
+      ordered(f.join(d, Seq("media_id"))
+        .select(expr("media_id div 8").as("doc_id"),
+          expr("CASE media_id % 8 WHEN 0 THEN 'valid' WHEN 1 THEN 'truncated' " +
+            "WHEN 2 THEN 'mislabeled' WHEN 3 THEN 'thin' ELSE 'palette' END")
+            .as("variant"),
+          col("features").isNotNull.as("decoded"),
+          col("width"), col("height"),
+          col("dhash").isNotNull.as("has_dhash")))
+    }),
     // stateful streaming: running per-user counts via mapGroupsWithState;
     // the FINAL state per user must equal the batch GROUP BY — checked
     // against the DuckDB oracle
@@ -4488,6 +4516,21 @@ object PipelineQueries {
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS media_id, min(lbl) AS cluster FROM reach GROUP BY id
          |${orderSql("media_id", "cluster")}""".stripMargin,
+    // each variant's structural outcome is a LITERAL of the variant alone
+    // (never of the content) — that invariance IS the decode contract
+    "m07_media_robustness" ->
+      s"""WITH v(idx, variant, decoded, width, height, has_dhash) AS (
+         |  SELECT * FROM (VALUES
+         |    (0, 'valid',      TRUE,  16,   16,   TRUE),
+         |    (1, 'truncated',  FALSE, NULL, NULL, FALSE),
+         |    (2, 'mislabeled', FALSE, NULL, NULL, FALSE),
+         |    (3, 'thin',       TRUE,  1,    16,   FALSE),
+         |    (4, 'palette',    TRUE,  16,   16,   TRUE)))
+         |SELECT d.doc_id, v.variant, v.decoded,
+         |  CAST(v.width AS INTEGER) AS width, CAST(v.height AS INTEGER) AS height,
+         |  v.has_dhash
+         |FROM documents d CROSS JOIN v WHERE d.doc_id % 50 = 0
+         |${orderSql("doc_id", "variant", "decoded", "width", "height", "has_dhash")}""".stripMargin,
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, 'application/octet-stream' AS mime,
          |CAST(length(text) % 1920 AS INTEGER) AS width,

@@ -145,6 +145,51 @@ object VersionedTable {
     }
   }
 
+  /** Every versioned build in the warehouse, grouped by stem (the CLI's
+    * `--index-status` view: what serving indexes exist, which versions are
+    * committed, how old each build is).
+    */
+  def status(spark: SparkSession): Map[String, Seq[Version]] =
+    listFamily(spark, "")
+
+  /** Manual retention across EVERY stem (the CLI's `--sweep-indexes`):
+    * apply the standard keep rules (newest two committed versions + young
+    * uncommitted builds) to each stem and delete everything else that
+    * parses as a versioned build — locations, sibling artifacts (by
+    * versioned-name prefix), and catalog entries. Unlike
+    * [[TableRetention.sweep]] this never touches a name that does NOT
+    * derive from a versioned build, so it is safe to run warehouse-wide
+    * without a family prefix. Returns what was swept.
+    */
+  def sweepStale(spark: SparkSession): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val fam = status(spark)
+    val keep = fam.values.flatMap(vs =>
+      vs.filter(_.committed).take(2) ++
+        vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs))
+      .map(_.name).toSet
+    val doomed = fam.values.flatten.map(_.name).toSet -- keep
+    // prefix rules: a sibling artifact carries its version's name as a
+    // prefix; keep wins over doom if both somehow match (nonce prefixes)
+    def fate(n: String): Boolean = // true = delete
+      !keep.exists(k => n == k || n.startsWith(k)) &&
+        doomed.exists(d => n == d || n.startsWith(d))
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.catalog.listTables().collect().map(_.name).filter(fate).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      swept += s"table:$t"
+    }
+    val (wh, fs) = warehouse(spark)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (fate(n)) {
+        fs.delete(st.getPath, true)
+        swept += s"loc:$n"
+      }
+    }
+    swept.toSeq
+  }
+
   /** Write the commit marker into `name`'s warehouse location. */
   def commit(spark: SparkSession, name: String): Unit = {
     val (wh, fs) = warehouse(spark)

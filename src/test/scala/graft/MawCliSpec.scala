@@ -43,6 +43,37 @@ class MawCliSpec extends SparkSpec {
     assert(e2.getMessage.contains("--columns") && e2.getMessage.contains("requires a value"))
   }
 
+  test("--index-status lists versioned builds; --sweep-indexes retires litter only") {
+    import graft.util.VersionedTable
+    graft.util.TableRetention.sweep(spark, "mawidx_", Set.empty)
+    import spark.implicits._
+    val v1 = VersionedTable.ensure(spark, "mawidx_", "mawidx_tbl_k1",
+      name => Seq((1L, "a")).toDF("id", "v").write.saveAsTable(name))
+    // litter: an aged uncommitted build (sweepable) + a fresh in-flight one
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/").stripPrefix("file:")
+    val crashed = new java.io.File(wh, "mawidx_tbl_k1__v40_0ddba11")
+    assert(crashed.mkdirs())
+    assert(crashed.setLastModified(
+      System.currentTimeMillis() - VersionedTable.InFlightGraceMs - 60000))
+    val inflight = new java.io.File(wh, "mawidx_tbl_k1__v41_0f11e41")
+    assert(inflight.mkdirs())
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos)) {
+      Maw.execute(spark, Maw.parse(Seq("--index-status", "--json-logs")))
+      Maw.execute(spark, Maw.parse(Seq("--sweep-indexes", "--json-logs")))
+    }
+    val lines = bos.toString.linesIterator.toList
+    val statusLines = lines.filter(_.contains("\"event\":\"index\""))
+    assert(statusLines.exists(l => l.contains(v1) && l.contains("\"committed\":true")),
+      s"status must list the committed build:\n${lines.mkString("\n")}")
+    assert(statusLines.exists(l => l.contains("__v40_") && l.contains("\"committed\":false")))
+    // sweep: the aged crash goes, the committed build and in-flight stay
+    assert(!crashed.exists(), "aged uncommitted build must sweep")
+    assert(inflight.exists(), "fresh in-flight build must survive")
+    assert(new java.io.File(wh, v1).exists(), "committed build must survive")
+    graft.util.TableRetention.sweep(spark, "mawidx_", Set.empty)
+  }
+
   test("--json-logs emits one per-file completion event per input (M1)") {
     val d = tmpDir("jsonlogs")
     val f1 = writeFile(d, "a.csv", "k,v\n1,x\n2,y\n")
