@@ -221,7 +221,16 @@ object ScaleSoak {
       // wall must scale with arriving rows only; same staging exclusion
       // as st16 (both batches together are the whole corpus). Per-batch
       // walls land in ingest_batch_sec_max via lastPackBatchWalls
-      "st17_streaming_packing")
+      "st17_streaming_packing",
+      // round-16: t29 is one NgramLmExpr pass (narrow, no shuffle — must
+      // track the t23/t24 scan floor); t30 adds the regex/HOF candidate
+      // validation on top of a narrow scan; d23 is d11's shape + a
+      // projection (fraction) — the window join dominates; d24 is two
+      // one-pass profile aggs at any corpus size (wall ~flat in rows is
+      // the claim); m07 decodes 5 payload variants per 50th doc — linear
+      // in its own (small) row count
+      "t29_lm_perplexity", "t30_pii_luhn", "d23_contamination_fraction",
+      "d24_profile_drift", "m07_media_robustness")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test

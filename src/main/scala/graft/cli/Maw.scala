@@ -360,7 +360,10 @@ object Maw {
     if (a.indexStatus || a.sweepIndexes) {
       if (a.indexStatus) {
         val fam = graft.util.VersionedTable.status(spark)
-        if (fam.isEmpty && !a.quiet) println("no versioned index builds")
+        // human-only notice: under --json-logs every stdout line must be
+        // an event — an empty warehouse just emits zero index events
+        if (fam.isEmpty && !a.quiet && !a.jsonLogs)
+          println("no versioned index builds")
         val now = System.currentTimeMillis()
         for ((stem, vs) <- fam.toSeq.sortBy(_._1); v <- vs) {
           val age = (now - v.modifiedMs) / 1000

@@ -66,21 +66,33 @@ object Multimodal {
   def encodePng(bytes: Array[Byte], shift: Int = 0, rgb: Boolean = false): Array[Byte] = {
     val img = new BufferedImage(ImgW, ImgH,
       if (rgb) BufferedImage.TYPE_INT_RGB else BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
+    fillSamples(img.getRaster, ImgW, ImgH, bytes, shift)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** THE pixel-sampling convention (one definition — the DuckDB oracles
+    * recompute pixels from the text bytes, so a second copy of this loop
+    * drifting would silently break their parity): sample i (row-major) is
+    * utf-8 byte `i mod len` (0 for null/empty), brightened by `shift` and
+    * clamped at both ends (a negative shift must saturate at 0, not wrap
+    * mod 256), written to every band (gray: 1; rgb: R=G=B; indexed: the
+    * palette index).
+    */
+  private def fillSamples(raster: java.awt.image.WritableRaster, w: Int, h: Int,
+      bytes: Array[Byte], shift: Int): Unit = {
     var i = 0
-    while (i < ImgW * ImgH) {
+    while (i < w * h) {
       val raw = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
-      val px = math.max(0, math.min(raw + shift, 255)) // clamp both ends: a negative shift must saturate at 0, not wrap mod 256
+      val px = math.max(0, math.min(raw + shift, 255))
       var b = 0
-      while (b < raster.getNumBands) { // gray: 1 band; rgb: R=G=B
-        raster.setSample(i % ImgW, i / ImgW, b, px)
+      while (b < raster.getNumBands) {
+        raster.setSample(i % w, i / w, b, px)
         b += 1
       }
       i += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
   }
 
   /** Wrap a (id, string) table as an IMAGE media table: payload is a real
@@ -114,13 +126,7 @@ object Multimodal {
       indexed: Boolean = false): Array[Byte] = {
     val img = new BufferedImage(w, h,
       if (indexed) BufferedImage.TYPE_BYTE_INDEXED else BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
-    while (i < w * h) {
-      val raw = if (bytes == null || bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
-      raster.setSample(i % w, i / w, 0, raw)
-      i += 1
-    }
+    fillSamples(img.getRaster, w, h, bytes, shift = 0)
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray

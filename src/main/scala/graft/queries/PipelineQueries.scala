@@ -2697,12 +2697,19 @@ object PipelineQueries {
     // payload body.
     "m07_media_robustness" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") % 50 === 0)
-      val adv = Multimodal.adversarialMedia(docs, "doc_id", "text")
+      // localCheckpoint: BOTH decode operators consume adv — without it the
+      // PNG encode+corrupt pass runs twice (the m05Sigs lesson)
+      val adv = Multimodal.adversarialMedia(docs, "doc_id", "text").localCheckpoint()
       val f = Multimodal.extractFeatures(adv)
       val d = Multimodal.withDHash(adv)
+      // pmod + exact division, NOT div/%: for a negative doc_id Spark's %
+      // follows the dividend's sign and div truncates toward zero, which
+      // would mislabel the variant and shift the id while the oracle
+      // carries doc_id verbatim (review catch — latent until a fixture
+      // plants negative ids)
       ordered(f.join(d, Seq("media_id"))
-        .select(expr("media_id div 8").as("doc_id"),
-          expr("CASE media_id % 8 WHEN 0 THEN 'valid' WHEN 1 THEN 'truncated' " +
+        .select(expr("(media_id - pmod(media_id, 8)) div 8").as("doc_id"),
+          expr("CASE pmod(media_id, 8) WHEN 0 THEN 'valid' WHEN 1 THEN 'truncated' " +
             "WHEN 2 THEN 'mislabeled' WHEN 3 THEN 'thin' ELSE 'palette' END")
             .as("variant"),
           col("features").isNotNull.as("decoded"),

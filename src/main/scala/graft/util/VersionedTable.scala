@@ -152,6 +152,17 @@ object VersionedTable {
   def status(spark: SparkSession): Map[String, Seq[Version]] =
     listFamily(spark, "")
 
+  /** THE retention keep rules, one definition for the in-build retain()
+    * and the CLI's [[sweepStale]] (two copies of this safety-critical set
+    * would drift — the 'keep-set must include X' bug class this module's
+    * round-15 history records three instances of): the newest two
+    * committed versions of a stem + its uncommitted builds younger than
+    * [[InFlightGraceMs]].
+    */
+  private def keepRules(vs: Seq[Version], now: Long): Seq[Version] =
+    vs.filter(_.committed).take(2) ++
+      vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
+
   /** Manual retention across EVERY stem (the CLI's `--sweep-indexes`):
     * apply the standard keep rules (newest two committed versions + young
     * uncommitted builds) to each stem and delete everything else that
@@ -164,10 +175,7 @@ object VersionedTable {
   def sweepStale(spark: SparkSession): Seq[String] = {
     val now = System.currentTimeMillis()
     val fam = status(spark)
-    val keep = fam.values.flatMap(vs =>
-      vs.filter(_.committed).take(2) ++
-        vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs))
-      .map(_.name).toSet
+    val keep = fam.values.flatMap(keepRules(_, now)).map(_.name).toSet
     val doomed = fam.values.flatten.map(_.name).toSet -- keep
     // prefix rules: a sibling artifact carries its version's name as a
     // prefix; keep wins over doom if both somehow match (nonce prefixes)
@@ -220,13 +228,12 @@ object VersionedTable {
       versions: Seq[Version], resolved: String,
       siblings: String => Seq[String]): Unit = {
     val now = System.currentTimeMillis()
-    def rules(vs: Seq[Version]): Seq[Version] =
-      vs.filter(_.committed).take(2) ++
-        vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
-    val keepVersions = versions.filter(_.name == resolved) ++ rules(versions)
+    val keepVersions =
+      versions.filter(_.name == resolved) ++ keepRules(versions, now)
     val keep = keepVersions.flatMap(v => v.name +: siblings(v.name)).toSet
     val otherStems = listFamily(spark, familyPrefix) - stem
-    val keepPrefixes = otherStems.values.flatMap(rules(_).map(_.name)).toSet
+    val keepPrefixes =
+      otherStems.values.flatMap(keepRules(_, now).map(_.name)).toSet
     TableRetention.sweep(spark, familyPrefix, keep, keepPrefixes)
   }
 }

@@ -62,6 +62,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 2L, s"unrelated images stay singletons: $out")
   }
 
+  test("m07 adversarial payloads: decode contract per variant (throws map to null rows)") {
+    val docs = Seq((0L, "some fixture text"), (50L, ""),
+        (100L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val adv = Multimodal.adversarialMedia(docs, "doc_id", "text")
+    val f = Multimodal.extractFeatures(adv).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d = Multimodal.withDHash(adv).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    for (base <- Seq(0L, 50L, 100L)) {
+      val id = (v: Int) => base * 8 + v
+      // valid: decodes 16x16, hashes
+      assert(!f(id(0)).isNullAt(1) && f(id(0)).getInt(2) == 16 && !d(id(0)))
+      // truncated PNG: the codec THROWS — contract is a null row, not a
+      // task failure (the catch in decodeImage)
+      assert(f(id(1)).isNullAt(1) && f(id(1)).isNullAt(2) && d(id(1)),
+        s"truncated payload must yield a null row (base $base)")
+      // mislabeled non-image bytes: unrecognized -> null row
+      assert(f(id(2)).isNullAt(1) && d(id(2)))
+      // thin 1x16: decodes (features, real dims) but sits under the 8x8
+      // dHash grid -> no perceptual hash
+      assert(!f(id(3)).isNullAt(1) && f(id(3)).getInt(2) == 1 &&
+        f(id(3)).getInt(3) == 16 && d(id(3)),
+        s"thin image must decode but not hash (base $base)")
+      // palette PNG: decodes and hashes (over palette indices)
+      assert(!f(id(4)).isNullAt(1) && f(id(4)).getInt(2) == 16 && !d(id(4)))
+    }
+  }
+
   test("dHash64 block math: uniform shift invariance and wraparound bits") {
     val px = Array.tabulate(256)(i => (i * 37) % 251)
     val h = Multimodal.dHash64(px, 16, 16)

@@ -43,7 +43,10 @@ class PlanLintSpec extends SparkSpec {
     // m05/m06 materialize the decoded (id, dhash) table once (the ImageIO
     // pass would otherwise run on both sides of the banded self-join);
     // m06 additionally runs d09's min-label closure over the pair graph
-    "m05_perceptual_dedup", "m06_perceptual_clusters")
+    "m05_perceptual_dedup", "m06_perceptual_clusters",
+    // m07 materializes the adversarial payload set once — BOTH decode
+    // operators (extractFeatures, withDHash) consume it
+    "m07_media_robustness")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
