@@ -782,6 +782,48 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Per-cluster QUOTA retention ("soft dedup"): keep the best `quota`
+    * docs of each near-dup cluster instead of [[bestSurvivors]]' exactly
+    * one — the published middle ground between hard dedup (quota 1 loses
+    * benign paraphrase diversity) and no dedup (mega-clusters dominate the
+    * training mix). Each kept row carries its within-cluster `rank`
+    * (1 = best), the full `cluster_size`, and `n_kept`
+    * (= min(quota, cluster_size)); `cluster_size / n_kept` is the exact
+    * integer upweight a mixture sampler applies so the retained rows still
+    * represent the cluster's original mass — emitted as the two integers,
+    * never a float ratio, so the contract stays engine-exact.
+    *
+    * Shape: [[clusters]]' closure, then ONE cluster-partitioned
+    * rank-limit window (`row_number <= quota` — map-side WindowGroupLimit
+    * ships at most `quota` rows per cluster per partition into the
+    * shuffle) plus a count over the SAME key (the label frame is
+    * pair-graph-sized, not corpus-sized, at any corpus scale). No pair
+    * joins, no per-cluster collect.
+    */
+  def quotaSurvivors(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, quota: Int): DataFrame = {
+    require(quota >= 1, s"quotaSurvivors: quota must be >= 1, got $quota")
+    require(idCol != "cluster",
+      "quotaSurvivors: idCol may not be named 'cluster' (a reserved output name)")
+    for (reserved <- Seq("id", "cluster", "rank", "cluster_size", "n_kept")
+         if reserved != idCol)
+      require(!docs.columns.contains(reserved),
+        s"quotaSurvivors: input already has a '$reserved' column — rename it " +
+          "(the operator outputs its own id/cluster/rank/size columns)")
+    val labels = clusters(docs, idCol, pairs)
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc_nulls_last, col("id").asc)
+    docs.withColumnRenamed(idCol, "id")
+      .join(labels, Seq("id"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= quota)
+      .join(sizes, Seq("cluster"))
+      .withColumn("n_kept", least(lit(quota.toLong), col("cluster_size")))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Diagnostic only: label-propagation rounds used by the LAST
     * [[clusters]] call that ran on this driver — soak evidence that round
     * count stays O(component diameter) as the corpus scales (ScaleSoak).

@@ -868,6 +868,29 @@ object PipelineQueries {
   private val ipv4Pat =
     "\\b((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\b"
 
+  /** t31's seed-stable shuffle key: two LCG-plus-xorshift rounds over
+    * `doc_id` in mod-2^32 space (multipliers 69069 and 1103515245 — the
+    * classic public LCG constants), ALL-INTEGER and ANSI-overflow-safe
+    * (every intermediate < 2^63: the largest product is
+    * (2^32-1) * 1103515245 ≈ 4.7e18). One template generates both dialect
+    * texts — the engines differ only in xor spelling (Spark `a ^ b`,
+    * DuckDB `xor(a, b)`) and integer division (`div` vs `//`), so the
+    * arithmetic itself has exactly one definition and cannot drift.
+    */
+  private def shuffleKeyExpr(seed: Long, xorFn: (String, String) => String,
+      divOp: String): String = {
+    val x1 = s"(((doc_id % 4294967296) * 69069 + $seed) % 4294967296)"
+    val x2 = s"(${xorFn(x1, s"($x1 $divOp 65536)")})"
+    val x3 = s"((($x2) * 1103515245 + 12345) % 4294967296)"
+    s"(${xorFn(x3, s"($x3 $divOp 1048576)")})"
+  }
+
+  /** Per-epoch seed for t31 (epoch folded in so each epoch is a DIFFERENT
+    * but equally reproducible permutation — the trainer's reshuffle-per-
+    * epoch contract). Classic Numerical-Recipes LCG constants.
+    */
+  private def epochSeed(epoch: Int): Long = 1664525L + 1013904223L * epoch
+
   /** t19's exact per-column profile (ONE pass: Spark plans the
     * multi-column COUNT(DISTINCT) as a single Expand + one shuffle), shared
     * with d24's snapshot-drift diff so the profile arithmetic has exactly
@@ -2032,6 +2055,31 @@ object PipelineQueries {
           (col("nulls2") - col("nulls1")).as("nulls_delta"),
           (col("dist2") - col("dist1")).as("distinct_delta")))
     }),
+    // Per-cluster QUOTA retention ("soft dedup"): d12 keeps exactly one
+    // doc per near-dup cluster; real curation pipelines keep the best N
+    // and UPWEIGHT them so retained rows still represent the cluster's
+    // mass. Three-member families make the quota observable: original ->
+    // first-token-dropped -> first-TWO-tokens-dropped chain-merge into one
+    // cluster (d09's closure), score = length keeps the original and the
+    // 1-drop mutation (ranks 1-2) and drops the 2-drop tail — while docs
+    // whose mutations fall under J=0.5 stay singleton clusters, kept at
+    // rank 1 with n_kept 1 (both branches hash-observable). The upweight
+    // is emitted as the exact integer pair (cluster_size, n_kept), never a
+    // float ratio.
+    "d25_cluster_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val drop1 = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val drop2 = drop1.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+      val docs = d.unionByName(drop1).unionByName(drop2)
+        .withColumn("score", length(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      ordered(Dedup.quotaSurvivors(docs, "doc_id", "score", pairs, quota = 2)
+        .select(col("doc_id"), col("cluster"), col("rank"),
+          col("cluster_size"), col("n_kept")))
+    }),
     // the t28 funnel applied AT INGEST: documents arrive as micro-batches
     // and each batch is decided inside foreachBatch with NO corpus-wide
     // state — every funnel gate is row-local, so union-over-batches equals
@@ -2146,6 +2194,32 @@ object PipelineQueries {
         size(regexp_extract_all(col("__aug"), lit(ipv4Pat), lit(0))).as("n_ips"),
         md5(expr("aggregate(__valid, __ipred, (acc, x) -> replace(acc, x, '[CARD]'))")
           .cast(BinaryType)).as("redacted_fp")))
+    }),
+    // Deterministic corpus SHUFFLE (training order): a trainer must walk
+    // 100 TB in a seed-stable pseudorandom order, reshuffled each epoch,
+    // reproducible across reruns — rand() is none of those. The key is an
+    // all-integer LCG+xorshift mix of doc_id (shuffleKeyExpr, one template
+    // both engines replay), the order is (key, doc_id) — total even under
+    // key collisions — and the output is sharded: pos is per (epoch,
+    // shard), NOT a global row_number, because a single-partition global
+    // window is the scale-killer; each data-loader rank reads its shard in
+    // pos order, which IS the distributed-training read contract. Two
+    // epochs pin that the permutation changes with the seed yet stays
+    // reproducible. Scale shape: per-row codegen'd arithmetic + one
+    // hash-partitioned sort per epoch/shard — no global coordination.
+    "t31_corpus_shuffle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id")
+      def keyed(epoch: Int): DataFrame = docs.selectExpr(
+        s"$epoch as epoch", "doc_id",
+        s"${shuffleKeyExpr(epochSeed(epoch), (a, b) => s"$a ^ $b", "div")} as shuffle_key")
+      val sharded = keyed(0).unionByName(keyed(1))
+        .withColumn("shard", col("shuffle_key") % 8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("shuffle_key").asc, col("doc_id").asc)
+      ordered(sharded.withColumn("pos", row_number().over(w))
+        .select(col("epoch"), col("doc_id"), col("shuffle_key"),
+          col("shard"), col("pos")))
     }),
     // context-window chunking: split long documents into 1000-char chunks
     // with 100-char overlap (stride 900), stable (doc_id, chunk_idx) keys —
@@ -3443,6 +3517,26 @@ object PipelineQueries {
          |    (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_fp
          |FROM e
          |${orderSql("doc_id", "n_digit16", "n_cards_valid", "n_ips", "redacted_fp")}""".stripMargin,
+    // the same shuffleKeyExpr template in DuckDB spelling (xor()/"//"),
+    // same per-shard window — a global ORDER BY here would also pass, but
+    // mirroring the sharded contract keeps the oracle honest about what
+    // the engine promises (per-shard order, not one global sequence)
+    "t31_corpus_shuffle" ->
+      s"""WITH keyed AS (
+         |  SELECT 0 AS epoch, doc_id,
+         |    ${shuffleKeyExpr(epochSeed(0), (a, b) => s"xor($a, $b)", "//")} AS shuffle_key
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 1, doc_id,
+         |    ${shuffleKeyExpr(epochSeed(1), (a, b) => s"xor($a, $b)", "//")}
+         |  FROM documents),
+         |sharded AS (
+         |  SELECT epoch, doc_id, shuffle_key, shuffle_key % 8 AS shard FROM keyed)
+         |SELECT epoch, doc_id, shuffle_key, shard,
+         |  CAST(row_number() OVER (PARTITION BY epoch, shard
+         |    ORDER BY shuffle_key ASC, doc_id ASC) AS INTEGER) AS pos
+         |FROM sharded
+         |${orderSql("epoch", "doc_id", "shuffle_key", "shard", "pos")}""".stripMargin,
     "t04_token_freq" ->
       s"""SELECT token, COUNT(*) AS n FROM (
          |SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
@@ -3990,6 +4084,52 @@ object PipelineQueries {
          |  FROM docs d JOIN lab USING (doc_id))
          |SELECT doc_id, cluster, score FROM scored WHERE rn = 1
          |${orderSql("doc_id", "cluster", "score")}""".stripMargin,
+    // d09's reachability CTE over the THREE-member mutation families +
+    // the quota window (rank <= 2) and exact per-cluster size counts —
+    // mirrors quotaSurvivors' window and integer upweight pair exactly
+    "d25_cluster_quota" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    substring(t1, instr(t1, ' ') + 1)
+         |  FROM (SELECT doc_id, substring(text, instr(text, ' ') + 1) AS t1
+         |        FROM documents)),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM pairs
+         |  UNION ALL SELECT idB, idA FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY cluster),
+         |ranked AS (SELECT d.doc_id, lab.cluster,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY length(d.text) DESC NULLS LAST, d.doc_id ASC) AS rn
+         |  FROM docs d JOIN lab USING (doc_id))
+         |SELECT r.doc_id, r.cluster, CAST(r.rn AS INTEGER) AS rank,
+         |  s.cluster_size,
+         |  least(2, s.cluster_size) AS n_kept
+         |FROM ranked r JOIN sizes s USING (cluster) WHERE r.rn <= 2
+         |${orderSql("doc_id", "cluster", "rank", "cluster_size", "n_kept")}""".stripMargin,
     // the embedding-space curation chain: brute-force cosine pairs at the
     // same recall-1 threshold, recursive-CTE closure, same window pick
     "d14_semantic_curation" ->

@@ -243,6 +243,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set((2L, 1L, 30), (9L, 9L, 5)))
   }
 
+  test("quota survivors: keep best N per cluster with exact upweight pair") {
+    val docs = Seq(
+      (1L, "a", 10), (2L, "b", 30), (3L, "c", 20), // chain cluster 1~2, 2~3
+      (9L, "z", 5))                                // singleton: kept, n_kept 1
+      .toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val got = Dedup.quotaSurvivors(docs, "id", "score", pairs, quota = 2)
+      .select("id", "cluster", "rank", "cluster_size", "n_kept")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // cluster {1,2,3}: scores 30 > 20 > 10 keep ids 2,3 (ranks 1,2), drop 1;
+    // size 3 with 2 kept is the upweight pair; singleton keeps itself whole
+    assert(got == Set(
+      (2L, 1L, 1, 3L, 2L),
+      (3L, 1L, 2, 3L, 2L),
+      (9L, 9L, 1, 1L, 1L)))
+  }
+
+  test("quota survivors: quota 1 kept set equals bestSurvivors") {
+    val docs = Seq((1L, "a", 10), (2L, "b", 30), (3L, "c", 20), (9L, "z", 5))
+      .toDF("id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val q1 = Dedup.quotaSurvivors(docs, "id", "score", pairs, quota = 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val best = Dedup.bestSurvivors(docs, "id", "score", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(q1 == best)
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
