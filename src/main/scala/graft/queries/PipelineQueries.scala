@@ -2637,6 +2637,104 @@ object PipelineQueries {
     // set hash-pins the operator end to end: a cross-cell false negative,
     // a verify threshold drift, or a wrong keep-lowest tie-break each
     // changes the survivor set.
+    // MMR-diversified rerank (Carbonell & Goldstein 1998) — the serving
+    // pattern when the top-k is full of near-duplicates: greedily pick
+    // argmax of rel(q,c) - max_{s in selected} sim(c,s) (lambda = 0.5)
+    // from a bounded candidate set. Everything is INTEGER-exact: vectors
+    // are int8-quantized (s04's proven-equal quantization) and both rel
+    // and the pairwise penalty are integer dot products, so the greedy
+    // walk replays identically on both engines (a float MMR would let
+    // summation-order noise flip a pick). Max-abs quantization keeps
+    // direction but drops per-vector scale, so the quantized dot is not
+    // strictly cosine-ordered — the same trade s11's coarse stage makes,
+    // and the exact-walk contract is unaffected. Planted structure per query: a
+    // TIGHT cluster of 3 near-copies (10q + i/16 * u — the crawl-duplicate
+    // class) and 2 moderately-relevant distinct vectors (2q + w) whose
+    // mmr margins straddle the int8 resolution — some queries interleave
+    // a diverse pick at step 2, others exhaust the tight cluster first,
+    // and the oracle's recursive-CTE greedy walk pins every pick either
+    // way. Scale shape: candidate top-m is s11's broadcast-queries narrow
+    // corpus pass; everything after (pairwise sims, k greedy rounds) is
+    // bounded by m*queries rows, never corpus-sized.
+    "s17_mmr_rerank" -> ((s, dir) => {
+      val m = 20
+      val k = 5
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val asD = (c: Column) => transform(c, v => v.cast("double"))
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def noise(off: Int, name: String) =
+        e.where(col("vec_id") >= (10 + off) && col("vec_id") < (20 + off))
+          .select((col("vec_id") - (10 + off)).as("qid"), col("embedding").as(name))
+      val dirs = qs.join(noise(0, "u"), "qid")
+        .join(noise(10, "w"), "qid").join(noise(20, "x"), "qid")
+      val aRows = dirs
+        .select(col("qid"), col("qv"), col("u"),
+          explode(sequence(lit(0), lit(2))).as("i"))
+        .select((lit(100000L) + col("qid") * 10 + col("i")).as("vec_id"),
+          zip_with(asD(col("qv")), asD(col("u")),
+            (a, b) => lit(10.0) * a +
+              ((col("i") + 1).cast("double") / lit(16.0)) * b).as("vd"))
+      def bRow(offset: Int, dcol: String) = dirs
+        .select((lit(200000L) + col("qid") * 10 + offset).as("vec_id"),
+          zip_with(asD(col("qv")), asD(col(dcol)),
+            (a, b) => lit(2.0) * a + b).as("vd"))
+      val corpus = e.where(col("vec_id") >= 10)
+        .select(col("vec_id"), asD(col("embedding")).as("vd"))
+        .unionByName(aRows).unionByName(bRow(0, "w")).unionByName(bRow(1, "x"))
+      // int8 quantize both sides; float-cast so the dot expression applies
+      // (products <= 127^2, dim 64 -> sums exact in double)
+      val q8 = (c: Column) => transform(VF.quantizeI8(c), v => v.cast("float"))
+      val cq = corpus.select(col("vec_id").as("cand_id"), q8(col("vd")).as("cz"))
+      val qq = qs.select(col("qid").as("query_id"), q8(asD(col("qv"))).as("qz"))
+      val scored = cq.crossJoin(broadcast(qq))
+        .select(col("query_id"), col("cand_id"),
+          VF.dot(col("qz"), col("cz")).cast("long").as("rel"), col("cz"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rel").desc, col("cand_id").asc)
+      // localCheckpoint: candidates + pairwise sims feed every greedy
+      // round; without it the corpus-wide scoring pass would re-run per
+      // round. Both frames are bounded (queries*m and queries*m*(m-1)).
+      val cand = scored.withColumn("__rn", row_number().over(wTop))
+        .where(col("__rn") <= m).drop("__rn")
+        .localCheckpoint()
+      val ps = cand.select(col("query_id"), col("cand_id").as("a"), col("cz").as("az"))
+        .join(cand.select(col("query_id"), col("cand_id").as("b"), col("cz").as("bz")),
+          Seq("query_id"))
+        .where(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          VF.dot(col("az"), col("bz")).cast("long").as("sim"))
+        .localCheckpoint()
+      val slim = cand.select("query_id", "cand_id", "rel")
+      val wSel = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id").asc)
+      var selected = slim
+        .withColumn("mmr", col("rel"))
+        .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+        .select(col("query_id"), col("cand_id").as("selected_id"),
+          lit(1).as("step"))
+      for (step <- 2 to k) {
+        val selIds = selected.select(col("query_id"), col("selected_id"))
+        val notSel = slim.join(
+          selIds.withColumnRenamed("selected_id", "cand_id"),
+          Seq("query_id", "cand_id"), "left_anti")
+        val pens = notSel
+          .join(ps.withColumnRenamed("a", "cand_id"), Seq("query_id", "cand_id"))
+          .join(selIds.withColumnRenamed("selected_id", "b"), Seq("query_id", "b"))
+          .groupBy("query_id", "cand_id").agg(max("sim").as("pen"))
+        val pick = notSel.join(pens, Seq("query_id", "cand_id"), "left")
+          .select(col("query_id"), col("cand_id"),
+            (col("rel") - coalesce(col("pen"), lit(0L))).as("mmr"))
+          .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
+          .select(col("query_id"), col("cand_id").as("selected_id"),
+            lit(step).as("step"))
+        // truncate lineage per round: pick_N's plan re-derives every
+        // earlier round otherwise (tiny frames, but the recompute is
+        // quadratic in k); checkpointed frames are queries*k rows
+        selected = selected.unionByName(pick).localCheckpoint()
+      }
+      ordered(selected)
+    }),
     "s16_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select("vec_id", "embedding")
       val corpus = e.unionByName(
@@ -3969,6 +4067,83 @@ object PipelineQueries {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE list_cosine_similarity(a.v, b.v) >= 0.999
          |${orderSql("idA", "idB", "cosine")}""".stripMargin,
+    // the MMR greedy walk replayed exactly: same planted mixes (power-of-
+    // two coefficients — every double is exact), the s04 quantization
+    // fragment, integer dots, and a recursive CTE whose correlated
+    // ORDER-BY-LIMIT subquery picks each round's argmax (rel - max sim to
+    // the carried selected list, tie by candidate id — t27's recursive-
+    // replay discipline applied to a 2-D greedy)
+    "s17_mmr_rerank" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+         |dirs AS (SELECT q.qid, q.qv AS qd, u.v AS ud, w.v AS wd, x.v AS xd
+         |  FROM q JOIN e u ON u.vec_id = q.qid + 10
+         |         JOIN e w ON w.vec_id = q.qid + 20
+         |         JOIN e x ON x.vec_id = q.qid + 30),
+         |a_rows AS (SELECT 100000 + qid*10 + i AS vec_id,
+         |    list_transform(range(1, len(qd)+1),
+         |      j -> 10.0*qd[j] + ((i+1)/16.0)*ud[j]) AS vd
+         |  FROM (SELECT qid, qd, ud, unnest(range(0,3)) AS i FROM dirs)),
+         |b_rows AS (
+         |  SELECT 200000 + qid*10 AS vec_id,
+         |    list_transform(range(1, len(qd)+1), j -> 2.0*qd[j] + wd[j]) AS vd
+         |  FROM dirs
+         |  UNION ALL
+         |  SELECT 200000 + qid*10 + 1,
+         |    list_transform(range(1, len(qd)+1), j -> 2.0*qd[j] + xd[j])
+         |  FROM dirs),
+         |corpus AS (
+         |  SELECT vec_id, v AS vd FROM e WHERE vec_id >= 10
+         |  UNION ALL SELECT vec_id, vd FROM a_rows
+         |  UNION ALL SELECT vec_id, vd FROM b_rows),
+         |cqz AS (SELECT vec_id,
+         |    list_transform(vd, x -> CASE WHEN ma > 0
+         |      THEN CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER) ELSE 0 END) AS qz
+         |  FROM (SELECT vec_id, vd,
+         |          list_max(list_transform(vd, x -> abs(x))) AS ma FROM corpus)),
+         |qq AS (SELECT qid,
+         |    list_transform(qv, x -> CASE WHEN ma > 0
+         |      THEN CAST(floor(x * (127.0 / ma) + 0.5) AS INTEGER) ELSE 0 END) AS qz
+         |  FROM (SELECT qid, qv,
+         |          list_max(list_transform(qv, x -> abs(x))) AS ma FROM q)),
+         |scored AS (SELECT qq.qid AS query_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(range(1, len(qq.qz)+1),
+         |      j -> qq.qz[j] * c.qz[j])) AS BIGINT) AS rel
+         |  FROM qq JOIN cqz c ON true),
+         |cand AS (SELECT query_id, cand_id, rel FROM (
+         |    SELECT query_id, cand_id, rel,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id ASC) AS rn
+         |    FROM scored) WHERE rn <= 20),
+         |ps AS (SELECT a.query_id, a.cand_id AS a, b.cand_id AS b,
+         |    CAST(list_sum(list_transform(range(1, len(av.qz)+1),
+         |      j -> av.qz[j] * bv.qz[j])) AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN cqz av ON av.vec_id = a.cand_id
+         |  JOIN cqz bv ON bv.vec_id = b.cand_id),
+         |sel(query_id, sel_list, step) AS (
+         |  SELECT query_id, [cand_id], 1 FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, cand_id ASC) AS rn
+         |    FROM cand) WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.query_id, list_append(s.sel_list, (
+         |      SELECT c.cand_id FROM cand c
+         |      WHERE c.query_id = s.query_id
+         |        AND NOT list_contains(s.sel_list, c.cand_id)
+         |      ORDER BY (c.rel - COALESCE((SELECT max(p.sim) FROM ps p
+         |          WHERE p.query_id = s.query_id AND p.a = c.cand_id
+         |            AND list_contains(s.sel_list, p.b)), 0)) DESC,
+         |        c.cand_id ASC
+         |      LIMIT 1)), s.step + 1
+         |  FROM sel s WHERE s.step < 5)
+         |SELECT query_id, unnest(sel_list) AS selected_id,
+         |  CAST(unnest(range(1, 6)) AS INTEGER) AS step
+         |FROM sel WHERE step = 5
+         |${orderSql("query_id", "selected_id", "step")}""".stripMargin,
     // brute-force all-pairs survivor set — ignores the operator's cell
     // structure entirely (planted exact copies make it invisible; see the
     // query comment): keep every id with no smaller-id >= 0.999 neighbor

@@ -32,6 +32,9 @@ class PlanLintSpec extends SparkSpec {
     // d25 runs the same clusters() closure as d09/d12 (checkpointed edge
     // table + final round frontier back the returned labels)
     "d25_cluster_quota",
+    // s17 checkpoints its candidate set, pairwise-sim table, and per-round
+    // greedy state (all bounded by queries*m, never corpus-sized)
+    "s17_mmr_rerank",
     "s05_knn_ivf_bucketed", "s11_two_stage_knn", "s12_knn_ivf_serve",
     "s13_knn_pq_adc", "s14_knn_ivfpq_serve", "s15_knn_ivfpq_filtered",
     "d16_ann_index_cdc", "st12_ann_index_stream",
