@@ -758,6 +758,93 @@ object PipelineQueries {
     ordered(res.select("doc_id", "lang", "n_tokens", "pack_id"))
   }
 
+  /** st18: the data-quality MONITOR at ingest — each micro-batch is
+    * profiled (rows + nulls per column, the MERGEABLE stats; distinct
+    * deliberately excluded — it cannot merge across batches without
+    * sketch state, t21's territory) and compared against the RUNNING
+    * pre-batch profile; a batch whose per-column null rate deviates from
+    * the running rate by > 0.10 raises `null_drift` — catching an
+    * upstream regression (batch 2 plants one: `text` degraded to NULL for
+    * doc_id % 5) the moment it lands instead of at the next d24 snapshot
+    * diff. The running state is EVENT-SOURCED from the harness's own
+    * committed batch outputs (prior totals = sum over existing markers'
+    * rows) rather than a side table: a replayed batch recomputes from the
+    * same priors and a crash leaves no half-applied running state — the
+    * marker move is the only commit point. Drift compares are two exact
+    * integer-derived double divisions (same operands both engines — IEEE
+    * division is deterministic); at warehouse scale the same compare runs
+    * on DECIMAL(38) cross-multiplies, here rates are the readable form.
+    */
+  private def st18Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source")
+    val docs = t(s, dir, "documents").select(cols.map(col): _*)
+    val batch1 = docs.where(col("doc_id") % 2 === 0 || col("doc_id").isNull)
+    val batch2 = docs.where(col("doc_id") % 2 =!= 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        lit(null).cast("string")).otherwise(col("text")))
+    // the harness's base-path formula (tag + key hash) — the closure reads
+    // prior batches' committed outputs from the same outDir the harness
+    // writes, which is what makes the running state event-sourced
+    val outDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"st18_profile_${java.lang.Integer.toHexString(dir.hashCode)}", "out")
+    def slimProfile(df: DataFrame): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col("n_rows"),
+            col(s"__nulls_$c").as("n_nulls"))): _*)).as("p"))
+        .select("p.col_name", "p.n_rows", "p.n_nulls")
+    }
+    val decide: DataFrame => DataFrame = batch => {
+      val committed = {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(outDir))
+          scala.util.Using.resource(java.nio.file.Files.list(outDir)) { st =>
+            st.iterator().asScala.map(_.toString).toSeq.sorted
+          }.filter { p =>
+            scala.util.Using.resource(
+              java.nio.file.Files.list(java.nio.file.Paths.get(p))) { st =>
+              st.iterator().asScala.exists(_.getFileName.toString.startsWith("part-"))
+            }
+          }
+        else Seq.empty
+      }
+      val prior =
+        if (committed.isEmpty)
+          s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("col_name", StringType),
+              StructField("prior_rows", LongType),
+              StructField("prior_nulls", LongType),
+              StructField("prior_batches", LongType))))
+        else s.read.parquet(committed: _*)
+          .groupBy("col_name")
+          .agg(sum("batch_rows").as("prior_rows"),
+            sum("batch_nulls").as("prior_nulls"),
+            max("batch_seq").as("prior_batches"))
+      slimProfile(batch).join(prior, Seq("col_name"), "left")
+        .select(col("col_name"),
+          (coalesce(col("prior_batches"), lit(0L)) + 1L).as("batch_seq"),
+          col("n_rows").as("batch_rows"), col("n_nulls").as("batch_nulls"),
+          (coalesce(col("prior_rows"), lit(0L)) + col("n_rows")).as("total_rows"),
+          (coalesce(col("prior_nulls"), lit(0L)) + col("n_nulls")).as("total_nulls"),
+          when(coalesce(col("prior_rows"), lit(0L)) === 0 || col("n_rows") === 0,
+            lit(false))
+            .otherwise(
+              abs(col("n_nulls").cast("double") / col("n_rows") -
+                col("prior_nulls").cast("double") / col("prior_rows")) > 0.10)
+            .as("null_drift"))
+    }
+    val (res, _) = twoBatchIngestLoop(s, "st18_profile", dir,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("lang", StringType),
+        StructField("source", StringType))),
+      batch1, batch2)(decide)
+    ordered(res.select("col_name", "batch_seq", "batch_rows", "batch_nulls",
+      "total_rows", "total_nulls", "null_drift"))
+  }
+
   /** embeddings + a slightly perturbed copy of each (id offset by 1e6). */
   private def embWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select("vec_id", "embedding")
@@ -890,6 +977,16 @@ object PipelineQueries {
     * epoch contract). Classic Numerical-Recipes LCG constants.
     */
   private def epochSeed(epoch: Int): Long = 1664525L + 1013904223L * epoch
+
+  /** st18's mergeable per-column profile (rows + nulls) of relation `rel`
+    * in DuckDB SQL — generated from the same column list the Spark side
+    * profiles, one fragment per engine pair.
+    */
+  private def slimProfileSql(rel: String, cols: Seq[String]): String =
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS batch_rows,
+         |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS batch_nulls
+         |FROM $rel""".stripMargin).mkString("\nUNION ALL\n")
 
   /** t19's exact per-column profile (ONE pass: Spark plans the
     * multi-column COUNT(DISTINCT) as a single Expand + one shuffle), shared
@@ -2100,6 +2197,13 @@ object PipelineQueries {
     // path). The query restarts between its two batches, so the state's
     // checkpoint durability is exercised, not assumed. See st17Pack.
     "st17_streaming_packing" -> ((s, dir) => st17Pack(s, dir)),
+    // Profile DRIFT at ingest (d24's streaming twin): each micro-batch is
+    // profiled with the mergeable stats and compared against the running
+    // pre-batch profile, alerting the moment an upstream regression lands
+    // (batch 2 plants one). Running state is event-sourced from the
+    // committed batch outputs themselves — replay-safe with no side
+    // table. See st18Profile.
+    "st18_streaming_profile" -> ((s, dir) => st18Profile(s, dir)),
     "d08_curation_pipeline" -> ((s, dir) => {
       // end-to-end curation: length filter -> exact dedup (md5 fingerprint,
       // deterministic min-id survivor) -> per-doc text accounting
@@ -3615,6 +3719,34 @@ object PipelineQueries {
          |    (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_fp
          |FROM e
          |${orderSql("doc_id", "n_digit16", "n_cards_valid", "n_ips", "redacted_fp")}""".stripMargin,
+    // the same batch split (planted text degradation in batch 2), the
+    // same generated per-column profile, the same running merge and
+    // drift compare — batch 1 is the baseline (drift FALSE by contract)
+    "st18_streaming_profile" ->
+      s"""WITH b1 AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  WHERE doc_id % 2 = 0 OR doc_id IS NULL),
+         |b2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+         |    lang, source
+         |  FROM documents WHERE doc_id % 2 <> 0),
+         |p1 AS (${slimProfileSql("b1", Seq("doc_id", "text", "lang", "source"))}),
+         |p2 AS (${slimProfileSql("b2", Seq("doc_id", "text", "lang", "source"))})
+         |SELECT col_name, CAST(1 AS BIGINT) AS batch_seq, batch_rows,
+         |  batch_nulls, batch_rows AS total_rows, batch_nulls AS total_nulls,
+         |  FALSE AS null_drift
+         |FROM p1
+         |UNION ALL
+         |SELECT p2.col_name, CAST(2 AS BIGINT), p2.batch_rows, p2.batch_nulls,
+         |  p1.batch_rows + p2.batch_rows, p1.batch_nulls + p2.batch_nulls,
+         |  CASE WHEN p1.batch_rows = 0 OR p2.batch_rows = 0 THEN FALSE
+         |    ELSE abs(CAST(p2.batch_nulls AS DOUBLE) / p2.batch_rows -
+         |             CAST(p1.batch_nulls AS DOUBLE) / p1.batch_rows) > 0.10
+         |  END
+         |FROM p2 JOIN p1 USING (col_name)
+         |${orderSql("col_name", "batch_seq", "batch_rows", "batch_nulls",
+            "total_rows", "total_nulls", "null_drift")}""".stripMargin,
     // the same shuffleKeyExpr template in DuckDB spelling (xor()/"//"),
     // same per-shard window — a global ORDER BY here would also pass, but
     // mirroring the sharded contract keeps the oracle honest about what

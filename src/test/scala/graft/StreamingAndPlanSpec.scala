@@ -339,4 +339,19 @@ class StreamingAndPlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("st18 streaming profile: baseline batch never drifts, planted regression does") {
+    val rows = SparkEntry.queries("st18_streaming_profile")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getBoolean(6))).toMap
+    assert(rows.size == 8, s"expected 4 columns x 2 batches, got ${rows.size}")
+    // batch 1 is the running baseline: no prior profile, so drift is
+    // FALSE for every column by contract
+    assert(rows.filter(_._1._2 == 1L).values.forall(!_), "baseline batch drifted")
+    // batch 2's planted text degradation (doc_id % 5 -> NULL, a 20% null
+    // rate against a ~0% running rate) must alert — and ONLY text
+    val drifted = rows.filter(_._2).keys.toSet
+    assert(drifted == Set(("text", 2L)),
+      s"expected exactly the planted text drift, got $drifted")
+  }
 }
