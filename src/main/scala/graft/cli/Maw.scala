@@ -369,9 +369,11 @@ object Maw {
           val age = (now - v.modifiedMs) / 1000
           if (a.jsonLogs)
             println(s"""{"event":"index","stem":${jstr(stem)},"name":${jstr(v.name)},""" +
-              s""""version":${v.n},"committed":${v.committed},"age_sec":$age}""")
+              s""""version":${v.n},"committed":${v.committed},"age_sec":$age,""" +
+              s""""leased":${v.leasedAt(now)}}""")
           else println(f"$stem%-40s v${v.n}%-4d " +
-            (if (v.committed) "committed  " else "UNCOMMITTED") + f" age=${age}s  ${v.name}")
+            (if (v.committed) "committed  " else "UNCOMMITTED") +
+            (if (v.leasedAt(now)) " LEASED" else "") + f" age=${age}s  ${v.name}")
         }
       }
       if (a.sweepIndexes) {

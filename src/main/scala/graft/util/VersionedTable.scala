@@ -32,17 +32,23 @@ import org.apache.spark.sql.SparkSession
   *    build in flight; CRASHED builds age out and sweep as litter).
   *    Everything else goes, locations and catalog entries both.
   *
-  * Residual contract (documented, not hidden): a reader that holds a
-  * resolved version across MORE THAN ONE full sibling rebuild cycle can
-  * still lose its location — retention depth is 2, not a lease — and a
-  * build stalled past the grace window can be swept mid-write. Query entry
-  * points re-resolve per invocation, so the exposure window is one query's
-  * execution, not a session lifetime.
+  * Readers that hold a resolve longer than one query invocation take an
+  * explicit [[lease]]: a leased version survives retention — depth-2 and
+  * CLI sweeps both — until the lease expires ([[LeaseMs]] after its last
+  * touch), whatever the rebuild cadence. Query entry points re-resolve per
+  * invocation and deliberately do NOT lease (auto-leasing every resolve
+  * would defeat depth-2 retirement); the lease is for multi-hour readers.
+  *
+  * Residual contract (documented, not hidden): an UNLEASED reader that
+  * holds a resolved version across MORE THAN ONE full sibling rebuild
+  * cycle can still lose its location — retention depth is 2 — and a build
+  * stalled past the grace window can be swept mid-write.
   */
 object VersionedTable {
 
   private val VersionedName = "^(.+)__v([0-9]+)_([0-9a-f]+)$".r
   private val Marker = "_GRAFT_COMMITTED"
+  private val LeaseFile = "_GRAFT_LEASE"
 
   /** How long an uncommitted version is presumed to be a live in-flight
     * build (protected from sweeps). Index builds here are seconds-long;
@@ -51,11 +57,22 @@ object VersionedTable {
     */
   val InFlightGraceMs: Long = 60L * 60 * 1000
 
+  /** How long one [[lease]] touch protects a version from retention. A
+    * long-running reader re-touches before expiry (the heartbeat pattern
+    * `Compact`'s writer lease already uses); a crashed reader's lease ages
+    * out rather than pinning the version forever.
+    */
+  val LeaseMs: Long = 15L * 60 * 1000
+
   /** Parsed warehouse state of one versioned build. `name` is the catalog
     * table / location base name; `committed` mirrors the marker file;
-    * `modifiedMs` is the base location's mtime (the in-flight age signal).
+    * `modifiedMs` is the base location's mtime (the in-flight age signal);
+    * `leaseMs` is the lease file's mtime (0 = never leased).
     */
-  case class Version(name: String, n: Long, committed: Boolean, modifiedMs: Long)
+  case class Version(name: String, n: Long, committed: Boolean, modifiedMs: Long,
+      leaseMs: Long = 0L) {
+    def leasedAt(now: Long): Boolean = leaseMs > 0 && now - leaseMs < LeaseMs
+  }
 
   private def warehouse(spark: SparkSession) = {
     val wh = new org.apache.hadoop.fs.Path(
@@ -84,9 +101,13 @@ object VersionedTable {
     fs.listStatus(wh).toSeq.flatMap { st =>
       st.getPath.getName match {
         case VersionedName(s, n, _) if s.startsWith(prefix) =>
+          val leaseMs =
+            try fs.getFileStatus(new org.apache.hadoop.fs.Path(st.getPath, LeaseFile))
+              .getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L }
           Some((s, Version(st.getPath.getName, n.toLong,
             fs.exists(new org.apache.hadoop.fs.Path(st.getPath, Marker)),
-            st.getModificationTime)))
+            st.getModificationTime, leaseMs)))
         case _ => None
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(-_.n)).toMap
@@ -161,7 +182,8 @@ object VersionedTable {
     */
   private def keepRules(vs: Seq[Version], now: Long): Seq[Version] =
     vs.filter(_.committed).take(2) ++
-      vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs)
+      vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs) ++
+      vs.filter(_.leasedAt(now)) // an explicit reader lease outranks depth-2
 
   /** Manual retention across EVERY stem (the CLI's `--sweep-indexes`):
     * apply the standard keep rules (newest two committed versions + young
@@ -196,6 +218,21 @@ object VersionedTable {
       }
     }
     swept.toSeq
+  }
+
+  /** Take (or re-touch) a reader lease on `name`'s warehouse location: the
+    * version survives EVERY retention path — depth-2 retain() and the
+    * CLI's sweepStale — until [[LeaseMs]] after the last touch. For
+    * readers that hold a resolved version beyond one query invocation
+    * (the documented depth-2 exposure); re-touch before expiry to extend.
+    * Leasing a name that is not a versioned location is a no-op by
+    * construction (retention only ever considers versioned names).
+    */
+  def lease(spark: SparkSession, name: String): Unit = {
+    val (wh, fs) = warehouse(spark)
+    val f = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh, name), LeaseFile)
+    fs.create(f, true).close()
   }
 
   /** Write the commit marker into `name`'s warehouse location. */

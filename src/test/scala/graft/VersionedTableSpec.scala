@@ -164,4 +164,30 @@ class VersionedTableSpec extends SparkSpec {
     assert(whPath(s"${v2}_model").exists() && whPath(s"${v3}_model").exists())
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
   }
+
+  test("a leased version outlives depth-2 retention until the lease expires") {
+    val stem = "vtspec_tbl_k4"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem, buildTable(Seq((1L, "a"))))
+    // the long-running reader announces itself
+    VersionedTable.lease(spark, v1)
+    // two full rebuild cycles later, an unleased v1 would be gone (the
+    // depth-2 contract the first spec pins) — the lease keeps it
+    val v2 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "b"))), usable = _ => false)
+    val v3 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "c"))), usable = n => n != v1 && n != v2)
+    assert(whPath(v1).exists(), "leased v1 must survive two newer committed versions")
+    // the CLI's warehouse-wide sweep honors the same lease
+    VersionedTable.sweepStale(spark)
+    assert(whPath(v1).exists(), "sweepStale must honor a live lease")
+    // expire the lease (age the lease FILE past LeaseMs) -> next retention
+    // retires v1 like any depth-3 version
+    assert(new java.io.File(whPath(v1), "_GRAFT_LEASE").setLastModified(
+      System.currentTimeMillis() - VersionedTable.LeaseMs - 60000))
+    VersionedTable.sweepStale(spark)
+    assert(!whPath(v1).exists(), "expired lease must stop protecting v1")
+    assert(whPath(v2).exists() && whPath(v3).exists())
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
 }
