@@ -230,7 +230,20 @@ object ScaleSoak {
       // the claim); m07 decodes 5 payload variants per 50th doc — linear
       // in its own (small) row count
       "t29_lm_perplexity", "t30_pii_luhn", "d23_contamination_fraction",
-      "d24_profile_drift", "m07_media_robustness")
+      "d24_profile_drift", "m07_media_robustness",
+      // round-16 second batch: d25 is d12's closure + ONE rank-limit
+      // window + a size count on the same cluster key — replica-salted
+      // text keeps each mutation family replica-local (3 members), so
+      // clusters and output scale linearly, never with pairs; t31 is
+      // per-row integer hashing + one per-(epoch,shard) sort (output =
+      // 2x corpus rows — the cheapest shuffle leg); s17's candidate pass
+      // is s11's broadcast-queries corpus scan (linear) and everything
+      // after is bounded by queries*m — output pinned at 50 rows at any
+      // scale; st18 profiles each micro-batch into O(cols) rows — the
+      // per-batch wall tracks the batch scan, and the whole corpus is
+      // staged (excluded from the wall like st16/st17)
+      "d25_cluster_quota", "t31_corpus_shuffle", "s17_mmr_rerank",
+      "st18_streaming_profile")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -239,7 +252,8 @@ object ScaleSoak {
     * derived subsets and keep their historical all-in walls.
     */
   private val StagedCorpusLegs =
-    Set("st16_streaming_curation", "st17_streaming_packing")
+    Set("st16_streaming_curation", "st17_streaming_packing",
+      "st18_streaming_profile")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

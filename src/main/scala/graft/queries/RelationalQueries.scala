@@ -130,6 +130,45 @@ object RelationalQueries {
     // is Spark 3.4+/4.x surface; the plan stays a single global-limit
     // take, not a full-sort materialization). Page 3 of 10-row pages over
     // the q09 ordering.
+    // Sequential-pattern FUNNEL attribution — the match_recognize shape no
+    // prior query covers: a purchase CONVERTS when the user's most recent
+    // prior click happened within 24 hours AND that click's most recent
+    // prior view happened within 24 hours of the click (last-touch
+    // attribution over strictly (ts, event_id)-ordered events; fixture
+    // spacing makes 24 h populate both branches — 246 of 1981 purchases
+    // convert at sf0.01). Two window passes over ONE (user) shuffle: pass
+    // 1 annotates every row with the last view ts; pass 2 carries the
+    // last click as a STRUCT (its ts + its attributed view ts) so
+    // purchase rows read the whole chain from a single frame — no
+    // self-joins, no per-user collect; at any event volume the cost is
+    // one hash partition by user and two frame walks. NULL user_id events
+    // are excluded — per-user attribution needs a user (st02's
+    // dead-letter rule).
+    "q55_event_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ev = events(s, dir)
+        .where(col("user_id").isNotNull &&
+          col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+      val withView = ev.withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(w))
+      val withClick = withView.withColumn("last_click",
+        last(when(col("event_type") === "click",
+          struct(col("ts").as("click_ts"), col("last_view_ts").as("view_ts"))),
+          ignoreNulls = true).over(w))
+      ordered(withClick
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (coalesce(expr("last_click.click_ts >= ts - INTERVAL 24 HOUR"), lit(false)) &&
+            coalesce(expr("last_click.view_ts >= last_click.click_ts - INTERVAL 24 HOUR"),
+              lit(false))).as("converted"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
+    }),
     "q54_limit_offset" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("q54_orders")
       ordered(s.sql(
@@ -765,6 +804,33 @@ object RelationalQueries {
     "q54_limit_offset" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20""".stripMargin,
+    // the same two IGNORE-NULLS frame walks and the same struct carry —
+    // last_value over ROWS UNBOUNDED PRECEDING..1 PRECEDING mirrors
+    // Spark's last(..., ignoreNulls) exactly under the total
+    // (ts, event_id) order
+    "q55_event_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL
+         |    AND event_type IN ('view', 'click', 'purchase')),
+         |v AS (
+         |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+         |  FROM ev),
+         |c AS (
+         |  SELECT *, last_value(CASE WHEN event_type = 'click'
+         |      THEN {'click_ts': ts, 'view_ts': last_view_ts} END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+         |  FROM v)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         |  CAST(COALESCE(SUM(CASE WHEN
+         |      COALESCE(last_click.click_ts >= ts - INTERVAL 24 HOUR, FALSE)
+         |      AND COALESCE(last_click.view_ts >= last_click.click_ts - INTERVAL 24 HOUR, FALSE)
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conversions
+         |FROM c WHERE event_type = 'purchase' GROUP BY user_id
+         |${orderSql("user_id", "n_purchases", "n_conversions")}""".stripMargin,
     "q10_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

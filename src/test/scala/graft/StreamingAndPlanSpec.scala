@@ -340,6 +340,18 @@ class StreamingAndPlanSpec extends SparkSpec {
     }
   }
 
+  test("plan: q55 funnel pays ONE user-partition shuffle (windows + agg share it)") {
+    val df = SparkEntry.queries("q55_event_funnel")(spark, "/root/testdata/sf0.001")
+    val plan = explainString(df)
+    assert(!plan.contains("CartesianProduct"))
+    // both window passes AND the per-user aggregate run on the same
+    // hashpartitioning(user_id) exchange; the only other exchange is the
+    // determinism sort's rangepartitioning
+    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected 1 user-partition exchange, found $hashExchanges:\n$plan")
+  }
+
   test("st18 streaming profile: baseline batch never drifts, planted regression does") {
     val rows = SparkEntry.queries("st18_streaming_profile")(spark, "/root/testdata/sf0.001")
       .collect()
