@@ -361,12 +361,14 @@ object RelationalQueries {
     // aggregate, the 100 TB path.
     "q47_approx_percentile" -> ((s, dir) => {
       val v = col("o_totalprice")
-      val exact = rankedForPct(t(s, dir, "orders"), "o_orderstatus", v)
-        .groupBy("o_orderstatus").agg(exactPct(v, 0.5).as("p50_exact"))
-      val approx = t(s, dir, "orders").where(v.isNotNull)
-        .groupBy("o_orderstatus")
-        .agg(percentile_approx(v, lit(0.5), lit(10000)).as("p50_approx"))
-      ordered(exact.join(approx, Seq("o_orderstatus"))
+      // exact + approx in ONE aggregation over the ranked frame: the old
+      // exact-JOIN-approx form dropped the NULL group key (a name join
+      // uses EqualTo, not <=>) — the hostile corpus plants a NULL-status
+      // order whose group must survive, as DuckDB's GROUP BY keeps it
+      val ranked = rankedForPct(t(s, dir, "orders"), "o_orderstatus", v)
+      ordered(ranked.groupBy("o_orderstatus")
+        .agg(exactPct(v, 0.5).as("p50_exact"),
+          percentile_approx(v, lit(0.5), lit(10000)).as("p50_approx"))
         .select(col("o_orderstatus"), col("p50_exact"),
           (abs(col("p50_approx") - col("p50_exact")) <=
             abs(col("p50_exact")) * lit(0.05)).as("approx_ok")))
@@ -467,8 +469,12 @@ object RelationalQueries {
           abs(col("l_discount") - lit(0.05)).as("abs_d"),
           floor(col("l_extendedprice")).as("fl"),
           ceil(col("l_extendedprice")).as("ce"),
-          round(sqrt(col("l_quantity")), 6).as("sq"),
-          round(log(col("l_extendedprice")), 6).as("ln_p"),
+          // domain guards, same rule both engines: sqrt of a negative is
+          // NaN on Spark but an ERROR in DuckDB (ln likewise for <= 0) —
+          // the hostile corpus plants negative and zero measures, and
+          // NULL-outside-the-domain is the one portable contract
+          round(when(col("l_quantity") >= 0, sqrt(col("l_quantity"))), 6).as("sq"),
+          round(when(col("l_extendedprice") > 0, log(col("l_extendedprice"))), 6).as("ln_p"),
           pmod(col("l_orderkey"), lit(7)).as("m7"),
           signum(col("l_discount") - lit(0.05)).as("sgn")))),
     // left outer join: enrichment shape every real pipeline uses — customers
@@ -615,10 +621,16 @@ object RelationalQueries {
       val cov = col("n") * col("sxy") - col("sx") * col("sy")
       val varx = col("n") * col("sxx") - col("sx") * col("sx")
       val vary = col("n") * col("syy") - col("sy") * col("sy")
+      // zero-variance guards: a single-row group (the hostile corpus
+      // plants a NULL-returnflag group of one) has varx = 0, where slope/
+      // corr are mathematically undefined — NULL on both engines, instead
+      // of Spark's ANSI divide-by-zero abort vs DuckDB's inf/NaN
       ordered(m.select(col("l_returnflag"), col("n"),
-        round(cov / varx, 6).as("slope"),
-        round((col("sy") - (cov / varx) * col("sx")) / col("n"), 6).as("intercept"),
-        round(cov / (sqrt(varx) * sqrt(vary)), 6).as("corr")))
+        round(when(varx > 0, cov / varx), 6).as("slope"),
+        round(when(varx > 0,
+          (col("sy") - (cov / varx) * col("sx")) / col("n")), 6).as("intercept"),
+        round(when(varx > 0 && vary > 0,
+          cov / (sqrt(varx) * sqrt(vary))), 6).as("corr")))
     }),
     // Semi-structured VARIANT (Spark 4's native JSON type): props parses
     // ONCE into the binary variant encoding and typed paths extract from
@@ -737,18 +749,30 @@ object RelationalQueries {
     // typed Dataset API: case-class rows + groupByKey/mapGroups
     "q18_typed_mapgroups" -> ((s, dir) => {
       import s.implicits._
+      // o_custkey IS NOT NULL on both engines: the typed encoder's Long
+      // field asserts non-null (hostile corpus plants a NULL custkey), and
+      // per-customer stats need a customer — st02's dead-letter rule
       val ds = t(s, dir, "orders")
+        .where(col("o_custkey").isNotNull)
         .select("o_orderkey", "o_custkey", "o_totalprice").as[OrderSlim]
       val stats = ds.groupByKey(_.o_custkey).mapGroups { (k, it) =>
+        // Option measure: COUNT(*) counts every row, MAX skips NULLs —
+        // SQL's aggregate null semantics, replayed imperatively
         var n = 0L
-        var mx = Double.MinValue
-        it.foreach { o => n += 1; if (o.o_totalprice > mx) mx = o.o_totalprice }
+        var mx = Option.empty[Double]
+        it.foreach { o =>
+          n += 1
+          o.o_totalprice.foreach(p => if (mx.forall(p > _)) mx = Some(p))
+        }
         (k, n, mx)
       }.toDF("o_custkey", "n_orders", "max_price")
       ordered(stats)
     }))
 
-  final case class OrderSlim(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+  /** o_totalprice is Option: the hostile corpus plants a NULL measure, and
+    * a bare Double encoder asserts non-null at scan time.
+    */
+  final case class OrderSlim(o_orderkey: Long, o_custkey: Long, o_totalprice: Option[Double])
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -873,7 +897,8 @@ object RelationalQueries {
          |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
     "q18_typed_mapgroups" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
-         |FROM orders GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin,
+         |FROM orders WHERE o_custkey IS NOT NULL
+         |GROUP BY o_custkey ${orderSql("o_custkey", "n_orders", "max_price")}""".stripMargin,
     "q29_pivot" ->
       s"""SELECT o_orderpriority,
          |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F",
@@ -923,8 +948,8 @@ object RelationalQueries {
          |abs(l_discount - 0.05) AS abs_d,
          |CAST(floor(l_extendedprice) AS BIGINT) AS fl,
          |CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
-         |round(sqrt(l_quantity), 6) AS sq,
-         |round(ln(l_extendedprice), 6) AS ln_p,
+         |round(CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END, 6) AS sq,
+         |round(CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END, 6) AS ln_p,
          |CAST(l_orderkey % 7 AS BIGINT) AS m7,
          |CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
          |FROM lineitem ${orderSql("l_orderkey", "l_linenumber", "abs_d")}""".stripMargin,
@@ -939,9 +964,13 @@ object RelationalQueries {
          |(SELECT o_custkey AS k, COUNT(*) AS n_o FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) o
          |ON f.k = o.k
          |${orderSql("o_custkey", "n_f", "n_o")}""".stripMargin,
+    // FILTER + COALESCE mirror Spark's collect_set contract exactly: null
+    // elements never enter the set, and an all-null group joins to the
+    // EMPTY string, not NULL (the hostile corpus plants that group)
     "q46_array_agg" ->
       s"""SELECT o_orderstatus,
-         |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities,
+         |  COALESCE(array_to_string(list_sort(list(DISTINCT o_orderpriority)
+         |    FILTER (WHERE o_orderpriority IS NOT NULL)), '|'), '') AS priorities,
          |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct
          |FROM orders GROUP BY o_orderstatus
          |${orderSql("o_orderstatus", "priorities", "n_distinct")}""".stripMargin,
@@ -1003,9 +1032,12 @@ object RelationalQueries {
          |  ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
          |  FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag, n,
-         |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-         |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-         |  ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr
+         |  ROUND(CASE WHEN n * sxx - sx * sx > 0
+         |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+         |  ROUND(CASE WHEN n * sxx - sx * sx > 0
+         |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6) AS intercept,
+         |  ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |    THEN (n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) END, 6) AS corr
          |FROM m ${orderSql("l_returnflag")}""".stripMargin,
     "q52_count_min" ->
       s"""SELECT event_type, COUNT(*) AS n FROM events

@@ -175,3 +175,81 @@ for r in hostile_events:
     for k in g: g[k].append(r[k])
 pq.write_table(pa.table(g, schema=ev.schema), os.path.join(dst, 'events.parquet'))
 print('wrote', len(g['event_id']), 'events')
+
+# hostile RELATIONAL rows (round 16): the q-family's joins, group keys,
+# measures, and orderings have only ever met the clean TPC-H-ish fixture.
+# New input class: NULL join keys (inner joins drop them, outer joins keep
+# them, null-safe joins match them — three different contracts), NULL
+# group keys (their own rollup/cube group), NULL measures (sum skips,
+# COUNT(*) does not), NULL dates (window orders + range joins), empty
+# strings (NOT null — a distinct group), negative and zero measures, and
+# FULL-ROW duplicates (fan out joins; safe for LIMIT/window queries only
+# because every column ties, so any rank assignment yields the same row
+# set). Values stay inside dsum's DECIMAL(18,6) domain — beyond-contract
+# magnitudes are the embeddings probe's territory (davg), not this one's.
+ot = pq.read_table(os.path.join(src, 'orders.parquet'))
+o = ot.to_pydict()
+omax = max(o['o_orderkey'])
+od_mid = o['o_orderdate'][0]
+od_min = min(d for d in o['o_orderdate'] if d is not None)
+some_cust = o['o_custkey'][0]
+hostile_orders = [
+    # NULL custkey: drops from inner joins, survives outer, q44's <=> matches
+    dict(o_orderkey=omax+1, o_custkey=None, o_orderstatus='O',
+         o_totalprice=1234.5, o_orderdate=od_mid, o_orderpriority='1-URGENT'),
+    # NULL group keys: rollup/cube/count-distinct must bucket them
+    dict(o_orderkey=omax+2, o_custkey=some_cust, o_orderstatus=None,
+         o_totalprice=2345.6, o_orderdate=od_mid, o_orderpriority=None),
+    # NULL measure: sums skip it, COUNT(*) does not
+    dict(o_orderkey=omax+3, o_custkey=some_cust, o_orderstatus='F',
+         o_totalprice=None, o_orderdate=od_mid, o_orderpriority='2-HIGH'),
+    # NULL date: window orders and as-of joins must place it per NULLS rule
+    dict(o_orderkey=omax+4, o_custkey=some_cust, o_orderstatus='O',
+         o_totalprice=999999999.999999, o_orderdate=None, o_orderpriority='3-MEDIUM'),
+    # empty strings are NOT null: distinct group, distinct pivot label
+    dict(o_orderkey=omax+5, o_custkey=some_cust, o_orderstatus='',
+         o_totalprice=0.0, o_orderdate=od_min, o_orderpriority=''),
+]
+# full-row duplicate of an existing mid-table row: joins fan out, ties are
+# total so ordering queries stay deterministic
+dup_i = len(o['o_orderkey']) // 2
+hostile_orders.append({k: o[k][dup_i] for k in o})
+for r in hostile_orders:
+    for k in o: o[k].append(r[k])
+pq.write_table(pa.table(o, schema=ot.schema), os.path.join(dst, 'orders.parquet'))
+print('wrote', len(o['o_orderkey']), 'orders')
+
+lt = pq.read_table(os.path.join(src, 'lineitem.parquet'))
+l = lt.to_pydict()
+ls_mid = l['l_shipdate'][0]
+hostile_lineitems = [
+    # NULL part/supp join keys on a REAL order: multi-join revenue paths
+    dict(l_orderkey=omax+1, l_partkey=None, l_suppkey=None, l_linenumber=1,
+         l_quantity=3.0, l_extendedprice=100.0, l_discount=0.05, l_tax=0.01,
+         l_returnflag='N', l_linestatus='O', l_shipdate=ls_mid),
+    # NULL measures under real group keys
+    dict(l_orderkey=omax+2, l_partkey=l['l_partkey'][0], l_suppkey=l['l_suppkey'][0],
+         l_linenumber=1, l_quantity=None, l_extendedprice=None, l_discount=None,
+         l_tax=None, l_returnflag='R', l_linestatus='F', l_shipdate=ls_mid),
+    # NULL group keys under real measures
+    dict(l_orderkey=omax+3, l_partkey=l['l_partkey'][1], l_suppkey=l['l_suppkey'][1],
+         l_linenumber=1, l_quantity=7.0, l_extendedprice=250.5, l_discount=0.0,
+         l_tax=0.02, l_returnflag=None, l_linestatus=None, l_shipdate=ls_mid),
+    # NULL ship date: range joins / date functions / frame orders
+    dict(l_orderkey=omax+4, l_partkey=l['l_partkey'][2], l_suppkey=l['l_suppkey'][2],
+         l_linenumber=1, l_quantity=1.0, l_extendedprice=901.82, l_discount=0.1,
+         l_tax=0.0, l_returnflag='A', l_linestatus='F', l_shipdate=None),
+    # negative and zero measures: sums/means/percentiles must carry sign
+    dict(l_orderkey=omax+5, l_partkey=l['l_partkey'][3], l_suppkey=l['l_suppkey'][3],
+         l_linenumber=1, l_quantity=-5.0, l_extendedprice=-100.0, l_discount=0.5,
+         l_tax=0.08, l_returnflag='R', l_linestatus='O', l_shipdate=ls_mid),
+    dict(l_orderkey=omax+5, l_partkey=l['l_partkey'][4], l_suppkey=l['l_suppkey'][4],
+         l_linenumber=2, l_quantity=0.0, l_extendedprice=0.0, l_discount=0.0,
+         l_tax=0.0, l_returnflag='N', l_linestatus='O', l_shipdate=ls_mid),
+]
+ldup_i = len(l['l_orderkey']) // 2
+hostile_lineitems.append({k: l[k][ldup_i] for k in l})
+for r in hostile_lineitems:
+    for k in l: l[k].append(r[k])
+pq.write_table(pa.table(l, schema=lt.schema), os.path.join(dst, 'lineitem.parquet'))
+print('wrote', len(l['l_orderkey']), 'lineitems')
