@@ -2325,6 +2325,52 @@ object PipelineQueries {
         .select(col("epoch"), col("doc_id"), col("shuffle_key"),
           col("shard"), col("pos")))
     }),
+    // The DISPOSITION LEDGER — "where did my data go": every document's
+    // final fate across the WHOLE curation chain (funnel gates -> exact
+    // dedup -> decontamination), the first question an ops review asks of
+    // a 100 TB curation run. Composes ONLY single-definition pieces:
+    // curationDecision (t28's gates), d02's md5 min-id survivor window,
+    // and crossContamination with sides swapped (flag TRAINING survivors
+    // that contain benchmark passages — the published decontamination
+    // direction for a train-side ledger). Planted structure populates
+    // every stage: exact clones of every 10th doc lose dedup
+    // ('duplicate'), every 7th doc's leaked tail forms the benchmark set
+    // so kept originals flag 'contaminated', funnel drops keep their
+    // first-failing gate as the disposition. Scale shape: the funnel is
+    // one projection, dedup is one fingerprint-partitioned rank-limit
+    // window, decontamination is the slim distinct-hash equi-join — no
+    // stage adds a shape the standalone operators don't already have.
+    "t32_disposition_ledger" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select("doc_id", "text", "source")
+      val clones = base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source"))
+      val docs = base.unionByName(clones)
+      val decided = docs.join(curationDecision(docs), Seq("doc_id"))
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy(col("doc_id").asc)
+      val ranked = decided.where(col("keep"))
+        .withColumn("__fp", md5(col("text").cast(BinaryType)))
+        .withColumn("__rn", row_number().over(wFp))
+      val evalSet = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 65)").as("text"))
+      val survivors = ranked.where(col("__rn") === 1).select("doc_id", "text")
+      val flagged = Dedup.crossContamination(evalSet, survivors, "doc_id", "text")
+        .select(col("id").as("doc_id"),
+          (col("n_contaminated") > 0).as("__cont"))
+      ordered(decided.select(col("doc_id"), col("reason"))
+        .join(ranked.select(col("doc_id"), col("__rn")), Seq("doc_id"), "left")
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("reason") =!= "kept", col("reason"))
+            .when(col("__rn") > 1, lit("duplicate"))
+            .when(coalesce(col("__cont"), lit(false)), lit("contaminated"))
+            .otherwise(lit("kept")).as("disposition"),
+          when(col("reason") =!= "kept", lit("funnel"))
+            .when(col("__rn") > 1, lit("dedup"))
+            .when(coalesce(col("__cont"), lit(false)), lit("decontamination"))
+            .otherwise(lit("kept")).as("stage")))
+    }),
     // context-window chunking: split long documents into 1000-char chunks
     // with 100-char overlap (stride 900), stable (doc_id, chunk_idx) keys —
     // the explode-side counterpart of t09's packing. Narrow (no shuffle
@@ -3494,16 +3540,18 @@ object PipelineQueries {
       |    AND (n_2grams < 20 OR top2gram_frac <= 0.20)
       |    AND dup3gram_frac <= 0.18, FALSE)""".stripMargin
 
-  /** t28's funnel oracle — also st16's (batch == streaming by
-    * construction for row-local decisions).
+  /** The whole funnel decision as a CTE chain over relation
+    * `rel(doc_id, text, source)`, ending in `decided(doc_id, reason)` —
+    * ONE SQL definition shared by t28/st16's oracle and t32's ledger (the
+    * same no-drift discipline the Spark side gets from curationDecision).
     */
-  private lazy val curationFunnelOracle: String =
-    s"""WITH d AS (SELECT doc_id, text, source,
+  private def curationDecidedCtesSql(rel: String): String =
+    s"""d AS (SELECT doc_id, text, source,
          |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS toks,
          |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe,
          |    length(regexp_replace(text, '[^!-~]|[A-Za-z0-9]', '', 'g')) AS punct,
          |    length(text) AS n_chars
-         |  FROM documents),
+         |  FROM $rel),
          |m AS (SELECT doc_id, source, n_chars, bpe, punct, len(toks) AS nt,
          |    COALESCE(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT), 0) AS tls,
          |    len(list_filter(toks, x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','that','this','for','on','with','as','are','was','be','at','by','not','but'))) AS stop_en,
@@ -3517,13 +3565,13 @@ object PipelineQueries {
          |      ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks), 6)
          |    END AS alpha_ratio
          |  FROM d),
-         |${repLineCtesSql("documents")},
+         |${repLineCtesSql(rel)},
          |${repGramCtesSql("d", "toks")},
          |rep AS (SELECT d.doc_id,
          |    greatest(len(d.toks) - 1, 0) AS n_2grams,
          |    ${repFracColsSql("d.n_chars")}
          |  FROM d LEFT JOIN la USING (doc_id) LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
-         |li AS (${langScoresSelectSql("documents")}),
+         |li AS (${langScoresSelectSql(rel)}),
          |lang AS (SELECT doc_id, $langPredCaseSql AS lang_pred FROM li),
          |z AS (SELECT doc_id, n_chars,
          |    $qualityZExprSql AS zz
@@ -3543,9 +3591,15 @@ object PipelineQueries {
          |         WHEN NOT g_rep THEN 'repetition'
          |         WHEN NOT g_qual THEN 'quality'
          |         ELSE 'kept' END AS reason
-         |  FROM gates)
-         |SELECT doc_id, reason = 'kept' AS keep, reason FROM decided
-         |${orderSql("doc_id", "keep", "reason")}""".stripMargin
+         |  FROM gates)""".stripMargin
+
+  /** t28's funnel oracle — also st16's (batch == streaming by
+    * construction for row-local decisions).
+    */
+  private lazy val curationFunnelOracle: String =
+    s"""WITH ${curationDecidedCtesSql("documents")}
+       |SELECT doc_id, reason = 'kept' AS keep, reason FROM decided
+       |${orderSql("doc_id", "keep", "reason")}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t01_text_stats" ->
@@ -3719,6 +3773,50 @@ object PipelineQueries {
          |    (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_fp
          |FROM e
          |${orderSql("doc_id", "n_digit16", "n_cards_valid", "n_ips", "redacted_fp")}""".stripMargin,
+    // the full chain from shared fragments: the funnel's decided CTE over
+    // the cloned corpus (curationDecidedCtesSql — t28's exact chain), the
+    // d02 fingerprint window, and d11/d23's stride-grid window-hash join
+    // with sides swapped (benchmark windows as the distinct set, survivor
+    // windows probing it)
+    "t32_disposition_ledger" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 10 = 0),
+         |${curationDecidedCtesSql("corpus")},
+         |kept AS (SELECT c.doc_id, c.text
+         |  FROM corpus c JOIN decided USING (doc_id) WHERE decided.reason = 'kept'),
+         |ranked AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+         |  FROM kept),
+         |ev AS (SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tw AS (SELECT DISTINCT md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  FROM (SELECT text, unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM ev)
+         |  WHERE length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0),
+         |sw AS (SELECT k.doc_id,
+         |    CASE WHEN length(substr(k.text, CAST(k.i * 32 + 1 AS INTEGER), 64)) > 0
+         |         THEN md5(substr(k.text, CAST(k.i * 32 + 1 AS INTEGER), 64)) END AS wh
+         |  FROM (SELECT kept.doc_id, kept.text,
+         |          unnest(range(0, greatest(CAST(floor((COALESCE(length(kept.text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM kept JOIN ranked USING (doc_id) WHERE ranked.rn = 1) k),
+         |cont AS (SELECT sw.doc_id,
+         |    MAX(CASE WHEN tw.wh IS NOT NULL THEN 1 ELSE 0 END) AS hit
+         |  FROM sw LEFT JOIN tw USING (wh) GROUP BY sw.doc_id)
+         |SELECT decided.doc_id,
+         |  CASE WHEN decided.reason <> 'kept' THEN decided.reason
+         |       WHEN ranked.rn > 1 THEN 'duplicate'
+         |       WHEN COALESCE(cont.hit, 0) = 1 THEN 'contaminated'
+         |       ELSE 'kept' END AS disposition,
+         |  CASE WHEN decided.reason <> 'kept' THEN 'funnel'
+         |       WHEN ranked.rn > 1 THEN 'dedup'
+         |       WHEN COALESCE(cont.hit, 0) = 1 THEN 'decontamination'
+         |       ELSE 'kept' END AS stage
+         |FROM decided
+         |LEFT JOIN ranked USING (doc_id)
+         |LEFT JOIN cont USING (doc_id)
+         |${orderSql("doc_id", "disposition", "stage")}""".stripMargin,
     // the same batch split (planted text degradation in batch 2), the
     // same generated per-column profile, the same running merge and
     // drift compare — batch 1 is the baseline (drift FALSE by contract)

@@ -352,6 +352,28 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"expected 1 user-partition exchange, found $hashExchanges:\n$plan")
   }
 
+  test("t32 disposition ledger: every stage populated, stage implies disposition") {
+    val rows = SparkEntry.queries("t32_disposition_ledger")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byStage = rows.groupBy(_._3)
+    assert(Set("funnel", "dedup", "decontamination", "kept").subsetOf(byStage.keySet),
+      s"missing stages: got ${byStage.keySet}")
+    // stage and disposition agree: funnel rows carry a gate name, dedup
+    // rows are 'duplicate', decontamination rows 'contaminated', kept kept
+    val gates = Set("blocklist", "language", "gopher", "repetition", "quality")
+    assert(byStage("funnel").forall(r => gates(r._2)))
+    assert(byStage("dedup").forall(_._2 == "duplicate"))
+    assert(byStage("decontamination").forall(_._2 == "contaminated"))
+    assert(byStage("kept").forall(_._2 == "kept"))
+    // every planted clone (+1e6 id) either matches its original's funnel
+    // fate or loses dedup to it — a clone can never be 'kept' while its
+    // original is also kept (identical text cannot survive twice)
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val bothKept = rows.filter(_._1 >= 1000000L)
+      .filter(r => byId(r._1) == "kept" && byId.get(r._1 - 1000000L).contains("kept"))
+    assert(bothKept.isEmpty, s"clone and original both kept: $bothKept")
+  }
+
   test("st18 streaming profile: baseline batch never drifts, planted regression does") {
     val rows = SparkEntry.queries("st18_streaming_profile")(spark, "/root/testdata/sf0.001")
       .collect()
