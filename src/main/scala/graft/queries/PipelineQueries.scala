@@ -758,6 +758,55 @@ object PipelineQueries {
     ordered(res.select("doc_id", "lang", "n_tokens", "pack_id"))
   }
 
+  /** st19: q55's last-touch funnel attribution as a stateful stream — see
+    * the queries-map comment and [[graft.streaming.FunnelAttributionProcessor]].
+    * The split is PER-USER EVEN (each user's first half of events by
+    * (ts, event_id) rank lands in batch 1): every user's history is cut
+    * mid-activity, so view->click->purchase chains straddle the boundary
+    * (11 converted chains carry a batch-1 link at sf0.01, measured) —
+    * those purchases convert ONLY because the per-user state carries,
+    * which is what StreamingAndPlanSpec's carry-less contrast pins. A
+    * range-midpoint ts split looked natural but left the carry almost
+    * unexercised (1 straddle at sf0.01, 0 at sf0.001).
+    */
+  private def st19Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ev = events(s, dir)
+      .where(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    val ranked = ev
+      .withColumn("__rn", row_number().over(wu))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+    val batch1 = ranked.where(expr("__rn <= __n div 2")).drop("__rn", "__n")
+    val batch2 = ranked.where(expr("__rn > __n div 2")).drop("__rn", "__n")
+    val attribute: DataFrame => DataFrame = stream => stream
+      .as[graft.streaming.FunnelIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.FunnelAttributionProcessor(),
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[graft.streaming.FunnelOut])
+      .toDF("user_id", "event_id", "converted")
+    val (res, _) = withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      twoBatchIngestLoop(s, "st19_funnel", dir,
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("event_id", LongType),
+          StructField("ts_us", LongType),
+          StructField("event_type", StringType))),
+        batch1, batch2, transformStream = attribute,
+        restartBetweenBatches = true, outputMode = "update")(b => b)
+    }
+    ordered(res.groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
+  }
+
   /** st18: the data-quality MONITOR at ingest — each micro-batch is
     * profiled (rows + nulls per column, the MERGEABLE stats; distinct
     * deliberately excluded — it cannot merge across batches without
@@ -2197,6 +2246,19 @@ object PipelineQueries {
     // path). The query restarts between its two batches, so the state's
     // checkpoint durability is exercised, not assumed. See st17Pack.
     "st17_streaming_packing" -> ((s, dir) => st17Pack(s, dir)),
+    // Last-touch funnel attribution AT INGEST (q55's streaming twin, st19):
+    // the per-user most-recent-view / most-recent-click(+its view) state
+    // lives in transformWithState, so a view in one micro-batch attributes
+    // a purchase in a LATER one — genuinely cross-batch state on an EVENT
+    // HISTORY (st17 carries a running sum; this carries a chain), with the
+    // query restarted between batches so the checkpoint carry is proven.
+    // The corpus splits per-user evenly (each user's history cut
+    // mid-activity — order preserved, chains straddle), per-purchase
+    // decisions land via the idempotent marker discipline, and the final
+    // per-user rollup over the union hash-equals q55's one-shot output —
+    // ONE oracle pins batch == streaming for the whole attribution chain.
+    // See st19Funnel.
+    "st19_streaming_funnel" -> ((s, dir) => st19Funnel(s, dir)),
     // Profile DRIFT at ingest (d24's streaming twin): each micro-batch is
     // profiled with the mergeable stats and compared against the running
     // pre-batch profile, alerting the moment an upstream regression lands
@@ -3773,6 +3835,11 @@ object PipelineQueries {
          |    (acc, x) -> replace(acc, x, '[CARD]'))) AS redacted_fp
          |FROM e
          |${orderSql("doc_id", "n_digit16", "n_cards_valid", "n_ips", "redacted_fp")}""".stripMargin,
+    // batch == streaming for the attribution chain: the midpoint-ts split
+    // preserves per-user event order, the carried state replays q55's
+    // frame walks, so the per-user rollup equals the one-shot q55 — whose
+    // oracle this reuses verbatim
+    "st19_streaming_funnel" -> RelationalQueries.oracleSql("q55_event_funnel"),
     // the full chain from shared fragments: the funnel's decided CTE over
     // the cloned corpus (curationDecidedCtesSql — t28's exact chain), the
     // d02 fingerprint window, and d11/d23's stride-grid window-hash join

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** One event of the streaming funnel (st19): user_id is non-null by the
+  * time rows reach the processor (NULL users dead-letter upstream — q55's
+  * rule); `ts_us` is the event-time instant in epoch MICROSECONDS
+  * (unix_micros — integer arithmetic end to end, and the fixture's ts
+  * carries sub-millisecond precision a millis clock would truncate).
+  */
+case class FunnelIn(user_id: Long, event_id: Long, ts_us: Long,
+    event_type: String)
+
+/** One PURCHASE decision: did the last-touch view->click->purchase chain
+  * complete within the attribution windows at this purchase's instant.
+  */
+case class FunnelOut(user_id: Long, event_id: Long, converted: Boolean)
+
+/** The carried per-user attribution state: the most recent view's ts, the
+  * most recent click's ts, and the view ts that click itself attributed
+  * to (the chain q55's second window walk carries as a struct).
+  * [[FunnelAttributionProcessor.None]] = not seen yet.
+  */
+case class AttrState(viewTs: Long, clickTs: Long, clickViewTs: Long)
+
+object FunnelAttributionProcessor {
+  /** q55's attribution window, in microseconds. */
+  val WindowUs: Long = 24L * 3600 * 1000000
+
+  /** "Not seen yet" sentinel — below any real epoch-micros instant, and
+    * far enough from Long.MinValue that `- WindowUs` cannot underflow.
+    */
+  val None: Long = Long.MinValue / 2
+}
+
+/** Cross-batch last-touch funnel attribution (st19) — the streaming form
+  * of q55: each user's most-recent-view / most-recent-click(+its view)
+  * state is a per-user `ValueState`, so a view in one micro-batch
+  * attributes a purchase in a LATER one — the batch boundary cuts the
+  * event history exactly where q55's window frames read it, and batch ==
+  * one-shot holds only because the state CARRIES (st17's argument, on an
+  * event history instead of a running sum). The query restarts between
+  * its two batches, so checkpoint durability is exercised, not assumed.
+  *
+  * Ordering contract: q55 attributes over the strict (ts, event_id)
+  * order. Within a batch the group iterator is unordered, so rows sort
+  * here (a user's per-batch event count is bounded by the batch, not the
+  * corpus); ACROSS batches the caller must deliver per-user ts in
+  * non-decreasing order (st19 splits the corpus at the midpoint ts, so
+  * every batch-1 instant precedes every batch-2 instant). State is
+  * O(users) x three longs.
+  */
+class FunnelAttributionProcessor
+    extends StatefulProcessor[Long, FunnelIn, FunnelOut] {
+
+  @transient private var attr: ValueState[AttrState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    attr = getHandle.getValueState[AttrState](
+      "attr", Encoders.product[AttrState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[FunnelIn],
+      timerValues: TimerValues): Iterator[FunnelOut] = {
+    val P = FunnelAttributionProcessor
+    var st = if (attr.exists()) attr.get()
+      else AttrState(P.None, P.None, P.None)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+    rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+      r.event_type match {
+        case "view" => st = st.copy(viewTs = r.ts_us)
+        case "click" => st = st.copy(clickTs = r.ts_us, clickViewTs = st.viewTs)
+        case "purchase" =>
+          // clickTs >= ts - 24h AND its view >= clickTs - 24h — the same
+          // >= comparisons q55's frame walk evaluates at this instant
+          // (the None sentinel fails both by construction)
+          val converted = st.clickTs >= r.ts_us - P.WindowUs &&
+            st.clickViewTs >= st.clickTs - P.WindowUs
+          out += FunnelOut(key, r.event_id, converted)
+        case _ => () // filtered upstream; tolerate strays
+      }
+    }
+    attr.update(st)
+    out.iterator
+  }
+}

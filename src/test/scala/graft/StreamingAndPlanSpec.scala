@@ -352,6 +352,46 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"expected 1 user-partition exchange, found $hashExchanges:\n$plan")
   }
 
+  test("st19: the carried state changes outcomes (carry-less per-batch attribution converts fewer)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.01"
+    val st19 = SparkEntry.queries("st19_streaming_funnel")(spark, dir)
+      .agg(sum("n_conversions")).head().getLong(0)
+    // one-shot q55 must agree (the shared oracle pins this against DuckDB
+    // too; here it guards the contrast below against fixture drift)
+    val oneShot = SparkEntry.queries("q55_event_funnel")(spark, dir)
+      .agg(sum("n_conversions")).head().getLong(0)
+    assert(st19 == oneShot, s"streaming $st19 != one-shot $oneShot")
+    // carry-less contrast: q55's window walks with the frames ADDITIONALLY
+    // partitioned by st19's batch half — what a stateless per-batch pass
+    // would compute. If this equals st19, the batch boundary never cut a
+    // chain and the ValueState carry is untested dead weight.
+    val ev = graft.queries.Q.events(spark, dir)
+      .where(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val wu = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val halved = ev
+      .withColumn("rn", row_number().over(wu))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("half", expr("CASE WHEN rn <= n div 2 THEN 0 ELSE 1 END"))
+    val w = Window.partitionBy("user_id", "half")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryless = halved
+      .withColumn("lv", last(when(col("event_type") === "view", col("ts")),
+        ignoreNulls = true).over(w))
+      .withColumn("lc", last(when(col("event_type") === "click",
+        struct(col("ts").as("ct"), col("lv").as("vt"))),
+        ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" &&
+        coalesce(expr("lc.ct >= ts - INTERVAL 24 HOUR"), lit(false)) &&
+        coalesce(expr("lc.vt >= lc.ct - INTERVAL 24 HOUR"), lit(false)))
+      .count()
+    assert(carryless < st19,
+      s"carry-less $carryless should convert strictly fewer than stateful $st19")
+  }
+
   test("t32 disposition ledger: every stage populated, stage implies disposition") {
     val rows = SparkEntry.queries("t32_disposition_ledger")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
