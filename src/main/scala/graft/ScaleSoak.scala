@@ -243,7 +243,15 @@ object ScaleSoak {
       // per-batch wall tracks the batch scan, and the whole corpus is
       // staged (excluded from the wall like st16/st17)
       "d25_cluster_quota", "t31_corpus_shuffle", "s17_mmr_rerank",
-      "st18_streaming_profile")
+      "st18_streaming_profile",
+      // round-16 third batch: q55 is two frame walks + an agg on ONE
+      // user-partition shuffle (plan-gated) — wall tracks the event scan;
+      // st19 replays it statefully (per-user ValueState, whole corpus
+      // staged as two batches — staging excluded like st16-18); t32
+      // composes funnel + fingerprint window + decontamination join, each
+      // already soak-characterized standalone — the ledger must track
+      // their sum, not multiply it
+      "q55_event_funnel", "st19_streaming_funnel", "t32_disposition_ledger")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -253,7 +261,7 @@ object ScaleSoak {
     */
   private val StagedCorpusLegs =
     Set("st16_streaming_curation", "st17_streaming_packing",
-      "st18_streaming_profile")
+      "st18_streaming_profile", "st19_streaming_funnel")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -581,9 +581,7 @@ object PipelineQueries {
         */
       outputMode: String = "append")
       (perBatch: DataFrame => DataFrame): (DataFrame, List[Double]) = {
-    val base = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"${tag}_${java.lang.Integer.toHexString(key.hashCode)}")
+    val base = ingestLoopBase(tag, key)
     deleteRecursively(base)
     val deltaDir = base.resolve("delta")
     val outDir = base.resolve("out")
@@ -648,14 +646,36 @@ object PipelineQueries {
       s"$tag: expected 2 decided micro-batches, saw ${parts.size}")
     // only markers WITH a parquet payload join the union read (an empty
     // delivered batch's marker carries no part files and no schema)
-    val decided = parts.filter { p =>
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.list(java.nio.file.Paths.get(p))) {
+    val decided = committedBatchOutputs(outDir)
+    require(decided.nonEmpty, s"$tag: every delivered micro-batch was empty")
+    (s.read.parquet(decided: _*), walls)
+  }
+
+  /** The ingest harness's base dir for (tag, key) — ONE definition shared
+    * with consumers that read the harness's own committed outputs (st18's
+    * event-sourced running profile); a second hand-copied path formula
+    * would silently desynchronize the moment this one changes.
+    */
+  private def ingestLoopBase(tag: String, key: String): java.nio.file.Path =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${tag}_${java.lang.Integer.toHexString(key.hashCode)}")
+
+  /** Marker dirs under `outDir` that carry a parquet payload — the
+    * committed non-empty batches (an empty delivered batch marks without
+    * payload). Shared by the harness's final union read and st18's prior
+    * scan for the same no-drift reason as [[ingestLoopBase]].
+    */
+  private def committedBatchOutputs(outDir: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.exists(outDir)) return Seq.empty
+    scala.util.Using.resource(java.nio.file.Files.list(outDir)) {
+      st => st.iterator().asScala.map(_.toString).toSeq.sorted
+    }.filter { p =>
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(p))) {
         st => st.iterator().asScala.exists(_.getFileName.toString.startsWith("part-"))
       }
     }
-    require(decided.nonEmpty, s"$tag: every delivered micro-batch was empty")
-    (s.read.parquet(decided: _*), walls)
   }
 
   private def st15Probe(s: SparkSession, dir: String, baseDir: String): DataFrame = {
@@ -831,12 +851,10 @@ object PipelineQueries {
     val batch2 = docs.where(col("doc_id") % 2 =!= 0)
       .withColumn("text", when(col("doc_id") % 5 === 0,
         lit(null).cast("string")).otherwise(col("text")))
-    // the harness's base-path formula (tag + key hash) — the closure reads
-    // prior batches' committed outputs from the same outDir the harness
-    // writes, which is what makes the running state event-sourced
-    val outDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"st18_profile_${java.lang.Integer.toHexString(dir.hashCode)}", "out")
+    // the closure reads prior batches' committed outputs from the same
+    // outDir the harness writes (shared ingestLoopBase — one path
+    // definition), which is what makes the running state event-sourced
+    val outDir = ingestLoopBase("st18_profile", dir).resolve("out")
     def slimProfile(df: DataFrame): DataFrame = {
       val aggs = count(lit(1)).as("n_rows") +: cols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
@@ -847,19 +865,7 @@ object PipelineQueries {
         .select("p.col_name", "p.n_rows", "p.n_nulls")
     }
     val decide: DataFrame => DataFrame = batch => {
-      val committed = {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(outDir))
-          scala.util.Using.resource(java.nio.file.Files.list(outDir)) { st =>
-            st.iterator().asScala.map(_.toString).toSeq.sorted
-          }.filter { p =>
-            scala.util.Using.resource(
-              java.nio.file.Files.list(java.nio.file.Paths.get(p))) { st =>
-              st.iterator().asScala.exists(_.getFileName.toString.startsWith("part-"))
-            }
-          }
-        else Seq.empty
-      }
+      val committed = committedBatchOutputs(outDir)
       val prior =
         if (committed.isEmpty)
           s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],

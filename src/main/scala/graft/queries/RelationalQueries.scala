@@ -17,15 +17,26 @@ object RelationalQueries {
     * q47): NULL values must not enter rank or n — the built-in
     * `percentile()` (and DuckDB `quantile_cont`) skip NULL inputs, while
     * row_number/count would rank them first and shift every percentile.
-    * (A group that is ALL NULLs drops out entirely — acceptable for a
-    * price column; `percentile()` would keep it with NULL outputs.)
+    * A group whose EVERY value is NULL keeps one null-rank carrier row,
+    * so it stays in the output with NULL percentiles — `percentile()`'s
+    * (and the oracle GROUP BY's) behavior; silently dropping the group
+    * was the round-16 hostile-relational review find (the same
+    * group-domain class as q47's old EqualTo join).
     */
-  private def rankedForPct(df: DataFrame, group: String, v: Column): DataFrame =
-    df.select(col(group), v)
-      .where(v.isNotNull)
+  private def rankedForPct(df: DataFrame, group: String, v: Column): DataFrame = {
+    val slim = df.select(col(group), v)
+    val nonNull = slim.where(v.isNotNull)
       .withColumn("rn", row_number().over(
         Window.partitionBy(group).orderBy(v.asc)))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(group)))
+    val vName = slim.columns(1)
+    val allNull = slim.select(col(group)).distinct()
+      .join(nonNull.select(col(group).as("__g")).distinct(),
+        col(group) <=> col("__g"), "left_anti")
+      .select(col(group), lit(null).cast(slim.schema(vName).dataType).as(vName),
+        lit(null).cast("int").as("rn"), lit(null).cast("long").as("n"))
+    nonNull.unionByName(allNull)
+  }
 
   /** Exact interpolated percentile over a [[rankedForPct]] frame, as a
     * conditional aggregation (no per-group value buffering): replicates
@@ -370,8 +381,10 @@ object RelationalQueries {
         .agg(exactPct(v, 0.5).as("p50_exact"),
           percentile_approx(v, lit(0.5), lit(10000)).as("p50_approx"))
         .select(col("o_orderstatus"), col("p50_exact"),
-          (abs(col("p50_approx") - col("p50_exact")) <=
-            abs(col("p50_exact")) * lit(0.05)).as("approx_ok")))
+          // an all-null group has NULL exact AND approx medians — vacuously
+          // inside the envelope, matching the oracle's literal TRUE
+          coalesce(abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * lit(0.05), lit(true)).as("approx_ok")))
     }),
     // scalar string function breadth
     "q23_string_funcs" -> ((s, dir) =>

@@ -46,9 +46,11 @@ object FunnelAttributionProcessor {
   * Ordering contract: q55 attributes over the strict (ts, event_id)
   * order. Within a batch the group iterator is unordered, so rows sort
   * here (a user's per-batch event count is bounded by the batch, not the
-  * corpus); ACROSS batches the caller must deliver per-user ts in
-  * non-decreasing order (st19 splits the corpus at the midpoint ts, so
-  * every batch-1 instant precedes every batch-2 instant). State is
+  * corpus); ACROSS batches the caller must deliver EACH USER's instants in
+  * non-decreasing order — a PER-USER guarantee, not a global one (st19
+  * splits each user's history at its own midpoint by (ts, event_id) rank,
+  * so one user's batch-2 events may well precede another user's batch-1
+  * events; only the per-key order matters to per-key state). State is
   * O(users) x three longs.
   */
 class FunnelAttributionProcessor

@@ -225,14 +225,20 @@ object VersionedTable {
     * CLI's sweepStale — until [[LeaseMs]] after the last touch. For
     * readers that hold a resolved version beyond one query invocation
     * (the documented depth-2 exposure); re-touch before expiry to extend.
-    * Leasing a name that is not a versioned location is a no-op by
-    * construction (retention only ever considers versioned names).
+    * `name` must be a RESOLVED VERSIONED name (what [[ensure]] returned) —
+    * leasing a bare stem would silently grant nothing (retention only
+    * parses versioned names) while fs.create manufactured an unswept
+    * directory, so both misuses fail loudly instead.
     */
   def lease(spark: SparkSession, name: String): Unit = {
+    require(VersionedName.matches(name),
+      s"lease: '$name' is not a versioned build name — pass the name " +
+        "ensure() resolved (stems carry no lease protection)")
     val (wh, fs) = warehouse(spark)
-    val f = new org.apache.hadoop.fs.Path(
-      new org.apache.hadoop.fs.Path(wh, name), LeaseFile)
-    fs.create(f, true).close()
+    val base = new org.apache.hadoop.fs.Path(wh, name)
+    require(fs.exists(base),
+      s"lease: versioned location '$name' does not exist in the warehouse")
+    fs.create(new org.apache.hadoop.fs.Path(base, LeaseFile), true).close()
   }
 
   /** Write the commit marker into `name`'s warehouse location. */

@@ -209,6 +209,11 @@ hostile_orders = [
     # empty strings are NOT null: distinct group, distinct pivot label
     dict(o_orderkey=omax+5, o_custkey=some_cust, o_orderstatus='',
          o_totalprice=0.0, o_orderdate=od_min, o_orderpriority=''),
+    # a group whose EVERY measure is NULL: percentile/aggregate queries
+    # must EMIT it (with NULL stats), not drop it — the round-16 review
+    # found rankedForPct silently losing exactly this group
+    dict(o_orderkey=omax+6, o_custkey=some_cust, o_orderstatus='X',
+         o_totalprice=None, o_orderdate=od_mid, o_orderpriority='4-LOW'),
 ]
 # full-row duplicate of an existing mid-table row: joins fan out, ties are
 # total so ordering queries stay deterministic
