@@ -2393,6 +2393,34 @@ object PipelineQueries {
         .select(col("epoch"), col("doc_id"), col("shuffle_key"),
           col("shard"), col("pos")))
     }),
+    // Data-mixture PLANNING report — the artifact a training run is
+    // configured FROM (Hoffmann-style budget planning): per-language
+    // exact token mass via t27's tokenizer (ONE shared definition, Spark
+    // expression + vocabTokenCtesSql), its corpus share, and the
+    // repetition factor needed to hit a target mixture (epochs =
+    // target_share * total / available). Engine-exact: shares and epochs
+    // ship as BIGINT floor-divided MILLI-units, never a float ratio —
+    // pct * total * 10 stays under 2^63 up to ~1e16-token corpora. One
+    // narrow tokenizer pass + an O(langs) aggregate + two broadcast-size
+    // joins; the report costs one scan at any corpus size.
+    "t33_mixture_plan" -> ((s, dir) => {
+      import s.implicits._
+      val targets = Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15),
+        ("zh", 15)).toDF("lang", "target_pct")
+      val byLang = t(s, dir, "documents")
+        .select(col("lang"),
+          coalesce(TF.vocabTokenCount(col("text")), lit(0L)).as("nt"))
+        .groupBy("lang").agg(sum("nt").as("tokens"))
+      ordered(byLang
+        .join(broadcast(targets), Seq("lang"), "left")
+        .crossJoin(broadcast(byLang.agg(sum("tokens").as("total"))))
+        .select(col("lang"), col("tokens"), col("total"),
+          expr("(tokens * 1000) div total").as("share_millis"),
+          coalesce(col("target_pct"), lit(0)).as("target_pct"),
+          when(col("tokens") > 0,
+            expr("(coalesce(target_pct, 0) * total * 10) div tokens"))
+            .as("epochs_millis")))
+    }),
     // The DISPOSITION LEDGER — "where did my data go": every document's
     // final fate across the WHOLE curation chain (funnel gates -> exact
     // dedup -> decontamination), the first question an ops review asks of
@@ -3453,8 +3481,13 @@ object PipelineQueries {
     * walk + the per-lang exclusive prefix-sum window. Shared by t27 (batch)
     * and st17 (streaming) — one oracle pins batch == streaming exactly.
     */
-  private val tokenPackingOracle: String =
-    s"""WITH RECURSIVE vocab(v) AS (
+  /** t27's greedy vocab-walk CTE chain over `documents`, ending in
+    * `per_doc(doc_id, n_tokens)` — ONE definition of the tokenizer replay
+    * shared by t27/st17's packing oracle and t33's mixture plan (the
+    * curationDecidedCtesSql discipline applied to the token walk).
+    */
+  private val vocabTokenCtesSql: String =
+    s"""vocab(v) AS (
        |  SELECT unnest(['customer','column','stream','filter','window','vector',
        |    'batch','spark','merge','query','small','value','order',
        |    'group','table','scan','hash','line','part','slow','sort',
@@ -3475,7 +3508,10 @@ object PipelineQueries {
        |tok AS (
        |  SELECT doc_id, wid, max(cnt) AS cnt FROM walk GROUP BY 1, 2),
        |per_doc AS (
-       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)
+       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)""".stripMargin
+
+  private val tokenPackingOracle: String =
+    s"""WITH RECURSIVE $vocabTokenCtesSql
        |SELECT d.doc_id, d.lang, COALESCE(p.n_tokens, 0) AS n_tokens,
        |  CAST(COALESCE(SUM(COALESCE(p.n_tokens, 0)) OVER (PARTITION BY d.lang
        |    ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -3846,6 +3882,26 @@ object PipelineQueries {
     // frame walks, so the per-user rollup equals the one-shot q55 — whose
     // oracle this reuses verbatim
     "st19_streaming_funnel" -> RelationalQueries.oracleSql("q55_event_funnel"),
+    // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
+    // definition), the same integer milli-unit floor divisions
+    "t33_mixture_plan" ->
+      s"""WITH RECURSIVE $vocabTokenCtesSql,
+         |by_lang AS (
+         |  SELECT d.lang, CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT) AS tokens
+         |  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |  GROUP BY d.lang),
+         |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM by_lang),
+         |tgt(lang, target_pct) AS (VALUES
+         |  ('en', 40), ('de', 15), ('es', 15), ('fr', 15), ('zh', 15))
+         |SELECT b.lang, b.tokens, tot.total,
+         |  (b.tokens * 1000) // tot.total AS share_millis,
+         |  COALESCE(t.target_pct, 0) AS target_pct,
+         |  CASE WHEN b.tokens > 0
+         |    THEN (COALESCE(t.target_pct, 0) * tot.total * 10) // b.tokens
+         |  END AS epochs_millis
+         |FROM by_lang b CROSS JOIN tot LEFT JOIN tgt t USING (lang)
+         |${orderSql("lang", "tokens", "total", "share_millis", "target_pct",
+            "epochs_millis")}""".stripMargin,
     // the full chain from shared fragments: the funnel's decided CTE over
     // the cloned corpus (curationDecidedCtesSql — t28's exact chain), the
     // d02 fingerprint window, and d11/d23's stride-grid window-hash join

@@ -180,6 +180,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
     }),
+    // Gaps-and-islands sessionization — the classic SQL shape q20's
+    // built-in session window approximates from the streaming side, here
+    // EXACT and relational: per user, maximal runs of events whose
+    // consecutive gaps stay within 8 hours (lag + running flag-sum assign
+    // the island id), rolled up to the per-user activity profile
+    // (n_islands, busiest island, longest island span). All integer
+    // (epoch micros); the two windows and the two aggregations share ONE
+    // user-partition shuffle like q55. NULL user_id dead-lettered.
+    "q56_activity_islands" -> ((s, dir) => {
+      val gapUs = 8L * 3600 * 1000000
+      val wOrd = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val ev = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val islands = ev
+        .withColumn("__prev", lag("ts_us", 1).over(wOrd))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("ts_us") - col("__prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("island", sum("__new").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ordered(islands.groupBy("user_id", "island")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_us") - min("ts_us")).as("span_us"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max("n_events").as("max_island_events"),
+          max("span_us").as("max_island_span_us")))
+    }),
     "q54_limit_offset" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("q54_orders")
       ordered(s.sql(
@@ -841,6 +869,32 @@ object RelationalQueries {
     "q54_limit_offset" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20""".stripMargin,
+    // identical lag + explicit-ROWS running flag-sum (DuckDB's default
+    // ORDER BY frame is RANGE, which would group tied instants — the ROWS
+    // spelling is load-bearing) and the same two rollups
+    "q56_activity_islands" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+         |  WHERE user_id IS NOT NULL),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |      OR ts_us - lag(ts_us) OVER w > ${8L * 3600 * 1000000}
+         |    THEN 1 ELSE 0 END AS newi
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         |isl AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    SUM(newi) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM f),
+         |per_island AS (
+         |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+         |  FROM isl GROUP BY user_id, island)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+         |  MAX(n_events) AS max_island_events,
+         |  MAX(span_us) AS max_island_span_us
+         |FROM per_island GROUP BY user_id
+         |${orderSql("user_id", "n_islands", "max_island_events", "max_island_span_us")}""".stripMargin,
     // the same two IGNORE-NULLS frame walks and the same struct carry —
     // last_value over ROWS UNBOUNDED PRECEDING..1 PRECEDING mirrors
     // Spark's last(..., ignoreNulls) exactly under the total
