@@ -258,3 +258,41 @@ for r in hostile_lineitems:
     for k in l: l[k].append(r[k])
 pq.write_table(pa.table(l, schema=lt.schema), os.path.join(dst, 'lineitem.parquet'))
 print('wrote', len(l['l_orderkey']), 'lineitems')
+
+# hostile DIMENSION rows (round 16, second relational wave): customer/
+# supplier/part feed the join/string/pivot queries that orders/lineitem
+# don't cover — NULL dimension join keys (outer joins must keep the row,
+# inner must drop it), NULL names through the string-function battery
+# (upper/length/regexp on NULL stay NULL on both engines), empty-string
+# segments (their own group, not null), and a full-row duplicate
+# (deterministic join fan-out). Keys above the existing max so no real
+# key's join cardinality changes.
+def _augment(table, rows):
+    t2 = pq.read_table(os.path.join(src, f'{table}.parquet'))
+    d2 = t2.to_pydict()
+    for r in rows:
+        for k in d2: d2[k].append(r[k])
+    dup = {k: d2[k][len(d2[k]) // 2] for k in d2}
+    for k in d2: d2[k].append(dup[k])
+    pq.write_table(pa.table(d2, schema=t2.schema), os.path.join(dst, f'{table}.parquet'))
+    print('wrote', len(d2[list(d2)[0]]), table)
+
+cmax = max(pq.read_table(os.path.join(src, 'customer.parquet'))['c_custkey'].to_pylist())
+_augment('customer', [
+    dict(c_custkey=cmax+1, c_name=None, c_nationkey=None, c_acctbal=None, c_mktsegment=None),
+    dict(c_custkey=cmax+2, c_name='', c_nationkey=0, c_acctbal=-10.5, c_mktsegment=''),
+    dict(c_custkey=cmax+3, c_name='he said "q,u\note"', c_nationkey=1, c_acctbal=0.0,
+         c_mktsegment='BUILDING'),
+])
+smax = max(pq.read_table(os.path.join(src, 'supplier.parquet'))['s_suppkey'].to_pylist())
+_augment('supplier', [
+    dict(s_suppkey=smax+1, s_name=None, s_nationkey=None, s_acctbal=None),
+    dict(s_suppkey=smax+2, s_name='', s_nationkey=0, s_acctbal=-1.25),
+])
+pmax = max(pq.read_table(os.path.join(src, 'part.parquet'))['p_partkey'].to_pylist())
+_augment('part', [
+    dict(p_partkey=pmax+1, p_name=None, p_brand=None, p_type=None, p_size=None,
+         p_retailprice=None),
+    dict(p_partkey=pmax+2, p_name='', p_brand='', p_type='', p_size=0,
+         p_retailprice=0.0),
+])
