@@ -392,6 +392,44 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"carry-less $carryless should convert strictly fewer than stateful $st19")
   }
 
+  test("q56 islands: partition the per-user event count, spans fit the gap rule") {
+    val rows = SparkEntry.queries("q56_activity_islands")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val events = graft.queries.Q.events(spark, "/root/testdata/sf0.001")
+      .where(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (u, nIslands, maxEvents, maxSpan) =>
+      assert(nIslands >= 1 && maxEvents >= 1)
+      // the busiest island cannot exceed the user's total events, and a
+      // k-event island spans at most (k-1) maximal gaps
+      assert(maxEvents <= events(u), s"user $u busiest island > total events")
+      assert(maxSpan <= (maxEvents - 1).max(0) * 8L * 3600 * 1000000 ||
+        maxEvents < events(u), // a longer span must belong to another island
+        s"user $u span $maxSpan breaks the gap rule for a $maxEvents-event island")
+    }
+  }
+
+  test("t33 mixture plan: shares floor-sum to <= 1000, targets drive epochs") {
+    val rows = SparkEntry.queries("t33_mixture_plan")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getInt(4), r.getLong(5)))
+    assert(rows.map(_._1).toSet == Set("en", "de", "es", "fr", "zh"))
+    // milli-shares are floor divisions: they sum to at most 1000 and no
+    // lower than 1000 - langs (each floor drops < 1 milli)
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000 && shareSum > 1000 - rows.length,
+      s"share_millis sum $shareSum outside the floor envelope")
+    rows.foreach { case (lang, tokens, share, pct, epochs) =>
+      assert(tokens > 0, s"$lang has no tokens in the fixture")
+      // epochs_millis ~ pct/100 * total/tokens: a lang holding MORE than
+      // its target share needs < 1 epoch, and vice versa
+      if (share > pct * 10L) assert(epochs <= 1000L, s"$lang over-represented but epochs $epochs > 1x")
+      if (share < pct * 10L - 10) assert(epochs >= 1000L, s"$lang under-represented but epochs $epochs < 1x")
+    }
+  }
+
   test("t32 disposition ledger: every stage populated, stage implies disposition") {
     val rows = SparkEntry.queries("t32_disposition_ledger")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
