@@ -251,7 +251,11 @@ object ScaleSoak {
       // composes funnel + fingerprint window + decontamination join, each
       // already soak-characterized standalone — the ledger must track
       // their sum, not multiply it
-      "q55_event_funnel", "st19_streaming_funnel", "t32_disposition_ledger")
+      "q55_event_funnel", "st19_streaming_funnel", "t32_disposition_ledger",
+      // d26 is d11's distinct-hash equi-join + q56's island merge on the
+      // hit positions — output scales with contaminated CHARS (replica
+      // salting keeps eval tails replica-local), never with pairs
+      "d26_contamination_spans")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test

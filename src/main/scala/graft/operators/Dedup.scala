@@ -912,17 +912,9 @@ object Dedup {
     * NOTHING. All codegen'd (sequence/substring/md5), no HOF lambdas.
     */
   private[graft] def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-      windowChars: Int, stride: Int): DataFrame = {
-    val n = length(col(textCol))
-    val nWindows = greatest(
-      (floor((n - windowChars).cast("double") / stride) + 1).cast("int"), lit(1))
-    docs
-      .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
-      .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
-      .select(col("id"),
-        when(length(expr(s"substring(__t, pos * $stride + 1, $windowChars)")) > 0,
-          md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary"))).as("wh"))
-  }
+      windowChars: Int, stride: Int): DataFrame =
+    windowHashesWithPos(docs, idCol, textCol, windowChars, stride)
+      .select("id", "wh")
 
   def substringContamination(
       docs: DataFrame,
@@ -1069,6 +1061,77 @@ object Dedup {
       .select(col(idCol).as("id"), chunks)
       .select(col("id"), col("n_spans").as("__ns"), col("span_idx"), col("span"))
     firstSpanWins(spans, minSpan)
+  }
+
+  /** Contamination SPAN INVENTORY — the artifact an excision pass applies:
+    * for each train doc, the MERGED character ranges covered by stride-grid
+    * windows whose hash occurs anywhere in the eval/benchmark set.
+    * [[crossContamination]] answers "is this doc contaminated"; this
+    * answers "which characters" — the published remediation when the
+    * leaked passage is a fraction of an otherwise-good document is to
+    * excise the span, not drop the doc.
+    *
+    * Returns (id, span_idx, span_start, span_end) — 0-based char offsets,
+    * end exclusive, clamped to the doc length. OVERLAPPING AND ADJACENT
+    * hit windows merge (two hits whose covered characters touch form one
+    * contiguous excision region — the artifact's contract); only a real
+    * uncovered character gap splits spans.
+    *
+    * Scale shape: eval reduces to a DISTINCT window-hash set (slim,
+    * broadcast-or-hash equi-join — never a pair join), hit positions merge
+    * via the gaps-and-islands window (lag + running flag-sum on the
+    * per-doc position order — q56's machinery on character offsets), and
+    * one groupBy((id, island)) folds each island to its span. Everything
+    * is per-doc-local after the hash join.
+    */
+  def contaminationSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowChars: Int = 64,
+      stride: Int = 32): DataFrame = {
+    val evalHashes = windowHashes(eval, idCol, textCol, windowChars, stride)
+      .where(col("wh").isNotNull).select("wh").distinct()
+    val trainLen = train.select(col(idCol).as("id"),
+      length(col(textCol)).as("__len"))
+    val hits = windowHashesWithPos(train, idCol, textCol, windowChars, stride)
+      .join(evalHashes, Seq("wh"))
+      .select(col("id"), (col("pos") * stride).as("start"))
+    val wOrd = Window.partitionBy("id").orderBy(col("start").asc)
+    val islands = hits
+      .withColumn("__prev", lag("start", 1).over(wOrd))
+      // a new span starts when this window begins AFTER the previous
+      // window's end — with stride < window, only a real gap in hits
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("start") > col("__prev") + windowChars, 1L).otherwise(0L))
+      .withColumn("__island", sum("__new").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("id", "__island")
+      .agg(min("start").as("span_start"),
+        (max("start") + windowChars).as("__rawEnd"))
+      .join(trainLen, Seq("id"))
+      .select(col("id"),
+        (col("__island") - 1).cast("int").as("span_idx"),
+        col("span_start"),
+        least(col("__rawEnd"), col("__len")).as("span_end"))
+  }
+
+  /** [[windowHashes]] keeping the grid index: (id, pos, wh). Same window
+    * and null-content contract; shared so the two stay in lockstep.
+    */
+  private[graft] def windowHashesWithPos(docs: DataFrame, idCol: String,
+      textCol: String, windowChars: Int, stride: Int): DataFrame = {
+    val n = length(col(textCol))
+    val nWindows = greatest(
+      (floor((n - windowChars).cast("double") / stride) + 1).cast("int"), lit(1))
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"), nWindows.as("__nw"))
+      .select(col("id"), col("__t"), posexplode(sequence(lit(0), col("__nw") - 1)))
+      .select(col("id"), col("pos"),
+        when(length(expr(s"substring(__t, pos * $stride + 1, $windowChars)")) > 0,
+          md5(expr(s"substring(__t, pos * $stride + 1, $windowChars)").cast("binary"))).as("wh"))
   }
 
   /** Cross-corpus decontamination — the train-vs-eval overlap check every

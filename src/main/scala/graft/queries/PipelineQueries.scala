@@ -2207,6 +2207,34 @@ object PipelineQueries {
           (col("nulls2") - col("nulls1")).as("nulls_delta"),
           (col("dist2") - col("dist1")).as("distinct_delta")))
     }),
+    // Contamination SPAN INVENTORY (the excision artifact): d11/d23 say
+    // WHETHER a doc is contaminated; d26 says WHICH CHARACTERS — the
+    // merged grid-window ranges an excision pass blanks when the leaked
+    // passage is a fraction of an otherwise-good document (the published
+    // remediation that beats dropping the doc). Same two-population eval
+    // fixture as d23, producing BOTH span shapes: leaked tails cover a
+    // %7==0 doc's grid from char 64 to its end (one long merged span),
+    // while the grid-aligned quotes mark exactly [0, 64) of %7==3 docs
+    // (one single-window span). Merging is q56's gaps-and-islands
+    // machinery on character offsets; the hash join is d11's slim
+    // distinct-set equi-join — no new shuffle shape.
+    "d26_contamination_spans" -> ((s, dir) => {
+      val train = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val leaked = train.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 65)").as("text"))
+      val quoted = train.where(col("doc_id") % 7 === 3 && length(col("text")) >= 64)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(
+            rpad(concat(lit("q"), col("doc_id").cast("string")), 32, "x"),
+            expr("substring(text, 1, 64)"),
+            expr("repeat(concat(' unique-', cast(doc_id as string), '-filler'), 8)"))
+            .as("text"))
+      ordered(Dedup.contaminationSpans(train, leaked.unionByName(quoted),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("span_idx"),
+          col("span_start"), col("span_end")))
+    }),
     // Per-cluster QUOTA retention ("soft dedup"): d12 keeps exactly one
     // doc per near-dup cluster; real curation pipelines keep the best N
     // and UPWEIGHT them so retained rows still represent the cluster's
@@ -5052,6 +5080,50 @@ object PipelineQueries {
          |  COALESCE(h.n_contaminated, 0) * 2 >= c.n_windows AS flagged
          |FROM cnt c LEFT JOIN hit h ON c.doc_id = h.doc_id
          |${orderSql("doc_id", "n_windows", "n_contaminated", "contamination_frac", "flagged")}""".stripMargin,
+    // d23's eval populations and window-hash set, train windows kept WITH
+    // their grid index, q56's lag + explicit-ROWS island merge on the
+    // character offsets, one span per island clamped to the doc length
+    "d26_contamination_spans" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (
+         |  SELECT doc_id + 2000000 AS doc_id, substr(text, 65) AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    rpad('q' || CAST(doc_id AS VARCHAR), 32, 'x') || substr(text, 1, 64) ||
+         |    repeat(' unique-' || CAST(doc_id AS VARCHAR) || '-filler', 8) AS text
+         |  FROM documents WHERE doc_id % 7 = 3 AND length(text) >= 64),
+         |tw AS (
+         |  SELECT DISTINCT md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) AS wh
+         |  FROM (SELECT text, unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM ev)
+         |  WHERE length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0),
+         |sw AS (
+         |  SELECT doc_id, CAST(i * 32 AS INTEGER) AS start,
+         |    CASE WHEN length(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) > 0
+         |         THEN md5(substr(text, CAST(i * 32 + 1 AS INTEGER), 64)) END AS wh
+         |  FROM (SELECT doc_id, text,
+         |          unnest(range(0, greatest(CAST(floor((COALESCE(length(text), 0) - 64) / 32.0) + 1 AS INTEGER), 1))) AS i
+         |        FROM train)),
+         |hits AS (SELECT sw.doc_id, sw.start FROM sw JOIN tw USING (wh)),
+         |f AS (
+         |  SELECT *, CASE WHEN lag(start) OVER w IS NULL
+         |      OR start > lag(start) OVER w + 64 THEN 1 ELSE 0 END AS newi
+         |  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start ASC)),
+         |isl AS (
+         |  SELECT doc_id, start,
+         |    SUM(newi) OVER (PARTITION BY doc_id ORDER BY start ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM f),
+         |spans AS (
+         |  SELECT doc_id, island, MIN(start) AS span_start,
+         |    MAX(start) + 64 AS raw_end
+         |  FROM isl GROUP BY doc_id, island)
+         |SELECT s.doc_id, CAST(s.island - 1 AS INTEGER) AS span_idx,
+         |  s.span_start,
+         |  CAST(least(s.raw_end, length(t.text)) AS INTEGER) AS span_end
+         |FROM spans s JOIN train t USING (doc_id)
+         |${orderSql("doc_id", "span_idx", "span_start", "span_end")}""".stripMargin,
     // t19's profile SQL on both snapshots + a full join on column name;
     // the v2 CTE mirrors the Spark-side planted drift step for step
     "d24_profile_drift" -> {

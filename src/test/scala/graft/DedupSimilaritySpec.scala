@@ -273,6 +273,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q1 == best)
   }
 
+  test("contamination spans: overlapping hits merge, gaps split") {
+    // APERIODIC text (decimal counter — no window equals any other at a
+    // different offset); eval leaks train[64..160) (grid windows 64 and
+    // 96 — an overlapping pair) PLUS the adjacent train[0..64): adjacent
+    // and overlapping hits both merge (chars [0,160) are contiguous, so
+    // ONE excision region is the artifact), while train[128..192) leaked
+    // in a second eval doc leaves the char gap... exercised separately:
+    // here leak [0,64) and [128,192) only — a REAL character gap at
+    // [64,128) must split the spans
+    val text = (0 until 110).map(_.toString).mkString.substring(0, 200)
+    val train = Seq((1L, text)).toDF("id", "text")
+    val evalMerge = Seq((100L, text.substring(64, 160)), (101L, text.substring(0, 64)))
+      .toDF("id", "text")
+    val merged = Dedup.contaminationSpans(train, evalMerge, "id", "text")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(merged.toSeq == Seq((0, 0, 160)), merged.mkString(","))
+    val evalGap = Seq((100L, text.substring(0, 64)), (101L, text.substring(128, 192)))
+      .toDF("id", "text")
+    val split = Dedup.contaminationSpans(train, evalGap, "id", "text")
+      .orderBy("span_idx")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(split.toSeq == Seq((0, 0, 64), (1, 128, 192)), split.mkString(","))
+  }
+
+  test("contamination spans: a short doc's truncated window clamps to its length") {
+    // a 50-char doc gets ONE truncated grid window; a full leak spans
+    // [0, 50), not [0, 64) — the clamp is the contract
+    val text = (0 until 30).map(_.toString).mkString.substring(0, 50)
+    val train = Seq((1L, text)).toDF("id", "text")
+    val eval = Seq((100L, text)).toDF("id", "text")
+    val got = Dedup.contaminationSpans(train, eval, "id", "text")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0, 0, 50)), got.mkString(","))
+  }
+
   test("bucket cap drops degenerate buckets") {
     // 60 identical docs -> one giant bucket, capped at 20 -> no pairs
     val df = (1L to 60L).map(i => (i, "same text here repeated words alpha beta gamma")).toDF("id", "text")
