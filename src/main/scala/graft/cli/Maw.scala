@@ -373,7 +373,8 @@ object Maw {
               s""""leased":${v.leasedAt(now)}}""")
           else println(f"$stem%-40s v${v.n}%-4d " +
             (if (v.committed) "committed  " else "UNCOMMITTED") +
-            (if (v.leasedAt(now)) " LEASED" else "") + f" age=${age}s  ${v.name}")
+            f" ${if (v.leasedAt(now)) "LEASED" else ""}%-7s" +
+            f"age=${age}s  ${v.name}")
         }
       }
       if (a.sweepIndexes) {

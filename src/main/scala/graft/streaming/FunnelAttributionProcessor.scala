@@ -21,8 +21,16 @@ case class FunnelOut(user_id: Long, event_id: Long, converted: Boolean)
   * most recent click's ts, and the view ts that click itself attributed
   * to (the chain q55's second window walk carries as a struct).
   * [[FunnelAttributionProcessor.None]] = not seen yet.
+  *
+  * `lastTs`/`lastEventId` pin the high-water mark of already-processed
+  * events so the cross-batch ordering contract (per-user non-decreasing
+  * `(ts_us, event_id)` delivery) is ENFORCED, not just documented: a
+  * caller that splits a user's history out of order would otherwise get
+  * silently wrong attributions (state already advanced past the late
+  * event) instead of an error.
   */
-case class AttrState(viewTs: Long, clickTs: Long, clickViewTs: Long)
+case class AttrState(viewTs: Long, clickTs: Long, clickViewTs: Long,
+    lastTs: Long, lastEventId: Long)
 
 object FunnelAttributionProcessor {
   /** q55's attribution window, in microseconds. */
@@ -50,8 +58,10 @@ object FunnelAttributionProcessor {
   * non-decreasing order — a PER-USER guarantee, not a global one (st19
   * splits each user's history at its own midpoint by (ts, event_id) rank,
   * so one user's batch-2 events may well precede another user's batch-1
-  * events; only the per-key order matters to per-key state). State is
-  * O(users) x three longs.
+  * events; only the per-key order matters to per-key state). The contract
+  * is enforced: state carries the processed high-water mark and an
+  * out-of-order delivery fails the batch loudly. State is O(users) x
+  * five longs.
   */
 class FunnelAttributionProcessor
     extends StatefulProcessor[Long, FunnelIn, FunnelOut] {
@@ -66,9 +76,21 @@ class FunnelAttributionProcessor
       timerValues: TimerValues): Iterator[FunnelOut] = {
     val P = FunnelAttributionProcessor
     var st = if (attr.exists()) attr.get()
-      else AttrState(P.None, P.None, P.None)
+      else AttrState(P.None, P.None, P.None, P.None, 0L)
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
-    rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+    val sorted = rows.toArray.sortBy(r => (r.ts_us, r.event_id))
+    // enforce the cross-batch ordering contract: the batch's earliest
+    // event must not precede the state's high-water mark (equal instants
+    // tolerate at-least-once redelivery of the boundary event)
+    sorted.headOption.foreach { first =>
+      require(first.ts_us > st.lastTs ||
+          (first.ts_us == st.lastTs && first.event_id >= st.lastEventId),
+        s"FunnelAttributionProcessor: user $key delivered event " +
+          s"(ts_us=${first.ts_us}, event_id=${first.event_id}) earlier than " +
+          s"already-processed (ts_us=${st.lastTs}, event_id=${st.lastEventId}) " +
+          "— per-user batches must arrive in non-decreasing (ts, event_id) order")
+    }
+    sorted.foreach { r =>
       r.event_type match {
         case "view" => st = st.copy(viewTs = r.ts_us)
         case "click" => st = st.copy(clickTs = r.ts_us, clickViewTs = st.viewTs)
@@ -81,6 +103,9 @@ class FunnelAttributionProcessor
           out += FunnelOut(key, r.event_id, converted)
         case _ => () // filtered upstream; tolerate strays
       }
+    }
+    sorted.lastOption.foreach { last =>
+      st = st.copy(lastTs = last.ts_us, lastEventId = last.event_id)
     }
     attr.update(st)
     out.iterator

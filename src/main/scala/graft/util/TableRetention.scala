@@ -28,13 +28,19 @@ object TableRetention {
     * cannot enumerate (another session's fixture key under the same
     * family): every artifact derives from its versioned base name, so a
     * prefix keep covers the base location and all of its artifacts.
+    *
+    * `spare` is re-evaluated PER CANDIDATE at delete time (not once up
+    * front): VersionedTable passes a lease re-stat here, closing the
+    * listing-to-delete race where a reader leases a version after the
+    * caller computed its keep set.
     */
   def sweep(spark: SparkSession, prefix: String, keep: Set[String] = Set.empty,
-      keepPrefixes: Set[String] = Set.empty): Seq[String] = {
+      keepPrefixes: Set[String] = Set.empty,
+      spare: String => Boolean = _ => false): Seq[String] = {
     require(prefix.length >= 4,
       s"retention sweep prefix '$prefix' too short — it would sweep unrelated tables")
     def kept(n: String): Boolean =
-      keep.contains(n) || keepPrefixes.exists(n.startsWith)
+      keep.contains(n) || keepPrefixes.exists(n.startsWith) || spare(n)
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
     spark.catalog.listTables().collect().map(_.name)
       .filter(t => t.startsWith(prefix) && !kept(t))

@@ -185,6 +185,24 @@ object VersionedTable {
       vs.filter(v => !v.committed && now - v.modifiedMs < InFlightGraceMs) ++
       vs.filter(_.leasedAt(now)) // an explicit reader lease outranks depth-2
 
+  /** Re-stat `name`'s lease file RIGHT NOW (not from a cached listing).
+    * Retention decisions are computed from a point-in-time listing; a
+    * reader can take or re-touch a lease between that listing and the
+    * delete, so every delete path re-checks through this immediately
+    * before destroying a versioned location (round-16 advice: the lease
+    * docstring promises survival through EVERY retention path, which a
+    * listing-time-only check could not honor).
+    */
+  private def leasedNow(spark: SparkSession, versionName: String): Boolean = {
+    val (wh, fs) = warehouse(spark)
+    try {
+      val m = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(wh, versionName), LeaseFile))
+        .getModificationTime
+      System.currentTimeMillis() - m < LeaseMs
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
+
   /** Manual retention across EVERY stem (the CLI's `--sweep-indexes`):
     * apply the standard keep rules (newest two committed versions + young
     * uncommitted builds) to each stem and delete everything else that
@@ -200,10 +218,14 @@ object VersionedTable {
     val keep = fam.values.flatMap(keepRules(_, now)).map(_.name).toSet
     val doomed = fam.values.flatten.map(_.name).toSet -- keep
     // prefix rules: a sibling artifact carries its version's name as a
-    // prefix; keep wins over doom if both somehow match (nonce prefixes)
+    // prefix; keep wins over doom if both somehow match (nonce prefixes).
+    // fate() is evaluated per delete, and re-stats the owning version's
+    // lease at that instant — a lease taken after the status() listing
+    // above still spares the version (and its artifacts)
     def fate(n: String): Boolean = // true = delete
       !keep.exists(k => n == k || n.startsWith(k)) &&
-        doomed.exists(d => n == d || n.startsWith(d))
+        doomed.find(d => n == d || n.startsWith(d))
+          .exists(owner => !leasedNow(spark, owner))
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
     spark.catalog.listTables().collect().map(_.name).filter(fate).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS `$t`")
@@ -228,7 +250,11 @@ object VersionedTable {
     * `name` must be a RESOLVED VERSIONED name (what [[ensure]] returned) —
     * leasing a bare stem would silently grant nothing (retention only
     * parses versioned names) while fs.create manufactured an unswept
-    * directory, so both misuses fail loudly instead.
+    * directory, so both misuses fail loudly instead. The version must also
+    * be COMMITTED: readers only ever resolve committed versions, and a
+    * lease heartbeat on an uncommitted build would keep refreshing the
+    * base dir's mtime — the very signal keepRules reads as in-flight age —
+    * letting a crashed build's litter dodge the grace window forever.
     */
   def lease(spark: SparkSession, name: String): Unit = {
     require(VersionedName.matches(name),
@@ -238,6 +264,10 @@ object VersionedTable {
     val base = new org.apache.hadoop.fs.Path(wh, name)
     require(fs.exists(base),
       s"lease: versioned location '$name' does not exist in the warehouse")
+    require(fs.exists(new org.apache.hadoop.fs.Path(base, Marker)),
+      s"lease: '$name' is not committed — readers resolve only committed " +
+        "versions, and leasing an in-flight build would perturb its " +
+        "in-flight age signal")
     fs.create(new org.apache.hadoop.fs.Path(base, LeaseFile), true).close()
   }
 
@@ -277,6 +307,13 @@ object VersionedTable {
     val otherStems = listFamily(spark, familyPrefix) - stem
     val keepPrefixes =
       otherStems.values.flatMap(keepRules(_, now).map(_.name)).toSet
-    TableRetention.sweep(spark, familyPrefix, keep, keepPrefixes)
+    // all family version names, for mapping a doomed artifact back to its
+    // owning version; the spare hook re-stats that version's lease at
+    // delete time so a lease taken after this listing still protects it
+    val familyVersions =
+      (versions ++ otherStems.values.flatten).map(_.name)
+    TableRetention.sweep(spark, familyPrefix, keep, keepPrefixes,
+      spare = n => familyVersions.find(v => n == v || n.startsWith(v))
+        .exists(leasedNow(spark, _)))
   }
 }

@@ -345,11 +345,13 @@ class StreamingAndPlanSpec extends SparkSpec {
     val plan = explainString(df)
     assert(!plan.contains("CartesianProduct"))
     // both window passes AND the per-user aggregate run on the same
-    // hashpartitioning(user_id) exchange; the only other exchange is the
-    // determinism sort's rangepartitioning
-    val hashExchanges = "hashpartitioning\\(".r.findAllIn(plan).length
-    assert(hashExchanges == 1,
-      s"expected 1 user-partition exchange, found $hashExchanges:\n$plan")
+    // hashpartitioning(user_id) exchange; count only USER-KEYED hash
+    // partitionings (a raw substring count over the whole plan would break
+    // on unrelated AQE/exchange-reuse annotations without any real
+    // regression — round-16 advice)
+    val userExchanges = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userExchanges == 1,
+      s"expected 1 user-keyed partition exchange, found $userExchanges:\n$plan")
   }
 
   test("st19: the carried state changes outcomes (carry-less per-batch attribution converts fewer)") {

@@ -190,4 +190,44 @@ class VersionedTableSpec extends SparkSpec {
     assert(whPath(v2).exists() && whPath(v3).exists())
     graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
   }
+
+  test("lease refuses uncommitted versions (readers resolve committed only)") {
+    val stem = "vtspec_tbl_k5"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    // manufacture an in-flight (uncommitted) versioned location the way
+    // ensure() announces one: base dir exists, no _GRAFT_COMMITTED marker
+    val name = s"${stem}__v1_deadbeef"
+    assert(new java.io.File(whPath(name).toString).mkdirs())
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.lease(spark, name)
+    }
+    assert(ex.getMessage.contains("not committed"), ex.getMessage)
+    // a lease heartbeat must not be able to reset the in-flight age
+    // signal — committing the version makes the same call legal
+    VersionedTable.commit(spark, name)
+    VersionedTable.lease(spark, name)
+    assert(new java.io.File(whPath(name), "_GRAFT_LEASE").exists())
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
+
+  test("retention's spare hook re-checks at delete time (lease race closed)") {
+    // TableRetention.sweep evaluates `spare` per candidate at delete time;
+    // VersionedTable wires a lease re-stat through it. Pin the hook
+    // contract directly: a doomed name the hook spares survives, and the
+    // sweep still removes everything else under the prefix.
+    val stem = "vtspec_tbl_k6"
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+    val v1 = VersionedTable.ensure(spark, "vtspec_", stem, buildTable(Seq((1L, "a"))))
+    val v2 = VersionedTable.ensure(spark, "vtspec_", stem,
+      buildTable(Seq((1L, "b"))), usable = _ => false)
+    // neither is in keep, but the hook (standing in for a just-taken
+    // lease) spares v1 — exactly what leasedNow does between the keep-set
+    // listing and the delete
+    val swept = graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty,
+      spare = n => n == v1 || n.startsWith(v1))
+    assert(whPath(v1).exists(), "spared version must survive the sweep")
+    assert(!whPath(v2).exists(), "unspared version must still sweep")
+    assert(swept.exists(_.endsWith(v2)) && !swept.exists(_.endsWith(v1)))
+    graft.util.TableRetention.sweep(spark, "vtspec_", Set.empty)
+  }
 }
