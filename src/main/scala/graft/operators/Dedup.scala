@@ -838,15 +838,25 @@ object Dedup {
     *
     * Shape: iterative min-label propagation (what GraphX's
     * `connectedComponents` does under the hood, here in pure DataFrame
-    * ops): each round every node takes the min of its own label and its
-    * neighbors' labels — one shuffle per round, converging in O(component
-    * diameter) rounds. Near-dup graphs have tiny diameters (clusters are
-    * quasi-cliques), so 3-4 rounds at any scale. `localCheckpoint`
+    * ops) PLUS a pointer-jumping shortcut each round (label <-
+    * label(label)). Propagation alone converges in O(component diameter)
+    * rounds, and a pathological pair CHAIN — one long path, planted by
+    * adversarial corpora and produced in the wild by chained
+    * near-boundary similarity — has diameter O(members), which would
+    * exhaust any fixed round budget and (before round 17) return
+    * silently under-merged labels. The shortcut halves remaining label
+    * depth every round, so convergence is O(log diameter): 25 rounds
+    * cover diameters past 2^25, i.e. every physically possible corpus.
+    * Near-dup graphs are quasi-cliques (diameter 3-4) and converge in
+    * 2-3 rounds either way; the shortcut costs one extra self-join on
+    * the (pair-graph-sized) label frame per round. `localCheckpoint`
     * truncates lineage each round so the plan doesn't grow with the
     * iteration count; edges are checkpointed once and reused. The
     * convergence probe reuses the same checkpointed round output
-    * (no recompute), and costs one light job per round — acceptable
-    * because rounds are few and each probe short-circuits on first diff.
+    * (no recompute), and costs one light job per round. An exhausted
+    * budget now REFUSES loudly instead of returning partial labels —
+    * under-merged clusters would flow straight into survivor/quota
+    * decisions downstream.
     */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
@@ -873,16 +883,34 @@ object Dedup {
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nmin"))
       // carry the previous label through the round so the convergence probe
       // is a filter over the already-checkpointed result, not another join
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           col("cluster").as("prev"))
+      // pointer-jumping shortcut: cluster <- label(cluster). Labels only
+      // ever hold edge-touched node ids (min over self+neighbor labels,
+      // initialized to self), so the lookup domain is labels itself; the
+      // left join + coalesce is belt-and-braces, and label(y) <= y makes
+      // the least() monotone-safe
+      val parent = propagated
+        .select(col("id").as("__pid"), col("cluster").as("__pcluster"))
+      val next = propagated
+        .join(parent, propagated("cluster") === parent("__pid"), "left")
+        .select(propagated("id"),
+          least(col("cluster"), coalesce(col("__pcluster"), col("cluster")))
+            .as("cluster"),
+          col("prev"))
         .localCheckpoint()
       converged = next.where(col("cluster") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
     lastClusterRounds = iter
+    require(converged,
+      s"clusters: label propagation did not converge in $maxIters rounds — " +
+        "refusing to return partially merged clusters (raise maxIters; " +
+        "with pointer jumping this needs a component diameter beyond " +
+        s"2^$maxIters, which indicates corrupted pair input)")
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))

@@ -154,6 +154,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.values.toSet == survivorIds)
   }
 
+  test("clusters: a diameter-100 pair chain converges in O(log d) rounds (pointer jumping)") {
+    // the adversarial shape the quasi-clique assumption misses: one long
+    // PATH in the pair graph. Plain propagation needs ~diameter rounds
+    // (> the 25-round budget -> silently under-merged labels before the
+    // round-17 fix); pointer jumping halves label depth per round
+    val n = 101L // nodes 0..100, diameter 100
+    val docs = (0L until n).map(i => (i, s"d$i")).toDF("id", "text")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("idA", "idB")
+    val got = Dedup.clusters(docs, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L),
+      s"chain must collapse to one cluster rooted at 0: ${got.toSeq.sortBy(_._1).take(10)}")
+    val rounds = Dedup.lastClusterRounds
+    assert(rounds <= 10,
+      s"diameter-100 chain took $rounds rounds — pointer jumping should need ~log2(100)+2")
+    // an exhausted budget REFUSES instead of returning partial labels
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.clusters(docs, "id", pairs, maxIters = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
   test("clusters and IVF train accept STRING ids (no ANSI cast crash)") {
     val docs = Seq(("a", "t"), ("b", "t"), ("c", "t"), ("z", "t")).toDF("id", "text")
     val pairs = Seq(("a", "b"), ("b", "c")).toDF("idA", "idB")
