@@ -396,6 +396,89 @@ object ParityQueries {
       ordered(s.read.parquet(tree)
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity"))
     }),
+    // CSV sink + source round trip through the REAL write/read path — K1
+    // driver-checked at last (spec-only until round 17): header-once,
+    // RFC 4180 quoting, the NA string, and the sampler's type inference
+    // all sit between the parquet original and the hash. Orders
+    // (ts stringified) like p19: raw control-character text is out of the
+    // CSV contract by design. NULLs write as the NA string ("NA") and read
+    // back null; CSV cannot carry the empty-vs-null distinction
+    // (Sink.rowChecksum documents the same fold), so BOTH sides fold ''
+    // to NULL — the one normalization this format genuinely requires.
+    "p21_csv_roundtrip" -> ((s, dir) => {
+      val o = ordersStringified(t(s, dir, "orders"))
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p21_csv_${java.lang.Integer.toHexString(dir.hashCode)}")
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("orders.csv").toString
+      graft.sinks.Sink.write(o,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Csv,
+          naString = "NA"))
+      val back = graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(out)))
+      val strCols = Set("o_orderdate", "o_orderpriority", "o_orderstatus")
+      ordered(back.select(
+        Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice").map(c =>
+          if (strCols(c)) nullif(col(c), lit("")).as(c) else col(c)): _*))
+    }),
+    // Rolling output (K3) driver-checked: documents rolled into `-NNNN`
+    // parts by row count, the part count gated IN-QUERY (a roll that
+    // produced one fat file errs the run), then read back through the
+    // REAL multi-file discovery path (O1 glob + per-part reads). JSONL
+    // carries null/empty/type evidence exactly, so the DuckDB oracle pins
+    // the reassembled content byte-for-byte against the parquet original
+    // — the roll must lose nothing at any part boundary.
+    "p22_rolled_parts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p22_roll_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.jsonl").toString
+      graft.sinks.Sink.write(docs,
+        graft.sinks.Sink.Config(out, graft.sources.Discovery.Jsonl,
+          rollByRows = Some(math.max(1L, n / 6))))
+      // the rolled-part contract: `docs-NNNN.jsonl` siblings, 4-7 digits
+      val parts = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.list(base)) { st =>
+          st.iterator().asScala.map(_.getFileName.toString).filter { f =>
+            f.startsWith("docs-") && f.endsWith(".jsonl") && {
+              val idx = f.stripPrefix("docs-").stripSuffix(".jsonl")
+              idx.length >= 4 && idx.length <= 7 && idx.forall(_.isDigit)
+            }
+          }.toList
+        }
+      }
+      require(parts.size >= 4,
+        s"p22: rolling produced ${parts.size} parts — roll-by-rows did not roll")
+      ordered(graft.operators.Concat.run(s,
+        graft.operators.Concat.Config(Seq(base.resolve("docs-*.jsonl").toString)))
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+    // The CLI `--sql` surface driver-checked end to end (spec-only until
+    // round 17): the unified inputs register as table `t`, the query runs
+    // through the REAL Maw.execute path (parse -> concat -> SQL -> sink),
+    // and the DuckDB oracle replays the same aggregate on the original
+    // table. Integer-only measures (count/min/max) — the engine-exact
+    // discipline for anything cross-engine-hashed.
+    "p23_cli_sql" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p23_sql_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("agg.parquet").toString
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        s"$dir/orders.parquet", "-o", out, "-q", "--sql",
+        "SELECT o_orderpriority, COUNT(*) AS n_orders, " +
+          "MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key " +
+          "FROM t GROUP BY o_orderpriority")))
+      ordered(graft.sinks.Sink.readBack(s, out,
+        graft.sources.Discovery.Parquet)
+        .select("o_orderpriority", "n_orders", "min_key", "max_key"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -477,6 +560,23 @@ object ParityQueries {
     "p18_compact_zorder" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
          |${orderSql("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")}""".stripMargin,
+    // CSV folds '' to NULL (the format cannot carry the distinction) —
+    // the oracle applies the same fold to the string columns
+    "p21_csv_roundtrip" ->
+      s"""SELECT o_custkey, NULLIF(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '') AS o_orderdate,
+         |o_orderkey, NULLIF(o_orderpriority, '') AS o_orderpriority,
+         |NULLIF(o_orderstatus, '') AS o_orderstatus, o_totalprice FROM orders
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
+    // the reassembled rolled parts must equal the original exactly
+    "p22_rolled_parts" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    // the same integer aggregate the CLI ran over table t
+    "p23_cli_sql" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM orders GROUP BY o_orderpriority
+         |${orderSql("o_orderpriority", "n_orders", "min_key", "max_key")}""".stripMargin,
     // the same top-corner point the Spark side derives from the data
     "p15_zorder_skipping" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
