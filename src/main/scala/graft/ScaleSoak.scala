@@ -255,7 +255,11 @@ object ScaleSoak {
       // d26 is d11's distinct-hash equi-join + q56's island merge on the
       // hit positions — output scales with contaminated CHARS (replica
       // salting keeps eval tails replica-local), never with pairs
-      "d26_contamination_spans")
+      "d26_contamination_spans",
+      // round-17: t34 consumes d25's upweights — the same closure + quota
+      // window with ONE extra per-lang aggregate on top, so its wall must
+      // track d25's leg (output is O(langs) rows at any scale)
+      "t34_upweighted_mixture")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test

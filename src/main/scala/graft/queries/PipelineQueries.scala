@@ -2431,6 +2431,49 @@ object PipelineQueries {
     // pct * total * 10 stays under 2^63 up to ~1e16-token corpora. One
     // narrow tokenizer pass + an O(langs) aggregate + two broadcast-size
     // joins; the report costs one scan at any corpus size.
+    // UPWEIGHTED mixture accounting (round-16 verdict ask #4): d25's quota
+    // retention emits cluster_size/n_kept as the exact integer upweight a
+    // mixture sampler applies so retained rows still represent their
+    // cluster's original mass — and until now nothing CONSUMED it. t34
+    // composes the two single definitions: quotaSurvivors (d25's exact
+    // planted construction, lang carried through) feeds per-lang mixture
+    // mass where every kept row counts mass * cluster_size / n_kept — in
+    // MILLIS via integer div, the t33 discipline, so the contract stays
+    // engine-exact. Per lang: kept rows, represented rows (counting
+    // upweights, ~cluster mass), raw kept mass, upweighted mass, and the
+    // upweighted corpus share. The d25-vs-t34 contrast IS the point: a
+    // sampler reading raw kept mass under-represents every quota-clipped
+    // cluster; the upweighted column is what t22/t33-style planning must
+    // consume after quota retention.
+    "t34_upweighted_mixture" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val drop1 = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"), col("lang"))
+      val drop2 = drop1.select((col("doc_id") + 1000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"), col("lang"))
+      val docs = d.unionByName(drop1).unionByName(drop2)
+        .withColumn("score", length(col("text")))
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+      val kept = Dedup.quotaSurvivors(docs, "doc_id", "score", pairs, quota = 2)
+        .withColumn("mass",
+          coalesce(length(col("text")).cast("long"), lit(0L)))
+      val byLang = kept.groupBy("lang").agg(
+        count(lit(1)).as("kept_rows"),
+        sum(expr("(cluster_size * 1000) div n_kept"))
+          .as("represented_rows_millis"),
+        sum("mass").as("raw_mass"),
+        sum(expr("(mass * cluster_size * 1000) div n_kept"))
+          .as("upweighted_mass_millis"))
+      ordered(byLang
+        .crossJoin(broadcast(
+          byLang.agg(sum("upweighted_mass_millis").as("total_millis"))))
+        .select(col("lang"), col("kept_rows"), col("represented_rows_millis"),
+          col("raw_mass"), col("upweighted_mass_millis"),
+          when(col("total_millis") > 0,
+            expr("(upweighted_mass_millis * 1000) div total_millis"))
+            .as("share_millis")))
+    }),
     "t33_mixture_plan" -> ((s, dir) => {
       import s.implicits._
       val targets = Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15),
@@ -3912,6 +3955,65 @@ object PipelineQueries {
     "st19_streaming_funnel" -> RelationalQueries.oracleSql("q55_event_funnel"),
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
+    // d25's full CTE replay (planted corpus + shingle pairs + recursive
+    // closure + quota window) with lang carried through, then the
+    // integer-millis upweight math — DuckDB's // mirrors Spark's div
+    "t34_upweighted_mixture" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1), lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000,
+         |    substring(t1, instr(t1, ' ') + 1), lang
+         |  FROM (SELECT doc_id, substring(text, instr(text, ' ') + 1) AS t1, lang
+         |        FROM documents)),
+         |tk AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM docs),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |  END AS s FROM tk),
+         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS idA, b.doc_id AS idB
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
+         |edges AS (
+         |  SELECT idA AS src, idB AS dst FROM pairs
+         |  UNION ALL SELECT idB, idA FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM docs
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |lab AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id),
+         |sizes AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY cluster),
+         |ranked AS (SELECT d.doc_id, d.lang, d.text, lab.cluster,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY length(d.text) DESC NULLS LAST, d.doc_id ASC) AS rn
+         |  FROM docs d JOIN lab USING (doc_id)),
+         |kept AS (SELECT r.doc_id, r.lang,
+         |    CAST(COALESCE(length(r.text), 0) AS BIGINT) AS mass,
+         |    s.cluster_size, least(2, s.cluster_size) AS n_kept
+         |  FROM ranked r JOIN sizes s USING (cluster) WHERE r.rn <= 2),
+         |by_lang AS (SELECT lang,
+         |    CAST(COUNT(*) AS BIGINT) AS kept_rows,
+         |    CAST(SUM((cluster_size * 1000) // n_kept) AS BIGINT) AS represented_rows_millis,
+         |    CAST(SUM(mass) AS BIGINT) AS raw_mass,
+         |    CAST(SUM((mass * cluster_size * 1000) // n_kept) AS BIGINT) AS upweighted_mass_millis
+         |  FROM kept GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(upweighted_mass_millis) AS BIGINT) AS total_millis FROM by_lang)
+         |SELECT b.lang, b.kept_rows, b.represented_rows_millis, b.raw_mass,
+         |  b.upweighted_mass_millis,
+         |  CASE WHEN tot.total_millis > 0
+         |    THEN (b.upweighted_mass_millis * 1000) // tot.total_millis END AS share_millis
+         |FROM by_lang b CROSS JOIN tot
+         |${orderSql("lang", "kept_rows", "represented_rows_millis", "raw_mass",
+            "upweighted_mass_millis", "share_millis")}""".stripMargin,
     "t33_mixture_plan" ->
       s"""WITH RECURSIVE $vocabTokenCtesSql,
          |by_lang AS (

@@ -432,6 +432,39 @@ class StreamingAndPlanSpec extends SparkSpec {
     }
   }
 
+  test("t34 upweighted mixture: quota upweights restore clipped-cluster mass") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t34_upweighted_mixture")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the planted corpus is base + two dropped-word generations: every base
+    // doc heads a size-3 cluster clipped to quota 2, so the upweighted mass
+    // must STRICTLY exceed the raw kept mass overall (that excess is what a
+    // sampler loses if it reads d25's rows without the upweight)
+    val rawTotal = rows.map(_._4).sum
+    val upTotal = rows.map(_._5).sum
+    assert(upTotal > rawTotal * 1000L,
+      s"upweighted $upTotal must exceed raw*1000 ${rawTotal * 1000L} — quota clipped nothing?")
+    // per lang the upweight can only add mass (every factor >= 1)
+    rows.foreach { case (lang, _, _, raw, up, _) =>
+      assert(up >= raw * 1000L, s"$lang: upweighted $up < raw*1000 ${raw * 1000L}")
+    }
+    // represented rows must reconstruct the planted corpus size: each
+    // cluster contributes ~cluster_size*1000 millis, each kept row's floor
+    // div loses < 1000/n_kept <= 1000 millis… bounded by 2 per row in the
+    // integer construction (cluster_size*1000 is divisible by n_kept=1;
+    // only n_kept=2 floors, losing <= 1 milli per row)
+    val nPlanted = sf("documents", dir).count() * 3
+    val repTotal = rows.map(_._3).sum
+    val keptRows = rows.map(_._2).sum
+    assert(repTotal <= nPlanted * 1000L && repTotal >= nPlanted * 1000L - keptRows,
+      s"represented $repTotal should reconstruct ${nPlanted * 1000L} within floor slack")
+    // milli-shares floor-sum to <= 1000 (t33's envelope)
+    val shareSum = rows.map(_._6).sum
+    assert(shareSum <= 1000 && shareSum > 1000 - rows.length, s"share sum $shareSum")
+  }
+
   test("t32 disposition ledger: every stage populated, stage implies disposition") {
     val rows = SparkEntry.queries("t32_disposition_ledger")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
