@@ -259,7 +259,13 @@ object ScaleSoak {
       // round-17: t34 consumes d25's upweights — the same closure + quota
       // window with ONE extra per-lang aggregate on top, so its wall must
       // track d25's leg (output is O(langs) rows at any scale)
-      "t34_upweighted_mixture")
+      "t34_upweighted_mixture",
+      // round-17: URL admission at ingest — per-batch cost is the batch's
+      // narrow normalization + one url-keyed window over (index + batch
+      // best); the index is survivor-sized, so per-batch wall scales with
+      // arriving data + survivors, never with pair history. Whole corpus
+      // staged as two batches (staging excluded like st16-19)
+      "st20_streaming_url_dedup")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -269,7 +275,8 @@ object ScaleSoak {
     */
   private val StagedCorpusLegs =
     Set("st16_streaming_curation", "st17_streaming_packing",
-      "st18_streaming_profile", "st19_streaming_funnel")
+      "st18_streaming_profile", "st19_streaming_funnel",
+      "st20_streaming_url_dedup")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -509,6 +509,171 @@ object PipelineQueries {
       t(s, baseDir, "documents").select("doc_id", "text"),
       java.lang.Integer.toHexString((dir + "|" + baseDir).hashCode))
 
+  /** d22's planted URL corpus — (doc_id, url, n_chars) with the RFC 3986
+    * normalization targets: every 6th doc re-appears (+5e6) upper-cased
+    * with an explicit default port, trailing slash, and utm_* params at
+    * HIGHER quality; every 6th-offset-4 doc re-appears (+6e6) with a
+    * fragment and a mixed utm/real query string at quality 0. ONE
+    * definition shared by d22 (batch) and st20 (streaming admission).
+    */
+  private def d22Corpus(s: SparkSession, dir: String): DataFrame = {
+    // NULL-safe source: a null host would slip a broadcast-anti-join
+    // blocklist (null never equals) while SQL NOT IN drops it — coalesce
+    // on BOTH sides keeps the engines row-identical on hostile fixtures
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("source"), lit("nosrc")).as("source"), col("n_chars"))
+    val path = concat(lit("/p/"), (col("doc_id") % 500).cast("string"))
+    val base = docs.select(col("doc_id"),
+      concat(lit("https://www."), col("source"), lit(".example.com"), path).as("url"),
+      col("n_chars"))
+    val v1 = docs.where(col("doc_id") % 6 === 1).select(
+      (col("doc_id") + 5000000L).as("doc_id"),
+      concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE.COM:443"),
+        path, lit("/?utm_source=feed&utm_campaign=x")).as("url"),
+      (col("n_chars") + 100000L).as("n_chars"))
+    val v2 = docs.where(col("doc_id") % 6 === 4).select(
+      (col("doc_id") + 6000000L).as("doc_id"),
+      concat(lit("https://www."), col("source"), lit(".example.com"),
+        path, lit("?utm_medium=z&id=7#frag")).as("url"),
+      lit(0L).as("n_chars"))
+    base.unionByName(v1).unionByName(v2)
+  }
+
+  /** d22's RFC 3986 string normalization, one rule per staged column —
+    * fragment strip, query string after the FIRST '?' (a second '?'
+    * belongs to the query string; substring_index(-1) would take after
+    * the LAST and diverge from the oracle), scheme/host lowering, default
+    * port strip, empty/trailing path normalization, utm_* param filter.
+    * Adds `url_norm` and `__host` to the input (which must carry `url`).
+    * All codegen'd string ops, no UDF, mirrored 1:1 in the oracle.
+    */
+  private def urlNormalized(corpus: DataFrame): DataFrame = corpus
+    .withColumn("__nofrag", substring_index(col("url"), "#", 1))
+    .withColumn("__qs", when(col("__nofrag").contains("?"),
+      expr("substring(__nofrag, instr(__nofrag, '?') + 1)")).otherwise(lit("")))
+    .withColumn("__pre", substring_index(col("__nofrag"), "?", 1))
+    .withColumn("__scheme", lower(substring_index(col("__pre"), "://", 1)))
+    .withColumn("__rest",
+      expr("substring(__pre, length(substring_index(__pre, '://', 1)) + 4)"))
+    .withColumn("__hostport", lower(substring_index(col("__rest"), "/", 1)))
+    .withColumn("__path",
+      expr("substring(__rest, length(substring_index(__rest, '/', 1)) + 1)"))
+    .withColumn("__host",
+      when(col("__scheme") === "https" && col("__hostport").endsWith(":443"),
+        expr("substring(__hostport, 1, length(__hostport) - 4)"))
+      .when(col("__scheme") === "http" && col("__hostport").endsWith(":80"),
+        expr("substring(__hostport, 1, length(__hostport) - 3)"))
+      .otherwise(col("__hostport")))
+    .withColumn("__pathn",
+      when(col("__path") === "", lit("/"))
+      .when(length(col("__path")) > 1 && col("__path").endsWith("/"),
+        expr("substring(__path, 1, length(__path) - 1)"))
+      .otherwise(col("__path")))
+    .withColumn("__params", array_join(
+      filter(split(col("__qs"), "&"), p => !p.startsWith("utm_") && p =!= ""), "&"))
+    .withColumn("url_norm", concat(col("__scheme"), lit("://"), col("__host"),
+      col("__pathn"),
+      when(col("__params") === "", lit(""))
+        .otherwise(concat(lit("?"), col("__params")))))
+
+  /** The blocklisted hosts — the shape a multi-million-host blocklist
+    * needs is a broadcast left_anti frame (isin would compile the list
+    * into the plan). Shared by d22 and st20.
+    */
+  private val blockedHosts = Seq("www.src3.example.com",
+    "www.src7.example.com", "www.src13.example.com")
+
+  /** Normalize + blocklist-filter one frame of (doc_id, url, n_chars):
+    * the ROW-LOCAL half of URL dedup, shared verbatim by d22's one-shot
+    * and st20's per-batch admission.
+    */
+  private def urlAllowed(s: SparkSession, frame: DataFrame): DataFrame = {
+    import s.implicits._
+    val normed = urlNormalized(frame)
+    normed.join(broadcast(blockedHosts.toDF("blocked_host")),
+        normed("__host") === col("blocked_host"), "left_anti")
+      .select("doc_id", "url_norm", "n_chars")
+  }
+
+  /** st20: d22's URL admission AT INGEST against a persisted best-per-URL
+    * index (round-16 verdict ask #5 — the d17/st13 build-once-probe pairing
+    * applied to the commonest real ingest gate). The corpus arrives as two
+    * micro-batches split so every planted URL-collision group STRADDLES
+    * the boundary (base rows in batch 1, the planted variants in batch 2):
+    * batch 2's higher-quality +5e6 variants must REPLACE their already
+    * admitted batch-1 rows, and its quality-0 +6e6 variants must LOSE to
+    * them — a genuine cross-batch upsert, not a skip. Each batch is
+    * normalized + blocklist-filtered row-locally (urlAllowed — the same
+    * single definition as d22), reduced to its per-URL best, and merged
+    * into the index by the SAME (n_chars DESC, doc_id ASC) argmax. Argmax
+    * is associative and commutative, so the final index equals d22's
+    * one-shot survivors for ANY batch split — d22's oracle pins batch ==
+    * streaming exactly. Index versions land as `after_bN` dirs via
+    * staged writes: a redelivered batch finds its marker dir and skips
+    * (idempotent), a torn write leaves only the staged dir (never a
+    * half-visible version). Per-batch cost: the batch's narrow
+    * normalization + one url-partitioned window over (index + batch best)
+    * — index-sized, never corpus-history-sized.
+    */
+  private def st20UrlIngest(s: SparkSession, dir: String): DataFrame = {
+    val corpus = d22Corpus(s, dir)
+    val batch1 = corpus.where(col("doc_id") < 5000000L)
+    val batch2 = corpus.where(col("doc_id") >= 5000000L)
+    val base = ingestLoopBase("st20_url", dir)
+    deleteRecursively(base)
+    val deltaDir = base.resolve("delta")
+    val idxDir = base.resolve("idx")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(idxDir)
+    def versions(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
+        st.iterator().asScala.filter(
+          _.getFileName.toString.startsWith("after_b")).toSeq
+          .sortBy(p => p.getFileName.toString.stripPrefix("after_b").toLong)
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_norm"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = idxDir.resolve(s"after_b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val batchBest = urlAllowed(s, batch)
+            .withColumn("__rk", row_number().over(w))
+            .where(col("__rk") === 1).drop("__rk")
+          val merged = versions().lastOption match {
+            case Some(prior) =>
+              s.read.parquet(prior.toString).unionByName(batchBest)
+                .withColumn("__rk", row_number().over(w))
+                .where(col("__rk") === 1).drop("__rk")
+            case None => batchBest
+          }
+          val staged = base.resolve(s"stage_b$batchId")
+          merged.write.mode("overwrite").parquet(staged.toString)
+          java.nio.file.Files.move(staged, marker)
+        }
+    }
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("url", StringType), StructField("n_chars", LongType))))
+      .parquet(deltaDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = versions()
+    require(vs.size == 2,
+      s"st20: expected 2 admitted micro-batches, saw ${vs.size}")
+    ordered(s.read.parquet(vs.last.toString)
+      .select("doc_id", "url_norm", "n_chars"))
+  }
+
   /** d19's build-once contamination index (train's distinct window hashes,
     * one slim bucketed table per fixture) — shared by the batch probe
     * (d19) and the streaming probe (st15), the same build-once discipline
@@ -1738,70 +1903,27 @@ object PipelineQueries {
     // one shuffle, no UDF anywhere: all string surgery is substring_index/
     // split/filter/array_join, codegen'd and mirrored 1:1 in the oracle.
     "d22_url_dedup" -> ((s, dir) => {
-      import s.implicits._
-      // NULL-safe source: a null host would slip a broadcast-anti-join
-      // blocklist (null never equals) while SQL NOT IN drops it — coalesce
-      // on BOTH sides keeps the engines row-identical on hostile fixtures
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        coalesce(col("source"), lit("nosrc")).as("source"), col("n_chars"))
-      val path = concat(lit("/p/"), (col("doc_id") % 500).cast("string"))
-      val base = docs.select(col("doc_id"),
-        concat(lit("https://www."), col("source"), lit(".example.com"), path).as("url"),
-        col("n_chars"))
-      val v1 = docs.where(col("doc_id") % 6 === 1).select(
-        (col("doc_id") + 5000000L).as("doc_id"),
-        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE.COM:443"),
-          path, lit("/?utm_source=feed&utm_campaign=x")).as("url"),
-        (col("n_chars") + 100000L).as("n_chars"))
-      val v2 = docs.where(col("doc_id") % 6 === 4).select(
-        (col("doc_id") + 6000000L).as("doc_id"),
-        concat(lit("https://www."), col("source"), lit(".example.com"),
-          path, lit("?utm_medium=z&id=7#frag")).as("url"),
-        lit(0L).as("n_chars"))
-      val corpus = base.unionByName(v1).unionByName(v2)
-      // --- RFC 3986 string normalization, one rule per staged column ---
-      val normed = corpus
-        .withColumn("__nofrag", substring_index(col("url"), "#", 1))
-        // after the FIRST '?' (a second '?' belongs to the query string —
-        // substring_index(-1) would take after the LAST and diverge from
-        // the oracle on a host/path that itself contains '?')
-        .withColumn("__qs", when(col("__nofrag").contains("?"),
-          expr("substring(__nofrag, instr(__nofrag, '?') + 1)")).otherwise(lit("")))
-        .withColumn("__pre", substring_index(col("__nofrag"), "?", 1))
-        .withColumn("__scheme", lower(substring_index(col("__pre"), "://", 1)))
-        .withColumn("__rest",
-          expr("substring(__pre, length(substring_index(__pre, '://', 1)) + 4)"))
-        .withColumn("__hostport", lower(substring_index(col("__rest"), "/", 1)))
-        .withColumn("__path",
-          expr("substring(__rest, length(substring_index(__rest, '/', 1)) + 1)"))
-        .withColumn("__host",
-          when(col("__scheme") === "https" && col("__hostport").endsWith(":443"),
-            expr("substring(__hostport, 1, length(__hostport) - 4)"))
-          .when(col("__scheme") === "http" && col("__hostport").endsWith(":80"),
-            expr("substring(__hostport, 1, length(__hostport) - 3)"))
-          .otherwise(col("__hostport")))
-        .withColumn("__pathn",
-          when(col("__path") === "", lit("/"))
-          .when(length(col("__path")) > 1 && col("__path").endsWith("/"),
-            expr("substring(__path, 1, length(__path) - 1)"))
-          .otherwise(col("__path")))
-        .withColumn("__params", array_join(
-          filter(split(col("__qs"), "&"), p => !p.startsWith("utm_") && p =!= ""), "&"))
-        .withColumn("url_norm", concat(col("__scheme"), lit("://"), col("__host"),
-          col("__pathn"),
-          when(col("__params") === "", lit(""))
-            .otherwise(concat(lit("?"), col("__params")))))
-      val blocklist = Seq("www.src3.example.com", "www.src7.example.com",
-        "www.src13.example.com").toDF("blocked_host")
-      val allowed = normed.join(broadcast(blocklist),
-        normed("__host") === blocklist("blocked_host"), "left_anti")
+      // planted corpus / normalization / blocklist all live in the shared
+      // helpers (d22Corpus/urlNormalized/urlAllowed — ONE definition with
+      // st20's streaming admission); the one-shot picks the global
+      // per-URL best with the rank-limit window (map-side
+      // WindowGroupLimit, one shuffle, no UDF anywhere)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("url_norm"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      ordered(allowed
+      ordered(urlAllowed(s, d22Corpus(s, dir))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("doc_id"), col("url_norm"), col("n_chars")))
     }),
+    // URL admission AT INGEST (d22's streaming twin): per-batch
+    // normalization + blocklist + per-URL best, merged into a persisted
+    // best-per-URL index by the same argmax — associative, so the final
+    // index hash-equals d22's one-shot survivors (ONE oracle pins batch ==
+    // streaming). The split puts every planted collision group ACROSS the
+    // boundary, so batch 2 genuinely replaces and loses against admitted
+    // batch-1 state; redelivery skips on the version marker. See
+    // st20UrlIngest.
+    "st20_streaming_url_dedup" -> ((s, dir) => st20UrlIngest(s, dir)),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -3590,6 +3712,73 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |${orderSql("doc_id", "lang", "n_tokens", "pack_id")}""".stripMargin
 
+  /** d22's full replay: planted URL corpus, the RFC 3986 normalization
+    * chain CTE-by-CTE (one rule per CTE, mirroring urlNormalized's staged
+    * columns), blocklist NOT IN (null hosts pre-coalesced on both sides),
+    * and the (n_chars DESC, doc_id ASC) argmax. ONE definition shared by
+    * d22 (batch) and st20 (streaming admission): argmax over batches is
+    * associative, so the same SQL pins batch == streaming exactly.
+    */
+  private val urlDedupOracle: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, COALESCE(source, 'nosrc') AS source, n_chars FROM documents),
+       |corpus AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com/p/' || CAST(doc_id % 500 AS VARCHAR) AS url,
+       |    n_chars FROM src
+       |  UNION ALL SELECT doc_id + 5000000,
+       |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/p/'
+       |      || CAST(doc_id % 500 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x',
+       |    n_chars + 100000 FROM src WHERE doc_id % 6 = 1
+       |  UNION ALL SELECT doc_id + 6000000,
+       |    'https://www.' || source || '.example.com/p/'
+       |      || CAST(doc_id % 500 AS VARCHAR) || '?utm_medium=z&id=7#frag',
+       |    0 FROM src WHERE doc_id % 6 = 4),
+       |n1 AS (
+       |  SELECT doc_id, n_chars,
+       |    split_part(url, '#', 1) AS nofrag FROM corpus),
+       |n2 AS (
+       |  SELECT doc_id, n_chars, nofrag,
+       |    CASE WHEN contains(nofrag, '?')
+       |         THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS qs,
+       |    split_part(nofrag, '?', 1) AS pre FROM n1),
+       |n3 AS (
+       |  SELECT doc_id, n_chars, qs,
+       |    lower(split_part(pre, '://', 1)) AS scheme,
+       |    substr(pre, length(split_part(pre, '://', 1)) + 4) AS rest FROM n2),
+       |n4 AS (
+       |  SELECT doc_id, n_chars, qs, scheme,
+       |    lower(split_part(rest, '/', 1)) AS hostport,
+       |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path FROM n3),
+       |n5 AS (
+       |  SELECT doc_id, n_chars, qs, scheme, path,
+       |    CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
+       |           THEN substr(hostport, 1, length(hostport) - 4)
+       |         WHEN scheme = 'http' AND hostport LIKE '%:80'
+       |           THEN substr(hostport, 1, length(hostport) - 3)
+       |         ELSE hostport END AS host FROM n4),
+       |n6 AS (
+       |  SELECT doc_id, n_chars, host,
+       |    scheme || '://' || host ||
+       |    CASE WHEN path = '' THEN '/'
+       |         WHEN length(path) > 1 AND path LIKE '%/'
+       |           THEN substr(path, 1, length(path) - 1)
+       |         ELSE path END ||
+       |    CASE WHEN len(list_filter(str_split(qs, '&'),
+       |             p -> NOT starts_with(p, 'utm_') AND p <> '')) = 0 THEN ''
+       |         ELSE '?' || array_to_string(list_filter(str_split(qs, '&'),
+       |             p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') END AS url_norm
+       |  FROM n5),
+       |allowed AS (
+       |  SELECT * FROM n6 WHERE host NOT IN
+       |    ('www.src3.example.com', 'www.src7.example.com', 'www.src13.example.com')),
+       |ranked AS (
+       |  SELECT doc_id, url_norm, n_chars,
+       |    row_number() OVER (PARTITION BY url_norm
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM allowed)
+       |SELECT doc_id, url_norm, n_chars FROM ranked WHERE rk = 1
+       |${orderSql("doc_id", "url_norm", "n_chars")}""".stripMargin
+
   private val chunkingOracle: String =
     s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
        |c AS (
@@ -4282,65 +4471,10 @@ object PipelineQueries {
     // the URL surgery mirrored step for step (split_part == substring_index
     // for these shapes); survivor = min doc_id among max n_chars per
     // normalized URL, i.e. the same (n_chars DESC, doc_id ASC) rank
-    "d22_url_dedup" ->
-      s"""WITH src AS (
-         |  SELECT doc_id, COALESCE(source, 'nosrc') AS source, n_chars FROM documents),
-         |corpus AS (
-         |  SELECT doc_id,
-         |    'https://www.' || source || '.example.com/p/' || CAST(doc_id % 500 AS VARCHAR) AS url,
-         |    n_chars FROM src
-         |  UNION ALL SELECT doc_id + 5000000,
-         |    'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/p/'
-         |      || CAST(doc_id % 500 AS VARCHAR) || '/?utm_source=feed&utm_campaign=x',
-         |    n_chars + 100000 FROM src WHERE doc_id % 6 = 1
-         |  UNION ALL SELECT doc_id + 6000000,
-         |    'https://www.' || source || '.example.com/p/'
-         |      || CAST(doc_id % 500 AS VARCHAR) || '?utm_medium=z&id=7#frag',
-         |    0 FROM src WHERE doc_id % 6 = 4),
-         |n1 AS (
-         |  SELECT doc_id, n_chars,
-         |    split_part(url, '#', 1) AS nofrag FROM corpus),
-         |n2 AS (
-         |  SELECT doc_id, n_chars, nofrag,
-         |    CASE WHEN contains(nofrag, '?')
-         |         THEN substr(nofrag, instr(nofrag, '?') + 1) ELSE '' END AS qs,
-         |    split_part(nofrag, '?', 1) AS pre FROM n1),
-         |n3 AS (
-         |  SELECT doc_id, n_chars, qs,
-         |    lower(split_part(pre, '://', 1)) AS scheme,
-         |    substr(pre, length(split_part(pre, '://', 1)) + 4) AS rest FROM n2),
-         |n4 AS (
-         |  SELECT doc_id, n_chars, qs, scheme,
-         |    lower(split_part(rest, '/', 1)) AS hostport,
-         |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS path FROM n3),
-         |n5 AS (
-         |  SELECT doc_id, n_chars, qs, scheme, path,
-         |    CASE WHEN scheme = 'https' AND hostport LIKE '%:443'
-         |           THEN substr(hostport, 1, length(hostport) - 4)
-         |         WHEN scheme = 'http' AND hostport LIKE '%:80'
-         |           THEN substr(hostport, 1, length(hostport) - 3)
-         |         ELSE hostport END AS host FROM n4),
-         |n6 AS (
-         |  SELECT doc_id, n_chars, host,
-         |    scheme || '://' || host ||
-         |    CASE WHEN path = '' THEN '/'
-         |         WHEN length(path) > 1 AND path LIKE '%/'
-         |           THEN substr(path, 1, length(path) - 1)
-         |         ELSE path END ||
-         |    CASE WHEN len(list_filter(str_split(qs, '&'),
-         |             p -> NOT starts_with(p, 'utm_') AND p <> '')) = 0 THEN ''
-         |         ELSE '?' || array_to_string(list_filter(str_split(qs, '&'),
-         |             p -> NOT starts_with(p, 'utm_') AND p <> ''), '&') END AS url_norm
-         |  FROM n5),
-         |allowed AS (
-         |  SELECT * FROM n6 WHERE host NOT IN
-         |    ('www.src3.example.com', 'www.src7.example.com', 'www.src13.example.com')),
-         |ranked AS (
-         |  SELECT doc_id, url_norm, n_chars,
-         |    row_number() OVER (PARTITION BY url_norm
-         |      ORDER BY n_chars DESC, doc_id ASC) AS rk FROM allowed)
-         |SELECT doc_id, url_norm, n_chars FROM ranked WHERE rk = 1
-         |${orderSql("doc_id", "url_norm", "n_chars")}""".stripMargin,
+    "d22_url_dedup" -> urlDedupOracle,
+    // the SAME oracle pins streaming == batch: st20's final index is the
+    // argmax d22's window computes, whatever the batch split
+    "st20_streaming_url_dedup" -> urlDedupOracle,
     // the repetition counters via line/gram explodes (the per-row
     // expression's excess convention: repeated mass = total - distinct);
     // all fractions are single exact divisions of integers, rounded 6

@@ -432,6 +432,27 @@ class StreamingAndPlanSpec extends SparkSpec {
     }
   }
 
+  test("st20 streaming url admission: cross-batch upsert replaces admitted state; == one-shot d22") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val st20 = rows("st20_streaming_url_dedup")
+    val d22 = rows("d22_url_dedup")
+    assert(st20 == d22, s"streaming admission diverged from one-shot d22: " +
+      s"only-st20=${(st20 -- d22).take(3)} only-d22=${(d22 -- st20).take(3)}")
+    // the replacement path genuinely fired: the +5e6 variants arrive in
+    // batch 2 AFTER their colliding base rows were admitted in batch 1,
+    // and win on quality — so survivors in [5e6, 6e6) prove the persisted
+    // index was UPDATED, not append-only-skipped
+    val replaced = st20.filter(r => r._1 >= 5000000L && r._1 < 6000000L)
+    assert(replaced.nonEmpty,
+      "no +5e6 variant survived — the cross-batch replacement path never ran")
+    // and the replaced urls have exactly one survivor (the upsert, not a
+    // duplicate admission)
+    val byUrl = st20.groupBy(_._2)
+    assert(byUrl.values.forall(_.size == 1), "duplicate url_norm admitted")
+  }
+
   test("t34 upweighted mixture: quota upweights restore clipped-cluster mass") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("t34_upweighted_mixture")(spark, dir)
