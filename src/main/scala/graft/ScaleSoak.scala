@@ -252,6 +252,11 @@ object ScaleSoak {
       // already soak-characterized standalone — the ledger must track
       // their sum, not multiply it
       "q55_event_funnel", "st19_streaming_funnel", "t32_disposition_ledger",
+      // round-17: the rest of the user-partitioned window family joins the
+      // matrix for the hot-key skew runs (SPARK_GRAFT_SOAK_SKEW=1) — q20's
+      // session gaps and q56's islands both walk per-user frames, so a
+      // viral user concentrates their work on one task
+      "q20_session_window", "q56_activity_islands",
       // d26 is d11's distinct-hash equi-join + q56's island merge on the
       // hit positions — output scales with contaminated CHARS (replica
       // salting keeps eval tails replica-local), never with pairs
@@ -286,6 +291,26 @@ object ScaleSoak {
     */
   private val RecallLegs =
     Set("s02_knn_lsh", "s03_knn_ivf", "s05_knn_ivf_bucketed")
+
+  /** SPARK_GRAFT_SOAK_SKEW=1 plants a HOT KEY in the replicated corpus
+    * (round-16 verdict ask #1): ~30% of events land on ONE global user id
+    * across all replicas (the viral-user regime — replica offsets normally
+    * scale key cardinality, which REMOVES skew by construction) and ~90%
+    * of documents land on one lang. The hot shares stay fixed while the
+    * corpus scales, so the hot partition grows linearly with the corpus —
+    * exactly the regime that breaks key-partitioned windows (q20/q55/q56,
+    * t09/t27 packing) and per-key streaming state (st19) at 100x. Compare
+    * each leg's wall at the same scale against the uniform soak: the
+    * skew-vs-uniform ratio, and its growth with scale, is the incident
+    * signal.
+    */
+  private def skewMode: Boolean =
+    sys.env.get("SPARK_GRAFT_SOAK_SKEW").contains("1")
+
+  /** The planted hot user id: above every replica-offset user range
+    * (64 replicas x 10^7 + base < 10^9) so no real key collides.
+    */
+  private val HotUserId = 9000000000L
 
   private def replicate(spark: SparkSession, base: String, scale: Int,
       out: java.nio.file.Path): String = {
@@ -334,7 +359,15 @@ object ScaleSoak {
         (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }
-    docParts.reduce(_ unionByName _)
+    val docsAll = docParts.reduce(_ unionByName _)
+    // hot-lang skew: 90% of docs on one lang, hash-chosen so every replica
+    // contributes to the hot partition (deterministic, no RNG)
+    val docsOut = if (skewMode)
+      docsAll.withColumn("lang",
+        when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
+          .otherwise(col("lang")))
+    else docsAll
+    docsOut
       .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
     val embParts = (0 until scale).map { r =>
       val vec =
@@ -362,11 +395,19 @@ object ScaleSoak {
         col("event_type"), col("value"), col("props"))
     }
     val evTmp = dir.resolve("events_parts")
+    val evAll = evParts.reduce(_ unionByName _)
+    // hot-user skew: ~30% of non-null-user events re-keyed to ONE global
+    // id across every replica — the hot partition grows with the corpus
+    val evOut = if (skewMode)
+      evAll.withColumn("user_id",
+        when(col("user_id").isNotNull &&
+            pmod(hash(col("event_id")), lit(10)) < 3, lit(HotUserId))
+          .otherwise(col("user_id")))
+    else evAll
     // repartition(1), NOT coalesce(1): coalesce folds the whole 64-replica
     // read+projection into the single output task; the shuffle barrier
     // keeps the upstream parallel and serializes only the final write
-    evParts.reduce(_ unionByName _)
-      .repartition(1).write.mode("overwrite").parquet(evTmp.toString)
+    evOut.repartition(1).write.mode("overwrite").parquet(evTmp.toString)
     val part = scala.util.Using.resource(java.nio.file.Files.list(evTmp)) { s =>
       s.filter(p => p.getFileName.toString.startsWith("part-")
         && p.getFileName.toString.endsWith(".parquet")).findFirst.get

@@ -85,6 +85,17 @@ hostile = [
     "\n".join(f"line {i} of the long stress document body text" for i in range(500)),
     "t" + "ok" * 16000,
 ]
+# HOT-KEY SKEW (round 17): one lang carries ~90% of documents — the
+# dominant-language regime every real web corpus has, and the first
+# thing that breaks lang-partitioned windows (t09/t27 packing, t22/t33
+# mixtures) at scale. Applied to the BASE rows deterministically
+# (doc_id % 10 != 0 -> 'en') before the planted hostile rows, whose
+# cycling langs carry their own per-row intent. The DuckDB oracle
+# recomputes on the same parquet, so this is a pure execution-skew
+# probe, not an oracle change.
+base['lang'] = ['en' if (d is not None and d % 10 != 0) else l
+                for d, l in zip(base['doc_id'], base['lang'])]
+
 langs = ['en', 'es', 'de', 'fr', 'zh']
 for i, txt in enumerate(hostile):
     base['doc_id'].append(maxid + 1 + i)
@@ -160,6 +171,15 @@ ev = pq.read_table(os.path.join(src, 'events.parquet'))
 g = ev.to_pydict()
 gmax = max(g['event_id'])
 umax = max(u for u in g['user_id'] if u is not None)
+# HOT-KEY SKEW (round 17): one user carries ~30% of events — the viral-
+# user regime that makes user-partitioned windows (q20/q55/q56) and
+# per-user streaming state (st19's sort-the-group processor) meet a
+# mega-partition. Deterministic reassignment of BASE rows (event_id %
+# 10 < 3) before the planted hostile rows, whose special users carry
+# their own intent; NULL users stay NULL (the dead-letter contract).
+hot_user = umax + 100
+g['user_id'] = [hot_user if (u is not None and e % 10 < 3) else u
+                for e, u in zip(g['event_id'], g['user_id'])]
 ts_min, ts_max = min(g['ts']), max(g['ts'])
 ts_mid = g['ts'][0]
 hostile_events = [
