@@ -255,8 +255,10 @@ object ScaleSoak {
       // round-17: the rest of the user-partitioned window family joins the
       // matrix for the hot-key skew runs (SPARK_GRAFT_SOAK_SKEW=1) — q20's
       // session gaps and q56's islands both walk per-user frames, so a
-      // viral user concentrates their work on one task
-      "q20_session_window", "q56_activity_islands",
+      // viral user concentrates their work on one task; q57 is q55's
+      // segmented two-phase form whose largest partition is capped at
+      // hot/S — the wall under skew must stay within noise of uniform
+      "q20_session_window", "q56_activity_islands", "q57_funnel_segmented",
       // d26 is d11's distinct-hash equi-join + q56's island merge on the
       // hit positions — output scales with contaminated CHARS (replica
       // salting keeps eval tails replica-local), never with pairs

@@ -180,6 +180,88 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_purchases"),
           sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
     }),
+    // q55's semantics with the per-user MEGA-PARTITION removed — the named
+    // fix for the hot-key regime (round-17 skew probe): a viral user
+    // carrying 30% of events makes q55's user-partitioned frame walk one
+    // task's problem. q57 computes the SAME last-touch attribution in two
+    // phases over ts-contiguous SEGMENTS:
+    //   1. frame walks partitioned by (user_id, seg) — the hot user's
+    //      history splits across S=32 segments, so no partition exceeds
+    //      ~1/S of the hot key;
+    //   2. a carry pass over the per-(user, seg) SUMMARY frame (<= S rows
+    //      per user, users x S total — orders of magnitude below events):
+    //      the segment-entry state (last view; last click with its view
+    //      resolved against the view carry) via two ignore-nulls walks
+    //      over seg order;
+    //   3. per-row effective state = seg-local else carried, exactly the
+    //      state q55's single walk reads — last-touch state is an
+    //      associative "latest non-null wins" fold, so segmentation is
+    //      exact, not approximate. Segment = fixed ts-range bucket (one
+    //      bounded min/max agg), contiguous by construction.
+    // q55's oracle is reused VERBATIM: same output, pinned cross-engine.
+    "q57_funnel_segmented" -> ((s, dir) => {
+      val S = 32
+      val windowUs = 24L * 3600 * 1000000
+      val ev0 = events(s, dir)
+        .where(col("user_id").isNotNull &&
+          col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val mm = ev0.agg(min("ts_us"), max("ts_us")).head()
+      val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+      val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+      // divide-based bucketing (no multiply — a wide ts span cannot
+      // overflow); segLen >= 1 so the empty/degenerate corpus is seg 0
+      val segLen = math.max(1L, (hi - lo) / S + 1)
+      val ev = ev0.withColumn("seg", ((col("ts_us") - lo) / segLen).cast("long"))
+      val wSeg = Window.partitionBy("user_id", "seg")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      // phase 1: q55's walks, seg-local (view_ts may be null if the
+      // click's view lives in an earlier segment — resolved in phase 3)
+      val local = ev
+        .withColumn("lv", last(when(col("event_type") === "view", col("ts_us")),
+          ignoreNulls = true).over(wSeg))
+        .withColumn("lc", last(when(col("event_type") === "click",
+          struct(col("ts_us").as("click_ts"), col("lv").as("view_ts"))),
+          ignoreNulls = true).over(wSeg))
+      // per-(user, seg) END state: the last view's ts (views are ordered,
+      // so max == last) and the last click's struct (max_by event order)
+      val segSummary = local.groupBy("user_id", "seg").agg(
+        max(when(col("event_type") === "view", col("ts_us"))).as("fin_view"),
+        max_by(when(col("event_type") === "click",
+            struct(col("ts_us").as("click_ts"), col("lv").as("view_ts"))),
+          when(col("event_type") === "click",
+            struct(col("ts_us"), col("event_id")))).as("fin_click"))
+      // phase 2: the carry over seg order — a users x <=S frame
+      val wCarry = Window.partitionBy("user_id").orderBy(col("seg").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carried = segSummary
+        .withColumn("carry_view", last(col("fin_view"), ignoreNulls = true).over(wCarry))
+        .withColumn("fin_click_res", when(col("fin_click").isNotNull,
+          struct(col("fin_click.click_ts").as("click_ts"),
+            coalesce(col("fin_click.view_ts"), col("carry_view")).as("view_ts"))))
+        .withColumn("carry_click",
+          last(col("fin_click_res"), ignoreNulls = true).over(wCarry))
+        .select("user_id", "seg", "carry_view", "carry_click")
+      // phase 3: effective state = seg-local (view gaps resolved against
+      // the carry) else carried — exactly q55's single-walk state
+      val joined = local.join(carried, Seq("user_id", "seg"))
+        .withColumn("eff_click", coalesce(
+          when(col("lc").isNotNull,
+            struct(col("lc.click_ts").as("click_ts"),
+              coalesce(col("lc.view_ts"), col("carry_view")).as("view_ts"))),
+          col("carry_click")))
+      ordered(joined
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          (coalesce(col("eff_click.click_ts") >= col("ts_us") - windowUs, lit(false)) &&
+            coalesce(col("eff_click.view_ts") >= col("eff_click.click_ts") - windowUs,
+              lit(false))).as("converted"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
+    }),
     // Gaps-and-islands sessionization — the classic SQL shape q20's
     // built-in session window approximates from the streaming side, here
     // EXACT and relational: per user, maximal runs of events whose
@@ -815,6 +897,33 @@ object RelationalQueries {
     */
   final case class OrderSlim(o_orderkey: Long, o_custkey: Long, o_totalprice: Option[Double])
 
+  /** q55's replay — shared verbatim by q55 (single user-partition walk)
+    * and q57 (segmented two-phase): both compute the same attribution.
+    */
+  private val funnelOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts, event_type FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND event_type IN ('view', 'click', 'purchase')),
+       |v AS (
+       |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+       |  FROM ev),
+       |c AS (
+       |  SELECT *, last_value(CASE WHEN event_type = 'click'
+       |      THEN {'click_ts': ts, 'view_ts': last_view_ts} END IGNORE NULLS)
+       |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+       |  FROM v)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(COALESCE(SUM(CASE WHEN
+       |      COALESCE(last_click.click_ts >= ts - INTERVAL 24 HOUR, FALSE)
+       |      AND COALESCE(last_click.view_ts >= last_click.click_ts - INTERVAL 24 HOUR, FALSE)
+       |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conversions
+       |FROM c WHERE event_type = 'purchase' GROUP BY user_id
+       |${orderSql("user_id", "n_purchases", "n_conversions")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -899,29 +1008,11 @@ object RelationalQueries {
     // last_value over ROWS UNBOUNDED PRECEDING..1 PRECEDING mirrors
     // Spark's last(..., ignoreNulls) exactly under the total
     // (ts, event_id) order
-    "q55_event_funnel" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, ts, event_type FROM events
-         |  WHERE user_id IS NOT NULL
-         |    AND event_type IN ('view', 'click', 'purchase')),
-         |v AS (
-         |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
-         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
-         |  FROM ev),
-         |c AS (
-         |  SELECT *, last_value(CASE WHEN event_type = 'click'
-         |      THEN {'click_ts': ts, 'view_ts': last_view_ts} END IGNORE NULLS)
-         |    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
-         |  FROM v)
-         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
-         |  CAST(COALESCE(SUM(CASE WHEN
-         |      COALESCE(last_click.click_ts >= ts - INTERVAL 24 HOUR, FALSE)
-         |      AND COALESCE(last_click.view_ts >= last_click.click_ts - INTERVAL 24 HOUR, FALSE)
-         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_conversions
-         |FROM c WHERE event_type = 'purchase' GROUP BY user_id
-         |${orderSql("user_id", "n_purchases", "n_conversions")}""".stripMargin,
+    "q55_event_funnel" -> funnelOracle,
+    // the segmented two-phase form computes IDENTICAL output (last-touch
+    // state is an associative latest-non-null fold), so the one oracle
+    // pins both plans — and any segmentation bug lands as a hash diff
+    "q57_funnel_segmented" -> funnelOracle,
     "q10_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
          |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)

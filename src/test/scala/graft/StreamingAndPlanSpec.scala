@@ -354,6 +354,22 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"expected 1 user-keyed partition exchange, found $userExchanges:\n$plan")
   }
 
+  test("q57 segmented funnel == q55, and the event-scale walk is (user, seg)-partitioned") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q57 = rows("q57_funnel_segmented")
+    val q55 = rows("q55_event_funnel")
+    assert(q57 == q55, s"segmented attribution diverged: " +
+      s"only-57=${(q57 -- q55).take(3)} only-55=${(q55 -- q57).take(3)}")
+    // the point of the segmentation: the walk over EVENTS partitions by
+    // (user_id, seg) — the hot user's history splits across segments —
+    // while only the users x <=S summary frame partitions by user alone
+    val plan = explainString(SparkEntry.queries("q57_funnel_segmented")(spark, dir))
+    assert("windowspecdefinition\\(user_id#\\d+L?, seg#".r.findFirstIn(plan).isDefined,
+      s"no (user_id, seg)-partitioned window in plan:\n${plan.take(2000)}")
+  }
+
   test("st19: the carried state changes outcomes (carry-less per-batch attribution converts fewer)") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
