@@ -30,8 +30,9 @@ class PlanLintSpec extends SparkSpec {
   private val checkpointBacked = Set(
     "d09_dedup_clusters", "d12_best_survivors", "d14_semantic_curation",
     // d25 runs the same clusters() closure as d09/d12 (checkpointed edge
-    // table + final round frontier back the returned labels)
-    "d25_cluster_quota",
+    // table + final round frontier back the returned labels); t34 consumes
+    // d25's quota survivors, so it carries the same closure residue
+    "d25_cluster_quota", "t34_upweighted_mixture",
     // s17 checkpoints its candidate set, pairwise-sim table, and per-round
     // greedy state (all bounded by queries*m, never corpus-sized)
     "s17_mmr_rerank",
