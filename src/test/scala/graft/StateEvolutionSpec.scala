@@ -144,6 +144,65 @@ class StateEvolutionSpec extends SparkSpec {
     assert(b3.toSet == Set((1L, 13L, 2L), (2L, 8L, 1L)), b3)
   }
 
+  test("state evolution at volume: 50k carried states all migrate across the evolved restart") {
+    // the soak-shaped form of the avro contract: evolution must hold for
+    // EVERY existing state row, not just a toy key — a per-row migration
+    // bug (bad default fill, torn value decode) surfaces as a wrong sum
+    // or a lost key at volume, not on two keys
+    val n = 50000L
+    val dir = tmpDir("evo_volume")
+    val src = dir.resolve("src"); java.nio.file.Files.createDirectories(src)
+    val ckpt = dir.resolve("ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevEnc = spark.conf.getOption("spark.sql.streaming.stateStore.encodingFormat")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    def run(proc: org.apache.spark.sql.streaming.StatefulProcessor[Long, EvoIn, EvoOut],
+        file: String, rows: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      rows.write.parquet(src.resolve(file).toString)
+      var agg = (0L, 0L, 0L) // rows, sum(sum), sum(n where n >= 0)
+      val q = spark.readStream.schema(inSchema).parquet(src.toString + "/*")
+        .as[EvoIn].groupByKey(_.k)
+        .transformWithState(proc, org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          Encoders.product[EvoOut])
+        .toDF("k", "sum", "n")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)), sum("sum"), sum(when(col("n") >= 0, col("n")))).head()
+          agg = (agg._1 + r.getLong(0), agg._2 + (if (r.isNullAt(1)) 0L else r.getLong(1)),
+            agg._3 + (if (r.isNullAt(2)) 0L else r.getLong(2)))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      agg
+    }
+    try {
+      // batch 1 seeds 50k distinct states under V1
+      val b1 = run(new EvoProcV1, "f1",
+        spark.range(n).select(col("id").as("k"),
+          (col("id") % 1000 + 1).as("v")))
+      assert(b1._1 == n, s"v1 run emitted ${b1._1} of $n keys")
+      // ...and the evolved restart touches EVERY key again: each carried
+      // sum must be (id % 1000) + 1 + 2, and each added field reads its
+      // default then counts exactly this batch's row
+      val b2 = run(new EvoProcV2, "f2",
+        spark.range(n).select(col("id").as("k"), lit(2L).as("v")))
+      val expectedSum = (0L until n).map(_ % 1000).sum + n * 3L
+      assert(b2._1 == n, s"evolved run emitted ${b2._1} of $n keys")
+      assert(b2._2 == expectedSum,
+        s"carried sums lost in migration: ${b2._2} != $expectedSum")
+      assert(b2._3 == n, s"added-field defaults wrong: ${b2._3} != $n")
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+      prevEnc.fold(spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat"))(
+        spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", _))
+    }
+  }
+
   test("funnel processor: out-of-order per-user delivery fails loudly (contract enforced)") {
     val schema = StructType(Seq(
       StructField("user_id", LongType), StructField("event_id", LongType),
