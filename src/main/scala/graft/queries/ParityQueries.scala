@@ -479,6 +479,24 @@ object ParityQueries {
         graft.sources.Discovery.Parquet)
         .select("o_orderpriority", "n_orders", "min_key", "max_key"))
     }),
+    // The CLI integrity-verify surface (S2) driver-checked: the conversion
+    // runs through Maw with --verify, which re-reads the promoted output
+    // and compares row count + order-insensitive checksum against the
+    // plan side INSIDE execute (a mismatch fails the run loudly) — then
+    // the DuckDB oracle pins the verified content independently. Two
+    // layers: the engine's own integrity check, and the cross-engine hash.
+    "p24_cli_verify" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p24_verify_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.parquet").toString
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        s"$dir/documents.parquet", "-o", out, "-q", "--verify")))
+      ordered(graft.sinks.Sink.readBack(s, out,
+        graft.sources.Discovery.Parquet)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -569,6 +587,10 @@ object ParityQueries {
          |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
     // the reassembled rolled parts must equal the original exactly
     "p22_rolled_parts" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    // the --verify'd conversion must deliver the original exactly
+    "p24_cli_verify" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
     // the same integer aggregate the CLI ran over table t
