@@ -259,6 +259,10 @@ object ScaleSoak {
       // segmented two-phase form whose largest partition is capped at
       // hot/S — the wall under skew must stay within noise of uniform
       "q20_session_window", "q56_activity_islands", "q57_funnel_segmented",
+      // q58 = q56's segmented recombination (interior islands roll up via
+      // map-side-combined aggregation — hot-key-safe by itself; boundary
+      // merge on a <= 2S-rows-per-user frame)
+      "q58_islands_segmented",
       // d26 is d11's distinct-hash equi-join + q56's island merge on the
       // hit positions — output scales with contaminated CHARS (replica
       // salting keeps eval tails replica-local), never with pairs

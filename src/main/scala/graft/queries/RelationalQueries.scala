@@ -290,6 +290,71 @@ object RelationalQueries {
           max("n_events").as("max_island_events"),
           max("span_us").as("max_island_span_us")))
     }),
+    // q56's islands with the per-user mega-partition removed (q57's
+    // segmentation applied to the OTHER window family member): island
+    // stats form a monoid (count, min_ts, max_ts merge associatively), so
+    // per-(user, seg) islands computed locally are EXACTLY recombinable:
+    //   - interior islands (neither first nor last in their segment) are
+    //     final — their per-user rollup is a plain AGGREGATION, which
+    //     map-side partial-aggregation makes hot-key-safe by itself;
+    //   - boundary islands (first/last per segment, <= 2S rows per user)
+    //     merge across segment boundaries by the same gap rule on a tiny
+    //     summary frame — if interior islands separate a segment's first
+    //     and last, the in-stream >8h gaps make their direct min/max
+    //     distance exceed the threshold, so adjacency never false-merges.
+    // q56's oracle is reused verbatim: same output, any segmentation.
+    "q58_islands_segmented" -> ((s, dir) => {
+      val S = 32
+      val gapUs = 8L * 3600 * 1000000
+      val ev0 = events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val mm = ev0.agg(min("ts_us"), max("ts_us")).head()
+      val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+      val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+      val segLen = math.max(1L, (hi - lo) / S + 1)
+      val ev = ev0.withColumn("seg", ((col("ts_us") - lo) / segLen).cast("long"))
+      val wSeg = Window.partitionBy("user_id", "seg")
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val local = ev
+        .withColumn("__prev", lag("ts_us", 1).over(wSeg))
+        .withColumn("__new", when(col("__prev").isNull ||
+          col("ts_us") - col("__prev") > gapUs, 1L).otherwise(0L))
+        .withColumn("island", sum("__new").over(
+          wSeg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perIsland = local.groupBy("user_id", "seg", "island")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("min_ts"), max("ts_us").as("max_ts"))
+        .withColumn("__nisl", max("island").over(
+          Window.partitionBy("user_id", "seg")))
+      val isBoundary = col("island") === 1L || col("island") === col("__nisl")
+      // interior rollup: plain per-user aggregation (map-side combined)
+      val interior = perIsland.where(!isBoundary)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max("n_events").as("max_ev"),
+          max(col("max_ts") - col("min_ts")).as("max_span"))
+      // boundary merge: gaps-and-islands AGAIN, on <= 2S rows per user
+      val wB = Window.partitionBy("user_id")
+        .orderBy(col("seg").asc, col("island").asc)
+      val chains = perIsland.where(isBoundary)
+        .withColumn("__pmax", lag("max_ts", 1).over(wB))
+        .withColumn("__cnew", when(col("__pmax").isNull ||
+          col("min_ts") - col("__pmax") > gapUs, 1L).otherwise(0L))
+        .withColumn("chain", sum("__cnew").over(
+          wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "chain")
+        .agg(sum("n_events").as("n_events"),
+          min("min_ts").as("min_ts"), max("max_ts").as("max_ts"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          max("n_events").as("max_ev"),
+          max(col("max_ts") - col("min_ts")).as("max_span"))
+      ordered(interior.unionByName(chains)
+        .groupBy("user_id")
+        .agg(sum("n_islands").as("n_islands"),
+          max("max_ev").as("max_island_events"),
+          max("max_span").as("max_island_span_us")))
+    }),
     "q54_limit_offset" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("q54_orders")
       ordered(s.sql(
@@ -924,6 +989,36 @@ object RelationalQueries {
        |FROM c WHERE event_type = 'purchase' GROUP BY user_id
        |${orderSql("user_id", "n_purchases", "n_conversions")}""".stripMargin
 
+  /** q56's replay — identical lag + explicit-ROWS running flag-sum
+    * (DuckDB's default ORDER BY frame is RANGE, which would group tied
+    * instants — the ROWS spelling is load-bearing) and the same two
+    * rollups. Shared verbatim by q56 (single user-partition walk) and
+    * q58 (segmented recombination): both compute the same islands.
+    */
+  private val islandsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+       |  WHERE user_id IS NOT NULL),
+       |f AS (
+       |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |      OR ts_us - lag(ts_us) OVER w > ${8L * 3600 * 1000000}
+       |    THEN 1 ELSE 0 END AS newi
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+       |isl AS (
+       |  SELECT user_id, event_id, ts_us,
+       |    SUM(newi) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f),
+       |per_island AS (
+       |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
+       |  FROM isl GROUP BY user_id, island)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       |  MAX(n_events) AS max_island_events,
+       |  MAX(span_us) AS max_island_span_us
+       |FROM per_island GROUP BY user_id
+       |${orderSql("user_id", "n_islands", "max_island_events", "max_island_span_us")}""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -981,29 +1076,11 @@ object RelationalQueries {
     // identical lag + explicit-ROWS running flag-sum (DuckDB's default
     // ORDER BY frame is RANGE, which would group tied instants — the ROWS
     // spelling is load-bearing) and the same two rollups
-    "q56_activity_islands" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
-         |  WHERE user_id IS NOT NULL),
-         |f AS (
-         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-         |      OR ts_us - lag(ts_us) OVER w > ${8L * 3600 * 1000000}
-         |    THEN 1 ELSE 0 END AS newi
-         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
-         |isl AS (
-         |  SELECT user_id, event_id, ts_us,
-         |    SUM(newi) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM f),
-         |per_island AS (
-         |  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n_events,
-         |    CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS span_us
-         |  FROM isl GROUP BY user_id, island)
-         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
-         |  MAX(n_events) AS max_island_events,
-         |  MAX(span_us) AS max_island_span_us
-         |FROM per_island GROUP BY user_id
-         |${orderSql("user_id", "n_islands", "max_island_events", "max_island_span_us")}""".stripMargin,
+    "q56_activity_islands" -> islandsOracle,
+    // the segmented form recombines the same islands exactly (island
+    // stats are a monoid; boundary merges by the same gap rule) — one
+    // oracle pins both plans
+    "q58_islands_segmented" -> islandsOracle,
     // the same two IGNORE-NULLS frame walks and the same struct carry —
     // last_value over ROWS UNBOUNDED PRECEDING..1 PRECEDING mirrors
     // Spark's last(..., ignoreNulls) exactly under the total

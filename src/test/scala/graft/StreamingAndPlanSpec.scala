@@ -370,6 +370,19 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"no (user_id, seg)-partitioned window in plan:\n${plan.take(2000)}")
   }
 
+  test("q58 segmented islands == q56, and the event-scale walk is (user, seg)-partitioned") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val q58 = rows("q58_islands_segmented")
+    val q56 = rows("q56_activity_islands")
+    assert(q58 == q56, s"segmented islands diverged: " +
+      s"only-58=${(q58 -- q56).take(3)} only-56=${(q56 -- q58).take(3)}")
+    val plan = explainString(SparkEntry.queries("q58_islands_segmented")(spark, dir))
+    assert("windowspecdefinition\\(user_id#\\d+L?, seg#".r.findFirstIn(plan).isDefined,
+      s"no (user_id, seg)-partitioned window in plan:\n${plan.take(2000)}")
+  }
+
   test("st19: the carried state changes outcomes (carry-less per-batch attribution converts fewer)") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
