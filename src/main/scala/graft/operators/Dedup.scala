@@ -838,18 +838,19 @@ object Dedup {
     *
     * Shape: iterative min-label propagation (what GraphX's
     * `connectedComponents` does under the hood, here in pure DataFrame
-    * ops) PLUS a pointer-jumping shortcut each round (label <-
-    * label(label)). Propagation alone converges in O(component diameter)
-    * rounds, and a pathological pair CHAIN — one long path, planted by
-    * adversarial corpora and produced in the wild by chained
-    * near-boundary similarity — has diameter O(members), which would
-    * exhaust any fixed round budget and (before round 17) return
-    * silently under-merged labels. The shortcut halves remaining label
-    * depth every round, so convergence is O(log diameter): 25 rounds
-    * cover diameters past 2^25, i.e. every physically possible corpus.
-    * Near-dup graphs are quasi-cliques (diameter 3-4) and converge in
-    * 2-3 rounds either way; the shortcut costs one extra self-join on
-    * the (pair-graph-sized) label frame per round. `localCheckpoint`
+    * ops) PLUS an adaptive pointer-jumping shortcut (label <-
+    * label(label)) from round 4 on. Propagation alone converges in
+    * O(component diameter) rounds, and a pathological pair CHAIN — one
+    * long path, planted by adversarial corpora and produced in the wild
+    * by chained near-boundary similarity — has diameter O(members),
+    * which would exhaust any fixed round budget and (before round 17)
+    * return silently under-merged labels. The shortcut halves remaining
+    * label depth every round it runs, so convergence is O(3 + log
+    * diameter): 25 rounds cover diameters past 2^20, i.e. every
+    * physically possible corpus. Near-dup graphs are quasi-cliques
+    * (diameter 3-4) that converge inside the plain-propagation prefix
+    * and never pay the shortcut's extra label self-join (charging them
+    * unconditionally cost the sf0.1 closure leg 1.9x). `localCheckpoint`
     * truncates lineage each round so the plan doesn't grow with the
     * iteration count; edges are checkpointed once and reused. The
     * convergence probe reuses the same checkpointed round output
@@ -877,6 +878,13 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
+    // the shortcut only pays off past quasi-clique diameters: near-dup
+    // graphs converge in 2-3 plain rounds, and charging them an extra
+    // label self-join per round cost the sf0.1 d09 leg 1.9x (measured,
+    // round 17). Plain propagation runs first; if convergence drags past
+    // ShortcutFrom rounds — a chain-shaped component — every later round
+    // adds the jump, keeping the worst case O(ShortcutFrom + log diameter)
+    val ShortcutFrom = 3
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
@@ -892,15 +900,19 @@ object Dedup {
       // initialized to self), so the lookup domain is labels itself; the
       // left join + coalesce is belt-and-braces, and label(y) <= y makes
       // the least() monotone-safe
-      val parent = propagated
-        .select(col("id").as("__pid"), col("cluster").as("__pcluster"))
-      val next = propagated
-        .join(parent, propagated("cluster") === parent("__pid"), "left")
-        .select(propagated("id"),
-          least(col("cluster"), coalesce(col("__pcluster"), col("cluster")))
-            .as("cluster"),
-          col("prev"))
-        .localCheckpoint()
+      val jumped =
+        if (iter < ShortcutFrom) propagated
+        else {
+          val parent = propagated
+            .select(col("id").as("__pid"), col("cluster").as("__pcluster"))
+          propagated
+            .join(parent, propagated("cluster") === parent("__pid"), "left")
+            .select(propagated("id"),
+              least(col("cluster"), coalesce(col("__pcluster"), col("cluster")))
+                .as("cluster"),
+              col("prev"))
+        }
+      val next = jumped.localCheckpoint()
       converged = next.where(col("cluster") =!= col("prev")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1

@@ -167,8 +167,8 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.size == n && got.values.forall(_ == 0L),
       s"chain must collapse to one cluster rooted at 0: ${got.toSeq.sortBy(_._1).take(10)}")
     val rounds = Dedup.lastClusterRounds
-    assert(rounds <= 10,
-      s"diameter-100 chain took $rounds rounds — pointer jumping should need ~log2(100)+2")
+    assert(rounds <= 13,
+      s"diameter-100 chain took $rounds rounds — 3 plain + ~log2(100) jumped expected")
     // an exhausted budget REFUSES instead of returning partial labels
     val ex = intercept[IllegalArgumentException] {
       Dedup.clusters(docs, "id", pairs, maxIters = 2).collect()
