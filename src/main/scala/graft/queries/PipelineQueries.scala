@@ -3131,47 +3131,60 @@ object PipelineQueries {
           VF.dot(col("qz"), col("cz")).cast("long").as("rel"), col("cz"))
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("rel").desc, col("cand_id").asc)
-      // localCheckpoint: candidates + pairwise sims feed every greedy
-      // round; without it the corpus-wide scoring pass would re-run per
-      // round. Both frames are bounded (queries*m and queries*m*(m-1)).
       val cand = scored.withColumn("__rn", row_number().over(wTop))
         .where(col("__rn") <= m).drop("__rn")
-        .localCheckpoint()
-      val ps = cand.select(col("query_id"), col("cand_id").as("a"), col("cz").as("az"))
-        .join(cand.select(col("query_id"), col("cand_id").as("b"), col("cz").as("bz")),
-          Seq("query_id"))
-        .where(col("a") =!= col("b"))
-        .select(col("query_id"), col("a"), col("b"),
-          VF.dot(col("az"), col("bz")).cast("long").as("sim"))
-        .localCheckpoint()
-      val slim = cand.select("query_id", "cand_id", "rel")
-      val wSel = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("mmr").desc, col("cand_id").asc)
-      var selected = slim
-        .withColumn("mmr", col("rel"))
-        .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
-        .select(col("query_id"), col("cand_id").as("selected_id"),
-          lit(1).as("step"))
-      for (step <- 2 to k) {
-        val selIds = selected.select(col("query_id"), col("selected_id"))
-        val notSel = slim.join(
-          selIds.withColumnRenamed("selected_id", "cand_id"),
-          Seq("query_id", "cand_id"), "left_anti")
-        val pens = notSel
-          .join(ps.withColumnRenamed("a", "cand_id"), Seq("query_id", "cand_id"))
-          .join(selIds.withColumnRenamed("selected_id", "b"), Seq("query_id", "b"))
-          .groupBy("query_id", "cand_id").agg(max("sim").as("pen"))
-        val pick = notSel.join(pens, Seq("query_id", "cand_id"), "left")
-          .select(col("query_id"), col("cand_id"),
-            (col("rel") - coalesce(col("pen"), lit(0L))).as("mmr"))
-          .withColumn("__rn", row_number().over(wSel)).where(col("__rn") === 1)
-          .select(col("query_id"), col("cand_id").as("selected_id"),
-            lit(step).as("step"))
-        // truncate lineage per round: pick_N's plan re-derives every
-        // earlier round otherwise (tiny frames, but the recompute is
-        // quadratic in k); checkpointed frames are queries*k rows
-        selected = selected.unionByName(pick).localCheckpoint()
-      }
+      // the greedy walk runs as ONE mapGroups pass (round-16 advisor
+      // refinement: the previous k-round driver loop launched k jobs +
+      // a queries*m*(m-1) pairwise-sim join — correct but k sequential
+      // barriers): each query's m candidates fit one group, pairwise
+      // integer dots compute locally, and the walk replays the exact
+      // argmax-with-(mmr desc, cand_id asc)-tie-break the oracle's
+      // recursive CTE pins. All arithmetic stays INTEGER (int8 values
+      // carried as floats; products summed in Long — identical to
+      // VF.dot's exact double sum cast to long at these magnitudes).
+      import s.implicits._
+      val selected = cand
+        .select(col("query_id"), col("cand_id"), col("rel"), col("cz"))
+        .as[(Long, Long, Long, Seq[Float])]
+        .groupByKey(_._1)
+        .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Long, Seq[Float])]) =>
+          val cs = it.map { case (_, id, rel, cz) =>
+            (id, rel, cz.map(_.toLong).toArray)
+          }.toArray.sortBy { case (id, rel, _) => (-rel, id) }
+          def dot(a: Array[Long], b: Array[Long]): Long = {
+            var acc = 0L; var i = 0
+            while (i < a.length) { acc += a(i) * b(i); i += 1 }
+            acc
+          }
+          val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          var step = 1
+          while (step <= k && sel.length < cs.length) {
+            var bestIdx = -1; var bestMmr = Long.MinValue; var bestId = Long.MaxValue
+            var i = 0
+            while (i < cs.length) {
+              if (!sel.contains(i)) {
+                var pen = 0L
+                var j = 0
+                while (j < sel.length) {
+                  val d = dot(cs(i)._3, cs(sel(j))._3)
+                  if (j == 0 || d > pen) pen = d
+                  j += 1
+                }
+                val mmr = cs(i)._2 - (if (sel.isEmpty) 0L else pen)
+                if (mmr > bestMmr || (mmr == bestMmr && cs(i)._1 < bestId)) {
+                  bestMmr = mmr; bestId = cs(i)._1; bestIdx = i
+                }
+              }
+              i += 1
+            }
+            sel += bestIdx
+            out += ((qid, cs(bestIdx)._1, step))
+            step += 1
+          }
+          out.iterator
+        }
+        .toDF("query_id", "selected_id", "step")
       ordered(selected)
     }),
     "s16_semantic_dedup" -> ((s, dir) => {

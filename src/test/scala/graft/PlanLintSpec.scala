@@ -33,9 +33,8 @@ class PlanLintSpec extends SparkSpec {
     // table + final round frontier back the returned labels); t34 consumes
     // d25's quota survivors, so it carries the same closure residue
     "d25_cluster_quota", "t34_upweighted_mixture",
-    // s17 checkpoints its candidate set, pairwise-sim table, and per-round
-    // greedy state (all bounded by queries*m, never corpus-sized)
-    "s17_mmr_rerank",
+    // (s17 left this set in round 17: the single-pass mapGroups walk
+    // replaced its per-round checkpoints — no residue to declare)
     "s05_knn_ivf_bucketed", "s11_two_stage_knn", "s12_knn_ivf_serve",
     "s13_knn_pq_adc", "s14_knn_ivfpq_serve", "s15_knn_ivfpq_filtered",
     "d16_ann_index_cdc", "st12_ann_index_stream",
