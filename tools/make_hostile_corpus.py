@@ -104,6 +104,24 @@ for i, txt in enumerate(hostile):
     base['source'].append('hostile')
     base['n_chars'].append(len(txt) if txt is not None else None)
 
+# LONG-CHAIN pair graph (round 17): 101 docs over a sliding 10-token
+# window with stride 2 — adjacent docs share 8 tokens (6 of 10 trigram
+# shingles, Jaccard 0.6 >= the 0.5 pair threshold) while docs two apart
+# share only 6 tokens (4 of 12 shingles, 0.33 < threshold), so the
+# near-dup graph contains a PATH of diameter 100. Plain min-label
+# propagation would exhaust the closure's 25-round budget on this
+# component; the pointer-jumping path closes it in ~10 rounds and the
+# oracle's recursive reach computes the same 101-member cluster — the
+# at-scale chain regime exercised on the driver-gated corpus itself.
+chain_tokens = [f"chainseq{n}" for n in range(212)]
+for i in range(101):
+    txt = " ".join(chain_tokens[2 * i:2 * i + 10])
+    base['doc_id'].append(maxid + 100 + i)
+    base['text'].append(txt)
+    base['lang'].append(langs[i % 5])
+    base['source'].append('chain')
+    base['n_chars'].append(len(txt))
+
 # hostile SOURCE values (round 15): source feeds URL synthesis (d22 — '?'
 # placement, '#' fragments, '&' params, case, NULL hosts vs blocklists),
 # try_cast parsing (t22), and null accounting (t19/t21). A '?'-bearing
