@@ -263,6 +263,10 @@ object ScaleSoak {
       // map-side-combined aggregation — hot-key-safe by itself; boundary
       // merge on a <= 2S-rows-per-user frame)
       "q58_islands_segmented",
+      // t35 = t27's prefix sums decomposed over (lang, seg) — the
+      // hot-LANG counterpart (the skew corpus's 90% lang); the carry
+      // frame is langs x <=S+1 rows
+      "t35_packing_segmented",
       // d26 is d11's distinct-hash equi-join + q56's island merge on the
       // hit positions — output scales with contaminated CHARS (replica
       // salting keeps eval tails replica-local), never with pairs

@@ -1553,6 +1553,50 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr("coalesce(sum(n_tokens) over (partition by lang order by doc_id " +
             "rows between unbounded preceding and 1 preceding), 0) div 1024").as("pack_id")))),
+    // t27's packing with the per-lang MEGA-PARTITION removed — q57/q58's
+    // segmentation applied to the third window-family member (the 90%-
+    // hot-lang regime the round-17 skew corpus plants): prefix sums
+    // decompose EXACTLY across contiguous segments (global exclusive
+    // prefix = carry-in + segment-local exclusive prefix), so
+    //   1. seg-local exclusive sums run partitioned by (lang, seg) over
+    //      doc_id range buckets (largest partition capped at hot/S;
+    //      NULL doc_ids route to a -1 segment, preserving the window's
+    //      nulls-first order);
+    //   2. per-(lang, seg) totals prefix-sum over seg order on a
+    //      langs x <=S+1 frame (negligible);
+    //   3. pack_id = (carry + local_prefix) div 1024.
+    // t27's oracle is reused verbatim: same output, any segmentation.
+    "t35_packing_segmented" -> ((s, dir) => {
+      val S = 32
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        coalesce(TF.vocabTokenCount(col("text")), lit(0L)).as("n_tokens"))
+      val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+      val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+      val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+      val segLen = math.max(1L, (hi - lo) / S + 1)
+      val seg = docs.withColumn("seg",
+        when(col("doc_id").isNull, lit(-1L))
+          .otherwise(((col("doc_id") - lo) / segLen).cast("long")))
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "seg").orderBy(col("doc_id").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val local = seg.withColumn("local_prefix",
+        coalesce(sum("n_tokens").over(wLocal), lit(0L)))
+      val wCarry = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("seg").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val carry = seg.groupBy("lang", "seg")
+        .agg(sum("n_tokens").as("seg_tokens"))
+        .withColumn("carry", coalesce(sum("seg_tokens").over(wCarry), lit(0L)))
+        .select(col("lang").as("__clang"), col("seg").as("__cseg"), col("carry"))
+      // NULL-SAFE lang join: a NULL lang is its own window partition in
+      // t27 (windows group nulls), and a plain equi-join would drop it
+      ordered(local.join(carry,
+          local("lang") <=> col("__clang") && local("seg") === col("__cseg"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(carry + local_prefix) div 1024").as("pack_id")))
+    }),
     // End-to-end curation FUNNEL (t28): the per-document keep/drop decision
     // a C4/Gopher/RefinedWeb-style pipeline actually applies, composed from
     // this engine's proven gates in one pass — blocklisted source, content
@@ -4478,6 +4522,9 @@ object PipelineQueries {
     // choice; substr advances one CHARACTER on no-match, matching the
     // expression's one-codepoint step
     "t27_token_packing" -> tokenPackingOracle,
+    // the segmented form computes identical pack ids (prefix sums
+    // decompose exactly) — one oracle pins both plans
+    "t35_packing_segmented" -> tokenPackingOracle,
     // the same packing replay pins the STREAMING path: union over st17's
     // micro-batches == the one-shot t27 by the cross-batch running total
     "st17_streaming_packing" -> tokenPackingOracle,

@@ -383,6 +383,19 @@ class StreamingAndPlanSpec extends SparkSpec {
       s"no (user_id, seg)-partitioned window in plan:\n${plan.take(2000)}")
   }
 
+  test("t35 segmented packing == t27, and the doc-scale walk is (lang, seg)-partitioned") {
+    val dir = "/root/testdata/sf0.01"
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSet
+    val t35 = rows("t35_packing_segmented")
+    val t27 = rows("t27_token_packing")
+    assert(t35 == t27, s"segmented packing diverged: " +
+      s"only-35=${(t35 -- t27).take(3)} only-27=${(t27 -- t35).take(3)}")
+    val plan = explainString(SparkEntry.queries("t35_packing_segmented")(spark, dir))
+    assert("windowspecdefinition\\(lang#\\d+, seg#".r.findFirstIn(plan).isDefined,
+      s"no (lang, seg)-partitioned window in plan:\n${plan.take(2000)}")
+  }
+
   test("st19: the carried state changes outcomes (carry-less per-batch attribution converts fewer)") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.01"
