@@ -353,6 +353,21 @@ object Maw {
   private def jstr(s: Any): String = graft.util.Json.str(s)
 
   private[graft] def execute(spark: SparkSession, a: Args): Unit = {
+    // plan mode (M2): discover and print the file plan, write NOTHING.
+    // main() short-circuits --plan before even building a session (a bad
+    // input path must fail without paying session startup); execute
+    // mirrors the verb so programmatic callers with an existing session
+    // get the same no-write contract (driver-checked by p25)
+    if (a.plan) {
+      val files = Discovery.discover(a.inputs,
+        Discovery.Options(recursive = !a.noRecursive, followSymlinks = a.followSymlinks))
+      require(files.nonEmpty, "no inputs found")
+      if (!a.quiet) {
+        println(s"Would process ${files.size} file(s) -> ${a.output}:")
+        files.foreach(f => println(s"  ${f.path} [${f.format}]"))
+      }
+      return
+    }
     // serving-index maintenance verbs (the VersionedTable ops surface):
     // status lists every versioned build; sweep applies the standard keep
     // rules warehouse-wide (newest 2 committed + in-flight per stem) and

@@ -497,6 +497,30 @@ object ParityQueries {
         graft.sources.Discovery.Parquet)
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // Plan mode + dry run (M2/M3) driver-checked: both verbs must exit
+    // WITHOUT producing output (gated in-query — a --plan that writes is
+    // a destructive bug on a production path), and the subsequent real
+    // conversion must deliver the original exactly (the DuckDB oracle).
+    "p25_cli_plan_dryrun" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p25_plan_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val out = base.resolve("docs.parquet")
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        s"$dir/documents.parquet", "-o", out.toString, "-q", "--plan")))
+      require(!java.nio.file.Files.exists(out),
+        "p25: --plan produced output — plan mode must not write")
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        s"$dir/documents.parquet", "-o", out.toString, "-q", "--dry-run")))
+      require(!java.nio.file.Files.exists(out),
+        "p25: --dry-run produced output — dry run must not write")
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        s"$dir/documents.parquet", "-o", out.toString, "-q")))
+      ordered(graft.sinks.Sink.readBack(s, out.toString,
+        graft.sources.Discovery.Parquet)
+        .select("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -587,6 +611,11 @@ object ParityQueries {
          |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
     // the reassembled rolled parts must equal the original exactly
     "p22_rolled_parts" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+         |${orderSql("doc_id")}""".stripMargin,
+    // plan/dry-run write nothing (gated in-query); the real conversion
+    // delivers the original exactly
+    "p25_cli_plan_dryrun" ->
       s"""SELECT doc_id, text, lang, source, n_chars FROM documents
          |${orderSql("doc_id")}""".stripMargin,
     // the --verify'd conversion must deliver the original exactly
