@@ -890,7 +890,7 @@ object Dedup {
         .join(labels.select(col("id").as("src"), col("cluster")), "src")
         .groupBy(col("dst").as("id")).agg(min("cluster").as("nmin"))
       // carry the previous label through the round so the convergence probe
-      // is a filter over the already-checkpointed result, not another join
+      // reads the round's own output, not another join
       val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
@@ -903,17 +903,31 @@ object Dedup {
       val jumped =
         if (iter < ShortcutFrom) propagated
         else {
-          val parent = propagated
+          // materialize the propagate result ONCE before the self-join:
+          // parent is propagated joined against itself, and without this
+          // checkpoint the propagate join+aggregate subplan appears twice
+          // in every shortcut round's plan — recomputed twice unless
+          // exchange reuse happens to fire (round-17 advice)
+          val prop = propagated.localCheckpoint()
+          val parent = prop
             .select(col("id").as("__pid"), col("cluster").as("__pcluster"))
-          propagated
-            .join(parent, propagated("cluster") === parent("__pid"), "left")
-            .select(propagated("id"),
-              least(col("cluster"), coalesce(col("__pcluster"), col("cluster")))
+          prop
+            .join(parent, prop("cluster") === parent("__pid"), "left")
+            .select(prop("id"),
+              least(prop("cluster"), coalesce(col("__pcluster"), prop("cluster")))
                 .as("cluster"),
               col("prev"))
         }
-      val next = jumped.localCheckpoint()
-      converged = next.where(col("cluster") =!= col("prev")).isEmpty
+      // the per-round checkpoint carries a 1-byte changed flag, not the
+      // full prev label: checkpoint WIDTH is the closure's working set at
+      // scale (the d25/t34 x64 soak legs sat on a spill cliff carrying a
+      // third id-typed column through every round — round-17 verdict #4),
+      // and the probe needs only the fact of change, not the old label
+      val next = jumped
+        .select(col("id"), col("cluster"),
+          (col("cluster") =!= col("prev")).as("changed"))
+        .localCheckpoint()
+      converged = next.where(col("changed")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       iter += 1
     }
@@ -921,8 +935,9 @@ object Dedup {
     require(converged,
       s"clusters: label propagation did not converge in $maxIters rounds — " +
         "refusing to return partially merged clusters (raise maxIters; " +
-        "with pointer jumping this needs a component diameter beyond " +
-        s"2^$maxIters, which indicates corrupted pair input)")
+        s"with $ShortcutFrom plain rounds then pointer jumping this needs " +
+        s"a component diameter beyond ~2^${maxIters - ShortcutFrom}, " +
+        "which indicates corrupted pair input)")
     docs.select(col(idCol).as("id"))
       .join(labels.withColumnRenamed("cluster", "__c"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))

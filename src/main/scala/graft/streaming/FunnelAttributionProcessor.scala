@@ -90,7 +90,15 @@ class FunnelAttributionProcessor
           s"already-processed (ts_us=${st.lastTs}, event_id=${st.lastEventId}) " +
           "— per-user batches must arrive in non-decreasing (ts, event_id) order")
     }
-    sorted.foreach { r =>
+    // at-least-once redelivery is SKIPPED, not reprocessed: replaying a
+    // boundary purchase would emit a duplicate FunnelOut row (views and
+    // clicks happen to be idempotent state writes; purchases are not).
+    // After the require above, (ts, id) <= the high-water mark can only
+    // be the boundary event itself — drop it and process what's new
+    val fresh = sorted.dropWhile(r =>
+      r.ts_us < st.lastTs ||
+        (r.ts_us == st.lastTs && r.event_id <= st.lastEventId))
+    fresh.foreach { r =>
       r.event_type match {
         case "view" => st = st.copy(viewTs = r.ts_us)
         case "click" => st = st.copy(clickTs = r.ts_us, clickViewTs = st.viewTs)
@@ -104,7 +112,7 @@ class FunnelAttributionProcessor
         case _ => () // filtered upstream; tolerate strays
       }
     }
-    sorted.lastOption.foreach { last =>
+    fresh.lastOption.foreach { last =>
       st = st.copy(lastTs = last.ts_us, lastEventId = last.event_id)
     }
     attr.update(st)

@@ -42,11 +42,18 @@ object TableRetention {
     def kept(n: String): Boolean =
       keep.contains(n) || keepPrefixes.exists(n.startsWith) || spare(n)
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    // kept() — and through it the caller's lease re-stat `spare` — runs
+    // per candidate IMMEDIATELY before its DROP executes, not once when
+    // the loop begins: a lease taken while earlier drops run must still
+    // spare later catalog entries (the location loop below already had
+    // this property; the catalog loop gained it in round 18)
     spark.catalog.listTables().collect().map(_.name)
-      .filter(t => t.startsWith(prefix) && !kept(t))
+      .filter(_.startsWith(prefix))
       .foreach { t =>
-        spark.sql(s"DROP TABLE IF EXISTS `$t`")
-        swept += s"table:$t"
+        if (!kept(t)) {
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          swept += s"table:$t"
+        }
       }
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))

@@ -221,15 +221,24 @@ object VersionedTable {
     // prefix; keep wins over doom if both somehow match (nonce prefixes).
     // fate() is evaluated per delete, and re-stats the owning version's
     // lease at that instant — a lease taken after the status() listing
-    // above still spares the version (and its artifacts)
+    // above still spares the version (and its artifacts). The owner is
+    // the LONGEST matching doomed name: on a nonce-prefix collision
+    // (`..._a1` vs `..._a1b2`) an arbitrary pick could consult the wrong
+    // version's lease and delete a leased version's artifact
     def fate(n: String): Boolean = // true = delete
       !keep.exists(k => n == k || n.startsWith(k)) &&
-        doomed.find(d => n == d || n.startsWith(d))
+        doomed.filter(d => n == d || n.startsWith(d))
+          .maxByOption(_.length)
           .exists(owner => !leasedNow(spark, owner))
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
-    spark.catalog.listTables().collect().map(_.name).filter(fate).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS `$t`")
-      swept += s"table:$t"
+    // fate() per candidate at drop time, matching the location loop below
+    // — a lease taken while earlier DROP TABLEs execute still spares
+    // later catalog entries
+    spark.catalog.listTables().collect().map(_.name).foreach { t =>
+      if (fate(t)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        swept += s"table:$t"
+      }
     }
     val (wh, fs) = warehouse(spark)
     if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
@@ -309,11 +318,14 @@ object VersionedTable {
       otherStems.values.flatMap(keepRules(_, now).map(_.name)).toSet
     // all family version names, for mapping a doomed artifact back to its
     // owning version; the spare hook re-stats that version's lease at
-    // delete time so a lease taken after this listing still protects it
+    // delete time so a lease taken after this listing still protects it.
+    // Longest match, like sweepStale's fate(): a nonce-prefix collision
+    // must map the artifact to its TRUE owning version
     val familyVersions =
       (versions ++ otherStems.values.flatten).map(_.name)
     TableRetention.sweep(spark, familyPrefix, keep, keepPrefixes,
-      spare = n => familyVersions.find(v => n == v || n.startsWith(v))
+      spare = n => familyVersions.filter(v => n == v || n.startsWith(v))
+        .maxByOption(_.length)
         .exists(leasedNow(spark, _)))
   }
 }
