@@ -18,6 +18,29 @@ object ParityQueries {
       col("o_custkey"), fmtTs(col("o_orderdate")).as("o_orderdate"), col("o_orderkey"),
       col("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"))
 
+  /** Capture everything the CLI prints to stdout during `f`, as lines.
+    * Maw prints through Scala's Console-backed println, so withOut scopes
+    * the redirect to this call — nothing global is touched.
+    */
+  private def captureOut(f: => Unit): Seq[String] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(f)
+    new String(bos.toByteArray, "UTF-8").linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** The p21 CSV read-back projection: CSV cannot carry the ''-vs-NULL
+    * distinction, so the string columns fold '' to NULL on both engines.
+    */
+  private def csvOrdersBack(s: SparkSession, path: String): DataFrame = {
+    val back = graft.operators.Concat.run(s,
+      graft.operators.Concat.Config(Seq(path)))
+    val strCols = Set("o_orderdate", "o_orderpriority", "o_orderstatus")
+    ordered(back.select(
+      Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice").map(c =>
+        if (strCols(c)) nullif(col(c), lit("")).as(c) else col(c)): _*))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // U1: UNION ALL concat of two sources through the unifier
     "p01_concat_union_all" -> ((s, dir) => {
@@ -521,6 +544,169 @@ object ParityQueries {
         graft.sources.Discovery.Parquet)
         .select("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    // M1 progress/metrics + M4 logging driver-checked (the last CLI rows
+    // that were spec-only — round-17 verdict #1, the p25 pattern applied
+    // to the progress surface): a real multi-file conversion runs under
+    // --json-logs, the emitted event stream is read back as a JSONL table
+    // IN-QUERY and gated — every stdout line is a JSON event (M4's
+    // machine-readable contract), the per-file events cover EXACTLY the
+    // discovered inputs with row/byte totals matching the data (M1), the
+    // progress event's totals match, and a -q rerun emits NOTHING (M4's
+    // quiet contract). The converted content itself is oracle-pinned.
+    "p26_cli_json_logs" -> ((s, dir) => {
+      val o = ordersStringified(t(s, dir, "orders"))
+      val n = o.count()
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p26_m1_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      // stage the input as ROLLED csv parts so the per-file event stream
+      // is non-trivial (one event per part, like a real multi-file ingest)
+      graft.sinks.Sink.write(o, graft.sinks.Sink.Config(
+        base.resolve("orders.csv").toString, graft.sources.Discovery.Csv,
+        rollByRows = Some(math.max(1L, n / 6))))
+      val glob = base.resolve("orders-*.csv").toString
+      val out = base.resolve("out.csv").toString
+      val lines = captureOut {
+        graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+          glob, "-o", out, "--json-logs")))
+      }
+      // M4: under --json-logs every stdout line is a JSON object carrying
+      // an event field — a stray human-format line breaks the read
+      import org.apache.spark.sql.Encoders
+      val ev = s.read.json(s.createDataset(lines)(Encoders.STRING))
+      require(!ev.columns.contains("_corrupt_record") &&
+          ev.columns.contains("event") &&
+          ev.where(col("event").isNull).isEmpty,
+        s"p26: --json-logs stdout is not a pure JSON event stream: $lines")
+      require(ev.where(col("event") === "start").count() == 1 &&
+          ev.where(col("event") === "done").count() == 1,
+        s"p26: start/done events missing: $lines")
+      // M1: per-file events == the discovered inputs, exactly
+      val discovered = graft.sources.Discovery
+        .discover(Seq(glob)).map(_.path).toSet
+      require(discovered.size >= 4,
+        s"p26: staging produced only ${discovered.size} parts")
+      val fileEv = ev.where(col("event") === "file")
+      val evPaths = fileEv.select("path").collect().map(_.getString(0)).toSet
+      require(evPaths == discovered,
+        s"p26: per-file events $evPaths != discovered inputs $discovered")
+      val evRows = fileEv.agg(sum("rows")).head.getLong(0)
+      require(evRows == n, s"p26: per-file event rows $evRows != $n")
+      require(fileEv.where(col("bytes") <= 0).isEmpty &&
+          fileEv.where(col("elapsed_sec") < 0).isEmpty,
+        "p26: per-file events carry non-positive bytes or negative elapsed")
+      val prog = ev.where(col("event") === "progress")
+        .select("rows_written", "mb_read").collect()
+      require(prog.length == 1 && prog(0).getLong(0) == n &&
+          prog(0).getDouble(1) > 0,
+        s"p26: progress totals wrong: ${prog.toSeq} (expected rows=$n)")
+      // M4: -q silences stdout COMPLETELY, json mode included
+      val quiet = captureOut {
+        graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+          glob, "-o", base.resolve("out_q.csv").toString, "-q", "--json-logs")))
+      }
+      require(quiet.isEmpty, s"p26: -q leaked stdout: $quiet")
+      csvOrdersBack(s, out)
+    }),
+    // P1 concurrency/memory knobs driver-checked (round-17 verdict #1):
+    // the execute-visible knob (--writer-buffer, which sizes the byte
+    // paths' output buffers) runs at its 1 MB clamp floor vs a large
+    // value, alongside --concurrency/--mem-budget through the real parse
+    // path — knobs may change PERFORMANCE, never content, so the two
+    // outputs must be byte-identical (a buffer-boundary bug corrupts
+    // bytes and breaks this gate). --concurrency/--mem-budget act at
+    // session construction (Maw.main); their arg->conf mapping is pinned
+    // by MawCliSpec and waived from driver observation in COVERAGE.md.
+    "p27_cli_knobs" -> ((s, dir) => {
+      val o = ordersStringified(t(s, dir, "orders"))
+      val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"p27_knobs_${java.lang.Integer.toHexString(dir.hashCode)}")
+      graft.util.Fs.deleteRecursively(base.toFile)
+      java.nio.file.Files.createDirectories(base)
+      val in = base.resolve("orders.csv").toString
+      graft.sinks.Sink.write(o, graft.sinks.Sink.Config(
+        in, graft.sources.Discovery.Csv))
+      val outA = base.resolve("outA.csv")
+      val outB = base.resolve("outB.csv")
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        in, "-o", outA.toString, "-q", "--writer-buffer", "1")))
+      graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+        in, "-o", outB.toString, "-q", "--writer-buffer", "512",
+        "--concurrency", "2", "--mem-budget", "256")))
+      val a = java.nio.file.Files.readAllBytes(outA)
+      val b = java.nio.file.Files.readAllBytes(outB)
+      require(a.nonEmpty && java.util.Arrays.equals(a, b),
+        s"p27: knob settings changed output content (${a.length} vs " +
+          s"${b.length} bytes) — knobs must affect performance only")
+      csvOrdersBack(s, outA.toString)
+    }),
+    // K11 serving-index CLI verbs driver-checked (round-17 verdict #1): a
+    // deterministic family of versioned builds is staged through the REAL
+    // VersionedTable.ensure path, --index-status's --json-logs event
+    // stream is read back as a JSONL table IN-QUERY and gated against the
+    // warehouse's own listing (names incl. build nonces must match
+    // exactly), then --sweep-indexes runs and the post-state is gated:
+    // the stale uncommitted build (aged past the in-flight grace window)
+    // is swept; the newest two committed versions and the young in-flight
+    // build survive. The returned (phase, version, committed) matrix is
+    // fully determined by the staging, so a VALUES oracle pins it.
+    "p28_cli_index_status" -> ((s, dir) => {
+      val stem = s"p28idx_${java.lang.Integer.toHexString(dir.hashCode)}"
+      // idempotent: wipe this stem's residue from any prior run in this
+      // warehouse (locations + catalog entries), so version numbers and
+      // sweep outcomes are deterministic on every rerun
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        if (st.getPath.getName.startsWith(stem)) fs.delete(st.getPath, true) }
+      s.catalog.listTables().collect().map(_.name).filter(_.startsWith(stem))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+      import graft.util.VersionedTable
+      def build(name: String): Unit =
+        s.range(3).write.mode("overwrite").saveAsTable(name)
+      VersionedTable.ensure(s, "p28idx_", stem, build) // v1
+      // usable=false forces fresh builds: v2, then v3 (whose retention
+      // sweeps v1 — depth 2)
+      VersionedTable.ensure(s, "p28idx_", stem, build, usable = _ => false)
+      VersionedTable.ensure(s, "p28idx_", stem, build, usable = _ => false)
+      // two uncommitted builds: one aged past the in-flight grace window
+      // (sweep fodder), one young (a live build the sweep must spare)
+      val old = new org.apache.hadoop.fs.Path(wh, s"${stem}__v4_feedf00d")
+      val young = new org.apache.hadoop.fs.Path(wh, s"${stem}__v5_beefcafe")
+      fs.mkdirs(old); fs.mkdirs(young)
+      fs.setTimes(old, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+      import org.apache.spark.sql.Encoders
+      def statusEvents(): DataFrame = {
+        val lines = captureOut {
+          graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+            "--index-status", "--json-logs")))
+        }
+        s.read.json(s.createDataset(lines)(Encoders.STRING))
+          .where(col("event") === "index" && col("stem") === stem)
+      }
+      def triples(ev: DataFrame): Set[(String, Long, Boolean)] =
+        ev.select("name", "version", "committed").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      val before = triples(statusEvents())
+      val expectBefore = VersionedTable.listVersions(s, stem)
+        .map(v => (v.name, v.n, v.committed)).toSet
+      require(before == expectBefore && before.map(_._2) == Set(2L, 3L, 4L, 5L),
+        s"p28: --index-status events $before != warehouse $expectBefore")
+      captureOut {
+        graft.cli.Maw.execute(s, graft.cli.Maw.parse(Seq(
+          "--sweep-indexes", "--json-logs")))
+      }
+      val after = triples(statusEvents())
+      require(after.map(t => (t._2, t._3)) ==
+          Set((2L, true), (3L, true), (5L, false)),
+        s"p28: post-sweep state wrong: $after")
+      import s.implicits._
+      val rows = before.toSeq.map(t => ("before", t._2, if (t._3) 1L else 0L)) ++
+        after.toSeq.map(t => ("after", t._2, if (t._3) 1L else 0L))
+      ordered(rows.toDF("phase", "version", "committed"))
+    }),
     // set-distinct union (extension beyond U1's bag concat)
     "p10_distinct_union" -> ((s, dir) => {
       val n = t(s, dir, "nation").select(col("n_regionkey").as("k"))
@@ -628,6 +814,32 @@ object ParityQueries {
          |MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM orders GROUP BY o_orderpriority
          |${orderSql("o_orderpriority", "n_orders", "min_key", "max_key")}""".stripMargin,
+    // p26's converted content == orders through the CSV fold (p21's
+    // contract); the M1/M4 event-stream gates run in-query
+    "p26_cli_json_logs" ->
+      s"""SELECT o_custkey, NULLIF(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '') AS o_orderdate,
+         |o_orderkey, NULLIF(o_orderpriority, '') AS o_orderpriority,
+         |NULLIF(o_orderstatus, '') AS o_orderstatus, o_totalprice FROM orders
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
+    // p27's knob-independence gate runs in-query; the content is the same
+    // CSV round trip
+    "p27_cli_knobs" ->
+      s"""SELECT o_custkey, NULLIF(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '') AS o_orderdate,
+         |o_orderkey, NULLIF(o_orderpriority, '') AS o_orderpriority,
+         |NULLIF(o_orderstatus, '') AS o_orderstatus, o_totalprice FROM orders
+         |${orderSql("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")}""".stripMargin,
+    // p28's index lifecycle is fully determined by its own staging (three
+    // ensure() builds -> depth-2 retention, one stale + one young
+    // uncommitted, one sweep), so the expected matrix is a constant; the
+    // event-stream-vs-warehouse equality gates run in-query
+    "p28_cli_index_status" ->
+      s"""SELECT * FROM (VALUES
+         |('after',  CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+         |('after',  3, 1), ('after',  5, 0),
+         |('before', 2, 1), ('before', 3, 1),
+         |('before', 4, 0), ('before', 5, 0))
+         |AS t(phase, version, committed)
+         |${orderSql("phase", "version", "committed")}""".stripMargin,
     // the same top-corner point the Spark side derives from the data
     "p15_zorder_skipping" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity FROM lineitem
