@@ -280,7 +280,13 @@ object ScaleSoak {
       // best); the index is survivor-sized, so per-batch wall scales with
       // arriving data + survivors, never with pair history. Whole corpus
       // staged as two batches (staging excluded like st16-19)
-      "st20_streaming_url_dedup")
+      "st20_streaming_url_dedup",
+      // round-18: BM25 lexical retrieval — each soak scale is a fresh
+      // fixture, so the first timed run pays the build (one tokenize pass
+      // + postings write, linear in corpus — the min-of-2 discards it like
+      // s12/d19) and the recorded wall is the PROBE: bucket-pruned
+      // postings scan + TakeOrdered, output pinned at 10 rows at any scale
+      "t36_bm25_retrieval")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test

@@ -2640,6 +2640,43 @@ object PipelineQueries {
             expr("(upweighted_mass_millis * 1000) div total_millis"))
             .as("share_millis")))
     }),
+    // Build-once BM25 lexical retrieval (round-17 verdict #8, optional
+    // surface growth): the corpus is tokenized ONCE into a postings table
+    // bucketed by term (VersionedTable fixture-keyed, d19/s12's staged-swap
+    // discipline); the probe selects deterministic data-derived query
+    // terms from the vocabulary-sized df table (highest-df tokens under an
+    // n_docs/20 df cap — stopword-saturated terms score ~0 everywhere) and
+    // ranks top-10 docs by Okapi BM25 (k1=1.2, b=0.75, Lucene's +1 idf
+    // floor). Engine-exact per the t16 discipline: integer tf/df/dl/N,
+    // per-(term,doc) components rounded to 6 dp then summed as exact
+    // DECIMAL, ranking by (rounded score DESC, doc_id ASC). In-query
+    // gates: the probe's term IN-list must prune buckets at the postings
+    // scan (SelectedBucketsCount), and the probe plan must never re-read
+    // document text — the build-once contract, lexical edition.
+    "t36_bm25_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = fixtureKey(dir, "documents")
+      val idx = graft.util.VersionedTable.ensure(s, "t36_", s"t36_bm25_$key",
+        build = name =>
+          graft.operators.Bm25Index.build(docs, "doc_id", "text", name),
+        usable = n => s.catalog.tableExists(n) &&
+          s.catalog.tableExists(n + "_df") &&
+          s.catalog.tableExists(n + "_stats"),
+        siblings = graft.operators.Bm25Index.siblings)
+      val terms = graft.operators.Bm25Index.selectTerms(s, idx)
+      require(terms.nonEmpty, "t36: no query terms under the df cap")
+      val top = graft.operators.Bm25Index.topK(s, idx, terms)
+      val plan = top.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"t36: probe scan did not prune buckets " +
+          s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+      require(!plan.contains("documents.parquet"),
+        "t36: probe plan re-reads document text — the build-once contract " +
+          "requires probes to touch only the postings index")
+      ordered(top.select(col("doc_id"), col("n_terms"), col("score")))
+    }),
     "t33_mixture_plan" -> ((s, dir) => {
       import s.implicits._
       val targets = Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15),
@@ -4199,6 +4236,38 @@ object PipelineQueries {
     // frame walks, so the per-user rollup equals the one-shot q55 — whose
     // oracle this reuses verbatim
     "st19_streaming_funnel" -> RelationalQueries.oracleSql("q55_event_funnel"),
+    // t36's full replay from the raw table: t16's token contract, exact
+    // integer tf/df/dl/N, the identical BM25 expression token for token
+    // (Lucene +1 idf floor, k1+1 = 2.2, 1-b = 0.25, dl/avgdl as the exact
+    // (dl*n_docs)/sum_dl product), components ROUND(...,6)'d per row then
+    // summed as exact DECIMAL(18,6), terms and ranking both decided by
+    // integer/string/rounded comparisons so both engines agree bit-free
+    "t36_bm25_retrieval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |terms AS (
+         |  SELECT token, df FROM df, n WHERE df * 20 <= n.n_docs
+         |  ORDER BY df DESC, token ASC LIMIT 5),
+         |comp AS (
+         |  SELECT tf.doc_id,
+         |    ROUND(LN(1.0 + (n.n_docs - terms.df + 0.5) / (terms.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n_docs) / CAST(n.sum_dl AS DOUBLE))),
+         |      6) AS comp
+         |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN n),
+         |top AS (
+         |  SELECT doc_id, COUNT(*) AS n_terms,
+         |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM comp GROUP BY doc_id
+         |  ORDER BY score DESC, doc_id ASC LIMIT 10)
+         |SELECT doc_id, n_terms, score FROM top
+         |${orderSql("doc_id", "n_terms", "score")}""".stripMargin,
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
     // d25's full CTE replay (planted corpus + shingle pairs + recursive

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Bm25Index
+import org.apache.spark.sql.functions._
+
+/** Pins the BM25 build-once index (t36): postings/df/stats contents on a
+  * hand-checkable corpus, the probe's ranking semantics, the bucket-pruned
+  * probe plan, and versioned build-once reuse.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 scoreable docs + a NULL-text doc that must contribute nothing:
+  // dl = 3, 2, 4, 2 (sum 11); df: a=2, b=2, c=2, d=1
+  private def corpus = Seq(
+    (1L, "a a b"), (2L, "a c"), (3L, "b b b c"), (4L, "d d"),
+    (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("bm25: index tables carry exact integer stats; probe ranks by hand-checkable BM25") {
+    val name = "bm25spec_idx"
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    val stats = spark.table(name + "_stats").head
+    assert((stats.getLong(0), stats.getLong(1)) == ((4L, 11L)),
+      s"stats (n_docs, sum_dl) wrong: $stats")
+    val df = spark.table(name + "_df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L), df)
+    // dl denormalized into postings: doc 3's rows all carry dl=4
+    val p3 = spark.table(name).where(col("doc_id") === 3)
+      .select("token", "tf", "dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p3 == Set(("b", 3L, 4L), ("c", 1L, 4L)), p3)
+
+    // probe {b, c}: doc 3 matches both terms with the highest tf, doc 2
+    // matches c with the shortest dl, doc 1 matches b once in a longer
+    // doc, doc 4 matches nothing — BM25 ranks 3 > 2 > 1
+    val top = Bm25Index.topK(spark, name, Seq("b", "c"), k = 10)
+    val rows = top.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(3L, 2L, 1L),
+      s"ranking wrong: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == Seq(2L, 1L, 1L),
+      s"matched-term counts wrong: ${rows.toSeq}")
+    assert(rows.map(_._3).forall(_ > 0) &&
+        rows(0)._3 > rows(1)._3 && rows(1)._3 > rows(2)._3,
+      s"scores not strictly decreasing: ${rows.toSeq}")
+    // the probe plan prunes buckets via the literal term IN-list
+    val plan = top.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"probe did not prune buckets: ${sel.map(_.matched)}")
+  }
+
+  test("bm25: deterministic term selection honors the df cap and tie-break") {
+    val name = "bm25spec_terms_idx"
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    // cap df*1 <= 4 admits every token; df desc then token asc
+    assert(Bm25Index.selectTerms(spark, name, nTerms = 5, dfCapDenom = 1) ==
+      Seq("a", "b", "c", "d"))
+    // cap df*4 <= 4 admits only df=1 tokens
+    assert(Bm25Index.selectTerms(spark, name, nTerms = 5, dfCapDenom = 4) ==
+      Seq("d"))
+  }
+
+  test("bm25: versioned build-once — the second ensure reuses, probes match") {
+    def ensure() = graft.util.VersionedTable.ensure(
+      spark, "bm25sv_", "bm25sv_idx",
+      build = n => Bm25Index.build(corpus, "doc_id", "text", n, buckets = 4),
+      usable = n => spark.catalog.tableExists(n) &&
+        spark.catalog.tableExists(n + "_df") &&
+        spark.catalog.tableExists(n + "_stats"),
+      siblings = Bm25Index.siblings)
+    val v1 = ensure()
+    val v2 = ensure()
+    assert(v1 == v2, s"second ensure rebuilt: $v1 vs $v2")
+    val got = Bm25Index.topK(spark, v2, Seq("b", "c")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 2L, 1L), got)
+  }
+}

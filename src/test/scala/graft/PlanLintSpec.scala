@@ -52,7 +52,11 @@ class PlanLintSpec extends SparkSpec {
     "m05_perceptual_dedup", "m06_perceptual_clusters",
     // m07 materializes the adversarial payload set once — BOTH decode
     // operators (extractFeatures, withDHash) consume it
-    "m07_media_robustness")
+    "m07_media_robustness",
+    // t36's build tokenizes once into a checkpointed (doc, token, tf)
+    // table that postings/df/stats all derive from (t16's discipline);
+    // the residue exists only on the build invocation of a fresh fixture
+    "t36_bm25_retrieval")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
