@@ -16,8 +16,26 @@ class Bm25Spec extends SparkSpec {
     (1L, "a a b"), (2L, "a c"), (3L, "b b b c"), (4L, "d d"),
     (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
 
+  /** Wipe this prefix's residue from the shared warehouse: a PREVIOUS
+    * JVM's run leaves locations behind while the in-memory catalog forgot
+    * the tables, and saveAsTable then refuses the orphan location — the
+    * exact cross-JVM failure mode VersionedTable documents (its versioned
+    * names dodge it by construction; the plain-named spec tables must
+    * clean up explicitly).
+    */
+  private def wipe(prefix: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true) }
+    spark.catalog.listTables().collect().map(_.name).filter(_.startsWith(prefix))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
+
   test("bm25: index tables carry exact integer stats; probe ranks by hand-checkable BM25") {
     val name = "bm25spec_idx"
+    wipe("bm25spec_idx")
     Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
     val stats = spark.table(name + "_stats").head
     assert((stats.getLong(0), stats.getLong(1)) == ((4L, 11L)),
@@ -52,6 +70,7 @@ class Bm25Spec extends SparkSpec {
 
   test("bm25: deterministic term selection honors the df cap and tie-break") {
     val name = "bm25spec_terms_idx"
+    wipe("bm25spec_terms_idx")
     Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
     // cap df*1 <= 4 admits every token; df desc then token asc
     assert(Bm25Index.selectTerms(spark, name, nTerms = 5, dfCapDenom = 1) ==
