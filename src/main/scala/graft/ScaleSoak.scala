@@ -286,7 +286,10 @@ object ScaleSoak {
       // + postings write, linear in corpus — the min-of-2 discards it like
       // s12/d19) and the recorded wall is the PROBE: bucket-pruned
       // postings scan + TakeOrdered, output pinned at 10 rows at any scale
-      "t36_bm25_retrieval")
+      "t36_bm25_retrieval",
+      // t37 = two scorers over t36's probe + the m-row fusion join — its
+      // wall must track t36's (the probe dominates; the fusion is 20 rows)
+      "t37_hybrid_rrf")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test

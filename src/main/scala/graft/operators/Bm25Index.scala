@@ -90,39 +90,92 @@ object Bm25Index {
       .limit(nTerms).select("token").collect().map(_.getString(0)).toSeq
   }
 
-  /** BM25 top-k over the persisted index for a literal bag of terms.
-    * Output: (doc_id, n_terms matched, score), score DESC / doc_id ASC,
-    * k rows. The term IN-list is literal, so the bucketed scan prunes to
-    * the probed terms' buckets; df joins broadcast (terms-sized), stats
-    * is one broadcast row. Long arithmetic note: dl*n_docs stays exact
-    * below ~2^63 — 1e9 docs x 1e9 total tokens needs the split into
-    * (dl * n_docs) / sum_dl kept as (dl / avgdl) doubles instead; at that
-    * point revisit, the fixture-to-100TB range is safe.
+  /** The pruned per-(term, doc) probe frame: postings rows for the
+    * literal term set (bucket-pruned scan) joined with the terms-sized df
+    * frame and the 1-row stats — the shared input of every scorer.
     */
-  def topK(spark: SparkSession, name: String, terms: Seq[String],
-      k: Int = 10): DataFrame = {
-    require(terms.nonEmpty, "bm25 topK: empty term set")
-    val postings = spark.table(name).where(col("token").isin(terms: _*))
-    val termDf = spark.table(name + "_df").where(col("token").isin(terms: _*))
-    val stats = spark.table(name + "_stats")
-    // each component mirrors the DuckDB oracle token for token: idf's +1
-    // floor, tf*(k1+1) with k1+1 = 2.2 literal, (1-b) = 0.25, b = 0.75,
-    // dl/avgdl as the exact integer product (dl*n_docs)/sum_dl
-    val comp = postings
-      .join(broadcast(termDf), "token")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        round(
-          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-            col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl") * col("n_docs")) / col("sum_dl").cast("double"))),
-          6).as("comp"))
-    comp.groupBy("doc_id")
+  private def probeRows(spark: SparkSession, name: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25 probe: empty term set")
+    spark.table(name).where(col("token").isin(terms: _*))
+      .join(broadcast(
+        spark.table(name + "_df").where(col("token").isin(terms: _*))), "token")
+      .crossJoin(broadcast(spark.table(name + "_stats")))
+  }
+
+  /** Per-(term, doc) BM25 component, ROUND(,6)'d — mirrors the DuckDB
+    * oracle token for token: idf's +1 floor, tf*(k1+1) with k1+1 = 2.2
+    * literal, (1-b) = 0.25, b = 0.75, dl/avgdl as the exact integer
+    * product (dl*n_docs)/sum_dl. Long arithmetic note: dl*n_docs stays
+    * exact below ~2^63 — 1e9 docs x 1e9 total tokens needs the split
+    * kept as (dl / avgdl) doubles instead; the fixture-to-100TB range
+    * is safe.
+    */
+  private def bm25Component: org.apache.spark.sql.Column =
+    round(
+      log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5))) *
+        col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl") * col("n_docs")) / col("sum_dl").cast("double"))),
+      6)
+
+  /** Per-(term, doc) TF-IDF component (t16's exact formula), ROUND(,6)'d. */
+  private def tfidfComponent: org.apache.spark.sql.Column =
+    round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+
+  /** Sum rounded components per doc as exact DECIMAL (order-free). */
+  private def scored(rows: DataFrame, component: org.apache.spark.sql.Column): DataFrame =
+    rows.select(col("doc_id"), component.as("comp"))
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         sum(col("comp").cast(DecimalType(18, 6))).cast("double").as("score"))
+
+  /** BM25 top-k over the persisted index for a literal bag of terms.
+    * Output: (doc_id, n_terms matched, score), score DESC / doc_id ASC,
+    * k rows via TakeOrdered (never a global window).
+    */
+  def topK(spark: SparkSession, name: String, terms: Seq[String],
+      k: Int = 10): DataFrame =
+    scored(probeRows(spark, name, terms), bm25Component)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher 2009): two rankers over the SAME pruned probe — BM25
+    * (length-normalized, saturating tf) and plain TF-IDF (raw tf) — each
+    * cut to its top-m by (rounded score DESC, doc_id ASC), fused as
+    *
+    *   rrf(d) = sum over rankers of floor(1e6 / (60 + rank_d))
+    *
+    * — the standard k=60 RRF in exact INTEGER micro-units, so the fusion
+    * is engine-exact by construction (ranks are integers, the component
+    * orderings are deterministic per the t36 discipline). Docs outside a
+    * ranker's top-m contribute 0 from it. Output: (doc_id, rrf_micros,
+    * bm25_rank, tfidf_rank) — the nullable ranks make each ranker's
+    * contribution auditable.
+    *
+    * Scale shape: the probe is the same bucket-pruned scan; each ranker's
+    * cut is a TakeOrdered; rank assignment windows over the m-row cut
+    * (m = 20 — driver-bounded, deliberately single-partition); the fusion
+    * is an m-row full-outer join. Nothing corpus-sized past the scorers.
+    */
+  def hybridRrfTopK(spark: SparkSession, name: String, terms: Seq[String],
+      k: Int = 10, m: Int = 20, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = probeRows(spark, name, terms)
+    def ranked(component: org.apache.spark.sql.Column, rankName: String) =
+      scored(rows, component)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(m)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)).as(rankName))
+    val fused = ranked(bm25Component, "bm25_rank")
+      .join(ranked(tfidfComponent, "tfidf_rank"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"1000000 div ($rrfK + bm25_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + tfidf_rank)"), lit(0L)))
+          .as("rrf_micros"),
+        col("bm25_rank"), col("tfidf_rank"))
+    fused.orderBy(col("rrf_micros").desc, col("doc_id").asc).limit(k)
   }
 }

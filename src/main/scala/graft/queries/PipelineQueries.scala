@@ -2677,6 +2677,44 @@ object PipelineQueries {
           "requires probes to touch only the postings index")
       ordered(top.select(col("doc_id"), col("n_terms"), col("score")))
     }),
+    // Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    // 2009 — the standard way heterogeneous rankers combine in a serving
+    // stack): BM25 (length-normalized, saturating tf) and plain TF-IDF
+    // (raw tf) rank the SAME bucket-pruned probe, each cut to top-20 by
+    // (rounded score DESC, doc_id ASC), fused as sum of
+    // floor(1e6/(60+rank)) — exact INTEGER micro-units, so the fusion
+    // layer is engine-exact by construction and the only float discipline
+    // needed is the component rankings' (t36's). The two rankers
+    // genuinely disagree (BM25 demotes long docs TF-IDF promotes), so
+    // the fusion is observable, and the nullable per-ranker ranks in the
+    // output make each contribution auditable. Same build-once index and
+    // gates as t36.
+    "t37_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = fixtureKey(dir, "documents")
+      val idx = graft.util.VersionedTable.ensure(s, "t36_", s"t36_bm25_$key",
+        build = name =>
+          graft.operators.Bm25Index.build(docs, "doc_id", "text", name),
+        usable = n => s.catalog.tableExists(n) &&
+          s.catalog.tableExists(n + "_df") &&
+          s.catalog.tableExists(n + "_stats"),
+        siblings = graft.operators.Bm25Index.siblings)
+      val terms = graft.operators.Bm25Index.selectTerms(s, idx)
+      require(terms.nonEmpty, "t37: no query terms under the df cap")
+      val top = graft.operators.Bm25Index.hybridRrfTopK(s, idx, terms)
+      val plan = top.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"t37: probe scan did not prune buckets " +
+          s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+      require(!plan.contains("documents.parquet"),
+        "t37: probe plan re-reads document text — probes touch only the index")
+      ordered(top.select(col("doc_id"),
+        col("rrf_micros").cast("long").as("rrf_micros"),
+        col("bm25_rank").cast("long").as("bm25_rank"),
+        col("tfidf_rank").cast("long").as("tfidf_rank")))
+    }),
     "t33_mixture_plan" -> ((s, dir) => {
       import s.implicits._
       val targets = Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15),
@@ -4268,6 +4306,50 @@ object PipelineQueries {
          |  ORDER BY score DESC, doc_id ASC LIMIT 10)
          |SELECT doc_id, n_terms, score FROM top
          |${orderSql("doc_id", "n_terms", "score")}""".stripMargin,
+    // t37: t36's CTE chain + a second scorer (t16's TF-IDF formula) +
+    // the integer RRF fusion — ranks are BIGINTs, the fusion is exact
+    // floor division in micro-units, so cross-engine agreement needs
+    // only the component orderings t36 already pins
+    "t37_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |terms AS (
+         |  SELECT token, df FROM df, n WHERE df * 20 <= n.n_docs
+         |  ORDER BY df DESC, token ASC LIMIT 5),
+         |bmc AS (
+         |  SELECT tf.doc_id,
+         |    ROUND(LN(1.0 + (n.n_docs - terms.df + 0.5) / (terms.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n_docs) / CAST(n.sum_dl AS DOUBLE))),
+         |      6) AS comp
+         |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN n),
+         |bm AS (SELECT doc_id, CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |       FROM bmc GROUP BY doc_id),
+         |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+         |        FROM bm ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |tic AS (
+         |  SELECT tf.doc_id,
+         |    ROUND(tf.tf * LN((n.n_docs + 1.0) / (terms.df + 1.0)), 6) AS comp
+         |  FROM tf JOIN terms USING (token) CROSS JOIN n),
+         |ti AS (SELECT doc_id, CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |       FROM tic GROUP BY doc_id),
+         |tir AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS tfidf_rank
+         |        FROM ti ORDER BY score DESC, doc_id ASC LIMIT 20),
+         |fused AS (
+         |  SELECT doc_id,
+         |    CAST(COALESCE(1000000 // (60 + bm25_rank), 0)
+         |       + COALESCE(1000000 // (60 + tfidf_rank), 0) AS BIGINT) AS rrf_micros,
+         |    bm25_rank, tfidf_rank
+         |  FROM bmr FULL OUTER JOIN tir USING (doc_id)),
+         |top AS (SELECT * FROM fused ORDER BY rrf_micros DESC, doc_id ASC LIMIT 10)
+         |SELECT doc_id, rrf_micros, bm25_rank, tfidf_rank FROM top
+         |${orderSql("doc_id", "rrf_micros", "bm25_rank", "tfidf_rank")}""".stripMargin,
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
     // d25's full CTE replay (planted corpus + shingle pairs + recursive

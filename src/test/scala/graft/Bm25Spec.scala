@@ -80,6 +80,30 @@ class Bm25Spec extends SparkSpec {
       Seq("d"))
   }
 
+  test("hybrid rrf: the two rankers disagree where they should, the fusion is exact integer math") {
+    // BM25's length normalization demotes the long spammy doc that raw
+    // TF-IDF promotes: doc 1 (tf_b=6, dl=16) outranks doc 2 (tf_b=3,
+    // dl=3) under TF-IDF but LOSES to it under BM25 (hand-checked:
+    // n=3, sum_dl=21 -> bm25 doc1 ~1.58 < doc2 ~1.79)
+    val name = "bm25spec_rrf_idx"
+    wipe(name)
+    Bm25Index.build(Seq(
+      (1L, "b b b b b b x x x x x x x x x x"),
+      (2L, "b b b"),
+      (3L, "c c")).toDF("doc_id", "text"), "doc_id", "text", name, buckets = 4)
+    val rows = Bm25Index.hybridRrfTopK(spark, name, Seq("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // ranks: bm25 doc2=1/doc1=2, tfidf doc1=1/doc2=2 — genuine
+    // disagreement; rrf ties exactly (floor(1e6/61)+floor(1e6/62) both
+    // ways = 16393+16129), doc_id breaks it
+    assert(rows.toSeq == Seq((1L, 32522L, 2, 1), (2L, 32522L, 1, 2)),
+      s"fusion wrong: ${rows.toSeq}")
+    // non-circular arithmetic check: recompute rrf from the returned ranks
+    rows.foreach { case (_, rrf, b, t) =>
+      assert(rrf == 1000000L / (60 + b) + 1000000L / (60 + t))
+    }
+  }
+
   test("bm25: versioned build-once — the second ensure reuses, probes match") {
     def ensure() = graft.util.VersionedTable.ensure(
       spark, "bm25sv_", "bm25sv_idx",
