@@ -289,7 +289,13 @@ object ScaleSoak {
       "t36_bm25_retrieval",
       // t37 = two scorers over t36's probe + the m-row fusion join — its
       // wall must track t36's (the probe dominates; the fusion is 20 rows)
-      "t37_hybrid_rrf")
+      "t37_hybrid_rrf",
+      // st21 = per-batch delta tokenize + index-sized merge rewrite; the
+      // whole corpus is staged as two batches (staging excluded like
+      // st16-20). Per-batch cost scales with batch + index size — the
+      // merge rewrite is the documented fixture-scale simplification
+      // (production appends bucket-aligned files)
+      "st21_streaming_bm25")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -300,7 +306,7 @@ object ScaleSoak {
   private val StagedCorpusLegs =
     Set("st16_streaming_curation", "st17_streaming_packing",
       "st18_streaming_profile", "st19_streaming_funnel",
-      "st20_streaming_url_dedup")
+      "st20_streaming_url_dedup", "st21_streaming_bm25")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

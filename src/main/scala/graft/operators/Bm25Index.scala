@@ -75,6 +75,38 @@ object Bm25Index {
   /** The sibling artifact names retention must keep alongside a version. */
   def siblings(name: String): Seq[String] = Seq(name + "_df", name + "_stats")
 
+  /** Merge a DELTA index (one batch's own [[build]]) into a prior index,
+    * writing the merged trio under `out` — the CDC-maintenance primitive
+    * (st21). Every merge is associative + commutative over doc-disjoint
+    * batches (each document's text arrives in exactly one batch):
+    * postings rows simply union (tf/dl are doc-local), df sums per token,
+    * the stats row adds — so ANY batch split merges to EXACTLY the
+    * one-shot build, which is what lets t36's oracle pin the
+    * incrementally-maintained index verbatim. The postings rewrite here
+    * is index-sized per merge; a production deployment appends
+    * bucket-aligned files instead of rewriting (the df/stats merge is the
+    * content that genuinely needs arithmetic).
+    */
+  def mergeInto(spark: SparkSession, prior: Option[String], delta: String,
+      out: String, buckets: Int = 16): Unit = {
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    prior match {
+      case None =>
+        Bucketing.writeBucketed(spark.table(delta), out, "token", buckets)
+        save(spark.table(delta + "_df"), out + "_df")
+        save(spark.table(delta + "_stats"), out + "_stats")
+      case Some(p) =>
+        Bucketing.writeBucketed(
+          spark.table(p).unionByName(spark.table(delta)), out, "token", buckets)
+        save(spark.table(p + "_df").unionByName(spark.table(delta + "_df"))
+          .groupBy("token").agg(sum("df").as("df")), out + "_df")
+        save(spark.table(p + "_stats").unionByName(spark.table(delta + "_stats"))
+          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")),
+          out + "_stats")
+    }
+  }
+
   /** Deterministic data-derived query terms: the `nTerms` highest-df
     * tokens whose df stays under n_docs/dfCapDenom (stopword-saturated
     * terms carry ~zero idf and make every score a tie), ties broken by

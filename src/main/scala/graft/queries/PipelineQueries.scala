@@ -674,6 +674,100 @@ object PipelineQueries {
       .select("doc_id", "url_norm", "n_chars"))
   }
 
+  /** st21: BM25 index MAINTENANCE at ingest — the CDC pairing every other
+    * build-once index already has (d16/st12 for ANN, d19/st15 for
+    * decontamination, st13 for near-dup admission), applied to t36's
+    * lexical postings. The corpus arrives as two doc-disjoint micro-
+    * batches (parity split); each batch builds its OWN delta trio with
+    * the one shared [[graft.operators.Bm25Index.build]] and merges it
+    * into the prior version ([[graft.operators.Bm25Index.mergeInto]]):
+    * postings union (tf/dl are doc-local), df sums, stats add — all
+    * associative and commutative, so the final index equals the one-shot
+    * t36 build for ANY batch split and t36's DuckDB oracle pins batch ==
+    * streaming verbatim (st20's argmax argument, applied to additive
+    * index state). Versions land as `_b<N>` table trios gated by
+    * `after_b<N>` marker dirs: a redelivered batch finds its marker and
+    * skips; a crash between merge and marker replays the merge from the
+    * prior committed version (the delta rebuild is mode-overwrite) —
+    * idempotent. The final probe runs the REAL t36 serving path (term
+    * selection from the merged df, bucket-pruned topK) with the same
+    * in-query plan gates.
+    */
+  private def st21Bm25Maintain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 =!= 0)
+    val base = ingestLoopBase("st21_bm25", dir)
+    deleteRecursively(base)
+    val deltaDir = base.resolve("delta")
+    val idxDir = base.resolve("idx")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(idxDir)
+    val tblBase = s"st21bm25_${java.lang.Integer.toHexString(dir.hashCode)}"
+    // wipe prior runs' residue (plain table names — the cross-JVM
+    // catalog/location mismatch rule): locations AND catalog entries
+    locally {
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+        if (st.getPath.getName.startsWith(tblBase)) fs.delete(st.getPath, true) }
+      s.catalog.listTables().collect().map(_.name).filter(_.startsWith(tblBase))
+        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+    def committed(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("after_b"))
+          .map(_.stripPrefix("after_b").toLong).toSeq.sorted
+      }
+    }
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = idxDir.resolve(s"after_b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val delta = s"${tblBase}_delta"
+          graft.operators.Bm25Index.build(batch, "doc_id", "text", delta)
+          val prior = committed().lastOption.map(n => s"${tblBase}_b$n")
+          graft.operators.Bm25Index.mergeInto(s, prior, delta,
+            s"${tblBase}_b$batchId")
+          Seq("", "_df", "_stats").foreach(sfx =>
+            s.sql(s"DROP TABLE IF EXISTS `$delta$sfx`"))
+          java.nio.file.Files.createDirectory(marker)
+        }
+    }
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(deltaDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = committed()
+    require(vs.size == 2,
+      s"st21: expected 2 merged micro-batches, saw ${vs.size}")
+    val idx = s"${tblBase}_b${vs.last}"
+    val terms = graft.operators.Bm25Index.selectTerms(s, idx)
+    require(terms.nonEmpty, "st21: no query terms under the df cap")
+    val top = graft.operators.Bm25Index.topK(s, idx, terms)
+    val plan = top.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan)
+    require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"st21: probe scan did not prune buckets " +
+        s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+    require(!plan.contains("documents.parquet"),
+      "st21: probe plan re-reads document text — probes touch only the index")
+    ordered(top.select(col("doc_id"), col("n_terms"), col("score")))
+  }
+
   /** d19's build-once contamination index (train's distinct window hashes,
     * one slim bucketed table per fixture) — shared by the batch probe
     * (d19) and the streaming probe (st15), the same build-once discipline
@@ -1968,6 +2062,10 @@ object PipelineQueries {
     // batch-1 state; redelivery skips on the version marker. See
     // st20UrlIngest.
     "st20_streaming_url_dedup" -> ((s, dir) => st20UrlIngest(s, dir)),
+    // BM25 postings maintained incrementally at ingest; the final merged
+    // index serves the REAL t36 probe and t36's oracle pins batch ==
+    // one-shot (see st21Bm25Maintain)
+    "st21_streaming_bm25" -> ((s, dir) => st21Bm25Maintain(s, dir)),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -3835,6 +3933,38 @@ object PipelineQueries {
        |per_doc AS (
        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens FROM tok GROUP BY 1)""".stripMargin
 
+  /** t36's full replay from the raw table — ONE definition shared by the
+    * one-shot t36 and the incrementally-maintained st21 (whose merged
+    * index equals the one-shot build by associativity of the
+    * postings/df/stats merges over doc-disjoint batches).
+    */
+  private val bm25RetrievalOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+       |  FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+       |terms AS (
+       |  SELECT token, df FROM df, n WHERE df * 20 <= n.n_docs
+       |  ORDER BY df DESC, token ASC LIMIT 5),
+       |comp AS (
+       |  SELECT tf.doc_id,
+       |    ROUND(LN(1.0 + (n.n_docs - terms.df + 0.5) / (terms.df + 0.5))
+       |      * tf.tf * 2.2
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n_docs) / CAST(n.sum_dl AS DOUBLE))),
+       |      6) AS comp
+       |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN n),
+       |top AS (
+       |  SELECT doc_id, COUNT(*) AS n_terms,
+       |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM comp GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id ASC LIMIT 10)
+       |SELECT doc_id, n_terms, score FROM top
+       |${orderSql("doc_id", "n_terms", "score")}""".stripMargin
+
   private val tokenPackingOracle: String =
     s"""WITH RECURSIVE $vocabTokenCtesSql
        |SELECT d.doc_id, d.lang, COALESCE(p.n_tokens, 0) AS n_tokens,
@@ -4280,32 +4410,11 @@ object PipelineQueries {
     // (dl*n_docs)/sum_dl product), components ROUND(...,6)'d per row then
     // summed as exact DECIMAL(18,6), terms and ranking both decided by
     // integer/string/rounded comparisons so both engines agree bit-free
-    "t36_bm25_retrieval" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
-         |  FROM documents WHERE text IS NOT NULL),
-         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
-         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
-         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-         |terms AS (
-         |  SELECT token, df FROM df, n WHERE df * 20 <= n.n_docs
-         |  ORDER BY df DESC, token ASC LIMIT 5),
-         |comp AS (
-         |  SELECT tf.doc_id,
-         |    ROUND(LN(1.0 + (n.n_docs - terms.df + 0.5) / (terms.df + 0.5))
-         |      * tf.tf * 2.2
-         |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n_docs) / CAST(n.sum_dl AS DOUBLE))),
-         |      6) AS comp
-         |  FROM tf JOIN terms USING (token) JOIN dl USING (doc_id) CROSS JOIN n),
-         |top AS (
-         |  SELECT doc_id, COUNT(*) AS n_terms,
-         |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
-         |  FROM comp GROUP BY doc_id
-         |  ORDER BY score DESC, doc_id ASC LIMIT 10)
-         |SELECT doc_id, n_terms, score FROM top
-         |${orderSql("doc_id", "n_terms", "score")}""".stripMargin,
+    "t36_bm25_retrieval" -> bm25RetrievalOracle,
+    // st21's incrementally-merged index equals the one-shot build for any
+    // batch split (postings/df/stats merges are associative over
+    // doc-disjoint batches), so t36's oracle pins batch == streaming
+    "st21_streaming_bm25" -> bm25RetrievalOracle,
     // t37: t36's CTE chain + a second scorer (t16's TF-IDF formula) +
     // the integer RRF fusion — ranks are BIGINTs, the fusion is exact
     // floor division in micro-units, so cross-engine agreement needs

@@ -58,7 +58,8 @@ class PlanLintSpec extends SparkSpec {
     // the residue exists only on the build invocation of a fresh fixture.
     // t37 shares the same versioned index — it only carries the residue
     // when IT is the invocation that triggers the build
-    "t36_bm25_retrieval", "t37_hybrid_rrf")
+    // st21's per-batch delta builds run the same checkpointed tokenize
+    "t36_bm25_retrieval", "t37_hybrid_rrf", "st21_streaming_bm25")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
