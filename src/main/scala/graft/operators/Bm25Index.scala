@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -28,6 +28,24 @@ import org.apache.spark.sql.types.DecimalType
   * top-k then a driver merge of k-row heaps, never a single-partition
   * window).
   *
+  * MAINTENANCE IS APPEND-SHAPED (round-18 verdict #1). An incrementally
+  * maintained index is a [[Ref]]: a list of immutable postings SEGMENTS
+  * (one bucketed table per ingested batch — the Lucene segment model) plus
+  * ONE merged df table and ONE merged stats row. Per-batch cost is
+  * O(delta tokenize) + O(vocabulary df merge) + O(1 stats arithmetic) —
+  * never O(index): the prior segments are not rewritten, so K batches cost
+  * O(corpus + K*vocabulary), not O(K*index). Probes union the bucket-pruned
+  * scans of every segment (each scan prunes independently; a (doc, token)
+  * pair lives in exactly one segment because batches are doc-disjoint).
+  * [[compact]] folds a long segment chain back into one table when probe
+  * file-count overhead warrants it — an explicit, amortized operation, not
+  * a per-batch cost. All merges are associative and commutative over
+  * doc-disjoint batches (postings segments are disjoint row sets, df sums
+  * per token, stats add / max), so ANY batch split — and any compaction
+  * point — yields EXACTLY the one-shot build's scores, which is what lets
+  * t36's DuckDB oracle pin the incrementally-maintained index verbatim
+  * (st21).
+  *
   * Cross-engine determinism (the t16 discipline): tf/df/dl/N are exact
   * integers; each per-(term, doc) score component is one deterministic
   * double expression ROUNDED to 6 decimals per row, and the per-doc sum
@@ -43,14 +61,35 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Bm25Index {
 
-  /** Build the index tables under the versioned `name`:
+  /** A resolvable index: postings segment tables (>= 1), the merged df
+    * table, the merged 1-row stats table. A monolithic t36 build is the
+    * single-segment special case.
+    */
+  final case class Ref(postings: Seq[String], df: String, stats: String)
+
+  /** Resolve `name` to a [[Ref]]: a maintained version carries a `_segs`
+    * manifest table (one row per postings segment); a monolithic build is
+    * its own single segment.
+    */
+  def resolve(spark: SparkSession, name: String): Ref =
+    if (spark.catalog.tableExists(name + "_segs"))
+      Ref(spark.table(name + "_segs").collect().map(_.getString(0)).sorted.toSeq,
+        name + "_df", name + "_stats")
+    else Ref(Seq(name), name + "_df", name + "_stats")
+
+  /** Build the index tables under `name`:
     *   - `<name>`        postings (token, doc_id, tf, dl), bucketed+sorted
     *                     by token — dl denormalized so probes stay slim;
     *   - `<name>_df`     (token, df) — vocabulary-sized, for idf and for
     *                     deterministic query-term selection;
-    *   - `<name>_stats`  one row (n_docs, sum_dl) — avgdl's exact integer
-    *                     numerator/denominator (never a stored float).
-    * NULL-text docs contribute nothing (no tokens — same rule as t16).
+    *   - `<name>_stats`  one row (n_docs, sum_dl, max_dl) — avgdl's exact
+    *                     integer numerator/denominator (never a stored
+    *                     float) + the overflow-guard witness.
+    * NULL-text docs contribute nothing (no tokens — same rule as t16); a
+    * fully degenerate input (empty, or all-NULL text) writes an explicit
+    * (0, 0, 0) stats row — sums COALESCEd, never NULL — and every probe
+    * against it refuses loudly (see [[guardStats]]) instead of silently
+    * scoring NULL.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, name: String,
       buckets: Int = 16): Unit = {
@@ -68,82 +107,194 @@ object Bm25Index {
       name, "token", buckets)
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").format("parquet").saveAsTable(name + "_df")
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("dl"), lit(0L)).as("sum_dl"),
+        coalesce(max("dl"), lit(0L)).as("max_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(name + "_stats")
   }
 
   /** The sibling artifact names retention must keep alongside a version. */
   def siblings(name: String): Seq[String] = Seq(name + "_df", name + "_stats")
 
-  /** Merge a DELTA index (one batch's own [[build]]) into a prior index,
-    * writing the merged trio under `out` — the CDC-maintenance primitive
-    * (st21). Every merge is associative + commutative over doc-disjoint
-    * batches (each document's text arrives in exactly one batch):
-    * postings rows simply union (tf/dl are doc-local), df sums per token,
-    * the stats row adds — so ANY batch split merges to EXACTLY the
-    * one-shot build, which is what lets t36's oracle pin the
-    * incrementally-maintained index verbatim. The postings rewrite here
-    * is index-sized per merge; a production deployment appends
-    * bucket-aligned files instead of rewriting (the df/stats merge is the
-    * content that genuinely needs arithmetic).
+  /** Append one batch's own [[build]] output (the DELTA trio under
+    * `delta`) to a prior maintained version, committing the result as
+    * version `out` — the CDC-maintenance primitive (st21). APPEND-SHAPED:
+    * the delta's postings table is adopted as a new immutable SEGMENT
+    * (renamed into `out`'s manifest, never rewritten — prior segments are
+    * untouched), the df tables merge arithmetically (vocabulary-sized),
+    * and the stats rows add (1 row). Per-batch cost is therefore
+    * O(delta + vocabulary), flat in index size; contrast the previous
+    * full `prior UNION delta` postings rewrite, which made K batches cost
+    * O(K * index).
+    *
+    * Crash-replay contract: every output table is written mode-overwrite
+    * under `out`-derived names, and the caller re-runs [[build]] on the
+    * replayed batch first — so a replay after a crash between this merge
+    * and the caller's commit marker reproduces the identical version
+    * (pinned by Bm25Spec's kill-between-merge-and-marker test).
     */
-  def mergeInto(spark: SparkSession, prior: Option[String], delta: String,
-      out: String, buckets: Int = 16): Unit = {
+  def appendSegment(spark: SparkSession, prior: Option[String], delta: String,
+      out: String): Unit = {
+    // writing `out` while lazily reading prior/delta tables: an in-place
+    // merge would truncate its own input mid-read (round-18 advice #4)
+    require(!prior.contains(out) && out != delta,
+      s"bm25 appendSegment: out '$out' must differ from prior/delta — " +
+        "merges are staged swaps, never in-place")
     def save(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    val seg = out + "_seg"
+    // adopt the delta postings as the new segment: a metadata-only table
+    // rename (no data rewrite; replay-safe because the caller rebuilds the
+    // delta trio mode-overwrite before re-merging)
+    spark.sql(s"DROP TABLE IF EXISTS `$seg`")
+    spark.sql(s"ALTER TABLE `$delta` RENAME TO `$seg`")
+    import spark.implicits._
     prior match {
       case None =>
-        Bucketing.writeBucketed(spark.table(delta), out, "token", buckets)
+        save(Seq(seg).toDF("seg"), out + "_segs")
         save(spark.table(delta + "_df"), out + "_df")
         save(spark.table(delta + "_stats"), out + "_stats")
       case Some(p) =>
-        Bucketing.writeBucketed(
-          spark.table(p).unionByName(spark.table(delta)), out, "token", buckets)
+        save(spark.table(p + "_segs").union(Seq(seg).toDF("seg")), out + "_segs")
         save(spark.table(p + "_df").unionByName(spark.table(delta + "_df"))
           .groupBy("token").agg(sum("df").as("df")), out + "_df")
         save(spark.table(p + "_stats").unionByName(spark.table(delta + "_stats"))
-          .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")),
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"),
+            coalesce(max("max_dl"), lit(0L)).as("max_dl")),
           out + "_stats")
     }
+    Seq("_df", "_stats").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS `$delta$sfx`"))
+    guardStats(spark, out + "_stats") // overflow witness checked per merge
+  }
+
+  /** Fold a maintained version's segment chain into ONE bucketed postings
+    * table (the amortized counterpart of per-batch appends — run it when
+    * probe file-count overhead warrants, not per batch), committing the
+    * result as version `out`. Content-preserving by the same associativity
+    * argument as [[appendSegment]]: the union of disjoint segments is the
+    * one-shot postings set, df/stats carry over verbatim.
+    */
+  def compact(spark: SparkSession, version: String, out: String,
+      buckets: Int = 16): Unit = {
+    require(out != version,
+      s"bm25 compact: out '$out' must differ from '$version' (staged swap)")
+    val ref = resolve(spark, version)
+    val seg = out + "_seg"
+    Bucketing.writeBucketed(
+      ref.postings.map(spark.table).reduce(_ unionByName _), seg, "token", buckets)
+    import spark.implicits._
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    save(Seq(seg).toDF("seg"), out + "_segs")
+    save(spark.table(ref.df), out + "_df")
+    save(spark.table(ref.stats), out + "_stats")
+  }
+
+  /** Retention for a maintained `_b<N>` version chain: keep the version
+    * trios named in `keepVersions` (the newest committed ones + the build
+    * in flight) and every postings segment a kept manifest references;
+    * drop every other `<base>_b<N>`-derived table — catalog entries and
+    * warehouse locations both (the cross-JVM residue rule). Returns what
+    * was swept. The keep set is the caller's (it owns the commit markers);
+    * this is VersionedTable.sweepStale's keep-newest-K discipline applied
+    * to the segment-sharing chain, where a segment stays live as long as
+    * ANY kept version references it.
+    */
+  def sweepVersions(spark: SparkSession, base: String,
+      keepVersions: Seq[String]): Seq[String] = {
+    val keptSegs = keepVersions.filter(v => spark.catalog.tableExists(v + "_segs"))
+      .flatMap(v => spark.table(v + "_segs").collect().map(_.getString(0))).toSet
+    val keep = keepVersions.toSet ++
+      keepVersions.flatMap(v => Seq(v + "_segs", v + "_df", v + "_stats")) ++
+      keptSegs
+    val versioned = s"^${java.util.regex.Pattern.quote(base)}_b[0-9]+.*$$".r
+    def doomed(n: String): Boolean = versioned.matches(n) && !keep.contains(n)
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    spark.catalog.listTables().collect().map(_.name).foreach { t =>
+      if (doomed(t)) { spark.sql(s"DROP TABLE IF EXISTS `$t`"); swept += s"table:$t" }
+    }
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (doomed(n)) { fs.delete(st.getPath, true); swept += s"loc:$n" }
+    }
+    swept.toSeq
+  }
+
+  /** Read the 1-row stats table and refuse degenerate or overflow-prone
+    * indexes LOUDLY (round-18 advice #1/#2): an empty index (n_docs = 0 —
+    * empty corpus or all-NULL text) must never reach the scorer, where the
+    * avgdl division would turn every score NULL; and dl*n_docs (the exact
+    * integer avgdl numerator the scorer uses) must fit in a Long, so a
+    * corpus past ~2^63 errs here instead of silently wrapping.
+    */
+  private def guardStats(spark: SparkSession, statsTable: String): (Long, Long) = {
+    val r = spark.table(statsTable)
+      .select("n_docs", "sum_dl", "max_dl").head
+    val (nDocs, sumDl, maxDl) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(nDocs > 0,
+      s"bm25: empty index ($statsTable has n_docs = 0 — empty corpus or " +
+        "all-NULL text); scoring an empty index is refused, not NaN")
+    require(maxDl <= Long.MaxValue / nDocs,
+      s"bm25: dl*n_docs overflows Long (max_dl = $maxDl, n_docs = $nDocs) " +
+        "— the exact-integer avgdl split no longer fits; shard the index")
+    (nDocs, sumDl)
   }
 
   /** Deterministic data-derived query terms: the `nTerms` highest-df
     * tokens whose df stays under n_docs/dfCapDenom (stopword-saturated
     * terms carry ~zero idf and make every score a tie), ties broken by
     * token ascending — integer/string ordering, engine-exact. Reads the
-    * vocabulary-sized df table, never the postings or the corpus.
+    * vocabulary-sized df table, never the postings or the corpus. Refuses
+    * loudly on an empty index and on a stopword-saturated corpus (no term
+    * under the cap) — the two degenerate regimes a caller must decide
+    * about, not inherit as an empty IN-list.
     */
   def selectTerms(spark: SparkSession, name: String, nTerms: Int = 5,
       dfCapDenom: Int = 20): Seq[String] = {
-    val nDocs = spark.table(name + "_stats").select("n_docs").head.getLong(0)
-    spark.table(name + "_df")
+    val ref = resolve(spark, name)
+    val (nDocs, _) = guardStats(spark, ref.stats)
+    val terms = spark.table(ref.df)
       .where(col("df") * dfCapDenom <= nDocs)
       .orderBy(col("df").desc, col("token").asc)
       .limit(nTerms).select("token").collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty,
+      s"bm25 selectTerms: no term has df <= n_docs/$dfCapDenom " +
+        s"(n_docs = $nDocs) — the corpus is stopword-saturated (every " +
+        s"token appears in more than 1/$dfCapDenom of docs); raise " +
+        "dfCapDenom or pass literal query terms")
+    terms
   }
 
   /** The pruned per-(term, doc) probe frame: postings rows for the
-    * literal term set (bucket-pruned scan) joined with the terms-sized df
-    * frame and the 1-row stats — the shared input of every scorer.
+    * literal term set (one bucket-pruned scan PER SEGMENT, unioned —
+    * segments are doc-disjoint so rows never double-count) joined with
+    * the terms-sized df frame and the 1-row stats — the shared input of
+    * every scorer. Degenerate/overflow indexes refuse at construction.
     */
-  private def probeRows(spark: SparkSession, name: String,
+  private def probeRows(spark: SparkSession, ref: Ref,
       terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "bm25 probe: empty term set")
-    spark.table(name).where(col("token").isin(terms: _*))
+    guardStats(spark, ref.stats)
+    ref.postings.map(spark.table(_).where(col("token").isin(terms: _*)))
+      .reduce(_ unionByName _)
       .join(broadcast(
-        spark.table(name + "_df").where(col("token").isin(terms: _*))), "token")
-      .crossJoin(broadcast(spark.table(name + "_stats")))
+        spark.table(ref.df).where(col("token").isin(terms: _*))), "token")
+      .crossJoin(broadcast(spark.table(ref.stats).select("n_docs", "sum_dl")))
   }
 
   /** Per-(term, doc) BM25 component, ROUND(,6)'d — mirrors the DuckDB
     * oracle token for token: idf's +1 floor, tf*(k1+1) with k1+1 = 2.2
     * literal, (1-b) = 0.25, b = 0.75, dl/avgdl as the exact integer
-    * product (dl*n_docs)/sum_dl. Long arithmetic note: dl*n_docs stays
-    * exact below ~2^63 — 1e9 docs x 1e9 total tokens needs the split
-    * kept as (dl / avgdl) doubles instead; the fixture-to-100TB range
-    * is safe.
+    * product (dl*n_docs)/sum_dl. The Long-exactness bound on dl*n_docs is
+    * ENFORCED at build/merge/probe time by [[guardStats]]'s max_dl
+    * witness, not just documented.
     */
-  private def bm25Component: org.apache.spark.sql.Column =
+  private def bm25Component: Column =
     round(
       log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5))) *
@@ -153,11 +304,11 @@ object Bm25Index {
       6)
 
   /** Per-(term, doc) TF-IDF component (t16's exact formula), ROUND(,6)'d. */
-  private def tfidfComponent: org.apache.spark.sql.Column =
+  private def tfidfComponent: Column =
     round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
 
   /** Sum rounded components per doc as exact DECIMAL (order-free). */
-  private def scored(rows: DataFrame, component: org.apache.spark.sql.Column): DataFrame =
+  private def scored(rows: DataFrame, component: Column): DataFrame =
     rows.select(col("doc_id"), component.as("comp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
@@ -169,7 +320,7 @@ object Bm25Index {
     */
   def topK(spark: SparkSession, name: String, terms: Seq[String],
       k: Int = 10): DataFrame =
-    scored(probeRows(spark, name, terms), bm25Component)
+    scored(probeRows(spark, resolve(spark, name), terms), bm25Component)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
@@ -187,22 +338,39 @@ object Bm25Index {
     * bm25_rank, tfidf_rank) — the nullable ranks make each ranker's
     * contribution auditable.
     *
-    * Scale shape: the probe is the same bucket-pruned scan; each ranker's
-    * cut is a TakeOrdered; rank assignment windows over the m-row cut
-    * (m = 20 — driver-bounded, deliberately single-partition); the fusion
-    * is an m-row full-outer join. Nothing corpus-sized past the scorers.
+    * Scale shape: BOTH components are aggregated in ONE pass over the
+    * bucket-pruned probe and the shared scored frame is CACHED
+    * (round-18 advice #3 — two independent scored() trees executed the
+    * scan twice, and a plain shared subtree doesn't survive Catalyst:
+    * per-branch column pruning specializes each ranker's aggregate, so
+    * the subtrees stop being canonically identical and ReuseExchange
+    * never fires; the persist() boundary is what actually guarantees the
+    * postings scan runs ONCE). The cached frame is matched-docs-sized
+    * (docs hitting >= 1 probe term), MEMORY_AND_DISK so it degrades to
+    * spill, never OOM. Each ranker's cut is a TakeOrdered over the cache;
+    * rank assignment windows over the m-row cut (m = 20 — driver-bounded,
+    * deliberately single-partition); the fusion is an m-row full-outer
+    * join. Nothing corpus-sized past the shared aggregate.
     */
   def hybridRrfTopK(spark: SparkSession, name: String, terms: Seq[String],
       k: Int = 10, m: Int = 20, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rows = probeRows(spark, name, terms)
-    def ranked(component: org.apache.spark.sql.Column, rankName: String) =
-      scored(rows, component)
-        .orderBy(col("score").desc, col("doc_id").asc).limit(m)
+    val rows = probeRows(spark, resolve(spark, name), terms)
+    // one shared aggregate carrying BOTH rounded-component sums, cached:
+    // the two rank branches below hit ONE cache entry (CacheManager keys
+    // on the canonicalized plan), so the probe scan executes exactly once
+    val both = rows.select(col("doc_id"), bm25Component.as("bc"),
+        tfidfComponent.as("tc"))
+      .groupBy("doc_id")
+      .agg(sum(col("bc").cast(DecimalType(18, 6))).cast("double").as("bm25_score"),
+        sum(col("tc").cast(DecimalType(18, 6))).cast("double").as("tfidf_score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def ranked(scoreCol: String, rankName: String) =
+      both.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(m)
         .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id").asc)).as(rankName))
-    val fused = ranked(bm25Component, "bm25_rank")
-      .join(ranked(tfidfComponent, "tfidf_rank"), Seq("doc_id"), "full_outer")
+          Window.orderBy(col(scoreCol).desc, col("doc_id").asc)).as(rankName))
+    val fused = ranked("bm25_score", "bm25_rank")
+      .join(ranked("tfidf_score", "tfidf_rank"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         (coalesce(expr(s"1000000 div ($rrfK + bm25_rank)"), lit(0L)) +
           coalesce(expr(s"1000000 div ($rrfK + tfidf_rank)"), lit(0L)))

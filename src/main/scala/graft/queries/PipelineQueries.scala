@@ -679,18 +679,29 @@ object PipelineQueries {
     * decontamination, st13 for near-dup admission), applied to t36's
     * lexical postings. The corpus arrives as two doc-disjoint micro-
     * batches (parity split); each batch builds its OWN delta trio with
-    * the one shared [[graft.operators.Bm25Index.build]] and merges it
-    * into the prior version ([[graft.operators.Bm25Index.mergeInto]]):
-    * postings union (tf/dl are doc-local), df sums, stats add — all
-    * associative and commutative, so the final index equals the one-shot
-    * t36 build for ANY batch split and t36's DuckDB oracle pins batch ==
-    * streaming verbatim (st20's argmax argument, applied to additive
-    * index state). Versions land as `_b<N>` table trios gated by
-    * `after_b<N>` marker dirs: a redelivered batch finds its marker and
-    * skips; a crash between merge and marker replays the merge from the
-    * prior committed version (the delta rebuild is mode-overwrite) —
-    * idempotent. The final probe runs the REAL t36 serving path (term
-    * selection from the merged df, bucket-pruned topK) with the same
+    * the one shared [[graft.operators.Bm25Index.build]] and APPENDS it
+    * to the prior version ([[graft.operators.Bm25Index.appendSegment]],
+    * round-18 verdict #1): the delta postings become a new immutable
+    * SEGMENT (prior segments are never rewritten — per-batch cost is
+    * O(delta + vocabulary), flat in index size, where the previous
+    * prior-UNION-delta rewrite made K batches cost O(K*index)), df sums
+    * per token, stats add — all associative and commutative, so the
+    * final index equals the one-shot t36 build for ANY batch split and
+    * t36's DuckDB oracle pins batch == streaming verbatim (st20's argmax
+    * argument, applied to additive index state). Versions land as
+    * `_b<N>`-derived table trios gated by `after_b<N>` marker dirs: a
+    * redelivered batch finds its marker and skips; a crash between merge
+    * and marker replays the merge from the prior committed version (the
+    * delta rebuild and every merge output are mode-overwrite) —
+    * idempotent (Bm25Spec pins the kill-between-merge-and-marker case).
+    * RETENTION runs inside the loop (round-18 verdict #4): after each
+    * commit, versions beyond the newest two are swept —
+    * VersionedTable's keep-newest-2 rule applied to the segment-sharing
+    * chain, where a postings segment stays live while ANY kept version's
+    * manifest references it — so a long-running ingest loop's version
+    * litter is bounded. The final probe runs the REAL t36 serving path
+    * (term selection from the merged df, bucket-pruned topK over the
+    * SEGMENTED layout — every segment scan must prune) with the same
     * in-query plan gates.
     */
   private def st21Bm25Maintain(s: SparkSession, dir: String): DataFrame = {
@@ -730,11 +741,14 @@ object PipelineQueries {
           val delta = s"${tblBase}_delta"
           graft.operators.Bm25Index.build(batch, "doc_id", "text", delta)
           val prior = committed().lastOption.map(n => s"${tblBase}_b$n")
-          graft.operators.Bm25Index.mergeInto(s, prior, delta,
+          graft.operators.Bm25Index.appendSegment(s, prior, delta,
             s"${tblBase}_b$batchId")
-          Seq("", "_df", "_stats").foreach(sfx =>
-            s.sql(s"DROP TABLE IF EXISTS `$delta$sfx`"))
           java.nio.file.Files.createDirectory(marker)
+          // in-loop retention: newest-2 committed versions stay (plus
+          // every segment a kept manifest references — segments are
+          // shared, append-only state); older version trios sweep
+          graft.operators.Bm25Index.sweepVersions(s, tblBase,
+            committed().takeRight(2).map(n => s"${tblBase}_b$n"))
         }
     }
     val stream = s.readStream.schema(
@@ -758,11 +772,13 @@ object PipelineQueries {
     require(terms.nonEmpty, "st21: no query terms under the df cap")
     val top = graft.operators.Bm25Index.topK(s, idx, terms)
     val plan = top.queryExecution.executedPlan.toString
-    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
-      .findFirstMatchIn(plan)
-    require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
-      s"st21: probe scan did not prune buckets " +
-        s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+    // the appended layout probes ONE bucket-pruned scan PER SEGMENT: every
+    // segment scan in the unioned plan must prune, not just the first
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    require(sels.size == 2 && sels.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"st21: expected 2 bucket-pruned segment scans, saw " +
+        s"${sels.map(_.matched).mkString("[", ", ", "]")}")
     require(!plan.contains("documents.parquet"),
       "st21: probe plan re-reads document text — probes touch only the index")
     ordered(top.select(col("doc_id"), col("n_terms"), col("score")))

@@ -38,8 +38,8 @@ class Bm25Spec extends SparkSpec {
     wipe("bm25spec_idx")
     Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
     val stats = spark.table(name + "_stats").head
-    assert((stats.getLong(0), stats.getLong(1)) == ((4L, 11L)),
-      s"stats (n_docs, sum_dl) wrong: $stats")
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2)) == ((4L, 11L, 4L)),
+      s"stats (n_docs, sum_dl, max_dl) wrong: $stats")
     val df = spark.table(name + "_df").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(df == Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L), df)
@@ -102,6 +102,199 @@ class Bm25Spec extends SparkSpec {
     rows.foreach { case (_, rrf, b, t) =>
       assert(rrf == 1000000L / (60 + b) + 1000000L / (60 + t))
     }
+  }
+
+  test("bm25: degenerate corpora refuse loudly — empty index, all-NULL text, stopword saturation") {
+    // empty corpus: build succeeds (an explicit (0,0,0) stats row — sums
+    // COALESCEd, never NULL), but every probe/selection path refuses
+    // instead of silently scoring NULL (round-18 advice #1)
+    val empty = "bm25spec_empty_idx"
+    wipe(empty)
+    Bm25Index.build(corpus.where(col("doc_id") < 0), "doc_id", "text", empty,
+      buckets = 4)
+    val st = spark.table(empty + "_stats").head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2)) == ((0L, 0L, 0L)),
+      s"empty-corpus stats must be explicit zeros, not NULL: $st")
+    val e1 = intercept[IllegalArgumentException] {
+      Bm25Index.topK(spark, empty, Seq("a")).collect()
+    }
+    assert(e1.getMessage.contains("n_docs = 0"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Bm25Index.selectTerms(spark, empty)
+    }
+    assert(e2.getMessage.contains("n_docs = 0"), e2.getMessage)
+    // all-NULL text is the same degenerate index (the st21 !batch.isEmpty
+    // guard does not cover it — the refusal must)
+    val nulls = "bm25spec_nulls_idx"
+    wipe(nulls)
+    Bm25Index.build(corpus.where(col("text").isNull), "doc_id", "text", nulls,
+      buckets = 4)
+    val e3 = intercept[IllegalArgumentException] {
+      Bm25Index.topK(spark, nulls, Seq("a")).collect()
+    }
+    assert(e3.getMessage.contains("n_docs = 0"), e3.getMessage)
+    // stopword saturation: every token in > 1/dfCapDenom of docs -> no
+    // selectable term; the refusal names the cap and the remedy
+    val sat = "bm25spec_sat_idx"
+    wipe(sat)
+    Bm25Index.build(Seq((1L, "the of"), (2L, "the of"), (3L, "the"))
+      .toDF("doc_id", "text"),
+      "doc_id", "text", sat, buckets = 4) // df: the=3/3, of=2/3
+    val e4 = intercept[IllegalArgumentException] {
+      Bm25Index.selectTerms(spark, sat, nTerms = 5, dfCapDenom = 2)
+    }
+    assert(e4.getMessage.contains("stopword-saturated") &&
+      e4.getMessage.contains("dfCapDenom"), e4.getMessage)
+  }
+
+  test("bm25: overflow witness — a dl*n_docs product past Long refuses at probe") {
+    // the scorer's exact-integer avgdl split computes dl*n_docs; the
+    // max_dl witness in stats must refuse past ~2^63 instead of silently
+    // wrapping (round-18 advice #2). Forged stats stand in for the
+    // >10^9-doc corpus the fixture cannot produce.
+    val name = "bm25spec_ovf_idx"
+    wipe(name)
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    Seq((1099511627776L, 1099511627776L, 16777216L)) // 2^40 docs, max_dl 2^24
+      .toDF("n_docs", "sum_dl", "max_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(name + "_stats")
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.topK(spark, name, Seq("a")).collect()
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+  }
+
+  test("append-shaped maintenance: any batch split merges to exactly the one-shot build") {
+    // one-shot reference
+    val ref = "bm25spec_as_ref"
+    wipe("bm25spec_as_")
+    Bm25Index.build(corpus, "doc_id", "text", ref, buckets = 4)
+    val want = Bm25Index.topK(spark, ref, Seq("a", "b", "c", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // three doc-disjoint batches appended as segments
+    val base = "bm25spec_as_m"
+    var prior: Option[String] = None
+    Seq(0L, 1L, 2L).foreach { b =>
+      val delta = s"${base}_delta"
+      Bm25Index.build(corpus.where(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendSegment(spark, prior, delta, s"${base}_b$b")
+      prior = Some(s"${base}_b$b")
+    }
+    val v = prior.get
+    // merged df/stats equal the one-shot tables exactly
+    assert(spark.table(v + "_df").exceptAll(spark.table(ref + "_df")).isEmpty &&
+      spark.table(ref + "_df").exceptAll(spark.table(v + "_df")).isEmpty,
+      "merged df != one-shot df")
+    assert(spark.table(v + "_stats").collect().toSeq ==
+      spark.table(ref + "_stats").collect().toSeq, "merged stats != one-shot")
+    // three segments, prior segments untouched (append-shaped)
+    assert(spark.table(v + "_segs").count() == 3)
+    val got = Bm25Index.topK(spark, v, Seq("a", "b", "c", "d"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"segmented probe != one-shot probe:\n$got\nvs\n$want")
+    // every segment scan in the probe plan prunes buckets independently
+    val plan = Bm25Index.topK(spark, v, Seq("b", "c"))
+      .queryExecution.executedPlan.toString
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(sels.size == 3 && sels.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"expected 3 pruned segment scans: ${sels.map(_.matched)}")
+  }
+
+  test("append-shaped maintenance: crash between merge and marker replays to the identical index") {
+    val base = "bm25spec_crash_m"
+    wipe(base)
+    val b0 = corpus.where(col("doc_id") % 2 === 0)
+    val b1 = corpus.where(col("doc_id") % 2 =!= 0)
+    def runBatch(batch: org.apache.spark.sql.DataFrame, prior: Option[String],
+        out: String): Unit = {
+      val delta = s"${base}_delta"
+      Bm25Index.build(batch, "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendSegment(spark, prior, delta, out)
+    }
+    runBatch(b0, None, s"${base}_b0") // committed (marker would land here)
+    // batch 1 merges fully, then CRASHES before its marker: the ingest
+    // loop replays batch 1 from the prior committed version (b0) — the
+    // delta rebuild and every merge output are mode-overwrite
+    runBatch(b1, Some(s"${base}_b0"), s"${base}_b1")
+    runBatch(b1, Some(s"${base}_b0"), s"${base}_b1") // the replay
+    val refName = s"${base}_ref"
+    Bm25Index.build(corpus, "doc_id", "text", refName, buckets = 4)
+    val want = Bm25Index.topK(spark, refName, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = Bm25Index.topK(spark, s"${base}_b1", Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"replayed index != one-shot:\n$got\nvs\n$want")
+    assert(spark.table(s"${base}_b1_segs").count() == 2,
+      "replay must not duplicate segments")
+    // in-place merge is refused, not silently truncating (advice #4)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.appendSegment(spark, Some(s"${base}_b1"), s"${base}_x",
+        s"${base}_b1")
+    }
+    assert(e.getMessage.contains("staged swap"), e.getMessage)
+  }
+
+  test("compact + sweep: folding the segment chain preserves probes; retention drops unreferenced tables") {
+    val base = "bm25spec_cpt_m"
+    wipe(base)
+    var prior: Option[String] = None
+    Seq(0L, 1L, 2L).foreach { b =>
+      val delta = s"${base}_delta"
+      Bm25Index.build(corpus.where(pmod(col("doc_id"), lit(3)) === b),
+        "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendSegment(spark, prior, delta, s"${base}_b$b")
+      prior = Some(s"${base}_b$b")
+    }
+    val want = Bm25Index.topK(spark, s"${base}_b2", Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    Bm25Index.compact(spark, s"${base}_b2", s"${base}_b3")
+    val got = Bm25Index.topK(spark, s"${base}_b3", Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"compacted probe != segmented probe:\n$got\nvs\n$want")
+    // the compacted probe is ONE pruned scan again
+    val plan = Bm25Index.topK(spark, s"${base}_b3", Seq("b", "c"))
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount".r.findAllMatchIn(plan).size == 1,
+      s"compacted probe should scan one segment:\n$plan")
+    // keep-newest-2 retention: b0's trio and b0-only segments go; every
+    // segment referenced by a KEPT manifest survives (b2 still references
+    // the original three segments — sharing protects them)
+    val swept = Bm25Index.sweepVersions(spark, base,
+      Seq(s"${base}_b2", s"${base}_b3"))
+    assert(swept.exists(_.contains(s"${base}_b0_df")), s"b0 df not swept: $swept")
+    assert(!spark.catalog.tableExists(s"${base}_b1_stats"), "b1 stats survived")
+    assert(spark.catalog.tableExists(s"${base}_b0_seg"),
+      "segment referenced by kept b2 manifest was wrongly swept")
+    // retire b2 as well: now the original segments are unreferenced
+    val swept2 = Bm25Index.sweepVersions(spark, base, Seq(s"${base}_b3"))
+    assert(swept2.exists(_.contains(s"${base}_b0_seg")), s"orphan segment kept: $swept2")
+    val after = Bm25Index.topK(spark, s"${base}_b3", Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(after == want, "probe changed after retention sweep")
+  }
+
+  test("hybrid rrf: both rankers share ONE cached scored frame — the probe scan runs once") {
+    val name = "bm25spec_reuse_idx"
+    wipe(name)
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    val top = Bm25Index.hybridRrfTopK(spark, name, Seq("b", "c"))
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    // the shared scored frame is a cache boundary: every ranker branch is
+    // an InMemoryTableScan, and all of them print the SAME cached plan
+    // object — so the set of DISTINCT postings FileScan lines (expr ids
+    // included) has size 1, which is the one-cache-entry / one-scan proof
+    assert(plan.contains("InMemoryTableScan"),
+      s"scored frame not cached — rankers would re-execute the probe:\n$plan")
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(name + "["))
+      .map(_.trim.dropWhile(!_.isLetter)).toSet
+    assert(scanLines.size == 1,
+      s"expected ONE shared cached postings scan, saw ${scanLines.size}:\n$plan")
+    assert(scanLines.head.contains("SelectedBucketsCount: 2 out of 4"),
+      s"cached probe scan not bucket-pruned:\n${scanLines.head}")
   }
 
   test("bm25: versioned build-once — the second ensure reuses, probes match") {
