@@ -259,27 +259,7 @@ object Bench {
     // automatic re-run — the recorded artifact then carries both windows
     // and uses the better one, so no round needs manual adjudication
     // against BENCH_NOTES prose.
-    def canaryProbe(): Double = {
-      val f = tmp.resolve("io_canary.bin").toFile
-      val buf = new Array[Byte](1 << 20)
-      var i = 0
-      while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 } // incompressible-ish, non-zero
-      val mb = 200
-      val t0 = System.nanoTime()
-      val fos = new java.io.FileOutputStream(f)
-      val out = new java.io.BufferedOutputStream(fos, 1 << 20)
-      try {
-        var j = 0
-        while (j < mb) { out.write(buf); j += 1 }
-        out.flush()
-        fos.getFD.sync() // page-cache-proof: the write must reach the device
-      } finally out.close()
-      val in = new java.io.BufferedInputStream(new java.io.FileInputStream(f), 1 << 20)
-      try { while (in.read(buf) > 0) () } finally in.close()
-      val sec = (System.nanoTime() - t0) / 1e9
-      f.delete()
-      2.0 * mb / sec // MB moved (write+read) per second
-    }
+    def canaryProbe(): Double = graft.util.IoCanary.probe(tmp)
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val csvIn = tmp.resolve("lineitem_csv").toString
     // columns in unified (sorted) order — the shape of any maw-written CSV,

@@ -290,11 +290,13 @@ object ScaleSoak {
       // t37 = two scorers over t36's probe + the m-row fusion join — its
       // wall must track t36's (the probe dominates; the fusion is 20 rows)
       "t37_hybrid_rrf",
-      // st21 = per-batch delta tokenize + index-sized merge rewrite; the
-      // whole corpus is staged as two batches (staging excluded like
-      // st16-20). Per-batch cost scales with batch + index size — the
-      // merge rewrite is the documented fixture-scale simplification
-      // (production appends bucket-aligned files)
+      // st21 = per-batch delta tokenize + APPEND-SHAPED merge (round-18
+      // verdict #1: the delta postings become an immutable segment; only
+      // the vocabulary-sized df and 1-row stats merge arithmetically), so
+      // per-batch cost scales with the BATCH, not the accumulated index.
+      // The whole corpus is staged as two batches (staging excluded like
+      // st16-20). The K=8 flatness witness is the st21_multibatch_ingest
+      // block below
       "st21_streaming_bm25")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
@@ -387,10 +389,26 @@ object ScaleSoak {
     val docsAll = docParts.reduce(_ unionByName _)
     // hot-lang skew: 90% of docs on one lang, hash-chosen so every replica
     // contributes to the hot partition (deterministic, no RNG)
+    // hot-lang skew: 90% of docs on one lang (see above) PLUS a planted
+    // mid-df hot TERM (round-18 verdict #7): ~4% of docs get one shared
+    // literal token appended AFTER replica salting, so its df grows with
+    // the corpus while staying under selectTerms' n_docs/20 cap — the df
+    // cap excludes stopword-scale tokens by construction, so without the
+    // plant the retrieval probes never see a hot posting list. The BM25
+    // probe must then read one term whose postings concentrate in ONE
+    // bucket (the q55-style hot-partition regime, lexical edition); the
+    // skew-vs-uniform wall ratio of t36/t37/st21 is the incident signal.
+    // One shared token cannot create cross-replica near-dup pairs: the
+    // replicas differ in every OTHER token (~32-bit simhash distance, no
+    // shared shingles), so the d03-d10 salting invariants hold.
     val docsOut = if (skewMode)
       docsAll.withColumn("lang",
         when(pmod(hash(col("doc_id")), lit(10)) < 9, lit("en"))
           .otherwise(col("lang")))
+        .withColumn("text",
+          when(col("text").isNotNull &&
+              pmod(hash(col("doc_id")), lit(25)) < 1,
+            concat(col("text"), lit(" hotterm0"))).otherwise(col("text")))
     else docsAll
     docsOut
       .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
@@ -480,7 +498,19 @@ object ScaleSoak {
     val tmp = java.nio.file.Files.createTempDirectory("graft-soak")
     final case class Leg(q: String, scale: Int, sec: Double, rows: Long,
       rounds: Int, recallMin: Double, batches: Long, stateRows: Long,
-      ingestBatchSecMax: Double)
+      ingestBatchSecMax: Double, canaryMbps: Double = -1.0)
+    // per-leg RAW-I/O canary (round-18 verdict #6): the archived uniform
+    // q55 x64 leg (11.61 s) was disk weather the CSV could not express —
+    // the clean rerun (4.91 s) lived only in BENCH_NOTES prose. Probe the
+    // device immediately before each leg and record the MB/s next to the
+    // wall, so the CSV is self-describing; a degraded first probe gets ONE
+    // immediate retry (transient flush backlogs clear in seconds) and the
+    // better reading is recorded — mirroring Bench's canaryBest rule.
+    val canaryMin = sys.env.getOrElse("SPARK_GRAFT_CANARY_MIN", "850").toDouble
+    def canary(): Double = {
+      val c1 = graft.util.IoCanary.probe(tmp)
+      if (c1 >= canaryMin) c1 else math.max(c1, graft.util.IoCanary.probe(tmp))
+    }
     val results = scala.collection.mutable.ArrayBuffer.empty[Leg]
     // STREAMING ATTRIBUTION (round-11 verdict #7): the st legs' x16 ratios
     // mix micro-batch fixed cost with real state growth, and the matrix's
@@ -516,6 +546,7 @@ object ScaleSoak {
         val dir = replicate(spark, base, scale, tmp)
         for (q <- SoakQueries if queryFilter.forall(_.contains(q))) {
           val fn = SparkEntry.queries(q)
+          val legCanary = canary()
           // min of 2: the first run pays codegen for this (query, scale)
           def once(): (Double, Long) = {
             // corpus-sized stream legs: measured fixture-staging wall is
@@ -615,12 +646,32 @@ object ScaleSoak {
             }
           }
           results += Leg(q, scale, sec, rows, rounds, recallMin, nb, sr,
-            ingestBatchSecMax)
+            ingestBatchSecMax, legCanary)
           println(f"$q%-28s x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" canary=$legCanary%.0f" +
             (if (rounds >= 0) s" rounds=$rounds" else "") +
             (if (recallMin >= 0) f" recall_min=$recallMin%.3f" else "") +
             (if (nb >= 0) s" batches=$nb state_rows=$sr" else "") +
             (if (ingestBatchSecMax >= 0) f" batch_sec_max=$ingestBatchSecMax%.2f" else ""))
+        }
+        // K-batch BM25 ingest-chain flatness (round-18 verdict #1's
+        // measurement): 8 doc-disjoint batches appended as segments; the
+        // recorded claim column is the MAX per-batch MERGE wall, and the
+        // full per-batch wall list prints for the flat-vs-growing read
+        // (the replaced rewrite grew the merge with the accumulated index)
+        if (queryFilter.forall(_.contains("st21_multibatch_ingest"))) {
+          val legCanary = canary()
+          val t0 = System.nanoTime()
+          val rows = graft.queries.PipelineQueries
+            .st21MultiBatchIngest(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val walls = graft.queries.PipelineQueries.lastBm25MergeWalls
+          val bmax = if (walls.isEmpty) -1.0 else walls.max
+          results += Leg("st21_multibatch_ingest", scale, sec, rows,
+            -1, -1.0, walls.size.toLong, -1L, bmax, legCanary)
+          println(f"st21_multibatch_ingest       x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" canary=$legCanary%.0f merge_walls=" +
+            walls.map(w => f"$w%.2f").mkString("[", ",", "]"))
         }
         // FIXED-batch flatness probe (round-13): the d17 soak leg derives
         // its batch from the scaled corpus, so its wall grows with the
@@ -643,7 +694,7 @@ object ScaleSoak {
           val (t1, r1) = once(); val (t2, _) = once()
           val sec = math.min(t1, t2)
           results += Leg("d17_fixed_batch_probe", scale, sec, r1,
-            -1, -1.0, -1L, -1L, -1.0)
+            -1, -1.0, -1L, -1L, -1.0, canary())
           println(f"d17_fixed_batch_probe        x$scale%-3d ${sec}%8.2f s  rows=$r1%-8d")
         }
         // st13's analog: the SAME two base-fixture micro-batches ingested
@@ -664,7 +715,7 @@ object ScaleSoak {
           val walls = graft.queries.PipelineQueries.lastIngestBatchWalls
           val bmax = if (walls.isEmpty) -1.0 else walls.max
           results += Leg("st13_fixed_batch_ingest", scale, sec, rows,
-            -1, -1.0, batchCount.get, peakStateRows.get, bmax)
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax, canary())
           println(f"st13_fixed_batch_ingest      x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" batch_sec_max=$bmax%.2f")
         }
@@ -685,7 +736,7 @@ object ScaleSoak {
           val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
           val bmax = if (walls.isEmpty) -1.0 else walls.max
           results += Leg("st15_fixed_eval_probe", scale, sec, rows,
-            -1, -1.0, batchCount.get, peakStateRows.get, bmax)
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax, canary())
           println(f"st15_fixed_eval_probe        x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" batch_sec_max=$bmax%.2f")
         }
@@ -693,7 +744,7 @@ object ScaleSoak {
       // summary: time and row ratios vs the 1x run for each query; also
       // persisted as CSV (SPARK_GRAFT_SOAK_OUT, default SOAK_RESULTS.csv)
       // so the numbers survive log truncation
-      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds, recall_min, batches, state_rows, ingest_batch_sec_max"
+      val header = "query, scale, sec, ratio_vs_1x, rows, rows_ratio, d09_rounds, recall_min, batches, state_rows, ingest_batch_sec_max, io_canary_mbps"
       println("\n" + header)
       val base1 = results.filter(_.scale == scales.head).map(l => l.q -> (l.sec, l.rows)).toMap
       val lines = results.map { l =>
@@ -703,7 +754,8 @@ object ScaleSoak {
           (if (l.recallMin >= 0) f"${l.recallMin}%.3f" else "") + "," +
           (if (l.batches >= 0) l.batches.toString else "") + "," +
           (if (l.stateRows >= 0) l.stateRows.toString else "") + "," +
-          (if (l.ingestBatchSecMax >= 0) f"${l.ingestBatchSecMax}%.2f" else "")
+          (if (l.ingestBatchSecMax >= 0) f"${l.ingestBatchSecMax}%.2f" else "") + "," +
+          (if (l.canaryMbps >= 0) f"${l.canaryMbps}%.0f" else "")
       }
       lines.foreach(println)
       val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_OUT", "SOAK_RESULTS.csv")

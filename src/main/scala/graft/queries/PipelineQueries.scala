@@ -715,17 +715,7 @@ object PipelineQueries {
     java.nio.file.Files.createDirectories(deltaDir)
     java.nio.file.Files.createDirectories(idxDir)
     val tblBase = s"st21bm25_${java.lang.Integer.toHexString(dir.hashCode)}"
-    // wipe prior runs' residue (plain table names — the cross-JVM
-    // catalog/location mismatch rule): locations AND catalog entries
-    locally {
-      val wh = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-        if (st.getPath.getName.startsWith(tblBase)) fs.delete(st.getPath, true) }
-      s.catalog.listTables().collect().map(_.name).filter(_.startsWith(tblBase))
-        .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
-    }
+    wipeWarehousePrefix(s, tblBase)
     def committed(): Seq[Long] = {
       import scala.jdk.CollectionConverters._
       scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
@@ -782,6 +772,68 @@ object PipelineQueries {
     require(!plan.contains("documents.parquet"),
       "st21: probe plan re-reads document text — probes touch only the index")
     ordered(top.select(col("doc_id"), col("n_terms"), col("score")))
+  }
+
+  /** Wipe a plain-named table prefix's residue from the shared warehouse:
+    * a PREVIOUS JVM's run leaves locations behind while the in-memory
+    * catalog forgot the tables, and saveAsTable then refuses the orphan
+    * location — the cross-JVM failure mode VersionedTable documents (its
+    * versioned names dodge it by construction; plain-named ingest chains
+    * must clean up explicitly).
+    */
+  private def wipeWarehousePrefix(s: SparkSession, prefix: String): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true) }
+    s.catalog.listTables().collect().map(_.name).filter(_.startsWith(prefix))
+      .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
+
+  /** Per-batch appendSegment (MERGE) walls of the most recent
+    * [[st21MultiBatchIngest]], batch order — ScaleSoak's evidence column
+    * for the append-shaped-maintenance claim (round-18 verdict #1): each
+    * merge is a postings-table rename + a vocabulary-sized df sum + 1-row
+    * stats arithmetic, so the wall must stay FLAT across batches; the
+    * previous prior-UNION-delta postings rewrite grew per-batch cost with
+    * the accumulated index (the 5.20 -> 12.04 s x16 growth in
+    * SOAK_UNIFORM_r18 this rework exists to remove).
+    */
+  @volatile var lastBm25MergeWalls: List[Double] = Nil
+
+  /** The K-batch BM25 ingest chain (K = 8 — the round-18 verdict's K>=8
+    * flatness soak): the corpus arrives as K doc-disjoint batches; each
+    * builds its delta trio and appendSegment-merges it into the chain,
+    * with keep-newest-2 retention sweeping as it goes (st21's bounded-
+    * litter contract). Returns the final t36 serving probe over the
+    * K-segment index; the per-batch MERGE walls land in
+    * [[lastBm25MergeWalls]].
+    */
+  def st21MultiBatchIngest(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tblBase = s"st21mb_${java.lang.Integer.toHexString(dir.hashCode)}"
+    wipeWarehousePrefix(s, tblBase)
+    var prior: Option[String] = None
+    val walls = List.newBuilder[Double]
+    withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+      for (b <- 0 until k) {
+        val delta = s"${tblBase}_delta"
+        graft.operators.Bm25Index.build(
+          docs.where(pmod(col("doc_id"), lit(k)) === b), "doc_id", "text", delta)
+        val t0 = System.nanoTime()
+        graft.operators.Bm25Index.appendSegment(s, prior, delta,
+          s"${tblBase}_b$b")
+        walls += (System.nanoTime() - t0) / 1e9
+        prior = Some(s"${tblBase}_b$b")
+        graft.operators.Bm25Index.sweepVersions(s, tblBase,
+          (math.max(0, b - 1) to b).map(n => s"${tblBase}_b$n"))
+      }
+    }
+    lastBm25MergeWalls = walls.result()
+    val idx = prior.get
+    val terms = graft.operators.Bm25Index.selectTerms(s, idx)
+    graft.operators.Bm25Index.topK(s, idx, terms)
   }
 
   /** d19's build-once contamination index (train's distinct window hashes,
