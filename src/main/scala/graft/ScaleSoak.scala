@@ -290,6 +290,12 @@ object ScaleSoak {
       // t37 = two scorers over t36's probe + the m-row fusion join — its
       // wall must track t36's (the probe dominates; the fusion is 20 rows)
       "t37_hybrid_rrf",
+      // t38 = the batch-retrieval pass (4 queries x 3 terms in one plan):
+      // probe wall tracks t36's at every corpus scale (the scan is the
+      // union of the term IN-list; the per-query fan-out is rank-limited
+      // map-side). The query-COUNT scaling claim lands in the dedicated
+      // t38_qcount sweep below
+      "t38_batch_retrieval",
       // st21 = per-batch delta tokenize + APPEND-SHAPED merge (round-18
       // verdict #1: the delta postings become an immutable segment; only
       // the vocabulary-sized df and 1-row stats merge arithmetically), so
@@ -653,6 +659,34 @@ object ScaleSoak {
             (if (recallMin >= 0) f" recall_min=$recallMin%.3f" else "") +
             (if (nb >= 0) s" batches=$nb state_rows=$sr" else "") +
             (if (ingestBatchSecMax >= 0) f" batch_sec_max=$ingestBatchSecMax%.2f" else ""))
+        }
+        // t38 query-count sweep (round-18 verdict #2): Q = 4/16/64
+        // overlapping 3-term queries against the BASE corpus's index in
+        // one batchTopK pass each — wall must grow SUB-linearly in Q (the
+        // pruned postings scan is shared; only the aggregate fan-out
+        // grows). Base scale only: query count is the variable here, and
+        // mixing it with corpus growth would confound both reads. Legs
+        // land as t38_qcount_q<Q> at scale 1 (min-of-2, build discarded
+        // by the warm call like s12/d19).
+        if (scale == scales.head &&
+            queryFilter.forall(_.contains("t38_qcount_probe"))) {
+          for (nq <- Seq(4, 16, 64)) {
+            def probe() = graft.queries.PipelineQueries
+              .t38QueryCountProbe(spark, dir, nq)
+            val legCanary = canary()
+            probe().count() // warm: pays the once-per-fixture index build
+            def once(): (Double, Long) = {
+              val t0 = System.nanoTime()
+              val n = probe().queryExecution.toRdd.count()
+              ((System.nanoTime() - t0) / 1e9, n)
+            }
+            val (t1, r1) = once(); val (t2, _) = once()
+            val sec = math.min(t1, t2)
+            results += Leg(s"t38_qcount_q$nq", scale, sec, r1,
+              -1, -1.0, -1L, -1L, -1.0, legCanary)
+            println(f"t38_qcount_q$nq%-14s x$scale%-3d ${sec}%8.2f s  rows=$r1%-8d" +
+              f" canary=$legCanary%.0f")
+          }
         }
         // K-batch BM25 ingest-chain flatness (round-18 verdict #1's
         // measurement): 8 doc-disjoint batches appended as segments; the

@@ -324,6 +324,59 @@ object Bm25Index {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** BATCH retrieval: score MANY queries against the index in ONE pass
+    * (round-18 verdict #2 — the production eval-leak audit and serving
+    * shapes run thousands of queries at once, and a per-query loop would
+    * pay the probe scan per query). The whole batch probes as one plan:
+    *
+    *   - the postings scan is pruned ONCE for the UNION of all query
+    *     terms (the same bucket-pruned IN-list as [[topK]]);
+    *   - the (query_id, token) frame — queries x terms, request-sized —
+    *     joins BROADCAST against the pruned postings, fanning each
+    *     (term, doc) posting out to exactly the queries that asked for
+    *     that term;
+    *   - scores aggregate per (query_id, doc_id) with the same
+    *     ROUND(,6) + exact-DECIMAL-sum discipline as [[topK]], so every
+    *     query's scores are verbatim what its solo [[topK]] would produce;
+    *   - per-query top-k lands via the rank-limit window (row_number over
+    *     query_id partitions, filtered <= k) — Catalyst plans a map-side
+    *     WindowGroupLimit, so each partition ships at most k rows per
+    *     query into the shuffle, never a per-query loop or driver
+    *     iteration (the d22 survivor-pick shape).
+    *
+    * Wall therefore scales with the UNION of postings touched plus the
+    * aggregate fan-out — sub-linear in query count whenever queries share
+    * terms, and never a rescan per query. Output: (query_id, doc_id,
+    * rank, n_terms, score), rank 1..k per query by (score DESC, doc_id
+    * ASC) — deterministic cross-engine by the t36 tie discipline.
+    */
+  def batchTopK(spark: SparkSession, name: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25 batch probe: no queries")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"bm25 batch probe: query '$qid' has no terms") }
+    val allTerms = queries.flatMap(_._2).distinct
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "token")
+    val scoredQ = probeRows(spark, resolve(spark, name), allTerms)
+      .join(broadcast(qdf), "token")
+      .select(col("query_id"), col("doc_id"), bm25Component.as("comp"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("comp").cast(DecimalType(18, 6))).cast("double").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // filter on the RAW rank attribute (a cast in between would defeat
+    // InferWindowGroupLimit's pattern match); widen to long afterwards
+    // for the cross-engine schema
+    scoredQ.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("__rk").cast("long").as("rank"), col("n_terms"), col("score"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher 2009): two rankers over the SAME pruned probe — BM25
     * (length-normalized, saturating tf) and plain TF-IDF (raw tf) — each

@@ -275,6 +275,39 @@ class Bm25Spec extends SparkSpec {
     assert(after == want, "probe changed after retention sweep")
   }
 
+  test("batch retrieval: per-query results equal each query's solo topK, in one rank-limited plan") {
+    val name = "bm25spec_batch_idx"
+    wipe(name)
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    val queries = Seq("qa" -> Seq("a", "d"), "qb" -> Seq("b", "c"),
+      "qc" -> Seq("c"))
+    val got = Bm25Index.batchTopK(spark, name, queries, k = 10)
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    // every query's (doc_id, rank, n_terms, score) slice must be verbatim
+    // its solo probe — the batch pass changes the plan, never the scores
+    queries.foreach { case (qid, terms) =>
+      val solo = Bm25Index.topK(spark, name, terms, k = 10).collect()
+        .zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), (i + 1).toLong, r.getLong(1),
+          r.getDouble(2)) }
+      assert(rows(qid).toSeq == solo.toSeq,
+        s"batch slice for $qid diverges from solo topK:\n${rows(qid).toSeq}\nvs\n${solo.toSeq}")
+    }
+    // plan shape: ONE pruned postings scan for the term union; per-query
+    // top-k as a map-side rank-limit window; no per-query loop. Count
+    // scans in the FINAL adaptive plan only (the string repeats the tree
+    // under "== Initial Plan ==")
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("SelectedBucketsCount".r.findAllMatchIn(plan).size == 1,
+      s"batch probe must scan the postings once:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rank-limited map-side:\n$plan")
+  }
+
   test("hybrid rrf: both rankers share ONE cached scored frame — the probe scan runs once") {
     val name = "bm25spec_reuse_idx"
     wipe(name)

@@ -58,8 +58,14 @@ class PlanLintSpec extends SparkSpec {
     // the residue exists only on the build invocation of a fresh fixture.
     // t37 shares the same versioned index — it only carries the residue
     // when IT is the invocation that triggers the build
-    // st21's per-batch delta builds run the same checkpointed tokenize
-    "t36_bm25_retrieval", "t37_hybrid_rrf", "st21_streaming_bm25")
+    // st21's per-batch delta builds run the same checkpointed tokenize;
+    // t38 shares t36's versioned index like t37 (residue only when it is
+    // the invocation that triggers the build) — and t37 additionally
+    // persists its matched-docs-sized shared scored frame (ONE cache
+    // entry per (index, terms), deduped by CacheManager's canonical-plan
+    // key — the round-18 advice #3 single-scan fix)
+    "t36_bm25_retrieval", "t37_hybrid_rrf", "t38_batch_retrieval",
+    "st21_streaming_bm25")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
