@@ -831,6 +831,17 @@ object PipelineQueries {
       }
     }
     lastBm25MergeWalls = walls.result()
+    // the bounded-chain gate (r18 verdict #4): after K batches with
+    // in-loop retention, only the newest TWO versions' df/stats/segs
+    // trios remain — an unswept chain would hold K of each
+    val verTables = s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(s"${tblBase}_b") && !n.contains("_seg"))
+    val keptIds = verTables.flatMap(
+      s"^${java.util.regex.Pattern.quote(tblBase)}_b([0-9]+).*$$".r
+        .findFirstMatchIn(_).map(_.group(1).toLong)).distinct.sorted
+    require(keptIds.toSeq == Seq(k - 2L, k - 1L),
+      s"st21 multibatch: version chain not bounded to newest 2 — " +
+        s"found versions ${keptIds.mkString(",")} of $k")
     val idx = prior.get
     val terms = graft.operators.Bm25Index.selectTerms(s, idx)
     graft.operators.Bm25Index.topK(s, idx, terms)
