@@ -296,6 +296,12 @@ object ScaleSoak {
       // map-side). The query-COUNT scaling claim lands in the dedicated
       // t38_qcount sweep below
       "t38_batch_retrieval",
+      // t39 = phrase search over the positional index: first timed run
+      // pays the build (one tokenize pass + positional postings write,
+      // min-of-2 discards it like t36); the recorded wall is the PROBE —
+      // a bucket-pruned scan of the phrase terms' postings + one groupBy,
+      // output scales with docs containing the phrase
+      "t39_phrase_search",
       // st21 = per-batch delta tokenize + APPEND-SHAPED merge (round-18
       // verdict #1: the delta postings become an immutable segment; only
       // the vocabulary-sized df and 1-row stats merge arithmetically), so

@@ -324,6 +324,97 @@ object Bm25Index {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
 
+  /** Build a POSITIONAL index under `name` (round-18 verdict #8 — the
+    * natural retrieval depth past bag-of-words, and the published
+    * exact-substring audit at TERM granularity):
+    *   - `<name>`     positional postings (token, doc_id, tf,
+    *                  positions ARRAY<INT> — 0-based token ordinals,
+    *                  sorted), bucketed+sorted by token like [[build]];
+    *   - `<name>_2g`  the corpus bigram statistics (gram, n) — the slim
+    *                  aggregated sibling deterministic phrase derivation
+    *                  reads INSTEAD of the corpus (the df-table discipline
+    *                  of selectTerms, applied to adjacency).
+    * Same cost profile as [[build]]: one tokenize pass, everything else
+    * derives from the aggregated (doc, token) frame; positions add the
+    * storage a positional index is defined by (Lucene's proximity data),
+    * compressed as one sorted array per posting row. Segments compose
+    * exactly like [[appendSegment]]'s (positions are doc-local).
+    */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: String,
+      name: String, buckets: Int = 16): Unit = {
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokensFast(col(textCol)).as("t"))
+      .localCheckpoint() // ONE tokenize pass feeds postings AND bigrams
+    Bucketing.writeBucketed(
+      toks.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "token")))
+        .groupBy("token", "doc_id")
+        .agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("positions"))
+        .select("token", "doc_id", "tf", "positions"),
+      name, "token", buckets)
+    toks.select(explode(when(size(col("t")) >= 2,
+        expr("transform(sequence(0, size(t) - 2), " +
+          "i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+      .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").format("parquet").saveAsTable(name + "_2g")
+  }
+
+  /** The positional index's sibling artifacts (retention contract). */
+  def siblingsPositional(name: String): Seq[String] = Seq(name + "_2g")
+
+  /** Deterministic data-derived probe phrase: the most frequent `len`-gram
+    * built by chaining the top bigram's continuation... kept simple and
+    * exact: the single most frequent BIGRAM (ties by gram ascending) from
+    * the build-time statistics sibling — reads the aggregated `_2g` table,
+    * never the postings or the corpus. Serving callers pass literal
+    * phrases; this is the fixture-independent derivation the oracle
+    * replays verbatim.
+    */
+  def derivePhrase(spark: SparkSession, name: String): Seq[String] = {
+    val top = spark.table(name + "_2g")
+      .orderBy(col("n").desc, col("gram").asc).limit(1)
+      .select("gram").collect()
+    require(top.nonEmpty,
+      s"bm25 derivePhrase: $name has no bigrams — every doc is empty or " +
+        "single-token; pass a literal phrase")
+    top.head.getString(0).split(' ').toSeq
+  }
+
+  /** Exact phrase occurrences over the positional index: for phrase
+    * [t0..tn-1], every token's postings are fetched in ONE bucket-pruned
+    * scan (the literal IN-list over the distinct phrase terms), each
+    * occurrence of phrase term i at position p votes for candidate start
+    * p - i, and a start ALL n phrase slots vote for is a match — one
+    * groupBy instead of an n-way self-join (the aligned-offset
+    * intersection a positional engine runs, expressed as aggregation so
+    * Spark's map-side partial count does the intersection shuffle-free
+    * per partition). (doc_id, token, position) triples are unique by
+    * construction, so count(*) per (doc, start, slot-distinctness) is
+    * exact; a phrase repeating a token still works because each slot
+    * index votes separately. Output: (doc_id, n_hits, first_pos) per
+    * matching doc — overlapping occurrences each count ("a a a" holds
+    * TWO hits of "a a").
+    */
+  def phraseHits(spark: SparkSession, name: String,
+      phrase: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "bm25 phrase probe: empty phrase")
+    val slots = phrase.zipWithIndex.toDF("token", "tix")
+    val votes = spark.table(name)
+      .where(col("token").isin(phrase.distinct: _*))
+      .join(broadcast(slots), "token")
+      .select(col("doc_id"), explode(col("positions")).as("pos"), col("tix"))
+      .select(col("doc_id"), (col("pos") - col("tix")).as("start"), col("tix"))
+      .where(col("start") >= 0)
+    votes.groupBy("doc_id", "start")
+      .agg(count(lit(1)).as("nslots"))
+      .where(col("nslots") === phrase.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_pos"))
+  }
+
   /** BATCH retrieval: score MANY queries against the index in ONE pass
     * (round-18 verdict #2 — the production eval-leak audit and serving
     * shapes run thousands of queries at once, and a per-query loop would

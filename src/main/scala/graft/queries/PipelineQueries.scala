@@ -2966,6 +2966,39 @@ object PipelineQueries {
         "t38: probe plan re-reads document text — probes touch only the index")
       ordered(top)
     }),
+    // Positional / phrase search (round-18 verdict #8, optional depth):
+    // the corpus tokenizes ONCE into a positional postings index (token,
+    // doc_id, tf, sorted 0-based positions — Lucene's proximity data) plus
+    // a slim aggregated bigram-statistics sibling; the probe derives the
+    // most frequent bigram from that sibling (count desc, gram asc —
+    // never re-reading text, the selectTerms discipline applied to
+    // adjacency) and finds every EXACT occurrence via the aligned-offset
+    // intersection: each phrase slot's postings vote for candidate start
+    // pos - slot, and starts with all slots voting match — one
+    // bucket-pruned scan + one groupBy, never an n-way self-join.
+    // Overlapping occurrences each count. DuckDB replays tokenize →
+    // bigram stats → top gram → positional adjacency from the raw table.
+    "t39_phrase_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = fixtureKey(dir, "documents")
+      val idx = graft.util.VersionedTable.ensure(s, "t39_", s"t39_pos_$key",
+        build = name =>
+          graft.operators.Bm25Index.buildPositional(docs, "doc_id", "text", name),
+        usable = n => s.catalog.tableExists(n) &&
+          s.catalog.tableExists(n + "_2g"),
+        siblings = graft.operators.Bm25Index.siblingsPositional)
+      val phrase = graft.operators.Bm25Index.derivePhrase(s, idx)
+      val hits = graft.operators.Bm25Index.phraseHits(s, idx, phrase)
+      val plan = hits.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"t39: phrase probe did not prune buckets " +
+          s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+      require(!plan.contains("documents.parquet"),
+        "t39: probe plan re-reads document text — probes touch only the index")
+      ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
+    }),
     "t33_mixture_plan" -> ((s, dir) => {
       import s.implicits._
       val targets = Seq(("en", 40), ("de", 15), ("es", 15), ("fr", 15),
@@ -4652,6 +4685,30 @@ object PipelineQueries {
          |SELECT query_id, doc_id, rnk AS "rank", n_terms, score
          |FROM ranked WHERE rnk <= 10
          |${orderSql("query_id", "doc_id", "\"rank\"", "n_terms", "score")}""".stripMargin,
+    // t39: positional adjacency replayed from the raw table — bigram
+    // stats, the (count DESC, gram ASC) top gram, then the exact
+    // aligned-offset intersection as a position join (the Spark side's
+    // vote-group formulation is the same intersection)
+    "t39_phrase_search" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+         |  FROM tk WHERE len(t) >= 2),
+         |top AS (SELECT gram FROM bg GROUP BY gram ORDER BY COUNT(*) DESC, gram ASC LIMIT 1),
+         |ph AS (SELECT split_part(gram, ' ', 1) AS t0, split_part(gram, ' ', 2) AS t1 FROM top),
+         |pos AS (SELECT doc_id, unnest(t) AS token, unnest(range(0, len(t))) AS pos FROM tk),
+         |a AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t0),
+         |b AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t1),
+         |hits AS (
+         |  SELECT a.doc_id, a.pos AS start
+         |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(MIN(start) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY doc_id
+         |${orderSql("doc_id", "n_hits", "first_pos")}""".stripMargin,
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
     // d25's full CTE replay (planted corpus + shingle pairs + recursive

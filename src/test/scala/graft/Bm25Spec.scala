@@ -308,6 +308,45 @@ class Bm25Spec extends SparkSpec {
       s"per-query top-k not rank-limited map-side:\n$plan")
   }
 
+  test("phrase search: exact adjacency, overlap, repeated-token phrases, derived top bigram") {
+    val name = "bm25spec_pos_idx"
+    wipe(name)
+    Bm25Index.buildPositional(Seq(
+      (1L, "x a b y a b"), // "a b" twice, at starts 1 and 4
+      (2L, "a a a"),       // "a a" twice (overlapping), "a b" never
+      (3L, "b a"),         // reversed order must NOT match "a b"
+      (4L, null.asInstanceOf[String]),
+      (5L, "a")).toDF("doc_id", "text"), "doc_id", "text", name, buckets = 4)
+    // bigram stats: "a b"=2 (doc 1) ties "a a"=2 (doc 2) -> gram asc wins
+    assert(Bm25Index.derivePhrase(spark, name) == Seq("a", "a"))
+    def hits(phrase: String*) =
+      Bm25Index.phraseHits(spark, name, phrase).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // repeated-token phrase with OVERLAPPING occurrences
+    assert(hits("a", "a") == Seq((2L, 2L, 0L)), hits("a", "a"))
+    // plain adjacency; order matters (doc 3's "b a" must not match)
+    assert(hits("a", "b") == Seq((1L, 2L, 1L)), hits("a", "b"))
+    // 3-term phrase
+    assert(hits("x", "a", "b") == Seq((1L, 1L, 0L)), hits("x", "a", "b"))
+    // no match anywhere -> empty, not error
+    assert(hits("y", "x").isEmpty)
+    // the probe plan prunes buckets via the phrase-term IN-list
+    val plan = Bm25Index.phraseHits(spark, name, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"phrase probe did not prune buckets: ${sel.map(_.matched)}")
+    // degenerate: a corpus with no bigrams refuses phrase derivation loudly
+    val single = "bm25spec_pos1_idx"
+    wipe(single)
+    Bm25Index.buildPositional(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", single, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.derivePhrase(spark, single)
+    }
+    assert(e.getMessage.contains("no bigrams"), e.getMessage)
+  }
+
   test("hybrid rrf: both rankers share ONE cached scored frame — the probe scan runs once") {
     val name = "bm25spec_reuse_idx"
     wipe(name)

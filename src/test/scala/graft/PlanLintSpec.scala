@@ -65,7 +65,10 @@ class PlanLintSpec extends SparkSpec {
     // entry per (index, terms), deduped by CacheManager's canonical-plan
     // key — the round-18 advice #3 single-scan fix)
     "t36_bm25_retrieval", "t37_hybrid_rrf", "t38_batch_retrieval",
-    "st21_streaming_bm25")
+    "st21_streaming_bm25",
+    // t39's buildPositional checkpoints its tokenize pass (postings AND
+    // bigram stats derive from it) — residue only on the build invocation
+    "t39_phrase_search")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
