@@ -391,6 +391,22 @@ object Maw {
             f" ${if (v.leasedAt(now)) "LEASED" else ""}%-7s" +
             f"age=${age}s  ${v.name}")
         }
+        // marker-gated INGEST CHAINS (the `_b<N>` version trios streaming
+        // index maintenance writes — st21's layout, not VersionedTable
+        // builds): surface them so a chain's boundedness is operator-
+        // visible from the same verb (round-18 verdict #4). Every
+        // `<stem>_b<N>_segs` manifest is one chain version; its row count
+        // is the version's segment count.
+        val chain = "^(.+)_b([0-9]+)_segs$".r
+        val chains = spark.catalog.listTables().collect().map(_.name).toSeq
+          .collect { case chain(stem, n) => (stem, n.toLong) }.sorted
+        for ((stem, n) <- chains) {
+          val nSegs = spark.table(s"${stem}_b${n}_segs").count()
+          if (a.jsonLogs)
+            println(s"""{"event":"ingest_chain","stem":${jstr(stem)},""" +
+              s""""version":$n,"segments":$nSegs}""")
+          else println(f"$stem%-40s b$n%-4d segments=$nSegs (ingest chain)")
+        }
       }
       if (a.sweepIndexes) {
         val swept = graft.util.VersionedTable.sweepStale(spark)

@@ -74,6 +74,48 @@ class MawCliSpec extends SparkSpec {
     graft.util.TableRetention.sweep(spark, "mawidx_", Set.empty)
   }
 
+  test("--index-status surfaces marker-gated ingest chains, bounded after sweep") {
+    import graft.operators.Bm25Index
+    import spark.implicits._
+    // wipe prior residue (plain names — the cross-JVM rule)
+    val wh0 = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
+    val fs = wh0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh0)) fs.listStatus(wh0).foreach { st =>
+      if (st.getPath.getName.startsWith("mawchain")) fs.delete(st.getPath, true) }
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("mawchain")).foreach(n =>
+        spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    val base = "mawchain"
+    var prior: Option[String] = None
+    for (b <- 0 until 3) {
+      val delta = s"${base}_delta"
+      Bm25Index.build(Seq((b.toLong, s"tok$b x")).toDF("doc_id", "text"),
+        "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendSegment(spark, prior, delta, s"${base}_b$b")
+      prior = Some(s"${base}_b$b")
+    }
+    def chainEvents(): List[String] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        Maw.execute(spark, Maw.parse(Seq("--index-status", "--json-logs")))
+      }
+      bos.toString.linesIterator.toList
+        .filter(l => l.contains("\"event\":\"ingest_chain\"") &&
+          l.contains(s"\"stem\":\"$base\""))
+    }
+    val before = chainEvents()
+    assert(before.size == 3 && before.exists(l =>
+        l.contains("\"version\":2") && l.contains("\"segments\":3")),
+      s"expected 3 chain versions (b2 holding 3 segments):\n$before")
+    // keep-newest-2 retention: the verb must now show the BOUNDED chain
+    Bm25Index.sweepVersions(spark, base, Seq(s"${base}_b1", s"${base}_b2"))
+    val after = chainEvents()
+    assert(after.size == 2 && after.forall(l =>
+        l.contains("\"version\":1") || l.contains("\"version\":2")),
+      s"post-sweep chain not bounded to newest 2:\n$after")
+  }
+
   test("--json-logs emits one per-file completion event per input (M1)") {
     val d = tmpDir("jsonlogs")
     val f1 = writeFile(d, "a.csv", "k,v\n1,x\n2,y\n")
