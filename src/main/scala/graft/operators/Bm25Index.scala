@@ -132,30 +132,55 @@ object Bm25Index {
     * replayed batch first — so a replay after a crash between this merge
     * and the caller's commit marker reproduces the identical version
     * (pinned by Bm25Spec's kill-between-merge-and-marker test).
+    *
+    * `compactAt` is the size-tiered COMPACTION POLICY: when adopting the
+    * delta would take the chain to `compactAt` segments, this merge
+    * instead FOLDS prior segments + delta into ONE bucketed table (an
+    * O(index) rewrite, paid once every compactAt-1 batches — amortized
+    * O(index/compactAt) per batch), so probe fan-out (scans and file
+    * handles per probe) stays bounded at compactAt-1 while ordinary
+    * merges stay O(delta + vocabulary). Folding changes no content —
+    * the union of disjoint segments IS the one-shot postings set — so
+    * the batch == one-shot oracle pin is unchanged. Default = no
+    * compaction (explicit [[compact]] calls only).
     */
   def appendSegment(spark: SparkSession, prior: Option[String], delta: String,
-      out: String): Unit = {
+      out: String, compactAt: Int = Int.MaxValue, buckets: Int = 16): Unit = {
     // writing `out` while lazily reading prior/delta tables: an in-place
     // merge would truncate its own input mid-read (round-18 advice #4)
     require(!prior.contains(out) && out != delta,
       s"bm25 appendSegment: out '$out' must differ from prior/delta — " +
         "merges are staged swaps, never in-place")
+    require(compactAt >= 2, s"bm25 appendSegment: compactAt $compactAt < 2")
     def save(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").format("parquet").saveAsTable(name)
-    val seg = out + "_seg"
-    // adopt the delta postings as the new segment: a metadata-only table
-    // rename (no data rewrite; replay-safe because the caller rebuilds the
-    // delta trio mode-overwrite before re-merging)
-    spark.sql(s"DROP TABLE IF EXISTS `$seg`")
-    spark.sql(s"ALTER TABLE `$delta` RENAME TO `$seg`")
     import spark.implicits._
+    val seg = out + "_seg"
+    val priorSegs = prior.map(p =>
+      spark.table(p + "_segs").collect().map(_.getString(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    if (priorSegs.size + 1 >= compactAt) {
+      // the policy's fold: ONE bucketed table from prior segments + delta
+      // (mode-overwrite under the out-derived name — replay-idempotent
+      // like the rename path; prior segments are only read, never touched)
+      Bucketing.writeBucketed(
+        (priorSegs.map(spark.table) :+ spark.table(delta))
+          .reduce(_ unionByName _), seg, "token", buckets)
+      spark.sql(s"DROP TABLE IF EXISTS `$delta`")
+      save(Seq(seg).toDF("seg"), out + "_segs")
+    } else {
+      // adopt the delta postings as the new segment: a metadata-only table
+      // rename (no data rewrite; replay-safe because the caller rebuilds
+      // the delta trio mode-overwrite before re-merging)
+      spark.sql(s"DROP TABLE IF EXISTS `$seg`")
+      spark.sql(s"ALTER TABLE `$delta` RENAME TO `$seg`")
+      save(priorSegs.toDF("seg").union(Seq(seg).toDF("seg")), out + "_segs")
+    }
     prior match {
       case None =>
-        save(Seq(seg).toDF("seg"), out + "_segs")
         save(spark.table(delta + "_df"), out + "_df")
         save(spark.table(delta + "_stats"), out + "_stats")
       case Some(p) =>
-        save(spark.table(p + "_segs").union(Seq(seg).toDF("seg")), out + "_segs")
         save(spark.table(p + "_df").unionByName(spark.table(delta + "_df"))
           .groupBy("token").agg(sum("df").as("df")), out + "_df")
         save(spark.table(p + "_stats").unionByName(spark.table(delta + "_stats"))

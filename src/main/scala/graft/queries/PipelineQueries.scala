@@ -804,11 +804,14 @@ object PipelineQueries {
 
   /** The K-batch BM25 ingest chain (K = 8 — the round-18 verdict's K>=8
     * flatness soak): the corpus arrives as K doc-disjoint batches; each
-    * builds its delta trio and appendSegment-merges it into the chain,
-    * with keep-newest-2 retention sweeping as it goes (st21's bounded-
-    * litter contract). Returns the final t36 serving probe over the
-    * K-segment index; the per-batch MERGE walls land in
-    * [[lastBm25MergeWalls]].
+    * builds its delta trio and appendSegment-merges it into the chain
+    * under the size-tiered COMPACTION POLICY (compactAt = 6: the 6th
+    * segment folds the chain into one table — the amortized O(index)
+    * event that bounds probe fan-out; every other merge is
+    * O(delta + vocabulary)), with keep-newest-2 retention sweeping as it
+    * goes (st21's bounded-litter contract). Returns the final t36
+    * serving probe; the per-batch MERGE walls land in
+    * [[lastBm25MergeWalls]] — flat except the one visible fold.
     */
   def st21MultiBatchIngest(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -823,7 +826,7 @@ object PipelineQueries {
           docs.where(pmod(col("doc_id"), lit(k)) === b), "doc_id", "text", delta)
         val t0 = System.nanoTime()
         graft.operators.Bm25Index.appendSegment(s, prior, delta,
-          s"${tblBase}_b$b")
+          s"${tblBase}_b$b", compactAt = 6)
         walls += (System.nanoTime() - t0) / 1e9
         prior = Some(s"${tblBase}_b$b")
         graft.operators.Bm25Index.sweepVersions(s, tblBase,
@@ -831,6 +834,11 @@ object PipelineQueries {
       }
     }
     lastBm25MergeWalls = walls.result()
+    // the policy's invariant: segments bounded at compactAt-1 (K=8 with
+    // compactAt=6 folds at batch 6, leaving 1 + 2 appended = 3)
+    val finalSegs = s.table(prior.get + "_segs").count()
+    require(finalSegs < 6,
+      s"st21 multibatch: compaction policy failed to bound segments ($finalSegs)")
     // the bounded-chain gate (r18 verdict #4): after K batches with
     // in-loop retention, only the newest TWO versions' df/stats/segs
     // trios remain — an unswept chain would hold K of each

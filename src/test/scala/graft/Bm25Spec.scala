@@ -236,6 +236,38 @@ class Bm25Spec extends SparkSpec {
     assert(e.getMessage.contains("staged swap"), e.getMessage)
   }
 
+  test("compaction policy: the compactAt-th merge folds the chain, content and replay unchanged") {
+    val base = "bm25spec_tier_m"
+    wipe(base)
+    val ref = s"${base}_ref"
+    Bm25Index.build(corpus, "doc_id", "text", ref, buckets = 4)
+    val want = Bm25Index.topK(spark, ref, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def batch(b: Long) = corpus.where(pmod(col("doc_id"), lit(4)) === b)
+    def run(b: Long, prior: Option[String]): String = {
+      val delta = s"${base}_delta"
+      Bm25Index.build(batch(b), "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendSegment(spark, prior, delta, s"${base}_b$b",
+        compactAt = 3, buckets = 4)
+      s"${base}_b$b"
+    }
+    val v0 = run(0, None)
+    val v1 = run(1, Some(v0))
+    assert(spark.table(v1 + "_segs").count() == 2)
+    // the 3rd merge hits compactAt=3: fold to ONE segment, then crash
+    // before the marker and REPLAY it — the fold must be idempotent
+    run(2, Some(v1))
+    val v2 = run(2, Some(v1))
+    assert(spark.table(v2 + "_segs").count() == 1,
+      "compactAt merge must fold the chain to one segment")
+    val v3 = run(3, Some(v2))
+    assert(spark.table(v3 + "_segs").count() == 2,
+      "post-fold appends grow from the folded segment")
+    val got = Bm25Index.topK(spark, v3, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"tiered chain != one-shot:\n$got\nvs\n$want")
+  }
+
   test("compact + sweep: folding the segment chain preserves probes; retention drops unreferenced tables") {
     val base = "bm25spec_cpt_m"
     wipe(base)
