@@ -309,7 +309,13 @@ object ScaleSoak {
       // The whole corpus is staged as two batches (staging excluded like
       // st16-20). The K=8 flatness witness is the st21_multibatch_ingest
       // block below
-      "st21_streaming_bm25")
+      "st21_streaming_bm25",
+      // st22 = st21's append-shaped maintenance applied to the POSITIONAL
+      // index (t39's CDC pairing): per-batch cost = delta positional
+      // tokenize + segment adoption + bigram-stats arithmetic merge -
+      // never O(index). Whole corpus staged as two batches (staging
+      // excluded like st16-21)
+      "st22_streaming_phrase")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -320,7 +326,8 @@ object ScaleSoak {
   private val StagedCorpusLegs =
     Set("st16_streaming_curation", "st17_streaming_packing",
       "st18_streaming_profile", "st19_streaming_funnel",
-      "st20_streaming_url_dedup", "st21_streaming_bm25")
+      "st20_streaming_url_dedup", "st21_streaming_bm25",
+      "st22_streaming_phrase")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the

@@ -151,31 +151,9 @@ object Bm25Index {
     require(!prior.contains(out) && out != delta,
       s"bm25 appendSegment: out '$out' must differ from prior/delta — " +
         "merges are staged swaps, never in-place")
-    require(compactAt >= 2, s"bm25 appendSegment: compactAt $compactAt < 2")
+    adoptSegment(spark, prior, delta, out, compactAt, buckets)
     def save(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").format("parquet").saveAsTable(name)
-    import spark.implicits._
-    val seg = out + "_seg"
-    val priorSegs = prior.map(p =>
-      spark.table(p + "_segs").collect().map(_.getString(0)).sorted.toSeq)
-      .getOrElse(Seq.empty)
-    if (priorSegs.size + 1 >= compactAt) {
-      // the policy's fold: ONE bucketed table from prior segments + delta
-      // (mode-overwrite under the out-derived name — replay-idempotent
-      // like the rename path; prior segments are only read, never touched)
-      Bucketing.writeBucketed(
-        (priorSegs.map(spark.table) :+ spark.table(delta))
-          .reduce(_ unionByName _), seg, "token", buckets)
-      spark.sql(s"DROP TABLE IF EXISTS `$delta`")
-      save(Seq(seg).toDF("seg"), out + "_segs")
-    } else {
-      // adopt the delta postings as the new segment: a metadata-only table
-      // rename (no data rewrite; replay-safe because the caller rebuilds
-      // the delta trio mode-overwrite before re-merging)
-      spark.sql(s"DROP TABLE IF EXISTS `$seg`")
-      spark.sql(s"ALTER TABLE `$delta` RENAME TO `$seg`")
-      save(priorSegs.toDF("seg").union(Seq(seg).toDF("seg")), out + "_segs")
-    }
     prior match {
       case None =>
         save(spark.table(delta + "_df"), out + "_df")
@@ -192,6 +170,65 @@ object Bm25Index {
     Seq("_df", "_stats").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS `$delta$sfx`"))
     guardStats(spark, out + "_stats") // overflow witness checked per merge
+  }
+
+  /** The shared postings-adoption step of both merge flavors: adopt the
+    * delta postings table into `out`'s manifest — a metadata-only RENAME
+    * in the ordinary case, or the size-tiered FOLD (prior segments +
+    * delta rewritten as ONE bucketed table) when the chain would reach
+    * `compactAt` segments. Replay-idempotent either way: the fold writes
+    * mode-overwrite under the out-derived name, the rename is re-runnable
+    * because the caller rebuilds the delta mode-overwrite before
+    * re-merging; prior segments are only ever read.
+    */
+  private def adoptSegment(spark: SparkSession, prior: Option[String],
+      delta: String, out: String, compactAt: Int, buckets: Int): Unit = {
+    require(compactAt >= 2, s"bm25 adoptSegment: compactAt $compactAt < 2")
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    import spark.implicits._
+    val seg = out + "_seg"
+    val priorSegs = prior.map(p =>
+      spark.table(p + "_segs").collect().map(_.getString(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+    if (priorSegs.size + 1 >= compactAt) {
+      Bucketing.writeBucketed(
+        (priorSegs.map(spark.table) :+ spark.table(delta))
+          .reduce(_ unionByName _), seg, "token", buckets)
+      spark.sql(s"DROP TABLE IF EXISTS `$delta`")
+      save(Seq(seg).toDF("seg"), out + "_segs")
+    } else {
+      spark.sql(s"DROP TABLE IF EXISTS `$seg`")
+      spark.sql(s"ALTER TABLE `$delta` RENAME TO `$seg`")
+      save(priorSegs.toDF("seg").union(Seq(seg).toDF("seg")), out + "_segs")
+    }
+  }
+
+  /** [[appendSegment]] for the POSITIONAL index family (t39/st22): the
+    * delta positional postings adopt as an immutable segment (same
+    * rename/fold policy), and the `_2g` bigram-statistics sibling merges
+    * arithmetically (sum per gram — vocabulary-of-bigrams-sized). Every
+    * merge is associative + commutative over doc-disjoint batches
+    * (positions AND bigrams are doc-local), so any batch split yields
+    * exactly the one-shot [[buildPositional]] — t39's oracle pins the
+    * maintained index verbatim (st22).
+    */
+  def appendPositionalSegment(spark: SparkSession, prior: Option[String],
+      delta: String, out: String, compactAt: Int = Int.MaxValue,
+      buckets: Int = 16): Unit = {
+    require(!prior.contains(out) && out != delta,
+      s"bm25 appendPositionalSegment: out '$out' must differ from " +
+        "prior/delta — merges are staged swaps, never in-place")
+    adoptSegment(spark, prior, delta, out, compactAt, buckets)
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").format("parquet").saveAsTable(name)
+    prior match {
+      case None => save(spark.table(delta + "_2g"), out + "_2g")
+      case Some(p) =>
+        save(spark.table(p + "_2g").unionByName(spark.table(delta + "_2g"))
+          .groupBy("gram").agg(sum("n").as("n")), out + "_2g")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `${delta}_2g`")
   }
 
   /** Fold a maintained version's segment chain into ONE bucketed postings
@@ -232,7 +269,8 @@ object Bm25Index {
     val keptSegs = keepVersions.filter(v => spark.catalog.tableExists(v + "_segs"))
       .flatMap(v => spark.table(v + "_segs").collect().map(_.getString(0))).toSet
     val keep = keepVersions.toSet ++
-      keepVersions.flatMap(v => Seq(v + "_segs", v + "_df", v + "_stats")) ++
+      keepVersions.flatMap(v =>
+        Seq(v + "_segs", v + "_df", v + "_stats", v + "_2g")) ++
       keptSegs
     val versioned = s"^${java.util.regex.Pattern.quote(base)}_b[0-9]+.*$$".r
     def doomed(n: String): Boolean = versioned.matches(n) && !keep.contains(n)
@@ -427,7 +465,15 @@ object Bm25Index {
     import spark.implicits._
     require(phrase.nonEmpty, "bm25 phrase probe: empty phrase")
     val slots = phrase.zipWithIndex.toDF("token", "tix")
-    val votes = spark.table(name)
+    // segment-aware like probeRows: a maintained version unions one
+    // bucket-pruned scan per segment (positions are doc-local, so votes
+    // never double-count across segments)
+    val posts =
+      if (spark.catalog.tableExists(name + "_segs"))
+        spark.table(name + "_segs").collect().map(_.getString(0)).sorted
+          .map(spark.table(_)).reduce(_ unionByName _)
+      else spark.table(name)
+    val votes = posts
       .where(col("token").isin(phrase.distinct: _*))
       .join(broadcast(slots), "token")
       .select(col("doc_id"), explode(col("positions")).as("pos"), col("tix"))

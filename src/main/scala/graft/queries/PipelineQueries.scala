@@ -882,6 +882,84 @@ object PipelineQueries {
     graft.operators.Bm25Index.batchTopK(s, idx, queries)
   }
 
+  /** st22: POSITIONAL index maintenance at ingest — t39's phrase index
+    * gets the CDC pairing every other build-once index has (t36→st21,
+    * d19→st15, d16/s12→st12, d17→st13). Two doc-disjoint micro-batches
+    * each build their own positional delta ([[graft.operators.Bm25Index
+    * .buildPositional]]) and append it
+    * ([[graft.operators.Bm25Index.appendPositionalSegment]]): the delta
+    * postings adopt as an immutable segment, the bigram-statistics
+    * sibling merges arithmetically (positions AND bigrams are doc-local,
+    * so both merges are associative + commutative and the maintained
+    * index equals the one-shot t39 build for ANY batch split — t39's
+    * DuckDB oracle pins batch == streaming verbatim). Same marker
+    * idempotence, in-loop keep-newest-2 retention, and probe plan gates
+    * (every segment scan bucket-pruned, no text rescan) as st21.
+    */
+  private def st22PhraseMaintain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 =!= 0)
+    val base = ingestLoopBase("st22_phrase", dir)
+    deleteRecursively(base)
+    val deltaDir = base.resolve("delta")
+    val idxDir = base.resolve("idx")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(idxDir)
+    val tblBase = s"st22pos_${java.lang.Integer.toHexString(dir.hashCode)}"
+    wipeWarehousePrefix(s, tblBase)
+    def committed(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("after_b"))
+          .map(_.stripPrefix("after_b").toLong).toSeq.sorted
+      }
+    }
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = idxDir.resolve(s"after_b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val delta = s"${tblBase}_delta"
+          graft.operators.Bm25Index.buildPositional(batch, "doc_id", "text", delta)
+          val prior = committed().lastOption.map(n => s"${tblBase}_b$n")
+          graft.operators.Bm25Index.appendPositionalSegment(s, prior, delta,
+            s"${tblBase}_b$batchId")
+          java.nio.file.Files.createDirectory(marker)
+          graft.operators.Bm25Index.sweepVersions(s, tblBase,
+            committed().takeRight(2).map(n => s"${tblBase}_b$n"))
+        }
+    }
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(deltaDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = committed()
+    require(vs.size == 2,
+      s"st22: expected 2 merged micro-batches, saw ${vs.size}")
+    val idx = s"${tblBase}_b${vs.last}"
+    val phrase = graft.operators.Bm25Index.derivePhrase(s, idx)
+    val hits = graft.operators.Bm25Index.phraseHits(s, idx, phrase)
+    val plan = hits.queryExecution.executedPlan.toString
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    require(sels.size == 2 && sels.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"st22: expected 2 bucket-pruned segment scans, saw " +
+        s"${sels.map(_.matched).mkString("[", ", ", "]")}")
+    require(!plan.contains("documents.parquet"),
+      "st22: probe plan re-reads document text — probes touch only the index")
+    ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
+  }
+
   /** d19's build-once contamination index (train's distinct window hashes,
     * one slim bucketed table per fixture) — shared by the batch probe
     * (d19) and the streaming probe (st15), the same build-once discipline
@@ -2180,6 +2258,10 @@ object PipelineQueries {
     // index serves the REAL t36 probe and t36's oracle pins batch ==
     // one-shot (see st21Bm25Maintain)
     "st21_streaming_bm25" -> ((s, dir) => st21Bm25Maintain(s, dir)),
+    // positional index maintenance at ingest: the maintained phrase index
+    // serves the REAL t39 probe and t39's oracle pins batch == one-shot
+    // (see st22PhraseMaintain)
+    "st22_streaming_phrase" -> ((s, dir) => st22PhraseMaintain(s, dir)),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -4159,6 +4241,32 @@ object PipelineQueries {
        |SELECT doc_id, n_terms, score FROM top
        |${orderSql("doc_id", "n_terms", "score")}""".stripMargin
 
+  /** t39's full replay from the raw table — ONE definition shared by the
+    * one-shot t39 and the incrementally-maintained st22 (whose merged
+    * positional index equals the one-shot build by associativity of the
+    * segment/bigram merges over doc-disjoint batches).
+    */
+  private val phraseSearchOracle: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+       |  FROM tk WHERE len(t) >= 2),
+       |top AS (SELECT gram FROM bg GROUP BY gram ORDER BY COUNT(*) DESC, gram ASC LIMIT 1),
+       |ph AS (SELECT split_part(gram, ' ', 1) AS t0, split_part(gram, ' ', 2) AS t1 FROM top),
+       |pos AS (SELECT doc_id, unnest(t) AS token, unnest(range(0, len(t))) AS pos FROM tk),
+       |a AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t0),
+       |b AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t1),
+       |hits AS (
+       |  SELECT a.doc_id, a.pos AS start
+       |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |  CAST(MIN(start) AS BIGINT) AS first_pos
+       |FROM hits GROUP BY doc_id
+       |${orderSql("doc_id", "n_hits", "first_pos")}""".stripMargin
+
   private val tokenPackingOracle: String =
     s"""WITH RECURSIVE $vocabTokenCtesSql
        |SELECT d.doc_id, d.lang, COALESCE(p.n_tokens, 0) AS n_tokens,
@@ -4696,27 +4804,11 @@ object PipelineQueries {
     // t39: positional adjacency replayed from the raw table — bigram
     // stats, the (count DESC, gram ASC) top gram, then the exact
     // aligned-offset intersection as a position join (the Spark side's
-    // vote-group formulation is the same intersection)
-    "t39_phrase_search" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
-         |  FROM documents WHERE text IS NOT NULL),
-         |bg AS (
-         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
-         |  FROM tk WHERE len(t) >= 2),
-         |top AS (SELECT gram FROM bg GROUP BY gram ORDER BY COUNT(*) DESC, gram ASC LIMIT 1),
-         |ph AS (SELECT split_part(gram, ' ', 1) AS t0, split_part(gram, ' ', 2) AS t1 FROM top),
-         |pos AS (SELECT doc_id, unnest(t) AS token, unnest(range(0, len(t))) AS pos FROM tk),
-         |a AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t0),
-         |b AS (SELECT doc_id, pos FROM pos, ph WHERE token = ph.t1),
-         |hits AS (
-         |  SELECT a.doc_id, a.pos AS start
-         |  FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |  CAST(MIN(start) AS BIGINT) AS first_pos
-         |FROM hits GROUP BY doc_id
-         |${orderSql("doc_id", "n_hits", "first_pos")}""".stripMargin,
+    // vote-group formulation is the same intersection). ONE definition
+    // shared with st22 (the maintained positional index equals the
+    // one-shot build by merge associativity over doc-disjoint batches)
+    "t39_phrase_search" -> phraseSearchOracle,
+    "st22_streaming_phrase" -> phraseSearchOracle,
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
     // d25's full CTE replay (planted corpus + shingle pairs + recursive

@@ -268,6 +268,40 @@ class Bm25Spec extends SparkSpec {
     assert(got == want, s"tiered chain != one-shot:\n$got\nvs\n$want")
   }
 
+  test("positional append: any batch split merges to exactly the one-shot positional build") {
+    val base = "bm25spec_posm"
+    wipe(base)
+    val docs = Seq((1L, "x a b y a b"), (2L, "a a a"), (3L, "b a"),
+      (4L, "a b z")).toDF("doc_id", "text")
+    val ref = s"${base}_ref"
+    Bm25Index.buildPositional(docs, "doc_id", "text", ref, buckets = 4)
+    val wantPhrase = Bm25Index.derivePhrase(spark, ref)
+    val want = Bm25Index.phraseHits(spark, ref, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    var prior: Option[String] = None
+    Seq(0L, 1L).foreach { b =>
+      val delta = s"${base}_delta"
+      Bm25Index.buildPositional(docs.where(col("doc_id") % 2 === b),
+        "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendPositionalSegment(spark, prior, delta, s"${base}_b$b")
+      prior = Some(s"${base}_b$b")
+    }
+    val v = prior.get
+    // merged bigram stats equal the one-shot sibling exactly
+    assert(spark.table(v + "_2g").exceptAll(spark.table(ref + "_2g")).isEmpty &&
+      spark.table(ref + "_2g").exceptAll(spark.table(v + "_2g")).isEmpty,
+      "merged _2g != one-shot _2g")
+    assert(Bm25Index.derivePhrase(spark, v) == wantPhrase)
+    val got = Bm25Index.phraseHits(spark, v, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want, s"segmented phrase probe != one-shot:\n$got\nvs\n$want")
+    // retention keeps the _2g sibling of kept versions (the sweep bug
+    // class this test exists for: a doomed-suffix list missing _2g)
+    Bm25Index.sweepVersions(spark, base, Seq(s"${base}_b0", s"${base}_b1"))
+    assert(spark.catalog.tableExists(v + "_2g"),
+      "kept version's _2g sibling was wrongly swept")
+  }
+
   test("compact + sweep: folding the segment chain preserves probes; retention drops unreferenced tables") {
     val base = "bm25spec_cpt_m"
     wipe(base)

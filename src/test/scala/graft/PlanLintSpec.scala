@@ -67,8 +67,9 @@ class PlanLintSpec extends SparkSpec {
     "t36_bm25_retrieval", "t37_hybrid_rrf", "t38_batch_retrieval",
     "st21_streaming_bm25",
     // t39's buildPositional checkpoints its tokenize pass (postings AND
-    // bigram stats derive from it) — residue only on the build invocation
-    "t39_phrase_search")
+    // bigram stats derive from it) — residue only on the build invocation;
+    // st22's per-batch positional delta builds run the same checkpoint
+    "t39_phrase_search", "st22_streaming_phrase")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
