@@ -732,6 +732,7 @@ object ScaleSoak {
         if (queryFilter.forall(_.contains("d17_incremental_dedup"))) {
           def probe() = graft.queries.PipelineQueries
             .d17FixedBatchProbe(spark, dir, base)
+          val legCanary = canary() // BEFORE the timed runs (the column's contract)
           probe().count()
           def once(): (Double, Long) = {
             val t0 = System.nanoTime()
@@ -741,7 +742,7 @@ object ScaleSoak {
           val (t1, r1) = once(); val (t2, _) = once()
           val sec = math.min(t1, t2)
           results += Leg("d17_fixed_batch_probe", scale, sec, r1,
-            -1, -1.0, -1L, -1L, -1.0, canary())
+            -1, -1.0, -1L, -1L, -1.0, legCanary)
           println(f"d17_fixed_batch_probe        x$scale%-3d ${sec}%8.2f s  rows=$r1%-8d")
         }
         // st13's analog: the SAME two base-fixture micro-batches ingested
@@ -754,6 +755,7 @@ object ScaleSoak {
         // run would pay a full corpus index rebuild for a warmup the
         // foreachBatch path doesn't need.
         if (queryFilter.forall(_.contains("st13_streaming_ingest_dedup"))) {
+          val legCanary = canary() // BEFORE the timed run
           batchCount.set(0); peakStateRows.set(0)
           val t0 = System.nanoTime()
           val rows = graft.queries.PipelineQueries
@@ -762,7 +764,7 @@ object ScaleSoak {
           val walls = graft.queries.PipelineQueries.lastIngestBatchWalls
           val bmax = if (walls.isEmpty) -1.0 else walls.max
           results += Leg("st13_fixed_batch_ingest", scale, sec, rows,
-            -1, -1.0, batchCount.get, peakStateRows.get, bmax, canary())
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax, legCanary)
           println(f"st13_fixed_batch_ingest      x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" batch_sec_max=$bmax%.2f")
         }
@@ -775,6 +777,7 @@ object ScaleSoak {
         // windowed). One run, like st13's block: the number under test is
         // internal per-batch wall.
         if (queryFilter.forall(_.contains("st15_streaming_decontamination"))) {
+          val legCanary = canary() // BEFORE the timed run
           batchCount.set(0); peakStateRows.set(0)
           val t0 = System.nanoTime()
           val rows = graft.queries.PipelineQueries
@@ -783,7 +786,7 @@ object ScaleSoak {
           val walls = graft.queries.PipelineQueries.lastProbeBatchWalls
           val bmax = if (walls.isEmpty) -1.0 else walls.max
           results += Leg("st15_fixed_eval_probe", scale, sec, rows,
-            -1, -1.0, batchCount.get, peakStateRows.get, bmax, canary())
+            -1, -1.0, batchCount.get, peakStateRows.get, bmax, legCanary)
           println(f"st15_fixed_eval_probe        x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" batch_sec_max=$bmax%.2f")
         }

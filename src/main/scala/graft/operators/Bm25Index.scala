@@ -169,7 +169,9 @@ object Bm25Index {
     }
     Seq("_df", "_stats").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS `$delta$sfx`"))
-    guardStats(spark, out + "_stats") // overflow witness checked per merge
+    // overflow witness checked per merge; an EMPTY state is accepted here
+    // (probes refuse it) — see guardStats' requireNonEmpty note
+    guardStats(spark, out + "_stats", requireNonEmpty = false)
   }
 
   /** The shared postings-adoption step of both merge flavors: adopt the
@@ -188,8 +190,10 @@ object Bm25Index {
       df.write.mode("overwrite").format("parquet").saveAsTable(name)
     import spark.implicits._
     val seg = out + "_seg"
-    val priorSegs = prior.map(p =>
-      spark.table(p + "_segs").collect().map(_.getString(0)).sorted.toSeq)
+    // resolve() handles BOTH prior layouts: a maintained version's _segs
+    // manifest, or a monolithic one-shot build (its own single segment) —
+    // so a chain can be seeded from an existing t36/t39 index
+    val priorSegs = prior.map(p => resolve(spark, p).postings)
       .getOrElse(Seq.empty)
     if (priorSegs.size + 1 >= compactAt) {
       Bucketing.writeBucketed(
@@ -250,8 +254,13 @@ object Bm25Index {
     def save(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").format("parquet").saveAsTable(name)
     save(Seq(seg).toDF("seg"), out + "_segs")
-    save(spark.table(ref.df), out + "_df")
-    save(spark.table(ref.stats), out + "_stats")
+    // carry whichever siblings the family has: bag-of-words versions hold
+    // _df/_stats, positional versions hold _2g — compaction must preserve
+    // the version's full serving surface either way
+    Seq("_df", "_stats", "_2g").foreach { sfx =>
+      if (spark.catalog.tableExists(version + sfx))
+        save(spark.table(version + sfx), out + sfx)
+    }
   }
 
   /** Retention for a maintained `_b<N>` version chain: keep the version
@@ -290,19 +299,31 @@ object Bm25Index {
 
   /** Read the 1-row stats table and refuse degenerate or overflow-prone
     * indexes LOUDLY (round-18 advice #1/#2): an empty index (n_docs = 0 —
-    * empty corpus or all-NULL text) must never reach the scorer, where the
+    * empty corpus or all-NULL text) must never reach the SCORER, where the
     * avgdl division would turn every score NULL; and dl*n_docs (the exact
     * integer avgdl numerator the scorer uses) must fit in a Long, so a
     * corpus past ~2^63 errs here instead of silently wrapping.
+    *
+    * `requireNonEmpty` is a PROBE-time check only: a merge must ACCEPT an
+    * empty index state (a non-empty first micro-batch whose docs all have
+    * NULL text is a legitimate transient — build() deliberately writes the
+    * explicit (0,0,0) stats row for it). Refusing it at merge time would
+    * fail the ingest batch AFTER the delta was consumed but BEFORE the
+    * caller's commit marker, and every checkpoint replay would rebuild
+    * the same delta and refuse again — an unrecoverable streaming crash
+    * loop. The empty version commits; probes refuse it until a later
+    * batch brings real text.
     */
-  private def guardStats(spark: SparkSession, statsTable: String): (Long, Long) = {
+  private def guardStats(spark: SparkSession, statsTable: String,
+      requireNonEmpty: Boolean = true): (Long, Long) = {
     val r = spark.table(statsTable)
       .select("n_docs", "sum_dl", "max_dl").head
     val (nDocs, sumDl, maxDl) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    require(nDocs > 0,
-      s"bm25: empty index ($statsTable has n_docs = 0 — empty corpus or " +
-        "all-NULL text); scoring an empty index is refused, not NaN")
-    require(maxDl <= Long.MaxValue / nDocs,
+    if (requireNonEmpty)
+      require(nDocs > 0,
+        s"bm25: empty index ($statsTable has n_docs = 0 — empty corpus or " +
+          "all-NULL text); scoring an empty index is refused, not NaN")
+    require(nDocs == 0 || maxDl <= Long.MaxValue / nDocs,
       s"bm25: dl*n_docs overflows Long (max_dl = $maxDl, n_docs = $nDocs) " +
         "— the exact-integer avgdl split no longer fits; shard the index")
     (nDocs, sumDl)
@@ -465,14 +486,11 @@ object Bm25Index {
     import spark.implicits._
     require(phrase.nonEmpty, "bm25 phrase probe: empty phrase")
     val slots = phrase.zipWithIndex.toDF("token", "tix")
-    // segment-aware like probeRows: a maintained version unions one
-    // bucket-pruned scan per segment (positions are doc-local, so votes
-    // never double-count across segments)
-    val posts =
-      if (spark.catalog.tableExists(name + "_segs"))
-        spark.table(name + "_segs").collect().map(_.getString(0)).sorted
-          .map(spark.table(_)).reduce(_ unionByName _)
-      else spark.table(name)
+    // segment-aware like probeRows — resolve() owns the manifest-vs-
+    // monolithic distinction; positions are doc-local, so votes never
+    // double-count across the unioned segment scans
+    val posts = resolve(spark, name).postings
+      .map(spark.table(_)).reduce(_ unionByName _)
     val votes = posts
       .where(col("token").isin(phrase.distinct: _*))
       .join(broadcast(slots), "token")
@@ -567,6 +585,17 @@ object Bm25Index {
     * deliberately single-partition); the fusion is an m-row full-outer
     * join. Nothing corpus-sized past the shared aggregate.
     */
+  /** One live cache entry per index name for [[hybridRrfTopK]]'s shared
+    * scored frame: a re-probe of the same index (bench min-of-2, repeated
+    * serving calls) unpersists the previous entry instead of accumulating
+    * session-lifetime cache pins — entries are bounded by LIVE INDEX
+    * count, the same bound PlanLint already declares for the family's
+    * build residue. Unpersisting a frame a stale consumer still holds is
+    * safe: the plan stays valid and recomputes.
+    */
+  private val hybridScored =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def hybridRrfTopK(spark: SparkSession, name: String, terms: Seq[String],
       k: Int = 10, m: Int = 20, rrfK: Int = 60): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -580,6 +609,8 @@ object Bm25Index {
       .agg(sum(col("bc").cast(DecimalType(18, 6))).cast("double").as("bm25_score"),
         sum(col("tc").cast(DecimalType(18, 6))).cast("double").as("tfidf_score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(hybridScored.put(name, both))
+      .filter(prev => prev ne both).foreach(_.unpersist())
     def ranked(scoreCol: String, rankName: String) =
       both.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(m)
         .select(col("doc_id"), row_number().over(

@@ -302,6 +302,73 @@ class Bm25Spec extends SparkSpec {
       "kept version's _2g sibling was wrongly swept")
   }
 
+  test("merge accepts a degenerate EMPTY state (no ingest crash loop); probes still refuse it") {
+    // a non-empty first micro-batch whose docs all have NULL text is a
+    // legitimate transient: the merge must COMMIT the empty version (a
+    // merge-time refusal would fail the batch after the delta was
+    // consumed and before the marker — an unrecoverable replay loop);
+    // probes refuse until a later batch brings real text
+    val base = "bm25spec_empty_m"
+    wipe(base)
+    val delta = s"${base}_delta"
+    Bm25Index.build(corpus.where(col("text").isNull), "doc_id", "text",
+      delta, buckets = 4)
+    Bm25Index.appendSegment(spark, None, delta, s"${base}_b0") // must not throw
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.topK(spark, s"${base}_b0", Seq("a")).collect()
+    }
+    assert(e.getMessage.contains("n_docs = 0"), e.getMessage)
+    // recovery: the next batch brings text and the chain serves
+    Bm25Index.build(corpus.where(col("text").isNotNull), "doc_id", "text",
+      delta, buckets = 4)
+    Bm25Index.appendSegment(spark, Some(s"${base}_b0"), delta, s"${base}_b1")
+    assert(Bm25Index.topK(spark, s"${base}_b1", Seq("b", "c"))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("a chain can be seeded from a MONOLITHIC one-shot build") {
+    val base = "bm25spec_seed_m"
+    wipe(base)
+    val mono = s"${base}_mono"
+    Bm25Index.build(corpus.where(col("doc_id") <= 2), "doc_id", "text",
+      mono, buckets = 4)
+    val delta = s"${base}_delta"
+    Bm25Index.build(corpus.where(col("doc_id") > 2), "doc_id", "text",
+      delta, buckets = 4)
+    Bm25Index.appendSegment(spark, Some(mono), delta, s"${base}_b0")
+    val ref = s"${base}_ref"
+    Bm25Index.build(corpus, "doc_id", "text", ref, buckets = 4)
+    val want = Bm25Index.topK(spark, ref, Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val got = Bm25Index.topK(spark, s"${base}_b0", Seq("a", "b", "c", "d"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == want, s"seeded chain != one-shot:\n$got\nvs\n$want")
+  }
+
+  test("compact preserves a positional chain's full serving surface (_2g carried)") {
+    val base = "bm25spec_pcpt"
+    wipe(base)
+    val docs = Seq((1L, "x a b y a b"), (2L, "a a a"), (3L, "a b z"))
+      .toDF("doc_id", "text")
+    var prior: Option[String] = None
+    Seq(0L, 1L).foreach { b =>
+      val delta = s"${base}_delta"
+      Bm25Index.buildPositional(docs.where(col("doc_id") % 2 === b),
+        "doc_id", "text", delta, buckets = 4)
+      Bm25Index.appendPositionalSegment(spark, prior, delta, s"${base}_b$b")
+      prior = Some(s"${base}_b$b")
+    }
+    val wantPhrase = Bm25Index.derivePhrase(spark, prior.get)
+    val want = Bm25Index.phraseHits(spark, prior.get, wantPhrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    Bm25Index.compact(spark, prior.get, s"${base}_b2", buckets = 4)
+    assert(Bm25Index.derivePhrase(spark, s"${base}_b2") == wantPhrase,
+      "compacted positional version lost its _2g sibling")
+    val got = Bm25Index.phraseHits(spark, s"${base}_b2", wantPhrase).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == want, s"compacted phrase probe != segmented:\n$got\nvs\n$want")
+  }
+
   test("compact + sweep: folding the segment chain preserves probes; retention drops unreferenced tables") {
     val base = "bm25spec_cpt_m"
     wipe(base)
