@@ -271,28 +271,89 @@ object Bm25Index {
     * was swept. The keep set is the caller's (it owns the commit markers);
     * this is VersionedTable.sweepStale's keep-newest-K discipline applied
     * to the segment-sharing chain, where a segment stays live as long as
-    * ANY kept version references it.
+    * ANY kept version references it. Three further disciplines the sweep
+    * honors (round-19 advice #2 / verdict #6/#8):
+    *   - READER LEASES: a sibling session holding a version past the
+    *     caller's keep window leases its base location
+    *     (VersionedTable.leaseLocation); leased versions keep their trio
+    *     and referenced segments, re-statted per delete;
+    *   - PREFIX LISTING: candidates come from a `<base>_b*` catalog
+    *     pattern + warehouse glob — O(chain), never O(warehouse) — and a
+    *     version name is matched EXACTLY (`_b<digits>` + known suffix),
+    *     so an unrelated table sharing the prefix is never doomed;
+    *   - CACHE RELEASE: every swept name is published to SweepHooks, so
+    *     session caches keyed by table name (the hybrid probe registry)
+    *     unpin with the table.
     */
   def sweepVersions(spark: SparkSession, base: String,
       keepVersions: Seq[String]): Seq[String] = {
-    val keptSegs = keepVersions.filter(v => spark.catalog.tableExists(v + "_segs"))
-      .flatMap(v => spark.table(v + "_segs").collect().map(_.getString(0))).toSet
-    val keep = keepVersions.toSet ++
-      keepVersions.flatMap(v =>
-        Seq(v + "_segs", v + "_df", v + "_stats", v + "_2g")) ++
-      keptSegs
-    val versioned = s"^${java.util.regex.Pattern.quote(base)}_b[0-9]+.*$$".r
-    def doomed(n: String): Boolean = versioned.matches(n) && !keep.contains(n)
-    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
-    spark.catalog.listTables().collect().map(_.name).foreach { t =>
-      if (doomed(t)) { spark.sql(s"DROP TABLE IF EXISTS `$t`"); swept += s"table:$t" }
-    }
+    val q = java.util.regex.Pattern.quote(base)
+    // a version is exactly `<base>_b<digits>`; its artifacts append one of
+    // the KNOWN suffixes. The previous `.*` tail doomed any unrelated
+    // table that merely started with a version name (round-19 advice #2)
+    val artifact = s"^(${q}_b[0-9]+)(_segs?|_df|_stats|_2g)?$$".r
+    def ownerOf(n: String): Option[String] =
+      artifact.findFirstMatchIn(n).map(_.group(1))
     val wh = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-      val n = st.getPath.getName
-      if (doomed(n)) { fs.delete(st.getPath, true); swept += s"loc:$n" }
+    // PREFIX-LISTED enumeration (round-19 verdict #8): the catalog listing
+    // takes a SHOW TABLES pattern and the warehouse a glob, so an
+    // ingest-loop sweep stays O(chain), never O(warehouse)
+    val catalogNames = spark.catalog
+      .listTables(spark.catalog.currentDatabase, s"${base}_b*")
+      .collect().map(_.name).toSeq
+    val whNames =
+      if (fs.exists(wh))
+        fs.globStatus(new org.apache.hadoop.fs.Path(wh, s"${base}_b*"))
+          .toSeq.map(_.getPath.getName)
+      else Seq.empty
+    // reader-lease protection (round-19 advice #2): a sibling session
+    // probing a just-retired version leases its BASE location
+    // (VersionedTable.leaseLocation); a leased version keeps its whole
+    // trio AND every segment its manifest references — the same
+    // segment-sharing rule as the caller's keep set. The manifest may
+    // live only as a location (cross-JVM reader), so fall back to a
+    // direct parquet read of `<v>_segs`.
+    def segsOf(v: String): Seq[String] =
+      if (spark.catalog.tableExists(v + "_segs"))
+        spark.table(v + "_segs").collect().map(_.getString(0)).toSeq
+      else {
+        val loc = new org.apache.hadoop.fs.Path(wh, v + "_segs")
+        if (fs.exists(loc)) spark.read.parquet(loc.toString)
+          .collect().map(_.getString(0)).toSeq
+        else Seq.empty
+      }
+    val leasedVersions = (catalogNames ++ whNames).distinct
+      .flatMap(ownerOf).distinct
+      .filter(v => graft.util.VersionedTable.locationLeased(spark, v))
+    val effectiveKeep = (keepVersions ++ leasedVersions).distinct
+    val keptSegs = effectiveKeep.flatMap(segsOf).toSet
+    val keep = effectiveKeep.toSet ++
+      effectiveKeep.flatMap(v =>
+        Seq(v + "_segs", v + "_df", v + "_stats", v + "_2g")) ++
+      keptSegs
+    // leases re-stat PER DELETE (the VersionedTable.sweepStale fate()
+    // discipline): a lease taken after the listing above still spares the
+    // version and its artifacts at the moment of destruction
+    def doomed(n: String): Boolean =
+      artifact.matches(n) && !keep.contains(n) &&
+        !ownerOf(n).exists(graft.util.VersionedTable.locationLeased(spark, _))
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    catalogNames.foreach { t =>
+      if (doomed(t)) {
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        graft.util.SweepHooks.swept(t)
+        swept += s"table:$t"
+      }
+    }
+    if (fs.exists(wh)) whNames.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(wh, n)
+      if (doomed(n) && fs.exists(p)) {
+        fs.delete(p, true)
+        graft.util.SweepHooks.swept(n)
+        swept += s"loc:$n"
+      }
     }
     swept.toSeq
   }
@@ -537,6 +598,15 @@ object Bm25Index {
     require(queries.nonEmpty, "bm25 batch probe: no queries")
     queries.foreach { case (qid, ts) =>
       require(ts.nonEmpty, s"bm25 batch probe: query '$qid' has no terms") }
+    // two entries sharing a query_id would silently merge into ONE logical
+    // query (union of term sets, combined n_terms/score) — diverging from
+    // the per-query == solo-topK contract; refuse loudly like empty terms
+    // (round-19 advice #4)
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"bm25 batch probe: duplicate query_ids " +
+        queries.groupBy(_._1).collect { case (q, g) if g.size > 1 => q }
+          .mkString("[", ", ", "]") +
+        " — two entries with one id would merge into a single query")
     val allTerms = queries.flatMap(_._2).distinct
     val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
       .toDF("query_id", "token")
@@ -587,14 +657,38 @@ object Bm25Index {
     */
   /** One live cache entry per index name for [[hybridRrfTopK]]'s shared
     * scored frame: a re-probe of the same index (bench min-of-2, repeated
-    * serving calls) unpersists the previous entry instead of accumulating
-    * session-lifetime cache pins — entries are bounded by LIVE INDEX
-    * count, the same bound PlanLint already declares for the family's
-    * build residue. Unpersisting a frame a stale consumer still holds is
-    * safe: the plan stays valid and recomputes.
+    * serving calls) reuses the cached frame when the probe plan is
+    * unchanged, and only a DIFFERENT plan (new terms, re-segmented index
+    * under the same name) persists fresh and unpersists the predecessor —
+    * entries are bounded by LIVE INDEX count, the same bound PlanLint
+    * already declares for the family's build residue. The plan-equality
+    * guard matters: CacheManager keys on the canonicalized plan, so a
+    * plan-identical re-probe's persist() is a no-op on the EXISTING entry,
+    * and unconditionally unpersisting the previous frame would evict that
+    * shared entry — every call after the first re-executing the probe scan
+    * twice (round-19 advice #1, the exact regression the repeated-serving
+    * cache exists to prevent). Entries are released when retention sweeps
+    * the index ([[dropCachedProbe]] via SweepHooks — round-19 verdict #6).
+    * Unpersisting a frame a stale consumer still holds is safe: the plan
+    * stays valid and recomputes.
     */
   private val hybridScored =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Release a swept index version's cached hybrid probe frame (no-op for
+    * names that never probed). Registered as a SweepHooks listener so
+    * EVERY retention path — [[sweepVersions]], VersionedTable.sweepStale,
+    * TableRetention.sweep — unpins the cache when it retires the table.
+    */
+  private[graft] def dropCachedProbe(name: String): Unit =
+    Option(hybridScored.remove(name)).foreach(_.unpersist())
+
+  graft.util.SweepHooks.register(dropCachedProbe)
+
+  /** Number of live hybrid-probe cache entries (spec/PlanLint residue
+    * inventory: bounded by live index count, zero after their sweeps).
+    */
+  private[graft] def cachedProbeCount: Int = hybridScored.size()
 
   def hybridRrfTopK(spark: SparkSession, name: String, terms: Seq[String],
       k: Int = 10, m: Int = 20, rrfK: Int = 60): DataFrame = {
@@ -603,14 +697,18 @@ object Bm25Index {
     // one shared aggregate carrying BOTH rounded-component sums, cached:
     // the two rank branches below hit ONE cache entry (CacheManager keys
     // on the canonicalized plan), so the probe scan executes exactly once
-    val both = rows.select(col("doc_id"), bm25Component.as("bc"),
+    val fresh = rows.select(col("doc_id"), bm25Component.as("bc"),
         tfidfComponent.as("tc"))
       .groupBy("doc_id")
       .agg(sum(col("bc").cast(DecimalType(18, 6))).cast("double").as("bm25_score"),
         sum(col("tc").cast(DecimalType(18, 6))).cast("double").as("tfidf_score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(hybridScored.put(name, both))
-      .filter(prev => prev ne both).foreach(_.unpersist())
+    val both = hybridScored.compute(name, (_, prev) =>
+      if (prev != null && prev.queryExecution.analyzed
+          .sameResult(fresh.queryExecution.analyzed)) prev
+      else {
+        if (prev != null) prev.unpersist()
+        fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     def ranked(scoreCol: String, rankName: String) =
       both.orderBy(col(scoreCol).desc, col("doc_id").asc).limit(m)
         .select(col("doc_id"), row_number().over(

@@ -782,12 +782,17 @@ object PipelineQueries {
     * must clean up explicitly).
     */
   private def wipeWarehousePrefix(s: SparkSession, prefix: String): Unit = {
+    // prefix-LISTED on both sides (round-19 verdict #8): a warehouse glob
+    // + a SHOW TABLES pattern keep the per-ingest-loop wipe O(prefix
+    // matches), never O(warehouse)
     val wh = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir").stripSuffix("/"))
     val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-      if (st.getPath.getName.startsWith(prefix)) fs.delete(st.getPath, true) }
-    s.catalog.listTables().collect().map(_.name).filter(_.startsWith(prefix))
+    if (fs.exists(wh))
+      fs.globStatus(new org.apache.hadoop.fs.Path(wh, prefix + "*"))
+        .foreach(st => fs.delete(st.getPath, true))
+    s.catalog.listTables(s.catalog.currentDatabase, prefix + "*")
+      .collect().map(_.name)
       .foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
   }
 

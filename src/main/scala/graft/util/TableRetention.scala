@@ -52,6 +52,7 @@ object TableRetention {
       .foreach { t =>
         if (!kept(t)) {
           spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          SweepHooks.swept(t)
           swept += s"table:$t"
         }
       }
@@ -62,6 +63,7 @@ object TableRetention {
       val n = st.getPath.getName
       if (n.startsWith(prefix) && !kept(n)) {
         fs.delete(st.getPath, true)
+        SweepHooks.swept(n)
         swept += s"loc:$n"
       }
     }

@@ -203,6 +203,41 @@ object VersionedTable {
     } catch { case _: java.io.FileNotFoundException => false }
   }
 
+  /** Is `name`'s warehouse location protected by a FRESH reader lease
+    * right now (re-statted, not from any cached listing)? Public so
+    * non-versioned chain sweeps — Bm25Index.sweepVersions' `_b<N>` chains
+    * — honor the same lease-file discipline as [[sweepStale]] before
+    * deleting a location a sibling session may still be reading
+    * (round-19 advice #2).
+    */
+  def locationLeased(spark: SparkSession, name: String): Boolean =
+    leasedNow(spark, name)
+
+  /** Take (or re-touch) a reader lease on an arbitrary EXISTING warehouse
+    * location — the [[lease]] protection for tables outside the
+    * `__v<N>_<nonce>` naming (the `_b<N>` ingest-chain versions, whose
+    * commit discipline is their caller's marker files, not
+    * [[commit]]'s). Same lease file, same [[LeaseMs]] expiry, honored by
+    * every location-deleting sweep through [[locationLeased]].
+    */
+  def leaseLocation(spark: SparkSession, name: String): Unit = {
+    val (wh, fs) = warehouse(spark)
+    val base = new org.apache.hadoop.fs.Path(wh, name)
+    require(fs.exists(base),
+      s"leaseLocation: warehouse location '$name' does not exist")
+    fs.create(new org.apache.hadoop.fs.Path(base, LeaseFile), true).close()
+  }
+
+  /** Remove `name`'s reader lease (a reader done early releases instead
+    * of letting the lease age out).
+    */
+  def releaseLease(spark: SparkSession, name: String): Unit = {
+    val (wh, fs) = warehouse(spark)
+    val lf = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh, name), LeaseFile)
+    if (fs.exists(lf)) fs.delete(lf, false)
+  }
+
   /** Manual retention across EVERY stem (the CLI's `--sweep-indexes`):
     * apply the standard keep rules (newest two committed versions + young
     * uncommitted builds) to each stem and delete everything else that
@@ -237,6 +272,7 @@ object VersionedTable {
     spark.catalog.listTables().collect().map(_.name).foreach { t =>
       if (fate(t)) {
         spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        SweepHooks.swept(t)
         swept += s"table:$t"
       }
     }
@@ -245,6 +281,7 @@ object VersionedTable {
       val n = st.getPath.getName
       if (fate(n)) {
         fs.delete(st.getPath, true)
+        SweepHooks.swept(n)
         swept += s"loc:$n"
       }
     }

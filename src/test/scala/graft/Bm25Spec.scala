@@ -516,4 +516,86 @@ class Bm25Spec extends SparkSpec {
     val got = Bm25Index.topK(spark, v2, Seq("b", "c")).collect().map(_.getLong(0)).toSeq
     assert(got == Seq(3L, 2L, 1L), got)
   }
+
+  test("hybrid rrf: a REPEATED identical probe reuses the cache entry instead of evicting it") {
+    // round-19 advice #1: the second plan-identical call's persist() is a
+    // CacheManager no-op (entry already cached), so unconditionally
+    // unpersisting the previous frame evicted the SHARED entry — every
+    // call after the first executed the probe scan twice. The registry
+    // must return the cached frame when the plan is unchanged.
+    val name = "bm25spec_recache_idx"
+    wipe(name)
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    Bm25Index.hybridRrfTopK(spark, name, Seq("b", "c")).collect()
+    val second = Bm25Index.hybridRrfTopK(spark, name, Seq("b", "c"))
+    second.collect()
+    val plan = second.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"repeated probe lost the cache — the scored frame self-evicted:\n$plan")
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains(name + "["))
+      .map(_.trim.dropWhile(!_.isLetter)).toSet
+    assert(scanLines.size == 1,
+      s"repeated probe re-executes the postings scan (${scanLines.size} distinct scans):\n$plan")
+    // a DIFFERENT term set is a different plan: the entry swaps (old one
+    // unpersisted, new one cached) — still exactly one live entry for the
+    // index, and the new probe is itself cached
+    val third = Bm25Index.hybridRrfTopK(spark, name, Seq("b"))
+    third.collect()
+    assert(third.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "re-termed probe not cached")
+  }
+
+  test("sweep releases the hybrid probe cache entry; batchTopK refuses duplicate query ids") {
+    val name = "bm25spec_cachelc_b0" // a _b<N> chain version name
+    wipe("bm25spec_cachelc")
+    Bm25Index.build(corpus, "doc_id", "text", name, buckets = 4)
+    Bm25Index.hybridRrfTopK(spark, name, Seq("b", "c")).collect()
+    val before = Bm25Index.cachedProbeCount
+    // retire the version: the sweep must unpin its cached frame too
+    // (round-19 verdict #6 — a swept index otherwise leaves one cached
+    // frame pinned for the session)
+    Bm25Index.sweepVersions(spark, "bm25spec_cachelc", Seq.empty)
+    assert(!spark.catalog.tableExists(name), "sweep left the version table")
+    assert(Bm25Index.cachedProbeCount == before - 1,
+      s"swept index's cache entry survived ($before -> ${Bm25Index.cachedProbeCount})")
+    // duplicate query_ids merge into one logical query — refused loudly
+    val name2 = "bm25spec_dupq_idx"
+    wipe(name2)
+    Bm25Index.build(corpus, "doc_id", "text", name2, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.batchTopK(spark, name2, Seq("q1" -> Seq("a"), "q1" -> Seq("b")))
+    }
+    assert(e.getMessage.contains("duplicate query_ids"), e.getMessage)
+  }
+
+  test("sweepVersions honors reader leases and never dooms a lookalike-prefix table") {
+    val base = "bm25spec_lease"
+    wipe(base)
+    // two versions + an UNRELATED table whose name merely starts with a
+    // version name (the round-19 advice #2 prefix-greedy regex hazard)
+    Seq(0L, 1L).foreach { b =>
+      Bm25Index.build(corpus, "doc_id", "text", s"${base}_b$b", buckets = 4)
+    }
+    val lookalike = s"${base}_b0backup"
+    spark.sql(s"DROP TABLE IF EXISTS `$lookalike`")
+    corpus.write.mode("overwrite").format("parquet").saveAsTable(lookalike)
+    // a sibling session still probing b0 leases its base location
+    graft.util.VersionedTable.leaseLocation(spark, s"${base}_b0")
+    val swept = Bm25Index.sweepVersions(spark, base, Seq(s"${base}_b1"))
+    assert(spark.catalog.tableExists(lookalike),
+      s"unrelated lookalike-prefix table was doomed: $swept")
+    assert(spark.catalog.tableExists(s"${base}_b0") &&
+        spark.catalog.tableExists(s"${base}_b0_df"),
+      s"leased version (or its sibling) was swept: $swept")
+    // release the lease: the next sweep retires b0's whole trio
+    graft.util.VersionedTable.releaseLease(spark, s"${base}_b0")
+    val swept2 = Bm25Index.sweepVersions(spark, base, Seq(s"${base}_b1"))
+    assert(!spark.catalog.tableExists(s"${base}_b0") &&
+        !spark.catalog.tableExists(s"${base}_b0_stats"),
+      s"unleased version survived: $swept2")
+    assert(spark.catalog.tableExists(lookalike),
+      "lookalike swept on the second pass")
+    spark.sql(s"DROP TABLE IF EXISTS `$lookalike`")
+  }
 }
