@@ -943,6 +943,127 @@ object Dedup {
       .select(col("id"), coalesce(col("__c"), col("id")).as("cluster"))
   }
 
+  /** INCREMENTAL cluster-closure maintenance (round-19 verdict #1): the
+    * closure family (d09/d12/d25/t34) was the only index-like family
+    * still rebuilt from scratch every run — and the soak's cost wall (the
+    * x64 full recompute runs ~300 s). This is its CDC pairing, the
+    * d17/st13 build-once discipline applied to connected components.
+    * Persisted state is two slim frames:
+    *
+    *   - STORED labels `(id, cluster)`: one row per ingested doc, the
+    *     cluster label assigned when its batch merged — APPEND-ONLY
+    *     (a batch writes its own rows once; prior rows are never
+    *     rewritten);
+    *   - REMAP `(cluster, root)`: stored-label values whose cluster later
+    *     merged into a smaller-rooted component. Bounded by cumulative
+    *     cluster MERGES — an entry exists only for a label that stopped
+    *     being a root — never corpus-sized, so it broadcasts at any
+    *     corpus scale.
+    *
+    * Effective label of id = `coalesce(remap[stored[id]], stored[id])` —
+    * exactly ONE lookup deep, because [[closureMerge]] composes the remap
+    * EAGERLY each batch (old entries re-root through the batch's merges),
+    * so the read side never chases remap chains.
+    *
+    * This is one batch's state transition. Inputs: the prior state, the
+    * batch's ids (globally unique, disjoint from stored — the same
+    * contract the ingest-index append enforces loudly), and the batch's
+    * NEW near-dup pairs (from the d17 ingest index probe: batch x corpus
+    * + batch x earlier-batch rows, occupancy-bounded — old x old pairs
+    * never re-derive). Only the pairs' ENDPOINT labels and the remap are
+    * touched: stored is narrow-scanned under a broadcast endpoint filter,
+    * never shuffled, so per-batch cost is O(batch + pairs + remap) — FLAT
+    * in corpus size, where the full recompute pays O(corpus pairs +
+    * closure rounds) every run. The batch's pair graph is projected onto
+    * effective labels and closed EXACTLY ([[clusters]] on the label
+    * quotient graph — convergence in O(new-chain diameter) rounds; prior
+    * clusters never re-walk), yielding the merge map label -> strictly
+    * smaller root. Returns `(storedAppend, remap')`: the batch rows'
+    * labels, and the re-rooted, merge-extended remap.
+    *
+    * CORRECTNESS (d09's recursive-CTE oracle pins it end to end): by
+    * induction, effective labels after batch k equal the
+    * min-reachable-id components of the UNION of all pairs seen through
+    * batch k — the union-find argument, with the remap as the
+    * path-compressed parent table. At recall-1 banding parameters the
+    * per-batch incremental pairs union to exactly the one-shot pair set
+    * (every pair surfaces when its later-arriving member's batch merges
+    * — d17's oracle pins that equivalence), so the maintained labels
+    * equal the one-shot [[clusters]] for ANY batch split (st23).
+    */
+  def closureMerge(
+      stored: DataFrame,   // (id, cluster) — prior batches' labels
+      remap: DataFrame,    // (cluster, root) — accumulated merges
+      batchIds: DataFrame, // one column: the arriving batch's ids
+      pairs: DataFrame     // (idA, idB) — the batch's new pairs
+  ): (DataFrame, DataFrame) = {
+    val ids = batchIds.select(col(batchIds.columns.head).as("id"))
+    val endpoints = pairs.select(col("idA").as("id"))
+      .unionByName(pairs.select(col("idB").as("id"))).distinct()
+    // effective labels of the pair endpoints: corpus-sized stored is only
+    // ever narrow-SCANNED with a broadcast semi-filter (endpoints are
+    // pair-bounded); a batch endpoint has no stored row yet -> label = id
+    val endpointStored = stored
+      .join(broadcast(endpoints), Seq("id"), "left_semi")
+    val eff = endpoints
+      .join(broadcast(endpointStored), Seq("id"), "left")
+      .join(broadcast(remap), Seq("cluster"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("cluster"), col("id")).as("eff"))
+    // the batch's pair graph in label space (self-loops dropped), closed
+    // exactly by the house closure over the QUOTIENT graph — nodes are
+    // labels, so prior cluster interiors never re-walk
+    val labelPairs = pairs.select("idA", "idB")
+      .join(broadcast(eff.select(col("id").as("idA"), col("eff").as("__la"))),
+        Seq("idA"))
+      .join(broadcast(eff.select(col("id").as("idB"), col("eff").as("__lb"))),
+        Seq("idB"))
+      .where(col("__la") =!= col("__lb"))
+      .select(least(col("__la"), col("__lb")).as("idA"),
+        greatest(col("__la"), col("__lb")).as("idB"))
+      .distinct()
+    val labelNodes = labelPairs.select(col("idA").as("id"))
+      .unionByName(labelPairs.select(col("idB").as("id"))).distinct()
+    // (label, root) for every label whose root CHANGED this batch;
+    // localCheckpoint: referenced three times below (remap compose, new
+    // entries, batch labels) — and bounded by the batch's merges
+    val merges = clusters(labelNodes, "id", labelPairs)
+      .where(col("id") =!= col("cluster"))
+      .select(col("id").as("__ml"), col("cluster").as("__mr"))
+      .localCheckpoint()
+    // compose EAGERLY: old entries re-root through this batch's merges;
+    // merged PRIOR roots gain their own entry (batch-id labels need none
+    // — their stored rows are written post-merge below, and id
+    // uniqueness means no prior stored row can carry a batch id as its
+    // label). Identity entries cannot arise: a merge's root is strictly
+    // below its label, and composed entries keep pointing strictly down.
+    val mergesPrior = merges
+      .join(broadcast(ids.withColumnRenamed("id", "__ml")), Seq("__ml"), "left_anti")
+    val remapOut = remap
+      .join(broadcast(merges), col("root") === col("__ml"), "left")
+      .select(col("cluster"), coalesce(col("__mr"), col("root")).as("root"))
+      .unionByName(
+        mergesPrior.select(col("__ml").as("cluster"), col("__mr").as("root")))
+    val storedAppend = ids
+      .join(broadcast(merges.withColumnRenamed("__ml", "id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__mr"), col("id")).as("cluster"))
+    (storedAppend, remapOut)
+  }
+
+  /** The maintained closure's READ side: effective labels for every
+    * stored id — one broadcast left join of the corpus-sized (but slim,
+    * two-column) stored frame against the merge-bounded remap, one
+    * lookup deep by [[closureMerge]]'s eager composition. Output equals
+    * the one-shot [[clusters]] over the union of all merged pair sets.
+    * Materializing this with an empty remap IS the compaction analog
+    * (fold the remap into stored) — run it when the remap approaches the
+    * broadcast threshold, the same amortized discipline as
+    * [[graft.operators.Bm25Index.compact]].
+    */
+  def closureLabels(stored: DataFrame, remap: DataFrame): DataFrame =
+    stored.join(broadcast(remap), Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("root"), col("cluster")).as("cluster"))
+
   /** Exact-substring contamination signal (the "deduplicating training data"
     * window-hash technique): hash fixed-size character windows of every
     * document on a stride grid; a window whose hash occurs in MORE THAN ONE

@@ -965,6 +965,222 @@ object PipelineQueries {
     ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
   }
 
+  /** Per-batch closure-maintenance walls (pair probe + closureMerge +
+    * staged state write + index append) of the most recent st23 /
+    * [[st23FixedBatchMaintain]] invocation, batch order — ScaleSoak's
+    * evidence column for the round-19 verdict-#1 claim: per-batch
+    * maintenance cost FLAT in corpus size, vs the ~300 s x64 full
+    * recompute the d25/t34 legs pay every run.
+    */
+  @volatile var lastClosureBatchWalls: List[Double] = Nil
+
+  /** st23: cluster-closure maintenance at ingest (round-19 verdict #1) —
+    * the d17/st13 build-once discipline applied to the LAST index-like
+    * family still rebuilt per run. The d09 corpus arrives as THREE
+    * micro-batches (even originals, odd originals, then the planted
+    * mutations — so the hostile corpus's near-dup CHAIN merges prior
+    * clusters across the batch boundary, the genuine incremental-merge
+    * regime); each batch derives its NEW pairs from the ingest index
+    * ([[graft.operators.Dedup.incrementalJaccardPairsIndexed]], the
+    * batch the only text shingled), transitions the persisted closure
+    * state ([[graft.operators.Dedup.closureMerge]]: stored labels
+    * append-only, merges composed into the slim remap — prior clusters
+    * never re-walk), and appends the batch to the index. State versions
+    * land as `after_b<N>` marker dirs via staged writes (st20's
+    * idempotence: a redelivered batch skips; a torn write leaves only
+    * the staged dir; a crash between index append and marker replays
+    * into the probe's duplicate-id refusal — st13's loud partial-apply
+    * contract). The final labels equal the one-shot d09 closure for ANY
+    * batch split (the union-find induction in closureMerge's doc), so
+    * d09's recursive-CTE oracle pins batch == streaming verbatim.
+    */
+  private def st23ClosureMaintain(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docsWithNearDups(s, dir)
+    val batches = Seq(
+      corpus.where(col("doc_id") < 1000000L && col("doc_id") % 2 === 0),
+      corpus.where(col("doc_id") < 1000000L && col("doc_id") % 2 =!= 0),
+      corpus.where(col("doc_id") >= 1000000L))
+    val base = ingestLoopBase("st23_closure", dir)
+    deleteRecursively(base)
+    val tblBase = s"st23cl_${java.lang.Integer.toHexString(dir.hashCode)}"
+    st23Ingest(s, batches, base, tblBase)
+  }
+
+  /** The st23 ingest loop body, shared with the fixed-batch soak probe:
+    * stream `batches` through a file source, maintaining the jaccard
+    * ingest index + the closure state per micro-batch. Per-batch cost is
+    * O(batch + pairs + remap): the corpus-sized stored frame is only
+    * narrow-scanned under a broadcast endpoint filter inside
+    * closureMerge, and the index append is bucketed — nothing
+    * corpus-shuffling. Returns the read-side labels over everything
+    * ingested.
+    */
+  private[graft] def st23Ingest(s: SparkSession, batches: Seq[DataFrame],
+      base: java.nio.file.Path, tblBase: String): DataFrame = {
+    val bandT = s"${tblBase}_band"; val shT = s"${tblBase}_sh"
+    graft.util.TableRetention.sweep(s, tblBase, keep = Set.empty)
+    val deltaDir = base.resolve("delta")
+    val idxDir = base.resolve("idx")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(idxDir)
+    // seed an EMPTY ingest index: the loop is then uniform — batch 1
+    // probes it (its own internal pairs still surface through the
+    // fresh-vs-fresh leg) and appends, exactly like every later batch
+    Dedup.buildJaccardIngestIndex(batches.head.limit(0), "doc_id", "text",
+      bandT, shT, shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+    def committed(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("after_b"))
+          .map(_.stripPrefix("after_b").toLong).toSeq.sorted
+      }
+    }
+    def storedPaths(vs: Seq[Long]): Seq[String] =
+      vs.map(n => idxDir.resolve(s"after_b$n").resolve("stored").toString)
+    def remapPath(n: Long): String =
+      idxDir.resolve(s"after_b$n").resolve("remap").toString
+    lastClosureBatchWalls = Nil
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = idxDir.resolve(s"after_b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          val tb0 = System.nanoTime()
+          val pairs = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
+            batch, "doc_id", "text",
+            shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+          val vs = committed()
+          val storedPrior =
+            if (vs.isEmpty)
+              batch.select(col("doc_id").as("id"),
+                col("doc_id").as("cluster")).limit(0)
+            else s.read.parquet(storedPaths(vs): _*)
+          val remapPrior = vs.lastOption match {
+            case None => batch.select(col("doc_id").as("cluster"),
+              col("doc_id").as("root")).limit(0)
+            case Some(n) => s.read.parquet(remapPath(n))
+          }
+          val (storedApp, remapNew) = Dedup.closureMerge(
+            storedPrior, remapPrior, batch.select("doc_id"), pairs)
+          // stage the FULL version dir, append the index, THEN move the
+          // staged dir to the marker: a torn write leaves only the
+          // staged dir (never a half-visible version); a crash between
+          // append and move replays into the probe's duplicate-id
+          // refusal — st13's loud partial-apply contract
+          val staged = base.resolve(s"stage_b$batchId")
+          // the batch itself is staged too and the index append reads the
+          // STAGED copy (st13's pattern): a bucketed saveAsTable append
+          // fed the streaming batch DF directly writes through the
+          // micro-batch's cloned session and lands zero rows in the
+          // shared catalog's table — re-reading the staged parquet binds
+          // the append to the main session
+          batch.write.mode("overwrite")
+            .parquet(staged.resolve("batch").toString)
+          storedApp.write.mode("overwrite")
+            .parquet(staged.resolve("stored").toString)
+          remapNew.write.mode("overwrite")
+            .parquet(staged.resolve("remap").toString)
+          Dedup.appendJaccardIngestIndex(s, bandT, shT,
+            s.read.parquet(staged.resolve("batch").toString),
+            "doc_id", "text",
+            shingleN = 3, numHashes = 16, bandRows = 1, buckets = 16)
+          java.nio.file.Files.move(staged, marker)
+          lastClosureBatchWalls =
+            lastClosureBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+        }
+    }
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(deltaDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        addStreamFile(b, deltaDir, s"b${i + 1}")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val vs = committed()
+    require(vs.size == batches.size,
+      s"st23: expected ${batches.size} merged micro-batches, saw ${vs.size}")
+    val labels = Dedup.closureLabels(
+      s.read.parquet(storedPaths(vs): _*),
+      s.read.parquet(remapPath(vs.last)))
+    // the result must OUTLIVE the finally-swept index tables
+    val out = ordered(labels.select(col("id").as("doc_id"), col("cluster")))
+      .localCheckpoint()
+    graft.util.TableRetention.sweep(s, tblBase, keep = Set.empty)
+    out
+  }
+
+  /** st23's fixed-batch flatness probe (the soak leg the round-19
+    * verdict's done-criterion names): closure state over `dir`'s corpus
+    * is seeded ONCE per scale by the one-shot d09 path (pairs +
+    * [[graft.operators.Dedup.clusters]] — the linear-in-corpus ingest
+    * cost the d25 leg measures every run), then the SAME two
+    * base-fixture batches are closure-MAINTAINED against it: per-batch
+    * pairs from the fixture's read-only d17 ingest index (batch vs
+    * corpus) plus the inline incremental overload (batch vs earlier
+    * batch — the persisted index is never mutated, so the versioned
+    * fixture index stays shared), then [[graft.operators.Dedup
+    * .closureMerge]]. The per-batch walls land in
+    * [[lastClosureBatchWalls]]; flat across x1/x16/x64 — against d25's
+    * ~300 s x64 full recompute — is the claim. Batch ids (+4e6/+5e6/+6e6
+    * over base ids) stay disjoint from every soak replica id (r * 1e7)
+    * and from the closure corpus's raw ids.
+    */
+  def st23FixedBatchMaintain(s: SparkSession, dir: String,
+      baseDir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select("doc_id", "text")
+    // one-shot state seed (the once-per-corpus ingest cost)
+    val seedPairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+    var stored = Dedup.clusters(corpus, "doc_id", seedPairs).localCheckpoint()
+    var remap = stored.select(col("id").as("cluster"),
+      col("id").as("root")).limit(0).localCheckpoint()
+    // read-only probes of the shared fixture index (d17's versioned
+    // build-once — already paid by the d17 legs at this scale)
+    val (bandT, shT) = d17IngestIndex(s, dir, corpus)
+    val baseDocs = t(s, baseDir, "documents").select("doc_id", "text")
+    def batchOf(off: Long, m: Long, r: Long) = baseDocs
+      .where(col("doc_id") % m === r)
+      .select((col("doc_id") + off).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val b1 = batchOf(4000000L, 3L, 0L)
+    val b2 = batchOf(5000000L, 3L, 1L).unionByName(
+      baseDocs.where(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("_xz"))), " ").as("text")))
+    lastClosureBatchWalls = Nil
+    var earlier = b1.limit(0)
+    for (batch <- Seq(b1, b2)) {
+      val tb0 = System.nanoTime()
+      withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+        // batch vs corpus through the persisted index; batch vs the
+        // earlier fixed batch inline (the index is shared and read-only
+        // here — the mutating append path is st23Ingest's)
+        val vsCorpus = Dedup.incrementalJaccardPairsIndexed(s, bandT, shT,
+          batch, "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+        val vsEarlier = Dedup.incrementalJaccardPairs(earlier, batch,
+          "doc_id", "text",
+          shingleN = 3, minJaccard = 0.5, numHashes = 16, bandRows = 1)
+        val (storedApp, remapNew) = Dedup.closureMerge(stored, remap,
+          batch.select("doc_id"), vsCorpus.unionByName(vsEarlier))
+        stored = stored.unionByName(storedApp).localCheckpoint()
+        remap = remapNew.localCheckpoint()
+      }
+      lastClosureBatchWalls =
+        lastClosureBatchWalls :+ (System.nanoTime() - tb0) / 1e9
+      earlier = earlier.unionByName(batch)
+    }
+    Dedup.closureLabels(stored, remap)
+      .select(col("id").as("doc_id"), col("cluster"))
+  }
+
   /** d19's build-once contamination index (train's distinct window hashes,
     * one slim bucketed table per fixture) — shared by the batch probe
     * (d19) and the streaming probe (st15), the same build-once discipline
@@ -2267,6 +2483,12 @@ object PipelineQueries {
     // serves the REAL t39 probe and t39's oracle pins batch == one-shot
     // (see st22PhraseMaintain)
     "st22_streaming_phrase" -> ((s, dir) => st22PhraseMaintain(s, dir)),
+    // cluster-closure maintenance at ingest: three micro-batches, labels
+    // maintained incrementally (stored append-only + merge-bounded
+    // remap), final read-side labels == the one-shot d09 closure — the
+    // same recursive-CTE oracle pins batch == streaming verbatim
+    // (see st23ClosureMaintain)
+    "st23_streaming_closure" -> ((s, dir) => st23ClosureMaintain(s, dir)),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -4246,6 +4468,47 @@ object PipelineQueries {
        |SELECT doc_id, n_terms, score FROM top
        |${orderSql("doc_id", "n_terms", "score")}""".stripMargin
 
+  /** d09's full replay from the raw table — exact reachability clusters:
+    * a recursive CTE floods every component and labels each member with
+    * the minimum reachable id, the ground truth the iterative min-label
+    * propagation must converge to. ONE definition shared by the one-shot
+    * d09 and the incrementally-maintained st23 (whose per-batch
+    * closureMerge transitions compose to the same components for any
+    * batch split — the union-find induction in its doc).
+    */
+  private val clusterClosureOracle: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
+       |tk AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+       |  FROM docs),
+       |sh AS (SELECT doc_id,
+       |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
+       |  -- Spark fallback shingle for a zero-token doc is '' — without it
+       |  -- every empty/whitespace-only doc loses its shingle and the
+       |  -- J=1 clique among such docs silently vanishes from the oracle
+       |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
+       |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
+       |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |  END AS s FROM tk),
+       |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS idA, b.doc_id AS idB
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
+       |edges AS (
+       |  SELECT idA AS src, idB AS dst FROM pairs
+       |  UNION ALL SELECT idB, idA FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+       |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
+       |${orderSql("doc_id", "cluster")}""".stripMargin
+
   /** t39's full replay from the raw table — ONE definition shared by the
     * one-shot t39 and the incrementally-maintained st22 (whose merged
     * positional index equals the one-shot build by associativity of the
@@ -5457,41 +5720,10 @@ object PipelineQueries {
          |SELECT vec_id FROM e
          |WHERE NOT EXISTS (SELECT 1 FROM blocked bl WHERE bl.vec_id = e.vec_id)
          |${orderSql("vec_id")}""".stripMargin,
-    // exact reachability clusters: recursive CTE floods every component and
-    // labels each member with the minimum reachable id — the ground truth
-    // the iterative min-label propagation must converge to
-    "d09_dedup_clusters" ->
-      s"""WITH RECURSIVE docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1) FROM documents),
-         |tk AS (SELECT doc_id,
-         |  list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
-         |  FROM docs),
-         |sh AS (SELECT doc_id,
-         |  -- COALESCE: DuckDB's array_to_string([], ' ') is NULL, but the
-         |  -- Spark fallback shingle for a zero-token doc is '' — without it
-         |  -- every empty/whitespace-only doc loses its shingle and the
-         |  -- J=1 clique among such docs silently vanishes from the oracle
-         |  CASE WHEN len(t) < 3 THEN [COALESCE(array_to_string(t, ' '), '')]
-         |       ELSE list_distinct(list_transform(range(1, len(t) - 1),
-         |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-         |  END AS s FROM tk),
-         |ex AS (SELECT doc_id, unnest(s) AS g, len(s) AS n FROM sh),
-         |pairs AS (
-         |  SELECT a.doc_id AS idA, b.doc_id AS idB
-         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id
-         |  HAVING CAST(COUNT(*) AS DOUBLE) / (any_value(a.n) + any_value(b.n) - COUNT(*)) >= 0.5),
-         |edges AS (
-         |  SELECT idA AS src, idB AS dst FROM pairs
-         |  UNION ALL SELECT idB, idA FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM docs
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id
-         |${orderSql("doc_id", "cluster")}""".stripMargin,
+    // exact reachability clusters (shared with st23: the incrementally
+    // maintained closure equals the one-shot labels for any batch split)
+    "d09_dedup_clusters" -> clusterClosureOracle,
+    "st23_streaming_closure" -> clusterClosureOracle,
     // keep-first survivors of the exact-Jaccard near-dup pairs: every id
     // that is the LARGER member of any J>=0.5 pair is dropped
     "d07_dedup_survivors" ->

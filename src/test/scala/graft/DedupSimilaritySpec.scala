@@ -1195,4 +1195,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(messages(e).exists(_.contains("semanticDedup")),
       s"expected the semanticDedup occupancy message, got: $e")
   }
+
+  test("closureMerge: incremental labels == one-shot closure; remap stays composed and merge-bounded") {
+    def ids(xs: Long*) = xs.toDF("id")
+    def prs(xs: (Long, Long)*) = xs.toDF("idA", "idB")
+    def lbls(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emptyStored = ids().select(col("id"), col("id").as("cluster"))
+    val emptyRemap = ids().select(col("id").as("cluster"), col("id").as("root"))
+    // batch 1: {10,20,30,40}, one pair — clusters {10,20}, {30}, {40}
+    val (s1, r1) = Dedup.closureMerge(emptyStored, emptyRemap,
+      ids(10, 20, 30, 40), prs((20L, 10L)))
+    var stored = s1.localCheckpoint(); var remap = r1.localCheckpoint()
+    assert(lbls(stored) == Map(10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 40L))
+    assert(remap.isEmpty, "no prior labels existed — remap must stay empty")
+    // batch 2: node 50 bridges the 10-cluster and singleton 30 — TWO
+    // prior components merge through one batch node (the incremental
+    // regime); 30 stops being a root and gains the remap entry
+    val (s2, r2) = Dedup.closureMerge(stored, remap, ids(50),
+      prs((50L, 20L), (50L, 30L)))
+    stored = stored.unionByName(s2).localCheckpoint()
+    remap = r2.localCheckpoint()
+    assert(lbls(s2) == Map(50L -> 10L))
+    assert(lbls(remap.select("cluster", "root")) == Map(30L -> 10L))
+    assert(lbls(Dedup.closureLabels(stored, remap)) ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L)
+        .updated(40L, 40L))
+    // batch 3: node 5 (SMALLER than every root) attaches to 40 and 20 —
+    // root changes again, so batch 2's entry (30 -> 10) must RE-ROOT to
+    // (30 -> 5): the eager-composition case a lazy remap would chain on
+    val (s3, r3) = Dedup.closureMerge(stored, remap, ids(5),
+      prs((5L, 40L), (5L, 20L)))
+    stored = stored.unionByName(s3).localCheckpoint()
+    remap = r3.localCheckpoint()
+    val finalLabels = lbls(Dedup.closureLabels(stored, remap))
+    assert(finalLabels == Map(5L -> 5L, 10L -> 5L, 20L -> 5L, 30L -> 5L,
+      40L -> 5L, 50L -> 5L), finalLabels)
+    // equals the one-shot closure over the UNION of all pairs
+    val oneShot = lbls(Dedup.clusters(
+      ids(5, 10, 20, 30, 40, 50), "id",
+      prs((20L, 10L), (50L, 20L), (50L, 30L), (5L, 40L), (5L, 20L))))
+    assert(finalLabels == oneShot, s"incremental != one-shot: $finalLabels vs $oneShot")
+    // the remap is COMPOSED (one lookup deep): no entry's root is itself
+    // a remapped key — the read side must never chase chains
+    val keys = remap.select("cluster").collect().map(_.getLong(0)).toSet
+    val roots = remap.select("root").collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(roots).isEmpty,
+      s"remap not eagerly composed: $keys vs $roots")
+    // and merge-bounded: entries only for labels that stopped being roots
+    assert(lbls(remap.select("cluster", "root")) ==
+      Map(30L -> 5L, 10L -> 5L, 40L -> 5L), lbls(remap.select("cluster", "root")))
+    // a pair-free batch appends self-labeled rows and leaves the remap be
+    val (s4, r4) = Dedup.closureMerge(stored, remap, ids(99), prs())
+    assert(lbls(s4) == Map(99L -> 99L))
+    assert(lbls(r4.select("cluster", "root")) ==
+      lbls(remap.select("cluster", "root")))
+  }
 }
