@@ -517,13 +517,22 @@ object Bm25Index {
     * phrases; this is the fixture-independent derivation the oracle
     * replays verbatim.
     */
-  def derivePhrase(spark: SparkSession, name: String): Seq[String] = {
-    val top = spark.table(name + "_2g")
-      .orderBy(col("n").desc, col("gram").asc).limit(1)
+  def derivePhrase(spark: SparkSession, name: String,
+      distinctTerms: Boolean = false): Seq[String] = {
+    val grams = spark.table(name + "_2g")
+    // distinctTerms: restrict to bigrams whose two tokens differ — the
+    // [[proximityHits]] probe refuses repeated-term phrases (see its
+    // docstring), so its deterministic derivation must too
+    val cand = if (distinctTerms)
+      grams.where(expr("element_at(split(gram, ' '), 1) != " +
+        "element_at(split(gram, ' '), 2)"))
+    else grams
+    val top = cand.orderBy(col("n").desc, col("gram").asc).limit(1)
       .select("gram").collect()
     require(top.nonEmpty,
-      s"bm25 derivePhrase: $name has no bigrams — every doc is empty or " +
-        "single-token; pass a literal phrase")
+      s"bm25 derivePhrase: $name has no " +
+        (if (distinctTerms) "distinct-term " else "") +
+        "bigrams — pass a literal phrase")
     top.head.getString(0).split(' ').toSeq
   }
 
@@ -560,6 +569,54 @@ object Bm25Index {
       .where(col("start") >= 0)
     votes.groupBy("doc_id", "start")
       .agg(count(lit(1)).as("nslots"))
+      .where(col("nslots") === phrase.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_pos"))
+  }
+
+  /** PROXIMITY (sloppy-phrase) search (round-19 verdict #4 — the
+    * published retrieval ladder's next rung past [[phraseHits]]' exact
+    * adjacency: Lucene's SpanNear territory). Slot-displacement
+    * semantics, the tolerance generalization of the aligned-offset vote:
+    * a doc matches at anchor a when every phrase slot i has its term at
+    * some position a + i + j_i with displacement j_i in [0, slop] — each
+    * term may sit up to `slop` positions RIGHT of its nominal slot, so
+    * the whole match spans at most (n-1) + slop tokens. slop = 0 is
+    * EXACTLY [[phraseHits]] (spec-pinned); unlike Lucene's edit-distance
+    * slop this stays ONE bucket-pruned scan + one groupBy — each
+    * occurrence of slot i's term at position p votes for anchors
+    * p - i - j (slop+1 votes instead of 1), and an anchor with all n
+    * DISTINCT slots voting matches. Phrases repeating a term are
+    * REFUSED: one occurrence could satisfy two slots at the same anchor
+    * (a phantom match no real span contains) — use [[phraseHits]] for
+    * exact repeated-token phrases.
+    *
+    * Output: (doc_id, n_hits, first_pos) — matching-anchor count and the
+    * smallest matching anchor, the [[phraseHits]] contract.
+    */
+  def proximityHits(spark: SparkSession, name: String,
+      phrase: Seq[String], slop: Int): DataFrame = {
+    import spark.implicits._
+    require(phrase.nonEmpty, "bm25 proximity probe: empty phrase")
+    require(slop >= 0, s"bm25 proximity probe: negative slop $slop")
+    require(phrase.distinct.size == phrase.size,
+      "bm25 proximity probe: repeated phrase terms — one occurrence " +
+        "could satisfy two slots at the same anchor; use phraseHits for " +
+        "exact repeated-token phrases")
+    val slots = phrase.zipWithIndex.toDF("token", "tix")
+    val posts = resolve(spark, name).postings
+      .map(spark.table(_)).reduce(_ unionByName _)
+    val votes = posts
+      .where(col("token").isin(phrase: _*))
+      .join(broadcast(slots), "token")
+      .select(col("doc_id"), explode(col("positions")).as("pos"), col("tix"))
+      .select(col("doc_id"), col("pos"), col("tix"),
+        explode(expr(s"sequence(0, $slop)")).as("j"))
+      .select(col("doc_id"),
+        (col("pos") - col("tix") - col("j")).as("start"), col("tix"))
+      .where(col("start") >= 0)
+    votes.groupBy("doc_id", "start")
+      .agg(countDistinct(col("tix")).as("nslots"))
       .where(col("nslots") === phrase.length)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), min("start").cast("long").as("first_pos"))
@@ -721,5 +778,85 @@ object Bm25Index {
           .as("rrf_micros"),
         col("bm25_rank"), col("tfidf_rank"))
     fused.orderBy(col("rrf_micros").desc, col("doc_id").asc).limit(k)
+  }
+
+  /** BATCH hybrid retrieval (round-19 verdict #3): MANY queries x BOTH
+    * rankers in ONE plan — the production serving shape. [[batchTopK]]
+    * batches BM25 only and [[hybridRrfTopK]] fuses one query; real
+    * serving and eval-leak audits run thousands of queries against the
+    * fused ranking, and a per-query loop would pay the probe scan per
+    * query. The whole batch probes as one plan:
+    *
+    *   - the postings scan is pruned ONCE for the union of all query
+    *     terms, and the request-sized (query_id, token) frame joins
+    *     BROADCAST — [[batchTopK]]'s shape;
+    *   - ONE aggregate carries BOTH rounded component sums per
+    *     (query_id, doc_id) (bm25 + tfidf, the same ROUND(,6) +
+    *     exact-DECIMAL discipline as the solo paths) — the two rankers
+    *     never re-execute the probe, STRUCTURALLY: where the solo path
+    *     needs a persist boundary to keep its two ranker branches on one
+    *     scan, here both ranks are windows over the same frame, so there
+    *     is no self-join and no cache to manage;
+    *   - each ranker's per-query rank is a row_number window partitioned
+    *     by query_id (two sorts of the aggregate output — matched-docs-
+    *     sized, never corpus-sized); docs outside BOTH rankers' top-m
+    *     drop, which is exactly the solo full-outer-of-cuts domain;
+    *   - integer RRF per (query_id, doc_id); per-query top-k lands via
+    *     the rank-limit window (filter on the raw row_number attribute
+    *     so InferWindowGroupLimit plans the map-side cut — the
+    *     [[batchTopK]]/d22 pattern).
+    *
+    * Per-query output slices are VERBATIM what solo [[hybridRrfTopK]]
+    * returns for that query's terms (spec-pinned): same rounded
+    * component sums, same (score DESC, doc_id ASC) rank ties, same
+    * integer RRF micro-units. Output: (query_id, doc_id, rank,
+    * rrf_micros, bm25_rank, tfidf_rank), rank 1..k per query by
+    * (rrf_micros DESC, doc_id ASC).
+    */
+  def batchHybridRrfTopK(spark: SparkSession, name: String,
+      queries: Seq[(String, Seq[String])], k: Int = 10, m: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(queries.nonEmpty, "bm25 batch hybrid: no queries")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"bm25 batch hybrid: query '$qid' has no terms") }
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"bm25 batch hybrid: duplicate query_ids " +
+        queries.groupBy(_._1).collect { case (q, g) if g.size > 1 => q }
+          .mkString("[", ", ", "]") +
+        " — two entries with one id would merge into a single query")
+    val allTerms = queries.flatMap(_._2).distinct
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "token")
+    val scoredQ = probeRows(spark, resolve(spark, name), allTerms)
+      .join(broadcast(qdf), "token")
+      .select(col("query_id"), col("doc_id"), bm25Component.as("bc"),
+        tfidfComponent.as("tc"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("bc").cast(DecimalType(18, 6))).cast("double").as("bm25_score"),
+        sum(col("tc").cast(DecimalType(18, 6))).cast("double").as("tfidf_score"))
+    val wB = Window.partitionBy("query_id")
+      .orderBy(col("bm25_score").desc, col("doc_id").asc)
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("tfidf_score").desc, col("doc_id").asc)
+    val cut = scoredQ
+      .withColumn("__rb", row_number().over(wB))
+      .withColumn("__rt", row_number().over(wT))
+      .where(col("__rb") <= m || col("__rt") <= m)
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(when(col("__rb") <= m, expr(s"1000000 div ($rrfK + __rb)")),
+          lit(0L)) +
+          coalesce(when(col("__rt") <= m, expr(s"1000000 div ($rrfK + __rt)")),
+            lit(0L))).as("rrf_micros"),
+        when(col("__rb") <= m, col("__rb")).as("bm25_rank"),
+        when(col("__rt") <= m, col("__rt")).as("tfidf_rank"))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+    cut.withColumn("__rk", row_number().over(wF))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("__rk").cast("long").as("rank"),
+        col("rrf_micros"), col("bm25_rank"), col("tfidf_rank"))
   }
 }

@@ -3283,6 +3283,52 @@ object PipelineQueries {
         "t38: probe plan re-reads document text — probes touch only the index")
       ordered(top)
     }),
+    // BATCH hybrid retrieval (round-19 verdict #3): t38's many-query
+    // shape x t37's two-ranker fusion in ONE plan — the production
+    // serving regime. The same four deterministic data-derived queries
+    // as t38 probe the index once (bucket pruning for the term union,
+    // broadcast request frame); ONE aggregate carries BOTH component
+    // sums per (query_id, doc_id), both per-query ranks are windows over
+    // that one frame (no self-join, no cache boundary — the solo path's
+    // double-scan hazard is structurally absent), docs outside both
+    // rankers' top-20 drop, integer RRF fuses, and per-query top-10
+    // lands via the rank-limit window. Per-query slices are verbatim the
+    // solo t37 fusion for that query's terms (Bm25Spec pins it); DuckDB
+    // replays the whole pipeline from the raw table.
+    "t40_batch_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = fixtureKey(dir, "documents")
+      val idx = graft.util.VersionedTable.ensure(s, "t36_", s"t36_bm25_$key",
+        build = name =>
+          graft.operators.Bm25Index.build(docs, "doc_id", "text", name),
+        usable = n => s.catalog.tableExists(n) &&
+          s.catalog.tableExists(n + "_df") &&
+          s.catalog.tableExists(n + "_stats"),
+        siblings = graft.operators.Bm25Index.siblings)
+      // t38's derivation verbatim (dfCapDenom = 1 — see t38's note on the
+      // stopword-saturated synthetic fixture)
+      val terms = graft.operators.Bm25Index.selectTerms(s, idx, nTerms = 12,
+        dfCapDenom = 1)
+      require(terms.size == 12, s"t40: expected 12 terms, got ${terms.size}")
+      val queries = terms.zipWithIndex
+        .groupBy { case (_, i) => i % 4 }.toSeq
+        .map { case (q, ts) => (s"q$q", ts.map(_._1)) }
+      val top = graft.operators.Bm25Index.batchHybridRrfTopK(s, idx, queries)
+      val plan = top.queryExecution.executedPlan.toString
+      val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findAllMatchIn(plan).toSeq
+      require(sels.size == 1 && sels.forall(m => m.group(1).toInt < m.group(2).toInt),
+        s"t40: expected ONE bucket-pruned postings scan, saw " +
+          s"${sels.map(_.matched).mkString("[", ", ", "]")}")
+      require(plan.contains("WindowGroupLimit"),
+        "t40: per-query top-k did not plan as a map-side rank-limit window")
+      require(!plan.contains("documents.parquet"),
+        "t40: probe plan re-reads document text — probes touch only the index")
+      ordered(top.select(col("query_id"), col("doc_id"), col("rank"),
+        col("rrf_micros"),
+        col("bm25_rank").cast("long").as("bm25_rank"),
+        col("tfidf_rank").cast("long").as("tfidf_rank")))
+    }),
     // Positional / phrase search (round-18 verdict #8, optional depth):
     // the corpus tokenizes ONCE into a positional postings index (token,
     // doc_id, tf, sorted 0-based positions — Lucene's proximity data) plus
@@ -3314,6 +3360,40 @@ object PipelineQueries {
           s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
       require(!plan.contains("documents.parquet"),
         "t39: probe plan re-reads document text — probes touch only the index")
+      ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
+    }),
+    // Proximity (sloppy-phrase) search (round-19 verdict #4): t39's
+    // aligned-offset vote with slot tolerance — each phrase term may sit
+    // up to slop=2 positions right of its nominal slot, matches span at
+    // most n-1+slop tokens, still ONE bucket-pruned scan + one groupBy
+    // (slop+1 votes per occurrence instead of 1, count DISTINCT slots
+    // per anchor). The probe phrase is the most frequent DISTINCT-term
+    // bigram from the build-time statistics sibling (repeated-term
+    // phrases are refused by the operator — a phantom-match hazard);
+    // slop=0 == phraseHits is Bm25Spec-pinned. DuckDB replays tokenize →
+    // distinct-term bigram stats → top gram → the same slot-displacement
+    // votes from the raw table.
+    "t41_proximity_search" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val key = fixtureKey(dir, "documents")
+      val idx = graft.util.VersionedTable.ensure(s, "t39_", s"t39_pos_$key",
+        build = name =>
+          graft.operators.Bm25Index.buildPositional(docs, "doc_id", "text", name),
+        usable = n => s.catalog.tableExists(n) &&
+          s.catalog.tableExists(n + "_2g"),
+        siblings = graft.operators.Bm25Index.siblingsPositional)
+      val phrase = graft.operators.Bm25Index.derivePhrase(s, idx,
+        distinctTerms = true)
+      val hits = graft.operators.Bm25Index.proximityHits(s, idx, phrase,
+        slop = 2)
+      val plan = hits.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      require(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"t41: proximity probe did not prune buckets " +
+          s"(${sel.map(_.matched).getOrElse("no bucket pruning in plan")})")
+      require(!plan.contains("documents.parquet"),
+        "t41: probe plan re-reads document text — probes touch only the index")
       ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
     }),
     "t33_mixture_plan" -> ((s, dir) => {
@@ -5069,6 +5149,67 @@ object PipelineQueries {
          |SELECT query_id, doc_id, rnk AS "rank", n_terms, score
          |FROM ranked WHERE rnk <= 10
          |${orderSql("query_id", "doc_id", "\"rank\"", "n_terms", "score")}""".stripMargin,
+    // t40: t38's many-query CTE chain x t37's two-ranker fusion — both
+    // component sums per (query_id, doc_id), per-query top-20 cuts, the
+    // full-outer fusion in integer micro-units, per-query top-10 by
+    // (rrf DESC, doc_id ASC). Replays the Spark side's term->query
+    // derivation verbatim.
+    "t40_batch_hybrid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+         |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+         |terms AS (
+         |  SELECT token, df,
+         |    CAST(row_number() OVER (ORDER BY df DESC, token ASC) AS BIGINT) - 1 AS tix
+         |  FROM df, n WHERE df * 1 <= n.n_docs
+         |  ORDER BY df DESC, token ASC LIMIT 12),
+         |q AS (SELECT 'q' || CAST(tix % 4 AS VARCHAR) AS query_id, token, df FROM terms),
+         |bmc AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ROUND(LN(1.0 + (n.n_docs - q.df + 0.5) / (q.df + 0.5))
+         |      * tf.tf * 2.2
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * n.n_docs) / CAST(n.sum_dl AS DOUBLE))),
+         |      6) AS comp
+         |  FROM tf JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN n),
+         |bm AS (SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM bmc GROUP BY query_id, doc_id),
+         |bmr AS (SELECT query_id, doc_id, bm25_rank FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+         |  FROM bm) WHERE bm25_rank <= 20),
+         |tic AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ROUND(tf.tf * LN((n.n_docs + 1.0) / (q.df + 1.0)), 6) AS comp
+         |  FROM tf JOIN q USING (token) CROSS JOIN n),
+         |ti AS (SELECT query_id, doc_id,
+         |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM tic GROUP BY query_id, doc_id),
+         |tir AS (SELECT query_id, doc_id, tfidf_rank FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS tfidf_rank
+         |  FROM ti) WHERE tfidf_rank <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(COALESCE(1000000 // (60 + bm25_rank), 0)
+         |       + COALESCE(1000000 // (60 + tfidf_rank), 0) AS BIGINT) AS rrf_micros,
+         |    bm25_rank, tfidf_rank
+         |  FROM bmr FULL OUTER JOIN tir USING (query_id, doc_id)),
+         |top AS (SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_micros DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |    rrf_micros, bm25_rank, tfidf_rank
+         |  FROM fused)
+         |SELECT query_id, doc_id, rnk AS "rank", rrf_micros, bm25_rank, tfidf_rank
+         |FROM top WHERE rnk <= 10
+         |${orderSql("query_id", "doc_id", "\"rank\"", "rrf_micros", "bm25_rank", "tfidf_rank")}""".stripMargin,
     // t39: positional adjacency replayed from the raw table — bigram
     // stats, the (count DESC, gram ASC) top gram, then the exact
     // aligned-offset intersection as a position join (the Spark side's
@@ -5077,6 +5218,39 @@ object PipelineQueries {
     // one-shot build by merge associativity over doc-disjoint batches)
     "t39_phrase_search" -> phraseSearchOracle,
     "st22_streaming_phrase" -> phraseSearchOracle,
+    // t41: the slot-displacement proximity votes replayed from the raw
+    // table — distinct-term bigram derivation, then each slot's
+    // positions vote anchors pos - slot - j (j in 0..2), anchors with
+    // both DISTINCT slots voting match
+    "t41_proximity_search" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+         |  FROM tk WHERE len(t) >= 2),
+         |top AS (SELECT gram FROM bg
+         |  WHERE split_part(gram, ' ', 1) != split_part(gram, ' ', 2)
+         |  GROUP BY gram ORDER BY COUNT(*) DESC, gram ASC LIMIT 1),
+         |ph AS (SELECT split_part(gram, ' ', 1) AS t0, split_part(gram, ' ', 2) AS t1 FROM top),
+         |pos AS (SELECT doc_id, unnest(t) AS token, unnest(range(0, len(t))) AS pos FROM tk),
+         |js AS (SELECT unnest(range(0, 3)) AS j),
+         |votes AS (
+         |  SELECT doc_id, start, tix FROM (
+         |    SELECT p.doc_id, p.pos - 0 - js.j AS start, 0 AS tix
+         |    FROM pos p, ph, js WHERE p.token = ph.t0
+         |    UNION ALL
+         |    SELECT p.doc_id, p.pos - 1 - js.j AS start, 1 AS tix
+         |    FROM pos p, ph, js WHERE p.token = ph.t1)
+         |  WHERE start >= 0),
+         |hits AS (
+         |  SELECT doc_id, start FROM votes
+         |  GROUP BY doc_id, start HAVING COUNT(DISTINCT tix) = 2)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |  CAST(MIN(start) AS BIGINT) AS first_pos
+         |FROM hits GROUP BY doc_id
+         |${orderSql("doc_id", "n_hits", "first_pos")}""".stripMargin,
     // the same vocab walk (vocabTokenCtesSql — t27's tokenizer, one
     // definition), the same integer milli-unit floor divisions
     // d25's full CTE replay (planted corpus + shingle pairs + recursive

@@ -480,6 +480,53 @@ class Bm25Spec extends SparkSpec {
     assert(e.getMessage.contains("no bigrams"), e.getMessage)
   }
 
+  test("proximity search: slop=0 == phraseHits; slot displacement bounded by slop; repeated terms refused") {
+    val name = "bm25spec_prox_idx"
+    wipe(name)
+    Bm25Index.buildPositional(Seq(
+      (1L, "a b z"),       // exact adjacency
+      (2L, "a z b"),       // gap 1: slop>=1 only
+      (3L, "a z z b"),     // gap 2: slop>=2 only
+      (4L, "b a"),         // reversed: never (displacement is rightward)
+      (5L, "a z z z b"),   // gap 3: beyond slop=2
+      (6L, "a b a z b")).toDF("doc_id", "text"), // 1 exact, 2 at slop 1
+      "doc_id", "text", name, buckets = 4)
+    def prox(slop: Int) =
+      Bm25Index.proximityHits(spark, name, Seq("a", "b"), slop).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    def exact = Bm25Index.phraseHits(spark, name, Seq("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // slop=0 is EXACTLY the phrase probe
+    assert(prox(0) == exact, s"slop=0 != phraseHits: ${prox(0)} vs $exact")
+    assert(prox(0) == Seq((1L, 1L, 0L), (6L, 1L, 0L)), prox(0))
+    // each extra slop admits one more displacement; order still matters
+    assert(prox(1).map(_._1) == Seq(1L, 2L, 6L), prox(1))
+    // doc 6 at slop=1: anchors 0 ("a b"), 2 (a@2, b@4 = 2+1+1) and
+    // 3 (a@2 displaced 1... a at 2 = 3+0? no: start 3 needs a at 3 or 4)
+    assert(prox(1).find(_._1 == 6L).exists(_._2 >= 2), prox(1))
+    assert(prox(2).map(_._1) == Seq(1L, 2L, 3L, 6L), prox(2))
+    assert(!prox(2).map(_._1).contains(5L), "slop bound not enforced")
+    // the probe plan prunes buckets
+    val plan = Bm25Index.proximityHits(spark, name, Seq("a", "b"), 2)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"proximity probe did not prune buckets: ${sel.map(_.matched)}")
+    // repeated-term phrases refuse loudly (phantom-match hazard)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.proximityHits(spark, name, Seq("a", "a"), 1)
+    }
+    assert(e.getMessage.contains("repeated phrase terms"), e.getMessage)
+    // distinct-term phrase derivation skips repeated-token top grams
+    val d = "bm25spec_proxd_idx"
+    wipe(d)
+    Bm25Index.buildPositional(Seq(
+      (1L, "x x x x"), (2L, "p q")).toDF("doc_id", "text"),
+      "doc_id", "text", d, buckets = 4)
+    assert(Bm25Index.derivePhrase(spark, d) == Seq("x", "x"))
+    assert(Bm25Index.derivePhrase(spark, d, distinctTerms = true) == Seq("p", "q"))
+  }
+
   test("hybrid rrf: both rankers share ONE cached scored frame — the probe scan runs once") {
     val name = "bm25spec_reuse_idx"
     wipe(name)
@@ -544,6 +591,46 @@ class Bm25Spec extends SparkSpec {
     third.collect()
     assert(third.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
       "re-termed probe not cached")
+  }
+
+  test("batch hybrid: per-query slices equal the solo RRF fusion, in one scan with a rank-limit cut") {
+    val name = "bm25spec_bhyb_idx"
+    wipe(name)
+    // the rrf-spec corpus where the two rankers genuinely disagree, plus
+    // docs matching only one query's terms
+    Bm25Index.build(Seq(
+      (1L, "b b b b b b x x x x x x x x x x"),
+      (2L, "b b b"),
+      (3L, "c c"),
+      (4L, "c b x")).toDF("doc_id", "text"), "doc_id", "text", name, buckets = 4)
+    val queries = Seq("qa" -> Seq("b"), "qb" -> Seq("c", "x"), "qc" -> Seq("c"))
+    val got = Bm25Index.batchHybridRrfTopK(spark, name, queries, k = 10)
+    val rows = got.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(t =>
+        (t._2, t._4, t._5, t._6)).toSeq).toMap
+    // each query's (doc_id, rrf, bm25_rank, tfidf_rank) slice — in rank
+    // order — must be verbatim its solo hybridRrfTopK output
+    queries.foreach { case (qid, terms) =>
+      val solo = Bm25Index.hybridRrfTopK(spark, name, terms, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3)))
+        .map(t => (t._1, t._2, t._3, t._4)).toSeq
+      assert(rows(qid) == solo,
+        s"batch hybrid slice for $qid diverges from solo:\n${rows(qid)}\nvs\n$solo")
+    }
+    // plan gates: ONE pruned postings scan (both rankers ride one
+    // aggregate — no self-join, no cache boundary), and the per-query
+    // top-k is a map-side rank-limit window
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("SelectedBucketsCount".r.findAllMatchIn(plan).size == 1,
+      s"batch hybrid must scan the postings once:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k not rank-limited map-side:\n$plan")
   }
 
   test("sweep releases the hybrid probe cache entry; batchTopK refuses duplicate query ids") {
