@@ -432,6 +432,140 @@ object Dedup {
     } finally prep.unpersist()
   }
 
+  /** Combination-key banding rows (id, sig, band, chunk, is_new) for the
+    * SIMHASH ingest-index family — the [[simhashPairs]] blocks>0 scheme
+    * factored out so the build/append/probe trio shares one definition
+    * (a second copy drifting would silently break candidate recall). The
+    * signature RIDES the banding row (one long — the d06 carry-payload
+    * lesson: the Hamming verify then runs inline in the candidate join,
+    * no re-attach round trip).
+    */
+  private def simhashBandRows(sigs: DataFrame, bits: Int, blocks: Int,
+      maxHamming: Int, isNew: Boolean): DataFrame = {
+    require(bits % blocks == 0, s"blocks must divide $bits (got $blocks)")
+    require(maxHamming < blocks,
+      s"maxHamming ($maxHamming) must be < blocks ($blocks) for the pigeonhole guarantee")
+    val width = bits / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunk = (b: Int) => shiftright(col("sig"), b * width).bitwiseAND(mask)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val comboKeys = combos.zipWithIndex.map { case (c, i) =>
+      xxhash64((lit(i) +: c.map(chunk)): _*)
+    }
+    sigs.select(col("id"), col("sig"), posexplode(array(comboKeys: _*)))
+      .withColumnRenamed("col", "chunk").withColumnRenamed("pos", "band")
+      .withColumn("is_new", lit(isNew))
+  }
+
+  /** Build the PERCEPTUAL/simhash ingest-side dedup index
+    * [[incrementalSimhashPairsIndexed]] probes: the corpus signatures'
+    * combination-key banding rows persisted as ONE slim bucketed table
+    * (id, sig, band, chunk), bucketed by the banding chunk (the
+    * candidate join's probe key). Built once per corpus at ingest; after
+    * that no arriving batch ever re-decodes or re-bands the old corpus —
+    * the d17 discipline applied to the m05 dHash family (round-19
+    * verdict #5). NULL signatures are dropped (nothing to band). Band
+    * parameters are baked into the table contents; probe with the same
+    * (bits, blocks, maxHamming) or candidates are silently wrong.
+    */
+  def buildSimhashIngestIndex(
+      sigs: DataFrame,          // (id, sig)
+      idCol: String,
+      sigCol: String,
+      bandTable: String,
+      maxHamming: Int = 4,
+      blocks: Int = 8,
+      bits: Int = 64,
+      buckets: Int = 16): Unit = {
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("sig").isNotNull)
+    Bucketing.writeBucketed(
+      simhashBandRows(base, bits, blocks, maxHamming, isNew = false)
+        .select("id", "sig", "band", "chunk"),
+      bandTable, "chunk", buckets)
+  }
+
+  /** MAINTAIN the simhash ingest index: append a batch's signatures so
+    * the next batch blocks against them (bucketed append — the existing
+    * index is never rewritten). Duplicate ids are refused loudly, the
+    * [[appendJaccardIngestIndex]] contract.
+    */
+  def appendSimhashIngestIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      bandTable: String,
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 4,
+      blocks: Int = 8,
+      bits: Int = 64,
+      buckets: Int = 16): Unit = {
+    require(spark.table(bandTable).select(col("id").as(idCol)).distinct()
+        .join(broadcast(sigs.select(col(idCol))), Seq(idCol))
+        .limit(1).collect().isEmpty,
+      "appendSimhashIngestIndex: an id is already in the index — " +
+        "appending it again would make every later batch pair against a " +
+        "phantom duplicate")
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("sig").isNotNull)
+    simhashBandRows(base, bits, blocks, maxHamming, isNew = false)
+      .select("id", "sig", "band", "chunk")
+      .repartition(buckets, col("chunk"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "chunk").sortBy("chunk").saveAsTable(bandTable)
+  }
+
+  /** INCREMENTAL simhash near-dup pairs against the persisted band index
+    * ([[buildSimhashIngestIndex]]): only the arriving batch is banded;
+    * the old side is one slim bucket-pruned scan, SEMI-FILTERED inside
+    * the scan by the batch's broadcast bucket set — per-batch shuffle is
+    * batch x C(blocks, blocks-maxHamming) x bucket occupancy, never
+    * corpus-sized (the d17/incrementalCore shape). Old x old pairs never
+    * re-derive (the candidate join's A side is batch-only). Output is
+    * oriented (least, greatest, min hamming), so the UNION over batches
+    * equals the one-shot [[simhashPairs]] for any batch split (each pair
+    * surfaces when its later-arriving member's batch probes — the same
+    * argument d17's oracle pins for jaccard), provided no bucket cap
+    * engages on either path.
+    */
+  def incrementalSimhashPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      bandTable: String,
+      fresh: DataFrame,         // (id, sig)
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 4,
+      blocks: Int = 8,
+      bits: Int = 64,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(spark.table(bandTable).select(col("id").as(idCol)).distinct()
+        .join(broadcast(fresh.select(col(idCol))), Seq(idCol))
+        .limit(1).collect().isEmpty,
+      "incrementalSimhashPairsIndexed: ids must be globally unique across " +
+        "the indexed corpus and fresh — at least one id appears on both sides")
+    val freshBase = fresh.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("sig").isNotNull)
+    val freshBanded = simhashBandRows(freshBase, bits, blocks, maxHamming,
+      isNew = true)
+    val oldBanded = spark.table(bandTable).withColumn("is_new", lit(false))
+    val freshBuckets = broadcast(
+      freshBanded.select(col("band"), col("chunk")).distinct())
+    val oldPruned = oldBanded.join(freshBuckets, Seq("band", "chunk"), "left_semi")
+    val capped = capBuckets(oldPruned.unionByName(freshBanded),
+      Seq("band", "chunk"), maxBucketSize)
+    val a = capped.where(col("is_new"))
+      .select(col("id").as("idA"), col("sig").as("sigA"), col("band"), col("chunk"))
+    val b = capped.select(col("id").as("idB"), col("sig").as("sigB"),
+      col("is_new").as("b_new"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .where(!col("b_new") || col("idB") < col("idA"))
+      .select(least(col("idA"), col("idB")).as("idA"),
+        greatest(col("idA"), col("idB")).as("idB"),
+        TF.hamming64(col("sigA"), col("sigB")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("idA", "idB").agg(min("hamming").as("hamming"))
+  }
+
   /** (id, sh, sig) signature rows over one exchange — all consumers (band
     * explode, shingle attach) hang off the same shuffle so the text walk
     * happens once (see [[minhashPairs]]).

@@ -231,6 +231,15 @@ object PipelineQueries {
        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
        |  FROM sig a JOIN sig b ON a.media_id < b.media_id""".stripMargin
 
+  /** m05's full brute-force replay — the dHash from text bytes, all
+    * pairs, Hamming <= 4. ONE definition shared by the one-shot m05 and
+    * the incrementally-maintained st24.
+    */
+  private lazy val perceptualPairsOracle: String =
+    s"""WITH $m05SigCtes
+       |SELECT idA, idB, hamming FROM ($m05PairsSql)
+       |WHERE hamming <= 4 ${orderSql("idA", "idB", "hamming")}""".stripMargin
+
   /** The d20 chunker's rolling polynomial in nested stepwise-mod form —
     * the exact arithmetic [[graft.expressions.CdcSpans]] folds, kept
     * INT64-safe under DuckDB's strict overflow checking (each partial is
@@ -1179,6 +1188,114 @@ object PipelineQueries {
     }
     Dedup.closureLabels(stored, remap)
       .select(col("id").as("doc_id"), col("cluster"))
+  }
+
+  /** st24: PERCEPTUAL dedup at ingest (round-19 verdict #5) — m05/m06
+    * re-decode and re-pair the whole image corpus every run; this is
+    * their d17/st13 pairing. The m05 media corpus arrives as two
+    * micro-batches split so every planted perceptual-duplicate group
+    * STRADDLES the boundary (base images in batch 1, the
+    * brightness-shifted and RGB-re-encoded copies in batch 2); each
+    * batch is dHashed ALONE (the corpus is never re-decoded — the
+    * build-once claim), probed against the persisted combination-key
+    * band index ([[graft.operators.Dedup.incrementalSimhashPairsIndexed]]
+    * — the old side is one bucket-pruned scan semi-filtered by the
+    * batch's broadcast bucket set, so per-batch shuffle is
+    * occupancy-bounded), and its signatures append to the index. Pair
+    * results land as idempotent per-batch parquet dirs gated by marker
+    * moves (st13's contract: redelivery skips, a crash between append
+    * and marker replays into the probe's duplicate-id refusal). The
+    * union over batches equals the one-shot m05 banded pairs for any
+    * batch split (orientation-normalized, min-hamming deduped), so
+    * m05's brute-force DuckDB oracle pins batch == streaming verbatim.
+    */
+  private def st24PerceptualIngest(s: SparkSession, dir: String): DataFrame = {
+    val media = {
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull && length(col("text")) > 0)
+        .select("doc_id", "text")
+      val base = Multimodal.fromTextPng(docs, "doc_id", "text")
+      val shifted = Multimodal.fromTextPng(
+        docs.where(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")),
+        "doc_id", "text", shift = 16)
+      val reenc = Multimodal.fromTextPng(
+        docs.where(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")),
+        "doc_id", "text", rgb = true)
+      base.unionByName(shifted).unionByName(reenc)
+    }
+    val batch1 = media.where(col("media_id") < 2000000L)
+    val batch2 = media.where(col("media_id") >= 2000000L)
+    val base = ingestLoopBase("st24_perceptual", dir)
+    deleteRecursively(base)
+    val tblBase = s"st24pd_${java.lang.Integer.toHexString(dir.hashCode)}"
+    val bandT = s"${tblBase}_band"
+    graft.util.TableRetention.sweep(s, tblBase, keep = Set.empty)
+    val deltaDir = base.resolve("delta")
+    val idxDir = base.resolve("idx")
+    java.nio.file.Files.createDirectories(deltaDir)
+    java.nio.file.Files.createDirectories(idxDir)
+    // seed an EMPTY band index — the uniform-loop trick st23 uses
+    Dedup.buildSimhashIngestIndex(
+      batch1.select(col("media_id").as("id"), lit(0L).as("sig")).limit(0),
+      "id", "sig", bandT, maxHamming = 4, blocks = 8)
+    def committed(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.list(idxDir)) { st =>
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("after_b"))
+          .map(_.stripPrefix("after_b").toLong).toSeq.sorted
+      }
+    }
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val marker = idxDir.resolve(s"after_b$batchId")
+      if (!batch.isEmpty && !java.nio.file.Files.exists(marker))
+        withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+          // decode ONLY the batch — the corpus side is the slim persisted
+          // band index, never re-decoded
+          val sigs = Multimodal.withDHash(batch)
+            .where(col("dhash").isNotNull).localCheckpoint()
+          val pairs = Dedup.incrementalSimhashPairsIndexed(s, bandT,
+            sigs, "media_id", "dhash", maxHamming = 4, blocks = 8)
+          val staged = base.resolve(s"stage_b$batchId")
+          pairs.write.mode("overwrite")
+            .parquet(staged.resolve("pairs").toString)
+          // stage the signatures and append the RE-READ copy (the st23
+          // lesson: a bucketed saveAsTable append fed a streaming-derived
+          // frame writes through the micro-batch's cloned session and
+          // lands zero rows)
+          sigs.write.mode("overwrite")
+            .parquet(staged.resolve("sigs").toString)
+          Dedup.appendSimhashIngestIndex(s, bandT,
+            s.read.parquet(staged.resolve("sigs").toString),
+            "media_id", "dhash", maxHamming = 4, blocks = 8)
+          java.nio.file.Files.move(staged, marker)
+        }
+    }
+    val stream = s.readStream.schema(
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType),
+        StructField("meta", Multimodal.mediaSchema("meta").dataType))))
+      .parquet(deltaDir.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .foreachBatch(applyBatch: (DataFrame, Long) => Unit).start()
+    try {
+      addStreamFile(batch1, deltaDir, "b1")
+      q.processAllAvailable()
+      addStreamFile(batch2, deltaDir, "b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val vs = committed()
+    require(vs.size == 2,
+      s"st24: expected 2 merged micro-batches, saw ${vs.size}")
+    val out = ordered(s.read.parquet(vs.map(n =>
+        idxDir.resolve(s"after_b$n").resolve("pairs").toString): _*)
+      .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming")))
+      .localCheckpoint()
+    graft.util.TableRetention.sweep(s, tblBase, keep = Set.empty)
+    out
   }
 
   /** d19's build-once contamination index (train's distinct window hashes,
@@ -2489,6 +2606,11 @@ object PipelineQueries {
     // same recursive-CTE oracle pins batch == streaming verbatim
     // (see st23ClosureMaintain)
     "st23_streaming_closure" -> ((s, dir) => st23ClosureMaintain(s, dir)),
+    // perceptual dedup at ingest: batches dHashed alone and probed
+    // against the persisted band index (the corpus is never re-decoded);
+    // pair union over batches == one-shot m05 — the same brute-force
+    // oracle pins batch == streaming (see st24PerceptualIngest)
+    "st24_streaming_perceptual" -> ((s, dir) => st24PerceptualIngest(s, dir)),
     // ANN index maintenance under CDC (round-10 verdict #2) — d15's merge
     // applied to s14's serving index: the delta deletes each query's two
     // lowest-id planted copies, inserts two fresh copies at new ids, and
@@ -6568,10 +6690,11 @@ object PipelineQueries {
     // at 255, RGB re-encodes change no pixel), then brute-force all-pairs
     // Hamming — the banded Spark output is pigeonhole-exact at
     // maxHamming=4 < blocks=8, so the two agree row-for-row
-    "m05_perceptual_dedup" ->
-      s"""WITH $m05SigCtes
-         |SELECT idA, idB, hamming FROM ($m05PairsSql)
-         |WHERE hamming <= 4 ${orderSql("idA", "idB", "hamming")}""".stripMargin,
+    "m05_perceptual_dedup" -> perceptualPairsOracle,
+    // shared with m05: the incrementally-maintained band index's pair
+    // union over batches equals the one-shot banded pairs for any batch
+    // split (orientation-normalized, min-hamming deduped)
+    "st24_streaming_perceptual" -> perceptualPairsOracle,
     // m05's pairs closed by d09's recursive-CTE reachability: every image
     // labeled with the min id reachable through the hamming<=4 graph
     "m06_perceptual_clusters" ->

@@ -1196,6 +1196,53 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected the semanticDedup occupancy message, got: $e")
   }
 
+  test("incremental simhash index: pair union over batches == one-shot banded pairs") {
+    val bandT = "simix_band"
+    graft.util.TableRetention.sweep(spark, "simix", keep = Set.empty)
+    // hand-planted 64-bit signatures (all flips inside one 8-bit chunk, so
+    // the pigeonhole banding provably finds every pair): hamming(1,2)=1,
+    // hamming(1,3)=4, hamming(1,4)=5 (over the cut), 5 identical to 1,
+    // 6 unrelated
+    val base = 0x0F0F0F0F0F0F0F0FL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ 0x1L),
+      (3L, base ^ 0xFL),
+      (4L, base ^ 0x1FL),
+      (5L, base),
+      (6L, 0x123456789ABCDEF0L)).toDF("id", "sig")
+    val oneShot = Dedup.simhashPairs(sigs, "id", "sig", maxHamming = 4,
+      bits = 64, sigFn = c => c, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // split: {1,3,6} first, {2,4,5} second — near-dup pairs straddle
+    val b1 = sigs.where(col("id").isin(1L, 3L, 6L))
+    val b2 = sigs.where(col("id").isin(2L, 4L, 5L))
+    // empty-seeded, then appended per batch — the uniform-loop model st24
+    // runs (batch-internal pairs surface through the fresh-vs-fresh leg)
+    Dedup.buildSimhashIngestIndex(b1.limit(0), "id", "sig", bandT,
+      maxHamming = 4, blocks = 8, buckets = 4)
+    val q1 = Dedup.incrementalSimhashPairsIndexed(spark, bandT,
+      b1, "id", "sig", maxHamming = 4, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Dedup.appendSimhashIngestIndex(spark, bandT, b1, "id", "sig",
+      maxHamming = 4, blocks = 8, buckets = 4)
+    val q2 = Dedup.incrementalSimhashPairsIndexed(spark, bandT,
+      b2, "id", "sig", maxHamming = 4, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Dedup.appendSimhashIngestIndex(spark, bandT, b2, "id", "sig",
+      maxHamming = 4, blocks = 8, buckets = 4)
+    assert((q1 ++ q2) == oneShot,
+      s"incremental union != one-shot:\n${q1 ++ q2}\nvs\n$oneShot")
+    assert(q1.intersect(q2).isEmpty, "a pair surfaced in two batches")
+    // duplicate-id append refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendSimhashIngestIndex(spark, bandT, b1, "id", "sig",
+        maxHamming = 4, blocks = 8, buckets = 4)
+    }
+    assert(e.getMessage.contains("already in the index"), e.getMessage)
+    graft.util.TableRetention.sweep(spark, "simix", keep = Set.empty)
+  }
+
   test("closureMerge: incremental labels == one-shot closure; remap stays composed and merge-bounded") {
     def ids(xs: Long*) = xs.toDF("id")
     def prs(xs: (Long, Long)*) = xs.toDF("idA", "idB")
