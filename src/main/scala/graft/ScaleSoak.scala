@@ -315,7 +315,21 @@ object ScaleSoak {
       // tokenize + segment adoption + bigram-stats arithmetic merge -
       // never O(index). Whole corpus staged as two batches (staging
       // excluded like st16-21)
-      "st22_streaming_phrase")
+      "st22_streaming_phrase",
+      // round-20: closure maintenance at ingest (st23) — per-batch cost
+      // is O(batch + pairs + remap): the stored label table is only
+      // narrow-scanned under a broadcast endpoint filter, and the label
+      // quotient closure walks new-chain diameters only. The leg derives
+      // its batches from the scaled corpus, so its wall grows with the
+      // data; the flat-in-corpus claim lands in the st23 fixed-batch
+      // block below. Whole corpus staged as three batches (staging
+      // excluded like st16-22)
+      "st23_streaming_closure",
+      // round-20: perceptual dedup at ingest (st24) — per-batch cost is
+      // the batch's decode + an occupancy-bounded probe of the persisted
+      // band index (the corpus is never re-decoded); pair output is
+      // O(cluster^2) by the m05 contract but replica-local (salting)
+      "st24_streaming_perceptual")
 
   /** Legs whose stream input is the WHOLE scaled corpus: their
     * addStreamFile staging (single-task coalesce(1) writes) is test
@@ -327,7 +341,8 @@ object ScaleSoak {
     Set("st16_streaming_curation", "st17_streaming_packing",
       "st18_streaming_profile", "st19_streaming_funnel",
       "st20_streaming_url_dedup", "st21_streaming_bm25",
-      "st22_streaming_phrase")
+      "st22_streaming_phrase", "st23_streaming_closure",
+      "st24_streaming_perceptual")
 
   /** The recall-gated ANN legs — the ONLY queries the post-measurement
     * probe below may re-invoke. Everything else (the eager st legs, the
@@ -607,6 +622,9 @@ object ScaleSoak {
             } else if (q == "st17_streaming_packing") {
               val walls = graft.queries.PipelineQueries.lastPackBatchWalls
               if (walls.isEmpty) -1.0 else walls.max
+            } else if (q == "st23_streaming_closure") {
+              val walls = graft.queries.PipelineQueries.lastClosureBatchWalls
+              if (walls.isEmpty) -1.0 else walls.max
             } else -1.0
           val rounds = if (q == "d09_dedup_clusters") graft.operators.Dedup.lastClusterRounds else -1
           // recall-gated ANN legs ONLY: the in-query requireRecall gate
@@ -681,9 +699,13 @@ object ScaleSoak {
         // mixing it with corpus growth would confound both reads. Legs
         // land as t38_qcount_q<Q> at scale 1 (min-of-2, build discarded
         // by the warm call like s12/d19).
+        // Q = 256 (round-19 verdict #7): one more decade past the
+        // scan-dominated regime, where the per-(query, doc) fan-out and
+        // the rank-limit shuffle become the terms that matter at serving
+        // scale — wall must stay sub-linear in Q (or name the crossover)
         if (scale == scales.head &&
             queryFilter.forall(_.contains("t38_qcount_probe"))) {
-          for (nq <- Seq(4, 16, 64)) {
+          for (nq <- Seq(4, 16, 64, 256)) {
             def probe() = graft.queries.PipelineQueries
               .t38QueryCountProbe(spark, dir, nq)
             val legCanary = canary()
@@ -718,6 +740,46 @@ object ScaleSoak {
             -1, -1.0, walls.size.toLong, -1L, bmax, legCanary)
           println(f"st21_multibatch_ingest       x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
             f" canary=$legCanary%.0f merge_walls=" +
+            walls.map(w => f"$w%.2f").mkString("[", ",", "]"))
+        }
+        // the positional chain's K=8 soak (round-19 verdict #2): same
+        // evidence shape as st21's block — per-batch MERGE walls flat
+        // except the one visible size-tiered fold (which carries the _2g
+        // bigram sibling), claim column = max merge wall
+        if (queryFilter.forall(_.contains("st22_multibatch_ingest"))) {
+          val legCanary = canary()
+          val t0 = System.nanoTime()
+          val rows = graft.queries.PipelineQueries
+            .st22MultiBatchIngest(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val walls = graft.queries.PipelineQueries.lastPosMergeWalls
+          val bmax = if (walls.isEmpty) -1.0 else walls.max
+          results += Leg("st22_multibatch_ingest", scale, sec, rows,
+            -1, -1.0, walls.size.toLong, -1L, bmax, legCanary)
+          println(f"st22_multibatch_ingest       x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" canary=$legCanary%.0f merge_walls=" +
+            walls.map(w => f"$w%.2f").mkString("[", ",", "]"))
+        }
+        // st23's fixed-batch flatness probe (round-19 verdict #1's done
+        // criterion): closure state over THIS scale's corpus is seeded
+        // once by the one-shot d09 path (the full-recompute cost d25
+        // pays every run — included in this leg's total wall), then the
+        // SAME two base-fixture batches are closure-MAINTAINED against
+        // it. The claim column is ingest_batch_sec_max: per-batch
+        // maintenance wall flat across x1/x16/x64, vs d25's ~300 s x64
+        // full recompute. One run, like st13's block.
+        if (queryFilter.forall(_.contains("st23_fixed_batch_maintain"))) {
+          val legCanary = canary()
+          val t0 = System.nanoTime()
+          val rows = graft.queries.PipelineQueries
+            .st23FixedBatchMaintain(spark, dir, base).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val walls = graft.queries.PipelineQueries.lastClosureBatchWalls
+          val bmax = if (walls.isEmpty) -1.0 else walls.max
+          results += Leg("st23_fixed_batch_maintain", scale, sec, rows,
+            -1, -1.0, walls.size.toLong, -1L, bmax, legCanary)
+          println(f"st23_fixed_batch_maintain    x$scale%-3d ${sec}%8.2f s  rows=$rows%-8d" +
+            f" batch_sec_max=$bmax%.2f walls=" +
             walls.map(w => f"$w%.2f").mkString("[", ",", "]"))
         }
         // FIXED-batch flatness probe (round-13): the d17 soak leg derives

@@ -974,6 +974,77 @@ object PipelineQueries {
     ordered(hits.select(col("doc_id"), col("n_hits"), col("first_pos")))
   }
 
+  /** Per-batch appendPositionalSegment (MERGE) walls of the most recent
+    * [[st22MultiBatchIngest]], batch order — ScaleSoak's evidence column
+    * for the positional family's append-shaped-maintenance claim
+    * (round-19 verdict #2): each merge is a postings-segment rename + a
+    * bigram-stats arithmetic sum, so the wall must stay FLAT across
+    * batches except the one visible size-tiered fold.
+    */
+  @volatile var lastPosMergeWalls: List[Double] = Nil
+
+  /** The K-batch POSITIONAL ingest chain (round-19 verdict #2 — st21's
+    * K>=8 flatness soak, mirrored for the t39/st22 family): the corpus
+    * arrives as K doc-disjoint batches; each builds its positional delta
+    * and appendPositionalSegment-merges it under the size-tiered
+    * compaction policy (compactAt = 6: the 6th merge folds the chain —
+    * including the `_2g` bigram sibling carry — into one table; every
+    * other merge is O(delta + bigram vocabulary)), with keep-newest-2
+    * retention sweeping as it goes. Returns the final phrase probe
+    * (derivePhrase reads the folded+merged `_2g` — the sibling carry
+    * exercised on the driver path, previously only Bm25Spec-pinned); the
+    * per-batch MERGE walls land in [[lastPosMergeWalls]] — flat except
+    * the one visible fold.
+    */
+  def st22MultiBatchIngest(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val tblBase = s"st22mb_${java.lang.Integer.toHexString(dir.hashCode)}"
+    wipeWarehousePrefix(s, tblBase)
+    var prior: Option[String] = None
+    val walls = List.newBuilder[Double]
+    withShufflePartitions(s, s.sparkContext.defaultParallelism) {
+      for (b <- 0 until k) {
+        val delta = s"${tblBase}_delta"
+        graft.operators.Bm25Index.buildPositional(
+          docs.where(pmod(col("doc_id"), lit(k)) === b), "doc_id", "text", delta)
+        val t0 = System.nanoTime()
+        graft.operators.Bm25Index.appendPositionalSegment(s, prior, delta,
+          s"${tblBase}_b$b", compactAt = 6)
+        walls += (System.nanoTime() - t0) / 1e9
+        prior = Some(s"${tblBase}_b$b")
+        graft.operators.Bm25Index.sweepVersions(s, tblBase,
+          (math.max(0, b - 1) to b).map(n => s"${tblBase}_b$n"))
+      }
+    }
+    lastPosMergeWalls = walls.result()
+    // compaction invariant: K=8 with compactAt=6 folds at batch 6,
+    // leaving 1 folded + 2 appended = 3 segments
+    val finalSegs = s.table(prior.get + "_segs").count()
+    require(finalSegs < 6,
+      s"st22 multibatch: compaction policy failed to bound segments ($finalSegs)")
+    val verTables = s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(s"${tblBase}_b") && !n.contains("_seg"))
+    val keptIds = verTables.flatMap(
+      s"^${java.util.regex.Pattern.quote(tblBase)}_b([0-9]+).*$$".r
+        .findFirstMatchIn(_).map(_.group(1).toLong)).distinct.sorted
+    require(keptIds.toSeq == Seq(k - 2L, k - 1L),
+      s"st22 multibatch: version chain not bounded to newest 2 — " +
+        s"found versions ${keptIds.mkString(",")} of $k")
+    // the folded chain's _2g sibling must still serve phrase derivation
+    // AND the probe must prune every remaining segment scan
+    val idx = prior.get
+    val phrase = graft.operators.Bm25Index.derivePhrase(s, idx)
+    val hits = graft.operators.Bm25Index.phraseHits(s, idx, phrase)
+    val plan = hits.queryExecution.executedPlan.toString
+    val sels = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    require(sels.size == finalSegs &&
+        sels.forall(m => m.group(1).toInt < m.group(2).toInt),
+      s"st22 multibatch: expected $finalSegs bucket-pruned segment scans, " +
+        s"saw ${sels.map(_.matched).mkString("[", ", ", "]")}")
+    hits
+  }
+
   /** Per-batch closure-maintenance walls (pair probe + closureMerge +
     * staged state write + index append) of the most recent st23 /
     * [[st23FixedBatchMaintain]] invocation, batch order — ScaleSoak's
