@@ -69,7 +69,21 @@ class PlanLintSpec extends SparkSpec {
     // t39's buildPositional checkpoints its tokenize pass (postings AND
     // bigram stats derive from it) — residue only on the build invocation;
     // st22's per-batch positional delta builds run the same checkpoint
-    "t39_phrase_search", "st22_streaming_phrase")
+    "t39_phrase_search", "st22_streaming_phrase",
+    // st23's per-batch closureMerge checkpoints the (merge-bounded) label
+    // merges + its final labels outlive the finally-swept index tables;
+    // st24 checkpoints each batch's decoded (id, dhash) table + its final
+    // pair union; t40/t41 share the t36/t39 versioned indexes (residue
+    // only when they trigger the build).
+    // NOTE on the hybrid probe registry (round-19 verdict #6): t37's
+    // cached scored frames live in Bm25Index.hybridScored — ONE entry per
+    // live index name, reused across plan-identical probes, swapped on a
+    // changed plan, and RELEASED when retention sweeps the index (every
+    // sweep path publishes swept names through SweepHooks; Bm25Spec pins
+    // sweep -> no live entry). Bounded by live index count by
+    // construction — never by probe count.
+    "st23_streaming_closure", "st24_streaming_perceptual",
+    "t40_batch_hybrid", "t41_proximity_search")
 
   test("no CartesianProduct and no cache leaks anywhere in the declared surface") {
     val dir = "/root/testdata/sf0.01"
