@@ -39,7 +39,11 @@ object Bench {
     */
   final case class Window(src: String, canaryPre: Double, canaryPost: Double,
       csvCsvSec: Double, csvParquetSec: Double, pqPqSec: Double,
-      csvBytes: Long, parquetBytes: Long, results: Seq[(String, Double)]) {
+      csvBytes: Long, parquetBytes: Long, results: Seq[(String, Double)],
+      // O_DIRECT device-read MB/s beside each canary probe (round-20
+      // measurement fix: diagnostic only, never gated — see IoCanary);
+      // -1 for history windows recorded before the field existed
+      dirPre: Double = -1.0, dirPost: Double = -1.0) {
     // window quality = the BETTER probe: the post probe is systematically
     // depressed by the bench's own dirty-page backlog (observed ~15-20%
     // under the pre probe on a healthy disk), and the failure mode this
@@ -105,7 +109,7 @@ object Bench {
       .mkString("{", ",", "}")
     val winsFull = liveWindows.map { x =>
       val (cc, cp, pp) = x.mbps
-      f"""{"canary_pre":${x.canaryPre}%.0f,"canary_post":${x.canaryPost}%.0f,"cc_mbps":$cc%.1f,"cp_mbps":$cp%.1f,"pp_mbps":$pp%.1f,"queries_total":${x.total}%.2f}"""
+      f"""{"canary_pre":${x.canaryPre}%.0f,"canary_post":${x.canaryPost}%.0f,"direct_read_pre":${x.dirPre}%.0f,"direct_read_post":${x.dirPost}%.0f,"cc_mbps":$cc%.1f,"cp_mbps":$cp%.1f,"pp_mbps":$pp%.1f,"queries_total":${x.total}%.2f}"""
     }.mkString("[", ",", "]")
     s"""{"line":$line,"queries_full":$qFull,"windows_full":$winsFull}"""
   }
@@ -312,6 +316,7 @@ object Bench {
 
     def runWindow(): Window = {
       val cPre = canaryProbe()
+      val dPre = graft.util.IoCanary.lastDirectReadMbps
       val csvCsvSec = conv(csvIn, "out_csv.csv", Discovery.Csv)
       val csvParquetSec = conv(csvIn, "out_pq.parquet", Discovery.Parquet)
       val pqPqSec = conv(pqIn, "out_pq2.parquet", Discovery.Parquet)
@@ -330,8 +335,10 @@ object Bench {
         val b = if (a < 0) a else { val c = once(); if (c < 0) a else math.min(a, c) }
         name -> b
       }
-      Window("live", cPre, canaryProbe(), csvCsvSec, csvParquetSec, pqPqSec,
-        csvBytes, parquetBytes, results)
+      val cPost = canaryProbe()
+      Window("live", cPre, cPost, csvCsvSec, csvParquetSec, pqPqSec,
+        csvBytes, parquetBytes, results,
+        dirPre = dPre, dirPost = graft.util.IoCanary.lastDirectReadMbps)
     }
 
     // window gate: one automatic re-run when either signal says the window
