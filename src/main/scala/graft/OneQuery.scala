@@ -34,6 +34,8 @@ object OneQuery {
       // partition count without touching the query (bench default = cpus)
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("GRAFT_PROF_SHUFFLE", cpus))
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("GRAFT_PROF_COMMITTER", "1"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,8 +44,25 @@ object OneQuery {
     val tasks = new AtomicInteger
     val shufRead = new AtomicLong; val shufWrite = new AtomicLong
     val runMs = new AtomicLong; val gcMs = new AtomicLong
+    // GRAFT_PROF_JOBS=1: per-job attribution — duration + description/call
+    // site for every job slower than 150 ms
+    val jobAttr = sys.env.get("GRAFT_PROF_JOBS").contains("1")
+    val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (jobAttr) {
+          val p = Option(j.properties)
+          val desc = p.flatMap(x => Option(x.getProperty("callSite.short"))).getOrElse("?") +
+            " | " + p.flatMap(x => Option(x.getProperty("spark.job.description"))).getOrElse("")
+          jobStartMs.put(j.jobId, (System.currentTimeMillis(), desc))
+        }
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        if (jobAttr) Option(jobStartMs.remove(e.jobId)).foreach { case (t0, desc) =>
+          val ms = System.currentTimeMillis() - t0
+          if (ms >= 150) println(f"[job] ${e.jobId}%5d $ms%6d ms  $desc")
+        }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -338,15 +338,21 @@ object Dedup {
       buckets: Int = 16): Unit = {
     // one expensive text pass (shingle + minhash), two slim table writes:
     // persist() keeps the signatures in memory between the writes instead
-    // of recomputing the text walk
+    // of recomputing the text walk. The cache is FILLED first (count) so
+    // the two writes — independent once prep is materialized — can run
+    // CONCURRENTLY (guide §2.6): each write is mostly fixed commit/catalog
+    // cost at small corpora and straggler tail at large ones, and the
+    // second write's tasks back-fill the first's idle slots.
     val prep = jaccardPrep(old, idCol, textCol, shingleN, numHashes).persist()
     try {
-      Bucketing.writeBucketed(prep.select(col("id"), col("sh")),
-        shingleTable, "id", buckets)
-      Bucketing.writeBucketed(
-        jaccardBand(prep, numHashes, bandRows, isNew = false)
-          .select("id", "band", "bucket"),
-        bandTable, "bucket", buckets)
+      prep.count()
+      graft.util.Par.actions(
+        () => Bucketing.writeBucketed(prep.select(col("id"), col("sh")),
+          shingleTable, "id", buckets),
+        () => Bucketing.writeBucketed(
+          jaccardBand(prep, numHashes, bandRows, isNew = false)
+            .select("id", "band", "bucket"),
+          bandTable, "bucket", buckets))
     } finally prep.unpersist()
   }
 
@@ -379,7 +385,13 @@ object Dedup {
         .limit(1).collect().isEmpty,
       "incrementalJaccardPairsIndexed: ids must be globally unique across " +
         "the indexed corpus and fresh — at least one id appears on both sides")
+    // materialize the batch's shingle+minhash pass ONCE (round-20): the
+    // prep feeds the banding AND both sides of the verify attach, i.e.
+    // 3 independent consumers — without this the text walk (the probe's
+    // expensive expression work) re-ran per consumer. Batch-sized by
+    // contract, so the checkpoint is slim at any corpus scale.
     val freshP = jaccardPrep(fresh, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint()
     incrementalCore(
       spark.table(bandTable).withColumn("is_new", lit(false)),
       jaccardBand(freshP, numHashes, bandRows, isNew = true),
@@ -417,18 +429,23 @@ object Dedup {
         "phantom duplicate")
     val prep = jaccardPrep(accepted, idCol, textCol, shingleN, numHashes).persist()
     try {
+      // materialize once, then the two independent appends run
+      // CONCURRENTLY (guide §2.6 — same overlap as the build path; the
+      // appends are mostly fixed commit cost per batch)
+      prep.count()
       // repartition by the bucket key first (see Bucketing.writeBucketed):
       // an append otherwise adds input-partitions x buckets files PER
       // BATCH, and the probe's scan cost becomes file-open overhead
-      prep.select(col("id"), col("sh"))
-        .repartition(buckets, col("id"))
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "id").sortBy("id").saveAsTable(shingleTable)
-      jaccardBand(prep, numHashes, bandRows, isNew = false)
-        .select("id", "band", "bucket")
-        .repartition(buckets, col("bucket"))
-        .write.mode("append").format("parquet")
-        .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(bandTable)
+      graft.util.Par.actions(
+        () => prep.select(col("id"), col("sh"))
+          .repartition(buckets, col("id"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "id").sortBy("id").saveAsTable(shingleTable),
+        () => jaccardBand(prep, numHashes, bandRows, isNew = false)
+          .select("id", "band", "bucket")
+          .repartition(buckets, col("bucket"))
+          .write.mode("append").format("parquet")
+          .bucketBy(buckets, "bucket").sortBy("bucket").saveAsTable(bandTable))
     } finally prep.unpersist()
   }
 
@@ -1132,22 +1149,36 @@ object Dedup {
       pairs: DataFrame     // (idA, idB) — the batch's new pairs
   ): (DataFrame, DataFrame) = {
     val ids = batchIds.select(col(batchIds.columns.head).as("id"))
-    val endpoints = pairs.select(col("idA").as("id"))
-      .unionByName(pairs.select(col("idB").as("id"))).distinct()
+    // materialize the pair probe ONCE (round-20 optimization): `pairs` is
+    // the batch's index probe — banded candidate join + exact verify, the
+    // expensive subplan — and this function consumes it through several
+    // independent actions (endpoint broadcasts, the label-pair build, the
+    // closure's edge checkpoint). Broadcast exchanges materialize per
+    // action, so without this the probe re-executed 4-5x per micro-batch
+    // (measured: st23 ran 251 Spark jobs for 3 batches). The frame is
+    // pair-bounded by contract — never corpus-sized — so the checkpoint
+    // is slim at any scale.
+    val pairsM = pairs.localCheckpoint()
+    val endpoints = pairsM.select(col("idA").as("id"))
+      .unionByName(pairsM.select(col("idB").as("id"))).distinct()
     // effective labels of the pair endpoints: corpus-sized stored is only
     // ever narrow-SCANNED with a broadcast semi-filter (endpoints are
     // pair-bounded); a batch endpoint has no stored row yet -> label = id
     val endpointStored = stored
       .join(broadcast(endpoints), Seq("id"), "left_semi")
+    // endpoint-bounded; checkpointed so the corpus-sized stored scan above
+    // runs once, not once per consumer below
     val eff = endpoints
       .join(broadcast(endpointStored), Seq("id"), "left")
       .join(broadcast(remap), Seq("cluster"), "left")
       .select(col("id"),
         coalesce(col("root"), col("cluster"), col("id")).as("eff"))
+      .localCheckpoint()
     // the batch's pair graph in label space (self-loops dropped), closed
     // exactly by the house closure over the QUOTIENT graph — nodes are
-    // labels, so prior cluster interiors never re-walk
-    val labelPairs = pairs.select("idA", "idB")
+    // labels, so prior cluster interiors never re-walk. Checkpointed:
+    // consumed by the closure's edges AND labelNodes (2x each).
+    val labelPairs = pairsM.select("idA", "idB")
       .join(broadcast(eff.select(col("id").as("idA"), col("eff").as("__la"))),
         Seq("idA"))
       .join(broadcast(eff.select(col("id").as("idB"), col("eff").as("__lb"))),
@@ -1156,6 +1187,7 @@ object Dedup {
       .select(least(col("__la"), col("__lb")).as("idA"),
         greatest(col("__la"), col("__lb")).as("idB"))
       .distinct()
+      .localCheckpoint()
     val labelNodes = labelPairs.select(col("idA").as("id"))
       .unionByName(labelPairs.select(col("idB").as("id"))).distinct()
     // (label, root) for every label whose root CHANGED this batch;

@@ -58,6 +58,33 @@ object PipelineQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** SCALE-ADAPTIVE state-store partition count for a stateful streaming
+    * leg (round-20 optimization, guide §2.2's many-tiny-blocks lesson
+    * applied to state stores): a stateful operator creates one state-store
+    * instance per shuffle partition, and EVERY micro-batch pays each
+    * instance's fixed lifecycle cost (open/load, commit snapshot, close —
+    * measured here at ~1 s per RocksDB instance per batch: st17 at the
+    * session's 32 partitions burned 200 executor-seconds to move 5,000
+    * rows; at 8 partitions the same query took 8). Sizing state partitions
+    * to the core count is a production anti-pattern at BOTH ends — a tiny
+    * stream drowns in per-instance overhead, a 100 TB stream wants stores
+    * sized by throughput, not cores — so derive the count from the
+    * stream's own row volume: one store per `SPARK_GRAFT_STATE_ROWS` rows
+    * (default 8192 — below ~10k rows/store the fixed lifecycle cost
+    * dominates any per-row work), clamped to [1, defaultParallelism] so
+    * parallelism never exceeds what the session can schedule. Partition
+    * count is pinned into the checkpoint at first start, so the derivation
+    * is deterministic in the fixture (a restart re-derives the same
+    * number; Spark re-reads it from the checkpoint anyway). Results are
+    * partitioning-independent (hash by key), which the existing oracles
+    * pin.
+    */
+  private def stateStorePartitions(s: SparkSession, approxRows: Long): Int = {
+    val target = sys.env.getOrElse("SPARK_GRAFT_STATE_ROWS", "8192").toLong
+    val need = math.ceil(math.max(0L, approxRows).toDouble / target).toLong
+    math.max(1L, math.min(need, s.sparkContext.defaultParallelism.toLong)).toInt
+  }
+
   /** Start `df` into a fresh memory sink, drain synchronously, and return
     * the sink table. The shared tail of every single-shot st query (st05/
     * st06 stay inline — they add source files between drains). The sink
@@ -1154,12 +1181,16 @@ object PipelineQueries {
           // micro-batch's cloned session and lands zero rows in the
           // shared catalog's table — re-reading the staged parquet binds
           // the append to the main session
-          batch.write.mode("overwrite")
-            .parquet(staged.resolve("batch").toString)
-          storedApp.write.mode("overwrite")
-            .parquet(staged.resolve("stored").toString)
-          remapNew.write.mode("overwrite")
-            .parquet(staged.resolve("remap").toString)
+          // the three staged writes are independent (closureMerge returns
+          // frames over checkpointed inputs) — run them concurrently
+          // (guide §2.6): each is mostly fixed job/commit cost per batch
+          graft.util.Par.actions(
+            () => batch.write.mode("overwrite")
+              .parquet(staged.resolve("batch").toString),
+            () => storedApp.write.mode("overwrite")
+              .parquet(staged.resolve("stored").toString),
+            () => remapNew.write.mode("overwrite")
+              .parquet(staged.resolve("remap").toString))
           Dedup.appendJaccardIngestIndex(s, bandT, shT,
             s.read.parquet(staged.resolve("batch").toString),
             "doc_id", "text",
@@ -1611,9 +1642,11 @@ object PipelineQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       coalesce(TF.vocabTokenCount(col("text")), lit(0L)).as("n_tokens"))
-    // the batch boundary: one driver-side row (bounded agg), not a scan
-    val maxRow = docs.agg(max("doc_id")).head()
+    // the batch boundary: one driver-side row (bounded agg), not a scan;
+    // the same pass counts rows for the state-store sizing below
+    val maxRow = docs.agg(max("doc_id"), count(lit(1))).head()
     val mid = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 2
+    val nRows = maxRow.getLong(1)
     val batch1 = docs.where(col("doc_id") <= mid || col("doc_id").isNull)
     val batch2 = docs.where(col("doc_id") > mid)
     val pack: DataFrame => DataFrame = stream => stream
@@ -1625,15 +1658,17 @@ object PipelineQueries {
       .toDF("doc_id", "lang", "n_tokens", "pack_id")
     // transformWithState requires the RocksDB provider (st07's scoping);
     // state-store partition count pins at the first batch, so the scope
-    // covers BOTH query incarnations
+    // covers BOTH query incarnations. Partitions derived from the stream's
+    // row volume (see stateStorePartitions), not the session core count.
     val (res, walls) = withConf(s, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      withShufflePartitions(s, stateStorePartitions(s, nRows)) {
       twoBatchIngestLoop(s, "st17_pack", dir,
         StructType(Seq(StructField("doc_id", LongType),
           StructField("lang", StringType), StructField("n_tokens", LongType))),
         batch1, batch2, transformStream = pack,
         restartBetweenBatches = true, outputMode = "update")(b => b)
-    }
+    } }
     lastPackBatchWalls = walls
     ordered(res.select("doc_id", "lang", "n_tokens", "pack_id"))
   }
@@ -1674,6 +1709,8 @@ object PipelineQueries {
       .toDF("user_id", "event_id", "converted")
     val (res, _) = withConf(s, "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      // state partitions sized by the stream's row volume, not core count
+      withShufflePartitions(s, stateStorePartitions(s, ev.count())) {
       twoBatchIngestLoop(s, "st19_funnel", dir,
         StructType(Seq(StructField("user_id", LongType),
           StructField("event_id", LongType),
@@ -1681,7 +1718,7 @@ object PipelineQueries {
           StructField("event_type", StringType))),
         batch1, batch2, transformStream = attribute,
         restartBetweenBatches = true, outputMode = "update")(b => b)
-    }
+    } }
     ordered(res.groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
         sum(when(col("converted"), 1L).otherwise(0L)).as("n_conversions")))
