@@ -22,8 +22,36 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to DISK: every encode/decode spools
+  // through a temp FILE (FileCache*ImageStream), which serializes
+  // concurrent codec passes on filesystem traffic — measured here as a
+  // 30x executor-time blowup the moment the decode pass ran 32-wide
+  // (6 s single-task -> 200 s at 32 tasks for the same 6k images).
+  // Memory-backed streams are strictly better for in-memory byte-array
+  // payloads at any scale (the payloads already fit on the heap). Set
+  // once per JVM at operator load; encode/decode output is byte-identical.
+  ImageIO.setUseCache(false)
+
   val ImgW = 16
   val ImgH = 16
+
+  /** Ensure at least session-parallelism partitions before an expensive
+    * per-row codec pass (round-20 optimization, guide §2.5 "input skew:
+    * one huge unsplittable file ... repartition immediately after the
+    * read"): a media table built from ONE small parquet file arrives as a
+    * single scan split, so the ImageIO encode/decode pass — the m-family's
+    * dominant cost — ran on 1-3 cores of 32 (m02 measured 2 tasks, wall ==
+    * executor time). The shuffle moves only the slim pre-encode text rows,
+    * never the rendered payloads, and is skipped when the input already
+    * carries enough splits (a 100 TB scan does — bumping it here would ADD
+    * a full-corpus shuffle). Round-robin repartition is retry-deterministic
+    * (sortBeforeRepartition is on), and every downstream consumer is
+    * per-row or keyed, so results are partitioning-independent.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     // nullable: an id that is null (or fails the Long cast) flows through as
@@ -41,7 +69,7 @@ object Multimodal {
     * formats we have no codec for (audio/video).
     */
   def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    spread(df).select(
       col(idCol).cast(LongType).as("media_id"),
       encode(col(textCol), "utf-8").as("payload"),
       struct(
@@ -104,8 +132,8 @@ object Multimodal {
   def fromTextPng(df: DataFrame, idCol: String, textCol: String,
       shift: Int = 0, rgb: Boolean = false): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    df.select(col(idCol).cast(LongType).as("media_id"),
-        encode(col(textCol), "utf-8").as("bytes"))
+    spread(df.select(col(idCol).cast(LongType).as("media_id"),
+        encode(col(textCol), "utf-8").as("bytes")))
       .mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
