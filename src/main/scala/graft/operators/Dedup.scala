@@ -44,14 +44,19 @@ object Dedup {
         TF.minhashSignature): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // One exchange on id above the signature computation: all four consumers
-    // (band explode a/b, payload attach a/b) then hang off the SAME shuffle,
-    // so ReusedExchange computes the signatures exactly once instead of 4x
-    // (and the attach joins are already co-partitioned on id).
-    val sig = docs.select(
-      col(idCol).as("id"),
-      sigFn(col(textCol), shingleN, numHashes).as("sig"))
+    // Signatures computed ONCE at full parallelism (round-20, guide §2.5):
+    // the previous select-then-repartition shape computed the signature
+    // walk map-side at the scan's split count — ONE task for a single-file
+    // corpus — with the exchange shared by all consumers (band explode,
+    // payload attach a/b). Repartitioning the slim (id, text) rows FIRST
+    // runs the walk at shuffle parallelism; the localCheckpoint then plays
+    // the old exchange's compute-once role for the three consumers (the
+    // materialized blocks hold the same (id, sig) rows the reused exchange
+    // files held, so the footprint is unchanged at any scale).
+    val sig = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
       .repartition(col("id"))
+      .select(col("id"), sigFn(col("__t"), shingleN, numHashes).as("sig"))
+      .localCheckpoint()
     // Band hash: one flat variadic xxhash64 over the band's signature slice,
     // UNROLLED in Scala (literal getItem indices) rather than a nested
     // higher-order transform — HOFs are CodegenFallback and a lambda that
@@ -251,11 +256,21 @@ object Dedup {
       bandRows: Int = 2,
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bandRows == 0, "bandRows must divide numHashes")
-    val base = docs.select(
-      col(idCol).as("id"),
-      TF.shingleHashes(col(textCol), shingleN).as("sh"),
-      TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
-      .repartition(col("id")) // single shared exchange (see minhashPairs)
+    // repartition BEFORE the shingle/minhash projection (round-20, guide
+    // §2.5): written select-then-repartition, the expensive text walk ran
+    // map-side on the scan's split count — ONE task for a single-file
+    // corpus — and the exchange carried the fatter (sh, sig) rows.
+    // Repartitioning the raw text rows first runs the walk at full shuffle
+    // parallelism; the localCheckpoint keeps it computed ONCE for the three
+    // consumers (banding + both verify attaches), the role the shared
+    // exchange played before (see minhashPairs).
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .repartition(col("id"))
+      .select(
+        col("id"),
+        TF.shingleHashes(col("__t"), shingleN).as("sh"),
+        TF.minhashSignature(col("__t"), shingleN, numHashes).as("sig"))
+      .localCheckpoint()
     val bandKeys = (0 until numHashes / bandRows).map(b =>
       xxhash64(((0 until bandRows).map(r => col("sig").getItem(bandRows * b + r)) :+ lit(b)): _*))
     val banded = base.select(col("id"), posexplode(array(bandKeys: _*)))
@@ -587,12 +602,17 @@ object Dedup {
     * explode, shingle attach) hang off the same shuffle so the text walk
     * happens once (see [[minhashPairs]]).
     */
+  // repartition the slim (id, text) rows FIRST so the shingle+minhash walk
+  // runs at shuffle parallelism instead of on the scan's split count (one
+  // task for a single-file corpus) — see ngramJaccardPairs' base
   private def jaccardPrep(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = df.select(
-    col(idCol).as("id"),
-    TF.shingleHashes(col(textCol), shingleN).as("sh"),
-    TF.minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      shingleN: Int, numHashes: Int): DataFrame = df
+    .select(col(idCol).as("id"), col(textCol).as("__t"))
     .repartition(col("id"))
+    .select(
+      col("id"),
+      TF.shingleHashes(col("__t"), shingleN).as("sh"),
+      TF.minhashSignature(col("__t"), shingleN, numHashes).as("sig"))
 
   /** Slim (id, band, bucket, is_new) banding rows for the incremental
     * candidate join — the rows [[buildJaccardIngestIndex]] persists.
